@@ -1,0 +1,196 @@
+"""StandardAnalyzer-equivalent analysis chain.
+
+Reference semantics reproduced here (file:line cites into /root/reference):
+
+- ``StandardTokenizer``: UAX#29 word-break tokenization
+  (``src/Lucene.Net.Analysis.Common/Analysis/Standard/StandardTokenizer.cs:59-104``
+  + generated JFlex DFA ``StandardTokenizerImpl.cs``).  Implemented with the
+  ``regex`` module's Unicode ``Word_Break`` property classes: rules WB5-WB13b
+  (letter/number runs with MidLetter/MidNum/MidNumLet/Single_Quote medials,
+  ExtendNumLet glue, Katakana runs), plus Lucene's extra token classes: one
+  token per Han ideograph (IDEOGRAPHIC), one per Hiragana syllable (HIRAGANA),
+  Southeast-Asian script runs (SOUTHEAST_ASIAN).
+- Tokens longer than ``maxTokenLength`` (255, ``StandardAnalyzer.cs:51``) are
+  DISCARDED and contribute a position hole (``StandardTokenizer.cs:206-214``).
+- ``StandardFilter``: no-op for 4.x (``Analysis/Standard/StandardFilter.cs``).
+- ``LowerCaseFilter``: per-code-point Unicode lowercase à la Java
+  ``Character.toLowerCase(int)`` (``Analysis/Core/LowerCaseFilter.cs:33-54``);
+  differs from Python ``str.lower()`` only for the handful of code points with
+  1:N full case mappings (e.g. U+0130), which we map 1:1 like Java.
+- ``StopFilter``: the 33-word English default set (``StopAnalyzer.cs:44-56``);
+  dropped tokens add their position increment to the next kept token
+  (``Analysis/Util/FilteringTokenFilter.cs:84-101``) so positions keep holes.
+- Field length for norms counts only tokens that reach the inverter, i.e.
+  post-stop kept tokens (``Index/DocInverterPerField.cs:155-196``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+import regex
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.cs:51
+
+# StopAnalyzer.cs:44-56 — ENGLISH_STOP_WORDS_SET (case-sensitive set; input is
+# already lowercased by the time StopFilter runs in StandardAnalyzer's chain).
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+# --- UAX#29 word-break token pattern -----------------------------------------
+# Character classes via the regex module's Word_Break property support.
+_AHL = r"[\p{WB=ALetter}\p{WB=Hebrew_Letter}]"
+_NU = r"\p{WB=Numeric}"
+_KA = r"\p{WB=Katakana}"
+_EX = r"[\p{WB=Extend}\p{WB=Format}]"
+_ML = r"[\p{WB=MidLetter}\p{WB=MidNumLet}\p{WB=Single_Quote}]"
+_MN = r"[\p{WB=MidNum}\p{WB=MidNumLet}\p{WB=Single_Quote}]"
+_EN = r"\p{WB=ExtendNumLet}"
+
+# Atoms: a base char plus trailing Extend/Format (WB4).
+_L = f"(?:{_AHL}{_EX}*)"
+_D = f"(?:{_NU}{_EX}*)"
+_K = f"(?:{_KA}{_EX}*)"
+_E = f"(?:{_EN}{_EX}*)"
+# Medials need letter (resp. numeric) context on both sides (WB6/7, WB11/12).
+_MIDL = f"(?:(?<={_AHL}{_EX}*){_ML}{_EX}*(?={_AHL}))"
+_MIDN = f"(?:(?<={_NU}{_EX}*){_MN}{_EX}*(?={_NU}))"
+# A word unit: katakana run, or letter/number run with valid medials (WB5-12).
+_UNIT = f"(?:{_K}+|(?:{_L}|{_D})(?:{_L}|{_D}|{_MIDL}|{_MIDN})*)"
+# ExtendNumLet glues units (WB13a/13b) and may lead/trail.
+_WORD = f"{_E}*{_UNIT}(?:{_E}+{_UNIT})*{_E}*|{_E}+"
+
+# Lucene's extra classes (StandardTokenizer.cs:85-104): single Han ideograph,
+# single Hiragana, Southeast-Asian run (we keep the run unsegmented — Lucene
+# routes these through ICU "complex context"; a run is its own token here).
+_SEA = r"[\p{Script=Thai}\p{Script=Lao}\p{Script=Khmer}\p{Script=Myanmar}]+"
+_HAN = r"\p{Script=Han}"
+_HIRA = r"\p{Script=Hiragana}"
+
+_TOKEN_RE = regex.compile(f"(?:{_WORD})|(?:{_SEA})|(?:{_HAN})|(?:{_HIRA})", regex.V0)
+
+# Java Character.toLowerCase(int) is a 1:1 code-point mapping; Python's
+# str.lower() applies full (1:N) mappings for a few code points. Patch those.
+_JAVA_LOWER_EXCEPTIONS = {
+    "İ": "i",  # LATIN CAPITAL LETTER I WITH DOT ABOVE -> 'i' in Java
+}
+_HAS_EXCEPTION = regex.compile("[" + "".join(_JAVA_LOWER_EXCEPTIONS) + "]")
+
+
+def _java_lower(s: str) -> str:
+    if _HAS_EXCEPTION.search(s) is not None:
+        s = "".join(_JAVA_LOWER_EXCEPTIONS.get(c, c) for c in s)
+    out = s.lower()
+    # Guard: 1:N expansions not covered above are kept 1:1 by per-char mapping.
+    if len(out) != len(s):
+        out = "".join(
+            (c.lower() if len(c.lower()) == 1 else _JAVA_LOWER_EXCEPTIONS.get(c, c))
+            for c in s
+        )
+    return out
+
+
+def tokenize(text: str) -> list[str]:
+    """Raw StandardTokenizer output (pre-filters): token strings in order.
+
+    Over-long tokens (>255 chars) are represented as ``None`` placeholders by
+    ``analyze``; here they are simply included so callers can see raw output.
+    """
+    return _TOKEN_RE.findall(text)
+
+
+def analyze(text: str) -> tuple[list[str], list[int]]:
+    """Full StandardAnalyzer chain: returns (terms, positions).
+
+    Positions are absolute token positions (0-based) with holes for dropped
+    stopwords and over-long tokens, exactly as Lucene's posIncr accumulation
+    produces (FilteringTokenFilter.cs:84-101, StandardTokenizer.cs:206-214).
+    Field length for norms == len(terms).
+    """
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = -1
+    for raw in _TOKEN_RE.findall(text):
+        pos += 1  # every emitted-or-skipped token advances the position
+        if len(raw) > MAX_TOKEN_LENGTH:
+            continue  # discarded, position hole remains
+        term = _java_lower(raw)
+        if term in ENGLISH_STOP_WORDS:
+            continue  # stopword hole
+        terms.append(term)
+        positions.append(pos)
+    return terms, positions
+
+
+_ASCII_SIMPLE = regex.compile(r"[^ a-z0-9]")
+
+
+def _analyze_fast_ascii(text: str) -> tuple[list[str], list[int]] | None:
+    """Fast path for already-lowercase space-separated ASCII text (the common
+    shape of cleaned web text): identical output to ``analyze`` when the text
+    contains only [a-z0-9 ]."""
+    if _ASCII_SIMPLE.search(text) is not None:
+        return None
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = -1
+    for tok in text.split():
+        pos += 1
+        if tok in ENGLISH_STOP_WORDS or len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        terms.append(tok)
+        positions.append(pos)
+    return terms, positions
+
+
+class StandardAnalyzer:
+    """Callable analyzer matching Lucene's StandardAnalyzer chain
+    (StandardAnalyzer.cs:107-115). Stateless and cheap; exists as a class so
+    per-language variants can subclass (stop set / extra filters)."""
+
+    stop_words = ENGLISH_STOP_WORDS
+    max_token_length = MAX_TOKEN_LENGTH
+
+    def __call__(self, text: str) -> tuple[list[str], list[int]]:
+        fast = _analyze_fast_ascii(text)
+        if fast is not None and self.stop_words is ENGLISH_STOP_WORDS:
+            return fast
+        return self._analyze_slow(text)
+
+    def _analyze_slow(self, text: str) -> tuple[list[str], list[int]]:
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = -1
+        for raw in _TOKEN_RE.findall(text):
+            pos += 1
+            if len(raw) > self.max_token_length:
+                continue
+            term = _java_lower(raw)
+            if term in self.stop_words:
+                continue
+            terms.append(term)
+            positions.append(pos)
+        return terms, positions
+
+
+def analyze_batch(texts: Iterable[str]) -> tuple[pa.ListArray, pa.ListArray]:
+    """Analyze a batch of texts → (tokens list<string>, positions list<int32>)
+    Arrow arrays. Used by map_batches stages."""
+    analyzer = StandardAnalyzer()
+    all_terms: list[str] = []
+    all_pos: list[int] = []
+    offsets = np.empty(0, dtype=np.int32)
+    offs = [0]
+    for t in texts:
+        terms, pos = analyzer(t if t is not None else "")
+        all_terms.extend(terms)
+        all_pos.extend(pos)
+        offs.append(len(all_terms))
+    offsets = pa.array(offs, type=pa.int32())
+    tok_arr = pa.ListArray.from_arrays(offsets, pa.array(all_terms, type=pa.string()))
+    pos_arr = pa.ListArray.from_arrays(offsets, pa.array(all_pos, type=pa.int32()))
+    return tok_arr, pos_arr

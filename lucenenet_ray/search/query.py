@@ -1,0 +1,270 @@
+"""Query AST + classic-syntax parser subset.
+
+The reference's query tree (SURVEY §2.10): every node compiles to per-bucket
+scorers. v0 implements the nodes needed by the north rule plus the common
+rewrite family:
+
+- TermQuery                       (``Search/TermQuery.cs:47``)
+- BooleanQuery MUST/SHOULD/MUST_NOT (``Search/BooleanQuery.cs:69``; coord==1
+  for BM25, ``Similarities/Similarity.cs:117-121``)
+- PhraseQuery (exact, slop=0)     (``Search/PhraseQuery.cs``, ExactPhraseScorer)
+- MatchAllDocsQuery               (``Search/MatchAllDocsQuery.cs:33``)
+- Multi-term rewrites: Prefix / Wildcard / Regexp / Fuzzy / TermRange
+  (``Search/MultiTermQuery.cs:63-196``) — expanded against the term
+  dictionary into a constant-score or scoring-Boolean query. Defaults match
+  Lucene: Prefix/Wildcard/Regexp/TermRange rewrite constant-score
+  (CONSTANT_SCORE_AUTO_REWRITE_DEFAULT), Fuzzy rewrites top-50
+  scoring-Boolean (``Search/FuzzyQuery.cs:56``).
+
+The parser covers the classic QueryParser subset used by EnwikiQueryMaker
+(``Benchmark/ByTask/Feeds/EnwikiQueryMaker.cs:40-67``): free terms (OR'd),
+quoted phrases, AND / OR / NOT / +term / -term, prefix* and range [a TO b].
+Query text is run through the same StandardAnalyzer as indexing
+(``QueryParserBase.cs:186``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+from lucenenet_ray.analysis.standard import StandardAnalyzer
+
+
+class Occur(Enum):
+    MUST = "+"
+    SHOULD = ""
+    MUST_NOT = "-"
+
+
+@dataclass(frozen=True)
+class Query:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str = ""
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    # (term, relative position) pairs; holes allowed (stopword gaps), like
+    # PhraseQuery.Add(term, position) via QueryParser with posIncr enabled
+    terms: tuple[tuple[str, int], ...] = ()
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    occur: Occur
+    query: "Query"
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[BooleanClause, ...] = ()
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class MultiTermQuery(Query):
+    """Base for term-expansion queries; concrete matching in `matches_term`."""
+
+    constant_score: bool = True  # CONSTANT_SCORE_AUTO_REWRITE_DEFAULT
+    max_expansions: int = 1024  # BooleanQuery.MaxClauseCount (BooleanQuery.cs:69)
+
+    def matches_term(self, term: str) -> bool:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class PrefixQuery(MultiTermQuery):
+    prefix: str = ""
+
+    def matches_term(self, term: str) -> bool:
+        return term.startswith(self.prefix)
+
+
+@dataclass(frozen=True)
+class WildcardQuery(MultiTermQuery):
+    pattern: str = ""  # * and ? wildcards (WildcardQuery.cs:45)
+    _re: object = field(default=None, compare=False, repr=False)
+
+    def compiled(self):
+        import re
+
+        esc = "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c) for c in self.pattern
+        )
+        return re.compile(esc + r"\Z")
+
+    def matches_term(self, term: str) -> bool:
+        return self.compiled().match(term) is not None
+
+
+@dataclass(frozen=True)
+class RegexpQuery(MultiTermQuery):
+    pattern: str = ""
+
+    def matches_term(self, term: str) -> bool:
+        import re
+
+        return re.fullmatch(self.pattern, term) is not None
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(MultiTermQuery):
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+    def matches_term(self, term: str) -> bool:
+        if self.lower is not None:
+            if self.include_lower:
+                if term < self.lower:
+                    return False
+            elif term <= self.lower:
+                return False
+        if self.upper is not None:
+            if self.include_upper:
+                if term > self.upper:
+                    return False
+            elif term >= self.upper:
+                return False
+        return True
+
+
+def _levenshtein_within(a: str, b: str, k: int) -> bool:
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(MultiTermQuery):
+    term: str = ""
+    max_edits: int = 2  # FuzzyQuery defaultMaxEdits (FuzzyQuery.cs)
+    # Lucene default rewrite = TopTermsScoringBooleanQueryRewrite(50):
+    constant_score: bool = False
+    max_expansions: int = 50
+
+    def matches_term(self, term: str) -> bool:
+        if term == self.term:
+            return True
+        return _levenshtein_within(term, self.term, self.max_edits)
+
+
+# ---------------------------------------------------------------------------
+
+
+def parse_query(text: str, analyzer: StandardAnalyzer | None = None) -> Query:
+    """Classic-QueryParser subset → Query AST.
+
+    Grammar: tokens separated by whitespace; ``"quoted phrase"``; ``AND`` /
+    ``OR`` / ``NOT`` connectives; ``+term`` / ``-term`` modifiers;
+    ``prefix*``; ``[a TO b]`` ranges. Free terms default to SHOULD (OR), as
+    ``QueryParser.DefaultOperator = OR`` (QueryParserBase).
+    Terms and phrase words are analyzed with the StandardAnalyzer chain, so
+    stopwords vanish and phrases keep position holes (QueryParserBase:186).
+    """
+    analyzer = analyzer or StandardAnalyzer()
+    import re as _re
+
+    tokens = _re.findall(r'"[^"]*"|\[[^\]]*\]|\S+', text)
+    clauses: list[BooleanClause] = []
+    next_occur = Occur.SHOULD
+    prev_and = False  # AND binds the previous and next clause to MUST
+
+    def add(q: Query | None, occur: Occur) -> None:
+        nonlocal prev_and
+        if q is None:
+            prev_and = False
+            return
+        if prev_and and clauses and clauses[-1].occur == Occur.SHOULD:
+            clauses[-1] = BooleanClause(Occur.MUST, clauses[-1].query)
+        if prev_and and occur == Occur.SHOULD:
+            occur = Occur.MUST
+        clauses.append(BooleanClause(occur, q))
+        prev_and = False
+
+    for raw in tokens:
+        if raw == "AND" or raw == "&&":
+            prev_and = True
+            continue
+        if raw == "OR" or raw == "||":
+            continue
+        if raw == "NOT" or raw == "!":
+            next_occur = Occur.MUST_NOT
+            continue
+        occur = next_occur
+        next_occur = Occur.SHOULD
+        if raw.startswith("+"):
+            occur = Occur.MUST
+            raw = raw[1:]
+        elif raw.startswith("-"):
+            occur = Occur.MUST_NOT
+            raw = raw[1:]
+        if not raw:
+            continue
+        if raw.startswith('"'):
+            words = raw.strip('"')
+            terms, positions = analyzer(words)
+            if not terms:
+                add(None, occur)
+                continue
+            base = positions[0]
+            if len(terms) == 1:
+                add(TermQuery(term=terms[0]), occur)
+            else:
+                add(
+                    PhraseQuery(terms=tuple((t, p - base) for t, p in zip(terms, positions))),
+                    occur,
+                )
+            continue
+        if raw.startswith("[") and " TO " in raw:
+            lo, hi = raw.strip("[]").split(" TO ")
+            add(TermRangeQuery(lower=lo.strip() or None, upper=hi.strip() or None), occur)
+            continue
+        if raw.endswith("*") and "*" not in raw[:-1] and "?" not in raw and len(raw) > 1:
+            add(PrefixQuery(prefix=raw[:-1].lower()), occur)
+            continue
+        if ("*" in raw or "?" in raw) and not raw.startswith(("*", "?")):
+            add(WildcardQuery(pattern=raw.lower()), occur)
+            continue
+        if raw.endswith("~") and len(raw) > 1:
+            add(FuzzyQuery(term=raw[:-1].lower()), occur)
+            continue
+        terms, positions = analyzer(raw)
+        if not terms:
+            add(None, occur)
+        elif len(terms) == 1:
+            add(TermQuery(term=terms[0]), occur)
+        else:
+            # one raw token analyzing to several terms (e.g. "xyz@example.com")
+            for t in terms:
+                add(TermQuery(term=t), occur)
+
+    if not clauses:
+        # all terms analyzed away (e.g. pure stopwords): an empty BooleanQuery
+        # matches NOTHING, like QueryParser returning an empty BooleanQuery
+        # (QueryParserBase — not MatchAllDocs).
+        return BooleanQuery(clauses=())
+    if len(clauses) == 1 and clauses[0].occur in (Occur.SHOULD, Occur.MUST):
+        return clauses[0].query
+    return BooleanQuery(clauses=tuple(clauses))

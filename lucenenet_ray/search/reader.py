@@ -1,0 +1,212 @@
+"""Index reader: manifest + per-bucket postings/norms access with caching.
+
+The IndexSearcher-side state model (SURVEY §2.3): a reader pins term
+dictionaries and norms once and serves many queries — here per doc-range
+bucket. Postings rows are term-sorted parquet; at small scale a bucket's
+postings load wholesale, at large scale `filtered` mode reads only the query
+terms' rows via parquet predicate pushdown over the sorted term column (the
+row-group stats act as the .tip prefix index, SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from lucenenet_ray.index.codec import decode_docs, decode_freqs, decode_positions
+
+
+@dataclass
+class PostingsChunk:
+    """One (term, bucket) encoded postings chunk + lazy decode."""
+
+    term: str
+    df: int
+    ttf: int
+    max_freq: int
+    max_norm: int
+    doc_bytes: bytes
+    freq_bytes: bytes
+    pos_bytes: bytes
+    block_last_doc: np.ndarray
+    block_doc_off: np.ndarray
+    block_freq_off: np.ndarray
+    block_max_freq: np.ndarray
+    block_max_norm: np.ndarray
+    _docs: np.ndarray | None = None
+    _freqs: np.ndarray | None = None
+
+    def docs(self) -> np.ndarray:
+        if self._docs is None:
+            self._docs = decode_docs(self.doc_bytes, self.df)
+        return self._docs
+
+    def freqs(self) -> np.ndarray:
+        if self._freqs is None:
+            self._freqs = decode_freqs(self.freq_bytes, self.df)
+        return self._freqs
+
+    def positions(self) -> list[np.ndarray]:
+        return decode_positions(self.pos_bytes, self.freqs())
+
+
+class BucketData:
+    """All loaded state for one doc-range bucket."""
+
+    def __init__(self, bucket_id: int, norms_path: str, postings_path: str):
+        self.bucket_id = bucket_id
+        self.norms_path = norms_path
+        self.postings_path = postings_path
+        self._norms: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        self._postings_full: dict[str, PostingsChunk] | None = None
+        self._chunk_cache: dict[str, PostingsChunk | None] = {}
+
+    # -- norms ---------------------------------------------------------------
+    def norms(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids ascending, doc_len int32, norm uint8)."""
+        if self._norms is None:
+            if os.path.exists(self.norms_path):
+                t = pq.read_table(self.norms_path)
+                self._norms = (
+                    t.column("doc_id").to_numpy().astype(np.int64),
+                    t.column("doc_len").to_numpy().astype(np.int32),
+                    t.column("norm").to_numpy().astype(np.uint8),
+                )
+            else:
+                z = np.empty(0, dtype=np.int64)
+                self._norms = (z, z.astype(np.int32), z.astype(np.uint8))
+        return self._norms
+
+    def norm_of_docs(self, docs: np.ndarray) -> np.ndarray:
+        doc_ids, _lens, norm = self.norms()
+        idx = np.searchsorted(doc_ids, docs)
+        return norm[idx]
+
+    # -- postings ------------------------------------------------------------
+    @staticmethod
+    def _row_to_chunk(t: pa.Table, i: int) -> PostingsChunk:
+        return PostingsChunk(
+            term=t.column("term")[i].as_py(),
+            df=t.column("df")[i].as_py(),
+            ttf=t.column("ttf")[i].as_py(),
+            max_freq=t.column("max_freq")[i].as_py(),
+            max_norm=t.column("max_norm")[i].as_py(),
+            doc_bytes=t.column("doc_bytes")[i].as_py(),
+            freq_bytes=t.column("freq_bytes")[i].as_py(),
+            pos_bytes=t.column("pos_bytes")[i].as_py(),
+            block_last_doc=np.asarray(t.column("block_last_doc")[i].as_py(), dtype=np.int64),
+            block_doc_off=np.asarray(t.column("block_doc_off")[i].as_py(), dtype=np.int64),
+            block_freq_off=np.asarray(t.column("block_freq_off")[i].as_py(), dtype=np.int64),
+            block_max_freq=np.asarray(t.column("block_max_freq")[i].as_py(), dtype=np.int32),
+            block_max_norm=np.asarray(t.column("block_max_norm")[i].as_py(), dtype=np.int32),
+        )
+
+    def load_full(self) -> dict[str, PostingsChunk]:
+        if self._postings_full is None:
+            out: dict[str, PostingsChunk] = {}
+            if os.path.exists(self.postings_path):
+                t = pq.read_table(self.postings_path)
+                for i in range(t.num_rows):
+                    c = self._row_to_chunk(t, i)
+                    out[c.term] = c
+            self._postings_full = out
+        return self._postings_full
+
+    def chunks_for_terms(self, terms: list[str], full: bool = True) -> dict[str, PostingsChunk]:
+        """term → chunk for terms present in this bucket."""
+        if full or self._postings_full is not None:
+            loaded = self.load_full()
+            return {t: loaded[t] for t in terms if t in loaded}
+        missing = [t for t in terms if t not in self._chunk_cache]
+        if missing and os.path.exists(self.postings_path):
+            t = pq.read_table(
+                self.postings_path,
+                filters=pc.field("term").isin(missing),
+            )
+            found = set()
+            for i in range(t.num_rows):
+                c = self._row_to_chunk(t, i)
+                self._chunk_cache[c.term] = c
+                found.add(c.term)
+            for m in missing:
+                if m not in found:
+                    self._chunk_cache[m] = None
+        return {
+            t: self._chunk_cache[t]
+            for t in terms
+            if self._chunk_cache.get(t) is not None
+        }
+
+
+class IndexReader:
+    """Whole-index handle: manifest + collection stats + buckets + term dict."""
+
+    def __init__(self, index_path: str, full_buckets: bool = True):
+        self.index_path = index_path
+        with open(os.path.join(index_path, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.num_docs: int = self.manifest["n_docs"]
+        self.sum_total_term_freq: int = self.manifest["sum_total_term_freq"]
+        self.full_buckets = full_buckets
+        self._buckets: dict[int, BucketData] = {}
+        self._termstats_ds = None
+
+    @property
+    def bucket_ids(self) -> list[int]:
+        return [b["bucket"] for b in self.manifest["buckets"]]
+
+    def bucket(self, bucket_id: int) -> BucketData:
+        bd = self._buckets.get(bucket_id)
+        if bd is None:
+            bd = BucketData(
+                bucket_id,
+                os.path.join(self.index_path, "norms", f"bucket={bucket_id:05d}.parquet"),
+                os.path.join(self.index_path, "postings", f"bucket={bucket_id:05d}.parquet"),
+            )
+            self._buckets[bucket_id] = bd
+        return bd
+
+    # -- global term statistics (IndexSearcher.cs:982-1007) ------------------
+    def _termstats(self):
+        if self._termstats_ds is None:
+            self._termstats_ds = pads.dataset(os.path.join(self.index_path, "termstats"))
+        return self._termstats_ds
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (df, ttf) over the whole index; absent terms omitted
+        (df=0 clauses contribute nothing, FIXTURES §4)."""
+        if not terms:
+            return {}
+        t = self._termstats().to_table(filter=pc.field("term").isin(terms))
+        return {
+            t.column("term")[i].as_py(): (
+                int(t.column("df")[i].as_py()),
+                int(t.column("ttf")[i].as_py()),
+            )
+            for i in range(t.num_rows)
+        }
+
+    def expand_terms(self, predicate, max_expansions: int = 1024) -> list[str]:
+        """MultiTermQuery rewrite support: all index terms matching a
+        predicate, in term order (MultiTermQuery.cs:63-196). Scans the global
+        term dictionary (sorted parquet)."""
+        out: list[str] = []
+        for batch in self._termstats().to_batches(columns=["term"]):
+            for v in batch.column("term"):
+                term = v.as_py()
+                if predicate(term):
+                    out.append(term)
+                    if len(out) > max_expansions:
+                        raise ValueError("Too many expanded terms (MaxClauseCount)")
+        return out
+
+    def doc_count(self) -> int:
+        return self.num_docs
