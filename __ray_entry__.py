@@ -1,44 +1,266 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship pages pipeline at sf0.001 (synthesize Common-Crawl-style
+               pages → dedup → HTML extract → distributed index build → BM25
+               queries); returns a pandas DataFrame of ranked hits.
+queries()    — one callable per implemented operator/pipeline (SURVEY.md §2),
+               each taking sf_dir and returning a Dataset / DataFrame / Table.
+oracle_sql() — DuckDB SQL equivalents. The BM25 oracles reproduce the engine's
+               float32 arithmetic bit-exactly (see lucenenet_ray/ops/sql_oracle.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from lucenenet_ray.ops import sql_oracle as so
+
+# Fixed benchmark query set (EnwikiQueryMaker-style shapes, FIXTURES.md §4):
+# single rare term, single head term, 2-term OR, 4-term OR incl. a df=0 term,
+# AND, exact phrase, phrase with leading stopword.
+BM25_QUERIES: dict[str, dict] = {
+    "bm25_or_2term": {"terms": ["spark", "window"], "mode": "or"},
+    "bm25_or_4term": {"terms": ["data", "merge", "quantumflux", "line"], "mode": "or"},
+    "bm25_and_2term": {"terms": ["spark", "window"], "mode": "and"},
+    "bm25_single_head": {"terms": ["data"], "mode": "or"},
+    "bm25_single_rare": {"terms": ["dup"], "mode": "or"},
+}
+BM25_PHRASES: dict[str, list[tuple[str, int]]] = {
+    "bm25_phrase_2": [("batch", 0), ("merge", 1)],
+    "bm25_phrase_gap": [("fast", 0), ("key", 1)],
+}
+TOPK = 10
+
+
+def _index_path(sf_dir: str) -> str:
+    from lucenenet_ray.pipelines.flagship import documents_index_for
+
+    return documents_index_for(sf_dir)
+
+
+def _reader(sf_dir: str):
+    from lucenenet_ray.search.reader import IndexReader
+
+    return IndexReader(_index_path(sf_dir))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from lucenenet_ray.pipelines.flagship import flagship_sf
+
+    return flagship_sf("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# engine-side query implementations
+
+
+def _q_term_stats(sf_dir: str) -> pa.Table:
+    """Global term dictionary stats (df/ttf) produced by the full distributed
+    index build — checked against direct SQL aggregation."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(_index_path(sf_dir), "termstats"))
+    idx = pa.compute.sort_indices(t.column("term"))
+    return t.take(idx).select(["term", "df", "ttf"])
+
+
+def _q_collection_stats(sf_dir: str) -> pa.Table:
+    r = _reader(sf_dir)
+    return pa.table(
+        {
+            "n_docs": pa.array([r.num_docs], type=pa.int64()),
+            "sum_total_term_freq": pa.array([r.sum_total_term_freq], type=pa.int64()),
+        }
+    )
+
+
+def _q_doc_norms(sf_dir: str) -> pa.Table:
+    """Per-doc field length + SmallFloat norm byte from the index's norms
+    files (BM25Similarity.cs:110-113 / SmallSingle.cs:148-161)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(_index_path(sf_dir), "norms", "*.parquet")))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    idx = pa.compute.sort_indices(t.column("doc_id"))
+    return t.take(idx)
+
+
+def _q_top_terms(sf_dir: str) -> pa.Table:
+    """HighFreqTerms analog: top-20 terms by df desc, term asc."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(_index_path(sf_dir), "termstats"))
+    df = t.to_pandas().sort_values(["df", "term"], ascending=[False, True]).head(20)
+    return pa.Table.from_pandas(df[["term", "df", "ttf"]], preserve_index=False)
+
+
+def _q_prefix_df(sf_dir: str) -> pa.Table:
+    """PrefixQuery term expansion surface (PrefixFilter.cs:28)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(_index_path(sf_dir), "termstats"))
+    df = t.to_pandas()
+    df = df[df["term"].str.startswith("s")].sort_values("term")
+    return pa.Table.from_pandas(df[["term", "df"]], preserve_index=False)
+
+
+def _topdocs_to_table(td) -> pa.Table:
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(td.docs) + 1, dtype=np.int64)),
+            "doc_id": pa.array(td.docs.astype(np.int64)),
+            "score": pa.array(td.scores.astype(np.float64)),
+        }
+    )
+
+
+def _make_bm25_query(name: str) -> Callable[[str], pa.Table]:
+    spec = BM25_QUERIES[name]
+
+    def run(sf_dir: str) -> pa.Table:
+        from lucenenet_ray.search.query import (
+            BooleanClause,
+            BooleanQuery,
+            Occur,
+            TermQuery,
+        )
+        from lucenenet_ray.search.searcher import search
+
+        occur = Occur.MUST if spec["mode"] == "and" else Occur.SHOULD
+        q = BooleanQuery(
+            clauses=tuple(BooleanClause(occur, TermQuery(term=t)) for t in spec["terms"])
+        )
+        td = search(_reader(sf_dir), q, k=TOPK, prune=True)
+        return _topdocs_to_table(td)
+
+    run.__name__ = name
+    return run
+
+
+def _make_phrase_query(name: str) -> Callable[[str], pa.Table]:
+    tp = BM25_PHRASES[name]
+
+    def run(sf_dir: str) -> pa.Table:
+        from lucenenet_ray.search.query import PhraseQuery
+        from lucenenet_ray.search.searcher import search
+
+        q = PhraseQuery(terms=tuple(tp))
+        td = search(_reader(sf_dir), q, k=TOPK)
+        return _topdocs_to_table(td)
+
+    run.__name__ = name
+    return run
+
+
+def _q_facet_lang(sf_dir: str) -> Any:
+    """Facet counts (FacetsCollector analog): groupby(lang).count()."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["lang"])
+    out = ds.groupby("lang").count().to_pandas()
+    out = out.rename(columns={"count()": "n_docs"}).sort_values("lang")
+    return out.reset_index(drop=True)
+
+
+def _q_dedup_exact(sf_dir: str) -> Any:
+    """Exact dedup (UpdateDocument delete-by-key analog, IndexWriter.cs:1538):
+    hash-partitioned groupby(md5(text)) keeping min doc_id."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t.column("text").to_pylist()]
+        return t.append_column("text_hash", pa.array(h, type=pa.string()))
+
+    ds = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = (
+        ds.groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
+        .to_pandas()
+        .sort_values("text_hash")
+        .reset_index(drop=True)
+    )
+    return out[["text_hash", "keep_doc_id", "n_copies"]]
+
+
+def _q_grouping_topk(sf_dir: str) -> Any:
+    """Grouping module analog: top-3 docs per lang by (n_chars desc, doc_id)."""
+    import pandas as pd_
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def topk(g: pd_.DataFrame) -> pd_.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+        g = g.copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = ds.groupby("lang").map_groups(topk, batch_format="pandas").to_pandas()
+    out = out.sort_values(["lang", "rnk"]).reset_index(drop=True)
+    return out[["lang", "doc_id", "n_chars", "rnk"]]
+
+
+def _q_pages_flagship(sf_dir: str) -> Any:
+    """Full pages pipeline (html extract + dedup + index + query) — no SQL
+    oracle (HTML extraction is not SQL-expressible); rows-only check."""
+    from lucenenet_ray.pipelines.flagship import flagship_sf
+
+    return flagship_sf(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        "term_stats": _q_term_stats,
+        "collection_stats": _q_collection_stats,
+        "doc_norms": _q_doc_norms,
+        "top_terms": _q_top_terms,
+        "prefix_df": _q_prefix_df,
+        "facet_lang": _q_facet_lang,
+        "dedup_exact": _q_dedup_exact,
+        "grouping_topk": _q_grouping_topk,
+        "pages_flagship": _q_pages_flagship,
+    }
+    for name in BM25_QUERIES:
+        out[name] = _make_bm25_query(name)
+    for name in BM25_PHRASES:
+        out[name] = _make_phrase_query(name)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "term_stats": so.term_stats_sql(),
+        "collection_stats": so.collection_stats_sql(),
+        "doc_norms": so.doc_norms_sql(),
+        "top_terms": so.top_terms_sql(20),
+        "prefix_df": so.prefix_df_sql("s"),
+        "facet_lang": so.facet_lang_sql(),
+        "dedup_exact": so.dedup_exact_sql(),
+        "grouping_topk": so.grouping_topk_sql(3),
+        # pages_flagship: intentionally no oracle (HTML extraction; rows-only)
+    }
+    for name, spec in BM25_QUERIES.items():
+        out[name] = so.bm25_topk_sql(spec["terms"], TOPK, spec["mode"])
+    for name, tp in BM25_PHRASES.items():
+        out[name] = so.bm25_phrase_sql(tp, TOPK)
+    return out

@@ -1,0 +1,219 @@
+"""Benchmark driver: indexing throughput + BM25 query latency (+ --scaling).
+
+Headline pipeline = the north-star path: synthetic Common-Crawl-style pages
+(from $GRAFT_SF_DIR documents, deterministically replicated to bench scale) →
+dedup → HTML extract → tokenize → distributed segment build → salted term
+merge → bucketed compressed index → BM25 top-10 query set (warm reader).
+
+Prints ONE JSON line:
+  {"metric": "index_build_sec", "value": N, "unit": "sec",
+   "queries": {...per-stage numbers...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the identical job in fresh processes at 8 and 32 CPUs
+(sandbox substitute for N vs 4N nodes — BASELINE.md §4), reports both
+throughputs + efficiency, verifies both runs produced identical index bytes,
+and appends the result table to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
+
+QUERY_SET = [
+    "spark window",
+    "data merge line",
+    '"batch merge"',
+    "vector AND dup",
+    "customer filter order small",
+    "key",
+    "dup",
+    "data",
+    "sort table scan",
+    "slow query row group",
+]
+QUERY_REPEATS = 20
+
+
+def replicated_pages(sf_dir: str, factor: int) -> str:
+    """Deterministically replicate the synthetic pages corpus `factor`× (new
+    urls per replica → distinct docIDs) so the bench has enough rows to
+    measure compute rather than fixed overheads. Cached on disk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.sources.pages import pages_parquet
+
+    base = pages_parquet(sf_dir)
+    if factor <= 1:
+        return base
+    key = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/lucenenet_ray_pages/pages_{key}_x{factor}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(base)
+    urls = t.column("url").to_pylist()
+    for r in range(factor):
+        t2 = t.set_column(
+            t.schema.get_field_index("url"),
+            "url",
+            pa.array([f"{u}?rep={r}" if r else u for u in urls], type=pa.string()),
+        )
+        pq.write_table(t2, os.path.join(out, f"part-{r:03d}.parquet"),
+                       row_group_size=8192)
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write("ok")
+    return out
+
+
+def index_digest(index_path: str) -> str:
+    h = hashlib.sha256()
+    for sub in ("postings", "norms"):
+        d = os.path.join(index_path, sub)
+        for fn in sorted(os.listdir(d)):
+            with open(os.path.join(d, fn), "rb") as f:
+                h.update(fn.encode())
+                h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+
+    from lucenenet_ray.pipelines.flagship import index_pages
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    pages = replicated_pages(SF_DIR, REPLICATE)
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    import pyarrow.parquet as pq
+
+    n_pages = 0
+    for fn in ([pages] if pages.endswith(".parquet")
+               else [os.path.join(pages, f) for f in sorted(os.listdir(pages))
+                     if f.endswith(".parquet")]):
+        n_pages += pq.read_metadata(fn).num_rows
+
+    index_path = f"/tmp/lucenenet_ray_bench/idx_{NUM_CPUS}"
+    shutil.rmtree(index_path, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    manifest = index_pages(
+        pages, index_path,
+        n_buckets=max(16, NUM_CPUS), n_hparts=8,
+        concurrency=None, batch_size=1024,
+    )
+    t_index = time.perf_counter() - t0
+    n_docs = manifest["n_docs"]
+
+    # query latency: warm actors-equivalent (in-process reader, buckets cached)
+    reader = IndexReader(index_path)
+    plans = [parse_query(q) for q in QUERY_SET]
+    for q in plans:  # warm load
+        search(reader, q, k=10, prune=True)
+    lat = []
+    t0 = time.perf_counter()
+    for _ in range(QUERY_REPEATS):
+        for q in plans:
+            s = time.perf_counter()
+            search(reader, q, k=10, prune=True)
+            lat.append((time.perf_counter() - s) * 1000)
+    t_query = time.perf_counter() - t0
+    lat = np.array(lat)
+
+    result = {
+        "metric": "index_build_sec",
+        "value": round(t_index, 3),
+        "unit": "sec",
+        "queries": {
+            "index_build_sec": round(t_index, 3),
+            "index_docs_per_sec": round(n_docs / t_index, 1),
+            "n_docs": n_docs,
+            "n_pages_in": n_pages,
+            "query_p50_ms": round(float(np.percentile(lat, 50)), 3),
+            "query_p95_ms": round(float(np.percentile(lat, 95)), 3),
+            "query_total_sec": round(t_query, 3),
+            "index_digest": index_digest(index_path),
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    d_lo = r_lo["queries"]["index_docs_per_sec"]
+    d_hi = r_hi["queries"]["index_docs_per_sec"]
+    eff = d_hi / (d_lo * (hi / lo))
+    same = r_lo["queries"]["index_digest"] == r_hi["queries"]["index_digest"]
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"docs_per_sec_{lo}cpu": d_lo,
+            f"docs_per_sec_{hi}cpu": d_hi,
+            f"index_sec_{lo}cpu": r_lo["queries"]["index_build_sec"],
+            f"index_sec_{hi}cpu": r_hi["queries"]["index_build_sec"],
+            f"query_p95_ms_{lo}cpu": r_lo["queries"]["query_p95_ms"],
+            f"query_p95_ms_{hi}cpu": r_hi["queries"]["query_p95_ms"],
+            "identical_index_bytes": same,
+        },
+        "sf": SF_DIR,
+        "num_cpus": hi,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n| {time.strftime('%Y-%m-%d %H:%M')} | {r_lo['queries']['n_docs']} docs "
+            f"| {lo} cpu: {d_lo} docs/s ({r_lo['queries']['index_build_sec']}s) "
+            f"| {hi} cpu: {d_hi} docs/s ({r_hi['queries']['index_build_sec']}s) "
+            f"| eff {round(eff,3)} | identical bytes: {same} "
+            f"| p95 {r_hi['queries']['query_p95_ms']} ms |\n"
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -76,11 +76,13 @@ def _term_hpart(terms: np.ndarray, n_hparts: int) -> np.ndarray:
 
 
 class Inverter:
-    """Actor-pool map_batches stage: (doc_id, text) batch → partial postings.
+    """map_batches stage: (doc_id, text) batch → partial postings.
 
-    The analyzer (compiled token DFA + stop set) is built once per actor
-    (__init__), mirroring Lucene's per-thread Analyzer reuse
-    (``Analyzer.cs`` ReuseStrategy; SURVEY §2.3).
+    The analyzer (compiled token DFA + stop set) is built once per worker,
+    mirroring Lucene's per-thread Analyzer reuse (``Analyzer.cs``
+    ReuseStrategy; SURVEY §2.3). Usable as an actor-pool class OR, via
+    ``invert_batch_fn``, as plain tasks on the shared worker pool (no actor
+    startup latency; the analyzer is a module-level per-process singleton).
     """
 
     def __init__(self, cfg: IndexConfig, text_col: str = "text", id_col: str = "doc_id"):
@@ -103,7 +105,12 @@ class Inverter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = batch.column(self.text_col).to_pylist()
+        # Sort the batch by doc_id so docs (and hence buckets) are monotone —
+        # every downstream slice is then contiguous and vectorizable.
+        border = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[border]
+        texts_all = batch.column(self.text_col).to_pylist()
+        texts = [texts_all[i] for i in border]
         analyzer = self.analyzer
 
         # Flatten the whole batch into (term, doc_idx, position) triples.
@@ -121,105 +128,161 @@ class Inverter:
         out_term: list[str] = []
         out_bucket: list[int] = []
         out_hpart: list[int] = []
-        out_docs: list[np.ndarray] = []
-        out_freqs: list[np.ndarray] = []
-        out_norms: list[np.ndarray] = []
+        row_val_slices: list[tuple[int, int]] = []  # into the pair arrays
         out_pos: list[bytes] = []
 
         norms_all = encode_norm(doc_lens)
         buckets_all = self.cfg.bucket_of(doc_ids)
+        store_pos = self.cfg.store_positions
+
+        pair_docid = np.empty(0, dtype=np.int64)
+        pair_freq = np.empty(0, dtype=np.int32)
+        pair_norm = np.empty(0, dtype=np.uint8)
 
         if flat_terms:
             terms_arr = np.array(flat_terms, dtype=object)
             docidx_arr = np.array(flat_docidx, dtype=np.int32)
-            pos_arr = np.array(flat_pos, dtype=np.int32)
-            # group by (term, doc): np.unique sorts terms lexicographically
+            pos_arr = np.array(flat_pos, dtype=np.int64)
             uniq_terms, term_inv = np.unique(terms_arr, return_inverse=True)
-            order = np.lexsort((pos_arr, docidx_arr, term_inv))
+            # docidx is already doc_id-ordered; stable sort by term keeps
+            # (doc, position) order inside each term run
+            order = np.argsort(term_inv, kind="stable")
             t_sorted = term_inv[order]
             d_sorted = docidx_arr[order]
             p_sorted = pos_arr[order]
             # (term, doc) run boundaries
-            new_pair = np.empty(len(order), dtype=bool)
+            n = len(order)
+            new_pair = np.empty(n, dtype=bool)
             new_pair[0] = True
             np.not_equal(t_sorted[1:], t_sorted[:-1], out=new_pair[1:])
             new_pair[1:] |= d_sorted[1:] != d_sorted[:-1]
             pair_starts = np.flatnonzero(new_pair)
             pair_term = t_sorted[pair_starts]
-            pair_doc = d_sorted[pair_starts]
-            pair_freq = np.diff(np.append(pair_starts, len(order))).astype(np.int32)
-            # term run boundaries over the pair list
-            new_term = np.empty(len(pair_starts), dtype=bool)
-            new_term[0] = True
-            np.not_equal(pair_term[1:], pair_term[:-1], out=new_term[1:])
-            term_starts = np.flatnonzero(new_term)
-            term_ends = np.append(term_starts[1:], len(pair_starts))
+            pair_doci = d_sorted[pair_starts]
+            pair_freq = np.diff(np.append(pair_starts, n)).astype(np.int32)
+            pair_docid = doc_ids[pair_doci]
+            pair_norm = norms_all[pair_doci]
+            pair_bucket = buckets_all[pair_doci]
 
-            # per (term, doc) positions are contiguous runs of p_sorted;
-            # docs within a term must additionally split by bucket.
-            pair_bucket = buckets_all[pair_doc]
-            pair_docid = doc_ids[pair_doc]
-            store_pos = self.cfg.store_positions
-            for ti, (s, e) in enumerate(zip(term_starts, term_ends)):
-                term = uniq_terms[pair_term[s]]
-                hp = self._hpart(term)
-                bks = pair_bucket[s:e]
-                # docs within a term arrive doc-sorted; bucket is monotone in
-                # doc_id only if doc_ids were sorted in the batch — group
-                # explicitly to be safe.
-                for bk in np.unique(bks):
-                    sel = np.flatnonzero(bks == bk)
-                    idx = s + sel
-                    out_term.append(term)
-                    out_bucket.append(int(bk))
-                    out_hpart.append(hp)
-                    d = pair_docid[idx]
-                    ordd = np.argsort(d, kind="stable")
-                    out_docs.append(d[ordd])
-                    out_freqs.append(pair_freq[idx][ordd])
-                    out_norms.append(norms_all[pair_doc[idx]][ordd])
-                    if store_pos:
-                        # per-doc delta-encoded positions, concatenated VInts
-                        chunks = []
-                        for j in idx[ordd]:
-                            ps = int(pair_starts[j])
-                            pe = ps + int(pair_freq[j])
-                            pp = p_sorted[ps:pe].astype(np.int64)
-                            chunks.append(np.diff(pp, prepend=0))
-                        out_pos.append(
-                            write_vints(np.concatenate(chunks).astype(np.uint64)).tobytes()
-                        )
-                    else:
-                        out_pos.append(b"")
+            # per-run delta-encoded positions, one vectorized pass:
+            # delta[i] = p[i] - p[i-1], reset to absolute at run starts
+            pos_delta = p_sorted.copy()
+            pos_delta[1:] -= p_sorted[:-1]
+            pos_delta[pair_starts] = p_sorted[pair_starts]
 
-        # per-bucket doc-length sentinel rows (norms + collection stats)
-        border = np.argsort(doc_ids, kind="stable")
-        b_sorted = buckets_all[border]
-        for bk in np.unique(b_sorted):
-            sel = border[b_sorted == bk]
-            out_term.append(DOCLEN_TERM)
-            out_bucket.append(int(bk))
-            out_hpart.append(0)
-            out_docs.append(doc_ids[sel])
-            out_freqs.append(doc_lens[sel])
-            out_norms.append(norms_all[sel])
-            out_pos.append(b"")
+            # output rows = (term, bucket) runs over the pair list (bucket is
+            # monotone within a term because docs are sorted)
+            m = len(pair_starts)
+            new_row = np.empty(m, dtype=bool)
+            new_row[0] = True
+            np.not_equal(pair_term[1:], pair_term[:-1], out=new_row[1:])
+            new_row[1:] |= pair_bucket[1:] != pair_bucket[:-1]
+            row_starts = np.flatnonzero(new_row)
+            row_ends = np.append(row_starts[1:], m)
+            pair_val_ends = np.append(pair_starts[1:], n)
 
+            for rs, re_ in zip(row_starts, row_ends):
+                term = uniq_terms[pair_term[rs]]
+                out_term.append(term)
+                out_bucket.append(int(pair_bucket[rs]))
+                out_hpart.append(self._hpart(term))
+                row_val_slices.append((rs, re_))
+                if store_pos:
+                    v0 = pair_starts[rs]
+                    v1 = pair_val_ends[re_ - 1]
+                    out_pos.append(
+                        write_vints(pos_delta[v0:v1].astype(np.uint64)).tobytes()
+                    )
+                else:
+                    out_pos.append(b"")
+
+        # assemble Arrow list columns from offsets (no per-value python)
+        n_rows = len(out_term)
+        docs_vals = np.empty(0, np.int64)
+        freqs_vals = np.empty(0, np.int32)
+        norms_vals = np.empty(0, np.int32)
+        offs = np.zeros(n_rows + 1, dtype=np.int64)
+        if n_rows:
+            lens = np.array([e - s for s, e in row_val_slices], dtype=np.int64)
+            offs[1:] = np.cumsum(lens)
+            take = np.concatenate([np.arange(s, e) for s, e in row_val_slices])
+            docs_vals = pair_docid[take]
+            freqs_vals = pair_freq[take]
+            norms_vals = pair_norm[take].astype(np.int32)
+
+        # per-bucket doc-length sentinel rows (norms + collection stats);
+        # doc_ids already sorted → buckets contiguous
+        bk_starts = np.flatnonzero(
+            np.concatenate(([True], buckets_all[1:] != buckets_all[:-1]))
+        ) if len(doc_ids) else np.empty(0, np.int64)
+        bk_ends = np.append(bk_starts[1:], len(doc_ids))
+        dl_term: list[str] = []
+        dl_bucket: list[int] = []
+        for s, e in zip(bk_starts, bk_ends):
+            dl_term.append(DOCLEN_TERM)
+            dl_bucket.append(int(buckets_all[s]))
+        dl_offs = np.zeros(len(dl_term) + 1, dtype=np.int64)
+        if len(dl_term):
+            dl_offs[1:] = np.cumsum(bk_ends - bk_starts)
+
+        all_offs = np.concatenate((offs, offs[-1] + dl_offs[1:]))
+        docs_vals = np.concatenate((docs_vals, doc_ids))
+        freqs_vals = np.concatenate((freqs_vals, doc_lens))
+        norms_vals = np.concatenate((norms_vals, norms_all.astype(np.int32)))
+
+        off_arr = pa.array(all_offs, type=pa.int64())
         return pa.table(
             {
-                "term": pa.array(out_term, type=pa.string()),
-                "bucket": pa.array(out_bucket, type=pa.int32()),
-                "hpart": pa.array(out_hpart, type=pa.int32()),
-                "docs": pa.array([d.tolist() for d in out_docs], type=pa.list_(pa.int64())),
-                "freqs": pa.array(
-                    [f.tolist() for f in out_freqs], type=pa.list_(pa.int32())
+                "term": pa.array(out_term + dl_term, type=pa.string()),
+                "bucket": pa.array(out_bucket + dl_bucket, type=pa.int32()),
+                "hpart": pa.array(out_hpart + [0] * len(dl_term), type=pa.int32()),
+                "docs": pa.LargeListArray.from_arrays(
+                    off_arr, pa.array(docs_vals, type=pa.int64())
                 ),
-                "norms": pa.array(
-                    [n.tolist() for n in out_norms], type=pa.list_(pa.int32())
+                "freqs": pa.LargeListArray.from_arrays(
+                    off_arr, pa.array(freqs_vals, type=pa.int32())
                 ),
-                "pos_bytes": pa.array(out_pos, type=pa.large_binary()),
+                "norms": pa.LargeListArray.from_arrays(
+                    off_arr, pa.array(norms_vals, type=pa.int32())
+                ),
+                "pos_bytes": pa.array(
+                    out_pos + [b""] * len(dl_term), type=pa.large_binary()
+                ),
             }
         )
+
+
+def _grouped_take(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized concat of aranges: [starts[i] .. starts[i]+lengths[i]) ."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    shifted = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    return np.arange(total, dtype=np.int64) + np.repeat(starts - shifted, lengths)
+
+
+def _segmented_cumsum_reset(deltas: np.ndarray, run_starts: np.ndarray,
+                            run_lengths: np.ndarray) -> np.ndarray:
+    """Absolute values from per-run delta encoding (first delta absolute)."""
+    c = np.cumsum(deltas)
+    base = c[run_starts] - deltas[run_starts]
+    return c - np.repeat(base, run_lengths)
+
+
+_INVERTER_SINGLETON: dict[tuple, Inverter] = {}
+
+
+def invert_batch_fn(batch: pa.Table, cfg: IndexConfig, text_col: str,
+                    id_col: str) -> pa.Table:
+    """Task-mode inverter: reuses a per-process Inverter (worker pool is warm
+    from earlier stages — no actor cold-start)."""
+    key = (cfg.index_path, text_col, id_col)
+    inv = _INVERTER_SINGLETON.get(key)
+    if inv is None:
+        inv = Inverter(cfg, text_col, id_col)
+        _INVERTER_SINGLETON.clear()
+        _INVERTER_SINGLETON[key] = inv
+    return inv(batch)
 
 
 def _merge_group(group: pa.Table, store_positions: bool) -> pa.Table:
@@ -228,27 +291,20 @@ def _merge_group(group: pa.Table, store_positions: bool) -> pa.Table:
     chunk (delta+VInt + 128-block skip/block-max metadata).
 
     Mirrors ``SegmentMerger.MergeTerms`` (SegmentMerger.cs:443): a k-way
-    per-term postings merge in term order — here a vectorized sort.
+    per-term postings merge in term order — fully vectorized here (sort +
+    grouped gathers; VInt position streams are bulk-decoded, reordered to the
+    merged doc order, and re-encoded in single numpy passes).
     """
+    from lucenenet_ray.index.codec import read_vints
+
     terms = group.column("term").to_numpy(zero_copy_only=False)
     bucket = int(group.column("bucket")[0].as_py())
 
-    out = {
-        "bucket": [],
-        "term": [],
-        "df": [],
-        "ttf": [],
-        "max_freq": [],
-        "max_norm": [],
-        "doc_bytes": [],
-        "freq_bytes": [],
-        "pos_bytes": [],
-        "block_last_doc": [],
-        "block_doc_off": [],
-        "block_freq_off": [],
-        "block_max_freq": [],
-        "block_max_norm": [],
-    }
+    flat_docs = pc.list_flatten(group.column("docs")).to_numpy().astype(np.int64)
+    flat_freqs = pc.list_flatten(group.column("freqs")).to_numpy().astype(np.int32)
+    flat_norms = pc.list_flatten(group.column("norms")).to_numpy().astype(np.uint8)
+    row_lens = pc.list_value_length(group.column("docs")).to_numpy().astype(np.int64)
+    row_offs = np.concatenate(([0], np.cumsum(row_lens)))
 
     order = np.argsort(terms, kind="stable")
     terms_s = terms[order]
@@ -259,47 +315,72 @@ def _merge_group(group: pa.Table, store_positions: bool) -> pa.Table:
     starts = np.flatnonzero(new_term)
     ends = np.append(starts[1:], len(terms_s))
 
-    docs_col = group.column("docs")
-    freqs_col = group.column("freqs")
-    norms_col = group.column("norms")
-    posb_col = group.column("pos_bytes")
+    # gather all values in term-sorted row order
+    take = _grouped_take(row_offs[order], row_lens[order])
+    g_docs = flat_docs[take]
+    g_freqs = flat_freqs[take]
+    g_norms = flat_norms[take]
+    # per-sorted-row value offsets → per-term value slices
+    srow_lens = row_lens[order]
+    srow_offs = np.concatenate(([0], np.cumsum(srow_lens)))
+
+    # bulk-decode position streams in term-sorted row order
+    has_pos = store_positions
+    if has_pos:
+        posb_col = group.column("pos_bytes")
+        pos_blob = b"".join(
+            posb_col[int(r)].as_py() or b"" for r in order
+        )
+        pos_deltas = read_vints(np.frombuffer(pos_blob, dtype=np.uint8))
+        # runs = (term,doc) pairs in g order; run length = g_freqs, but the
+        # doclen sentinel rows carry no positions — their freqs must not
+        # consume the stream. Mask them out.
+        is_doclen_row = terms_s == DOCLEN_TERM
+        pair_has_pos = ~np.repeat(is_doclen_row, srow_lens)
+        pos_counts = np.where(pair_has_pos, g_freqs.astype(np.int64), 0)
+        pos_offs = np.concatenate(([0], np.cumsum(pos_counts)))
+        run_starts = pos_offs[:-1][pos_counts > 0]
+        run_lens = pos_counts[pos_counts > 0]
+        if pos_deltas.size != pos_offs[-1]:
+            raise ValueError(
+                f"position stream corrupt: {pos_deltas.size} values, "
+                f"expected {pos_offs[-1]}"
+            )
+        if pos_deltas.size:
+            pos_abs = _segmented_cumsum_reset(
+                pos_deltas.astype(np.int64), run_starts, run_lens
+            )
+        else:
+            pos_abs = np.empty(0, dtype=np.int64)
+
+    out = {k: [] for k in (
+        "bucket", "term", "df", "ttf", "max_freq", "max_norm", "doc_bytes",
+        "freq_bytes", "pos_bytes", "block_last_doc", "block_doc_off",
+        "block_freq_off", "block_max_freq", "block_max_norm")}
 
     for s, e in zip(starts, ends):
-        rows = order[s:e]
         term = terms_s[s]
-        docs = np.concatenate([np.asarray(docs_col[int(r)].as_py(), dtype=np.int64) for r in rows])
-        freqs = np.concatenate([np.asarray(freqs_col[int(r)].as_py(), dtype=np.int32) for r in rows])
-        norms = np.concatenate([np.asarray(norms_col[int(r)].as_py(), dtype=np.uint8) for r in rows])
+        v0, v1 = srow_offs[s], srow_offs[e]
+        docs = g_docs[v0:v1]
+        freqs = g_freqs[v0:v1]
+        norms = g_norms[v0:v1]
         ordd = np.argsort(docs, kind="stable")
         docs = docs[ordd]
         freqs = freqs[ordd]
         norms = norms[ordd]
 
         pos_stream = b""
-        if store_positions and term != DOCLEN_TERM:
-            # reorder the per-doc VInt position runs to the merged doc order:
-            # decode per-row runs lazily by byte-slicing on freq counts
-            from lucenenet_ray.index.codec import read_vints
-
-            runs: list[bytes] = []
-            run_freqs: list[np.ndarray] = []
-            for r in rows:
-                runs.append(posb_col[int(r)].as_py())
-                run_freqs.append(np.asarray(freqs_col[int(r)].as_py(), dtype=np.int64))
-            # boundaries of each doc's positions inside each run's byte stream
-            per_doc_bytes: list[bytes] = []
-            for rb, rf in zip(runs, run_freqs):
-                arr = np.frombuffer(rb, dtype=np.uint8)
-                is_end = (arr & 0x80) == 0
-                ends_v = np.flatnonzero(is_end)
-                # value index boundaries per doc: cumsum of freqs
-                vbounds = np.concatenate(([0], np.cumsum(rf)))
-                for di in range(len(rf)):
-                    b0 = 0 if vbounds[di] == 0 else ends_v[vbounds[di] - 1] + 1
-                    b1 = ends_v[vbounds[di + 1] - 1] + 1 if vbounds[di + 1] > 0 else 0
-                    per_doc_bytes.append(rb[b0:b1])
-            reordered = [per_doc_bytes[i] for i in ordd]
-            pos_stream = b"".join(reordered)
+        if has_pos and term != DOCLEN_TERM:
+            # gather this term's position values in merged doc order, re-delta
+            pstarts = pos_offs[v0:v1][ordd]
+            plens = g_freqs[v0:v1][ordd].astype(np.int64)
+            ptake = _grouped_take(pstarts, plens)
+            p_vals = pos_abs[ptake]
+            d = p_vals.copy()
+            nrs = np.concatenate(([0], np.cumsum(plens)[:-1]))
+            d[1:] -= p_vals[:-1]
+            d[nrs] = p_vals[nrs]
+            pos_stream = write_vints(d.astype(np.uint64)).tobytes()
 
         enc = encode_postings(docs, freqs, norms, None)
         out["bucket"].append(bucket)
@@ -423,18 +504,36 @@ def build_index(
     ``ds`` is a ray.data.Dataset with at least (id_col:int64, text_col:str).
     Never calls ray.init (caller owns the session).
     """
+    import ray
     import ray.data  # local import: module import must not require ray
 
     store_pos = cfg.store_positions
 
-    partials = ds.map_batches(
-        Inverter,
-        fn_constructor_args=(cfg, text_col, id_col),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.concurrency or 4,
-        num_cpus=1,
-    )
+    # Task-mode inverter on the shared worker pool (warm processes, analyzer
+    # cached per process). If cfg.concurrency is set, use an actor pool of
+    # that size instead (sized to leave headroom for the read stage — a pool
+    # reserving every CPU starves the reader and the pipeline stalls).
+    import functools
+
+    if cfg.concurrency:
+        partials = ds.map_batches(
+            Inverter,
+            fn_constructor_args=(cfg, text_col, id_col),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=min(
+                cfg.concurrency, max(1, int(ray.cluster_resources().get("CPU", 4)) - 2)
+            ),
+            num_cpus=1,
+        )
+    else:
+        partials = ds.map_batches(
+            functools.partial(
+                invert_batch_fn, cfg=cfg, text_col=text_col, id_col=id_col
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
 
     merged = partials.groupby(["bucket", "hpart"]).map_groups(
         lambda g: _merge_group(g, store_pos), batch_format="pyarrow"
@@ -450,19 +549,30 @@ def build_index(
     sum_ttf = sum(r["sum_len"] for r in buckets)
 
     # global term stats (df/ttf summed across buckets) — the CollectionStatistics
-    # / TermStatistics source (IndexSearcher.cs:982-1007)
-    stats_ds = ray.data.read_parquet(
-        os.path.join(cfg.index_path, "postings"), columns=["term", "df", "ttf"]
-    )
-    from ray.data.aggregate import Sum
-
-    termstats = (
-        stats_ds.groupby("term")
-        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
-        .sort("term")
-    )
+    # / TermStatistics source (IndexSearcher.cs:982-1007). Per-bucket stats
+    # rows number n_buckets × bucket-vocab; below ~2M rows a driver-side
+    # pyarrow aggregate beats a distributed groupby's fixed costs, above it
+    # the Ray groupby shuffles (vocab at web scale is ~1e9 rows → distributed).
     ts_path = os.path.join(cfg.index_path, "termstats")
-    termstats.write_parquet(ts_path)
+    n_term_rows = sum(r["n_terms"] for r in buckets)
+    postings_dir = os.path.join(cfg.index_path, "postings")
+    if n_term_rows <= 2_000_000:
+        stats_t = pq.read_table(postings_dir, columns=["term", "df", "ttf"])
+        agg = pa.TableGroupBy(stats_t, "term").aggregate([("df", "sum"), ("ttf", "sum")])
+        agg = agg.rename_columns(["term", "df", "ttf"])
+        agg = agg.take(pc.sort_indices(agg.column("term")))
+        os.makedirs(ts_path, exist_ok=True)
+        _atomic_write_parquet(agg, os.path.join(ts_path, "termstats.parquet"))
+    else:
+        stats_ds = ray.data.read_parquet(postings_dir, columns=["term", "df", "ttf"])
+        from ray.data.aggregate import Sum
+
+        termstats = (
+            stats_ds.groupby("term")
+            .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+            .sort("term")
+        )
+        termstats.write_parquet(ts_path)
 
     manifest = {
         "format_version": 1,

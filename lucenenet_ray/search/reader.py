@@ -43,6 +43,8 @@ class PostingsChunk:
     block_max_norm: np.ndarray
     _docs: np.ndarray | None = None
     _freqs: np.ndarray | None = None
+    _pos_flat: np.ndarray | None = None  # absolute positions, doc-major
+    _pos_offs: np.ndarray | None = None  # per-doc offsets into _pos_flat
 
     def docs(self) -> np.ndarray:
         if self._docs is None:
@@ -54,8 +56,26 @@ class PostingsChunk:
             self._freqs = decode_freqs(self.freq_bytes, self.df)
         return self._freqs
 
+    def positions_flat(self) -> tuple[np.ndarray, np.ndarray]:
+        """(flat absolute positions, per-doc offsets) — cached, vectorized."""
+        if self._pos_flat is None:
+            from lucenenet_ray.index.codec import read_vints
+
+            freqs = self.freqs().astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(freqs)))
+            deltas = read_vints(
+                np.frombuffer(self.pos_bytes, dtype=np.uint8), int(offs[-1])
+            ).astype(np.int64)
+            c = np.cumsum(deltas)
+            starts = offs[:-1][freqs > 0]
+            base = c[starts] - deltas[starts]
+            self._pos_flat = c - np.repeat(base, freqs[freqs > 0])
+            self._pos_offs = offs
+        return self._pos_flat, self._pos_offs
+
     def positions(self) -> list[np.ndarray]:
-        return decode_positions(self.pos_bytes, self.freqs())
+        flat, offs = self.positions_flat()
+        return [flat[offs[i] : offs[i + 1]] for i in range(self.df)]
 
 
 class BucketData:
@@ -158,6 +178,7 @@ class IndexReader:
         self.full_buckets = full_buckets
         self._buckets: dict[int, BucketData] = {}
         self._termstats_ds = None
+        self._stats_cache: dict[str, tuple[int, int] | None] = {}
 
     @property
     def bucket_ids(self) -> list[int]:
@@ -182,16 +203,27 @@ class IndexReader:
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """term → (df, ttf) over the whole index; absent terms omitted
-        (df=0 clauses contribute nothing, FIXTURES §4)."""
+        (df=0 clauses contribute nothing, FIXTURES §4). Cached per reader —
+        the IndexSearcher pins its term-dict state across queries
+        (SURVEY §2.3)."""
         if not terms:
             return {}
-        t = self._termstats().to_table(filter=pc.field("term").isin(terms))
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            t = self._termstats().to_table(filter=pc.field("term").isin(missing))
+            found = set()
+            for i in range(t.num_rows):
+                term = t.column("term")[i].as_py()
+                self._stats_cache[term] = (
+                    int(t.column("df")[i].as_py()),
+                    int(t.column("ttf")[i].as_py()),
+                )
+                found.add(term)
+            for m in missing:
+                if m not in found:
+                    self._stats_cache[m] = None
         return {
-            t.column("term")[i].as_py(): (
-                int(t.column("df")[i].as_py()),
-                int(t.column("ttf")[i].as_py()),
-            )
-            for i in range(t.num_rows)
+            t: v for t in terms if (v := self._stats_cache.get(t)) is not None
         }
 
     def expand_terms(self, predicate, max_expansions: int = 1024) -> list[str]:

@@ -148,6 +148,15 @@ _EMPTY_D = np.empty(0, dtype=np.int64)
 _EMPTY_S = np.empty(0, dtype=np.float32)
 
 
+def _concat_ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized concat of aranges [starts[i], starts[i]+lengths[i])."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    shifted = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    return np.arange(total, dtype=np.int64) + np.repeat(starts - shifted, lengths)
+
+
 def _eval_term(term: str, chunks: dict[str, PostingsChunk], plan: QueryPlan,
                bucket: BucketData) -> tuple[np.ndarray, np.ndarray]:
     c = chunks.get(term)
@@ -177,24 +186,28 @@ def _eval_phrase(q: PhraseQuery, chunks: dict[str, PostingsChunk], plan: QueryPl
         docs = docs[np.isin(docs, c.docs(), assume_unique=True)]
         if docs.size == 0:
             return _EMPTY_D, _EMPTY_S
-    # per-doc phrase freq via shifted position-set intersection
-    pos_lists = []
+    # Vectorized phrase matching: encode each (doc, shifted position) pair as
+    # a single int64 key docidx*2^32 + (pos - rel) and intersect the key sets
+    # across members. Surviving keys of member 0 are phrase occurrences;
+    # phrase freq per doc = bincount over the key's docidx.
+    SHIFT = np.int64(1) << np.int64(32)
+    keys = None
     for c, rel in member:
         cd = c.docs()
-        idx = np.searchsorted(cd, docs)
-        all_pos = c.positions()
-        pos_lists.append(([all_pos[i] for i in idx], rel))
-    freqs = np.zeros(docs.size, dtype=np.int32)
-    for di in range(docs.size):
-        base = pos_lists[0][0][di] - pos_lists[0][1]
-        for plist, rel in pos_lists[1:]:
-            base = base[np.isin(base, plist[di] - rel, assume_unique=True)]
-            if base.size == 0:
-                break
-        freqs[di] = base.size
-    keep = freqs > 0
+        idx = np.searchsorted(cd, docs)  # doc rows of candidates in this chunk
+        flat, offs = c.positions_flat()
+        take = _concat_ranges(offs[idx], offs[idx + 1] - offs[idx])
+        docrep = np.repeat(
+            np.arange(docs.size, dtype=np.int64), (offs[idx + 1] - offs[idx])
+        )
+        k = docrep * SHIFT + (flat[take] - rel)
+        keys = k if keys is None else k[np.isin(k, keys, assume_unique=True)]
+        if keys.size == 0:
+            return _EMPTY_D, _EMPTY_S
+    counts = np.bincount((keys // SHIFT).astype(np.int64), minlength=docs.size)
+    keep = counts > 0
     docs = docs[keep]
-    freqs = freqs[keep]
+    freqs = counts[keep].astype(np.int32)
     if docs.size == 0:
         return _EMPTY_D, _EMPTY_S
     wv = plan.phrase_weights.get(q.terms)

@@ -1,0 +1,84 @@
+"""Golden token-array tests for the StandardAnalyzer chain (the
+BaseTokenStreamTestCase.AssertAnalyzesTo pattern — SURVEY §5.2)."""
+
+import pytest
+
+from lucenenet_ray.analysis import (
+    ENGLISH_STOP_WORDS,
+    MAX_TOKEN_LENGTH,
+    analyze,
+    analyze_batch,
+)
+
+# (input, expected terms, expected positions)  — FIXTURES.md §2 coverage
+GOLDEN = [
+    # ALPHANUM/NUM/mixed: UAX#29 splits on &, -, @, keeps dotted domains
+    ("XY&Z Corporation - xyz@example.com",
+     ["xy", "z", "corporation", "xyz", "example.com"], [0, 1, 2, 3, 4]),
+    # stopword runs: positions keep holes (FilteringTokenFilter.cs:84-101)
+    ("the quick and the dead", ["quick", "dead"], [1, 4]),
+    # all stopwords → empty
+    ("the of to a an", [], []),
+    # mid-word punctuation per UAX#29 (MidLetter/MidNum/MidNumLet)
+    ("can't 3.14 1,000 f_o", ["can't", "3.14", "1,000", "f_o"], [0, 1, 2, 3]),
+    # unicode lowercase incl. dotted capital I (Java 1:1 mapping)
+    ("Hello WORLD İstanbul", ["hello", "world", "istanbul"], [0, 1, 2]),
+    # CJK: one token per Han ideograph / Hiragana char, Katakana runs
+    ("日本語のテキスト", ["日", "本", "語", "の", "テキスト"], [0, 1, 2, 3, 4]),
+    # numbers and codes
+    ("IPv6 2001:db8 x86_64", ["ipv6", "2001", "db8", "x86_64"], [0, 1, 2, 3]),
+    # empty / whitespace-only
+    ("", [], []),
+    ("   \t\n ", [], []),
+    # apostrophes/hyphens/URLs
+    # "of"/"the" inside the hyphenated phrase are stopwords → position holes
+    ("state-of-the-art http://foo.bar/baz",
+     ["state", "art", "http", "foo.bar", "baz"], [0, 3, 4, 5, 6]),
+]
+
+
+@pytest.mark.parametrize("text,terms,positions", GOLDEN)
+def test_golden_tokens(text, terms, positions):
+    got_terms, got_pos = analyze(text)
+    assert got_terms == terms
+    assert got_pos == positions
+
+
+def test_overlong_token_discarded_with_hole():
+    # StandardTokenizer.cs:206-214 + StandardAnalyzer.cs:51 (255-char cap)
+    long_tok = "a" * (MAX_TOKEN_LENGTH + 1)
+    terms, pos = analyze(f"first {long_tok} last")
+    assert terms == ["first", "last"]
+    assert pos == [0, 2]  # hole where the long token was
+    # exactly 255 chars is kept
+    ok_tok = "b" * MAX_TOKEN_LENGTH
+    terms, pos = analyze(f"x {ok_tok}")
+    assert terms == ["x", ok_tok]
+
+
+def test_stop_set_is_lucenes():
+    # StopAnalyzer.cs:44-56 — exactly 33 words
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert "the" in ENGLISH_STOP_WORDS and "with" in ENGLISH_STOP_WORDS
+    assert "i" not in ENGLISH_STOP_WORDS  # not in Lucene's English set
+
+
+def test_field_length_counts_kept_tokens_only():
+    # norm length = tokens reaching the inverter (DocInverterPerField.cs:195)
+    terms, _ = analyze("the quick and the dead")
+    assert len(terms) == 2
+
+
+def test_fast_ascii_path_equals_slow_path():
+    # the split() fast path must agree with the full UAX#29 path
+    from lucenenet_ray.analysis.standard import StandardAnalyzer
+
+    a = StandardAnalyzer()
+    text = "the fast key order sort table a scan merge"
+    assert a(text) == a._analyze_slow(text)
+
+
+def test_analyze_batch_arrow():
+    toks, pos = analyze_batch(["the quick fox", None, "spark"])
+    assert toks.to_pylist() == [["quick", "fox"], [], ["spark"]]
+    assert pos.to_pylist() == [[1, 2], [], [0]]

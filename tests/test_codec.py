@@ -1,0 +1,77 @@
+"""Randomized postings-codec round-trips (the BasePostingsFormatTestCase
+pattern, SURVEY §5.1): encode → decode == identity; block metadata honest."""
+
+import numpy as np
+import pytest
+
+from lucenenet_ray.index.codec import (
+    BLOCK_SIZE,
+    decode_doc_block,
+    decode_docs,
+    decode_freqs,
+    decode_positions,
+    encode_postings,
+    read_vints,
+    write_vints,
+)
+
+
+def test_vint_edges():
+    for vals in ([0], [127], [128], [16383], [16384], [2**32 - 1], [2**60],
+                 list(range(300))):
+        v = np.array(vals, dtype=np.uint64)
+        assert np.array_equal(read_vints(write_vints(v)), v)
+
+
+def test_vint_empty():
+    assert write_vints(np.empty(0, np.uint64)).size == 0
+    assert read_vints(np.empty(0, np.uint8)).size == 0
+
+
+def test_vint_wire_format_is_lucenes():
+    # DataOutput.cs:197-240: low 7 bits first, high bit = continuation
+    assert write_vints(np.array([5], np.uint64)).tolist() == [5]
+    assert write_vints(np.array([300], np.uint64)).tolist() == [0xAC, 0x02]
+
+
+@pytest.mark.parametrize("df", [1, 2, 127, 128, 129, 1000, 1300])
+def test_roundtrip_structured(df):
+    rng = np.random.default_rng(df)
+    docs = np.sort(rng.choice(10**12, size=df, replace=False)).astype(np.int64)
+    freqs = rng.integers(1, 255, size=df).astype(np.int32)
+    norms = rng.integers(0, 256, size=df).astype(np.uint8)
+    positions = [
+        np.sort(rng.choice(100000, size=f, replace=False)).astype(np.int64)
+        for f in freqs
+    ]
+    enc = encode_postings(docs, freqs, norms, positions)
+    assert np.array_equal(decode_docs(enc["doc_bytes"], df), docs)
+    assert np.array_equal(decode_freqs(enc["freq_bytes"], df), freqs)
+    dec_pos = decode_positions(enc["pos_bytes"], freqs)
+    for a, b in zip(dec_pos, positions):
+        assert np.array_equal(a, b)
+    # block metadata (skip list + block-max, SURVEY §2.5)
+    nblocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    assert len(enc["block_last_doc"]) == nblocks
+    for bi in range(nblocks):
+        lo, hi = bi * BLOCK_SIZE, min(df, (bi + 1) * BLOCK_SIZE)
+        assert enc["block_last_doc"][bi] == docs[hi - 1]
+        assert enc["block_max_freq"][bi] == freqs[lo:hi].max()
+        assert enc["block_max_norm"][bi] == norms[lo:hi].max()
+        # independent block decode (skip-in) matches the slice
+        blk = decode_doc_block(
+            enc["doc_bytes"], bi, df, enc["block_doc_off"], enc["block_last_doc"]
+        )
+        assert np.array_equal(blk, docs[lo:hi])
+
+
+def test_random_fuzz():
+    rng = np.random.default_rng(42)
+    for _ in range(50):
+        df = int(rng.integers(1, 700))
+        docs = np.sort(rng.choice(10**9, size=df, replace=False)).astype(np.int64)
+        freqs = rng.integers(1, 64, size=df).astype(np.int32)
+        norms = rng.integers(0, 256, size=df).astype(np.uint8)
+        enc = encode_postings(docs, freqs, norms, None)
+        assert np.array_equal(decode_docs(enc["doc_bytes"], df), docs)
+        assert np.array_equal(decode_freqs(enc["freq_bytes"], df), freqs)

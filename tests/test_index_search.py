@@ -1,0 +1,229 @@
+"""Rank/score-identity vs the naive oracle + CheckIndex-style invariants +
+determinism across parallelism (SURVEY §5.4-5.6, FIXTURES §5-§7)."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucenenet_ray.search.query import (
+    BooleanClause,
+    BooleanQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    parse_query,
+)
+from lucenenet_ray.search.reader import IndexReader
+from lucenenet_ray.search.searcher import search
+
+from oracle import NaiveBM25
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    _docs, _texts, toks = corpus
+    return NaiveBM25(toks)
+
+
+@pytest.fixture(scope="module")
+def reader(documents_index):
+    path, _m = documents_index
+    return IndexReader(path)
+
+
+def _or_query(terms):
+    return BooleanQuery(
+        clauses=tuple(BooleanClause(Occur.SHOULD, TermQuery(term=t)) for t in terms)
+    )
+
+
+def _and_query(terms):
+    return BooleanQuery(
+        clauses=tuple(BooleanClause(Occur.MUST, TermQuery(term=t)) for t in terms)
+    )
+
+
+TERM_QUERIES = [
+    (["spark"], "or"),
+    (["data"], "or"),  # head term
+    (["dup"], "or"),  # rare term
+    (["spark", "window"], "or"),
+    (["batch", "merge", "vector", "dup"], "or"),
+    (["spark", "nosuchterm"], "or"),  # df=0 clause contributes nothing
+    (["spark", "window"], "and"),
+    (["data", "line", "key"], "and"),
+]
+
+
+@pytest.mark.parametrize("terms,mode", TERM_QUERIES)
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_rank_score_identity(reader, oracle, terms, mode, k):
+    q = _or_query(terms) if mode == "or" else _and_query(terms)
+    td = search(reader, q, k=k)
+    expected = oracle.search_terms(terms, k=k, mode=mode)
+    got = [(int(d), s) for d, s in zip(td.docs, td.scores)]
+    want = [(int(d), s) for d, s in expected]
+    assert [g[0] for g in got] == [w[0] for w in want], "docID ranking differs"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert np.float32(gs) == np.float32(ws), f"score differs for doc {gd}"
+
+
+@pytest.mark.parametrize("terms,mode", TERM_QUERIES)
+def test_pruned_identical(reader, terms, mode):
+    """Block-max pruning must be lossless (SURVEY §7.4)."""
+    q = _or_query(terms) if mode == "or" else _and_query(terms)
+    a = search(reader, q, k=10, prune=False)
+    b = search(reader, q, k=10, prune=True)
+    assert np.array_equal(a.docs, b.docs)
+    assert np.array_equal(a.scores, b.scores)
+
+
+PHRASES = [
+    [("batch", 0), ("merge", 1)],
+    [("fast", 0), ("key", 1)],
+    [("data", 0), ("row", 1), ("column", 2)],
+    [("spark", 0), ("zzz", 1)],  # no match
+]
+
+
+@pytest.mark.parametrize("tp", PHRASES)
+def test_phrase_identity(reader, oracle, tp):
+    td = search(reader, PhraseQuery(terms=tuple(tp)), k=10)
+    expected = oracle.search_phrase(tp, k=10)
+    got = [(int(d), np.float32(s)) for d, s in zip(td.docs, td.scores)]
+    want = [(int(d), np.float32(s)) for d, s in expected]
+    assert got == want
+
+
+def test_match_all(reader, corpus):
+    docs, _t, _k = corpus
+    td = search(reader, MatchAllDocsQuery(), k=len(docs) + 10)
+    assert td.total_hits == len(docs)
+    assert set(td.docs.tolist()) == set(docs)
+
+
+def test_must_not(reader, oracle):
+    q = BooleanQuery(
+        clauses=(
+            BooleanClause(Occur.SHOULD, TermQuery(term="spark")),
+            BooleanClause(Occur.MUST_NOT, TermQuery(term="window")),
+        )
+    )
+    td = search(reader, q, k=500)
+    for d in td.docs.tolist():
+        assert "spark" in oracle.toks[d]
+        assert "window" not in oracle.toks[d]
+    expected = [
+        d for d in oracle.toks
+        if "spark" in oracle.toks[d] and "window" not in oracle.toks[d]
+    ]
+    assert td.total_hits == len(expected)
+
+
+def test_multiterm_rewrites(reader, oracle):
+    # prefix (constant score): every matching doc scores 1.0
+    td = search(reader, PrefixQuery(prefix="sp"), k=1000)
+    pref_terms = {t for t in oracle.df if t.startswith("sp")}
+    expected = {d for d, v in oracle.toks.items() if pref_terms & set(v)}
+    assert set(td.docs.tolist()) == expected
+    assert np.all(td.scores == np.float32(1.0))
+    # wildcard
+    td2 = search(reader, WildcardQuery(pattern="s?ark"), k=1000)
+    assert set(td2.docs.tolist()) == {d for d, v in oracle.toks.items() if "spark" in v}
+    # term range
+    td3 = search(reader, TermRangeQuery(lower="spark", upper="spark"), k=1000)
+    assert set(td3.docs.tolist()) == {d for d, v in oracle.toks.items() if "spark" in v}
+    # fuzzy (scoring rewrite): "sparkk"~ matches spark within 2 edits
+    td4 = search(reader, FuzzyQuery(term="sparkk"), k=10)
+    assert td4.total_hits > 0
+
+
+def test_parse_query_end_to_end(reader):
+    td = search(reader, parse_query("spark AND window"), k=10)
+    td2 = search(reader, _and_query(["spark", "window"]), k=10)
+    assert np.array_equal(td.docs, td2.docs)
+    assert search(reader, parse_query("the of to"), k=10).total_hits == 0
+
+
+# --------------------------------------------------------------------------
+# CheckIndex-style invariants (FIXTURES §6; CheckIndex.cs:62)
+
+
+def test_index_invariants(documents_index, corpus):
+    path, manifest = documents_index
+    _docs, _texts, toks = corpus
+    from lucenenet_ray.index.codec import decode_docs, decode_freqs, decode_positions
+
+    total_terms_df = {}
+    n_docs_seen = 0
+    for f in sorted(glob.glob(os.path.join(path, "postings", "*.parquet"))):
+        t = pq.read_table(f)
+        terms = t.column("term").to_pylist()
+        assert terms == sorted(terms), "term dict must be sorted"
+        assert len(set(terms)) == len(terms), "terms must be unique per bucket"
+        for i in range(t.num_rows):
+            df = t.column("df")[i].as_py()
+            docs = decode_docs(t.column("doc_bytes")[i].as_py(), df)
+            freqs = decode_freqs(t.column("freq_bytes")[i].as_py(), df)
+            assert np.all(np.diff(docs) > 0), "doc deltas must be positive"
+            assert len(docs) == df == len(freqs)
+            assert int(freqs.sum()) == t.column("ttf")[i].as_py()
+            positions = decode_positions(t.column("pos_bytes")[i].as_py(), freqs)
+            for p, fr in zip(positions, freqs):
+                assert len(p) == fr
+                assert np.all(np.diff(p) > 0), "positions strictly increasing"
+            blast = t.column("block_last_doc")[i].as_py()
+            assert blast[-1] == docs[-1]
+            term = terms[i]
+            total_terms_df[term] = total_terms_df.get(term, 0) + df
+    for f in sorted(glob.glob(os.path.join(path, "norms", "*.parquet"))):
+        t = pq.read_table(f)
+        ids = t.column("doc_id").to_numpy()
+        assert np.all(np.diff(ids) > 0)
+        n_docs_seen += len(ids)
+    assert n_docs_seen == manifest["n_docs"] == len(toks)
+    assert manifest["sum_total_term_freq"] == sum(len(v) for v in toks.values())
+    # global df equals oracle df for every term
+    from collections import Counter
+
+    odf = Counter()
+    for v in toks.values():
+        for term in set(v):
+            odf[term] += 1
+    assert total_terms_df == dict(odf)
+
+
+def test_determinism_across_parallelism(ray_session, tmp_path, documents_index):
+    """Same corpus, different batch size / bucket partitioning parameters that
+    do NOT change logical layout (batch_size, concurrency) → byte-identical
+    index files (SURVEY §4 determinism; FIXTURES §7)."""
+    import filecmp
+
+    from lucenenet_ray.index.build import IndexConfig, build_index
+    import ray.data as rd
+
+    base_path, _ = documents_index
+    p2 = str(tmp_path / "idx2")
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    cfg = IndexConfig(index_path=p2, id_min=0, id_max=499, n_buckets=4,
+                      batch_size=137, concurrency=2)  # different execution shape
+    build_index(ds, cfg)
+    for sub in ("postings", "norms"):
+        a_files = sorted(os.listdir(os.path.join(base_path, sub)))
+        b_files = sorted(os.listdir(os.path.join(p2, sub)))
+        assert a_files == b_files
+        for fn in a_files:
+            assert filecmp.cmp(
+                os.path.join(base_path, sub, fn), os.path.join(p2, sub, fn),
+                shallow=False,
+            ), f"{sub}/{fn} differs across execution shapes"

@@ -1,0 +1,96 @@
+"""End-to-end pages pipeline tests: dedup keep-latest, extraction in the
+pipeline, flagship entry, and the __ray_entry__ contract shape."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pages_index(ray_session, tmp_path_factory):
+    from lucenenet_ray.pipelines.flagship import index_pages
+    from lucenenet_ray.sources.pages import pages_parquet
+
+    pages = pages_parquet("/root/testdata/sf0.001")
+    path = str(tmp_path_factory.mktemp("pidx") / "pages")
+    manifest = index_pages(pages, path, n_buckets=4)
+    return path, manifest, pages
+
+
+def test_dedup_keeps_latest(pages_index, corpus):
+    """URLs with duplicate rows must be indexed once, from the LATEST
+    warc_ts version (IndexWriter.UpdateDocument last-writer-wins,
+    IndexWriter.cs:1538-1556)."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.sources.pages import doc_id_for_url, url_for
+
+    path, manifest, pages = pages_index
+    t = pq.read_table(pages)
+    n_unique = len(set(t.column("url").to_pylist()))
+    assert t.num_rows > n_unique  # fixture really has dups
+    assert manifest["n_docs"] == n_unique
+
+    # the duplicated urls (doc_id % 23 == 0) must carry the NEWER (full-length)
+    # text: check doc_len in norms matches the analyzed golden of the latest row
+    docs, texts, toks = corpus
+    from lucenenet_ray.analysis import analyze
+    import glob
+
+    norm_lens = {}
+    for f in glob.glob(os.path.join(path, "norms", "*.parquet")):
+        nt = pq.read_table(f)
+        for d, l in zip(nt.column("doc_id").to_pylist(), nt.column("doc_len").to_pylist()):
+            norm_lens[d] = l
+    urls = t.column("url").to_pylist()
+    tss = t.column("warc_ts").to_pylist()
+    golden = t.column("text").to_pylist()
+    latest = {}
+    for u, ts, g in zip(urls, tss, golden):
+        if u not in latest or ts > latest[u][0]:
+            latest[u] = (ts, g)
+    for u, (_ts, g) in list(latest.items())[:50]:
+        did = doc_id_for_url(u)
+        expected_len = len(analyze(g)[0])
+        assert norm_lens[did] == expected_len, u
+
+
+def test_flagship_queries_return_hits(pages_index):
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    path, _m, _p = pages_index
+    r = IndexReader(path)
+    td = search(r, parse_query("spark window"), k=10)
+    assert len(td.docs) == 10 and td.total_hits > 0
+    assert np.all(np.diff(td.scores.astype(np.float64)) <= 0)  # score desc
+
+
+def test_ray_entry_contract(ray_session):
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    assert set(sqls) <= set(qs), "every oracle key must have a query"
+    df = e.entry()
+    assert len(df) >= 0 and "doc_id" in df.columns
+
+    # spot-run two cheap entries at sf0.001
+    out = qs["collection_stats"]("/root/testdata/sf0.001")
+    assert out.num_rows == 1
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = con.sql(sqls["collection_stats"]).df()
+    got = out.to_pandas()
+    assert int(got["n_docs"][0]) == int(want["n_docs"][0])
+    assert int(got["sum_total_term_freq"][0]) == int(want["sum_total_term_freq"][0])
