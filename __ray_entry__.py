@@ -220,6 +220,132 @@ def _q_grouping_topk(sf_dir: str) -> Any:
     return out[["lang", "doc_id", "n_chars", "rnk"]]
 
 
+# ---------------------------------------------------------------------------
+# training-data ops (dedup / similarity / text analysis — first-class at scale)
+
+
+def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=list(columns))
+
+
+def _q_near_dup_candidates(sf_dir: str) -> Any:
+    """MinHash+LSH candidate pairs: shingle → minhash → band groupby
+    (the only shuffle) → in-bucket pair expansion."""
+    from lucenenet_ray.ops.neardup import minhash_candidates
+
+    out = minhash_candidates(_docs_ds(sf_dir)).to_pandas()
+    out = out.rename(columns={"count()": "n_bands"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _q_near_dup_jaccard(sf_dir: str) -> Any:
+    """Exact n-gram Jaccard verification of LSH candidates — integer
+    (intersection, union) so the oracle compare is exact."""
+    import ray
+
+    from lucenenet_ray.ops.neardup import (
+        minhash_candidates,
+        ngram_jaccard_counts,
+    )
+
+    cand = minhash_candidates(_docs_ds(sf_dir)).to_pandas()
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    rows = []
+    for a, bdoc in zip(cand["doc_a"], cand["doc_b"]):
+        inter, uni = ngram_jaccard_counts(texts[a].split(), texts[bdoc].split())
+        rows.append((int(a), int(bdoc), inter, uni))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+            "inter": pa.array([r[2] for r in rows], type=pa.int64()),
+            "uni": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def _q_simhash(sf_dir: str) -> Any:
+    from lucenenet_ray.ops.neardup import SimHash
+
+    out = _docs_ds(sf_dir).map_batches(SimHash(), batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_fingerprints(sf_dir: str) -> Any:
+    from lucenenet_ray.ops.textstats import Fingerprints
+
+    out = _docs_ds(sf_dir).map_batches(Fingerprints(), batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+
+
+def _q_lang_id(sf_dir: str) -> Any:
+    from lucenenet_ray.ops.textstats import LangId
+
+    out = _docs_ds(sf_dir).map_batches(LangId(), batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_quality_stats(sf_dir: str) -> Any:
+    from lucenenet_ray.ops.textstats import QualityStats
+
+    out = _docs_ds(sf_dir).map_batches(QualityStats(), batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+KNN_QUERY_IDS = [0, 1, 2]
+
+
+def _q_knn_exact(sf_dir: str) -> Any:
+    """Brute-force cosine top-10 (query vectors broadcast once via ray.put;
+    per-batch float64 matmul; partial-topk + driver merge)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.knn import knn_bruteforce
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    id2vec = {}
+    for i in range(t.num_rows):
+        vid = t.column("vec_id")[i].as_py()
+        if vid in KNN_QUERY_IDS:
+            id2vec[vid] = t.column("embedding")[i].as_py()
+    qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = knn_bruteforce(ds, qv, k=10).to_pandas()
+    out["query_id"] = out["query_id"].map(lambda i: KNN_QUERY_IDS[i])
+    return out[["query_id", "rank", "vec_id"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
+def _q_knn_lsh(sf_dir: str) -> Any:
+    """Approximate LSH-bucketed variant (the 10^12-vector scale path) —
+    rows-only driver check (recall < 1 by design; tested vs exact in pytest)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.knn import knn_lsh
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    id2vec = {}
+    for i in range(t.num_rows):
+        vid = t.column("vec_id")[i].as_py()
+        if vid in KNN_QUERY_IDS:
+            id2vec[vid] = t.column("embedding")[i].as_py()
+    qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return knn_lsh(ds, qv, k=10, n_bits=5, multiprobe=2).to_pandas()
+
+
 def _q_pages_flagship(sf_dir: str) -> Any:
     """Full pages pipeline (html extract + dedup + index + query) — no SQL
     oracle (HTML extraction is not SQL-expressible); rows-only check."""
@@ -239,6 +365,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "grouping_topk": _q_grouping_topk,
         "pages_flagship": _q_pages_flagship,
+        "near_dup_candidates": _q_near_dup_candidates,
+        "near_dup_jaccard": _q_near_dup_jaccard,
+        "simhash": _q_simhash,
+        "fingerprints": _q_fingerprints,
+        "lang_id": _q_lang_id,
+        "quality_stats": _q_quality_stats,
+        "knn_exact": _q_knn_exact,
+        "knn_lsh": _q_knn_lsh,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -257,7 +391,15 @@ def oracle_sql() -> dict[str, str]:
         "facet_lang": so.facet_lang_sql(),
         "dedup_exact": so.dedup_exact_sql(),
         "grouping_topk": so.grouping_topk_sql(3),
-        # pages_flagship: intentionally no oracle (HTML extraction; rows-only)
+        "near_dup_candidates": so.minhash_candidates_sql(),
+        "near_dup_jaccard": so.jaccard_pairs_sql(),
+        "simhash": so.simhash_sql(),
+        "fingerprints": so.fingerprints_sql(),
+        "lang_id": so.lang_id_sql(),
+        "quality_stats": so.quality_stats_sql(),
+        "knn_exact": so.knn_exact_sql(KNN_QUERY_IDS, 10),
+        # pages_flagship, knn_lsh: intentionally no oracle (HTML extraction /
+        # approximate recall; rows-only)
     }
     for name, spec in BM25_QUERIES.items():
         out[name] = so.bm25_topk_sql(spec["terms"], TOPK, spec["mode"])

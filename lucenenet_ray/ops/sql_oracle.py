@@ -232,6 +232,203 @@ def dedup_exact_sql() -> str:
 FROM documents GROUP BY md5(text) ORDER BY text_hash"""
 
 
+# ---------------------------------------------------------------------------
+# training-data ops oracles (neardup / textstats / knn)
+
+_MD5_INT31 = "CAST(('0x'||substr(md5({s}),1,15)) AS BIGINT) % 2147483648"
+_MD5_INT60 = "CAST(('0x'||substr(md5({s}),1,15)) AS BIGINT)"
+_MD5_LOW63 = ("CAST(CAST(('0x'||substr(md5({s}),17,16)) AS UBIGINT) "
+              "% 9223372036854775808 AS BIGINT)")
+
+
+def _shingles_cte(k: int = 3) -> str:
+    return f"""
+arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, array_to_string(list_slice(arr, i, i + {k - 1}), ' ') AS gram
+    FROM arrs, LATERAL (SELECT unnest(range(1, len(arr) - {k - 2})) AS i)
+    WHERE len(arr) >= {k}
+    UNION ALL
+    SELECT doc_id, array_to_string(arr, ' ') AS gram
+    FROM arrs WHERE len(arr) < {k} AND len(arr) > 0
+  )
+)"""
+
+
+def minhash_candidates_sql(num_perm: int = 16, num_bands: int = 4,
+                           k: int = 3) -> str:
+    """Candidate near-dup pairs sharing ≥1 LSH band; n_bands = shared count."""
+    from lucenenet_ray.ops.neardup import MERSENNE61, _perm_params
+
+    a, b = _perm_params(num_perm)
+    r = num_perm // num_bands
+    perm_rows = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm))
+    return f"""WITH {_shingles_cte(k)},
+perms(perm, a, b) AS (VALUES {perm_rows}),
+hashes AS (
+  SELECT doc_id, {_MD5_INT31.format(s='gram')} AS h FROM sh
+),
+minh AS (
+  SELECT doc_id, perm, min((a * h + b) % {MERSENNE61}) AS mh
+  FROM hashes CROSS JOIN perms GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm // {r} AS band,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY perm) AS band_key
+  FROM minh GROUP BY doc_id, perm // {r}
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+ORDER BY doc_a, doc_b"""
+
+
+def jaccard_pairs_sql(num_perm: int = 16, num_bands: int = 4, k: int = 3) -> str:
+    """Exact k-shingle (intersection, union) counts for LSH candidate pairs."""
+    cand = minhash_candidates_sql(num_perm, num_bands, k)
+    return f"""WITH cand AS ({cand}),
+{_shingles_cte(k)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.gram = a.gram
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       COALESCE(i.inter, 0) AS inter,
+       sa.n + sb.n - COALESCE(i.inter, 0) AS uni
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+ORDER BY c.doc_a, c.doc_b"""
+
+
+def simhash_sql() -> str:
+    """63-bit tf-weighted SimHash per doc (bit i of md5-low-63 per token)."""
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS cnt FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+),
+th AS (SELECT doc_id, cnt, {_MD5_LOW63.format(s='term')} AS h FROM tf),
+bits AS (
+  SELECT doc_id, i, sum(cnt * (2 * ((h >> i) & 1) - 1)) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(63)) AS i)
+  GROUP BY doc_id, i
+),
+sig AS (
+  SELECT doc_id,
+         COALESCE(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << i) END), 0) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id) ORDER BY doc_id"""
+
+
+def fingerprints_sql(k: int = 3, window: int = 4) -> str:
+    """Winnowing fingerprints: distinct per-window min of k-gram hashes."""
+    return f"""WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+grams AS (
+  SELECT doc_id, i,
+         {_MD5_INT60.format(s="array_to_string(list_slice(arr, i, i + " + str(k - 1) + "), ' ')")} AS h,
+         len(arr) - {k - 1} AS n_grams
+  FROM arrs, LATERAL (SELECT unnest(range(1, len(arr) - {k - 2})) AS i)
+  WHERE len(arr) >= {k}
+  UNION ALL
+  SELECT doc_id, 1 AS i, {_MD5_INT60.format(s="array_to_string(arr, ' ')")} AS h, 1 AS n_grams
+  FROM arrs WHERE len(arr) < {k} AND len(arr) > 0
+),
+win AS (
+  SELECT doc_id, i, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp
+  FROM grams
+),
+small AS (SELECT doc_id, min(h) AS fp FROM grams WHERE n_grams <= {window} GROUP BY doc_id),
+big AS (SELECT DISTINCT doc_id, fp FROM win WHERE n_grams > {window} AND i <= n_grams - {window - 1})
+SELECT doc_id, fp FROM (SELECT * FROM small UNION ALL SELECT * FROM big)
+ORDER BY doc_id, fp"""
+
+
+def lang_id_sql() -> str:
+    from lucenenet_ray.ops.textstats import LANG_MARKERS, LANG_ORDER
+
+    cnt_cols = []
+    for lang in LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_MARKERS[lang]))
+        cnt_cols.append(
+            f"sum(CASE WHEN term IN ({words}) THEN 1 ELSE 0 END) AS c_{lang}"
+        )
+    best = "GREATEST(" + ", ".join(f"c_{lang}" for lang in LANG_ORDER) + ")"
+    n_best = " + ".join(
+        f"(CASE WHEN c_{lang} = {best} THEN 1 ELSE 0 END)" for lang in LANG_ORDER
+    )
+    first = "CASE " + " ".join(
+        f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in LANG_ORDER
+    ) + " END"
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnts AS (
+  SELECT d.doc_id, {', '.join(cnt_cols)}
+  FROM documents d LEFT JOIN toks USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CASE WHEN {best} = 0 OR {best} IS NULL THEN 'und'
+            WHEN ({n_best}) > 1 THEN 'und'
+            ELSE {first} END AS pred_lang
+FROM cnts ORDER BY doc_id"""
+
+
+def quality_stats_sql() -> str:
+    from lucenenet_ray.ops.textstats import STOP10
+
+    stop = ", ".join(f"'{w}'" for w in sorted(STOP10))
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         sum(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END) AS n_stopwords,
+         count(DISTINCT term) AS n_unique,
+         max(len(term)) AS max_token_len
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_stopwords, 0) AS n_stopwords,
+       COALESCE(a.n_unique, 0) AS n_unique,
+       COALESCE(a.max_token_len, 0) AS max_token_len,
+       len(d.text) AS n_chars
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+
+
+def knn_exact_sql(query_vec_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    return f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN ({ids})
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.embedding) AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id
+FROM sims
+QUALIFY rank <= {k}
+ORDER BY query_id, rank"""
+
+
 def grouping_topk_sql(k: int = 3) -> str:
     """Grouping-module analog: top-k docs per lang by (n_chars desc, doc_id)."""
     return f"""SELECT lang, doc_id, n_chars, rnk FROM (

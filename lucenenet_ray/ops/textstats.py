@@ -1,0 +1,126 @@
+"""Text analysis ops: language-ID, quality scoring, token counting, document
+fingerprinting — large-scale training-data pipeline stages, each a vectorized
+map_batches over the documents table with an exact SQL oracle.
+
+All outputs are INTEGER features (counts, ids) so the oracle comparison is
+exact (no float rounding hazards).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# tiny per-language function-word lists (deterministic rule, not a model)
+LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is was for with that".split()),
+    "de": frozenset("der die das und ist von zu mit nicht ein".split()),
+    "fr": frozenset("le la les et de un une est pour dans".split()),
+    "es": frozenset("el la los las y de un una es para".split()),
+}
+LANG_ORDER = ("de", "en", "es", "fr")  # tie-break: alphabetical
+
+STOP10 = LANG_MARKERS["en"]
+
+
+def lang_id_of(tokens: list[str]) -> str:
+    """argmax of marker-word hits; ties or zero hits → 'und'."""
+    counts = {lang: sum(1 for t in tokens if t in m) for lang, m in LANG_MARKERS.items()}
+    best = max(counts.values()) if counts else 0
+    if best == 0:
+        return "und"
+    winners = [lang for lang in LANG_ORDER if counts[lang] == best]
+    return winners[0] if len(winners) == 1 else "und" if len(winners) > 1 else winners[0]
+
+
+class LangId:
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        texts = batch.column(self.text_col).to_pylist()
+        out = [lang_id_of((t or "").split()) for t in texts]
+        return pa.table(
+            {"doc_id": ids, "pred_lang": pa.array(out, type=pa.string())}
+        )
+
+
+class QualityStats:
+    """Integer quality features per doc: token count, stopword hits, distinct
+    tokens, max token length, char count."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        texts = batch.column(self.text_col).to_pylist()
+        n_tok, n_stop, n_uniq, max_len, n_chars = [], [], [], [], []
+        for t in texts:
+            toks = (t or "").split()
+            n_tok.append(len(toks))
+            n_stop.append(sum(1 for x in toks if x in STOP10))
+            n_uniq.append(len(set(toks)))
+            max_len.append(max((len(x) for x in toks), default=0))
+            n_chars.append(len(t or ""))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "n_stopwords": pa.array(n_stop, type=pa.int64()),
+                "n_unique": pa.array(n_uniq, type=pa.int64()),
+                "max_token_len": pa.array(max_len, type=pa.int64()),
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+            }
+        )
+
+
+def fingerprints_of(tokens: list[str], k: int = 3, window: int = 4) -> list[int]:
+    """Winnowing document fingerprints: md5-based k-gram hashes, min per
+    sliding window of `window` hashes, distinct, sorted. Deterministic and
+    SQL-reproducible (window MIN + DISTINCT)."""
+    if len(tokens) < k:
+        grams = [" ".join(tokens)] if tokens else []
+    else:
+        grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    if not grams:
+        return []
+    hs = [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) for g in grams]
+    if len(hs) <= window:
+        return sorted({min(hs)})
+    out = set()
+    for i in range(len(hs) - window + 1):
+        out.add(min(hs[i : i + window]))
+    return sorted(out)
+
+
+class Fingerprints:
+    """map_batches stage → exploded (doc_id, fp) rows."""
+
+    def __init__(self, k: int = 3, window: int = 4, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.k = k
+        self.window = window
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id: list[int] = []
+        out_fp: list[int] = []
+        for did, t in zip(ids, texts):
+            for fp in fingerprints_of((t or "").split(), self.k, self.window):
+                out_id.append(did)
+                out_fp.append(fp)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "fp": pa.array(out_fp, type=pa.int64()),
+            }
+        )

@@ -423,11 +423,17 @@ def _eval_or_pruned(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Que
 
 @dataclass
 class TopDocs:
-    """The TopDocs analog: (doc, score) hits + totalHits (TopDocs.cs)."""
+    """The TopDocs analog: (doc, score) hits + totalHits (TopDocs.cs).
+
+    Under block-max pruning totalHits is a LOWER BOUND (docs proven unable to
+    reach the top-k are never counted) — ``total_hits_relation`` is "gte"
+    then, mirroring Lucene 8's TotalHits.Relation; the top-k itself is always
+    exact."""
 
     docs: np.ndarray
     scores: np.ndarray
     total_hits: int
+    total_hits_relation: str = "eq"
 
     def to_list(self) -> list[tuple[int, float]]:
         return [(int(d), float(s)) for d, s in zip(self.docs, self.scores)]
@@ -449,4 +455,5 @@ def search(reader: IndexReader, query: Query, k: int = 10,
     docs = np.concatenate(all_d) if all_d else _EMPTY_D
     scores = np.concatenate(all_s) if all_s else _EMPTY_S
     d, s = _topk(docs, scores, k)
-    return TopDocs(docs=d, scores=s, total_hits=total)
+    return TopDocs(docs=d, scores=s, total_hits=total,
+                   total_hits_relation="gte" if prune else "eq")

@@ -94,3 +94,29 @@ def test_ray_entry_contract(ray_session):
     got = out.to_pandas()
     assert int(got["n_docs"][0]) == int(want["n_docs"][0])
     assert int(got["sum_total_term_freq"][0]) == int(want["sum_total_term_freq"][0])
+
+
+def test_distributed_searcher_matches_sequential(documents_index):
+    """Actor-pool scatter/gather must return identical TopDocs to the
+    sequential path (TopDocs.Merge semantics across actors)."""
+    import numpy as np
+
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+    from lucenenet_ray.search.serve import DistributedSearcher
+
+    path, _m = documents_index
+    ds = DistributedSearcher(path, n_actors=2)
+    try:
+        r = IndexReader(path)
+        for qt in ["spark window", '"batch merge"', "data", "vector AND dup"]:
+            q = parse_query(qt)
+            a = search(r, q, k=10)
+            b = ds.search(q, k=10, prune=True)
+            assert np.array_equal(a.docs, b.docs), qt
+            assert np.array_equal(a.scores, b.scores), qt
+            c = ds.search(q, k=10, prune=False)
+            assert a.total_hits == c.total_hits and c.total_hits_relation == "eq"
+    finally:
+        ds.shutdown()
