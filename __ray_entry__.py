@@ -220,6 +220,97 @@ def _q_grouping_topk(sf_dir: str) -> Any:
     return out[["lang", "doc_id", "n_chars", "rnk"]]
 
 
+def _q_mlt_terms(sf_dir: str) -> Any:
+    """MoreLikeThis term selection (Queries/Mlt/MoreLikeThis.cs): top tf·idf
+    terms of doc 0, ranked — df from the engine-built index."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.mlt import mlt_terms
+
+    r = _reader(sf_dir)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    text = t.column("text")[0].as_py()
+    tokens = text.split()
+    stats = r.term_stats(sorted(set(tokens)))
+
+    ranked = mlt_terms(tokens, lambda x: stats.get(x, (0, 0))[0], r.num_docs)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(ranked) + 1, dtype=np.int64)),
+            "term": pa.array([x[0] for x in ranked], type=pa.string()),
+            "tf": pa.array([x[1] for x in ranked], type=pa.int64()),
+            "df": pa.array([x[2] for x in ranked], type=pa.int64()),
+        }
+    )
+
+
+def _q_events_window(sf_dir: str) -> Any:
+    """Tumbling-window aggregate over the events stream table (the reference
+    has no streaming ops — SURVEY §2.11; this is the ordered-log windowing
+    idiom from the Ray guide): 1-hour windows per event_type."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "user_id"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        epoch_us = pc.cast(t.column("ts"), pa.int64())
+        win = pc.divide(epoch_us, 3_600_000_000)
+        return t.append_column("win", pc.cast(win, pa.int64()))
+
+    from ray.data.aggregate import Count, Max, Min
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("user_id", alias_name="min_user"),
+            Max("user_id", alias_name="max_user"),
+        )
+        .to_pandas()
+        .sort_values(["event_type", "win"])
+        .reset_index(drop=True)
+    )
+    return out[["event_type", "win", "n_events", "min_user", "max_user"]]
+
+
+def _q_semi_join(sf_dir: str) -> Any:
+    """Query-time semi-join (JoinUtil.CreateJoinQuery, Join/JoinUtil.cs):
+    collect join keys from the 'from' side, broadcast the key set, filter the
+    'to' side — orders of customers with acctbal > 5000."""
+    import ray
+    import ray.data as rd
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_acctbal"])
+    keys = set()
+    for batch in cust.iter_batches(batch_format="pyarrow"):
+        mask = pa.compute.greater(batch.column("c_acctbal"), 5000.0)
+        keys.update(batch.filter(mask).column("c_custkey").to_pylist())
+    key_ref = ray.put(frozenset(keys))
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        mask = pa.array([k in ks for k in t.column("o_custkey").to_pylist()],
+                        type=pa.bool_())
+        return t.filter(mask)
+
+    out = (
+        orders.map_batches(filt, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return out[["o_orderkey", "o_custkey"]]
+
+
 # ---------------------------------------------------------------------------
 # training-data ops (dedup / similarity / text analysis — first-class at scale)
 
@@ -373,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality_stats,
         "knn_exact": _q_knn_exact,
         "knn_lsh": _q_knn_lsh,
+        "mlt_terms": _q_mlt_terms,
+        "events_window": _q_events_window,
+        "semi_join": _q_semi_join,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -398,6 +492,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": so.lang_id_sql(),
         "quality_stats": so.quality_stats_sql(),
         "knn_exact": so.knn_exact_sql(KNN_QUERY_IDS, 10),
+        "mlt_terms": so.mlt_terms_sql(0),
+        "events_window": so.events_window_sql(),
+        "semi_join": so.semi_join_sql(),
         # pages_flagship, knn_lsh: intentionally no oracle (HTML extraction /
         # approximate recall; rows-only)
     }

@@ -27,7 +27,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "32"))
 
 QUERY_SET = [
     "spark window",
@@ -123,9 +123,12 @@ def run_bench() -> dict:
     shutil.rmtree(index_path, ignore_errors=True)
 
     t0 = time.perf_counter()
+    # n_buckets is a DATA-LAYOUT choice and must not depend on cluster size —
+    # identical index bytes at any parallelism is part of the contract
+    # (SURVEY §4 determinism).
     manifest = index_pages(
         pages, index_path,
-        n_buckets=max(16, NUM_CPUS), n_hparts=8,
+        n_buckets=32, n_hparts=8,
         concurrency=None, batch_size=1024,
     )
     t_index = time.perf_counter() - t0

@@ -429,6 +429,52 @@ QUALIFY rank <= {k}
 ORDER BY query_id, rank"""
 
 
+def mlt_terms_sql(doc_id: int = 0, max_terms: int = 25, min_tf: int = 2,
+                  min_df: int = 5) -> str:
+    """MoreLikeThis term ranking for one doc: score = tf * (1 + ln(N/(df+1)))
+    in double — identical to the engine's math, so ranks match exactly."""
+    return f"""WITH {_toks_cte()},
+src AS (
+  SELECT term, count(*) AS tf
+  FROM (SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id = {doc_id})
+  WHERE term <> '' GROUP BY term
+),
+dfs AS (
+  -- df from the INDEX's term dictionary: stopwords never get postings, so
+  -- they rank out exactly as in the engine (df lookup misses → dropped)
+  SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term
+),
+scored AS (
+  SELECT s.term, s.tf, d.df,
+         s.tf * (1.0 + ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                          / (d.df + 1.0))) AS score
+  FROM src s JOIN dfs d USING (term)
+  WHERE s.tf >= {min_tf} AND d.df >= {min_df}
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank,
+       term, tf, df
+FROM scored ORDER BY score DESC, term ASC LIMIT {max_terms}"""
+
+
+def events_window_sql() -> str:
+    return """SELECT event_type,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win,
+       count(*) AS n_events,
+       min(user_id) AS min_user,
+       max(user_id) AS max_user
+FROM events
+GROUP BY event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+ORDER BY event_type, win"""
+
+
+def semi_join_sql() -> str:
+    return """SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+ORDER BY o.o_orderkey"""
+
+
 def grouping_topk_sql(k: int = 3) -> str:
     """Grouping-module analog: top-k docs per lang by (n_chars desc, doc_id)."""
     return f"""SELECT lang, doc_id, n_chars, rnk FROM (

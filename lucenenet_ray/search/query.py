@@ -72,6 +72,34 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """score = max(clause scores) + tie_breaker * (sum - max), float32 ops —
+    ``Search/DisjunctionMaxQuery.cs:58`` / DisjunctionMaxScorer."""
+
+    disjuncts: tuple[Query, ...] = ()
+    tie_breaker: float = 0.0
+
+
+def common_terms_query(terms: list[str], df_of, num_docs: int,
+                       max_term_frequency: float = 0.01,
+                       low_freq_occur: Occur = Occur.SHOULD) -> Query:
+    """CommonTermsQuery rewrite (``Queries/CommonTermsQuery.cs``): terms with
+    df > max_term_frequency*N are "common" and demoted to a purely optional
+    sub-query; rare terms keep ``low_freq_occur``. ``df_of(term)`` supplies
+    global df (0 for absent terms)."""
+    cutoff = max_term_frequency * num_docs
+    low = [t for t in terms if df_of(t) <= cutoff]
+    high = [t for t in terms if df_of(t) > cutoff]
+    clauses = [BooleanClause(low_freq_occur, TermQuery(term=t)) for t in low]
+    if high:
+        sub = BooleanQuery(
+            clauses=tuple(BooleanClause(Occur.SHOULD, TermQuery(term=t)) for t in high)
+        )
+        clauses.append(BooleanClause(Occur.SHOULD, sub))
+    return BooleanQuery(clauses=tuple(clauses))
+
+
+@dataclass(frozen=True)
 class MultiTermQuery(Query):
     """Base for term-expansion queries; concrete matching in `matches_term`."""
 

@@ -48,6 +48,7 @@ from lucenenet_ray.search.bm25 import (
 from lucenenet_ray.search.query import (
     BooleanClause,
     BooleanQuery,
+    DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MultiTermQuery,
@@ -84,6 +85,9 @@ def _collect_terms(q: Query, reader: IndexReader, terms: set[str],
     elif isinstance(q, BooleanQuery):
         for c in q.clauses:
             _collect_terms(c.query, reader, terms, expansions)
+    elif isinstance(q, DisjunctionMaxQuery):
+        for sq in q.disjuncts:
+            _collect_terms(sq, reader, terms, expansions)
     elif isinstance(q, MultiTermQuery):
         exp = tuple(reader.expand_terms(q.matches_term, q.max_expansions))
         expansions[id(q)] = exp
@@ -238,6 +242,26 @@ def _eval_multiterm(q: MultiTermQuery, chunks: dict[str, PostingsChunk],
     return _eval_boolean(sub, chunks, plan, bucket)
 
 
+def _eval_dismax(q: DisjunctionMaxQuery, chunks: dict[str, PostingsChunk],
+                 plan: QueryPlan, bucket: BucketData) -> tuple[np.ndarray, np.ndarray]:
+    """DisjunctionMaxScorer: score = max + tie_breaker*(sum - max), float32."""
+    evaled = [_eval_query(sq, chunks, plan, bucket) for sq in q.disjuncts]
+    arrs = [d for d, _s in evaled if d.size]
+    if not arrs:
+        return _EMPTY_D, _EMPTY_S
+    cand = np.unique(np.concatenate(arrs))
+    smax = np.zeros(cand.size, dtype=np.float32)
+    ssum = np.zeros(cand.size, dtype=np.float32)
+    for d, s in evaled:
+        if d.size == 0:
+            continue
+        idx = np.searchsorted(cand, d)
+        np.maximum.at(smax, idx, s)
+        ssum[idx] += s
+    tie = np.float32(q.tie_breaker)
+    return cand, (smax + tie * (ssum - smax)).astype(np.float32)
+
+
 def _eval_query(q: Query, chunks: dict[str, PostingsChunk], plan: QueryPlan,
                 bucket: BucketData) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(q, TermQuery):
@@ -246,6 +270,8 @@ def _eval_query(q: Query, chunks: dict[str, PostingsChunk], plan: QueryPlan,
         return _eval_phrase(q, chunks, plan, bucket)
     if isinstance(q, BooleanQuery):
         return _eval_boolean(q, chunks, plan, bucket)
+    if isinstance(q, DisjunctionMaxQuery):
+        return _eval_dismax(q, chunks, plan, bucket)
     if isinstance(q, MultiTermQuery):
         return _eval_multiterm(q, chunks, plan, bucket)
     if isinstance(q, MatchAllDocsQuery):
@@ -440,15 +466,33 @@ class TopDocs:
 
 
 def search(reader: IndexReader, query: Query, k: int = 10,
-           prune: bool = False) -> TopDocs:
+           prune: bool = False,
+           after: tuple[float, int] | None = None) -> TopDocs:
     """Sequential scatter over buckets + TopDocs.Merge. For the actor-pool
-    parallel path see ``lucenenet_ray.search.serve.QueryServer``."""
+    parallel path see ``lucenenet_ray.search.serve.QueryServer``.
+
+    ``after=(score, doc)`` = deep paging: only hits strictly after the anchor
+    in (score desc, doc asc) order (IndexSearcher.SearchAfter,
+    IndexSearcher.cs:252-270).
+    """
     plan = plan_query(reader, query)
+    # SearchAfter needs k + enough headroom per bucket: collect k hits AFTER
+    # the anchor within each bucket by filtering before the per-bucket top-k.
     all_d: list[np.ndarray] = []
     all_s: list[np.ndarray] = []
     total = 0
     for b in reader.bucket_ids:
-        d, s, t = score_bucket(reader.bucket(b), plan, k, prune=prune)
+        bd = reader.bucket(b)
+        if after is None:
+            d, s, t = score_bucket(bd, plan, k, prune=prune)
+        else:
+            chunks = bd.chunks_for_terms(list(plan.all_terms), full=True)
+            docs, scores = _eval_query(plan.query, chunks, plan, bd)
+            a_s = np.float32(after[0])
+            a_d = np.int64(after[1])
+            keep = (scores < a_s) | ((scores == a_s) & (docs > a_d))
+            d, s = _topk(docs[keep], scores[keep], k)
+            t = int(docs.size)
         all_d.append(d)
         all_s.append(s)
         total += t
@@ -456,4 +500,36 @@ def search(reader: IndexReader, query: Query, k: int = 10,
     scores = np.concatenate(all_s) if all_s else _EMPTY_S
     d, s = _topk(docs, scores, k)
     return TopDocs(docs=d, scores=s, total_hits=total,
-                   total_hits_relation="gte" if prune else "eq")
+                   total_hits_relation="gte" if (prune and after is None) else "eq")
+
+
+def count_matches(reader: IndexReader, query: Query) -> int:
+    """TotalHitCountCollector analog (Search/TotalHitCountCollector.cs)."""
+    return search(reader, query, k=1, prune=False).total_hits
+
+
+def rescore(reader: IndexReader, first_pass: TopDocs, query: Query,
+            weight: float = 1.0, k: int | None = None) -> TopDocs:
+    """QueryRescorer analog (Search/QueryRescorer.cs:32): re-evaluate `query`
+    on the first-pass top hits only; combined score = first + weight*second
+    (float32, like QueryRescorer.Combine with secondPassMatches). Hits that
+    don't match the rescore query keep their first-pass score."""
+    plan = plan_query(reader, query)
+    docs = first_pass.docs
+    combined = first_pass.scores.astype(np.float32).copy()
+    for b in reader.bucket_ids:
+        bd = reader.bucket(b)
+        chunks = bd.chunks_for_terms(list(plan.all_terms), full=True)
+        d2, s2 = _eval_query(plan.query, chunks, plan, bd)
+        if d2.size == 0:
+            continue
+        idx = np.searchsorted(d2, docs)
+        valid = idx < d2.size
+        vi = idx[valid]
+        sel = d2[vi] == docs[valid]
+        hit_rows = np.flatnonzero(valid)[sel]
+        combined[hit_rows] = combined[hit_rows] + np.float32(weight) * s2[vi[sel]]
+    k = k or len(docs)
+    d, s = _topk(docs, combined, k)
+    return TopDocs(docs=d, scores=s, total_hits=first_pass.total_hits,
+                   total_hits_relation=first_pass.total_hits_relation)

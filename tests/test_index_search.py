@@ -227,3 +227,105 @@ def test_determinism_across_parallelism(ray_session, tmp_path, documents_index):
                 os.path.join(base_path, sub, fn), os.path.join(p2, sub, fn),
                 shallow=False,
             ), f"{sub}/{fn} differs across execution shapes"
+
+
+def test_dismax(reader, oracle):
+    """DisjunctionMaxScorer: max + tie*(sum-max), float32."""
+    from lucenenet_ray.search.query import DisjunctionMaxQuery
+
+    for tie in (0.0, 0.3):
+        q = DisjunctionMaxQuery(
+            disjuncts=(TermQuery(term="spark"), TermQuery(term="window")),
+            tie_breaker=tie,
+        )
+        td = search(reader, q, k=10)
+        # naive: per-doc max/sum of term scores in float32
+        exp = []
+        for d in oracle.toks:
+            scores = []
+            for t in ("spark", "window"):
+                f = oracle.tf[d].get(t, 0)
+                if f:
+                    scores.append(oracle._score_one(oracle.wv(t), f, d))
+            if not scores:
+                continue
+            smax = max(scores)
+            ssum = np.float32(0.0)
+            for s in scores:
+                ssum = np.float32(ssum + s)
+            exp.append((d, np.float32(smax + np.float32(tie) * (ssum - smax))))
+        exp.sort(key=lambda x: (-x[1], x[0]))
+        got = [(int(d), np.float32(s)) for d, s in zip(td.docs, td.scores)]
+        assert got == [(int(d), np.float32(s)) for d, s in exp[:10]]
+
+
+def test_search_after_paging(reader):
+    """SearchAfter deep paging: page2 = hits strictly after page1's last."""
+    from lucenenet_ray.search.searcher import search as _search
+
+    q = _or_query(["spark", "window"])
+    full = _search(reader, q, k=20)
+    page1 = _search(reader, q, k=10)
+    anchor = (float(page1.scores[-1]), int(page1.docs[-1]))
+    page2 = _search(reader, q, k=10, after=anchor)
+    assert np.array_equal(
+        np.concatenate([page1.docs, page2.docs]), full.docs
+    )
+    assert np.array_equal(
+        np.concatenate([page1.scores, page2.scores]), full.scores
+    )
+
+
+def test_rescorer(reader):
+    """QueryRescorer: combined = first + w*second, re-ranked."""
+    from lucenenet_ray.search.searcher import rescore
+    from lucenenet_ray.search.searcher import search as _search
+
+    q1 = _or_query(["spark"])
+    first = _search(reader, q1, k=20)
+    q2 = _or_query(["window"])
+    out = rescore(reader, first, q2, weight=2.0, k=10)
+    assert len(out.docs) == 10
+    assert set(out.docs.tolist()) <= set(first.docs.tolist())
+    # scores only ever increase (second-pass scores are positive)
+    first_map = dict(zip(first.docs.tolist(), first.scores.tolist()))
+    for d, s in zip(out.docs.tolist(), out.scores.tolist()):
+        assert s >= first_map[d] - 1e-6
+
+
+def test_common_terms_query(reader, oracle):
+    """CommonTermsQuery: high-df terms demoted to optional; with MUST
+    low-freq occur, docs must match the rare terms."""
+    from lucenenet_ray.search.query import common_terms_query
+
+    stats = reader.term_stats(["data", "dup"])
+    q = common_terms_query(
+        ["data", "dup"], lambda t: stats.get(t, (0, 0))[0], reader.num_docs,
+        max_term_frequency=0.5, low_freq_occur=Occur.MUST,
+    )
+    # "data" is a head term (df > 50%), "dup" is rare -> MUST
+    td = search(reader, q, k=500)
+    for d in td.docs.tolist():
+        assert "dup" in oracle.toks[d]
+
+
+def test_count_matches(reader, oracle):
+    from lucenenet_ray.search.searcher import count_matches
+
+    n = count_matches(reader, _or_query(["spark", "window"]))
+    expected = sum(
+        1 for v in oracle.toks.values() if "spark" in v or "window" in v
+    )
+    assert n == expected
+
+
+def test_more_like_this(reader, corpus):
+    from lucenenet_ray.ops.mlt import more_like_this_query
+    from lucenenet_ray.search.query import BooleanQuery as BQ
+
+    docs, texts, toks = corpus
+    q = more_like_this_query(reader, texts[0])
+    assert isinstance(q, BQ) and len(q.clauses) > 0
+    td = search(reader, q, k=10)
+    # the source document itself should rank (its own terms OR'd)
+    assert docs[0] in td.docs.tolist()
