@@ -53,7 +53,7 @@ class IndexConfig:
     n_buckets: int = 16
     n_hparts: int = 8  # term-hash salt slices per bucket for the merge shuffle
     store_positions: bool = True
-    batch_size: int = 1024
+    batch_size: int = 2048
     concurrency: int | None = None  # inverter actor pool size; None = tasks
     k1: float = 1.2
     b: float = 0.75
@@ -196,19 +196,17 @@ class Inverter:
                 else:
                     out_pos.append(b"")
 
-        # assemble Arrow list columns from offsets (no per-value python)
+        # assemble per-row value arrays (contiguous slices of the pair arrays)
         n_rows = len(out_term)
         docs_vals = np.empty(0, np.int64)
-        freqs_vals = np.empty(0, np.int32)
-        norms_vals = np.empty(0, np.int32)
-        offs = np.zeros(n_rows + 1, dtype=np.int64)
+        freqs_vals = np.empty(0, np.int64)
+        norms_vals = np.empty(0, np.uint8)
+        lens = np.empty(0, dtype=np.int64)
         if n_rows:
             lens = np.array([e - s for s, e in row_val_slices], dtype=np.int64)
-            offs[1:] = np.cumsum(lens)
-            take = np.concatenate([np.arange(s, e) for s, e in row_val_slices])
-            docs_vals = pair_docid[take]
-            freqs_vals = pair_freq[take]
-            norms_vals = pair_norm[take].astype(np.int32)
+            docs_vals = pair_docid
+            freqs_vals = pair_freq.astype(np.int64)
+            norms_vals = pair_norm
 
         # per-bucket doc-length sentinel rows (norms + collection stats);
         # doc_ids already sorted → buckets contiguous
@@ -221,35 +219,57 @@ class Inverter:
         for s, e in zip(bk_starts, bk_ends):
             dl_term.append(DOCLEN_TERM)
             dl_bucket.append(int(buckets_all[s]))
-        dl_offs = np.zeros(len(dl_term) + 1, dtype=np.int64)
-        if len(dl_term):
-            dl_offs[1:] = np.cumsum(bk_ends - bk_starts)
 
-        all_offs = np.concatenate((offs, offs[-1] + dl_offs[1:]))
+        all_lens = np.concatenate((lens, (bk_ends - bk_starts).astype(np.int64)))
         docs_vals = np.concatenate((docs_vals, doc_ids))
-        freqs_vals = np.concatenate((freqs_vals, doc_lens))
-        norms_vals = np.concatenate((norms_vals, norms_all.astype(np.int32)))
+        freqs_vals = np.concatenate((freqs_vals, doc_lens.astype(np.int64)))
+        norms_vals = np.concatenate((norms_vals, norms_all))
 
-        off_arr = pa.array(all_offs, type=pa.int64())
+        # compress the shuffle: docs as per-row delta VInts (first absolute),
+        # freqs as VInts, norms raw uint8 — one bulk encode, split per row by
+        # terminator positions (~4 bytes/posting instead of 16).
+        row_starts_v = np.concatenate(([0], np.cumsum(all_lens)))[:-1]
+        d = docs_vals.copy()
+        if d.size:
+            d[1:] -= docs_vals[:-1]
+            d[row_starts_v] = docs_vals[row_starts_v]
+        doc_stream = write_vints(d.astype(np.uint64))
+        freq_stream = write_vints(freqs_vals.astype(np.uint64))
+        doc_rows = _split_vint_stream(doc_stream, all_lens)
+        freq_rows = _split_vint_stream(freq_stream, all_lens)
+        norm_bounds = np.concatenate(([0], np.cumsum(all_lens)))
+        norm_b = norms_vals.tobytes()
+        norm_rows = [
+            norm_b[norm_bounds[i] : norm_bounds[i + 1]] for i in range(len(all_lens))
+        ]
+
         return pa.table(
             {
                 "term": pa.array(out_term + dl_term, type=pa.string()),
                 "bucket": pa.array(out_bucket + dl_bucket, type=pa.int32()),
                 "hpart": pa.array(out_hpart + [0] * len(dl_term), type=pa.int32()),
-                "docs": pa.LargeListArray.from_arrays(
-                    off_arr, pa.array(docs_vals, type=pa.int64())
-                ),
-                "freqs": pa.LargeListArray.from_arrays(
-                    off_arr, pa.array(freqs_vals, type=pa.int32())
-                ),
-                "norms": pa.LargeListArray.from_arrays(
-                    off_arr, pa.array(norms_vals, type=pa.int32())
-                ),
+                "n": pa.array(all_lens, type=pa.int32()),
+                "doc_bytes": pa.array(doc_rows, type=pa.large_binary()),
+                "freq_bytes": pa.array(freq_rows, type=pa.large_binary()),
+                "norm_bytes": pa.array(norm_rows, type=pa.large_binary()),
                 "pos_bytes": pa.array(
                     out_pos + [b""] * len(dl_term), type=pa.large_binary()
                 ),
             }
         )
+
+
+def _split_vint_stream(stream: np.ndarray, counts: np.ndarray) -> list[bytes]:
+    """Split a bulk VInt byte stream into per-row byte strings, where row i
+    holds counts[i] values. Vectorized terminator scan + python slicing."""
+    if stream.size == 0:
+        return [b""] * len(counts)
+    ends = np.flatnonzero((stream & 0x80) == 0)  # last byte of each value
+    vbound = np.cumsum(counts)  # value index after each row
+    tail = np.where(vbound > 0, ends[np.maximum(vbound, 1) - 1] + 1, 0)
+    byte_bound = np.concatenate(([0], tail))
+    raw = stream.tobytes()
+    return [bytes(raw[byte_bound[i] : byte_bound[i + 1]]) for i in range(len(counts))]
 
 
 def _grouped_take(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -299,12 +319,7 @@ def _merge_group(group: pa.Table, store_positions: bool) -> pa.Table:
 
     terms = group.column("term").to_numpy(zero_copy_only=False)
     bucket = int(group.column("bucket")[0].as_py())
-
-    flat_docs = pc.list_flatten(group.column("docs")).to_numpy().astype(np.int64)
-    flat_freqs = pc.list_flatten(group.column("freqs")).to_numpy().astype(np.int32)
-    flat_norms = pc.list_flatten(group.column("norms")).to_numpy().astype(np.uint8)
-    row_lens = pc.list_value_length(group.column("docs")).to_numpy().astype(np.int64)
-    row_offs = np.concatenate(([0], np.cumsum(row_lens)))
+    row_lens = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
 
     order = np.argsort(terms, kind="stable")
     terms_s = terms[order]
@@ -315,14 +330,26 @@ def _merge_group(group: pa.Table, store_positions: bool) -> pa.Table:
     starts = np.flatnonzero(new_term)
     ends = np.append(starts[1:], len(terms_s))
 
-    # gather all values in term-sorted row order
-    take = _grouped_take(row_offs[order], row_lens[order])
-    g_docs = flat_docs[take]
-    g_freqs = flat_freqs[take]
-    g_norms = flat_norms[take]
-    # per-sorted-row value offsets → per-term value slices
+    # bulk-decode the compressed partial rows in term-sorted row order:
+    # docs are per-row delta VInts (first absolute) → segmented cumsum
     srow_lens = row_lens[order]
     srow_offs = np.concatenate(([0], np.cumsum(srow_lens)))
+    docb_col = group.column("doc_bytes")
+    freqb_col = group.column("freq_bytes")
+    normb_col = group.column("norm_bytes")
+    doc_blob = b"".join(docb_col[int(r)].as_py() or b"" for r in order)
+    freq_blob = b"".join(freqb_col[int(r)].as_py() or b"" for r in order)
+    norm_blob = b"".join(normb_col[int(r)].as_py() or b"" for r in order)
+    total_vals = int(srow_offs[-1])
+    d_deltas = read_vints(np.frombuffer(doc_blob, dtype=np.uint8), total_vals)
+    nz = srow_lens > 0
+    g_docs = _segmented_cumsum_reset(
+        d_deltas.astype(np.int64), srow_offs[:-1][nz], srow_lens[nz]
+    )
+    g_freqs = read_vints(
+        np.frombuffer(freq_blob, dtype=np.uint8), total_vals
+    ).astype(np.int32)
+    g_norms = np.frombuffer(norm_blob, dtype=np.uint8)
 
     # bulk-decode position streams in term-sorted row order
     has_pos = store_positions
@@ -414,6 +441,66 @@ def _merge_group(group: pa.Table, store_positions: bool) -> pa.Table:
             "block_freq_off": pa.array(out["block_freq_off"], type=pa.list_(pa.int64())),
             "block_max_freq": pa.array(out["block_max_freq"], type=pa.list_(pa.int32())),
             "block_max_norm": pa.array(out["block_max_norm"], type=pa.list_(pa.int32())),
+        }
+    )
+
+
+def _merge_write_group(group: pa.Table, store_positions: bool,
+                       index_path: str) -> pa.Table:
+    """Fused reducer: merge one (bucket, hpart) group's chunks, then write
+    postings (term-sorted) and — for the hpart-0 group — the bucket's norms.
+    Returns one manifest row."""
+    merged = _merge_group(group, store_positions)
+    bucket = int(group.column("bucket")[0].as_py())
+    hpart = int(group.column("hpart")[0].as_py())
+
+    terms = merged.column("term")
+    is_doclen = pc.equal(terms, DOCLEN_TERM)
+    doclen_rows = merged.filter(is_doclen)
+    postings = merged.filter(pc.invert(is_doclen))
+
+    os.makedirs(os.path.join(index_path, "postings"), exist_ok=True)
+    os.makedirs(os.path.join(index_path, "norms"), exist_ok=True)
+
+    n_docs = 0
+    sum_len = 0
+    if doclen_rows.num_rows:
+        from lucenenet_ray.index.codec import decode_docs, decode_freqs
+
+        row = doclen_rows.slice(0, 1)
+        nd = int(row.column("df")[0].as_py())
+        doc_ids = decode_docs(row.column("doc_bytes")[0].as_py(), nd)
+        doc_lens = decode_freqs(row.column("freq_bytes")[0].as_py(), nd)
+        norms = encode_norm(doc_lens)
+        n_docs = nd
+        sum_len = int(doc_lens.sum())
+        norm_table = pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "doc_len": pa.array(doc_lens, type=pa.int32()),
+                "norm": pa.array(norms.astype(np.int32), type=pa.int32()),
+            }
+        )
+        _atomic_write_parquet(
+            norm_table, os.path.join(index_path, "norms", f"bucket={bucket:05d}.parquet")
+        )
+
+    if postings.num_rows:
+        # rows are already term-sorted by _merge_group
+        _atomic_write_parquet(
+            postings,
+            os.path.join(index_path, "postings",
+                         f"bucket={bucket:05d}_h{hpart:02d}.parquet"),
+            row_group_size=2048,
+        )
+
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], type=pa.int32()),
+            "hpart": pa.array([hpart], type=pa.int32()),
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "sum_len": pa.array([sum_len], type=pa.int64()),
+            "n_terms": pa.array([postings.num_rows], type=pa.int64()),
         }
     )
 
@@ -535,16 +622,55 @@ def build_index(
             batch_size=cfg.batch_size,
         )
 
-    merged = partials.groupby(["bucket", "hpart"]).map_groups(
-        lambda g: _merge_group(g, store_pos), batch_format="pyarrow"
+    # Materialize before the all-to-all: Ray's sort-based groupby plans its
+    # reduce parallelism poorly on a long lazy upstream (measured 3.5× slower
+    # fused at 8 CPUs). The shuffle materializes map-side blocks internally
+    # anyway, so this pins the same data with better task sizing; the object
+    # store spills to disk if the inverted partials exceed memory.
+    import sys
+    import time as _time
+
+    prof = os.environ.get("GRAFT_PROFILE")
+    t0 = _time.perf_counter()
+    partials = partials.materialize()
+    if prof:
+        print(f"[prof] read+extract+invert materialize: "
+              f"{_time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        t0 = _time.perf_counter()
+    # Coalesce map-output blocks before the shuffle: one block per map task
+    # otherwise explodes the sort/reduce task count and the DRIVER becomes
+    # the bottleneck (scheduling thousands of tiny tasks serializes the job).
+    if partials.num_blocks() > 128:
+        partials = partials.repartition(128)
+        if prof:
+            print(f"[prof] repartition(128): {_time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr)
+            t0 = _time.perf_counter()
+
+    # ONE shuffle: each (bucket, hpart) reducer merges its term chunks AND
+    # writes its index file directly (atomic temp+rename — idempotent under
+    # retries). The term dictionary is per-(bucket,hpart)-file sorted; a
+    # term's chunk lives in exactly one hpart, so lookups stay pushdown-able.
+    manifest_rows = partials.groupby(["bucket", "hpart"]).map_groups(
+        lambda g: _merge_write_group(g, store_pos, cfg.index_path),
+        batch_format="pyarrow",
     )
 
-    manifest_rows = merged.groupby("bucket").map_groups(
-        lambda g: _write_bucket(g, cfg.index_path), batch_format="pyarrow"
-    )
-
-    rows = manifest_rows.take_all()  # tiny: one row per bucket
-    buckets = sorted(rows, key=lambda r: r["bucket"])
+    rows = manifest_rows.take_all()  # tiny: one row per (bucket, hpart)
+    if prof:
+        print(f"[prof] merge+write shuffle: {_time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = _time.perf_counter()
+    by_bucket: dict[int, dict] = {}
+    for r in rows:
+        b = int(r["bucket"])
+        agg = by_bucket.setdefault(
+            b, {"bucket": b, "n_docs": 0, "sum_len": 0, "n_terms": 0}
+        )
+        agg["n_docs"] += int(r["n_docs"])
+        agg["sum_len"] += int(r["sum_len"])
+        agg["n_terms"] += int(r["n_terms"])
+    buckets = [by_bucket[b] for b in sorted(by_bucket)]
     n_docs = sum(r["n_docs"] for r in buckets)
     sum_ttf = sum(r["sum_len"] for r in buckets)
 
@@ -588,4 +714,7 @@ def build_index(
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(cfg.index_path, "manifest.json"))
+    if prof:
+        print(f"[prof] termstats+manifest: {_time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
     return manifest

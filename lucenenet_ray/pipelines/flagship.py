@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -59,33 +60,49 @@ def dedup_latest(ds, max_broadcast_urls: int = 10_000_000):
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Max
 
     def partial_max(t: pa.Table) -> pa.Table:
         agg = pa.TableGroupBy(t.select(["url", "warc_ts"]), "url").aggregate(
-            [("warc_ts", "max")]
+            [("warc_ts", "max"), ("url", "count")]
         )
-        return agg.rename_columns(["url", "warc_ts"])
+        return agg.rename_columns(["url", "warc_ts", "cnt"])
 
+    # Per-batch vectorized partials, final combine ON THE DRIVER (partials are
+    # (url, ts) pairs — ≤ a few MB per million urls). Above the broadcast
+    # threshold, fall back to the distributed hash shuffle.
     partials = ds.map_batches(partial_max, batch_format="pyarrow")
-    maxes = partials.groupby("url").aggregate(
-        Max("warc_ts", alias_name="max_ts")
-    ).materialize()
-    n_urls = maxes.count()
-    if n_urls > max_broadcast_urls:
+    partial_tables = ray.get(partials.to_arrow_refs())
+    n_partial_rows = sum(t.num_rows for t in partial_tables)
+    if n_partial_rows > max_broadcast_urls:
         return ds.groupby("url").map_groups(keep_latest_by_url, batch_format="pyarrow")
-
-    winner_tbl = pa.concat_tables(ray.get(maxes.to_arrow_refs()))
-    urls = winner_tbl.column("url").to_pylist()
-    tss = winner_tbl.column("max_ts").to_pylist()
-    winner_ref = ray.put(dict(zip(urls, tss)))
+    allp = pa.concat_tables(partial_tables)
+    agg = pa.TableGroupBy(allp, "url").aggregate(
+        [("warc_ts", "max"), ("cnt", "sum")]
+    ).rename_columns(["url", "max_ts", "n"])
+    # only DUPLICATED urls need resolution — broadcast just those (dup rate in
+    # crawl data is a few %, so this table is tiny even at large corpus
+    # sizes); per-batch cnt partials sum correctly across batches.
+    dups = agg.filter(pc.greater(agg.column("n"), 1)).select(["url", "max_ts"])
+    winner_ref = ray.put(dups.combine_chunks())
 
     def keep_winners(t: pa.Table) -> pa.Table:
         winners = ray.get(winner_ref)
-        u = t.column("url").to_pylist()
-        ts = t.column("warc_ts").to_pylist()
-        mask = [winners.get(a) == b for a, b in zip(u, ts)]
-        t = t.filter(pa.array(mask, type=pa.bool_()))
+        if winners.num_rows == 0:
+            return t
+        # vectorized hash semi-join against the small dup-url table: a row is
+        # dropped iff its url is duplicated AND its ts is not the winner ts
+        t = t.append_column("__row", pa.array(range(t.num_rows), type=pa.int64()))
+        j = t.select(["__row", "url", "warc_ts"]).join(
+            winners, keys="url", join_type="inner"
+        )
+        drop_rows = j.filter(
+            pc.invert(pc.equal(j.column("warc_ts"), j.column("max_ts")))
+        ).column("__row")
+        if len(drop_rows):
+            mask = np.ones(t.num_rows, dtype=bool)
+            mask[drop_rows.to_numpy()] = False
+            t = t.filter(pa.array(mask))
+        t = t.drop_columns(["__row"])
         # resolve exact (url, ts) ties within the batch deterministically
         if t.num_rows and len(set(t.column("url").to_pylist())) < t.num_rows:
             idx = pc.sort_indices(
@@ -115,7 +132,12 @@ def index_pages(
     overwrite: bool = True,
 ):
     """pages parquet → merged index at index_path; returns the manifest."""
+    import time
+
     import ray.data as rd
+
+    prof = os.environ.get("GRAFT_PROFILE")
+    t0 = time.perf_counter()
 
     if overwrite and os.path.exists(index_path):
         shutil.rmtree(index_path)
@@ -123,7 +145,15 @@ def index_pages(
 
     ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
     ds = dedup_latest(ds)
-    ds = ds.map_batches(ExtractHTML(), batch_format="pyarrow", batch_size=256)
+    if prof:
+        import sys
+
+        print(f"[prof] dedup plan+combine: {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+    # batch 1024 ≈ 0.2 s/task of HTML parsing: large enough that driver-side
+    # task scheduling doesn't dominate, small enough to pipeline (html rows
+    # are a few KB; for multi-MB pages lower this — SURVEY §4 memory-aware)
+    ds = ds.map_batches(ExtractHTML(), batch_format="pyarrow", batch_size=1024)
     ds = ds.map_batches(_add_doc_ids, batch_format="pyarrow")
     ds = ds.select_columns(["doc_id", "text"])
 

@@ -81,10 +81,12 @@ class PostingsChunk:
 class BucketData:
     """All loaded state for one doc-range bucket."""
 
-    def __init__(self, bucket_id: int, norms_path: str, postings_path: str):
+    def __init__(self, bucket_id: int, norms_path: str, postings_glob: str):
+        import glob as _glob
+
         self.bucket_id = bucket_id
         self.norms_path = norms_path
-        self.postings_path = postings_path
+        self.postings_files = sorted(_glob.glob(postings_glob))
         self._norms: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         self._postings_full: dict[str, PostingsChunk] | None = None
         self._chunk_cache: dict[str, PostingsChunk | None] = {}
@@ -132,8 +134,8 @@ class BucketData:
     def load_full(self) -> dict[str, PostingsChunk]:
         if self._postings_full is None:
             out: dict[str, PostingsChunk] = {}
-            if os.path.exists(self.postings_path):
-                t = pq.read_table(self.postings_path)
+            for f in self.postings_files:
+                t = pq.read_table(f)
                 for i in range(t.num_rows):
                     c = self._row_to_chunk(t, i)
                     out[c.term] = c
@@ -146,16 +148,14 @@ class BucketData:
             loaded = self.load_full()
             return {t: loaded[t] for t in terms if t in loaded}
         missing = [t for t in terms if t not in self._chunk_cache]
-        if missing and os.path.exists(self.postings_path):
-            t = pq.read_table(
-                self.postings_path,
-                filters=pc.field("term").isin(missing),
-            )
+        if missing:
             found = set()
-            for i in range(t.num_rows):
-                c = self._row_to_chunk(t, i)
-                self._chunk_cache[c.term] = c
-                found.add(c.term)
+            for f in self.postings_files:
+                t = pq.read_table(f, filters=pc.field("term").isin(missing))
+                for i in range(t.num_rows):
+                    c = self._row_to_chunk(t, i)
+                    self._chunk_cache[c.term] = c
+                    found.add(c.term)
             for m in missing:
                 if m not in found:
                     self._chunk_cache[m] = None
@@ -190,7 +190,7 @@ class IndexReader:
             bd = BucketData(
                 bucket_id,
                 os.path.join(self.index_path, "norms", f"bucket={bucket_id:05d}.parquet"),
-                os.path.join(self.index_path, "postings", f"bucket={bucket_id:05d}.parquet"),
+                os.path.join(self.index_path, "postings", f"bucket={bucket_id:05d}*.parquet"),
             )
             self._buckets[bucket_id] = bd
         return bd

@@ -371,6 +371,22 @@ def _eval_term_restricted(term: str, cand: np.ndarray, chunks: dict[str, Posting
         return _EMPTY_D, _EMPTY_S
     blocks = np.unique(np.searchsorted(c.block_last_doc, cand))
     blocks = blocks[blocks < len(c.block_last_doc)]
+    # Block-skipping only pays when few blocks are touched AND the chunk is
+    # not already decoded (the reader caches full decodes across queries —
+    # IndexSearcher-style pinned state). Otherwise restrict on the full
+    # arrays with one searchsorted.
+    if c._docs is not None or blocks.size * BLOCK_SIZE * 4 > c.df:
+        docs_full = c.docs()
+        idx = np.searchsorted(docs_full, cand)
+        valid = idx < docs_full.size
+        vi = idx[valid]
+        sel = docs_full[vi] == cand[valid]
+        if not sel.any():
+            return _EMPTY_D, _EMPTY_S
+        dsel = docs_full[vi[sel]]
+        fsel = c.freqs()[vi[sel]]
+        norms = bucket.norm_of_docs(dsel)
+        return dsel, score_freqs(fsel, norms, w.weight_value, plan.cache)
     out_d: list[np.ndarray] = []
     out_f: list[np.ndarray] = []
     for bi in blocks:
@@ -413,8 +429,13 @@ def _eval_or_pruned(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Que
         # safety-margined remaining bound (float32 addition can round up)
         remaining = float(ubs[order[oi:]].sum()) * (1 + 1e-5) + 1e-30
         if cand.size >= k:
-            theta = np.partition(acc, acc.size - k)[acc.size - k]
-            if remaining < float(theta):
+            theta = float(np.partition(acc, acc.size - k)[acc.size - k])
+            # acc sums clauses in upper-bound order; the final score sums in
+            # CLAUSE order — float32 reassociation can differ by ~m·eps, so
+            # shrink theta before using it as a pruning threshold (scores are
+            # non-negative; 1e-4 ≫ 1024 clauses × f32 eps)
+            theta_safe = theta * (1.0 - 1e-4)
+            if remaining < theta_safe:
                 switch_at = oi
                 break
         d, s = _eval_term(terms[ci], chunks, plan, bucket)
