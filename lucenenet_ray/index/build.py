@@ -580,6 +580,69 @@ def _atomic_write_parquet(table: pa.Table, path: str, row_group_size: int = 6553
             os.unlink(tmp)
 
 
+def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> list[dict]:
+    """Raw-Ray map-reduce hash exchange over the materialized partials.
+
+    Map side: one task per block splits its rows into P partition tables by
+    ``(bucket * n_hparts + hpart) % P`` (num_returns=P → reducers fetch only
+    their slice). Reduce side: one task per partition concats its slices,
+    groups by exact (bucket, hpart), and runs the merge+write reducer per
+    group. Deterministic: partition assignment is a pure key function and the
+    per-group output is canonical regardless of arrival order.
+    """
+    import ray
+
+    n_parts = min(cfg.n_buckets * cfg.n_hparts, 64)
+
+    @ray.remote
+    def split_block(table: pa.Table, n_parts_: int):
+        key = (
+            table.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+            * cfg.n_hparts
+            + table.column("hpart").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        part = key % n_parts_
+        out = []
+        for p in range(n_parts_):
+            mask = part == p
+            out.append(table.filter(pa.array(mask)) if mask.any() else None)
+        return tuple(out)
+
+    @ray.remote
+    def reduce_part(index_path: str, store_pos_: bool, *tables):
+        tabs = [t for t in tables if t is not None and t.num_rows]
+        if not tabs:
+            return []
+        t = pa.concat_tables(tabs).combine_chunks()
+        key = (
+            t.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+            * cfg.n_hparts
+            + t.column("hpart").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        out_rows = []
+        for kv in np.unique(key):
+            g = t.filter(pa.array(key == kv))
+            m = _merge_write_group(g, store_pos_, index_path)
+            out_rows.append({c: m.column(c)[0].as_py() for c in m.column_names})
+        return out_rows
+
+    refs = partials.to_arrow_refs()
+    split_refs = [
+        split_block.options(num_returns=n_parts).remote(r, n_parts) for r in refs
+    ]
+    # split_refs[m] is a tuple of P refs when P>1
+    result_refs = []
+    for p in range(n_parts):
+        slices = [sr[p] for sr in split_refs] if n_parts > 1 else list(split_refs)
+        result_refs.append(
+            reduce_part.remote(cfg.index_path, store_pos, *slices)
+        )
+    rows: list[dict] = []
+    for rr in ray.get(result_refs):
+        rows.extend(rr)
+    return rows
+
+
 def build_index(
     ds,
     cfg: IndexConfig,
@@ -637,28 +700,20 @@ def build_index(
         print(f"[prof] read+extract+invert materialize: "
               f"{_time.perf_counter()-t0:.1f}s", file=sys.stderr)
         t0 = _time.perf_counter()
-    # Coalesce map-output blocks before the shuffle: one block per map task
-    # otherwise explodes the sort/reduce task count and the DRIVER becomes
-    # the bottleneck (scheduling thousands of tiny tasks serializes the job).
-    if partials.num_blocks() > 128:
-        partials = partials.repartition(128)
-        if prof:
-            print(f"[prof] repartition(128): {_time.perf_counter()-t0:.1f}s",
-                  file=sys.stderr)
-            t0 = _time.perf_counter()
-
-    # ONE shuffle: each (bucket, hpart) reducer merges its term chunks AND
+    # ONE exchange: each (bucket, hpart) reducer merges its term chunks AND
     # writes its index file directly (atomic temp+rename — idempotent under
     # retries). The term dictionary is per-(bucket,hpart)-file sorted; a
     # term's chunk lives in exactly one hpart, so lookups stay pushdown-able.
-    manifest_rows = partials.groupby(["bucket", "hpart"]).map_groups(
-        lambda g: _merge_write_group(g, store_pos, cfg.index_path),
-        batch_format="pyarrow",
-    )
-
-    rows = manifest_rows.take_all()  # tiny: one row per (bucket, hpart)
+    #
+    # The exchange is a raw-Ray HASH shuffle (split each map block into P
+    # partition tables, reducers concat their slice) — Ray Data's groupby is
+    # a full SORT shuffle, which at 32 CPUs cost more wall time than all the
+    # map compute combined; we only need partitioning, not order. This is the
+    # documented drop-to-ray-core case: the Dataset API has no sortless keyed
+    # exchange.
+    rows = _hash_shuffle_merge_write(partials, cfg, store_pos)
     if prof:
-        print(f"[prof] merge+write shuffle: {_time.perf_counter()-t0:.1f}s",
+        print(f"[prof] merge+write hash exchange: {_time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
         t0 = _time.perf_counter()
     by_bucket: dict[int, dict] = {}

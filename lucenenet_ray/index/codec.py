@@ -112,26 +112,32 @@ def encode_postings(
     else:
         pos_bytes = np.empty(0, dtype=np.uint8)
 
-    # block metadata (one entry per full-or-partial 128 block)
+    # block metadata (one entry per full-or-partial 128 block) — vectorized
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    blk_last = np.empty(nblocks, dtype=np.int64)
-    blk_maxf = np.empty(nblocks, dtype=np.int32)
-    blk_maxn = np.empty(nblocks, dtype=np.uint8)
-    # byte offsets of each block start in doc/freq streams
-    is_end_doc = (doc_bytes & 0x80) == 0
-    doc_ends = np.flatnonzero(is_end_doc)
-    is_end_frq = (freq_bytes & 0x80) == 0
-    frq_ends = np.flatnonzero(is_end_frq)
-    blk_doc_off = np.empty(nblocks, dtype=np.int64)
-    blk_frq_off = np.empty(nblocks, dtype=np.int64)
-    for i in range(nblocks):
-        lo = i * BLOCK_SIZE
-        hi = min(n, lo + BLOCK_SIZE)
-        blk_last[i] = docs[hi - 1]
-        blk_maxf[i] = freqs[lo:hi].max()
-        blk_maxn[i] = norms[lo:hi].max() if norms.size else 0
-        blk_doc_off[i] = 0 if lo == 0 else doc_ends[lo - 1] + 1
-        blk_frq_off[i] = 0 if lo == 0 else frq_ends[lo - 1] + 1
+    if nblocks:
+        starts = np.arange(nblocks, dtype=np.int64) * BLOCK_SIZE
+        his = np.minimum(starts + BLOCK_SIZE, n)
+        blk_last = docs[his - 1]
+        blk_maxf = np.maximum.reduceat(freqs, starts).astype(np.int32)
+        blk_maxn = (
+            np.maximum.reduceat(norms, starts).astype(np.uint8)
+            if norms.size
+            else np.zeros(nblocks, dtype=np.uint8)
+        )
+        doc_ends = np.flatnonzero((doc_bytes & 0x80) == 0)
+        frq_ends = np.flatnonzero((freq_bytes & 0x80) == 0)
+        blk_doc_off = np.empty(nblocks, dtype=np.int64)
+        blk_frq_off = np.empty(nblocks, dtype=np.int64)
+        blk_doc_off[0] = 0
+        blk_frq_off[0] = 0
+        blk_doc_off[1:] = doc_ends[starts[1:] - 1] + 1
+        blk_frq_off[1:] = frq_ends[starts[1:] - 1] + 1
+    else:
+        blk_last = np.empty(0, dtype=np.int64)
+        blk_maxf = np.empty(0, dtype=np.int32)
+        blk_maxn = np.empty(0, dtype=np.uint8)
+        blk_doc_off = np.empty(0, dtype=np.int64)
+        blk_frq_off = np.empty(0, dtype=np.int64)
     return {
         "doc_bytes": doc_bytes.tobytes(),
         "freq_bytes": freq_bytes.tobytes(),

@@ -45,6 +45,16 @@ class PostingsChunk:
     _freqs: np.ndarray | None = None
     _pos_flat: np.ndarray | None = None  # absolute positions, doc-major
     _pos_offs: np.ndarray | None = None  # per-doc offsets into _pos_flat
+    _local: np.ndarray | None = None  # dense bucket-local row of each doc
+
+    def local_ids(self, bucket: "BucketData") -> np.ndarray:
+        """Bucket-local dense index of every posting's doc — computed ONCE
+        per chunk and cached (the FieldCache pattern, SURVEY §2.3): all
+        per-query lookups become plain fancy-indexing."""
+        if self._local is None:
+            doc_ids, _l, _n = bucket.norms()
+            self._local = np.searchsorted(doc_ids, self.docs())
+        return self._local
 
     def docs(self) -> np.ndarray:
         if self._docs is None:
@@ -111,6 +121,10 @@ class BucketData:
         doc_ids, _lens, norm = self.norms()
         idx = np.searchsorted(doc_ids, docs)
         return norm[idx]
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.norms()[0])
 
     # -- postings ------------------------------------------------------------
     @staticmethod

@@ -163,14 +163,20 @@ def _concat_ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 
 def _eval_term(term: str, chunks: dict[str, PostingsChunk], plan: QueryPlan,
                bucket: BucketData) -> tuple[np.ndarray, np.ndarray]:
+    """→ (bucket-local doc rows ascending, float32 scores).
+
+    All evaluation below works in DENSE bucket-local doc coordinates: every
+    chunk caches its docs' local rows once (FieldCache pattern), so per-query
+    work is pure fancy-indexing — no searchsorted in the hot path (was 60%
+    of query time at 800k docs)."""
     c = chunks.get(term)
     w = plan.weights.get(term)
     if c is None or w is None:
         return _EMPTY_D, _EMPTY_S
-    docs = c.docs()
-    norms = bucket.norm_of_docs(docs)
+    lidx = c.local_ids(bucket)
+    norms = bucket.norms()[2][lidx]
     scores = score_freqs(c.freqs(), norms, w.weight_value, plan.cache)
-    return docs, scores
+    return lidx, scores
 
 
 def _eval_phrase(q: PhraseQuery, chunks: dict[str, PostingsChunk], plan: QueryPlan,
@@ -184,42 +190,50 @@ def _eval_phrase(q: PhraseQuery, chunks: dict[str, PostingsChunk], plan: QueryPl
         if c is None:
             return _EMPTY_D, _EMPTY_S
         member.append((c, rel))
-    # docs present in ALL member chunks
-    docs = member[0][0].docs()
-    for c, _ in member[1:]:
-        docs = docs[np.isin(docs, c.docs(), assume_unique=True)]
-        if docs.size == 0:
-            return _EMPTY_D, _EMPTY_S
+    # candidate docs present in ALL member chunks — dense intersection
+    nb = bucket.n_docs
+    cnt = np.zeros(nb, dtype=np.int16)
+    for c, _ in member:
+        cnt[c.local_ids(bucket)] += 1
+    cand_l = np.flatnonzero(cnt == len(member))
+    if cand_l.size == 0:
+        return _EMPTY_D, _EMPTY_S
     # Vectorized phrase matching: encode each (doc, shifted position) pair as
-    # a single int64 key docidx*2^32 + (pos - rel) and intersect the key sets
-    # across members. Surviving keys of member 0 are phrase occurrences;
-    # phrase freq per doc = bincount over the key's docidx.
+    # a single int64 key candrow*2^32 + (pos - rel) and intersect the key
+    # sets across members; phrase freq per doc = bincount over candrow.
     SHIFT = np.int64(1) << np.int64(32)
     keys = None
     for c, rel in member:
-        cd = c.docs()
-        idx = np.searchsorted(cd, docs)  # doc rows of candidates in this chunk
+        idx = np.searchsorted(c.local_ids(bucket), cand_l)  # row per candidate
         flat, offs = c.positions_flat()
         take = _concat_ranges(offs[idx], offs[idx + 1] - offs[idx])
         docrep = np.repeat(
-            np.arange(docs.size, dtype=np.int64), (offs[idx + 1] - offs[idx])
+            np.arange(cand_l.size, dtype=np.int64), (offs[idx + 1] - offs[idx])
         )
         k = docrep * SHIFT + (flat[take] - rel)
-        keys = k if keys is None else k[np.isin(k, keys, assume_unique=True)]
+        # k is sorted by construction (candidates ascending, positions
+        # ascending per doc) → searchsorted intersection beats np.isin's
+        # internal sort
+        if keys is None:
+            keys = k
+        else:
+            idx = np.searchsorted(keys, k)
+            valid = idx < keys.size
+            keys = k[valid & (keys[np.minimum(idx, keys.size - 1)] == k)]
         if keys.size == 0:
             return _EMPTY_D, _EMPTY_S
-    counts = np.bincount((keys // SHIFT).astype(np.int64), minlength=docs.size)
+    counts = np.bincount((keys // SHIFT).astype(np.int64), minlength=cand_l.size)
     keep = counts > 0
-    docs = docs[keep]
+    lidx = cand_l[keep]
     freqs = counts[keep].astype(np.int32)
-    if docs.size == 0:
+    if lidx.size == 0:
         return _EMPTY_D, _EMPTY_S
     wv = plan.phrase_weights.get(q.terms)
     if wv is None:
         return _EMPTY_D, _EMPTY_S
-    norms = bucket.norm_of_docs(docs)
+    norms = bucket.norms()[2][lidx]
     scores = score_freqs(freqs, norms, wv, plan.cache)
-    return docs, scores
+    return lidx, scores
 
 
 def _eval_multiterm(q: MultiTermQuery, chunks: dict[str, PostingsChunk],
@@ -230,11 +244,17 @@ def _eval_multiterm(q: MultiTermQuery, chunks: dict[str, PostingsChunk],
     if q.constant_score:
         # CONSTANT_SCORE rewrite: every matching doc scores boost (==1·boost),
         # ConstantScoreQuery.cs:37
-        arrs = [chunks[t].docs() for t in exp if t in chunks]
-        if not arrs:
+        mask = np.zeros(bucket.n_docs, dtype=bool)
+        hit = False
+        for t in exp:
+            c = chunks.get(t)
+            if c is not None:
+                mask[c.local_ids(bucket)] = True
+                hit = True
+        if not hit:
             return _EMPTY_D, _EMPTY_S
-        docs = np.unique(np.concatenate(arrs))
-        return docs, np.full(docs.size, np.float32(q.boost), dtype=np.float32)
+        lidx = np.flatnonzero(mask)
+        return lidx, np.full(lidx.size, np.float32(q.boost), dtype=np.float32)
     # SCORING_BOOLEAN rewrite: OR of TermQueries in term order
     sub = BooleanQuery(
         clauses=tuple(BooleanClause(Occur.SHOULD, TermQuery(term=t)) for t in exp)
@@ -246,20 +266,22 @@ def _eval_dismax(q: DisjunctionMaxQuery, chunks: dict[str, PostingsChunk],
                  plan: QueryPlan, bucket: BucketData) -> tuple[np.ndarray, np.ndarray]:
     """DisjunctionMaxScorer: score = max + tie_breaker*(sum - max), float32."""
     evaled = [_eval_query(sq, chunks, plan, bucket) for sq in q.disjuncts]
-    arrs = [d for d, _s in evaled if d.size]
-    if not arrs:
-        return _EMPTY_D, _EMPTY_S
-    cand = np.unique(np.concatenate(arrs))
-    smax = np.zeros(cand.size, dtype=np.float32)
-    ssum = np.zeros(cand.size, dtype=np.float32)
+    nb = bucket.n_docs
+    smax = np.zeros(nb, dtype=np.float32)
+    ssum = np.zeros(nb, dtype=np.float32)
+    matched = np.zeros(nb, dtype=bool)
     for d, s in evaled:
         if d.size == 0:
             continue
-        idx = np.searchsorted(cand, d)
-        np.maximum.at(smax, idx, s)
-        ssum[idx] += s
+        np.maximum.at(smax, d, s)
+        ssum[d] += s
+        matched[d] = True
+    lidx = np.flatnonzero(matched)
+    if lidx.size == 0:
+        return _EMPTY_D, _EMPTY_S
     tie = np.float32(q.tie_breaker)
-    return cand, (smax + tie * (ssum - smax)).astype(np.float32)
+    sm = smax[lidx]
+    return lidx, (sm + tie * (ssum[lidx] - sm)).astype(np.float32)
 
 
 def _eval_query(q: Query, chunks: dict[str, PostingsChunk], plan: QueryPlan,
@@ -275,8 +297,8 @@ def _eval_query(q: Query, chunks: dict[str, PostingsChunk], plan: QueryPlan,
     if isinstance(q, MultiTermQuery):
         return _eval_multiterm(q, chunks, plan, bucket)
     if isinstance(q, MatchAllDocsQuery):
-        doc_ids, _lens, _norms = bucket.norms()
-        return doc_ids, np.full(doc_ids.size, np.float32(q.boost), dtype=np.float32)
+        lidx = np.arange(bucket.n_docs, dtype=np.int64)
+        return lidx, np.full(lidx.size, np.float32(q.boost), dtype=np.float32)
     raise TypeError(f"unsupported query node {type(q)}")
 
 
@@ -286,30 +308,31 @@ def _eval_boolean(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Query
     neg = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
     if not pos:
         return _EMPTY_D, _EMPTY_S
-    evaled = [(occur, _eval_query(sq, chunks, plan, bucket)) for occur, sq in pos]
-    must = [d for occur, (d, _s) in evaled if occur == Occur.MUST]
-    if must:
-        cand = must[0]
-        for d in must[1:]:
-            cand = cand[np.isin(cand, d, assume_unique=True)]
-    else:
-        cand = np.unique(np.concatenate([d for _o, (d, _s) in evaled])) if evaled else _EMPTY_D
+    nb = bucket.n_docs
+    acc = np.zeros(nb, dtype=np.float32)
+    matched = np.zeros(nb, dtype=bool)
+    n_must = sum(1 for occur, _ in pos if occur == Occur.MUST)
+    must_cnt = np.zeros(nb, dtype=np.int16) if n_must else None
+    for occur, sq in pos:  # clause order — float32 add order contract
+        d, s = _eval_query(sq, chunks, plan, bucket)
+        if d.size == 0:
+            if occur == Occur.MUST:
+                return _EMPTY_D, _EMPTY_S
+            continue
+        acc[d] += s
+        matched[d] = True
+        if occur == Occur.MUST:
+            must_cnt[d] += 1
+    sel = matched if must_cnt is None else (must_cnt == n_must)
     for nq in neg:
         nd, _ = _eval_query(nq, chunks, plan, bucket)
         if nd.size:
-            cand = cand[~np.isin(cand, nd, assume_unique=True)]
-    if cand.size == 0:
+            sel = sel.copy() if sel is matched else sel
+            sel[nd] = False
+    lidx = np.flatnonzero(sel)
+    if lidx.size == 0:
         return _EMPTY_D, _EMPTY_S
-    acc = np.zeros(cand.size, dtype=np.float32)
-    for _occur, (d, s) in evaled:  # clause order — float32 add order contract
-        if d.size == 0:
-            continue
-        idx = np.searchsorted(cand, d)
-        valid = (idx < cand.size)
-        vi = idx[valid]
-        sel = cand[vi] == d[valid]
-        acc[vi[sel]] += s[valid][sel]
-    return cand, acc
+    return lidx, acc[lidx]
 
 
 def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -329,19 +352,18 @@ def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.
 
 def score_bucket(bucket: BucketData, plan: QueryPlan, k: int,
                  prune: bool = False) -> tuple[np.ndarray, np.ndarray, int]:
-    """Score one bucket → (top-k docs, scores, total_hits)."""
+    """Score one bucket → (top-k GLOBAL docIDs, scores, total_hits)."""
     chunks = bucket.chunks_for_terms(list(plan.all_terms), full=True)
     q = plan.query
     if prune and _is_pure_or_terms(q):
-        docs, scores = _eval_or_pruned(q, chunks, plan, bucket, k)
-        # total hits under pruning = df-union size (computed exactly below
-        # only when not pruned; here we report candidates seen)
-        total = int(docs.size)
-        d, s = _topk(docs, scores, k)
-        return d, s, total
-    docs, scores = _eval_query(q, chunks, plan, bucket)
+        lidx, scores = _eval_or_pruned(q, chunks, plan, bucket, k)
+        total = int(lidx.size)
+    else:
+        lidx, scores = _eval_query(q, chunks, plan, bucket)
+        total = int(lidx.size)
+    docs = bucket.norms()[0][lidx] if lidx.size else _EMPTY_D
     d, s = _topk(docs, scores, k)
-    return d, s, int(docs.size)
+    return d, s, total
 
 
 def _is_pure_or_terms(q: Query) -> bool:
@@ -359,42 +381,47 @@ def _decode_freq_block(c: PostingsChunk, bi: int) -> np.ndarray:
     return read_vints(buf[start:end], count).astype(np.int32)
 
 
-def _eval_term_restricted(term: str, cand: np.ndarray, chunks: dict[str, PostingsChunk],
-                          plan: QueryPlan, bucket: BucketData,
-                          threshold_gap: float | None = None
+def _eval_term_restricted(term: str, matched: np.ndarray,
+                          chunks: dict[str, PostingsChunk],
+                          plan: QueryPlan, bucket: BucketData
                           ) -> tuple[np.ndarray, np.ndarray]:
-    """Score `term` only for docs in `cand`, decoding only the 128-blocks that
-    contain candidates (skip-in via block_last_doc — the skip list at work)."""
+    """Score `term` only for docs with matched[local]==True.
+
+    Warm path (chunk decoded + cached): fancy-index restriction. Cold path
+    with few touched blocks: skip-in via block_last_doc and decode only those
+    128-blocks (the skip list at work)."""
     c = chunks.get(term)
     w = plan.weights.get(term)
     if c is None or w is None:
         return _EMPTY_D, _EMPTY_S
-    blocks = np.unique(np.searchsorted(c.block_last_doc, cand))
-    blocks = blocks[blocks < len(c.block_last_doc)]
-    # Block-skipping only pays when few blocks are touched AND the chunk is
-    # not already decoded (the reader caches full decodes across queries —
-    # IndexSearcher-style pinned state). Otherwise restrict on the full
-    # arrays with one searchsorted.
-    if c._docs is not None or blocks.size * BLOCK_SIZE * 4 > c.df:
-        docs_full = c.docs()
-        idx = np.searchsorted(docs_full, cand)
-        valid = idx < docs_full.size
-        vi = idx[valid]
-        sel = docs_full[vi] == cand[valid]
-        if not sel.any():
+    if c._docs is not None:
+        lidx = c.local_ids(bucket)
+        m = matched[lidx]
+        if not m.any():
             return _EMPTY_D, _EMPTY_S
-        dsel = docs_full[vi[sel]]
-        fsel = c.freqs()[vi[sel]]
-        norms = bucket.norm_of_docs(dsel)
-        return dsel, score_freqs(fsel, norms, w.weight_value, plan.cache)
+        lsel = lidx[m]
+        norms = bucket.norms()[2][lsel]
+        return lsel, score_freqs(c.freqs()[m], norms, w.weight_value, plan.cache)
+    cand_docs = bucket.norms()[0][np.flatnonzero(matched)]
+    blocks = np.unique(np.searchsorted(c.block_last_doc, cand_docs))
+    blocks = blocks[blocks < len(c.block_last_doc)]
+    if blocks.size * BLOCK_SIZE * 4 > c.df:
+        lidx = c.local_ids(bucket)  # decodes once; cached for later queries
+        m = matched[lidx]
+        if not m.any():
+            return _EMPTY_D, _EMPTY_S
+        lsel = lidx[m]
+        norms = bucket.norms()[2][lsel]
+        return lsel, score_freqs(c.freqs()[m], norms, w.weight_value, plan.cache)
     out_d: list[np.ndarray] = []
     out_f: list[np.ndarray] = []
     for bi in blocks:
-        bd = decode_doc_block(c.doc_bytes, int(bi), c.df, c.block_doc_off, c.block_last_doc)
-        idx = np.searchsorted(bd, cand)
+        bd = decode_doc_block(c.doc_bytes, int(bi), c.df, c.block_doc_off,
+                              c.block_last_doc)
+        idx = np.searchsorted(bd, cand_docs)
         valid = idx < bd.size
         vi = idx[valid]
-        sel = bd[vi] == cand[valid]
+        sel = bd[vi] == cand_docs[valid]
         if not sel.any():
             continue
         bf = _decode_freq_block(c, int(bi))
@@ -404,16 +431,19 @@ def _eval_term_restricted(term: str, cand: np.ndarray, chunks: dict[str, Posting
         return _EMPTY_D, _EMPTY_S
     docs = np.concatenate(out_d)
     freqs = np.concatenate(out_f)
-    norms = bucket.norm_of_docs(docs)
-    return docs, score_freqs(freqs, norms, w.weight_value, plan.cache)
+    lsel = np.searchsorted(bucket.norms()[0], docs)
+    norms = bucket.norms()[2][lsel]
+    return lsel, score_freqs(freqs, norms, w.weight_value, plan.cache)
 
 
 def _eval_or_pruned(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: QueryPlan,
                     bucket: BucketData, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Lossless MaxScore: full-evaluate clauses in descending upper bound until
     no unseen doc can reach the top-k; then candidate-restricted scoring with
-    block skipping. Contributions replay in clause order → bit-identical."""
+    block skipping. Contributions replay in clause order → bit-identical.
+    All in dense bucket-local coordinates."""
     terms = [c.query.term for c in q.clauses]
+    nb = bucket.n_docs
     ubs = np.zeros(len(terms), dtype=np.float64)
     for i, t in enumerate(terms):
         c = chunks.get(t)
@@ -422,14 +452,16 @@ def _eval_or_pruned(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Que
             ubs[i] = float(upper_bound(c.max_freq, c.max_norm, w.weight_value, plan.cache))
     order = np.argsort(-ubs, kind="stable")
     contributions: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    cand = _EMPTY_D
-    acc = _EMPTY_S
+    acc = np.zeros(nb, dtype=np.float32)
+    matched = np.zeros(nb, dtype=bool)
+    n_matched = 0
     switch_at = len(order)
     for oi, ci in enumerate(order):
         # safety-margined remaining bound (float32 addition can round up)
         remaining = float(ubs[order[oi:]].sum()) * (1 + 1e-5) + 1e-30
-        if cand.size >= k:
-            theta = float(np.partition(acc, acc.size - k)[acc.size - k])
+        if n_matched >= k:
+            mvals = acc[matched]
+            theta = float(np.partition(mvals, mvals.size - k)[mvals.size - k])
             # acc sums clauses in upper-bound order; the final score sums in
             # CLAUSE order — float32 reassociation can differ by ~m·eps, so
             # shrink theta before using it as a pruning threshold (scores are
@@ -441,27 +473,21 @@ def _eval_or_pruned(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Que
         d, s = _eval_term(terms[ci], chunks, plan, bucket)
         contributions[ci] = (d, s)
         if d.size:
-            new_cand = np.union1d(cand, d)
-            new_acc = np.zeros(new_cand.size, dtype=np.float32)
-            if cand.size:
-                new_acc[np.searchsorted(new_cand, cand)] = acc
-            idx = np.searchsorted(new_cand, d)
-            new_acc[idx] += s
-            cand, acc = new_cand, new_acc
+            acc[d] += s
+            matched[d] = True
+            n_matched = int(matched.sum())
     for ci in order[switch_at:]:
-        contributions[ci] = _eval_term_restricted(terms[ci], cand, chunks, plan, bucket)
+        contributions[ci] = _eval_term_restricted(terms[ci], matched, chunks,
+                                                  plan, bucket)
     # replay in clause order for float32 bit-identity with the naive path
-    final = np.zeros(cand.size, dtype=np.float32)
+    final = np.zeros(nb, dtype=np.float32)
     for ci in range(len(terms)):
         d, s = contributions.get(ci, (_EMPTY_D, _EMPTY_S))
         if d.size == 0:
             continue
-        idx = np.searchsorted(cand, d)
-        valid = idx < cand.size
-        vi = idx[valid]
-        sel = cand[vi] == d[valid]
-        final[vi[sel]] += s[valid][sel]
-    return cand, final
+        final[d] += s
+    lidx = np.flatnonzero(matched)
+    return lidx, final[lidx]
 
 
 # ---------------------------------------------------------------------------
@@ -508,7 +534,8 @@ def search(reader: IndexReader, query: Query, k: int = 10,
             d, s, t = score_bucket(bd, plan, k, prune=prune)
         else:
             chunks = bd.chunks_for_terms(list(plan.all_terms), full=True)
-            docs, scores = _eval_query(plan.query, chunks, plan, bd)
+            lidx, scores = _eval_query(plan.query, chunks, plan, bd)
+            docs = bd.norms()[0][lidx] if lidx.size else _EMPTY_D
             a_s = np.float32(after[0])
             a_d = np.int64(after[1])
             keep = (scores < a_s) | ((scores == a_s) & (docs > a_d))
@@ -541,9 +568,10 @@ def rescore(reader: IndexReader, first_pass: TopDocs, query: Query,
     for b in reader.bucket_ids:
         bd = reader.bucket(b)
         chunks = bd.chunks_for_terms(list(plan.all_terms), full=True)
-        d2, s2 = _eval_query(plan.query, chunks, plan, bd)
-        if d2.size == 0:
+        lidx, s2 = _eval_query(plan.query, chunks, plan, bd)
+        if lidx.size == 0:
             continue
+        d2 = bd.norms()[0][lidx]
         idx = np.searchsorted(d2, docs)
         valid = idx < d2.size
         vi = idx[valid]
