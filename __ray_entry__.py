@@ -33,6 +33,8 @@ BM25_QUERIES: dict[str, dict] = {
     "bm25_and_2term": {"terms": ["spark", "window"], "mode": "and"},
     "bm25_single_head": {"terms": ["data"], "mode": "or"},
     "bm25_single_rare": {"terms": ["dup"], "mode": "or"},
+    # minimumNumberShouldMatch=2 over 3 SHOULD clauses
+    "bm25_msm2": {"terms": ["spark", "window", "dup"], "mode": "msm2"},
 }
 BM25_PHRASES: dict[str, list[tuple[str, int]]] = {
     "bm25_phrase_2": [("batch", 0), ("merge", 1)],
@@ -137,11 +139,14 @@ def _make_bm25_query(name: str) -> Callable[[str], pa.Table]:
         )
         from lucenenet_ray.search.searcher import search
 
-        occur = Occur.MUST if spec["mode"] == "and" else Occur.SHOULD
+        mode = spec["mode"]
+        occur = Occur.MUST if mode == "and" else Occur.SHOULD
+        msm = int(mode[3:]) if mode.startswith("msm") else 0
         q = BooleanQuery(
-            clauses=tuple(BooleanClause(occur, TermQuery(term=t)) for t in spec["terms"])
+            clauses=tuple(BooleanClause(occur, TermQuery(term=t)) for t in spec["terms"]),
+            min_should_match=msm,
         )
-        td = search(_reader(sf_dir), q, k=TOPK, prune=True)
+        td = search(_reader(sf_dir), q, k=TOPK, prune=not msm)
         return _topdocs_to_table(td)
 
     run.__name__ = name
@@ -437,6 +442,73 @@ def _q_knn_lsh(sf_dir: str) -> Any:
     return knn_lsh(ds, qv, k=10, n_bits=5, multiprobe=2).to_pandas()
 
 
+def _q_spell_suggest(sf_dir: str) -> Any:
+    """DirectSpellChecker analog over the index term dictionary."""
+    from lucenenet_ray.ops.highlight import suggest_terms
+
+    out = suggest_terms(_reader(sf_dir), "spqrk", max_edits=2, k=5)
+    return pa.table(
+        {
+            "term": pa.array([x[0] for x in out], type=pa.string()),
+            "distance": pa.array([x[1] for x in out], type=pa.int64()),
+            "df": pa.array([x[2] for x in out], type=pa.int64()),
+        }
+    )
+
+
+def _q_sort_by_field(sf_dir: str) -> Any:
+    """TopFieldCollector analog: matches of 'spark' sorted by stored field
+    (n_chars desc, doc_id asc) — search then field-sort, not score-sort."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    td = search(r, TermQuery(term="spark"), k=r.num_docs)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "n_chars"])
+    nc = dict(zip(t.column("doc_id").to_pylist(), t.column("n_chars").to_pylist()))
+    rows = sorted(
+        ((int(d), int(nc[int(d)])) for d in td.docs),
+        key=lambda x: (-x[1], x[0]),
+    )[:20]
+    return pa.table(
+        {
+            "doc_id": pa.array([x[0] for x in rows], type=pa.int64()),
+            "n_chars": pa.array([x[1] for x in rows], type=pa.int64()),
+        }
+    )
+
+
+def _q_highlight(sf_dir: str) -> Any:
+    """Highlighter analog: best fragment per top-10 'spark window' hit —
+    rows-only (fragment rendering has no SQL expression)."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.highlight import best_fragment
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    td = search(r, parse_query("spark window"), k=10)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    rows = []
+    for rank, (d, _s) in enumerate(td.to_list(), 1):
+        frag, hits = best_fragment(texts[d], {"spark", "window"})
+        rows.append((rank, d, hits, frag))
+    return pa.table(
+        {
+            "rank": pa.array([x[0] for x in rows], type=pa.int64()),
+            "doc_id": pa.array([x[1] for x in rows], type=pa.int64()),
+            "n_hits": pa.array([x[2] for x in rows], type=pa.int64()),
+            "fragment": pa.array([x[3] for x in rows], type=pa.string()),
+        }
+    )
+
+
 def _q_pages_flagship(sf_dir: str) -> Any:
     """Full pages pipeline (html extract + dedup + index + query) — no SQL
     oracle (HTML extraction is not SQL-expressible); rows-only check."""
@@ -467,6 +539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_terms": _q_mlt_terms,
         "events_window": _q_events_window,
         "semi_join": _q_semi_join,
+        "spell_suggest": _q_spell_suggest,
+        "sort_by_field": _q_sort_by_field,
+        "highlight": _q_highlight,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -495,6 +570,9 @@ def oracle_sql() -> dict[str, str]:
         "mlt_terms": so.mlt_terms_sql(0),
         "events_window": so.events_window_sql(),
         "semi_join": so.semi_join_sql(),
+        "spell_suggest": so.spell_suggest_sql("spqrk", 2, 5),
+        "sort_by_field": so.sort_by_field_sql("spark", 20),
+        # highlight: rows-only (no SQL rendering)
         # pages_flagship, knn_lsh: intentionally no oracle (HTML extraction /
         # approximate recall; rows-only)
     }

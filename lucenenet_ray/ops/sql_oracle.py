@@ -158,9 +158,13 @@ def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or") -> str:
     pivot_cols = ",\n    ".join(
         f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}" for i, t in enumerate(terms)
     )
-    and_filter = (
-        "HAVING count(DISTINCT term) = " + str(len(set(terms))) if mode == "and" else ""
-    )
+    if mode == "and":
+        and_filter = "HAVING count(DISTINCT term) = " + str(len(set(terms)))
+    elif mode.startswith("msm"):
+        # minimumNumberShouldMatch (MinShouldMatchSumScorer.cs)
+        and_filter = "HAVING count(DISTINCT term) >= " + mode[3:]
+    else:
+        and_filter = ""
     return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms)},
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS REAL) AS f
@@ -473,6 +477,29 @@ def semi_join_sql() -> str:
 FROM orders o
 WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 ORDER BY o.o_orderkey"""
+
+
+def spell_suggest_sql(term: str, max_edits: int = 2, k: int = 5) -> str:
+    """DirectSpellChecker analog: dictionary terms within edit distance,
+    ranked (distance asc, df desc, term asc)."""
+    esc = term.replace("'", "''")
+    return f"""WITH {_toks_cte()},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term)
+SELECT term, CAST(levenshtein(term, '{esc}') AS BIGINT) AS distance, df
+FROM dfs
+WHERE term <> '{esc}' AND levenshtein(term, '{esc}') <= {max_edits}
+ORDER BY distance, df DESC, term LIMIT {k}"""
+
+
+def sort_by_field_sql(term: str, k: int = 20) -> str:
+    """TopFieldCollector analog: docs matching `term`, sorted by a stored
+    field (n_chars desc, doc_id asc) instead of relevance (Sort/SortField)."""
+    esc = term.replace("'", "''")
+    return f"""WITH {_toks_cte()}
+SELECT DISTINCT k.doc_id, d.n_chars
+FROM kept k JOIN documents d USING (doc_id)
+WHERE k.term = '{esc}'
+ORDER BY d.n_chars DESC, k.doc_id ASC LIMIT {k}"""
 
 
 def grouping_topk_sql(k: int = 3) -> str:

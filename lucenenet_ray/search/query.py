@@ -64,6 +64,10 @@ class BooleanClause:
 @dataclass(frozen=True)
 class BooleanQuery(Query):
     clauses: tuple[BooleanClause, ...] = ()
+    # BooleanQuery.MinimumNumberShouldMatch (BooleanQuery.cs /
+    # MinShouldMatchSumScorer.cs): a doc must match at least this many of the
+    # SHOULD clauses (in addition to all MUST clauses).
+    min_should_match: int = 0
 
 
 @dataclass(frozen=True)

@@ -313,6 +313,8 @@ def _eval_boolean(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Query
     matched = np.zeros(nb, dtype=bool)
     n_must = sum(1 for occur, _ in pos if occur == Occur.MUST)
     must_cnt = np.zeros(nb, dtype=np.int16) if n_must else None
+    msm = getattr(q, "min_should_match", 0)
+    should_cnt = np.zeros(nb, dtype=np.int16) if msm else None
     for occur, sq in pos:  # clause order — float32 add order contract
         d, s = _eval_query(sq, chunks, plan, bucket)
         if d.size == 0:
@@ -323,7 +325,12 @@ def _eval_boolean(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Query
         matched[d] = True
         if occur == Occur.MUST:
             must_cnt[d] += 1
+        elif should_cnt is not None:
+            should_cnt[d] += 1
     sel = matched if must_cnt is None else (must_cnt == n_must)
+    if should_cnt is not None:
+        # MinShouldMatchSumScorer: at least msm optional clauses must match
+        sel = sel & (should_cnt >= msm)
     for nq in neg:
         nd, _ = _eval_query(nq, chunks, plan, bucket)
         if nd.size:

@@ -329,3 +329,66 @@ def test_more_like_this(reader, corpus):
     td = search(reader, q, k=10)
     # the source document itself should rank (its own terms OR'd)
     assert docs[0] in td.docs.tolist()
+
+
+def test_min_should_match(reader, oracle):
+    """MinShouldMatchSumScorer: ≥ msm optional clauses must match; the score
+    still sums every matching clause."""
+    terms = ["spark", "window", "dup"]
+    q = BooleanQuery(
+        clauses=tuple(BooleanClause(Occur.SHOULD, TermQuery(term=t)) for t in terms),
+        min_should_match=2,
+    )
+    td = search(reader, q, k=500)
+    for d in td.docs.tolist():
+        n = sum(1 for t in terms if t in oracle.toks[d])
+        assert n >= 2
+    expected = {
+        d for d, v in oracle.toks.items()
+        if sum(1 for t in terms if t in v) >= 2
+    }
+    assert set(td.docs.tolist()) == expected
+    # score == the plain OR score for those docs
+    td_or = search(reader, _or_query(terms), k=500)
+    or_map = dict(zip(td_or.docs.tolist(), td_or.scores.tolist()))
+    for d, s in zip(td.docs.tolist(), td.scores.tolist()):
+        assert s == or_map[d]
+
+
+def test_check_index_clean_and_detects_corruption(documents_index, tmp_path):
+    import shutil as _sh
+
+    from lucenenet_ray.index.check import CorruptIndexError, check_index
+
+    path, _m = documents_index
+    stats = check_index(path)
+    assert stats["status"] == "clean" and stats["n_docs"] == 500
+    # corrupt a postings file → must be detected
+    import glob as _g
+    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+    import pytest as _pt
+
+    bad = str(tmp_path / "badidx")
+    _sh.copytree(path, bad)
+    f = sorted(_g.glob(bad + "/postings/*.parquet"))[0]
+    t = _pq.read_table(f)
+    dfcol = t.column("df").to_pylist()
+    dfcol[0] = dfcol[0] + 1  # lie about df
+    t = t.set_column(t.schema.get_field_index("df"), "df",
+                     _pa.array(dfcol, type=_pa.int64()))
+    _pq.write_table(t, f)
+    with _pt.raises(CorruptIndexError):
+        check_index(bad)
+
+
+def test_highlighter():
+    from lucenenet_ray.ops.highlight import best_fragment
+
+    text = "alpha beta gamma spark window delta epsilon " * 3
+    frag, hits = best_fragment(text, {"spark", "window"}, window=6)
+    assert "<b>spark</b>" in frag and "<b>window</b>" in frag
+    assert hits >= 2
+    frag2, hits2 = best_fragment("no match here", {"zz"}, window=4)
+    assert hits2 == 0 and "<b>" not in frag2
+    assert best_fragment("", {"x"}) == ("", 0)
