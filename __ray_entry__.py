@@ -442,6 +442,18 @@ def _q_knn_lsh(sf_dir: str) -> Any:
     return knn_lsh(ds, qv, k=10, n_bits=5, multiprobe=2).to_pandas()
 
 
+def _q_term_stats_multilang(sf_dir: str) -> pa.Table:
+    """Index build with per-language analyzer dispatch on the lang column
+    (SURVEY §2.2 per-language analyzers) → global term stats."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.pipelines.flagship import documents_multilang_index_for
+
+    t = pq.read_table(os.path.join(documents_multilang_index_for(sf_dir), "termstats"))
+    idx = pa.compute.sort_indices(t.column("term"))
+    return t.take(idx).select(["term", "df", "ttf"])
+
+
 def _q_spell_suggest(sf_dir: str) -> Any:
     """DirectSpellChecker analog over the index term dictionary."""
     from lucenenet_ray.ops.highlight import suggest_terms
@@ -542,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": _q_spell_suggest,
         "sort_by_field": _q_sort_by_field,
         "highlight": _q_highlight,
+        "term_stats_multilang": _q_term_stats_multilang,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -571,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": so.events_window_sql(),
         "semi_join": so.semi_join_sql(),
         "spell_suggest": so.spell_suggest_sql("spqrk", 2, 5),
+        "term_stats_multilang": so.term_stats_multilang_sql(),
         "sort_by_field": so.sort_by_field_sql("spark", 20),
         # highlight: rows-only (no SQL rendering)
         # pages_flagship, knn_lsh: intentionally no oracle (HTML extraction /

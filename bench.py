@@ -147,20 +147,24 @@ def run_bench() -> dict:
     t_index = time.perf_counter() - t0
     n_docs = manifest["n_docs"]
 
-    # query latency: warm actors-equivalent (in-process reader, buckets cached)
-    reader = IndexReader(index_path)
+    # query latency through the designed serving path: QueryServer actor pool
+    # with pinned buckets (warm), scatter/gather per query
+    from lucenenet_ray.search.serve import DistributedSearcher
+
+    dsrch = DistributedSearcher(index_path, n_actors=max(2, min(8, NUM_CPUS // 2)))
     plans = [parse_query(q) for q in QUERY_SET]
     for q in plans:  # warm load
-        search(reader, q, k=10, prune=True)
+        dsrch.search(q, k=10)
     lat = []
     t0 = time.perf_counter()
     for _ in range(QUERY_REPEATS):
         for q in plans:
             s = time.perf_counter()
-            search(reader, q, k=10, prune=True)
+            dsrch.search(q, k=10)
             lat.append((time.perf_counter() - s) * 1000)
     t_query = time.perf_counter() - t0
     lat = np.array(lat)
+    dsrch.shutdown()
 
     result = {
         "metric": "index_build_sec",

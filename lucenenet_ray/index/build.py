@@ -54,6 +54,9 @@ class IndexConfig:
     n_hparts: int = 8  # term-hash salt slices per bucket for the merge shuffle
     store_positions: bool = True
     batch_size: int = 2048
+    # when set, per-document analyzer dispatch on this column (per-language
+    # stop sets — SURVEY §2.2; 'und'/unknown routes to the default chain)
+    lang_col: str | None = None
     concurrency: int | None = None  # inverter actor pool size; None = tasks
     k1: float = 1.2
     b: float = 0.75
@@ -89,6 +92,12 @@ class Inverter:
         self.cfg = cfg
         self.text_col = text_col
         self.id_col = id_col
+        if cfg.lang_col:
+            from lucenenet_ray.analysis.lang import MultiLangAnalyzer
+
+            self.multilang = MultiLangAnalyzer()
+        else:
+            self.multilang = None
         self.analyzer = StandardAnalyzer()
         self._hpart_cache: dict[str, int] = {}
 
@@ -113,13 +122,21 @@ class Inverter:
         texts = [texts_all[i] for i in border]
         analyzer = self.analyzer
 
+        langs = None
+        if self.multilang is not None and self.cfg.lang_col in batch.column_names:
+            langs_all = batch.column(self.cfg.lang_col).to_pylist()
+            langs = [langs_all[i] for i in border]
+
         # Flatten the whole batch into (term, doc_idx, position) triples.
         flat_terms: list[str] = []
         flat_docidx: list[int] = []
         flat_pos: list[int] = []
         doc_lens = np.zeros(len(texts), dtype=np.int32)
         for di, text in enumerate(texts):
-            terms, positions = analyzer(text or "")
+            if langs is not None:
+                terms, positions = self.multilang(text or "", langs[di])
+            else:
+                terms, positions = analyzer(text or "")
             doc_lens[di] = len(terms)
             flat_terms.extend(terms)
             flat_docidx.extend([di] * len(terms))

@@ -479,6 +479,30 @@ WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 ORDER BY o.o_orderkey"""
 
 
+def term_stats_multilang_sql() -> str:
+    """Per-language analyzer dispatch: stop set chosen by the lang column
+    (de/fr/es; everything else routes through the English default chain)."""
+    from lucenenet_ray.analysis.lang import FRENCH_STOP, GERMAN_STOP, SPANISH_STOP
+
+    def sset(s):
+        return "(" + ", ".join(f"'{w}'" for w in sorted(s)) + ")"
+
+    return f"""WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+kept AS (
+  SELECT doc_id, term FROM toks
+  WHERE term <> '' AND NOT (
+       (lang = 'de' AND term IN {sset(GERMAN_STOP)})
+    OR (lang = 'fr' AND term IN {sset(FRENCH_STOP)})
+    OR (lang = 'es' AND term IN {sset(SPANISH_STOP)})
+    OR (lang NOT IN ('de','fr','es') AND term IN {STOP_SQL})
+  )
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM kept GROUP BY term ORDER BY term"""
+
+
 def spell_suggest_sql(term: str, max_edits: int = 2, k: int = 5) -> str:
     """DirectSpellChecker analog: dictionary terms within edit distance,
     ranked (distance asc, df desc, term asc)."""

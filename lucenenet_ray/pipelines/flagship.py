@@ -143,7 +143,7 @@ def index_pages(
         shutil.rmtree(index_path)
     os.makedirs(index_path, exist_ok=True)
 
-    ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+    ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
     ds = dedup_latest(ds)
     if prof:
         import sys
@@ -155,7 +155,7 @@ def index_pages(
     # are a few KB; for multi-MB pages lower this — SURVEY §4 memory-aware)
     ds = ds.map_batches(ExtractHTML(), batch_format="pyarrow", batch_size=1024)
     ds = ds.map_batches(_add_doc_ids, batch_format="pyarrow")
-    ds = ds.select_columns(["doc_id", "text"])
+    ds = ds.select_columns(["doc_id", "text", "lang"])
 
     cfg = IndexConfig(
         index_path=index_path,
@@ -165,6 +165,7 @@ def index_pages(
         n_hparts=n_hparts,
         batch_size=batch_size,
         concurrency=concurrency,
+        lang_col="lang",  # per-language analyzer dispatch (input_hint)
     )
     return build_index(ds, cfg, text_col="text", id_col="doc_id")
 
@@ -209,6 +210,26 @@ def documents_index_for(sf_dir: str, cache_root: str = "/tmp/lucenenet_ray_idx")
             index_documents(sf_dir, path)
         _INDEX_CACHE[key] = path
     return _INDEX_CACHE[key]
+
+
+def documents_multilang_index_for(sf_dir: str,
+                                  cache_root: str = "/tmp/lucenenet_ray_idx") -> str:
+    """documents index with per-language analyzer dispatch (lang column)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.index.build import IndexConfig, build_index
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(cache_root, f"documents_ml_{key}")
+    if not os.path.exists(os.path.join(path, "manifest.json")):
+        src = os.path.join(sf_dir, "documents.parquet")
+        n = pq.read_metadata(src).num_rows
+        ds = rd.read_parquet(src, columns=["doc_id", "text", "lang"])
+        cfg = IndexConfig(index_path=path, id_min=0, id_max=max(n - 1, 1),
+                          n_buckets=8, lang_col="lang")
+        build_index(ds, cfg, text_col="text", id_col="doc_id")
+    return path
 
 
 def run_query(index_path: str, query_text: str, k: int = 10,

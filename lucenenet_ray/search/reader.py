@@ -47,6 +47,8 @@ class PostingsChunk:
     _pos_offs: np.ndarray | None = None  # per-doc offsets into _pos_flat
     _local: np.ndarray | None = None  # dense bucket-local row of each doc
 
+    _row_of: np.ndarray | None = None
+
     def local_ids(self, bucket: "BucketData") -> np.ndarray:
         """Bucket-local dense index of every posting's doc — computed ONCE
         per chunk and cached (the FieldCache pattern, SURVEY §2.3): all
@@ -55,6 +57,16 @@ class PostingsChunk:
             doc_ids, _l, _n = bucket.norms()
             self._local = np.searchsorted(doc_ids, self.docs())
         return self._local
+
+    def row_of_local(self, bucket: "BucketData") -> np.ndarray:
+        """Inverse map: bucket-local doc → posting row in this chunk (-1 if
+        the doc has no posting). Cached; used by positional queries."""
+        if self._row_of is None:
+            lidx = self.local_ids(bucket)
+            inv = np.full(bucket.n_docs, -1, dtype=np.int32)
+            inv[lidx] = np.arange(lidx.size, dtype=np.int32)
+            self._row_of = inv
+        return self._row_of
 
     def docs(self) -> np.ndarray:
         if self._docs is None:

@@ -203,8 +203,11 @@ def _eval_phrase(q: PhraseQuery, chunks: dict[str, PostingsChunk], plan: QueryPl
     # sets across members; phrase freq per doc = bincount over candrow.
     SHIFT = np.int64(1) << np.int64(32)
     keys = None
+    # intersect starting from the rarest member: the key set shrinks fastest
+    # (Lucene's phrase scorers also lead with the least-frequent term)
+    member = sorted(member, key=lambda m: m[0].df)
     for c, rel in member:
-        idx = np.searchsorted(c.local_ids(bucket), cand_l)  # row per candidate
+        idx = c.row_of_local(bucket)[cand_l]  # O(1) row per candidate
         flat, offs = c.positions_flat()
         take = _concat_ranges(offs[idx], offs[idx + 1] - offs[idx])
         docrep = np.repeat(

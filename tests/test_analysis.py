@@ -82,3 +82,20 @@ def test_analyze_batch_arrow():
     toks, pos = analyze_batch(["the quick fox", None, "spark"])
     assert toks.to_pylist() == [["quick", "fox"], [], ["spark"]]
     assert pos.to_pylist() == [[1, 2], [], [0]]
+
+
+def test_multilang_dispatch():
+    """Per-language stop sets route on the lang column; unknown → default."""
+    from lucenenet_ray.analysis.lang import MultiLangAnalyzer
+
+    m = MultiLangAnalyzer()
+    de_text = "der hund und die katze laufen"
+    # German stopwords dropped under de, kept under en/und
+    terms_de, _ = m(de_text, "de")
+    assert "der" not in terms_de and "hund" in terms_de
+    terms_en, _ = m(de_text, "en")
+    assert "der" in terms_en
+    terms_und, _ = m(de_text, "und")
+    assert "der" in terms_und
+    # English stopwords still dropped in the default chain
+    assert "the" not in m("the quick fox", "zh")[0]

@@ -34,11 +34,12 @@ def test_dedup_keeps_latest(pages_index, corpus):
     assert manifest["n_docs"] == n_unique
 
     # the duplicated urls (doc_id % 23 == 0) must carry the NEWER (full-length)
-    # text: check doc_len in norms matches the analyzed golden of the latest row
-    docs, texts, toks = corpus
-    from lucenenet_ray.analysis import analyze
+    # text: check doc_len in norms matches the analyzed golden of the latest
+    # row, through the per-language analyzer dispatch (lang column)
+    from lucenenet_ray.analysis.lang import MultiLangAnalyzer
     import glob
 
+    ml = MultiLangAnalyzer()
     norm_lens = {}
     for f in glob.glob(os.path.join(path, "norms", "*.parquet")):
         nt = pq.read_table(f)
@@ -47,13 +48,14 @@ def test_dedup_keeps_latest(pages_index, corpus):
     urls = t.column("url").to_pylist()
     tss = t.column("warc_ts").to_pylist()
     golden = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
     latest = {}
-    for u, ts, g in zip(urls, tss, golden):
+    for u, ts, g, lg in zip(urls, tss, golden, langs):
         if u not in latest or ts > latest[u][0]:
-            latest[u] = (ts, g)
-    for u, (_ts, g) in list(latest.items())[:50]:
+            latest[u] = (ts, g, lg)
+    for u, (_ts, g, lg) in list(latest.items())[:50]:
         did = doc_id_for_url(u)
-        expected_len = len(analyze(g)[0])
+        expected_len = len(ml(g, lg)[0])
         assert norm_lens[did] == expected_len, u
 
 
