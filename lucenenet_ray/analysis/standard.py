@@ -156,9 +156,21 @@ class StandardAnalyzer:
     max_token_length = MAX_TOKEN_LENGTH
 
     def __call__(self, text: str) -> tuple[list[str], list[int]]:
-        fast = _analyze_fast_ascii(text)
-        if fast is not None and self.stop_words is ENGLISH_STOP_WORDS:
-            return fast
+        # fast path is valid for ANY stop set: on [a-z0-9 ]-only text the
+        # UAX#29 tokenizer degenerates to whitespace split
+        if _ASCII_SIMPLE.search(text) is None:
+            terms: list[str] = []
+            positions: list[int] = []
+            pos = -1
+            stop = self.stop_words
+            maxlen = self.max_token_length
+            for tok in text.split():
+                pos += 1
+                if tok in stop or len(tok) > maxlen:
+                    continue
+                terms.append(tok)
+                positions.append(pos)
+            return terms, positions
         return self._analyze_slow(text)
 
     def _analyze_slow(self, text: str) -> tuple[list[str], list[int]]:

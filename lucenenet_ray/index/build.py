@@ -643,6 +643,11 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
             out_rows.append({c: m.column(c)[0].as_py() for c in m.column_names})
         return out_rows
 
+    # Coalesce map-output blocks first: M blocks × P partitions object-store
+    # entries bound the exchange (plasma creation serializes) — 64×64 ≈ 4k
+    # objects instead of hundreds×64.
+    if partials.num_blocks() > 64:
+        partials = partials.repartition(64)
     refs = partials.to_arrow_refs()
     split_refs = [
         split_block.options(num_returns=n_parts).remote(r, n_parts) for r in refs

@@ -143,7 +143,12 @@ def index_pages(
         shutil.rmtree(index_path)
     os.makedirs(index_path, exist_ok=True)
 
-    ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
+    # Fixed block target: coarse enough that per-task overheads amortize
+    # (~20k pages/task at bench scale), fine enough to load-balance 8..256
+    # workers. A data-layout-independent knob — output bytes don't depend on
+    # blocking.
+    ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"],
+                         override_num_blocks=128)
     ds = dedup_latest(ds)
     if prof:
         import sys
