@@ -62,8 +62,14 @@ class IndexConfig:
     b: float = 0.75
 
     def bucket_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Doc-range bucket: (id - id_min) // ceil(span / n_buckets).
+
+        Width-division form — the naive ``id * n_buckets // span`` overflows
+        int64 for 60-bit docID spaces (observed: negative bucket labels and
+        16 collapsed buckets at n_buckets=32)."""
         span = self.id_max - self.id_min + 1
-        return ((doc_ids - self.id_min) * self.n_buckets // span).astype(np.int32)
+        width = (span + self.n_buckets - 1) // self.n_buckets
+        return ((doc_ids - self.id_min) // width).astype(np.int32)
 
 
 def _term_hpart(terms: np.ndarray, n_hparts: int) -> np.ndarray:

@@ -75,3 +75,24 @@ def test_random_fuzz():
         enc = encode_postings(docs, freqs, norms, None)
         assert np.array_equal(decode_docs(enc["doc_bytes"], df), docs)
         assert np.array_equal(decode_freqs(enc["freq_bytes"], df), freqs)
+
+
+def test_bucket_of_no_overflow():
+    """Regression: 60-bit docID spaces must not overflow the bucket formula
+    (observed: negative bucket labels at n_buckets=32)."""
+    import numpy as np
+
+    from lucenenet_ray.index.build import IndexConfig
+
+    cfg = IndexConfig(index_path="/x", id_min=0, id_max=(1 << 60) - 1,
+                      n_buckets=32)
+    ids = np.array([0, 1 << 58, 1 << 59, (1 << 60) - 1], dtype=np.int64)
+    b = cfg.bucket_of(ids)
+    assert b.min() >= 0 and b.max() < 32
+    assert b[0] == 0 and b[-1] == 31
+    # monotone in doc_id
+    rng = np.random.default_rng(1)
+    ids2 = np.sort(rng.integers(0, 1 << 60, size=10000))
+    b2 = cfg.bucket_of(ids2)
+    assert np.all(np.diff(b2) >= 0)
+    assert len(np.unique(b2)) == 32
