@@ -292,19 +292,23 @@ def _q_semi_join(sf_dir: str) -> Any:
 
     cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                            columns=["c_custkey", "c_acctbal"])
-    keys = set()
+    key_chunks = []
     for batch in cust.iter_batches(batch_format="pyarrow"):
         mask = pa.compute.greater(batch.column("c_acctbal"), 5000.0)
-        keys.update(batch.filter(mask).column("c_custkey").to_pylist())
-    key_ref = ray.put(frozenset(keys))
+        key_chunks.append(batch.filter(mask).column("c_custkey"))
+    keys_arr = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in key_chunks]
+    ).unique()
+    key_ref = ray.put(keys_arr)
 
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
 
     def filt(t: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        mask = pa.array([k in ks for k in t.column("o_custkey").to_pylist()],
-                        type=pa.bool_())
+        # vectorized membership against the broadcast key array
+        # (TermsIncludingScoreQuery's terms-filter analog)
+        mask = pa.compute.is_in(t.column("o_custkey"), value_set=ray.get(key_ref))
         return t.filter(mask)
 
     out = (
@@ -339,33 +343,20 @@ def _q_near_dup_candidates(sf_dir: str) -> Any:
 
 def _q_near_dup_jaccard(sf_dir: str) -> Any:
     """Exact n-gram Jaccard verification of LSH candidates — integer
-    (intersection, union) so the oracle compare is exact."""
+    (intersection, union) so the oracle compare is exact. Distributed: the
+    corpus text never reaches the driver; only candidate docs' md5 shingle
+    digests are broadcast (see neardup.jaccard_verify)."""
     import ray
 
-    from lucenenet_ray.ops.neardup import (
-        minhash_candidates,
-        ngram_jaccard_counts,
-    )
+    from lucenenet_ray.ops.neardup import jaccard_verify, minhash_candidates
 
-    cand = minhash_candidates(_docs_ds(sf_dir)).to_pandas()
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text"])
-    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
-    rows = []
-    for a, bdoc in zip(cand["doc_a"], cand["doc_b"]):
-        inter, uni = ngram_jaccard_counts(texts[a].split(), texts[bdoc].split())
-        rows.append((int(a), int(bdoc), inter, uni))
-    rows.sort()
-    return pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
-            "inter": pa.array([r[2] for r in rows], type=pa.int64()),
-            "uni": pa.array([r[3] for r in rows], type=pa.int64()),
-        }
+    cand_refs = ray.get(minhash_candidates(_docs_ds(sf_dir)).to_arrow_refs())
+    cand = pa.concat_tables(cand_refs)
+    out = jaccard_verify(_docs_ds(sf_dir), cand)
+    idx = pa.compute.sort_indices(
+        out, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")]
     )
+    return out.take(idx).select(["doc_a", "doc_b", "inter", "uni"])
 
 
 def _q_simhash(sf_dir: str) -> Any:

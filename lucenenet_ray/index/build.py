@@ -318,8 +318,11 @@ _INVERTER_SINGLETON: dict[tuple, Inverter] = {}
 def invert_batch_fn(batch: pa.Table, cfg: IndexConfig, text_col: str,
                     id_col: str) -> pa.Table:
     """Task-mode inverter: reuses a per-process Inverter (worker pool is warm
-    from earlier stages — no actor cold-start)."""
-    key = (cfg.index_path, text_col, id_col)
+    from earlier stages — no actor cold-start). The singleton key includes
+    every config field that changes the inverter's output, so rebuilding the
+    same index_path with a different IndexConfig never reuses stale state."""
+    key = (cfg.index_path, text_col, id_col, cfg.id_min, cfg.id_max,
+           cfg.n_buckets, cfg.n_hparts, cfg.lang_col, cfg.store_positions)
     inv = _INVERTER_SINGLETON.get(key)
     if inv is None:
         inv = Inverter(cfg, text_col, id_col)
@@ -655,16 +658,20 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
     if partials.num_blocks() > 64:
         partials = partials.repartition(64)
     refs = partials.to_arrow_refs()
-    split_refs = [
-        split_block.options(num_returns=n_parts).remote(r, n_parts) for r in refs
-    ]
-    # split_refs[m] is a tuple of P refs when P>1
-    result_refs = []
-    for p in range(n_parts):
-        slices = [sr[p] for sr in split_refs] if n_parts > 1 else list(split_refs)
-        result_refs.append(
-            reduce_part.remote(cfg.index_path, store_pos, *slices)
-        )
+    if n_parts == 1:
+        # no split needed: hand the map blocks straight to the one reducer
+        # (num_returns=1 would wrap the 1-tuple as a single object)
+        result_refs = [reduce_part.remote(cfg.index_path, store_pos, *refs)]
+    else:
+        split_refs = [
+            split_block.options(num_returns=n_parts).remote(r, n_parts)
+            for r in refs
+        ]
+        result_refs = [
+            reduce_part.remote(cfg.index_path, store_pos,
+                               *[sr[p] for sr in split_refs])
+            for p in range(n_parts)
+        ]
     rows: list[dict] = []
     for rr in ray.get(result_refs):
         rows.extend(rr)

@@ -25,13 +25,16 @@ def best_fragment(text: str, query_terms: set[str], window: int = 16,
     Deterministic: earliest window among ties."""
     analyzer = analyzer or StandardAnalyzer()
     raw_tokens = text.split()  # fragment rendering keeps the raw tokens
-    terms, _pos = analyzer(text)
-    # map analyzed terms back to raw-token slots by re-analyzing per slot
+    # map query terms to raw-token slots by analyzing each distinct slot
     hit = np.zeros(len(raw_tokens), dtype=np.int32)
+    seen: dict[str, bool] = {}  # analyze each distinct raw token once
     for i, rt in enumerate(raw_tokens):
-        t, _p = analyzer(rt)
-        if any(x in query_terms for x in t):
-            hit[i] = 1
+        v = seen.get(rt)
+        if v is None:
+            t, _p = analyzer(rt)
+            v = any(x in query_terms for x in t)
+            seen[rt] = v
+        hit[i] = v
     if len(raw_tokens) == 0:
         return "", 0
     w = min(window, len(raw_tokens))
@@ -47,19 +50,28 @@ def suggest_terms(reader, term: str, max_edits: int = 2, k: int = 5
                   ) -> list[tuple[str, int, int]]:
     """Spell suggestions from the term dictionary → [(term, distance, df)]
     ranked by (distance asc, df desc, term asc); the input term itself is
-    excluded (DirectSpellChecker behavior)."""
-    import pyarrow.parquet as pq
-    import os
+    excluded (DirectSpellChecker behavior).
 
-    t = pq.read_table(os.path.join(reader.index_path, "termstats"))
+    Scale path: candidates are prefiltered by a pushed-down utf8_length band
+    (|len−len(term)| ≤ max_edits — a Levenshtein necessary condition), so the
+    Python distance loop only sees the band, never the full vocabulary
+    (DirectSpellChecker walks a Levenshtein automaton for the same reason)."""
+    import pyarrow.compute as pc
+
+    lo, hi = max(0, len(term) - max_edits), len(term) + max_edits
+    expr = (pc.utf8_length(pc.field("term")) >= lo) & (
+        pc.utf8_length(pc.field("term")) <= hi
+    )
+    t = reader._termstats().to_table(columns=["term", "df"], filter=expr)
+    cands = t.column("term").to_pylist()
+    dfs = t.column("df").to_pylist()
     out = []
-    for i in range(t.num_rows):
-        cand = t.column("term")[i].as_py()
+    for cand, df in zip(cands, dfs):
         if cand == term:
             continue
         for d in range(1, max_edits + 1):
             if _levenshtein_within(cand, term, d):
-                out.append((cand, d, int(t.column("df")[i].as_py())))
+                out.append((cand, d, int(df)))
                 break
     out.sort(key=lambda x: (x[1], -x[2], x[0]))
     return out[:k]

@@ -81,18 +81,60 @@ class MinHashLSH:
         self.text_col = text_col
         self.id_col = id_col
 
+        self._cache: dict[str, int] = {}  # shingle → md5_int31, shared across batches
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
+        # flatten the batch to (doc, shingle) pairs, then hash each UNIQUE
+        # shingle exactly once (duplicate-heavy corpora re-hash nothing; the
+        # per-actor cache carries across batches) — the md5 calls were the
+        # throughput ceiling of the per-doc loop version.
+        all_sh: list[str] = []
+        doc_idx: list[int] = []
+        keep_ids: list[int] = []
+        for did, text in zip(ids, texts):
+            sh = set(shingles((text or "").split(), self.k))
+            if not sh:
+                continue
+            di = len(keep_ids)
+            keep_ids.append(did)
+            all_sh.extend(sh)
+            doc_idx.extend([di] * len(sh))
+        if not keep_ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "band": pa.array([], type=pa.int32()),
+                    "band_key": pa.array([], type=pa.string()),
+                }
+            )
+        uniq, inv = np.unique(np.array(all_sh, dtype=object), return_inverse=True)
+        uh = np.empty(len(uniq), dtype=np.int64)
+        cache = self._cache
+        for i, s in enumerate(uniq):
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % HASH_DOMAIN
+                if len(cache) < 2_000_000:
+                    cache[s] = v
+            uh[i] = v
+        h = uh[inv]  # int31 per (doc, shingle)
+        ndocs = len(keep_ids)
+        didx = np.asarray(doc_idx, dtype=np.int64)
+        sig = np.empty((ndocs, self.num_perm), dtype=np.int64)
+        for p in range(self.num_perm):
+            # a < 2^31, h < 2^31 → product < 2^62: no int64 overflow
+            vals = (self.a[p] * h + self.b[p]) % MERSENNE61
+            m = np.full(ndocs, np.iinfo(np.int64).max)
+            np.minimum.at(m, didx, vals)
+            sig[:, p] = m
         out_id: list[int] = []
         out_band: list[int] = []
         out_key: list[str] = []
-        for did, text in zip(ids, texts):
-            sig = minhash_signature((text or "").split(), self.a, self.b, self.k)
-            if sig is None:
-                continue
+        for di, did in enumerate(keep_ids):
             for band in range(self.num_bands):
-                seg = sig[band * self.r : (band + 1) * self.r]
+                seg = sig[di, band * self.r : (band + 1) * self.r]
                 out_id.append(did)
                 out_band.append(band)
                 out_key.append("-".join(str(int(v)) for v in seg))
@@ -105,15 +147,31 @@ class MinHashLSH:
         )
 
 
-def candidate_pairs(group: pa.Table) -> pa.Table:
-    """groupby(band, band_key).map_groups: all doc pairs in the bucket."""
+DEFAULT_MAX_BUCKET = 256
+
+
+def candidate_pairs(group: pa.Table, max_bucket: int = DEFAULT_MAX_BUCKET) -> pa.Table:
+    """groupby(band, band_key).map_groups: doc pairs in the bucket.
+
+    Buckets larger than ``max_bucket`` are mass-duplication clusters (LSH
+    collapses near-identical docs into one bucket): all-pairs there is
+    O(n²) — a 1M-doc duplicate cluster would emit 5·10¹¹ rows into the
+    shuffle. Above the cap we emit STAR edges to the bucket's min doc (the
+    cluster representative) instead: n−1 pairs, same connected component,
+    so downstream keep-one-per-component dedup is unchanged. Below the cap
+    (every realistic non-attack bucket) output is identical to all-pairs.
+    """
     ids = sorted(set(group.column("doc_id").to_pylist()))
     a_out: list[int] = []
     b_out: list[int] = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
+    if len(ids) > max_bucket:
+        a_out = [ids[0]] * (len(ids) - 1)
+        b_out = ids[1:]
+    else:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
     return pa.table(
         {
             "doc_a": pa.array(a_out, type=pa.int64()),
@@ -123,13 +181,17 @@ def candidate_pairs(group: pa.Table) -> pa.Table:
 
 
 def minhash_candidates(ds, num_perm: int = NUM_PERM, num_bands: int = NUM_BANDS,
-                       shingle_k: int = SHINGLE_K):
+                       shingle_k: int = SHINGLE_K,
+                       max_bucket: int = DEFAULT_MAX_BUCKET):
     """Full MinHash-LSH candidate pipeline → distinct (doc_a, doc_b)."""
+    import functools
+
     sig = ds.map_batches(
         MinHashLSH(num_perm, num_bands, shingle_k), batch_format="pyarrow"
     )
     pairs = sig.groupby(["band", "band_key"]).map_groups(
-        candidate_pairs, batch_format="pyarrow"
+        functools.partial(candidate_pairs, max_bucket=max_bucket),
+        batch_format="pyarrow",
     )
     return pairs.groupby(["doc_a", "doc_b"]).count()
 
@@ -143,6 +205,107 @@ def ngram_jaccard_counts(tokens_a: list[str], tokens_b: list[str],
     oracle comparison is exact (no float division)."""
     sa, sb = set(shingles(tokens_a, k)), set(shingles(tokens_b, k))
     return len(sa & sb), len(sa | sb)
+
+
+class ShingleDigests:
+    """map_batches stage: doc → sorted unique 16-byte md5 shingle digests
+    (restricted to a broadcast doc-id set when given — only candidate docs'
+    sets ever leave the text stage)."""
+
+    def __init__(self, doc_ids_ref=None, k: int = SHINGLE_K,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.doc_ids_ref = doc_ids_ref
+        self._wanted: frozenset | None = None
+        self._resolved = doc_ids_ref is None
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _wanted_set(self):
+        if not self._resolved:
+            import ray
+
+            self._wanted = ray.get(self.doc_ids_ref)
+            self._resolved = True
+        return self._wanted
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        wanted = self._wanted_set()
+        out_id: list[int] = []
+        out_dig: list[bytes] = []
+        for did, text in zip(batch.column(self.id_col).to_pylist(),
+                             batch.column(self.text_col).to_pylist()):
+            if wanted is not None and did not in wanted:
+                continue
+            sh = set(shingles((text or "").split(), self.k))
+            dig = np.sort(np.array(
+                [hashlib.md5(s.encode("utf-8")).digest() for s in sh], dtype="S16"
+            ))
+            out_id.append(did)
+            out_dig.append(dig.tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "digests": pa.array(out_dig, type=pa.large_binary()),
+            }
+        )
+
+
+def jaccard_verify(docs_ds, pairs: pa.Table, k: int = SHINGLE_K) -> pa.Table:
+    """Exact shingle-Jaccard (inter, uni) for candidate pairs — DISTRIBUTED:
+
+    1. broadcast the candidate doc-id set (ray.put once),
+    2. map_batches over the corpus emits sorted md5 digests per candidate doc
+       (candidate-scale, not corpus-scale — no driver text dict),
+    3. broadcast the digest map and verify pairs in map_batches over the
+       PAIRS dataset (sorted-array intersections, np.intersect1d).
+
+    Digest identity == shingle-string identity (md5 collisions negligible),
+    so the counts equal the string-set oracle exactly.
+    """
+    import ray
+    import ray.data as rd
+
+    doc_ids = frozenset(pairs.column("doc_a").to_pylist()) | frozenset(
+        pairs.column("doc_b").to_pylist()
+    )
+    ids_ref = ray.put(doc_ids)
+    dig_tables = ray.get(
+        docs_ds.map_batches(
+            ShingleDigests(ids_ref, k), batch_format="pyarrow"
+        ).to_arrow_refs()
+    )
+    digs: dict[int, bytes] = {}
+    for t in dig_tables:
+        for did, d in zip(t.column("doc_id").to_pylist(),
+                          t.column("digests").to_pylist()):
+            digs[did] = d
+    digs_ref = ray.put(digs)
+
+    def verify(t: pa.Table) -> pa.Table:
+        dmap = ray.get(digs_ref)
+        inter_out = np.empty(t.num_rows, dtype=np.int64)
+        uni_out = np.empty(t.num_rows, dtype=np.int64)
+        for i, (a, b) in enumerate(zip(t.column("doc_a").to_pylist(),
+                                       t.column("doc_b").to_pylist())):
+            da = np.frombuffer(dmap.get(a, b""), dtype="S16")
+            db = np.frombuffer(dmap.get(b, b""), dtype="S16")
+            inter = np.intersect1d(da, db, assume_unique=True).size
+            inter_out[i] = inter
+            uni_out[i] = da.size + db.size - inter
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "inter": pa.array(inter_out, type=pa.int64()),
+                "uni": pa.array(uni_out, type=pa.int64()),
+            }
+        )
+
+    pairs_ds = rd.from_arrow(pairs.select(["doc_a", "doc_b"]))
+    return pa.concat_tables(
+        ray.get(pairs_ds.map_batches(verify, batch_format="pyarrow").to_arrow_refs())
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -172,17 +335,24 @@ def simhash63(tokens: list[str]) -> int:
 
 
 class SimHash:
-    """map_batches stage: text → (doc_id, simhash int64)."""
+    """map_batches stage: text → (doc_id, simhash int64).
+
+    Vectorized across the batch: tokens are uniqued, each unique token is
+    md5-hashed ONCE (per-actor cache carries across batches), its ±1 bit
+    vector is precomputed, and per-doc accumulation is one scatter-add over
+    (doc, token, tf) triples — equal to ``simhash63`` per row (tested)."""
+
+    _POW2 = (np.int64(1) << np.arange(63, dtype=np.int64))
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
-        self._cache: dict[str, int] = {}
+        self._cache: dict[str, int] = {}  # token → low-63 bits of md5 int
 
-    def _tok_sig(self, tok: str) -> int:
+    def _low63(self, tok: str) -> int:
         v = self._cache.get(tok)
         if v is None:
-            v = int(hashlib.md5(tok.encode("utf-8")).hexdigest(), 16)
+            v = int(hashlib.md5(tok.encode("utf-8")).hexdigest(), 16) & ((1 << 63) - 1)
             if len(self._cache) < 1_000_000:
                 self._cache[tok] = v
         return v
@@ -190,7 +360,30 @@ class SimHash:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        out = [simhash63((t or "").split()) for t in texts]
+        flat_tok: list[str] = []
+        flat_doc: list[int] = []
+        for di, t in enumerate(texts):
+            toks = (t or "").split()
+            flat_tok.extend(toks)
+            flat_doc.extend([di] * len(toks))
+        out = np.zeros(len(texts), dtype=np.int64)
+        if flat_tok:
+            uniq, inv = np.unique(np.array(flat_tok, dtype=object),
+                                  return_inverse=True)
+            lows = np.array([self._low63(t) for t in uniq], dtype=np.int64)
+            # ±1 bit matrix for unique tokens: (n_uniq, 63) int8
+            bits = (
+                (lows[:, None] >> np.arange(63, dtype=np.int64)[None, :]) & 1
+            ).astype(np.int8)
+            pm = (2 * bits - 1).astype(np.int64)
+            # tf per (doc, token) pair
+            key = np.asarray(flat_doc, dtype=np.int64) * len(uniq) + inv
+            ukey, cnt = np.unique(key, return_counts=True)
+            pdoc = ukey // len(uniq)
+            ptok = ukey % len(uniq)
+            acc = np.zeros((len(texts), 63), dtype=np.int64)
+            np.add.at(acc, pdoc, cnt[:, None] * pm[ptok])
+            out = ((acc > 0).astype(np.int64) * self._POW2[None, :]).sum(axis=1)
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),

@@ -102,7 +102,7 @@ FROM kept GROUP BY term ORDER BY term"""
 
 def collection_stats_sql() -> str:
     return f"""WITH {_toks_cte()}
-SELECT N AS n_docs, sumttf AS sum_total_term_freq FROM coll"""
+SELECT N AS n_docs, CAST(sumttf AS BIGINT) AS sum_total_term_freq FROM coll"""
 
 
 def doc_norms_sql() -> str:
@@ -328,7 +328,7 @@ bits AS (
 ),
 sig AS (
   SELECT doc_id,
-         COALESCE(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << i) END), 0) AS simhash
+         CAST(COALESCE(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << i) END), 0) AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 )
 SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
@@ -401,7 +401,7 @@ def quality_stats_sql() -> str:
 agg AS (
   SELECT doc_id,
          count(*) AS n_tokens,
-         sum(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END) AS n_stopwords,
+         CAST(sum(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
          count(DISTINCT term) AS n_unique,
          max(len(term)) AS max_token_len
   FROM toks GROUP BY doc_id

@@ -17,7 +17,6 @@ from __future__ import annotations
 import os
 import shutil
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -47,74 +46,53 @@ def dedup_latest(ds, max_broadcast_urls: int = 10_000_000):
     last-writer-wins analog, IndexWriter.cs:1538-1556).
 
     Fast path (vectorized, no per-group Python): per-batch partial
-    (url, max warc_ts) via pyarrow groupby → native groupby(url).aggregate(Max)
-    over the small partials → broadcast the winner map with ray.put → filter
-    inside map_batches. Rows tied on (url, warc_ts) are resolved by greatest
-    html bytes in a per-batch pass (url+ts collisions across different
-    batches are not expected from crawl data; the shuffle fallback handles
-    them exactly).
+    (url, count) via pyarrow groupby → driver combine → broadcast the SET OF
+    DUPLICATED URLS with ray.put (dup rate in crawl data is a few %, so this
+    set is tiny even at large corpus sizes). Rows whose url is unique pass
+    through untouched; rows of duplicated urls — and ONLY those — go through
+    the exact groupby(url) shuffle, so the winner is fully deterministic even
+    when ties on (url, warc_ts) or byte-identical rows are split across
+    batches (the broadcast-winner-map variant could keep both halves of a
+    cross-batch tie, double-indexing one md5 doc_id).
 
-    Above ``max_broadcast_urls`` the winner map no longer fits the object
-    store comfortably → falls back to the exact hash-shuffle
-    (groupby(url).map_groups), which scales but pays per-group overhead.
+    Above ``max_broadcast_urls`` distinct urls in the partials, the driver
+    combine no longer pays → falls back to the exact hash-shuffle for all
+    rows, which scales but pays per-group overhead.
     """
     import ray
-    import ray.data as rd
 
     def partial_max(t: pa.Table) -> pa.Table:
-        agg = pa.TableGroupBy(t.select(["url", "warc_ts"]), "url").aggregate(
-            [("warc_ts", "max"), ("url", "count")]
+        agg = pa.TableGroupBy(t.select(["url"]), "url").aggregate(
+            [("url", "count")]
         )
-        return agg.rename_columns(["url", "warc_ts", "cnt"])
+        return agg.rename_columns(["url", "cnt"])
 
-    # Per-batch vectorized partials, final combine ON THE DRIVER (partials are
-    # (url, ts) pairs — ≤ a few MB per million urls). Above the broadcast
-    # threshold, fall back to the distributed hash shuffle.
     partials = ds.map_batches(partial_max, batch_format="pyarrow")
     partial_tables = ray.get(partials.to_arrow_refs())
     n_partial_rows = sum(t.num_rows for t in partial_tables)
     if n_partial_rows > max_broadcast_urls:
         return ds.groupby("url").map_groups(keep_latest_by_url, batch_format="pyarrow")
     allp = pa.concat_tables(partial_tables)
-    agg = pa.TableGroupBy(allp, "url").aggregate(
-        [("warc_ts", "max"), ("cnt", "sum")]
-    ).rename_columns(["url", "max_ts", "n"])
-    # only DUPLICATED urls need resolution — broadcast just those (dup rate in
-    # crawl data is a few %, so this table is tiny even at large corpus
-    # sizes); per-batch cnt partials sum correctly across batches.
-    dups = agg.filter(pc.greater(agg.column("n"), 1)).select(["url", "max_ts"])
-    winner_ref = ray.put(dups.combine_chunks())
+    agg = pa.TableGroupBy(allp, "url").aggregate([("cnt", "sum")])
+    dup_urls = agg.filter(pc.greater(agg.column("cnt_sum"), 1)).column("url")
+    if len(dup_urls) == 0:
+        return ds
+    dup_ref = ray.put(dup_urls.combine_chunks())
 
-    def keep_winners(t: pa.Table) -> pa.Table:
-        winners = ray.get(winner_ref)
-        if winners.num_rows == 0:
-            return t
-        # vectorized hash semi-join against the small dup-url table: a row is
-        # dropped iff its url is duplicated AND its ts is not the winner ts
-        t = t.append_column("__row", pa.array(range(t.num_rows), type=pa.int64()))
-        j = t.select(["__row", "url", "warc_ts"]).join(
-            winners, keys="url", join_type="inner"
-        )
-        drop_rows = j.filter(
-            pc.invert(pc.equal(j.column("warc_ts"), j.column("max_ts")))
-        ).column("__row")
-        if len(drop_rows):
-            mask = np.ones(t.num_rows, dtype=bool)
-            mask[drop_rows.to_numpy()] = False
-            t = t.filter(pa.array(mask))
-        t = t.drop_columns(["__row"])
-        # resolve exact (url, ts) ties within the batch deterministically
-        if t.num_rows and len(set(t.column("url").to_pylist())) < t.num_rows:
-            idx = pc.sort_indices(
-                t, sort_keys=[("url", "ascending"), ("html", "descending")]
-            )
-            t = t.take(idx)
-            uu = t.column("url").to_pylist()
-            keep = [i == 0 or uu[i] != uu[i - 1] for i in range(len(uu))]
-            t = t.filter(pa.array(keep, type=pa.bool_()))
-        return t
+    def split(keep_dups: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column("url"), value_set=ray.get(dup_ref))
+            return t.filter(m if keep_dups else pc.invert(m))
 
-    return ds.map_batches(keep_winners, batch_format="pyarrow")
+        return fn
+
+    nondup = ds.map_batches(split(False), batch_format="pyarrow")
+    dup = (
+        ds.map_batches(split(True), batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(keep_latest_by_url, batch_format="pyarrow")
+    )
+    return nondup.union(dup)
 
 
 def _add_doc_ids(batch: pa.Table) -> pa.Table:

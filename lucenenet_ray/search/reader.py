@@ -253,18 +253,117 @@ class IndexReader:
         }
 
     def expand_terms(self, predicate, max_expansions: int = 1024) -> list[str]:
-        """MultiTermQuery rewrite support: all index terms matching a
-        predicate, in term order (MultiTermQuery.cs:63-196). Scans the global
-        term dictionary (sorted parquet)."""
+        """Generic MultiTermQuery rewrite fallback: all index terms matching a
+        Python predicate, in term order (MultiTermQuery.cs:63-196). Full
+        dictionary scan — only used for query types without a pushdown plan
+        (see ``expand_query`` for the scale path)."""
         out: list[str] = []
         for batch in self._termstats().to_batches(columns=["term"]):
-            for v in batch.column("term"):
-                term = v.as_py()
+            for term in batch.column("term").to_pylist():
                 if predicate(term):
                     out.append(term)
                     if len(out) > max_expansions:
                         raise ValueError("Too many expanded terms (MaxClauseCount)")
+        return sorted(out)
+
+    def terms_in_range(self, lower: str | None, upper: str | None,
+                       include_lower: bool = True,
+                       include_upper: bool = False) -> list[str]:
+        """Range scan over the SORTED term dictionary with parquet row-group
+        min/max pushdown — the .tip prefix-index analog (BlockTree terms are
+        prefix-sorted for exactly this reason, BlockTreeTermsWriter.cs:146-168).
+        Never materializes the full vocabulary."""
+        expr = None
+        if lower is not None:
+            e = (pc.field("term") >= lower) if include_lower else (pc.field("term") > lower)
+            expr = e
+        if upper is not None:
+            e = (pc.field("term") <= upper) if include_upper else (pc.field("term") < upper)
+            expr = e if expr is None else expr & e
+        t = self._termstats().to_table(columns=["term"], filter=expr)
+        return sorted(t.column("term").to_pylist())
+
+    def expand_query(self, q) -> list[str]:
+        """Type-aware MultiTermQuery rewrite (MultiTermQuery.cs:63-196),
+        scale-safe per query family:
+
+        - Prefix/TermRange → pure range scan on the sorted term dict
+          (row-group min/max pushdown; touches only matching row groups).
+        - Wildcard/Regexp  → range-restrict by the pattern's literal prefix,
+          then vectorized/predicate match on the candidate slice.
+        - Fuzzy            → utf8_length band filter (|len diff| <= maxEdits)
+          then Levenshtein on candidates; keeps the best ``max_expansions``
+          by (edit distance, term) — TopTermsScoringBooleanQueryRewrite(50)
+          keeps top terms instead of failing (FuzzyQuery.cs:56).
+
+        Boolean/constant-score rewrites raise on > max_expansions
+        (BooleanQuery.MaxClauseCount semantics); fuzzy never raises.
+        """
+        from lucenenet_ray.search.query import (
+            FuzzyQuery,
+            PrefixQuery,
+            RegexpQuery,
+            TermRangeQuery,
+            WildcardQuery,
+        )
+
+        if isinstance(q, PrefixQuery):
+            out = self.terms_in_range(q.prefix, _prefix_successor(q.prefix))
+        elif isinstance(q, TermRangeQuery):
+            out = self.terms_in_range(q.lower, q.upper,
+                                      q.include_lower, q.include_upper)
+        elif isinstance(q, (WildcardQuery, RegexpQuery)):
+            pat = q.pattern
+            lit = _literal_prefix(pat, wildcard=isinstance(q, WildcardQuery))
+            cand = self.terms_in_range(lit or None,
+                                       _prefix_successor(lit) if lit else None)
+            out = [t for t in cand if q.matches_term(t)]
+        elif isinstance(q, FuzzyQuery):
+            k = q.max_edits
+            lo, hi = max(0, len(q.term) - k), len(q.term) + k
+            expr = (pc.utf8_length(pc.field("term")) >= lo) & (
+                pc.utf8_length(pc.field("term")) <= hi
+            )
+            t = self._termstats().to_table(columns=["term"], filter=expr)
+            from lucenenet_ray.search.query import _levenshtein_within
+
+            scored = []
+            for term in t.column("term").to_pylist():
+                for d in range(k + 1):
+                    if _levenshtein_within(term, q.term, d):
+                        scored.append((d, term))
+                        break
+            scored.sort()
+            return [term for _, term in scored[: q.max_expansions]]
+        else:
+            return self.expand_terms(q.matches_term, q.max_expansions)
+        if len(out) > q.max_expansions:
+            raise ValueError("Too many expanded terms (MaxClauseCount)")
         return out
 
     def doc_count(self) -> int:
         return self.num_docs
+
+
+def _prefix_successor(prefix: str) -> str | None:
+    """Smallest string greater than every string with this prefix: increment
+    the last incrementable code point (skipping the surrogate gap)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            nc = c + 1
+            if 0xD800 <= nc <= 0xDFFF:
+                nc = 0xE000
+            return prefix[:i] + chr(nc)
+    return None
+
+
+def _literal_prefix(pattern: str, wildcard: bool) -> str:
+    """Leading literal chars of a wildcard/regex pattern (for range pruning)."""
+    meta = "*?" if wildcard else "\\^$.|?*+()[]{}"
+    out = []
+    for ch in pattern:
+        if ch in meta:
+            break
+        out.append(ch)
+    return "".join(out)

@@ -72,12 +72,15 @@ class QueryPlan:
     cache: np.ndarray  # float32[256]
     weights: dict[str, TermWeight]
     phrase_weights: dict[tuple, np.float32]  # phrase terms → weight_value
-    expansions: dict[int, tuple[str, ...]]  # id-keyed MultiTermQuery rewrites
+    # MultiTermQuery rewrites keyed by the frozen query node itself (NOT
+    # id(q)): plans are pickled to QueryServer actors, and value-based keys
+    # survive serialization where object identity does not.
+    expansions: dict[Query, tuple[str, ...]]
     all_terms: tuple[str, ...]
 
 
 def _collect_terms(q: Query, reader: IndexReader, terms: set[str],
-                   expansions: dict[int, tuple[str, ...]]) -> None:
+                   expansions: dict[Query, tuple[str, ...]]) -> None:
     if isinstance(q, TermQuery):
         terms.add(q.term)
     elif isinstance(q, PhraseQuery):
@@ -89,8 +92,8 @@ def _collect_terms(q: Query, reader: IndexReader, terms: set[str],
         for sq in q.disjuncts:
             _collect_terms(sq, reader, terms, expansions)
     elif isinstance(q, MultiTermQuery):
-        exp = tuple(reader.expand_terms(q.matches_term, q.max_expansions))
-        expansions[id(q)] = exp
+        exp = tuple(reader.expand_query(q))
+        expansions[q] = exp
         terms.update(exp)
     elif isinstance(q, MatchAllDocsQuery):
         pass
@@ -102,7 +105,7 @@ def plan_query(reader: IndexReader, query: Query,
                k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> QueryPlan:
     """Rewrite + weight computation (the CreateNormalizedWeight analog)."""
     terms: set[str] = set()
-    expansions: dict[int, tuple[str, ...]] = {}
+    expansions: dict[Query, tuple[str, ...]] = {}
     _collect_terms(query, reader, terms, expansions)
     stats = reader.term_stats(sorted(terms))
     n = reader.num_docs
@@ -241,7 +244,7 @@ def _eval_phrase(q: PhraseQuery, chunks: dict[str, PostingsChunk], plan: QueryPl
 
 def _eval_multiterm(q: MultiTermQuery, chunks: dict[str, PostingsChunk],
                     plan: QueryPlan, bucket: BucketData) -> tuple[np.ndarray, np.ndarray]:
-    exp = plan.expansions.get(id(q), ())
+    exp = plan.expansions.get(q, ())
     if not exp:
         return _EMPTY_D, _EMPTY_S
     if q.constant_score:
@@ -362,8 +365,13 @@ def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.
 
 def score_bucket(bucket: BucketData, plan: QueryPlan, k: int,
                  prune: bool = False) -> tuple[np.ndarray, np.ndarray, int]:
-    """Score one bucket → (top-k GLOBAL docIDs, scores, total_hits)."""
-    chunks = bucket.chunks_for_terms(list(plan.all_terms), full=True)
+    """Score one bucket → (top-k GLOBAL docIDs, scores, total_hits).
+
+    ``full=False``: cold/sequential callers read ONLY the query terms' rows
+    via parquet predicate pushdown on the sorted term column; warm pinned
+    actors (QueryServer.warm) already hold the full bucket and short-circuit
+    inside chunks_for_terms."""
+    chunks = bucket.chunks_for_terms(list(plan.all_terms), full=False)
     q = plan.query
     if prune and _is_pure_or_terms(q):
         lidx, scores = _eval_or_pruned(q, chunks, plan, bucket, k)
@@ -543,7 +551,7 @@ def search(reader: IndexReader, query: Query, k: int = 10,
         if after is None:
             d, s, t = score_bucket(bd, plan, k, prune=prune)
         else:
-            chunks = bd.chunks_for_terms(list(plan.all_terms), full=True)
+            chunks = bd.chunks_for_terms(list(plan.all_terms), full=False)
             lidx, scores = _eval_query(plan.query, chunks, plan, bd)
             docs = bd.norms()[0][lidx] if lidx.size else _EMPTY_D
             a_s = np.float32(after[0])
@@ -577,7 +585,7 @@ def rescore(reader: IndexReader, first_pass: TopDocs, query: Query,
     combined = first_pass.scores.astype(np.float32).copy()
     for b in reader.bucket_ids:
         bd = reader.bucket(b)
-        chunks = bd.chunks_for_terms(list(plan.all_terms), full=True)
+        chunks = bd.chunks_for_terms(list(plan.all_terms), full=False)
         lidx, s2 = _eval_query(plan.query, chunks, plan, bd)
         if lidx.size == 0:
             continue

@@ -86,6 +86,14 @@ def main() -> int:
             problems.append(f"cols {list(got.columns)} != {list(want.columns)}")
         if not problems:
             for c in got.columns:
+                # driver hash normalizes integer widths but NOT kinds (a
+                # DuckDB DECIMAL sum arrives as object dtype and hash-fails)
+                if got[c].dtype.kind != want[c].dtype.kind:
+                    problems.append(
+                        f"dtype kind differs in column {c}: "
+                        f"{got[c].dtype} vs {want[c].dtype}"
+                    )
+            for c in got.columns:
                 a, b = got[c].to_numpy(), want[c].to_numpy()
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
                     eq = np.array_equal(a.astype(np.float64), b.astype(np.float64))
