@@ -40,6 +40,10 @@ BM25_PHRASES: dict[str, list[tuple[str, int]]] = {
     "bm25_phrase_2": [("batch", 0), ("merge", 1)],
     "bm25_phrase_gap": [("fast", 0), ("key", 1)],
 }
+# sloppy phrases: (terms, slop) — SloppyPhraseScorer greedy semantics
+BM25_SLOP_PHRASES: dict[str, tuple[list[tuple[str, int]], int]] = {
+    "bm25_phrase_slop": ([("merge", 0), ("batch", 1)], 3),
+}
 TOPK = 10
 
 
@@ -154,13 +158,16 @@ def _make_bm25_query(name: str) -> Callable[[str], pa.Table]:
 
 
 def _make_phrase_query(name: str) -> Callable[[str], pa.Table]:
-    tp = BM25_PHRASES[name]
+    if name in BM25_PHRASES:
+        tp, slop = BM25_PHRASES[name], 0
+    else:
+        tp, slop = BM25_SLOP_PHRASES[name]
 
     def run(sf_dir: str) -> pa.Table:
         from lucenenet_ray.search.query import PhraseQuery
         from lucenenet_ray.search.searcher import search
 
-        q = PhraseQuery(terms=tuple(tp))
+        q = PhraseQuery(terms=tuple(tp), slop=slop)
         td = search(_reader(sf_dir), q, k=TOPK)
         return _topdocs_to_table(td)
 
@@ -551,6 +558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out[name] = _make_bm25_query(name)
     for name in BM25_PHRASES:
         out[name] = _make_phrase_query(name)
+    for name in BM25_SLOP_PHRASES:
+        out[name] = _make_phrase_query(name)
     return out
 
 
@@ -585,4 +594,6 @@ def oracle_sql() -> dict[str, str]:
         out[name] = so.bm25_topk_sql(spec["terms"], TOPK, spec["mode"])
     for name, tp in BM25_PHRASES.items():
         out[name] = so.bm25_phrase_sql(tp, TOPK)
+    for name, (tp, slop) in BM25_SLOP_PHRASES.items():
+        out[name] = so.bm25_phrase_slop_sql(tp, slop, TOPK)
     return out

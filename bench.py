@@ -57,21 +57,32 @@ def replicated_pages(sf_dir: str, factor: int) -> str:
     if factor <= 1:
         return base
     key = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/lucenenet_ray_pages/pages_{key}_x{factor}"
+    out = f"/tmp/lucenenet_ray_pages/pages_{key}_x{factor}_v2"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     t = pq.read_table(base)
     urls = t.column("url").to_pylist()
+    # pack ~16 replicas per output file: large files with many row groups,
+    # like a real crawl dump — driver-side parquet metadata planning is
+    # O(files), and hundreds of tiny files put seconds of serial time ahead
+    # of every read
+    PER_FILE = 16
+    buf = []
+    fi = 0
     for r in range(factor):
-        t2 = t.set_column(
+        buf.append(t.set_column(
             t.schema.get_field_index("url"),
             "url",
             pa.array([f"{u}?rep={r}" if r else u for u in urls], type=pa.string()),
-        )
-        pq.write_table(t2, os.path.join(out, f"part-{r:03d}.parquet"),
-                       row_group_size=8192)
+        ))
+        if len(buf) == PER_FILE or r == factor - 1:
+            pq.write_table(pa.concat_tables(buf),
+                           os.path.join(out, f"part-{fi:03d}.parquet"),
+                           row_group_size=8192)
+            buf = []
+            fi += 1
     with open(os.path.join(out, "_DONE"), "w") as f:
         f.write("ok")
     return out

@@ -163,10 +163,17 @@ class Inverter:
         pair_norm = np.empty(0, dtype=np.uint8)
 
         if flat_terms:
-            terms_arr = np.array(flat_terms, dtype=object)
+            # Arrow dictionary-encode replaces np.unique on an object array:
+            # the string hashing runs in C and the sort below works on int32
+            # codes, not Python string compares (~2× less inverter CPU).
+            # uniq order is first-appearance, not lexicographic — downstream
+            # canonicalization (_merge_group term sort + docID sort) makes
+            # the final index bytes independent of this order (digest-tested).
+            darr = pa.array(flat_terms, type=pa.string()).dictionary_encode()
+            term_inv = darr.indices.to_numpy().astype(np.int64)
+            uniq_terms = darr.dictionary.to_pylist()
             docidx_arr = np.array(flat_docidx, dtype=np.int32)
             pos_arr = np.array(flat_pos, dtype=np.int64)
-            uniq_terms, term_inv = np.unique(terms_arr, return_inverse=True)
             # docidx is already doc_id-ordered; stable sort by term keeps
             # (doc, position) order inside each term run
             order = np.argsort(term_inv, kind="stable")
@@ -607,21 +614,34 @@ def _atomic_write_parquet(table: pa.Table, path: str, row_group_size: int = 6553
 
 
 def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> list[dict]:
-    """Raw-Ray map-reduce hash exchange over the materialized partials.
+    """Raw-Ray map-reduce hash exchange, STREAMED against the map stage.
 
-    Map side: one task per block splits its rows into P partition tables by
+    Map side: as the inverter produces output blocks (consumed via
+    ``iter_internal_ref_bundles`` — no materialize barrier), groups of blocks
+    are handed to split tasks that partition rows into P tables by
     ``(bucket * n_hparts + hpart) % P`` (num_returns=P → reducers fetch only
-    their slice). Reduce side: one task per partition concats its slices,
-    groups by exact (bucket, hpart), and runs the merge+write reducer per
-    group. Deterministic: partition assignment is a pure key function and the
-    per-group output is canonical regardless of arrival order.
+    their slice). The exchange's partitioning work and object creation
+    therefore overlap the map tail instead of serializing after it. Reduce
+    side: one task per partition concats its slices, groups by exact
+    (bucket, hpart), and runs the merge+write reducer per group.
+
+    Deterministic OUTPUT despite nondeterministic stream order: partition
+    assignment is a pure key function, and ``_merge_group`` canonicalizes
+    each term's postings by (term, docID) sort — docIDs are globally unique,
+    so merged bytes are independent of block arrival order (tested: identical
+    digests at 8 vs 32 CPUs).
     """
     import ray
 
-    n_parts = min(cfg.n_buckets * cfg.n_hparts, 64)
+    # 128 reduce tasks: fine enough that reducer waves pack well at 32 CPUs
+    # (64 tasks = 2 ragged waves; zipf-skewed groups straggle), coarse enough
+    # that per-task overhead stays small at 8. Output bytes are independent
+    # of n_parts (files are written per exact (bucket, hpart) group).
+    n_parts = min(cfg.n_buckets * cfg.n_hparts, 128)
 
     @ray.remote
-    def split_block(table: pa.Table, n_parts_: int):
+    def split_block(n_parts_: int, *tables):
+        table = pa.concat_tables([t for t in tables if t is not None])
         key = (
             table.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
             * cfg.n_hparts
@@ -652,21 +672,42 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
             out_rows.append({c: m.column(c)[0].as_py() for c in m.column_names})
         return out_rows
 
-    # Coalesce map-output blocks first: M blocks × P partitions object-store
-    # entries bound the exchange (plasma creation serializes) — 64×64 ≈ 4k
-    # objects instead of hundreds×64.
-    if partials.num_blocks() > 64:
-        partials = partials.repartition(64)
-    refs = partials.to_arrow_refs()
+    # Stream map-output blocks into split tasks in groups of 4: bounds the
+    # object count (⌈M/4⌉ × P entries; plasma creation serializes) while
+    # keeping splits flowing during the map stage.
+    import sys
+    import time as _time
+
+    prof = os.environ.get("GRAFT_PROFILE")
+    t0 = _time.perf_counter()
+    GROUP = 8
+    split_refs: list = []
+    raw_refs: list = []
+    group: list = []
+    for bundle in partials.iter_internal_ref_bundles():
+        for bref in bundle.block_refs:
+            if n_parts == 1:
+                raw_refs.append(bref)
+                continue
+            group.append(bref)
+            if len(group) >= GROUP:
+                split_refs.append(
+                    split_block.options(num_returns=n_parts).remote(n_parts, *group)
+                )
+                group = []
+    if group:
+        split_refs.append(
+            split_block.options(num_returns=n_parts).remote(n_parts, *group)
+        )
+    if prof:
+        print(f"[prof]   map stream drained: {_time.perf_counter()-t0:.1f}s "
+              f"({len(split_refs)} split tasks)", file=sys.stderr)
+        t0 = _time.perf_counter()
     if n_parts == 1:
         # no split needed: hand the map blocks straight to the one reducer
         # (num_returns=1 would wrap the 1-tuple as a single object)
-        result_refs = [reduce_part.remote(cfg.index_path, store_pos, *refs)]
+        result_refs = [reduce_part.remote(cfg.index_path, store_pos, *raw_refs)]
     else:
-        split_refs = [
-            split_block.options(num_returns=n_parts).remote(r, n_parts)
-            for r in refs
-        ]
         result_refs = [
             reduce_part.remote(cfg.index_path, store_pos,
                                *[sr[p] for sr in split_refs])
@@ -675,6 +716,9 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
     rows: list[dict] = []
     for rr in ray.get(result_refs):
         rows.extend(rr)
+    if prof:
+        print(f"[prof]   reduce tail: {_time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
     return rows
 
 
@@ -720,35 +764,27 @@ def build_index(
             batch_size=cfg.batch_size,
         )
 
-    # Materialize before the all-to-all: Ray's sort-based groupby plans its
-    # reduce parallelism poorly on a long lazy upstream (measured 3.5× slower
-    # fused at 8 CPUs). The shuffle materializes map-side blocks internally
-    # anyway, so this pins the same data with better task sizing; the object
-    # store spills to disk if the inverted partials exceed memory.
-    import sys
-    import time as _time
-
-    prof = os.environ.get("GRAFT_PROFILE")
-    t0 = _time.perf_counter()
-    partials = partials.materialize()
-    if prof:
-        print(f"[prof] read+extract+invert materialize: "
-              f"{_time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        t0 = _time.perf_counter()
     # ONE exchange: each (bucket, hpart) reducer merges its term chunks AND
     # writes its index file directly (atomic temp+rename — idempotent under
     # retries). The term dictionary is per-(bucket,hpart)-file sorted; a
     # term's chunk lives in exactly one hpart, so lookups stay pushdown-able.
     #
     # The exchange is a raw-Ray HASH shuffle (split each map block into P
-    # partition tables, reducers concat their slice) — Ray Data's groupby is
-    # a full SORT shuffle, which at 32 CPUs cost more wall time than all the
-    # map compute combined; we only need partitioning, not order. This is the
-    # documented drop-to-ray-core case: the Dataset API has no sortless keyed
-    # exchange.
+    # partition tables, reducers concat their slice), STREAMED against the
+    # map stage — split tasks launch as inverter blocks complete, so no
+    # materialize() barrier sits between map and exchange. Ray Data's groupby
+    # is a full SORT shuffle, which at 32 CPUs cost more wall time than all
+    # the map compute combined; we only need partitioning, not order. This is
+    # the documented drop-to-ray-core case: the Dataset API has no sortless
+    # keyed exchange.
+    import sys
+    import time as _time
+
+    prof = os.environ.get("GRAFT_PROFILE")
+    t0 = _time.perf_counter()
     rows = _hash_shuffle_merge_write(partials, cfg, store_pos)
     if prof:
-        print(f"[prof] merge+write hash exchange: {_time.perf_counter()-t0:.1f}s",
+        print(f"[prof] map+exchange (streamed): {_time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
         t0 = _time.perf_counter()
     by_bucket: dict[int, dict] = {}

@@ -224,6 +224,76 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def bm25_phrase_slop_sql(terms_positions: list[tuple[str, int]], slop: int,
+                         k: int = 10) -> str:
+    """Sloppy-phrase BM25 oracle for a TWO-term phrase — bit-exact replay of
+    the SloppyPhraseScorer greedy traversal (SloppyPhraseScorer.cs:101-145).
+
+    For two single-term phrase positions the greedy PQ algorithm reduces to a
+    closed-form epoch walk (derivation in search/sloppy.py): with per-doc
+    phrase-coordinate streams A = {pos-relA} and B = {pos-relB},
+      v1 = max(min A, min B)   (tie → the larger-offset stream is on top),
+      v_{i+1} = min{p in other(v_i) : p > v_i},
+    and each epoch contributes 1/(v_i - pred_{other}(v_i) + 1) when the
+    distance ≤ slop, accumulated as a float32 left-assoc sum in epoch order
+    (BM25Similarity.SloppyFreq, :74-77). Docs with freq 0 don't match.
+    Implemented as a recursive CTE carrying the running float32 freq.
+    """
+    assert len(terms_positions) == 2, "oracle covers the 2-term case"
+    (ta, ra), (tb, rb) = terms_positions
+    tie_s = "A" if ra > rb else "B"
+    sf = (f"CASE WHEN n.p - n.prd <= {slop} THEN "
+          f"CAST(CAST(1.0 AS REAL)/CAST((n.p - n.prd + 1) AS REAL) AS REAL) "
+          f"ELSE {ZERO_R} END")
+    idf_sum = "CAST(0.0 AS REAL)"
+    for t in (ta, tb):
+        idf_sum = (f"({idf_sum} + COALESCE((SELECT idf FROM qweights "
+                   f"WHERE term = '{t}'), {ZERO_R}))")
+    return f"""WITH RECURSIVE {_toks_cte()},{_NORM_CTE},{_weights_cte([ta, tb])},
+ap AS (SELECT doc_id, pos - {ra} AS p FROM kept WHERE term = '{ta}'),
+bp AS (SELECT doc_id, pos - {rb} AS p FROM kept WHERE term = '{tb}'),
+merged AS (
+  SELECT doc_id, p, 'A' AS s FROM ap
+  UNION ALL
+  SELECT doc_id, p, 'B' AS s FROM bp
+),
+nodes AS (
+  SELECT m.doc_id, m.p, m.s,
+    (SELECT max(o.p) FROM merged o
+      WHERE o.doc_id = m.doc_id AND o.s <> m.s AND o.p <= m.p) AS prd,
+    (SELECT min(o.p) FROM merged o
+      WHERE o.doc_id = m.doc_id AND o.s <> m.s AND o.p > m.p) AS nxt
+  FROM merged m
+),
+start AS (
+  SELECT sa.doc_id, GREATEST(am, bm) AS v,
+    CASE WHEN am > bm THEN 'A' WHEN bm > am THEN 'B' ELSE '{tie_s}' END AS s
+  FROM (SELECT doc_id, min(p) AS am FROM ap GROUP BY doc_id) sa
+  JOIN (SELECT doc_id, min(p) AS bm FROM bp GROUP BY doc_id) sb
+    USING (doc_id)
+),
+walk AS (
+  SELECT n.doc_id, n.p, n.s, n.nxt, CAST({sf} AS REAL) AS freq
+  FROM nodes n
+  JOIN start st ON st.doc_id = n.doc_id AND st.v = n.p AND st.s = n.s
+  UNION ALL
+  SELECT n.doc_id, n.p, n.s, n.nxt, CAST(w.freq + {sf} AS REAL)
+  FROM walk w
+  JOIN nodes n ON n.doc_id = w.doc_id AND n.p = w.nxt AND n.s <> w.s
+),
+pf AS (
+  SELECT doc_id, freq AS f FROM walk WHERE nxt IS NULL AND freq > 0
+),
+scored AS (
+  SELECT pf.doc_id,
+         (({idf_sum} * {K1P1_R}) * pf.f) / (pf.f + c.cache) AS score
+  FROM pf JOIN normcache c ON c.doc_id = pf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def facet_lang_sql() -> str:
     """Facet-count analog (FacetsCollector): per-category match counts."""
     return "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"

@@ -95,6 +95,100 @@ def dedup_latest(ds, max_broadcast_urls: int = 10_000_000):
     return nondup.union(dup)
 
 
+def dedup_latest_pages(pages_path: str, ds, max_broadcast_urls: int = 10_000_000):
+    """Exact keep-latest-per-url dedup with a NARROW winner pre-pass.
+
+    ``dedup_latest`` discovers winners by scanning the full input dataset —
+    at web scale that drags every html byte through an extra pass. Here the
+    pre-pass reads ONLY (url, warc_ts) from the parquet (column-pruned ≈ 1%
+    of the bytes); per-batch pyarrow partials combine on the driver into a
+    (url → max_ts) table for DUPLICATED urls only, broadcast once. The main
+    pipeline then drops losers with one vectorized join per batch — a single
+    pass over the wide rows.
+
+    Exact (url, max_ts) ties (>1 row at the max — byte-identical recrawls)
+    are detected in the same partials and routed through a tiny exact
+    groupby branch, so cross-batch ties resolve deterministically.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    narrow = rd.read_parquet(pages_path, columns=["url", "warc_ts"],
+                             override_num_blocks=64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        # per-(url, ts) counts: one vectorized groupby, no joins; combines
+        # associatively across batches on the driver
+        return pa.TableGroupBy(t, ["url", "warc_ts"]).aggregate(
+            [("url", "count")]
+        ).rename_columns(["url", "warc_ts", "cnt"])
+
+    parts = ray.get(
+        narrow.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    allp = pa.concat_tables(parts)
+    if allp.num_rows > max_broadcast_urls:
+        return ds.groupby("url").map_groups(keep_latest_by_url,
+                                            batch_format="pyarrow")
+    # driver combine in polars (multi-threaded hash groupby — ~5× arrow's
+    # TableGroupBy on millions of rows)
+    import polars as pl
+
+    lf = pl.from_arrow(allp)
+    lg = lf.group_by("url").agg(
+        pl.col("warc_ts").max().alias("gmax"), pl.col("cnt").sum().alias("totcnt")
+    )
+    dup_pl = lg.filter(pl.col("totcnt") > 1)
+    if dup_pl.height == 0:
+        return ds
+    jj = lf.join(dup_pl.select(["url", "gmax"]), on="url", how="inner")
+    ties_pl = jj.filter(
+        (pl.col("warc_ts") == pl.col("gmax")) & (pl.col("cnt") > 1)
+    ).select("url")
+    dup = dup_pl.select(["url", "gmax"]).to_arrow()
+    dup = dup.cast(pa.schema([("url", pa.string()),
+                              ("gmax", allp.schema.field("warc_ts").type)]))
+    ties = ties_pl.to_arrow().column("url").cast(pa.string()).combine_chunks()
+    win_ref = ray.put(dup.select(["url", "gmax"]).combine_chunks())
+    ties_ref = ray.put(ties) if len(ties) else None
+
+    def filt(t: pa.Table) -> pa.Table:
+        win = ray.get(win_ref)
+        n = t.num_rows
+        t2 = t.select(["url", "warc_ts"]).append_column(
+            "__row", pa.array(np.arange(n), type=pa.int64())
+        )
+        jj = t2.join(win, keys="url", join_type="left outer")
+        lose = jj.filter(
+            pc.and_kleene(
+                pc.is_valid(jj.column("gmax")),
+                pc.not_equal(jj.column("warc_ts"), jj.column("gmax")),
+            )
+        ).column("__row")
+        mask = np.ones(n, dtype=bool)
+        if len(lose):
+            mask[lose.to_numpy()] = False
+        if ties_ref is not None:
+            tie_m = pc.is_in(t.column("url"), value_set=ray.get(ties_ref))
+            mask &= ~tie_m.to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(mask))
+
+    main = ds.map_batches(filt, batch_format="pyarrow")
+    if ties_ref is None:
+        return main
+
+    def only_ties(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("url"), value_set=ray.get(ties_ref)))
+
+    tie_branch = (
+        ds.map_batches(only_ties, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(keep_latest_by_url, batch_format="pyarrow")
+    )
+    return main.union(tie_branch)
+
+
 def _add_doc_ids(batch: pa.Table) -> pa.Table:
     ids = [doc_id_for_url(u) for u in batch.column("url").to_pylist()]
     return batch.append_column("doc_id", pa.array(ids, type=pa.int64()))
@@ -126,8 +220,8 @@ def index_pages(
     # workers. A data-layout-independent knob — output bytes don't depend on
     # blocking.
     ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"],
-                         override_num_blocks=128)
-    ds = dedup_latest(ds)
+                         override_num_blocks=256)
+    ds = dedup_latest_pages(pages_path, ds)
     if prof:
         import sys
 

@@ -218,7 +218,7 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None) -> Query:
     analyzer = analyzer or StandardAnalyzer()
     import re as _re
 
-    tokens = _re.findall(r'"[^"]*"|\[[^\]]*\]|\S+', text)
+    tokens = _re.findall(r'"[^"]*"(?:~\d+)?|\[[^\]]*\]|\S+', text)
     clauses: list[BooleanClause] = []
     next_occur = Occur.SHOULD
     prev_and = False  # AND binds the previous and next clause to MUST
@@ -255,6 +255,12 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None) -> Query:
         if not raw:
             continue
         if raw.startswith('"'):
+            # "..."~N = sloppy phrase (QueryParserBase.GetFieldQuery slop
+            # handling; PhraseQuery.Slop)
+            slop = 0
+            if "~" in raw:
+                raw, _, s = raw.rpartition("~")
+                slop = int(s)
             words = raw.strip('"')
             terms, positions = analyzer(words)
             if not terms:
@@ -265,7 +271,8 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None) -> Query:
                 add(TermQuery(term=terms[0]), occur)
             else:
                 add(
-                    PhraseQuery(terms=tuple((t, p - base) for t, p in zip(terms, positions))),
+                    PhraseQuery(terms=tuple((t, p - base) for t, p in zip(terms, positions)),
+                                slop=slop),
                     occur,
                 )
             continue

@@ -186,7 +186,8 @@ def _eval_phrase(q: PhraseQuery, chunks: dict[str, PostingsChunk], plan: QueryPl
                  bucket: BucketData) -> tuple[np.ndarray, np.ndarray]:
     """ExactPhraseScorer semantics: freq = number of positions p such that
     term_i occurs at p + rel_i for all i; docs with freq>0 score with the
-    summed-idf weight (PhraseQuery.cs / ExactPhraseScorer.cs)."""
+    summed-idf weight (PhraseQuery.cs / ExactPhraseScorer.cs).
+    slop>0 routes to the SloppyPhraseScorer port (sloppy.py)."""
     member = []
     for t, rel in q.terms:
         c = chunks.get(t)
@@ -201,6 +202,8 @@ def _eval_phrase(q: PhraseQuery, chunks: dict[str, PostingsChunk], plan: QueryPl
     cand_l = np.flatnonzero(cnt == len(member))
     if cand_l.size == 0:
         return _EMPTY_D, _EMPTY_S
+    if q.slop > 0:
+        return _eval_phrase_sloppy(q, member, cand_l, plan, bucket)
     # Vectorized phrase matching: encode each (doc, shifted position) pair as
     # a single int64 key candrow*2^32 + (pos - rel) and intersect the key
     # sets across members; phrase freq per doc = bincount over candrow.
@@ -216,7 +219,18 @@ def _eval_phrase(q: PhraseQuery, chunks: dict[str, PostingsChunk], plan: QueryPl
         docrep = np.repeat(
             np.arange(cand_l.size, dtype=np.int64), (offs[idx + 1] - offs[idx])
         )
-        k = docrep * SHIFT + (flat[take] - rel)
+        align = flat[take] - rel
+        # ExactPhraseScorer drops matches at negative phrase-start alignment
+        # (ChunkState.LastPos=-1 init + posIndex>=0 guards,
+        # ExactPhraseScorer.cs:294-299,334-340) — only reachable via explicit
+        # hole phrases whose first rel > 0 (TestSloppyPhraseQuery slop=0)
+        if rel > 0:
+            neg = align < 0
+            if neg.any():
+                keepm = ~neg
+                align = align[keepm]
+                docrep = docrep[keepm]
+        k = docrep * SHIFT + align
         # k is sorted by construction (candidates ascending, positions
         # ascending per doc) → searchsorted intersection beats np.isin's
         # internal sort
@@ -239,6 +253,43 @@ def _eval_phrase(q: PhraseQuery, chunks: dict[str, PostingsChunk], plan: QueryPl
         return _EMPTY_D, _EMPTY_S
     norms = bucket.norms()[2][lidx]
     scores = score_freqs(freqs, norms, wv, plan.cache)
+    return lidx, scores
+
+
+def _eval_phrase_sloppy(q: PhraseQuery, member: list, cand_l: np.ndarray,
+                        plan: QueryPlan, bucket: BucketData
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """SloppyPhraseScorer port (see sloppy.py): per candidate doc, the greedy
+    PQ traversal accumulates float32 Σ 1/(matchLength+1) over within-slop
+    matches; docs with freq>0 score via the same BM25 formula with the float
+    freq (``SloppyPhraseScorer.cs:101-145``, ``BM25Similarity.cs:265-270``)."""
+    from lucenenet_ray.search.sloppy import repeat_groups, sloppy_phrase_freq
+
+    rels = [rel for _, rel in q.terms]
+    if len(set(rels)) != len(rels):
+        raise NotImplementedError(
+            "multiple terms at one phrase position = MultiPhraseQuery")
+    rgs = repeat_groups(q.terms)
+    # member is in q.terms order; gather per-candidate position slices once
+    per = []
+    for c, _rel in member:
+        rows = c.row_of_local(bucket)[cand_l]
+        flat, offs = c.positions_flat()
+        per.append((flat, offs, rows))
+    freqs = np.empty(cand_l.size, dtype=np.float32)
+    for k in range(cand_l.size):
+        plists = [flat[offs[rows[k]]:offs[rows[k] + 1]]
+                  for (flat, offs, rows) in per]
+        freqs[k] = sloppy_phrase_freq(plists, rels, rgs, q.slop)
+    keep = freqs > 0
+    if not keep.any():
+        return _EMPTY_D, _EMPTY_S
+    wv = plan.phrase_weights.get(q.terms)
+    if wv is None:
+        return _EMPTY_D, _EMPTY_S
+    lidx = cand_l[keep]
+    norms = bucket.norms()[2][lidx]
+    scores = score_freqs(freqs[keep], norms, wv, plan.cache)
     return lidx, scores
 
 
