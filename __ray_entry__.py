@@ -69,12 +69,22 @@ def entry() -> Any:
 # engine-side query implementations
 
 
+
+def _body_terms(t: pa.Table) -> pa.Table:
+    """Restrict a termstats table to the default (body) field: multi-field
+    terms are stored prefixed "field\x1fterm" (per-field TermsEnum)."""
+    from lucenenet_ray.search.query import FIELD_SEP
+
+    mask = pa.compute.invert(
+        pa.compute.match_substring(t.column("term"), FIELD_SEP))
+    return t.filter(mask)
+
 def _q_term_stats(sf_dir: str) -> pa.Table:
     """Global term dictionary stats (df/ttf) produced by the full distributed
     index build — checked against direct SQL aggregation."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(_index_path(sf_dir), "termstats"))
+    t = _body_terms(pq.read_table(os.path.join(_index_path(sf_dir), "termstats")))
     idx = pa.compute.sort_indices(t.column("term"))
     return t.take(idx).select(["term", "df", "ttf"])
 
@@ -106,7 +116,7 @@ def _q_top_terms(sf_dir: str) -> pa.Table:
     """HighFreqTerms analog: top-20 terms by df desc, term asc."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(_index_path(sf_dir), "termstats"))
+    t = _body_terms(pq.read_table(os.path.join(_index_path(sf_dir), "termstats")))
     df = t.to_pandas().sort_values(["df", "term"], ascending=[False, True]).head(20)
     return pa.Table.from_pandas(df[["term", "df", "ttf"]], preserve_index=False)
 
@@ -115,7 +125,7 @@ def _q_prefix_df(sf_dir: str) -> pa.Table:
     """PrefixQuery term expansion surface (PrefixFilter.cs:28)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(_index_path(sf_dir), "termstats"))
+    t = _body_terms(pq.read_table(os.path.join(_index_path(sf_dir), "termstats")))
     df = t.to_pandas()
     df = df[df["term"].str.startswith("s")].sort_values("term")
     return pa.Table.from_pandas(df[["term", "df"]], preserve_index=False)
@@ -173,6 +183,30 @@ def _make_phrase_query(name: str) -> Callable[[str], pa.Table]:
 
     run.__name__ = name
     return run
+
+
+def _q_field_term_lookup(sf_dir: str) -> pa.Table:
+    """Field-qualified keyword lookup: TermQuery on the `source` StringField
+    ("source:src7"). Non-default fields omit norms, so every match scores
+    weightValue·1/(1+k1) (BM25Similarity.cs:267-268); ties break by doc_id
+    (HitQueue). The PK-get analog (Demo/SearchFiles.cs field queries)."""
+    from lucenenet_ray.search.query import TermQuery, field_term
+    from lucenenet_ray.search.searcher import search
+
+    q = TermQuery(term=field_term("source", "src7"))
+    td = search(_reader(sf_dir), q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
+def _q_bm25_boosted(sf_dir: str) -> pa.Table:
+    """Parsed boosted query "spark^2 window": ^boost folds into weightValue
+    = idf·boost·(k1+1) (TermWeight/QueryParser HandleBoost)."""
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.searcher import search
+
+    q = parse_query("spark^2 window")
+    td = search(_reader(sf_dir), q, k=TOPK, prune=True)
+    return _topdocs_to_table(td)
 
 
 def _q_facet_lang(sf_dir: str) -> Any:
@@ -553,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": _q_sort_by_field,
         "highlight": _q_highlight,
         "term_stats_multilang": _q_term_stats_multilang,
+        "field_term_lookup": _q_field_term_lookup,
+        "bm25_boosted": _q_bm25_boosted,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -586,6 +622,9 @@ def oracle_sql() -> dict[str, str]:
         "spell_suggest": so.spell_suggest_sql("spqrk", 2, 5),
         "term_stats_multilang": so.term_stats_multilang_sql(),
         "sort_by_field": so.sort_by_field_sql("spark", 20),
+        "field_term_lookup": so.field_term_lookup_sql("source", "src7", TOPK),
+        "bm25_boosted": so.bm25_topk_sql(
+            ["spark", "window"], TOPK, "or", boosts={"spark": 2.0}),
         # highlight: rows-only (no SQL rendering)
         # pages_flagship, knn_lsh: intentionally no oracle (HTML extraction /
         # approximate recall; rows-only)

@@ -57,6 +57,14 @@ class IndexConfig:
     # when set, per-document analyzer dispatch on this column (per-language
     # stop sets — SURVEY §2.2; 'und'/unknown routes to the default chain)
     lang_col: str | None = None
+    # additional indexed fields: (column, field_name, analyzed) triples.
+    # analyzed=True → TextField-like (analyzer chain, positions);
+    # analyzed=False → StringField-like keyword (single term, position 0,
+    # Demo/IndexFiles.cs:88-122 path field). Terms are stored prefixed
+    # "field\x1fterm" in the shared dictionary (FieldInfos analog); these
+    # fields omit norms and don't contribute to body doc length / sumttf
+    # (per-field stats, CollectionStatistics).
+    extra_fields: tuple[tuple[str, str, bool], ...] = ()
     concurrency: int | None = None  # inverter actor pool size; None = tasks
     k1: float = 1.2
     b: float = 0.75
@@ -147,6 +155,31 @@ class Inverter:
             flat_terms.extend(terms)
             flat_docidx.extend([di] * len(terms))
             flat_pos.extend(positions)
+
+        # extra fields append AFTER the body stream. Correctness relies only
+        # on each field's triples being doc-ordered internally: prefixed
+        # terms never collide with body terms, so per-term runs stay
+        # (doc, position)-sorted for the pair detection below.
+        from lucenenet_ray.search.query import FIELD_SEP
+
+        for col, fname, analyzed in self.cfg.extra_fields:
+            if col not in batch.column_names:
+                continue
+            vals_all = batch.column(col).to_pylist()
+            prefix = fname + FIELD_SEP
+            for di in range(len(texts)):
+                v = vals_all[border[di]]
+                if v is None:
+                    continue
+                if analyzed:
+                    terms, positions = analyzer(str(v))
+                    flat_terms.extend(prefix + t for t in terms)
+                    flat_docidx.extend([di] * len(terms))
+                    flat_pos.extend(positions)
+                else:
+                    flat_terms.append(prefix + str(v))
+                    flat_docidx.append(di)
+                    flat_pos.append(0)
 
         out_term: list[str] = []
         out_bucket: list[int] = []
@@ -255,22 +288,21 @@ class Inverter:
         freqs_vals = np.concatenate((freqs_vals, doc_lens.astype(np.int64)))
         norms_vals = np.concatenate((norms_vals, norms_all))
 
-        # compress the shuffle: docs as per-row delta VInts (first absolute),
-        # freqs as VInts, norms raw uint8 — one bulk encode, split per row by
-        # terminator positions (~4 bytes/posting instead of 16).
-        row_starts_v = np.concatenate(([0], np.cumsum(all_lens)))[:-1]
-        d = docs_vals.copy()
-        if d.size:
-            d[1:] -= docs_vals[:-1]
-            d[row_starts_v] = docs_vals[row_starts_v]
-        doc_stream = write_vints(d.astype(np.uint64))
+        # Shuffle wire format: docs RAW little-endian int64 (docIDs are
+        # md5-random 60-bit values — their deltas average ~7 VInt bytes, so
+        # VInt bought ~nothing while costing a 7-pass encode here and a
+        # 7-pass decode in every reducer; raw int64 is one memcpy each way),
+        # freqs VInt (mostly 1 byte), norms raw uint8. Transient format only
+        # — the on-disk index keeps Lucene-style delta+VInt (codec.py).
+        bounds = np.concatenate(([0], np.cumsum(all_lens)))
+        doc_b = docs_vals.astype("<i8").tobytes()
+        doc_rows = [doc_b[bounds[i] * 8 : bounds[i + 1] * 8]
+                    for i in range(len(all_lens))]
         freq_stream = write_vints(freqs_vals.astype(np.uint64))
-        doc_rows = _split_vint_stream(doc_stream, all_lens)
         freq_rows = _split_vint_stream(freq_stream, all_lens)
-        norm_bounds = np.concatenate(([0], np.cumsum(all_lens)))
         norm_b = norms_vals.tobytes()
         norm_rows = [
-            norm_b[norm_bounds[i] : norm_bounds[i + 1]] for i in range(len(all_lens))
+            norm_b[bounds[i] : bounds[i + 1]] for i in range(len(all_lens))
         ]
 
         return pa.table(
@@ -302,6 +334,23 @@ def _split_vint_stream(stream: np.ndarray, counts: np.ndarray) -> list[bytes]:
     return [bytes(raw[byte_bound[i] : byte_bound[i + 1]]) for i in range(len(counts))]
 
 
+def _binary_blob(col: "pa.ChunkedArray", take_idx: "pa.Array") -> bytes:
+    """Concatenate a binary column's values in ``take_idx`` order as one
+    buffer. ``Array.take`` materializes values contiguously in taken order,
+    so the result's data buffer IS the concatenation — a single C gather
+    instead of a per-row ``.as_py()`` + join loop. Nulls contribute b''."""
+    arr = col.combine_chunks().take(take_idx)
+    offs_buf = arr.buffers()[1]
+    data_buf = arr.buffers()[2]
+    if data_buf is None:
+        return b""
+    width = 8 if pa.types.is_large_binary(arr.type) else 4
+    dt = np.int64 if width == 8 else np.int32
+    offs = np.frombuffer(offs_buf, dtype=dt)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    return data[int(offs[0]) : int(offs[-1])].tobytes()
+
+
 def _grouped_take(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Vectorized concat of aranges: [starts[i] .. starts[i]+lengths[i]) ."""
     total = int(lengths.sum())
@@ -329,7 +378,8 @@ def invert_batch_fn(batch: pa.Table, cfg: IndexConfig, text_col: str,
     every config field that changes the inverter's output, so rebuilding the
     same index_path with a different IndexConfig never reuses stale state."""
     key = (cfg.index_path, text_col, id_col, cfg.id_min, cfg.id_max,
-           cfg.n_buckets, cfg.n_hparts, cfg.lang_col, cfg.store_positions)
+           cfg.n_buckets, cfg.n_hparts, cfg.lang_col, cfg.store_positions,
+           cfg.extra_fields)
     inv = _INVERTER_SINGLETON.get(key)
     if inv is None:
         inv = Inverter(cfg, text_col, id_col)
@@ -363,55 +413,54 @@ def _merge_group(group: pa.Table, store_positions: bool) -> pa.Table:
     starts = np.flatnonzero(new_term)
     ends = np.append(starts[1:], len(terms_s))
 
-    # bulk-decode the compressed partial rows in term-sorted row order:
-    # docs are per-row delta VInts (first absolute) → segmented cumsum
+    # bulk-decode the partial rows in term-sorted row order: the reorder-and-
+    # concatenate of each binary column is ONE arrow take (the taken array's
+    # data buffer IS the bytes in row order) — no per-row Python join
     srow_lens = row_lens[order]
     srow_offs = np.concatenate(([0], np.cumsum(srow_lens)))
-    docb_col = group.column("doc_bytes")
-    freqb_col = group.column("freq_bytes")
-    normb_col = group.column("norm_bytes")
-    doc_blob = b"".join(docb_col[int(r)].as_py() or b"" for r in order)
-    freq_blob = b"".join(freqb_col[int(r)].as_py() or b"" for r in order)
-    norm_blob = b"".join(normb_col[int(r)].as_py() or b"" for r in order)
+    take_idx = pa.array(order)
+    doc_blob = _binary_blob(group.column("doc_bytes"), take_idx)
+    freq_blob = _binary_blob(group.column("freq_bytes"), take_idx)
+    norm_blob = _binary_blob(group.column("norm_bytes"), take_idx)
     total_vals = int(srow_offs[-1])
-    d_deltas = read_vints(np.frombuffer(doc_blob, dtype=np.uint8), total_vals)
-    nz = srow_lens > 0
-    g_docs = _segmented_cumsum_reset(
-        d_deltas.astype(np.int64), srow_offs[:-1][nz], srow_lens[nz]
-    )
+    # docs are raw little-endian int64 on the shuffle wire (see Inverter)
+    g_docs = np.frombuffer(doc_blob, dtype="<i8")
+    if g_docs.size != total_vals:
+        raise ValueError(
+            f"doc stream corrupt: {g_docs.size} values, expected {total_vals}")
+    g_docs = g_docs.astype(np.int64, copy=False)
     g_freqs = read_vints(
         np.frombuffer(freq_blob, dtype=np.uint8), total_vals
     ).astype(np.int32)
     g_norms = np.frombuffer(norm_blob, dtype=np.uint8)
 
-    # bulk-decode position streams in term-sorted row order
+    # Position streams are NEVER decoded in the merge: each (term, doc)
+    # pair's run is a self-contained VInt segment (first delta absolute per
+    # pair — see Inverter), and the final on-disk layout is the same per-doc
+    # runs concatenated in merged doc order. So merging positions is a pure
+    # BYTE reorder: scan terminators once to find each pair's byte segment,
+    # then gather segments per term in doc order. (Was: full decode →
+    # segmented cumsum → re-delta → re-encode; ~2/3 of reducer CPU.)
     has_pos = store_positions
     if has_pos:
-        posb_col = group.column("pos_bytes")
-        pos_blob = b"".join(
-            posb_col[int(r)].as_py() or b"" for r in order
-        )
-        pos_deltas = read_vints(np.frombuffer(pos_blob, dtype=np.uint8))
-        # runs = (term,doc) pairs in g order; run length = g_freqs, but the
-        # doclen sentinel rows carry no positions — their freqs must not
-        # consume the stream. Mask them out.
+        pos_blob = _binary_blob(group.column("pos_bytes"), take_idx)
+        pb = np.frombuffer(pos_blob, dtype=np.uint8)
+        pos_ends = np.flatnonzero((pb & 0x80) == 0)
+        # pair value counts in row-sorted pair order; doclen sentinel rows
+        # carry no positions
         is_doclen_row = terms_s == DOCLEN_TERM
         pair_has_pos = ~np.repeat(is_doclen_row, srow_lens)
         pos_counts = np.where(pair_has_pos, g_freqs.astype(np.int64), 0)
-        pos_offs = np.concatenate(([0], np.cumsum(pos_counts)))
-        run_starts = pos_offs[:-1][pos_counts > 0]
-        run_lens = pos_counts[pos_counts > 0]
-        if pos_deltas.size != pos_offs[-1]:
+        vbound = np.cumsum(pos_counts)
+        if int(vbound[-1] if vbound.size else 0) != pos_ends.size:
             raise ValueError(
-                f"position stream corrupt: {pos_deltas.size} values, "
-                f"expected {pos_offs[-1]}"
+                f"position stream corrupt: {pos_ends.size} values, "
+                f"expected {int(vbound[-1] if vbound.size else 0)}"
             )
-        if pos_deltas.size:
-            pos_abs = _segmented_cumsum_reset(
-                pos_deltas.astype(np.int64), run_starts, run_lens
-            )
-        else:
-            pos_abs = np.empty(0, dtype=np.int64)
+        pair_byte_end = np.where(
+            vbound > 0, pos_ends[np.maximum(vbound, 1) - 1] + 1, 0
+        ).astype(np.int64)
+        pair_byte_start = np.concatenate(([0], pair_byte_end[:-1]))
 
     out = {k: [] for k in (
         "bucket", "term", "df", "ttf", "max_freq", "max_norm", "doc_bytes",
@@ -431,16 +480,10 @@ def _merge_group(group: pa.Table, store_positions: bool) -> pa.Table:
 
         pos_stream = b""
         if has_pos and term != DOCLEN_TERM:
-            # gather this term's position values in merged doc order, re-delta
-            pstarts = pos_offs[v0:v1][ordd]
-            plens = g_freqs[v0:v1][ordd].astype(np.int64)
-            ptake = _grouped_take(pstarts, plens)
-            p_vals = pos_abs[ptake]
-            d = p_vals.copy()
-            nrs = np.concatenate(([0], np.cumsum(plens)[:-1]))
-            d[1:] -= p_vals[:-1]
-            d[nrs] = p_vals[nrs]
-            pos_stream = write_vints(d.astype(np.uint64)).tobytes()
+            # gather this term's pairs' byte segments in merged doc order
+            bstarts = pair_byte_start[v0:v1][ordd]
+            blens = (pair_byte_end[v0:v1] - pair_byte_start[v0:v1])[ordd]
+            pos_stream = pb[_grouped_take(bstarts, blens)].tobytes()
 
         enc = encode_postings(docs, freqs, norms, None)
         out["bucket"].append(bucket)
@@ -656,6 +699,9 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
 
     @ray.remote
     def reduce_part(index_path: str, store_pos_: bool, *tables):
+        import time as _t
+
+        t_start = _t.perf_counter()
         tabs = [t for t in tables if t is not None and t.num_rows]
         if not tabs:
             return []
@@ -665,11 +711,28 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
             * cfg.n_hparts
             + t.column("hpart").to_numpy(zero_copy_only=False).astype(np.int64)
         )
+        t_concat = _t.perf_counter()
         out_rows = []
+        prof_dir = os.environ.get("GRAFT_CPROFILE_REDUCE")
         for kv in np.unique(key):
             g = t.filter(pa.array(key == kv))
-            m = _merge_write_group(g, store_pos_, index_path)
+            if prof_dir:
+                import cProfile
+
+                pr = cProfile.Profile()
+                pr.enable()
+                m = _merge_write_group(g, store_pos_, index_path)
+                pr.disable()
+                pr.dump_stats(os.path.join(prof_dir, f"red_{int(kv)}.prof"))
+            else:
+                m = _merge_write_group(g, store_pos_, index_path)
             out_rows.append({c: m.column(c)[0].as_py() for c in m.column_names})
+        if os.environ.get("GRAFT_PROF_REDUCE"):
+            import sys as _sys
+
+            print(f"[red] concat={t_concat-t_start:.2f}s "
+                  f"merge+write={_t.perf_counter()-t_concat:.2f}s "
+                  f"rows={t.num_rows}", file=_sys.stderr)
         return out_rows
 
     # Stream map-output blocks into split tasks in groups of 4: bounds the

@@ -57,6 +57,10 @@ def read_vints(buf: np.ndarray, count: int | None = None) -> np.ndarray:
     b = np.asarray(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if count is not None and count == b.size and not (b & 0x80).any():
+        # all values single-byte (the common case for freq streams):
+        # one cast instead of the terminator-scan decode
+        return b.astype(np.uint64)
     is_end = (b & 0x80) == 0  # terminator bytes
     # group index of each byte within its value
     ends = np.flatnonzero(is_end)

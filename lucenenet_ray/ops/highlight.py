@@ -62,7 +62,11 @@ def suggest_terms(reader, term: str, max_edits: int = 2, k: int = 5
     expr = (pc.utf8_length(pc.field("term")) >= lo) & (
         pc.utf8_length(pc.field("term")) <= hi
     )
+    from lucenenet_ray.search.query import FIELD_SEP
+
     t = reader._termstats().to_table(columns=["term", "df"], filter=expr)
+    m = pc.invert(pc.match_substring(t.column("term"), FIELD_SEP))
+    t = t.filter(m)  # spell-check over the default (body) field only
     cands = t.column("term").to_pylist()
     dfs = t.column("df").to_pylist()
     out = []

@@ -126,9 +126,21 @@ SELECT term, count(DISTINCT doc_id) AS df FROM kept
 WHERE term LIKE '{esc}%' GROUP BY term ORDER BY term"""
 
 
-def _weights_cte(terms: list[str]) -> str:
-    """Per-term float32 weightValue = idf * (k1+1); df over the whole corpus."""
+def _weights_cte(terms: list[str], boosts: dict[str, float] | None = None) -> str:
+    """Per-term float32 weightValue = idf * boost * (k1+1); df over the whole
+    corpus. ``boosts`` maps term → query boost (default 1.0; TermWeight.build
+    float32 order: (idf * boost) * (k1+1))."""
     terms_sql = ", ".join(f"'{t}'" for t in terms)
+    idf = ("CAST(ln(1 + (CAST((SELECT N FROM coll) AS DOUBLE) - df + 0.5)"
+           "/(df + 0.5)) AS REAL)")
+    if boosts:
+        boost_case = "CASE " + " ".join(
+            f"WHEN term = '{t}' THEN {_R.format(v=repr(float(b)))}"
+            for t, b in boosts.items()
+        ) + f" ELSE CAST(1.0 AS REAL) END"
+        wv = f"CAST(CAST({idf} * {boost_case} AS REAL) * {K1P1_R} AS REAL)"
+    else:
+        wv = f"{idf} * {K1P1_R}"
     return f"""
 qstats AS (
   SELECT term, count(DISTINCT doc_id) AS df FROM kept
@@ -136,13 +148,38 @@ qstats AS (
 ),
 qweights AS (
   SELECT term, df,
-    CAST(ln(1 + (CAST((SELECT N FROM coll) AS DOUBLE) - df + 0.5)/(df + 0.5)) AS REAL) AS idf,
-    CAST(ln(1 + (CAST((SELECT N FROM coll) AS DOUBLE) - df + 0.5)/(df + 0.5)) AS REAL) * {K1P1_R} AS wv
+    {idf} AS idf,
+    {wv} AS wv
   FROM qstats
 )"""
 
 
-def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or") -> str:
+def field_term_lookup_sql(field: str, value: str, k: int = 10) -> str:
+    """Keyword-field TermQuery oracle: every doc with {field}={value} scores
+    the same omit-norms BM25: wv·f/(f+k1) with f=1 and norm=k1
+    (BM25Similarity.cs:265-270 with norms==null). Tie-break doc_id asc."""
+    return f"""WITH
+fstats AS (
+  SELECT count(*) AS df FROM documents WHERE {field} = '{value}'
+),
+w AS (
+  SELECT CAST(CAST(ln(1 + (CAST((SELECT count(*) FROM documents) AS DOUBLE)
+          - df + 0.5)/(df + 0.5)) AS REAL) * {K1P1_R} AS REAL) AS wv
+  FROM fstats
+),
+scored AS (
+  SELECT d.doc_id,
+         ((SELECT wv FROM w) * CAST(1.0 AS REAL))
+           / (CAST(1.0 AS REAL) + {K1_R}) AS score
+  FROM documents d WHERE d.{field} = '{value}'
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or",
+                  boosts: dict[str, float] | None = None) -> str:
     """Full BM25 top-k oracle — float32-bit-identical to the engine.
 
     mode 'or'  → BooleanQuery of SHOULD TermQuery clauses
@@ -165,7 +202,7 @@ def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or") -> str:
         and_filter = "HAVING count(DISTINCT term) >= " + mode[3:]
     else:
         and_filter = ""
-    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms)},
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms, boosts)},
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS REAL) AS f
   FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term

@@ -264,13 +264,16 @@ def index_documents(
     src = os.path.join(sf_dir, "documents.parquet")
     md = pq.read_metadata(src)
     n = md.num_rows
-    ds = rd.read_parquet(src, columns=["doc_id", "text"])
+    ds = rd.read_parquet(src, columns=["doc_id", "text", "source"])
     cfg = IndexConfig(
         index_path=index_path,
         id_min=0,
         id_max=max(n - 1, 1),
         n_buckets=n_buckets,
         concurrency=concurrency,
+        # multi-field schema (SURVEY §1.3): body text + keyword `source`
+        # (StringField analog — field-qualified PK-style lookups)
+        extra_fields=(("source", "source", False),),
     )
     return build_index(ds, cfg, text_col="text", id_col="doc_id")
 
@@ -281,7 +284,9 @@ _INDEX_CACHE: dict[str, str] = {}
 def documents_index_for(sf_dir: str, cache_root: str = "/tmp/lucenenet_ray_idx") -> str:
     """Build (once per process/sf) the documents index; returns index path."""
     key = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(cache_root, f"documents_{key}")
+    # v2: multi-field schema (body + keyword source) — new cache dir so
+    # stale single-field indexes from earlier rounds are never reused
+    path = os.path.join(cache_root, f"documents_v2_{key}")
     if key not in _INDEX_CACHE:
         if not os.path.exists(os.path.join(path, "manifest.json")):
             index_documents(sf_dir, path)

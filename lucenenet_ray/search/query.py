@@ -37,6 +37,21 @@ class Occur(Enum):
     MUST_NOT = "-"
 
 
+# Multi-field postings share one term dictionary: a term of field F is stored
+# as "F\x1fterm" (the unit-separator control char can never appear inside an
+# analyzed token). The default field ("body") is UNPREFIXED, so single-field
+# indexes/queries are unchanged. Mirrors Lucene keying postings by
+# (field, term) (``Index/Term.cs``, ``FieldInfos.cs``); non-default fields
+# omit norms in v1 (Lucene's omitNorms → BM25 scores with norm = k1,
+# ``BM25Similarity.cs:267-268``).
+FIELD_SEP = "\x1f"
+DEFAULT_FIELD = "body"
+
+
+def field_term(field: str, term: str) -> str:
+    return term if field == DEFAULT_FIELD else f"{field}{FIELD_SEP}{term}"
+
+
 @dataclass(frozen=True)
 class Query:
     boost: float = 1.0
@@ -218,7 +233,9 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None) -> Query:
     analyzer = analyzer or StandardAnalyzer()
     import re as _re
 
-    tokens = _re.findall(r'"[^"]*"(?:~\d+)?|\[[^\]]*\]|\S+', text)
+    tokens = _re.findall(
+        r'(?:[A-Za-z_][\w]*:)?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?|\[[^\]]*\]|\S+',
+        text)
     clauses: list[BooleanClause] = []
     next_occur = Occur.SHOULD
     prev_and = False  # AND binds the previous and next clause to MUST
@@ -254,6 +271,17 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None) -> Query:
             raw = raw[1:]
         if not raw:
             continue
+        # `term^2` / `"phrase"^2` boost suffix (QueryParserBase.HandleBoost)
+        boost = 1.0
+        m = _re.match(r'^(.*[^\s^])\^([\d.]+)$', raw)
+        if m and not raw.startswith("["):
+            raw, boost = m.group(1), float(m.group(2))
+        # `field:...` qualifier (QueryParserBase field handling); the default
+        # field is unprefixed in the term dictionary
+        fld = DEFAULT_FIELD
+        m = _re.match(r'^([A-Za-z_][\w]*):(.+)$', raw)
+        if m:
+            fld, raw = m.group(1), m.group(2)
         if raw.startswith('"'):
             # "..."~N = sloppy phrase (QueryParserBase.GetFieldQuery slop
             # handling; PhraseQuery.Slop)
@@ -268,36 +296,39 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None) -> Query:
                 continue
             base = positions[0]
             if len(terms) == 1:
-                add(TermQuery(term=terms[0]), occur)
+                add(TermQuery(term=field_term(fld, terms[0]), boost=boost), occur)
             else:
                 add(
-                    PhraseQuery(terms=tuple((t, p - base) for t, p in zip(terms, positions)),
-                                slop=slop),
+                    PhraseQuery(terms=tuple((field_term(fld, t), p - base)
+                                            for t, p in zip(terms, positions)),
+                                slop=slop, boost=boost),
                     occur,
                 )
             continue
         if raw.startswith("[") and " TO " in raw:
             lo, hi = raw.strip("[]").split(" TO ")
-            add(TermRangeQuery(lower=lo.strip() or None, upper=hi.strip() or None), occur)
+            add(TermRangeQuery(lower=field_term(fld, lo.strip()) if lo.strip() else None,
+                               upper=field_term(fld, hi.strip()) if hi.strip() else None,
+                               boost=boost), occur)
             continue
         if raw.endswith("*") and "*" not in raw[:-1] and "?" not in raw and len(raw) > 1:
-            add(PrefixQuery(prefix=raw[:-1].lower()), occur)
+            add(PrefixQuery(prefix=field_term(fld, raw[:-1].lower()), boost=boost), occur)
             continue
         if ("*" in raw or "?" in raw) and not raw.startswith(("*", "?")):
-            add(WildcardQuery(pattern=raw.lower()), occur)
+            add(WildcardQuery(pattern=field_term(fld, raw.lower()), boost=boost), occur)
             continue
         if raw.endswith("~") and len(raw) > 1:
-            add(FuzzyQuery(term=raw[:-1].lower()), occur)
+            add(FuzzyQuery(term=field_term(fld, raw[:-1].lower()), boost=boost), occur)
             continue
         terms, positions = analyzer(raw)
         if not terms:
             add(None, occur)
         elif len(terms) == 1:
-            add(TermQuery(term=terms[0]), occur)
+            add(TermQuery(term=field_term(fld, terms[0]), boost=boost), occur)
         else:
             # one raw token analyzing to several terms (e.g. "xyz@example.com")
             for t in terms:
-                add(TermQuery(term=t), occur)
+                add(TermQuery(term=field_term(fld, t), boost=boost), occur)
 
     if not clauses:
         # all terms analyzed away (e.g. pure stopwords): an empty BooleanQuery

@@ -307,17 +307,34 @@ class IndexReader:
             WildcardQuery,
         )
 
+        from lucenenet_ray.search.query import FIELD_SEP
+
+        def qfield(s_):
+            return s_.split(FIELD_SEP, 1)[0] if s_ and FIELD_SEP in s_ else None
+
+        def field_filter(terms_, qf):
+            # fields share one term dictionary ("F\x1fterm"): an expansion
+            # must stay inside its own field — a body prefix scan must not
+            # leak "source\x1f..." terms and vice versa (per-field TermsEnum)
+            return [t for t in terms_
+                    if (t.split(FIELD_SEP, 1)[0] if FIELD_SEP in t else None) == qf]
+
         if isinstance(q, PrefixQuery):
-            out = self.terms_in_range(q.prefix, _prefix_successor(q.prefix))
+            out = field_filter(
+                self.terms_in_range(q.prefix, _prefix_successor(q.prefix)),
+                qfield(q.prefix))
         elif isinstance(q, TermRangeQuery):
-            out = self.terms_in_range(q.lower, q.upper,
-                                      q.include_lower, q.include_upper)
+            out = field_filter(
+                self.terms_in_range(q.lower, q.upper,
+                                    q.include_lower, q.include_upper),
+                qfield(q.lower if q.lower is not None else q.upper))
         elif isinstance(q, (WildcardQuery, RegexpQuery)):
             pat = q.pattern
             lit = _literal_prefix(pat, wildcard=isinstance(q, WildcardQuery))
             cand = self.terms_in_range(lit or None,
                                        _prefix_successor(lit) if lit else None)
-            out = [t for t in cand if q.matches_term(t)]
+            out = field_filter([t for t in cand if q.matches_term(t)],
+                               qfield(pat))
         elif isinstance(q, FuzzyQuery):
             k = q.max_edits
             lo, hi = max(0, len(q.term) - k), len(q.term) + k
@@ -327,8 +344,9 @@ class IndexReader:
             t = self._termstats().to_table(columns=["term"], filter=expr)
             from lucenenet_ray.search.query import _levenshtein_within
 
+            qf = qfield(q.term)
             scored = []
-            for term in t.column("term").to_pylist():
+            for term in field_filter(t.column("term").to_pylist(), qf):
                 for d in range(k + 1):
                     if _levenshtein_within(term, q.term, d):
                         scored.append((d, term))

@@ -70,31 +70,48 @@ class QueryPlan:
     num_docs: int
     avgdl: np.float32
     cache: np.ndarray  # float32[256]
-    weights: dict[str, TermWeight]
+    # weights keyed (term, boost): weightValue = idf * boost * (k1+1), so the
+    # same term under different boosts gets distinct float32 weights
+    # (TermWeight/BM25Stats; QueryParser ^boost)
+    weights: dict[tuple[str, float], TermWeight]
     phrase_weights: dict[tuple, np.float32]  # phrase terms → weight_value
     # MultiTermQuery rewrites keyed by the frozen query node itself (NOT
     # id(q)): plans are pickled to QueryServer actors, and value-based keys
     # survive serialization where object identity does not.
     expansions: dict[Query, tuple[str, ...]]
     all_terms: tuple[str, ...]
+    # norm cache used for omit-norms fields (every entry = k1: "if there are
+    # no norms, we act as if b=0", BM25Similarity.cs:267-268)
+    cache_k1: np.ndarray = None
+
+    def cache_for(self, term: str) -> np.ndarray:
+        from lucenenet_ray.search.query import FIELD_SEP
+
+        return self.cache_k1 if FIELD_SEP in term else self.cache
 
 
 def _collect_terms(q: Query, reader: IndexReader, terms: set[str],
+                   wkeys: set[tuple[str, float]],
                    expansions: dict[Query, tuple[str, ...]]) -> None:
     if isinstance(q, TermQuery):
         terms.add(q.term)
+        wkeys.add((q.term, float(q.boost)))
     elif isinstance(q, PhraseQuery):
         terms.update(t for t, _ in q.terms)
+        wkeys.update((t, 1.0) for t, _ in q.terms)  # idf lookup for phrases
     elif isinstance(q, BooleanQuery):
         for c in q.clauses:
-            _collect_terms(c.query, reader, terms, expansions)
+            _collect_terms(c.query, reader, terms, wkeys, expansions)
     elif isinstance(q, DisjunctionMaxQuery):
         for sq in q.disjuncts:
-            _collect_terms(sq, reader, terms, expansions)
+            _collect_terms(sq, reader, terms, wkeys, expansions)
     elif isinstance(q, MultiTermQuery):
         exp = tuple(reader.expand_query(q))
         expansions[q] = exp
         terms.update(exp)
+        # scoring-boolean rewrite: each expanded TermQuery inherits the
+        # parent query's boost (MultiTermQuery.ScoringBooleanQueryRewrite)
+        wkeys.update((t, float(q.boost)) for t in exp)
     elif isinstance(q, MatchAllDocsQuery):
         pass
     else:  # pragma: no cover
@@ -105,14 +122,17 @@ def plan_query(reader: IndexReader, query: Query,
                k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> QueryPlan:
     """Rewrite + weight computation (the CreateNormalizedWeight analog)."""
     terms: set[str] = set()
+    wkeys: set[tuple[str, float]] = set()
     expansions: dict[Query, tuple[str, ...]] = {}
-    _collect_terms(query, reader, terms, expansions)
+    _collect_terms(query, reader, terms, wkeys, expansions)
     stats = reader.term_stats(sorted(terms))
     n = reader.num_docs
     avgdl = avg_field_length(reader.sum_total_term_freq, n)
     cache = norm_cache(avgdl, k1, b)
     weights = {
-        t: TermWeight.build(t, df, ttf, n, k1=k1) for t, (df, ttf) in stats.items()
+        (t, bo): TermWeight.build(t, stats[t][0], stats[t][1], n, boost=bo, k1=k1)
+        for (t, bo) in wkeys
+        if t in stats
     }
 
     phrase_weights: dict[tuple, np.float32] = {}
@@ -123,8 +143,9 @@ def plan_query(reader: IndexReader, query: Query,
             # (BM25Similarity.IdfExplain(TermStatistics[]), :209-224)
             s = np.float32(0.0)
             for t, _ in q.terms:
-                if t in weights:
-                    s = np.float32(s + weights[t].idf)
+                w = weights.get((t, 1.0))
+                if w is not None:
+                    s = np.float32(s + w.idf)
             phrase_weights[q.terms] = np.float32(
                 np.float32(s * np.float32(q.boost)) * np.float32(np.float32(k1) + np.float32(1.0))
             )
@@ -144,6 +165,7 @@ def plan_query(reader: IndexReader, query: Query,
         phrase_weights=phrase_weights,
         expansions=expansions,
         all_terms=tuple(sorted(terms)),
+        cache_k1=np.full(256, np.float32(k1), dtype=np.float32),
     )
 
 
@@ -164,8 +186,8 @@ def _concat_ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) + np.repeat(starts - shifted, lengths)
 
 
-def _eval_term(term: str, chunks: dict[str, PostingsChunk], plan: QueryPlan,
-               bucket: BucketData) -> tuple[np.ndarray, np.ndarray]:
+def _eval_term(term: str, boost: float, chunks: dict[str, PostingsChunk],
+               plan: QueryPlan, bucket: BucketData) -> tuple[np.ndarray, np.ndarray]:
     """→ (bucket-local doc rows ascending, float32 scores).
 
     All evaluation below works in DENSE bucket-local doc coordinates: every
@@ -173,12 +195,12 @@ def _eval_term(term: str, chunks: dict[str, PostingsChunk], plan: QueryPlan,
     work is pure fancy-indexing — no searchsorted in the hot path (was 60%
     of query time at 800k docs)."""
     c = chunks.get(term)
-    w = plan.weights.get(term)
+    w = plan.weights.get((term, float(boost)))
     if c is None or w is None:
         return _EMPTY_D, _EMPTY_S
     lidx = c.local_ids(bucket)
     norms = bucket.norms()[2][lidx]
-    scores = score_freqs(c.freqs(), norms, w.weight_value, plan.cache)
+    scores = score_freqs(c.freqs(), norms, w.weight_value, plan.cache_for(term))
     return lidx, scores
 
 
@@ -312,9 +334,13 @@ def _eval_multiterm(q: MultiTermQuery, chunks: dict[str, PostingsChunk],
             return _EMPTY_D, _EMPTY_S
         lidx = np.flatnonzero(mask)
         return lidx, np.full(lidx.size, np.float32(q.boost), dtype=np.float32)
-    # SCORING_BOOLEAN rewrite: OR of TermQueries in term order
+    # SCORING_BOOLEAN rewrite: OR of TermQueries in term order, each clause
+    # inheriting the parent boost (ScoringRewrite.cs)
     sub = BooleanQuery(
-        clauses=tuple(BooleanClause(Occur.SHOULD, TermQuery(term=t)) for t in exp)
+        clauses=tuple(
+            BooleanClause(Occur.SHOULD, TermQuery(term=t, boost=q.boost))
+            for t in exp
+        )
     )
     return _eval_boolean(sub, chunks, plan, bucket)
 
@@ -344,7 +370,7 @@ def _eval_dismax(q: DisjunctionMaxQuery, chunks: dict[str, PostingsChunk],
 def _eval_query(q: Query, chunks: dict[str, PostingsChunk], plan: QueryPlan,
                 bucket: BucketData) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(q, TermQuery):
-        return _eval_term(q.term, chunks, plan, bucket)
+        return _eval_term(q.term, q.boost, chunks, plan, bucket)
     if isinstance(q, PhraseQuery):
         return _eval_phrase(q, chunks, plan, bucket)
     if isinstance(q, BooleanQuery):
@@ -450,7 +476,7 @@ def _decode_freq_block(c: PostingsChunk, bi: int) -> np.ndarray:
     return read_vints(buf[start:end], count).astype(np.int32)
 
 
-def _eval_term_restricted(term: str, matched: np.ndarray,
+def _eval_term_restricted(term: str, boost: float, matched: np.ndarray,
                           chunks: dict[str, PostingsChunk],
                           plan: QueryPlan, bucket: BucketData
                           ) -> tuple[np.ndarray, np.ndarray]:
@@ -460,9 +486,10 @@ def _eval_term_restricted(term: str, matched: np.ndarray,
     with few touched blocks: skip-in via block_last_doc and decode only those
     128-blocks (the skip list at work)."""
     c = chunks.get(term)
-    w = plan.weights.get(term)
+    w = plan.weights.get((term, float(boost)))
     if c is None or w is None:
         return _EMPTY_D, _EMPTY_S
+    cache = plan.cache_for(term)
     if c._docs is not None:
         lidx = c.local_ids(bucket)
         m = matched[lidx]
@@ -470,7 +497,7 @@ def _eval_term_restricted(term: str, matched: np.ndarray,
             return _EMPTY_D, _EMPTY_S
         lsel = lidx[m]
         norms = bucket.norms()[2][lsel]
-        return lsel, score_freqs(c.freqs()[m], norms, w.weight_value, plan.cache)
+        return lsel, score_freqs(c.freqs()[m], norms, w.weight_value, cache)
     cand_docs = bucket.norms()[0][np.flatnonzero(matched)]
     blocks = np.unique(np.searchsorted(c.block_last_doc, cand_docs))
     blocks = blocks[blocks < len(c.block_last_doc)]
@@ -481,7 +508,7 @@ def _eval_term_restricted(term: str, matched: np.ndarray,
             return _EMPTY_D, _EMPTY_S
         lsel = lidx[m]
         norms = bucket.norms()[2][lsel]
-        return lsel, score_freqs(c.freqs()[m], norms, w.weight_value, plan.cache)
+        return lsel, score_freqs(c.freqs()[m], norms, w.weight_value, cache)
     out_d: list[np.ndarray] = []
     out_f: list[np.ndarray] = []
     for bi in blocks:
@@ -512,13 +539,15 @@ def _eval_or_pruned(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Que
     block skipping. Contributions replay in clause order → bit-identical.
     All in dense bucket-local coordinates."""
     terms = [c.query.term for c in q.clauses]
+    boosts = [c.query.boost for c in q.clauses]
     nb = bucket.n_docs
     ubs = np.zeros(len(terms), dtype=np.float64)
     for i, t in enumerate(terms):
         c = chunks.get(t)
-        w = plan.weights.get(t)
+        w = plan.weights.get((t, float(boosts[i])))
         if c is not None and w is not None:
-            ubs[i] = float(upper_bound(c.max_freq, c.max_norm, w.weight_value, plan.cache))
+            ubs[i] = float(upper_bound(c.max_freq, c.max_norm, w.weight_value,
+                                       plan.cache_for(t)))
     order = np.argsort(-ubs, kind="stable")
     contributions: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     acc = np.zeros(nb, dtype=np.float32)
@@ -539,15 +568,15 @@ def _eval_or_pruned(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Que
             if remaining < theta_safe:
                 switch_at = oi
                 break
-        d, s = _eval_term(terms[ci], chunks, plan, bucket)
+        d, s = _eval_term(terms[ci], boosts[ci], chunks, plan, bucket)
         contributions[ci] = (d, s)
         if d.size:
             acc[d] += s
             matched[d] = True
             n_matched = int(matched.sum())
     for ci in order[switch_at:]:
-        contributions[ci] = _eval_term_restricted(terms[ci], matched, chunks,
-                                                  plan, bucket)
+        contributions[ci] = _eval_term_restricted(terms[ci], boosts[ci], matched,
+                                                  chunks, plan, bucket)
     # replay in clause order for float32 bit-identity with the naive path
     final = np.zeros(nb, dtype=np.float32)
     for ci in range(len(terms)):

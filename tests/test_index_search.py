@@ -198,7 +198,14 @@ def test_index_invariants(documents_index, corpus):
     for v in toks.values():
         for term in set(v):
             odf[term] += 1
-    assert total_terms_df == dict(odf)
+    from lucenenet_ray.search.query import FIELD_SEP
+
+    body_df = {t: v for t, v in total_terms_df.items() if FIELD_SEP not in t}
+    assert body_df == dict(odf)
+    # the keyword `source` field is indexed alongside body (multi-field)
+    field_df = {t: v for t, v in total_terms_df.items() if FIELD_SEP in t}
+    assert field_df and all(t.startswith("source" + FIELD_SEP) for t in field_df)
+    assert sum(field_df.values()) == manifest["n_docs"]  # one source per doc
 
 
 def test_determinism_across_parallelism(ray_session, tmp_path, documents_index):
@@ -213,10 +220,12 @@ def test_determinism_across_parallelism(ray_session, tmp_path, documents_index):
     base_path, _ = documents_index
     p2 = str(tmp_path / "idx2")
     ds = rd.read_parquet(
-        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "source"],
     )
     cfg = IndexConfig(index_path=p2, id_min=0, id_max=499, n_buckets=4,
-                      batch_size=137, concurrency=2)  # different execution shape
+                      batch_size=137, concurrency=2,  # different execution shape
+                      extra_fields=(("source", "source", False),))
     build_index(ds, cfg)
     for sub in ("postings", "norms"):
         a_files = sorted(os.listdir(os.path.join(base_path, sub)))
