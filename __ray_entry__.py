@@ -209,6 +209,41 @@ def _q_bm25_boosted(sf_dir: str) -> pa.Table:
     return _topdocs_to_table(td)
 
 
+def _q_bm25_after_delete(sf_dir: str) -> pa.Table:
+    """Tombstone deletes (IndexWriter.DeleteDocuments(Term) analog,
+    IndexWriter.cs:1596-1720 / index/deletes.py): delete-by-term 'dup' is
+    appended to a sidecar tombstone log; the same "spark window" OR query
+    then excludes every doc containing 'dup' while idf/norms/avgdl keep
+    their full-corpus values — Lucene's pre-merge liveDocs semantics."""
+    import shutil
+
+    from lucenenet_ray.index.deletes import delete_documents
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    ddir = os.path.join(
+        "/tmp/lucenenet_ray_deletes",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(ddir, ignore_errors=True)
+    delete_documents(ddir, ["dup"])
+    r = IndexReader(_index_path(sf_dir), deletes_path=ddir)
+    q = BooleanQuery(
+        clauses=tuple(
+            BooleanClause(Occur.SHOULD, TermQuery(term=t))
+            for t in ["spark", "window"]
+        )
+    )
+    td = search(r, q, k=TOPK, prune=True)
+    return _topdocs_to_table(td)
+
+
 def _q_facet_lang(sf_dir: str) -> Any:
     """Facet counts (FacetsCollector analog): groupby(lang).count()."""
     import ray.data as rd
@@ -589,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_multilang": _q_term_stats_multilang,
         "field_term_lookup": _q_field_term_lookup,
         "bm25_boosted": _q_bm25_boosted,
+        "bm25_after_delete": _q_bm25_after_delete,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -625,6 +661,8 @@ def oracle_sql() -> dict[str, str]:
         "field_term_lookup": so.field_term_lookup_sql("source", "src7", TOPK),
         "bm25_boosted": so.bm25_topk_sql(
             ["spark", "window"], TOPK, "or", boosts={"spark": 2.0}),
+        "bm25_after_delete": so.bm25_topk_sql(
+            ["spark", "window"], TOPK, "or", deleted_terms=["dup"]),
         # highlight: rows-only (no SQL rendering)
         # pages_flagship, knn_lsh: intentionally no oracle (HTML extraction /
         # approximate recall; rows-only)

@@ -785,6 +785,34 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
     return rows
 
 
+def write_termstats(index_path: str, n_term_rows: int) -> None:
+    """Aggregate global (term, df, ttf) across buckets from the postings dir.
+    Below ~2M term rows a driver-side pyarrow aggregate beats a distributed
+    groupby's fixed costs; above it the Ray groupby shuffles (web-scale vocab
+    ~1e9 rows → distributed)."""
+    import ray.data
+
+    ts_path = os.path.join(index_path, "termstats")
+    postings_dir = os.path.join(index_path, "postings")
+    if n_term_rows <= 2_000_000:
+        stats_t = pq.read_table(postings_dir, columns=["term", "df", "ttf"])
+        agg = pa.TableGroupBy(stats_t, "term").aggregate([("df", "sum"), ("ttf", "sum")])
+        agg = agg.rename_columns(["term", "df", "ttf"])
+        agg = agg.take(pc.sort_indices(agg.column("term")))
+        os.makedirs(ts_path, exist_ok=True)
+        _atomic_write_parquet(agg, os.path.join(ts_path, "termstats.parquet"))
+    else:
+        stats_ds = ray.data.read_parquet(postings_dir, columns=["term", "df", "ttf"])
+        from ray.data.aggregate import Sum
+
+        termstats = (
+            stats_ds.groupby("term")
+            .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+            .sort("term")
+        )
+        termstats.write_parquet(ts_path)
+
+
 def build_index(
     ds,
     cfg: IndexConfig,
@@ -868,26 +896,8 @@ def build_index(
     # rows number n_buckets × bucket-vocab; below ~2M rows a driver-side
     # pyarrow aggregate beats a distributed groupby's fixed costs, above it
     # the Ray groupby shuffles (vocab at web scale is ~1e9 rows → distributed).
-    ts_path = os.path.join(cfg.index_path, "termstats")
     n_term_rows = sum(r["n_terms"] for r in buckets)
-    postings_dir = os.path.join(cfg.index_path, "postings")
-    if n_term_rows <= 2_000_000:
-        stats_t = pq.read_table(postings_dir, columns=["term", "df", "ttf"])
-        agg = pa.TableGroupBy(stats_t, "term").aggregate([("df", "sum"), ("ttf", "sum")])
-        agg = agg.rename_columns(["term", "df", "ttf"])
-        agg = agg.take(pc.sort_indices(agg.column("term")))
-        os.makedirs(ts_path, exist_ok=True)
-        _atomic_write_parquet(agg, os.path.join(ts_path, "termstats.parquet"))
-    else:
-        stats_ds = ray.data.read_parquet(postings_dir, columns=["term", "df", "ttf"])
-        from ray.data.aggregate import Sum
-
-        termstats = (
-            stats_ds.groupby("term")
-            .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
-            .sort("term")
-        )
-        termstats.write_parquet(ts_path)
+    write_termstats(cfg.index_path, n_term_rows)
 
     manifest = {
         "format_version": 1,

@@ -179,13 +179,19 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
 def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or",
-                  boosts: dict[str, float] | None = None) -> str:
+                  boosts: dict[str, float] | None = None,
+                  deleted_terms: list[str] | None = None) -> str:
     """Full BM25 top-k oracle — float32-bit-identical to the engine.
 
     mode 'or'  → BooleanQuery of SHOULD TermQuery clauses
     mode 'and' → MUST clauses (doc must contain every term)
     Output: (rank, doc_id, score DOUBLE) ordered by (score desc, doc_id asc)
     — HitQueue tie-break (HitQueue.cs:77-87).
+
+    ``deleted_terms``: tombstone delete-by-term semantics — docs containing
+    any of these terms are excluded from the RESULTS, but every statistic
+    (df, idf, norms, avgdl) is still computed over the full corpus, exactly
+    Lucene's pre-merge liveDocs model (deletes.py).
     """
     terms_sql = ", ".join(f"'{t}'" for t in terms)
     # float32 left-assoc sum in clause order
@@ -202,6 +208,14 @@ def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or",
         and_filter = "HAVING count(DISTINCT term) >= " + mode[3:]
     else:
         and_filter = ""
+    if deleted_terms:
+        dead_sql = ", ".join(f"'{t}'" for t in deleted_terms)
+        dead_filter = (
+            f"\n  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM kept"
+            f" WHERE term IN ({dead_sql}))"
+        )
+    else:
+        dead_filter = ""
     return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms, boosts)},
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS REAL) AS f
@@ -219,7 +233,7 @@ agg AS (
   FROM persc GROUP BY doc_id {and_filter}
 ),
 scored AS (
-  SELECT doc_id, {score_expr} AS score FROM agg
+  SELECT doc_id, {score_expr} AS score FROM agg{dead_filter}
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, CAST(score AS DOUBLE) AS score

@@ -168,6 +168,27 @@ class BucketData:
             self._postings_full = out
         return self._postings_full
 
+    _live_cache: tuple[tuple[str, ...], "np.ndarray | None"] | None = None
+
+    def live_mask(self, deleted_terms: tuple[str, ...]) -> np.ndarray | None:
+        """Bool[n_docs] live-docs mask resolving tombstone delete-by-term
+        entries against this bucket's postings (BufferedUpdatesStream's
+        apply-deletes-on-open; SegmentReader.LiveDocs). None = all live.
+        Cached per log state — resolved once, reused across queries."""
+        if not deleted_terms:
+            return None
+        if self._live_cache is not None and self._live_cache[0] == deleted_terms:
+            return self._live_cache[1]
+        live = np.ones(self.n_docs, dtype=bool)
+        chunks = self.chunks_for_terms(list(deleted_terms), full=False)
+        hit = False
+        for c in chunks.values():
+            live[c.local_ids(self)] = False
+            hit = True
+        mask = live if hit else None
+        self._live_cache = (deleted_terms, mask)
+        return mask
+
     def chunks_for_terms(self, terms: list[str], full: bool = True) -> dict[str, PostingsChunk]:
         """term → chunk for terms present in this bucket."""
         if full or self._postings_full is not None:
@@ -195,7 +216,8 @@ class BucketData:
 class IndexReader:
     """Whole-index handle: manifest + collection stats + buckets + term dict."""
 
-    def __init__(self, index_path: str, full_buckets: bool = True):
+    def __init__(self, index_path: str, full_buckets: bool = True,
+                 deletes_path: str | None = None):
         self.index_path = index_path
         with open(os.path.join(index_path, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -205,6 +227,16 @@ class IndexReader:
         self._buckets: dict[int, BucketData] = {}
         self._termstats_ds = None
         self._stats_cache: dict[str, tuple[int, int] | None] = {}
+        # tombstone deletes (IndexWriter.DeleteDocuments analog, deletes.py):
+        # default log location is <index>/deletes; pass an explicit sidecar
+        # path to apply deletes without touching a shared index
+        from lucenenet_ray.index.deletes import load_deleted_terms
+
+        self.deletes_path = (
+            deletes_path if deletes_path is not None
+            else os.path.join(index_path, "deletes")
+        )
+        self.deleted_terms: tuple[str, ...] = load_deleted_terms(self.deletes_path)
 
     @property
     def bucket_ids(self) -> list[int]:

@@ -83,6 +83,11 @@ class QueryPlan:
     # norm cache used for omit-norms fields (every entry = k1: "if there are
     # no norms, we act as if b=0", BM25Similarity.cs:267-268)
     cache_k1: np.ndarray = None
+    # tombstone delete-by-term entries captured at plan time (reader state →
+    # shipped with the plan to QueryServer actors; each bucket resolves its
+    # live mask once and caches it). Stats/weights above are over ALL docs —
+    # Lucene's pre-merge liveDocs semantics (SegmentReader liveDocs).
+    deleted_terms: tuple[str, ...] = ()
 
     def cache_for(self, term: str) -> np.ndarray:
         from lucenenet_ray.search.query import FIELD_SEP
@@ -166,6 +171,7 @@ def plan_query(reader: IndexReader, query: Query,
         expansions=expansions,
         all_terms=tuple(sorted(terms)),
         cache_k1=np.full(256, np.float32(k1), dtype=np.float32),
+        deleted_terms=getattr(reader, "deleted_terms", ()),
     )
 
 
@@ -450,11 +456,15 @@ def score_bucket(bucket: BucketData, plan: QueryPlan, k: int,
     inside chunks_for_terms."""
     chunks = bucket.chunks_for_terms(list(plan.all_terms), full=False)
     q = plan.query
+    live = bucket.live_mask(plan.deleted_terms)
     if prune and _is_pure_or_terms(q):
-        lidx, scores = _eval_or_pruned(q, chunks, plan, bucket, k)
+        lidx, scores = _eval_or_pruned(q, chunks, plan, bucket, k, live=live)
         total = int(lidx.size)
     else:
         lidx, scores = _eval_query(q, chunks, plan, bucket)
+        if live is not None and lidx.size:
+            keep = live[lidx]
+            lidx, scores = lidx[keep], scores[keep]
         total = int(lidx.size)
     docs = bucket.norms()[0][lidx] if lidx.size else _EMPTY_D
     d, s = _topk(docs, scores, k)
@@ -533,7 +543,8 @@ def _eval_term_restricted(term: str, boost: float, matched: np.ndarray,
 
 
 def _eval_or_pruned(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: QueryPlan,
-                    bucket: BucketData, k: int) -> tuple[np.ndarray, np.ndarray]:
+                    bucket: BucketData, k: int,
+                    live: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Lossless MaxScore: full-evaluate clauses in descending upper bound until
     no unseen doc can reach the top-k; then candidate-restricted scoring with
     block skipping. Contributions replay in clause order → bit-identical.
@@ -569,14 +580,21 @@ def _eval_or_pruned(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Que
                 switch_at = oi
                 break
         d, s = _eval_term(terms[ci], boosts[ci], chunks, plan, bucket)
+        if live is not None and d.size:
+            keepm = live[d]
+            d, s = d[keepm], s[keepm]
         contributions[ci] = (d, s)
         if d.size:
             acc[d] += s
             matched[d] = True
             n_matched = int(matched.sum())
     for ci in order[switch_at:]:
-        contributions[ci] = _eval_term_restricted(terms[ci], boosts[ci], matched,
-                                                  chunks, plan, bucket)
+        d, s = _eval_term_restricted(terms[ci], boosts[ci], matched,
+                                     chunks, plan, bucket)
+        if live is not None and d.size:
+            keepm = live[d]
+            d, s = d[keepm], s[keepm]
+        contributions[ci] = (d, s)
     # replay in clause order for float32 bit-identity with the naive path
     final = np.zeros(nb, dtype=np.float32)
     for ci in range(len(terms)):
@@ -633,6 +651,10 @@ def search(reader: IndexReader, query: Query, k: int = 10,
         else:
             chunks = bd.chunks_for_terms(list(plan.all_terms), full=False)
             lidx, scores = _eval_query(plan.query, chunks, plan, bd)
+            live = bd.live_mask(plan.deleted_terms)
+            if live is not None and lidx.size:
+                keepl = live[lidx]
+                lidx, scores = lidx[keepl], scores[keepl]
             docs = bd.norms()[0][lidx] if lidx.size else _EMPTY_D
             a_s = np.float32(after[0])
             a_d = np.int64(after[1])
