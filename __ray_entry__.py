@@ -244,6 +244,95 @@ def _q_bm25_after_delete(sf_dir: str) -> pa.Table:
     return _topdocs_to_table(td)
 
 
+def _q_bm25_multiphrase(sf_dir: str) -> pa.Table:
+    """MultiPhraseQuery "batch (merge|line)" (Search/MultiPhraseQuery.cs):
+    slot 1 unions two terms — the query-time synonym-injection shape
+    (SynonymFilter → stacked tokens → MultiPhraseQuery)."""
+    from lucenenet_ray.search.query import MultiPhraseQuery
+    from lucenenet_ray.search.searcher import search
+
+    q = MultiPhraseQuery(slots=((("batch",), 0), (("merge", "line"), 1)))
+    td = search(_reader(sf_dir), q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
+_SHINGLE_AN = None
+_ENGLISH_AN = None
+
+
+def _term_stats_pipeline(sf_dir: str, analyzer_fn, n: int) -> pa.Table:
+    """Distributed analyzer-driven term stats: per-batch partial (df, ttf)
+    counts (docs never split across rows, so batch partials are exact) →
+    groupby(term) sum → distributed (df desc, term asc) sort → limit(n)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        an = analyzer_fn()
+        df: Counter = Counter()
+        ttf: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            terms, _pos = an(x)
+            c = Counter(terms)
+            ttf.update(c)
+            df.update(c.keys())
+        keys = sorted(ttf)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "df": pa.array([df[k] for k in keys], type=pa.int64()),
+            "ttf": pa.array([ttf[k] for k in keys], type=pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .sort(key=["df", "term"], descending=[True, False])
+        .limit(n)
+        .take_all()
+    )
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], type=pa.string()),
+        "df": pa.array([r["df"] for r in out], type=pa.int64()),
+        "ttf": pa.array([r["ttf"] for r in out], type=pa.int64()),
+    })
+
+
+def _q_shingle_stats(sf_dir: str) -> pa.Table:
+    """ShingleFilter surface (Shingle/ShingleAnalyzerWrapper.cs): top-20
+    2-gram shingles over the raw token stream by (df desc, term asc)."""
+    def mk():
+        global _SHINGLE_AN
+        if _SHINGLE_AN is None:
+            from lucenenet_ray.analysis.filters import ShingleAnalyzer
+
+            _SHINGLE_AN = ShingleAnalyzer(2, 2, output_unigrams=False)
+        return _SHINGLE_AN
+
+    return _term_stats_pipeline(sf_dir, mk, 20)
+
+
+def _q_stemmed_top_terms(sf_dir: str) -> pa.Table:
+    """EnglishAnalyzer chain (En/EnglishAnalyzer.cs: possessive → lowercase
+    → stop → PorterStem): top-20 stems by df. No SQL oracle — DuckDB lacks a
+    stemmer offline; the Porter algorithm itself is golden-tested against
+    the published vectors (tests/test_filters.py)."""
+    def mk():
+        global _ENGLISH_AN
+        if _ENGLISH_AN is None:
+            from lucenenet_ray.analysis.filters import EnglishAnalyzer
+
+            _ENGLISH_AN = EnglishAnalyzer()
+        return _ENGLISH_AN
+
+    return _term_stats_pipeline(sf_dir, mk, 20)
+
+
 def _q_facet_lang(sf_dir: str) -> Any:
     """Facet counts (FacetsCollector analog): groupby(lang).count()."""
     import ray.data as rd
@@ -625,6 +714,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_term_lookup": _q_field_term_lookup,
         "bm25_boosted": _q_bm25_boosted,
         "bm25_after_delete": _q_bm25_after_delete,
+        "bm25_multiphrase": _q_bm25_multiphrase,
+        "shingle_stats": _q_shingle_stats,
+        "stemmed_top_terms": _q_stemmed_top_terms,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -663,6 +755,11 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "window"], TOPK, "or", boosts={"spark": 2.0}),
         "bm25_after_delete": so.bm25_topk_sql(
             ["spark", "window"], TOPK, "or", deleted_terms=["dup"]),
+        "bm25_multiphrase": so.bm25_multiphrase_sql(
+            [(["batch"], 0), (["merge", "line"], 1)], TOPK),
+        "shingle_stats": so.shingle_stats_sql(20),
+        # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
+        # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)
         # pages_flagship, knn_lsh: intentionally no oracle (HTML extraction /
         # approximate recall; rows-only)

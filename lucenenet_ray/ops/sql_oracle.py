@@ -275,6 +275,67 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def bm25_multiphrase_sql(slots: list[tuple[list[str], int]], k: int = 10) -> str:
+    """MultiPhraseQuery exact oracle (``Search/MultiPhraseQuery.cs`` /
+    UnionPostingsEnum): a doc matches at base position b when every slot
+    (terms_i, rel_i) has ANY member at b + rel_i; freq = count of matching
+    bases; weight idf = float32 sum over ALL slot terms in add order
+    (MultiPhraseQuery.cs:188-204). Only one token occupies a (doc, pos), so
+    the joins can't duplicate rows."""
+    all_terms = [t for ts, _ in slots for t in ts]
+    (ts0, r0) = slots[0]
+    in0 = ", ".join(f"'{t}'" for t in ts0)
+    joins = []
+    for i, (ts, r) in enumerate(slots[1:], 1):
+        ins = ", ".join(f"'{t}'" for t in ts)
+        joins.append(
+            f"JOIN kept a{i} ON a{i}.doc_id = a0.doc_id AND a{i}.term IN ({ins}) "
+            f"AND a{i}.pos = a0.pos - {r0} + {r}"
+        )
+    idf_sum = "CAST(0.0 AS REAL)"
+    for t in all_terms:
+        idf_sum = f"({idf_sum} + COALESCE((SELECT idf FROM qweights WHERE term = '{t}'), {ZERO_R}))"
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(all_terms)},
+pmatch AS (
+  SELECT a0.doc_id, a0.pos - {r0} AS base
+  FROM kept a0
+  {' '.join(joins)}
+  WHERE a0.term IN ({in0}) AND a0.pos - {r0} >= 0
+),
+pf AS (
+  SELECT doc_id, CAST(count(*) AS REAL) AS f FROM pmatch GROUP BY doc_id
+),
+scored AS (
+  SELECT pf.doc_id,
+         (({idf_sum} * {K1P1_R}) * pf.f) / (pf.f + c.cache) AS score
+  FROM pf JOIN normcache c ON c.doc_id = pf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def shingle_stats_sql(n: int = 20) -> str:
+    """2-gram ShingleFilter surface over the RAW token stream (no stop
+    filter → no fillers; ShingleAnalyzerWrapper default use): top-n shingles
+    by (df desc, term asc) with df/ttf — mirrors the engine's distributed
+    shingle aggregation."""
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+  FROM toks WHERE term <> ''
+)
+SELECT sh AS term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM big WHERE sh IS NOT NULL
+GROUP BY sh ORDER BY df DESC, term LIMIT {n}"""
+
+
 def bm25_phrase_slop_sql(terms_positions: list[tuple[str, int]], slop: int,
                          k: int = 10) -> str:
     """Sloppy-phrase BM25 oracle for a TWO-term phrase — bit-exact replay of

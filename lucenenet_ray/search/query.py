@@ -71,6 +71,23 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with ALTERNATIVE terms per position (``Search/MultiPhraseQuery.cs``):
+    each slot is (frozenset-of-terms, relative position); a doc matches when
+    some alignment has ANY member of every slot at its relative position.
+    The natural consumer is query-time synonym injection (SynonymFilter →
+    stacked tokens → MultiPhraseQuery, QueryParserBase.GetFieldQuery).
+
+    Scoring follows MultiPhraseWeight: idf = float32 sum over ALL terms of
+    all slots in add order (MultiPhraseQuery.cs:188-204 IdfExplain over the
+    flattened term array); freq counts matching alignments."""
+
+    # ((terms...), rel_pos) per slot; terms tuple kept in add order
+    slots: tuple[tuple[tuple[str, ...], int], ...] = ()
+    slop: int = 0
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     occur: Occur
     query: "Query"

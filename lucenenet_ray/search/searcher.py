@@ -51,6 +51,7 @@ from lucenenet_ray.search.query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     MultiTermQuery,
     Occur,
     PhraseQuery,
@@ -104,6 +105,10 @@ def _collect_terms(q: Query, reader: IndexReader, terms: set[str],
     elif isinstance(q, PhraseQuery):
         terms.update(t for t, _ in q.terms)
         wkeys.update((t, 1.0) for t, _ in q.terms)  # idf lookup for phrases
+    elif isinstance(q, MultiPhraseQuery):
+        for ts, _ in q.slots:
+            terms.update(ts)
+            wkeys.update((t, 1.0) for t in ts)
     elif isinstance(q, BooleanQuery):
         for c in q.clauses:
             _collect_terms(c.query, reader, terms, wkeys, expansions)
@@ -152,6 +157,18 @@ def plan_query(reader: IndexReader, query: Query,
                 if w is not None:
                     s = np.float32(s + w.idf)
             phrase_weights[q.terms] = np.float32(
+                np.float32(s * np.float32(q.boost)) * np.float32(np.float32(k1) + np.float32(1.0))
+            )
+        elif isinstance(q, MultiPhraseQuery):
+            # MultiPhraseWeight: idf = float32 sum over ALL slot terms in add
+            # order (MultiPhraseQuery.cs:188-204 flattens the term arrays)
+            s = np.float32(0.0)
+            for ts, _ in q.slots:
+                for t in ts:
+                    w = weights.get((t, 1.0))
+                    if w is not None:
+                        s = np.float32(s + w.idf)
+            phrase_weights[q.slots] = np.float32(
                 np.float32(s * np.float32(q.boost)) * np.float32(np.float32(k1) + np.float32(1.0))
             )
         elif isinstance(q, BooleanQuery):
@@ -321,6 +338,120 @@ def _eval_phrase_sloppy(q: PhraseQuery, member: list, cand_l: np.ndarray,
     return lidx, scores
 
 
+def _eval_multiphrase(q: MultiPhraseQuery, chunks: dict[str, PostingsChunk],
+                      plan: QueryPlan, bucket: BucketData
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """MultiPhraseQuery scorer (``Search/MultiPhraseQuery.cs`` /
+    UnionPostingsEnum): per slot, the postings are the UNION of the slot's
+    terms; a doc matches when some alignment has a member of every slot at
+    its relative position. Exact path intersects per-slot (doc, shifted
+    position) key sets; slop>0 routes the merged per-slot position lists
+    through the SloppyPhraseScorer (slots with identical term sets act as
+    repeats)."""
+    nb = bucket.n_docs
+    slot_chunks: list[tuple[list[PostingsChunk], int]] = []
+    for ts, rel in q.slots:
+        cs = [chunks[t] for t in ts if t in chunks]
+        if not cs:
+            return _EMPTY_D, _EMPTY_S
+        slot_chunks.append((cs, rel))
+    cnt = np.zeros(nb, dtype=np.int16)
+    for cs, _ in slot_chunks:
+        present = np.zeros(nb, dtype=bool)
+        for c in cs:
+            present[c.local_ids(bucket)] = True
+        cnt[present] += 1
+    cand_l = np.flatnonzero(cnt == len(slot_chunks))
+    if cand_l.size == 0:
+        return _EMPTY_D, _EMPTY_S
+    wv = plan.phrase_weights.get(q.slots)
+    if wv is None:
+        return _EMPTY_D, _EMPTY_S
+
+    def slot_keys(cs: list[PostingsChunk], rel: int) -> np.ndarray:
+        """Sorted unique (candrow<<32 | pos-rel) keys over the slot union."""
+        SHIFT = np.int64(1) << np.int64(32)
+        parts = []
+        for c in cs:
+            idx = c.row_of_local(bucket)[cand_l]
+            has = idx >= 0
+            if not has.any():
+                continue
+            idxh = idx[has]
+            flat, offs = c.positions_flat()
+            lens = offs[idxh + 1] - offs[idxh]
+            take = _concat_ranges(offs[idxh], lens)
+            docrep = np.repeat(np.flatnonzero(has).astype(np.int64), lens)
+            align = flat[take] - rel
+            if rel > 0:
+                pos_ok = align >= 0
+                align, docrep = align[pos_ok], docrep[pos_ok]
+            parts.append(docrep * SHIFT + align)
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    if q.slop > 0:
+        return _eval_multiphrase_sloppy(q, slot_chunks, cand_l, plan, bucket, wv)
+    SHIFT = np.int64(1) << np.int64(32)
+    keys = None
+    # lead with the lowest-total-df slot: the key set shrinks fastest
+    for cs, rel in sorted(slot_chunks, key=lambda s: sum(c.df for c in s[0])):
+        k = slot_keys(cs, rel)
+        if keys is None:
+            keys = k
+        else:
+            idx = np.searchsorted(keys, k)
+            valid = idx < keys.size
+            keys = k[valid & (keys[np.minimum(idx, keys.size - 1)] == k)]
+        if keys.size == 0:
+            return _EMPTY_D, _EMPTY_S
+    counts = np.bincount((keys // SHIFT).astype(np.int64), minlength=cand_l.size)
+    keep = counts > 0
+    lidx = cand_l[keep]
+    freqs = counts[keep].astype(np.int32)
+    norms = bucket.norms()[2][lidx]
+    return lidx, score_freqs(freqs, norms, wv, plan.cache)
+
+
+def _eval_multiphrase_sloppy(q: MultiPhraseQuery, slot_chunks, cand_l,
+                             plan: QueryPlan, bucket: BucketData, wv
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    from lucenenet_ray.search.sloppy import sloppy_phrase_freq
+
+    rels = [rel for _, rel in q.slots]
+    # repeats: slots with identical term sets behave as repeated terms
+    # (MultiPhraseQuery sloppy repeat detection over shared term arrays)
+    by_set: dict[tuple, list[int]] = {}
+    for i, (ts, _rel) in enumerate(q.slots):
+        by_set.setdefault(tuple(sorted(ts)), []).append(i)
+    rgs = [v for v in by_set.values() if len(v) > 1]
+    per = []
+    for cs, _rel in slot_chunks:
+        rows = [c.row_of_local(bucket)[cand_l] for c in cs]
+        flats = [c.positions_flat() for c in cs]
+        per.append((cs, rows, flats))
+    freqs = np.empty(cand_l.size, dtype=np.float32)
+    for k in range(cand_l.size):
+        plists = []
+        for (cs, rows, flats) in per:
+            segs = []
+            for c, row, (flat, offs) in zip(cs, rows, flats):
+                r = row[k]
+                if r >= 0:
+                    segs.append(flat[offs[r]:offs[r + 1]])
+            merged = (np.unique(np.concatenate(segs)) if segs
+                      else np.empty(0, dtype=np.int64))
+            plists.append(merged)
+        freqs[k] = sloppy_phrase_freq(plists, rels, rgs, q.slop)
+    keep = freqs > 0
+    if not keep.any():
+        return _EMPTY_D, _EMPTY_S
+    lidx = cand_l[keep]
+    norms = bucket.norms()[2][lidx]
+    return lidx, score_freqs(freqs[keep], norms, wv, plan.cache)
+
+
 def _eval_multiterm(q: MultiTermQuery, chunks: dict[str, PostingsChunk],
                     plan: QueryPlan, bucket: BucketData) -> tuple[np.ndarray, np.ndarray]:
     exp = plan.expansions.get(q, ())
@@ -379,6 +510,8 @@ def _eval_query(q: Query, chunks: dict[str, PostingsChunk], plan: QueryPlan,
         return _eval_term(q.term, q.boost, chunks, plan, bucket)
     if isinstance(q, PhraseQuery):
         return _eval_phrase(q, chunks, plan, bucket)
+    if isinstance(q, MultiPhraseQuery):
+        return _eval_multiphrase(q, chunks, plan, bucket)
     if isinstance(q, BooleanQuery):
         return _eval_boolean(q, chunks, plan, bucket)
     if isinstance(q, DisjunctionMaxQuery):

@@ -1,0 +1,217 @@
+"""Token-filter library + MultiPhraseQuery (SURVEY §2.2 / §2.10).
+
+Porter vectors are from the published algorithm description (M.F. Porter,
+"An algorithm for suffix stripping", 1980) — the same algorithm
+En/PorterStemmer.cs ports. Shingle cases mirror TestShingleFilter.cs.
+"""
+
+import numpy as np
+import pytest
+
+from lucenenet_ray.analysis.filters import (
+    EnglishAnalyzer,
+    MappingCharFilter,
+    PorterStemmer,
+    ShingleAnalyzer,
+    SynonymMap,
+    ascii_fold,
+    edge_ngram_filter,
+    english_possessive,
+    ngram_filter,
+    porter_stem,
+    shingles,
+    synonym_filter,
+)
+
+# (input, expected) pairs from the algorithm paper's worked examples
+PORTER_VECTORS = [
+    ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+    ("caress", "caress"), ("cats", "cat"),
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("bled", "bled"), ("motoring", "motor"), ("sing", "sing"),
+    ("conflated", "conflat"), ("troubled", "troubl"), ("sized", "size"),
+    ("hopping", "hop"), ("tanned", "tan"), ("falling", "fall"),
+    ("hissing", "hiss"), ("fizzed", "fizz"), ("failing", "fail"),
+    ("filing", "file"),
+    ("happy", "happi"), ("sky", "sky"),
+    ("relational", "relat"), ("conditional", "condit"), ("rational", "ration"),
+    ("valenci", "valenc"), ("hesitanci", "hesit"), ("digitizer", "digit"),
+    ("radicalli", "radic"), ("differentli", "differ"), ("vileli", "vile"),
+    ("analogousli", "analog"), ("vietnamization", "vietnam"),
+    ("predication", "predic"), ("operator", "oper"), ("feudalism", "feudal"),
+    ("decisiveness", "decis"), ("hopefulness", "hope"),
+    ("callousness", "callous"), ("formaliti", "formal"),
+    ("sensitiviti", "sensit"), ("sensibiliti", "sensibl"),
+    ("triplicate", "triplic"), ("formative", "form"), ("formalize", "formal"),
+    # the paper lists per-step outputs (electriciti → electric after step 3);
+    # the full algorithm then strips -ic in step 4, as Lucene's stemmer does
+    ("electriciti", "electr"), ("electrical", "electr"),
+    ("hopeful", "hope"), ("goodness", "good"),
+    ("revival", "reviv"), ("allowance", "allow"), ("inference", "infer"),
+    ("airliner", "airlin"), ("gyroscopic", "gyroscop"),
+    ("adjustable", "adjust"), ("defensible", "defens"),
+    ("irritant", "irrit"), ("replacement", "replac"),
+    ("adjustment", "adjust"), ("dependent", "depend"),
+    ("adoption", "adopt"), ("communism", "commun"), ("activate", "activ"),
+    ("angulariti", "angular"), ("homologous", "homolog"),
+    ("effective", "effect"), ("bowdlerize", "bowdler"),
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controll", "control"), ("roll", "roll"),
+]
+
+
+def test_porter_vectors():
+    bad = [(w, porter_stem(w), e) for w, e in PORTER_VECTORS
+           if porter_stem(w) != e]
+    assert not bad, bad
+
+
+def test_porter_cache_and_guards():
+    st = PorterStemmer()
+    assert st("running") == "run" and st("running") == "run"
+    assert st("ab") == "ab"  # <=2 unchanged
+    assert st("x123") == "x123"  # non-alpha unchanged
+
+
+def test_english_possessive():
+    assert english_possessive("john's") == "john"
+    assert english_possessive("john’s") == "john"
+    assert english_possessive("his") == "his"
+    assert english_possessive("s") == "s"
+
+
+def test_ascii_fold():
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("über") == "uber"
+    assert ascii_fold("straße") == "strasse"
+    assert ascii_fold("œuvre") == "oeuvre"
+    assert ascii_fold("łódź") == "lodz"
+    assert ascii_fold("plain") == "plain"
+    assert ascii_fold("ναι") == "ναι"  # non-Latin left alone
+
+
+def test_shingles_no_holes():
+    # TestShingleFilter bi-gram case: "please divide this sentence into shingles"
+    terms = "please divide this sentence into shingles".split()
+    pos = list(range(6))
+    out_t, out_p = shingles(terms, pos, 2, 2, output_unigrams=True)
+    assert out_t == [
+        "please", "please divide", "divide", "divide this", "this",
+        "this sentence", "sentence", "sentence into", "into",
+        "into shingles", "shingles",
+    ]
+    assert out_p == [0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5]
+
+
+def test_shingles_with_filler_holes():
+    # stopword hole at position 2 → "_" filler inside shingles, no filler
+    # unigram, no all-filler shingle (ShingleFilter filler semantics)
+    terms = ["please", "divide", "sentence"]
+    pos = [0, 1, 3]
+    out_t, out_p = shingles(terms, pos, 2, 2, output_unigrams=False)
+    assert out_t == ["please divide", "divide _", "_ sentence"]
+    assert out_p == [0, 1, 2]
+
+
+def test_shingles_trigram():
+    terms = ["a", "b", "c", "d"]
+    out_t, _ = shingles(terms, [0, 1, 2, 3], 2, 3, output_unigrams=False)
+    assert out_t == ["a b", "a b c", "b c", "b c d", "c d"]
+
+
+def test_ngram_filters():
+    assert ngram_filter("abc", 1, 2) == ["a", "b", "c", "ab", "bc"]
+    assert edge_ngram_filter("abcd", 1, 3) == ["a", "ab", "abc"]
+    assert edge_ngram_filter("ab", 1, 5) == ["a", "ab"]
+
+
+def test_synonym_filter_expand():
+    m = SynonymMap({"fast": ["quick", "rapid"]})
+    t, p = synonym_filter(["a", "fast", "car"], [0, 1, 2], m)
+    assert t == ["a", "fast", "quick", "rapid", "car"]
+    assert p == [0, 1, 1, 1, 2]
+    # expand=true: class members map back
+    t2, p2 = synonym_filter(["quick"], [0], m)
+    assert set(t2) == {"quick", "fast", "rapid"} and p2 == [0, 0, 0]
+
+
+def test_mapping_char_filter():
+    f = MappingCharFilter({"c++": "cplusplus", "&": " and "})
+    assert f("c++ & more") == "cplusplus  and  more"
+    # longest match wins
+    f2 = MappingCharFilter({"ab": "x", "abc": "y"})
+    assert f2("abc") == "y"
+
+
+def test_english_analyzer_chain():
+    a = EnglishAnalyzer()
+    terms, pos = a("John's dogs are running quickly")
+    # john's → john (possessive), stopword 'are' dropped w/ hole,
+    # running → run, quickly → quickli (y→i; step2 'li' isn't a rule alone)
+    assert terms == ["john", "dog", "run", "quickli"]
+    assert pos == [0, 1, 3, 4]
+
+
+def test_shingle_analyzer():
+    a = ShingleAnalyzer(2, 2, output_unigrams=False)
+    t, p = a("big data engine")
+    assert t == ["big data", "data engine"]
+    assert p == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# MultiPhraseQuery
+
+
+def test_multiphrase_exact(documents_index, corpus):
+    from lucenenet_ray.search.query import MultiPhraseQuery, PhraseQuery
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    path, _m = documents_index
+    r = IndexReader(path)
+    # degenerate single-term-per-slot MultiPhrase == PhraseQuery docs
+    mq = MultiPhraseQuery(slots=((("batch",), 0), (("merge",), 1)))
+    pq = PhraseQuery(terms=(("batch", 0), ("merge", 1)))
+    tm, tp = search(r, mq, k=50), search(r, pq, k=50)
+    assert tm.docs.tolist() == tp.docs.tolist()
+    # same docs, but MultiPhraseWeight idf equals the phrase idf here, so
+    # scores are identical too
+    assert [float(x) for x in tm.scores] == [float(x) for x in tp.scores]
+
+    # union slot: "batch (merge|line)" ⊇ both single phrases' doc sets
+    mq2 = MultiPhraseQuery(slots=((("batch",), 0), (("merge", "line"), 1)))
+    td2 = search(r, mq2, k=500)
+    docs_a = set(search(r, PhraseQuery(terms=(("batch", 0), ("merge", 1))), k=500).docs.tolist())
+    docs_b = set(search(r, PhraseQuery(terms=(("batch", 0), ("line", 1))), k=500).docs.tolist())
+    assert set(td2.docs.tolist()) == docs_a | docs_b
+
+    # brute-force oracle over the analyzed corpus (position-aware: stopword
+    # holes break adjacency)
+    from lucenenet_ray.analysis import analyze
+
+    docs, texts, _toks = corpus
+    expect = set()
+    for d, x in zip(docs, texts):
+        terms, pos = analyze(x)
+        at = dict(zip(pos, terms))
+        for p, t in at.items():
+            if t == "batch" and at.get(p + 1) in ("merge", "line"):
+                expect.add(d)
+                break
+    assert set(td2.docs.tolist()) == expect
+
+
+def test_multiphrase_sloppy(documents_index, corpus):
+    from lucenenet_ray.search.query import MultiPhraseQuery, PhraseQuery
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    path, _m = documents_index
+    r = IndexReader(path)
+    # single-term slots with slop == sloppy PhraseQuery (same greedy scorer)
+    mq = MultiPhraseQuery(slots=((("merge",), 0), (("batch",), 1)), slop=3)
+    pq = PhraseQuery(terms=(("merge", 0), ("batch", 1)), slop=3)
+    tm, tp = search(r, mq, k=100), search(r, pq, k=100)
+    assert tm.docs.tolist() == tp.docs.tolist()
+    assert [float(x) for x in tm.scores] == [float(x) for x in tp.scores]
