@@ -68,6 +68,10 @@ class IndexConfig:
     concurrency: int | None = None  # inverter actor pool size; None = tasks
     k1: float = 1.2
     b: float = 0.75
+    # postings codec: "for" = bit-packed 128-blocks + freq-parity VInt tail
+    # (Lucene41PostingsFormat layout semantics); "vint" = plain delta+VInt
+    # (the v0 format). Recorded in the manifest (per-segment codec header).
+    codec: str = "for"
 
     def bucket_of(self, doc_ids: np.ndarray) -> np.ndarray:
         """Doc-range bucket: (id - id_min) // ceil(span / n_buckets).
@@ -388,7 +392,8 @@ def invert_batch_fn(batch: pa.Table, cfg: IndexConfig, text_col: str,
     return inv(batch)
 
 
-def _merge_group(group: pa.Table, store_positions: bool) -> pa.Table:
+def _merge_group(group: pa.Table, store_positions: bool,
+                 codec: str = "vint") -> pa.Table:
     """Merge all partial rows of one (bucket, hpart) group: for every term,
     concatenate the per-batch runs, sort by docID, and encode the canonical
     chunk (delta+VInt + 128-block skip/block-max metadata).
@@ -485,7 +490,7 @@ def _merge_group(group: pa.Table, store_positions: bool) -> pa.Table:
             blens = (pair_byte_end[v0:v1] - pair_byte_start[v0:v1])[ordd]
             pos_stream = pb[_grouped_take(bstarts, blens)].tobytes()
 
-        enc = encode_postings(docs, freqs, norms, None)
+        enc = encode_postings(docs, freqs, norms, None, codec=codec)
         out["bucket"].append(bucket)
         out["term"].append(term)
         out["df"].append(len(docs))
@@ -522,11 +527,11 @@ def _merge_group(group: pa.Table, store_positions: bool) -> pa.Table:
 
 
 def _merge_write_group(group: pa.Table, store_positions: bool,
-                       index_path: str) -> pa.Table:
+                       index_path: str, codec: str = "vint") -> pa.Table:
     """Fused reducer: merge one (bucket, hpart) group's chunks, then write
     postings (term-sorted) and — for the hpart-0 group — the bucket's norms.
     Returns one manifest row."""
-    merged = _merge_group(group, store_positions)
+    merged = _merge_group(group, store_positions, codec=codec)
     bucket = int(group.column("bucket")[0].as_py())
     hpart = int(group.column("hpart")[0].as_py())
 
@@ -545,8 +550,10 @@ def _merge_write_group(group: pa.Table, store_positions: bool,
 
         row = doclen_rows.slice(0, 1)
         nd = int(row.column("df")[0].as_py())
-        doc_ids = decode_docs(row.column("doc_bytes")[0].as_py(), nd)
-        doc_lens = decode_freqs(row.column("freq_bytes")[0].as_py(), nd)
+        db = row.column("doc_bytes")[0].as_py()
+        doc_ids = decode_docs(db, nd, codec=codec)
+        doc_lens = decode_freqs(row.column("freq_bytes")[0].as_py(), nd,
+                                codec=codec, doc_bytes=db)
         norms = encode_norm(doc_lens)
         n_docs = nd
         sum_len = int(doc_lens.sum())
@@ -581,7 +588,8 @@ def _merge_write_group(group: pa.Table, store_positions: bool,
     )
 
 
-def _write_bucket(group: pa.Table, index_path: str) -> pa.Table:
+def _write_bucket(group: pa.Table, index_path: str,
+                  codec: str = "vint") -> pa.Table:
     """Write one bucket's merged index files (atomically: temp + rename —
     idempotent under Ray task retries, SURVEY §4 'stragglers/retries').
 
@@ -611,8 +619,10 @@ def _write_bucket(group: pa.Table, index_path: str) -> pa.Table:
         # there is exactly one merged doclen row per bucket (hpart 0)
         row = doclen_rows.slice(0, 1)
         nd = int(row.column("df")[0].as_py())
-        doc_ids = decode_docs(row.column("doc_bytes")[0].as_py(), nd)
-        doc_lens = decode_freqs(row.column("freq_bytes")[0].as_py(), nd)
+        db = row.column("doc_bytes")[0].as_py()
+        doc_ids = decode_docs(db, nd, codec=codec)
+        doc_lens = decode_freqs(row.column("freq_bytes")[0].as_py(), nd,
+                                codec=codec, doc_bytes=db)
         norms = encode_norm(doc_lens)
         n_docs = nd
         sum_len = int(doc_lens.sum())
@@ -721,11 +731,11 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
 
                 pr = cProfile.Profile()
                 pr.enable()
-                m = _merge_write_group(g, store_pos_, index_path)
+                m = _merge_write_group(g, store_pos_, index_path, cfg.codec)
                 pr.disable()
                 pr.dump_stats(os.path.join(prof_dir, f"red_{int(kv)}.prof"))
             else:
-                m = _merge_write_group(g, store_pos_, index_path)
+                m = _merge_write_group(g, store_pos_, index_path, cfg.codec)
             out_rows.append({c: m.column(c)[0].as_py() for c in m.column_names})
         if os.environ.get("GRAFT_PROF_REDUCE"):
             import sys as _sys

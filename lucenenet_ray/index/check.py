@@ -26,6 +26,7 @@ def check_index(index_path: str, check_positions: bool = True) -> dict:
 
     with open(os.path.join(index_path, "manifest.json")) as f:
         manifest = json.load(f)
+    codec = manifest.get("config", {}).get("codec", "vint")
 
     n_terms = 0
     n_postings = 0
@@ -41,8 +42,10 @@ def check_index(index_path: str, check_positions: bool = True) -> dict:
             term = terms[i]
             df = t.column("df")[i].as_py()
             try:
-                docs = decode_docs(t.column("doc_bytes")[i].as_py(), df)
-                freqs = decode_freqs(t.column("freq_bytes")[i].as_py(), df)
+                db = t.column("doc_bytes")[i].as_py()
+                docs = decode_docs(db, df, codec=codec)
+                freqs = decode_freqs(t.column("freq_bytes")[i].as_py(), df,
+                                     codec=codec, doc_bytes=db)
             except ValueError as e:
                 raise CorruptIndexError(f"{fp}:{term}: {e}") from e
             if len(docs) != df or len(freqs) != df:

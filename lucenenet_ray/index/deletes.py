@@ -96,6 +96,7 @@ def expunge_deletes(index_path: str, out_path: str,
 
     reader = IndexReader(index_path, deletes_path=deletes_path)
     dterms = list(reader.deleted_terms)
+    codec = reader.manifest.get("config", {}).get("codec", "vint")
     os.makedirs(out_path, exist_ok=True)
 
     # -- pass 1: dead docs per bucket (tiny pushdown reads, one task/bucket)
@@ -145,7 +146,8 @@ def expunge_deletes(index_path: str, out_path: str,
                 out_rows.append({"bucket": row["bucket"], "n_docs": n_docs,
                                  "sum_len": sum_len, "n_terms": 0})
             else:
-                n_terms = _rewrite_postings(row["path"], index_path, out_path, dead)
+                n_terms = _rewrite_postings(row["path"], index_path, out_path,
+                                            dead, codec)
                 out_rows.append({"bucket": row["bucket"], "n_docs": 0,
                                  "sum_len": 0, "n_terms": n_terms})
         return pa.Table.from_pylist(out_rows)
@@ -201,7 +203,8 @@ def _rewrite_norms(path: str, out_path: str, dead) -> tuple[int, int]:
     return t.num_rows, int(pc.sum(t.column("doc_len")).as_py())
 
 
-def _rewrite_postings(path: str, index_path: str, out_path: str, dead) -> int:
+def _rewrite_postings(path: str, index_path: str, out_path: str, dead,
+                      codec: str = "vint") -> int:
     """Filter one postings file's term rows; unchanged rows keep their bytes."""
     import numpy as np
 
@@ -220,14 +223,16 @@ def _rewrite_postings(path: str, index_path: str, out_path: str, dead) -> int:
     out_rows = []
     for i in range(t.num_rows):
         df = cols["df"][i].as_py()
-        docs = decode_docs(cols["doc_bytes"][i].as_py(), df)
+        db = cols["doc_bytes"][i].as_py()
+        docs = decode_docs(db, df, codec=codec)
         mask = ~np.isin(docs, dead)
         if mask.all():
             out_rows.append({c: cols[c][i].as_py() for c in t.column_names})
             continue
         if not mask.any():
             continue  # term fully deleted
-        freqs = decode_freqs(cols["freq_bytes"][i].as_py(), df)
+        freqs = decode_freqs(cols["freq_bytes"][i].as_py(), df,
+                             codec=codec, doc_bytes=db)
         pos_b = cols["pos_bytes"][i].as_py()
         new_pos = b""
         if pos_b:
@@ -246,7 +251,7 @@ def _rewrite_postings(path: str, index_path: str, out_path: str, dead) -> int:
         # postings, field-prefixed included — Inverter pair_norm)
         norms = _norms_for(path, index_path)  # (doc_ids asc, norm uint8)
         nsel = norms[1][np.searchsorted(norms[0], docs[mask])]
-        enc = encode_postings(docs[mask], freqs[mask], nsel, None)
+        enc = encode_postings(docs[mask], freqs[mask], nsel, None, codec=codec)
         out_rows.append({
             "bucket": cols["bucket"][i].as_py(),
             "term": cols["term"][i].as_py(),

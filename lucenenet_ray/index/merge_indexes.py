@@ -35,7 +35,7 @@ from lucenenet_ray.index.build import (
 from lucenenet_ray.index.codec import read_vints, write_vints
 
 
-def _remerge_group(group: pa.Table) -> pa.Table:
+def _remerge_group(group: pa.Table, codec: str = "vint") -> pa.Table:
     """Merge already-encoded chunk rows of one (bucket, hpart) group, per
     term: decode doc/freq streams, concat, sort by doc, re-encode (positions
     included). Assumes docIDs are disjoint across source indexes."""
@@ -66,8 +66,10 @@ def _remerge_group(group: pa.Table) -> pa.Table:
         for r in rows:
             r = int(r)
             df = group.column("df")[r].as_py()
-            docs_l.append(decode_docs(group.column("doc_bytes")[r].as_py(), df))
-            freqs_l.append(decode_freqs(group.column("freq_bytes")[r].as_py(), df))
+            db = group.column("doc_bytes")[r].as_py()
+            docs_l.append(decode_docs(db, df, codec=codec))
+            freqs_l.append(decode_freqs(group.column("freq_bytes")[r].as_py(),
+                                        df, codec=codec, doc_bytes=db))
             pos_l.append(group.column("pos_bytes")[r].as_py() or b"")
             maxn = max(maxn, group.column("max_norm")[r].as_py())
         docs = np.concatenate(docs_l)
@@ -100,7 +102,7 @@ def _remerge_group(group: pa.Table) -> pa.Table:
         # norms per doc are not in the chunk rows; block_max_norm is rebuilt
         # conservatively from the source chunks' max (still a valid bound)
         norms = np.full(docs.size, maxn, dtype=np.uint8)
-        enc = encode_postings(docs, freqs, norms, None)
+        enc = encode_postings(docs, freqs, norms, None, codec=codec)
         out["bucket"].append(bucket)
         out["term"].append(term)
         out["df"].append(len(docs))
@@ -153,9 +155,12 @@ def merge_indexes(index_paths: list[str], out_path: str) -> dict:
         with open(os.path.join(p, "manifest.json")) as f:
             manifests.append(json.load(f))
     n_buckets = manifests[0]["config"]["n_buckets"]
+    codec = manifests[0]["config"].get("codec", "vint")
     for m in manifests[1:]:
         if m["config"]["n_buckets"] != n_buckets:
             raise ValueError("bucket layouts differ; cannot merge")
+        if m["config"].get("codec", "vint") != codec:
+            raise ValueError("postings codecs differ; cannot merge")
 
     # postings re-merge (distributed)
     import glob as _glob
@@ -180,7 +185,7 @@ def merge_indexes(index_paths: list[str], out_path: str) -> dict:
     merged = (
         ds.map_batches(add_hpart, batch_format="pyarrow")
         .groupby(["bucket", "hpart"])
-        .map_groups(lambda g: _remerge_group(g.drop_columns(["hpart"])),
+        .map_groups(lambda g: _remerge_group(g.drop_columns(["hpart"]), codec),
                     batch_format="pyarrow")
     )
 

@@ -41,6 +41,7 @@ class PostingsChunk:
     block_freq_off: np.ndarray
     block_max_freq: np.ndarray
     block_max_norm: np.ndarray
+    codec: str = "vint"
     _docs: np.ndarray | None = None
     _freqs: np.ndarray | None = None
     _pos_flat: np.ndarray | None = None  # absolute positions, doc-major
@@ -70,12 +71,17 @@ class PostingsChunk:
 
     def docs(self) -> np.ndarray:
         if self._docs is None:
-            self._docs = decode_docs(self.doc_bytes, self.df)
+            self._docs = decode_docs(self.doc_bytes, self.df, codec=self.codec,
+                                     block_doc_off=self.block_doc_off)
         return self._docs
 
     def freqs(self) -> np.ndarray:
         if self._freqs is None:
-            self._freqs = decode_freqs(self.freq_bytes, self.df)
+            self._freqs = decode_freqs(self.freq_bytes, self.df,
+                                       codec=self.codec,
+                                       doc_bytes=self.doc_bytes,
+                                       block_doc_off=self.block_doc_off,
+                                       block_freq_off=self.block_freq_off)
         return self._freqs
 
     def positions_flat(self) -> tuple[np.ndarray, np.ndarray]:
@@ -103,11 +109,13 @@ class PostingsChunk:
 class BucketData:
     """All loaded state for one doc-range bucket."""
 
-    def __init__(self, bucket_id: int, norms_path: str, postings_glob: str):
+    def __init__(self, bucket_id: int, norms_path: str, postings_glob: str,
+                 codec: str = "vint"):
         import glob as _glob
 
         self.bucket_id = bucket_id
         self.norms_path = norms_path
+        self.codec = codec
         self.postings_files = sorted(_glob.glob(postings_glob))
         self._norms: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         self._postings_full: dict[str, PostingsChunk] | None = None
@@ -139,9 +147,9 @@ class BucketData:
         return len(self.norms()[0])
 
     # -- postings ------------------------------------------------------------
-    @staticmethod
-    def _row_to_chunk(t: pa.Table, i: int) -> PostingsChunk:
+    def _row_to_chunk(self, t: pa.Table, i: int) -> PostingsChunk:
         return PostingsChunk(
+            codec=self.codec,
             term=t.column("term")[i].as_py(),
             df=t.column("df")[i].as_py(),
             ttf=t.column("ttf")[i].as_py(),
@@ -249,6 +257,7 @@ class IndexReader:
                 bucket_id,
                 os.path.join(self.index_path, "norms", f"bucket={bucket_id:05d}.parquet"),
                 os.path.join(self.index_path, "postings", f"bucket={bucket_id:05d}*.parquet"),
+                codec=self.manifest.get("config", {}).get("codec", "vint"),
             )
             self._buckets[bucket_id] = bd
         return bd

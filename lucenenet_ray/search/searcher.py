@@ -611,12 +611,10 @@ def _is_pure_or_terms(q: Query) -> bool:
 
 
 def _decode_freq_block(c: PostingsChunk, bi: int) -> np.ndarray:
-    buf = np.frombuffer(c.freq_bytes, dtype=np.uint8)
-    start = int(c.block_freq_off[bi])
-    end = int(c.block_freq_off[bi + 1]) if bi + 1 < len(c.block_freq_off) else buf.size
-    lo = bi * BLOCK_SIZE
-    count = min(BLOCK_SIZE, c.df - lo)
-    return read_vints(buf[start:end], count).astype(np.int32)
+    from lucenenet_ray.index.codec import decode_freq_block
+
+    return decode_freq_block(c.freq_bytes, c.doc_bytes, bi, c.df,
+                             c.block_freq_off, c.block_doc_off, c.codec)
 
 
 def _eval_term_restricted(term: str, boost: float, matched: np.ndarray,
@@ -656,7 +654,7 @@ def _eval_term_restricted(term: str, boost: float, matched: np.ndarray,
     out_f: list[np.ndarray] = []
     for bi in blocks:
         bd = decode_doc_block(c.doc_bytes, int(bi), c.df, c.block_doc_off,
-                              c.block_last_doc)
+                              c.block_last_doc, codec=c.codec)
         idx = np.searchsorted(bd, cand_docs)
         valid = idx < bd.size
         vi = idx[valid]

@@ -96,3 +96,77 @@ def test_bucket_of_no_overflow():
     b2 = cfg.bucket_of(ids2)
     assert np.all(np.diff(b2) >= 0)
     assert len(np.unique(b2)) == 32
+
+
+# ---------------------------------------------------------------------------
+# FOR codec (bit-packed 128-blocks + freq-parity VInt tail,
+# Lucene41PostingsFormat.cs:200-225 / ForUtil.cs:157-244 layout semantics)
+
+
+def _mk_postings(rng, df, id_space):
+    docs = np.sort(rng.choice(id_space, size=df, replace=False)).astype(np.int64)
+    freqs = rng.integers(1, 12, size=df).astype(np.int32)
+    # bias many freqs to 1 to exercise the parity fold
+    freqs[rng.random(df) < 0.6] = 1
+    norms = rng.integers(0, 256, size=df).astype(np.uint8)
+    return docs, freqs, norms
+
+
+@pytest.mark.parametrize("df", [1, 5, 127, 128, 129, 300, 1000])
+def test_for_roundtrip(df):
+    from lucenenet_ray.index.codec import (
+        decode_docs,
+        decode_freqs,
+        encode_postings,
+    )
+
+    rng = np.random.default_rng(df)
+    docs, freqs, norms = _mk_postings(rng, df, 100_000)
+    enc = encode_postings(docs, freqs, norms, None, codec="for")
+    got_d = decode_docs(enc["doc_bytes"], df, codec="for")
+    got_f = decode_freqs(enc["freq_bytes"], df, codec="for",
+                         doc_bytes=enc["doc_bytes"])
+    assert np.array_equal(got_d, docs)
+    assert np.array_equal(got_f, freqs)
+    # block metadata identical semantics to the vint codec
+    encv = encode_postings(docs, freqs, norms, None, codec="vint")
+    for k in ("block_last_doc", "block_max_freq", "block_max_norm"):
+        assert np.array_equal(enc[k], encv[k]), k
+
+
+@pytest.mark.parametrize("df", [129, 300, 1000])
+def test_for_block_skip_decode(df):
+    from lucenenet_ray.index.codec import (
+        BLOCK_SIZE,
+        decode_doc_block,
+        decode_freq_block,
+        encode_postings,
+    )
+
+    rng = np.random.default_rng(df + 7)
+    docs, freqs, norms = _mk_postings(rng, df, 10_000_000)
+    enc = encode_postings(docs, freqs, norms, None, codec="for")
+    nblocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    for bi in range(nblocks):
+        lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, df)
+        bd = decode_doc_block(enc["doc_bytes"], bi, df,
+                              enc["block_doc_off"], enc["block_last_doc"],
+                              codec="for")
+        bf = decode_freq_block(enc["freq_bytes"], enc["doc_bytes"], bi, df,
+                               enc["block_freq_off"], enc["block_doc_off"],
+                               codec="for")
+        assert np.array_equal(bd, docs[lo:hi]), bi
+        assert np.array_equal(bf, freqs[lo:hi]), bi
+
+
+def test_for_smaller_than_vint_dense():
+    """Dense postings (small deltas) must pack tighter than VInt."""
+    from lucenenet_ray.index.codec import encode_postings
+
+    df = 4096
+    docs = np.arange(0, df * 3, 3, dtype=np.int64)  # delta 3 → 2 bits
+    freqs = np.ones(df, dtype=np.int32)
+    norms = np.zeros(df, dtype=np.uint8)
+    f = encode_postings(docs, freqs, norms, None, codec="for")
+    v = encode_postings(docs, freqs, norms, None, codec="vint")
+    assert len(f["doc_bytes"]) < len(v["doc_bytes"]) / 2

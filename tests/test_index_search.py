@@ -169,10 +169,13 @@ def test_index_invariants(documents_index, corpus):
         terms = t.column("term").to_pylist()
         assert terms == sorted(terms), "term dict must be sorted"
         assert len(set(terms)) == len(terms), "terms must be unique per bucket"
+        codec = manifest["config"].get("codec", "vint")
         for i in range(t.num_rows):
             df = t.column("df")[i].as_py()
-            docs = decode_docs(t.column("doc_bytes")[i].as_py(), df)
-            freqs = decode_freqs(t.column("freq_bytes")[i].as_py(), df)
+            db = t.column("doc_bytes")[i].as_py()
+            docs = decode_docs(db, df, codec=codec)
+            freqs = decode_freqs(t.column("freq_bytes")[i].as_py(), df,
+                                 codec=codec, doc_bytes=db)
             assert np.all(np.diff(docs) > 0), "doc deltas must be positive"
             assert len(docs) == df == len(freqs)
             assert int(freqs.sum()) == t.column("ttf")[i].as_py()
