@@ -244,6 +244,67 @@ def _q_bm25_after_delete(sf_dir: str) -> pa.Table:
     return _topdocs_to_table(td)
 
 
+_DOCSTORE_CACHE: dict[str, str] = {}
+
+
+def _q_stored_fields(sf_dir: str) -> pa.Table:
+    """Stored-fields retrieval (IndexSearcher.Doc / Demo SearchFiles hit
+    rendering): BM25 top-10 for "spark window", then fetch each hit's
+    stored `source` and `n_chars` from the doc_id-sorted Parquet docstore
+    via row-group pushdown (store/docstore.py)."""
+    import ray.data as rd
+
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+    from lucenenet_ray.search.searcher import search
+    from lucenenet_ray.store.docstore import DocStore, build_docstore
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key not in _DOCSTORE_CACHE:
+        out = f"/tmp/lucenenet_ray_docstore/{key}"
+        if not os.path.exists(os.path.join(out, "_BUILT")):
+            ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "source", "n_chars"])
+            build_docstore(ds, out)
+            with open(os.path.join(out, "_BUILT"), "w") as f:
+                f.write("ok")
+        _DOCSTORE_CACHE[key] = out
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t))
+        for t in ["spark", "window"]))
+    td = search(_reader(sf_dir), q, k=TOPK, prune=True)
+    store = DocStore(_DOCSTORE_CACHE[key])
+    fields = store.get_ordered(td.docs.tolist(), columns=["doc_id", "source", "n_chars"])
+    base = _topdocs_to_table(td)
+    return base.append_column("source", fields.column("source")) \
+               .append_column("n_chars", fields.column("n_chars"))
+
+
+def _q_span_near(sf_dir: str) -> pa.Table:
+    """Ordered SpanNear([merge, batch], slop=2) span enumeration
+    (Search/Spans/NearSpansOrdered.cs minimal matches): per-doc span counts,
+    checked against a closed-form SQL oracle of the shrink-to-shortest-match
+    pair rule."""
+    from lucenenet_ray.search.spans import (
+        SpanNearQuery,
+        SpanTermQuery,
+        span_counts,
+    )
+
+    q = SpanNearQuery(clauses=(SpanTermQuery(term="merge"),
+                               SpanTermQuery(term="batch")),
+                      slop=2, in_order=True)
+    rows = span_counts(_reader(sf_dir), q)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_spans": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
 def _q_bm25_multiphrase(sf_dir: str) -> pa.Table:
     """MultiPhraseQuery "batch (merge|line)" (Search/MultiPhraseQuery.cs):
     slot 1 unions two terms — the query-time synonym-injection shape
@@ -339,6 +400,33 @@ def _q_facet_lang(sf_dir: str) -> Any:
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["lang"])
     out = ds.groupby("lang").count().to_pandas()
+    out = out.rename(columns={"count()": "n_docs"}).sort_values("lang")
+    return out.reset_index(drop=True)
+
+
+def _q_facet_lang_sampled(sf_dir: str) -> Any:
+    """RandomSamplingFacetsCollector analog (Facet/RandomSamplingFacetsCollector.cs):
+    facet counts over a DETERMINISTIC doc sample — here md5(doc_id) bucketed
+    to a 30% sample (the collector's XORShift64 per-doc sampling made
+    reproducible/SQL-checkable), exact counts within the sample."""
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        keep = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 10 < 3
+            for d in t.column("doc_id").to_pylist()
+        ]
+        return t.filter(pa.array(keep))
+
+    out = (
+        ds.map_batches(sample, batch_format="pyarrow")
+        .groupby("lang").count().to_pandas()
+    )
     out = out.rename(columns={"count()": "n_docs"}).sort_values("lang")
     return out.reset_index(drop=True)
 
@@ -578,13 +666,19 @@ def _q_knn_exact(sf_dir: str) -> Any:
         ["query_id", "rank"]).reset_index(drop=True)
 
 
+_LSH_INDEX_CACHE: dict[str, str] = {}
+
+
 def _q_knn_lsh(sf_dir: str) -> Any:
-    """Approximate LSH-bucketed variant (the 10^12-vector scale path) —
-    rows-only driver check (recall < 1 by design; tested vs exact in pytest)."""
+    """Approximate LSH variant via the BUCKET-PARTITIONED index (the
+    10^12-vector scale path): embeddings written hive-partitioned by
+    hyperplane bucket once, then each query reads ONLY its allowed buckets'
+    fragments (knn.build_lsh_index / knn_lsh_pruned). Rows-only driver
+    check (recall < 1 by design; pruning + recall tested in pytest)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from lucenenet_ray.ops.knn import knn_lsh
+    from lucenenet_ray.ops.knn import build_lsh_index, knn_lsh_pruned
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     id2vec = {}
@@ -593,9 +687,19 @@ def _q_knn_lsh(sf_dir: str) -> Any:
         if vid in KNN_QUERY_IDS:
             id2vec[vid] = t.column("embedding")[i].as_py()
     qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    return knn_lsh(ds, qv, k=10, n_bits=5, multiprobe=2).to_pandas()
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key not in _LSH_INDEX_CACHE:
+        out = f"/tmp/lucenenet_ray_lshidx/{key}"
+        if not os.path.exists(os.path.join(out, "_BUILT")):
+            ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=["vec_id", "embedding"])
+            build_lsh_index(ds, out, n_bits=5)
+            with open(os.path.join(out, "_BUILT"), "w") as f:
+                f.write("ok")
+        _LSH_INDEX_CACHE[key] = out
+    res, _nread, _ntotal = knn_lsh_pruned(
+        _LSH_INDEX_CACHE[key], qv, k=10, n_bits=5, multiprobe=2)
+    return res.to_pandas()
 
 
 def _q_term_stats_multilang(sf_dir: str) -> pa.Table:
@@ -717,6 +821,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multiphrase": _q_bm25_multiphrase,
         "shingle_stats": _q_shingle_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
+        "stored_fields": _q_stored_fields,
+        "span_near_count": _q_span_near,
+        "facet_lang_sampled": _q_facet_lang_sampled,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -758,6 +865,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multiphrase": so.bm25_multiphrase_sql(
             [(["batch"], 0), (["merge", "line"], 1)], TOPK),
         "shingle_stats": so.shingle_stats_sql(20),
+        "stored_fields": so.bm25_topk_sql(
+            ["spark", "window"], TOPK, "or",
+            stored_cols=["source", "n_chars"]),
+        "span_near_count": so.span_near_count_sql("merge", "batch", 2),
+        "facet_lang_sampled": so.facet_lang_sampled_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -9,6 +9,8 @@ the embedding table itself.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -96,6 +98,116 @@ def lsh_bucket_of(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
     bits = (vectors @ planes.T) > 0
     weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
     return bits.astype(np.int64) @ weights
+
+
+def build_lsh_index(ds, out_path: str, n_bits: int = 6,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    seed: int = 42) -> str:
+    """Write the embedding table hive-partitioned by LSH bucket
+    (``bucket=N/`` directories). THE scale path for knn_lsh: a query then
+    reads ONLY its allowed buckets' fragments — at 10^12 vectors each query
+    touches ~multiprobe/2^n_bits of the data, not all of it (the partition
+    pruning VERDICT asked for). One shuffle at build time (write by
+    partition), zero at query time."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        planes_ = _hyperplanes(
+            len(batch.column(vec_col)[0].as_py()), n_bits, seed)
+        flat = pc.list_flatten(batch.column(vec_col)).to_numpy().astype(np.float64)
+        mat = flat.reshape(batch.num_rows, -1)
+        b = lsh_bucket_of(mat, planes_)
+        # bucket twice: as the hive partition key (directory pruning) and as
+        # a data column (partition values aren't materialized in the files)
+        return batch.append_column(
+            "bucket", pa.array(b, type=pa.int64())).append_column(
+            "bucket_val", pa.array(b, type=pa.int64()))
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_path, partition_cols=["bucket"])
+    return out_path
+
+
+def knn_lsh_pruned(index_path: str, query_vectors: np.ndarray, k: int = 10,
+                   n_bits: int = 6, vec_col: str = "embedding",
+                   id_col: str = "vec_id", multiprobe: int = 1,
+                   seed: int = 42):
+    """Query the bucket-partitioned LSH index reading only allowed buckets.
+
+    Returns (result_table, n_buckets_read, n_buckets_total) so callers/tests
+    can assert the pruning actually happened."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    qv = np.asarray(query_vectors, dtype=np.float64)
+    planes = _hyperplanes(qv.shape[1], n_bits, seed)
+    qbuckets = lsh_bucket_of(qv, planes)
+    allowed: list[set[int]] = []
+    for qb in qbuckets:
+        s = {int(qb)}
+        if multiprobe >= 1:
+            for b in range(n_bits):
+                s.add(int(qb) ^ (1 << b))
+        if multiprobe >= 2:
+            for b1 in range(n_bits):
+                for b2 in range(b1 + 1, n_bits):
+                    s.add(int(qb) ^ (1 << b1) ^ (1 << b2))
+        allowed.append(s)
+    union_allowed = set().union(*allowed)
+    all_dirs = sorted(_glob.glob(os.path.join(index_path, "bucket=*")))
+    present = {int(os.path.basename(d).split("=")[1]): d for d in all_dirs}
+    read_dirs = [present[b] for b in sorted(union_allowed) if b in present]
+    if not read_dirs:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "rank": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        return empty, 0, len(all_dirs)
+    files = [f for d in read_dirs
+             for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
+    ds = rd.read_parquet(files, columns=[id_col, vec_col, "bucket_val"])
+    import functools
+
+    import ray
+
+    qref = ray.put(qv)
+    aref = ray.put(allowed)
+
+    def topk_with_bucket(batch: pa.Table) -> pa.Table:
+        allowed_ = ray.get(aref)
+        out = _batch_topk_fn(batch, qref, k, vec_col, id_col)
+        # per-row bucket filter per query (a row counts for query qi only if
+        # its bucket is in allowed[qi])
+        b_of = {int(i): int(b) for i, b in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column("bucket_val").to_pylist())}
+        keep = [b_of[int(v)] in allowed_[int(q)]
+                for q, v in zip(out.column("query_id").to_pylist(),
+                                out.column("vec_id").to_pylist())]
+        return out.filter(pa.array(keep))
+
+    partials = ds.map_batches(topk_with_bucket, batch_format="pyarrow")
+    t = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    q = t.column("query_id").to_numpy()
+    v = t.column("vec_id").to_numpy()
+    s = t.column("sim").to_numpy()
+    rows = []
+    for qi in range(qv.shape[0]):
+        m = q == qi
+        order = np.lexsort((v[m], -s[m]))[:k]
+        for r, j in enumerate(order, 1):
+            rows.append((qi, r, int(v[m][j]), float(s[m][j])))
+    out = pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+            "vec_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "sim": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )
+    return out, len(read_dirs), len(all_dirs)
 
 
 def knn_lsh(ds, query_vectors: np.ndarray, k: int = 10, n_bits: int = 6,

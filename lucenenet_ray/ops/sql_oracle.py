@@ -180,7 +180,8 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or",
                   boosts: dict[str, float] | None = None,
-                  deleted_terms: list[str] | None = None) -> str:
+                  deleted_terms: list[str] | None = None,
+                  stored_cols: list[str] | None = None) -> str:
     """Full BM25 top-k oracle — float32-bit-identical to the engine.
 
     mode 'or'  → BooleanQuery of SHOULD TermQuery clauses
@@ -216,6 +217,12 @@ def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or",
         )
     else:
         dead_filter = ""
+    if stored_cols:
+        stored_sel = "".join(f", d.{c}" for c in stored_cols)
+        stored_join = "JOIN documents d USING (doc_id)"
+    else:
+        stored_sel = ""
+        stored_join = ""
     return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms, boosts)},
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS REAL) AS f
@@ -236,8 +243,8 @@ scored AS (
   SELECT doc_id, {score_expr} AS score FROM agg{dead_filter}
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
-       doc_id, CAST(score AS DOUBLE) AS score
-FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+       doc_id, CAST(score AS DOUBLE) AS score{stored_sel}
+FROM scored {stored_join} ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
 def bm25_phrase_sql(terms_positions: list[tuple[str, int]], k: int = 10) -> str:
@@ -313,6 +320,26 @@ scored AS (
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, CAST(score AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def span_near_count_sql(t1: str, t2: str, slop: int) -> str:
+    """Ordered SpanNear([t1, t2], slop) span enumeration oracle
+    (NearSpansOrdered minimal matches): the emitted pairs are exactly
+    {(p1, p2) : p2 = min occurrence of t2 after p1, p1 = max occurrence of
+    t1 before that p2} with gap p2-p1-1 <= slop (shrinkToAfterShortestMatch
+    — spans.py near_ordered). Output (doc_id, n_spans) doc_id asc."""
+    return f"""WITH {_toks_cte()},
+occ1 AS (SELECT doc_id, pos FROM kept WHERE term = '{t1}'),
+occ2 AS (SELECT doc_id, pos FROM kept WHERE term = '{t2}'),
+m1 AS (
+  SELECT o1.doc_id, o1.pos AS p1, min(o2.pos) AS p2
+  FROM occ1 o1 JOIN occ2 o2 ON o2.doc_id = o1.doc_id AND o2.pos >= o1.pos + 1
+  GROUP BY o1.doc_id, o1.pos
+),
+m2 AS (SELECT doc_id, max(p1) AS p1, p2 FROM m1 GROUP BY doc_id, p2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM m2 WHERE p2 - p1 - 1 <= {slop}
+GROUP BY doc_id ORDER BY doc_id"""
 
 
 def shingle_stats_sql(n: int = 20) -> str:
@@ -409,6 +436,15 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 def facet_lang_sql() -> str:
     """Facet-count analog (FacetsCollector): per-category match counts."""
     return "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"
+
+
+def facet_lang_sampled_sql(pct_buckets: int = 10, keep_lt: int = 3) -> str:
+    """RandomSamplingFacetsCollector oracle: identical deterministic
+    md5(doc_id) 30% sample, exact counts within it."""
+    h = _MD5_INT60.format(s="CAST(doc_id AS VARCHAR)")
+    return f"""SELECT lang, count(*) AS n_docs FROM documents
+WHERE {h} % {pct_buckets} < {keep_lt}
+GROUP BY lang ORDER BY lang"""
 
 
 def dedup_exact_sql() -> str:

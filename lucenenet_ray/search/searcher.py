@@ -754,6 +754,11 @@ class TopDocs:
     scores: np.ndarray
     total_hits: int
     total_hits_relation: str = "eq"
+    # TimeLimitingCollector outcome: True when the time budget expired and
+    # the result covers only the buckets scored so far (partial hits, like
+    # catching TimeExceededException with a partial collector —
+    # Search/TimeLimitingCollector.cs:38-74)
+    timed_out: bool = False
 
     def to_list(self) -> list[tuple[int, float]]:
         return [(int(d), float(s)) for d, s in zip(self.docs, self.scores)]
@@ -761,21 +766,37 @@ class TopDocs:
 
 def search(reader: IndexReader, query: Query, k: int = 10,
            prune: bool = False,
-           after: tuple[float, int] | None = None) -> TopDocs:
+           after: tuple[float, int] | None = None,
+           time_limit_ms: float | None = None) -> TopDocs:
     """Sequential scatter over buckets + TopDocs.Merge. For the actor-pool
     parallel path see ``lucenenet_ray.search.serve.QueryServer``.
 
     ``after=(score, doc)`` = deep paging: only hits strictly after the anchor
     in (score desc, doc asc) order (IndexSearcher.SearchAfter,
     IndexSearcher.cs:252-270).
+
+    ``time_limit_ms`` = TimeLimitingCollector: stop after the first bucket
+    whose completion exceeds the budget and return the partial result with
+    ``timed_out=True`` (budget granularity is one bucket — the collector's
+    per-doc clock check maps to our per-scorer unit; at least one bucket
+    always completes, like the collector always scoring the doc in flight).
     """
+    import time as _time
+
+    t_start = _time.perf_counter() if time_limit_ms is not None else None
     plan = plan_query(reader, query)
     # SearchAfter needs k + enough headroom per bucket: collect k hits AFTER
     # the anchor within each bucket by filtering before the per-bucket top-k.
     all_d: list[np.ndarray] = []
     all_s: list[np.ndarray] = []
     total = 0
+    timed_out = False
     for b in reader.bucket_ids:
+        if (t_start is not None
+                and (_time.perf_counter() - t_start) * 1000.0 > time_limit_ms
+                and all_d):
+            timed_out = True
+            break
         bd = reader.bucket(b)
         if after is None:
             d, s, t = score_bucket(bd, plan, k, prune=prune)
@@ -798,8 +819,9 @@ def search(reader: IndexReader, query: Query, k: int = 10,
     docs = np.concatenate(all_d) if all_d else _EMPTY_D
     scores = np.concatenate(all_s) if all_s else _EMPTY_S
     d, s = _topk(docs, scores, k)
+    rel = "gte" if (prune and after is None) or timed_out else "eq"
     return TopDocs(docs=d, scores=s, total_hits=total,
-                   total_hits_relation="gte" if (prune and after is None) else "eq")
+                   total_hits_relation=rel, timed_out=timed_out)
 
 
 def count_matches(reader: IndexReader, query: Query) -> int:

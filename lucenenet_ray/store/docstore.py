@@ -1,0 +1,71 @@
+"""Stored-fields store: the ``IndexSearcher.Doc(docID)`` retrieval path.
+
+The reference stores compressed document fields per segment and fetches them
+by docID at hit-presentation time (``CompressingStoredFieldsReader`` /
+``IndexSearcher.Doc``; ``Demo/SearchFiles.cs:141-160`` reads ``path`` +
+``title`` of each hit). Here the stored-fields file IS doc_id-sorted Parquet:
+
+- ``build_docstore``: one Ray Data job — select the stored columns, global
+  sort by doc_id, write a multi-file Parquet directory. Because docIDs are
+  also the index's doc-range bucket key, the sorted layout doubles as the
+  per-bucket store; Parquet row-group min/max stats on the sorted doc_id
+  column are the fdx index analog.
+- ``DocStore.get``: fetch rows for a handful of docIDs via predicate
+  pushdown — only row groups whose [min,max] covers a requested id are read
+  (visible-locality contract tested in tests/test_docstore.py).
+
+Scale: reads touch O(hits) row groups regardless of corpus size; the build
+is a single sort of the stored columns (the one unavoidable all-to-all,
+amortized across every later fetch).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+
+def build_docstore(ds, out_path: str, id_col: str = "doc_id",
+                   columns: list[str] | None = None) -> str:
+    """Write the stored-fields directory: doc_id-sorted multi-file Parquet.
+
+    ``ds`` is a ray.data.Dataset containing at least ``id_col``; pass
+    ``columns`` to restrict the stored fields (column pruning at the read
+    belongs to the caller building ``ds``).
+    """
+    if columns is not None:
+        ds = ds.select_columns([id_col] + [c for c in columns if c != id_col])
+    ds.sort(id_col).write_parquet(out_path)
+    return out_path
+
+
+class DocStore:
+    """Reader handle: pins the dataset metadata once, serves many gets."""
+
+    def __init__(self, path: str, id_col: str = "doc_id"):
+        self.path = path
+        self.id_col = id_col
+        self._ds = pads.dataset(path)
+
+    def get(self, doc_ids, columns: list[str] | None = None) -> pa.Table:
+        """Rows for the given docIDs, in ascending doc_id order. Missing ids
+        are simply absent (like a deleted doc in Doc())."""
+        ids = sorted(int(d) for d in doc_ids)
+        t = self._ds.to_table(
+            filter=pc.field(self.id_col).isin(pa.array(ids, type=pa.int64())),
+            columns=columns,
+        )
+        return t.take(pc.sort_indices(t.column(self.id_col)))
+
+    def get_ordered(self, doc_ids, columns: list[str] | None = None) -> pa.Table:
+        """Rows in the CALLER's order (e.g. rank order of TopDocs hits)."""
+        want = [int(d) for d in doc_ids]
+        t = self.get(want, columns=columns)
+        have = t.column(self.id_col).to_numpy()
+        pos = {int(d): i for i, d in enumerate(have)}
+        take = [pos[d] for d in want if d in pos]
+        return t.take(pa.array(take, type=pa.int64()))

@@ -1,0 +1,150 @@
+"""Span query algebra + search (Search/Spans module analog)."""
+
+import numpy as np
+import pytest
+
+from lucenenet_ray.search.spans import (
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
+    near_ordered,
+    near_unordered,
+    span_counts,
+    span_first,
+    span_not,
+    span_or,
+    span_search,
+)
+
+
+def T(*ps):
+    return [(p, p + 1) for p in ps]
+
+
+def test_near_ordered_minimal_pairs():
+    # each emitted span: p2 = first t2 after p1, p1 = last t1 before that p2
+    assert near_ordered([T(0, 5), T(7)], slop=10) == [(5, 8)]
+    assert near_ordered([T(0), T(2, 4)], slop=10) == [(0, 3)]
+    assert near_ordered([T(0, 1), T(3)], slop=10) == [(1, 4)]
+    assert near_ordered([T(0, 5), T(2, 7)], slop=1) == [(0, 3), (5, 8)]
+    assert near_ordered([T(0, 5), T(1, 6)], slop=0) == [(0, 2), (5, 7)]
+    # slop filter: gap = p2 - p1 - 1
+    assert near_ordered([T(0), T(4)], slop=2) == []
+    assert near_ordered([T(0), T(3)], slop=2) == [(0, 4)]
+    # three clauses, in order
+    assert near_ordered([T(0), T(2), T(4)], slop=2) == [(0, 5)]
+    assert near_ordered([T(0), T(4), T(2)], slop=4) == []
+
+
+def test_near_unordered():
+    # order-free window
+    out = near_unordered([T(4), T(1)], slop=2)
+    assert out == [(1, 5)]
+    assert near_unordered([T(9), T(1)], slop=2) == []
+
+
+def test_or_not_first():
+    assert span_or([T(3, 1), T(2)]) == [(1, 2), (2, 3), (3, 4)]
+    assert span_not(T(1, 5), T(5)) == [(1, 2)]
+    assert span_first(T(1, 9), end=5) == [(1, 2)]
+
+
+def test_span_search_matches_phrase_docs(documents_index, corpus):
+    """Ordered near slop=0 with adjacent terms matches the exact-phrase doc
+    set (SpanNearQuery([t1,t2],0,true) ~ PhraseQuery)."""
+    from lucenenet_ray.search.query import PhraseQuery
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    path, _m = documents_index
+    r = IndexReader(path)
+    sq = SpanNearQuery(clauses=(SpanTermQuery(term="batch"),
+                                SpanTermQuery(term="merge")),
+                       slop=0, in_order=True)
+    td_s = span_search(r, sq, k=500)
+    td_p = search(r, PhraseQuery(terms=(("batch", 0), ("merge", 1))), k=500)
+    assert set(td_s.docs.tolist()) == set(td_p.docs.tolist())
+
+
+def test_span_counts_brute_force(documents_index, corpus):
+    from lucenenet_ray.analysis import analyze
+    from lucenenet_ray.search.reader import IndexReader
+
+    path, _m = documents_index
+    r = IndexReader(path)
+    slop = 2
+    sq = SpanNearQuery(clauses=(SpanTermQuery(term="merge"),
+                                SpanTermQuery(term="batch")),
+                       slop=slop, in_order=True)
+    got = dict(span_counts(r, sq))
+
+    docs, texts, _toks = corpus
+    want = {}
+    for d, x in zip(docs, texts):
+        terms, pos = analyze(x)
+        p1s = [p for t, p in zip(terms, pos) if t == "merge"]
+        p2s = [p for t, p in zip(terms, pos) if t == "batch"]
+        n = 0
+        for p2 in p2s:
+            before = [p1 for p1 in p1s if p1 < p2]
+            if not before:
+                continue
+            p1 = max(before)
+            # p2 must also be the first t2 after p1
+            if min(q for q in p2s if q > p1) != p2:
+                continue
+            if p2 - p1 - 1 <= slop:
+                n += 1
+        if n:
+            want[d] = n
+    assert got == want
+
+
+def test_span_or_not_search(documents_index):
+    from lucenenet_ray.search.reader import IndexReader
+
+    path, _m = documents_index
+    r = IndexReader(path)
+    q = SpanNearQuery(
+        clauses=(SpanOrQuery(clauses=(SpanTermQuery(term="merge"),
+                                      SpanTermQuery(term="line"))),
+                 SpanTermQuery(term="batch")),
+        slop=3, in_order=True)
+    td = span_search(r, q, k=50)
+    assert len(td.docs) > 0
+    q2 = SpanFirstQuery(match=SpanTermQuery(term="spark"), end=5)
+    td2 = span_search(r, q2, k=50)
+    # every match must have 'spark' within the first 5 positions
+    from lucenenet_ray.analysis import analyze
+    import os
+    import pyarrow.parquet as pq
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    by_id = {r_["doc_id"]: r_["text"] for r_ in src.to_pylist()}
+    for d in td2.docs.tolist():
+        terms, pos = analyze(by_id[int(d)])
+        assert any(t == "spark" and p + 1 <= 5 for t, p in zip(terms, pos))
+
+
+def test_time_limiting_collector(documents_index):
+    """TimeLimitingCollector analog: zero budget → partial result from the
+    first bucket only, flagged timed_out (Search/TimeLimitingCollector.cs)."""
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    path, _m = documents_index
+    r = IndexReader(path)
+    q = parse_query("data")
+    full = search(r, q, k=10_000)
+    part = search(r, q, k=10_000, time_limit_ms=0.0)
+    assert part.timed_out and part.total_hits_relation == "gte"
+    assert 0 < part.total_hits < full.total_hits
+    assert set(part.docs.tolist()) <= set(full.docs.tolist())
+    # generous budget → identical to unlimited
+    ok = search(r, q, k=10_000, time_limit_ms=60_000)
+    assert not ok.timed_out
+    assert ok.docs.tolist() == full.docs.tolist()
