@@ -284,6 +284,26 @@ def _q_stored_fields(sf_dir: str) -> pa.Table:
                .append_column("n_chars", fields.column("n_chars"))
 
 
+def _q_classic_tfidf(sf_dir: str) -> pa.Table:
+    """Similarity override (Similarity.cs / DefaultSimilarity.cs): the same
+    "spark window" OR query scored with ClassicSimilarity — sqrt-tf, idf²,
+    queryNorm, decoded SmallFloat norm, Boolean coord — float32-bit-exact
+    against the TFIDF SQL oracle."""
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+    from lucenenet_ray.search.searcher import search
+
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t))
+        for t in ["spark", "window"]))
+    td = search(_reader(sf_dir), q, k=TOPK, similarity="classic")
+    return _topdocs_to_table(td)
+
+
 def _q_span_near(sf_dir: str) -> pa.Table:
     """Ordered SpanNear([merge, batch], slop=2) span enumeration
     (Search/Spans/NearSpansOrdered.cs minimal matches): per-doc span counts,
@@ -824,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stored_fields": _q_stored_fields,
         "span_near_count": _q_span_near,
         "facet_lang_sampled": _q_facet_lang_sampled,
+        "classic_tfidf": _q_classic_tfidf,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -870,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
             stored_cols=["source", "n_chars"]),
         "span_near_count": so.span_near_count_sql("merge", "batch", 2),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
+        "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -247,6 +247,72 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored {stored_join} ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def tfidf_topk_sql(terms: list[str], k: int = 10) -> str:
+    """ClassicSimilarity (TFIDFSimilarity/DefaultSimilarity) OR-query oracle,
+    float32-bit-exact: idf = (float)(ln(N/(df+1))+1); queryNorm =
+    (float)(1/sqrt(Σ float32 (idf·boost)²)); value = (idf·queryNorm)·idf;
+    per-term score = ((float)sqrt(tf) · value) · decodedNorm; doc score =
+    clause-order float32 sum × coord(overlap/maxOverlap)."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    idf_of = ("CAST(ln(CAST((SELECT N FROM coll) AS DOUBLE)/(df + 1)) + 1.0 "
+              "AS REAL)")
+    # float32 left-assoc sum of squared query weights, in clause order
+    sum_sq = "CAST(0.0 AS REAL)"
+    for t in terms:
+        qw = f"(SELECT idf FROM cweights WHERE term = '{t}')"
+        sum_sq = f"CAST({sum_sq} + CAST({qw} * {qw} AS REAL) AS REAL)"
+    score_expr = f"COALESCE(s0, {ZERO_R})"
+    for i in range(1, len(terms)):
+        score_expr = f"CAST({score_expr} + COALESCE(s{i}, {ZERO_R}) AS REAL)"
+    pivot_cols = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms))
+    maxov = len(terms)
+    return f"""WITH {_toks_cte()},{_NORM_CTE},
+cweights AS (
+  SELECT term, count(DISTINCT doc_id) AS df, {idf_of} AS idf
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY term
+),
+qn AS (SELECT CAST(1.0 / sqrt(CAST({sum_sq} AS DOUBLE)) AS REAL) AS v),
+cvals AS (
+  SELECT term, CAST(CAST(idf * (SELECT v FROM qn) AS REAL) * idf AS REAL) AS value
+  FROM cweights
+),
+normdec AS (
+  SELECT doc_id,
+    CASE WHEN nb = 0 THEN CAST(0.0 AS REAL)
+         ELSE CAST((1.0 + CAST((nb + 384) % 4 AS DOUBLE)/4.0)
+              * power(2.0, CAST(floor((nb + 384)/4) AS BIGINT) - 127) AS REAL)
+    END AS dec
+  FROM normb
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(CAST(CAST(sqrt(CAST(tf.f AS DOUBLE)) AS REAL) * v.value AS REAL)
+         * nd.dec AS REAL) AS s
+  FROM tf
+  JOIN cvals v USING (term)
+  JOIN normdec nd ON nd.doc_id = tf.doc_id
+),
+agg AS (
+  SELECT doc_id, count(DISTINCT term) AS overlap, {pivot_cols}
+  FROM persc GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+    CAST(({score_expr}) *
+      CAST(CAST(overlap AS REAL) / CAST({maxov} AS REAL) AS REAL) AS REAL) AS score
+  FROM agg
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def bm25_phrase_sql(terms_positions: list[tuple[str, int]], k: int = 10) -> str:
     """Exact-phrase BM25 oracle (ExactPhraseScorer semantics): phrase freq =
     count of base positions matching all (term, rel) members; weight = float32

@@ -76,6 +76,38 @@ def score_freqs(
     return ((weight_value * f) / (f + norm)).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# ClassicSimilarity (TFIDF) — the Similarity-override surface
+# (``Search/Similarities/TFIDFSimilarity.cs`` / ``DefaultSimilarity.cs``)
+
+
+def classic_idf(df: int, num_docs: int) -> np.float32:
+    """DefaultSimilarity.Idf: (float)(log(numDocs/(double)(df+1)) + 1.0)."""
+    return np.float32(math.log(num_docs / (df + 1.0)) + 1.0)
+
+
+def classic_query_norm(sum_sq: np.float32) -> np.float32:
+    """DefaultSimilarity.QueryNorm: (float)(1.0 / sqrt(sumOfSquaredWeights))."""
+    return np.float32(1.0 / math.sqrt(float(sum_sq)))
+
+
+def classic_coord(overlap: np.ndarray, max_overlap: int) -> np.ndarray:
+    """DefaultSimilarity.Coord: overlap / (float)maxOverlap, float32 div."""
+    return (np.asarray(overlap, dtype=np.float32)
+            / np.float32(max_overlap)).astype(np.float32)
+
+
+def classic_score_freqs(freqs: np.ndarray, norm_bytes: np.ndarray,
+                        weight_value: np.float32,
+                        classic_table: np.ndarray) -> np.ndarray:
+    """TFIDFSimilarity ExactDocScorer.Score: tf = (float)sqrt(freq) (double
+    sqrt then cast); raw = tf * value; score = raw * decodedNorm — float32
+    at each step."""
+    tf = np.sqrt(np.asarray(freqs, dtype=np.float64)).astype(np.float32)
+    dec = classic_table[np.asarray(norm_bytes, dtype=np.int64)]
+    return ((tf * weight_value) * dec).astype(np.float32)
+
+
 def upper_bound(max_freq: int, max_norm_byte: int, weight_value: np.float32,
                 cache: np.ndarray) -> np.float32:
     """Lossless per-block / per-chunk score upper bound for block-max pruning.

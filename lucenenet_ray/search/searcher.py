@@ -89,6 +89,11 @@ class QueryPlan:
     # live mask once and caches it). Stats/weights above are over ALL docs —
     # Lucene's pre-merge liveDocs semantics (SegmentReader liveDocs).
     deleted_terms: tuple[str, ...] = ()
+    # Similarity override (Similarity.cs / PerFieldSimilarityWrapper surface):
+    # "bm25" (default) or "classic" (TFIDFSimilarity/DefaultSimilarity —
+    # sqrt-tf · idf² · queryNorm · decoded norm, with Boolean coord).
+    similarity: str = "bm25"
+    classic_table: np.ndarray = None
 
     def cache_for(self, term: str) -> np.ndarray:
         from lucenenet_ray.search.query import FIELD_SEP
@@ -129,7 +134,8 @@ def _collect_terms(q: Query, reader: IndexReader, terms: set[str],
 
 
 def plan_query(reader: IndexReader, query: Query,
-               k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> QueryPlan:
+               k1: float = K1_DEFAULT, b: float = B_DEFAULT,
+               similarity: str = "bm25") -> QueryPlan:
     """Rewrite + weight computation (the CreateNormalizedWeight analog)."""
     terms: set[str] = set()
     wkeys: set[tuple[str, float]] = set()
@@ -139,6 +145,8 @@ def plan_query(reader: IndexReader, query: Query,
     n = reader.num_docs
     avgdl = avg_field_length(reader.sum_total_term_freq, n)
     cache = norm_cache(avgdl, k1, b)
+    if similarity == "classic":
+        return _plan_classic(reader, query, stats, n, k1, cache, terms)
     weights = {
         (t, bo): TermWeight.build(t, stats[t][0], stats[t][1], n, boost=bo, k1=k1)
         for (t, bo) in wkeys
@@ -192,6 +200,55 @@ def plan_query(reader: IndexReader, query: Query,
     )
 
 
+def _plan_classic(reader: IndexReader, query: Query, stats: dict, n: int,
+                  k1: float, cache: np.ndarray, terms: set[str]) -> QueryPlan:
+    """ClassicSimilarity weight computation (TFIDFSimilarity.cs Weight
+    lifecycle): queryWeight = idf·boost per clause; sumOfSquaredWeights =
+    float32 Σ queryWeight² in clause order; queryNorm = (float)(1/sqrt(sum));
+    value = (queryWeight·queryNorm)·idf. Supports Term/Boolean trees (the
+    query shapes DefaultSimilarity's coord applies to)."""
+    from lucenenet_ray.search.bm25 import classic_idf, classic_query_norm
+    from lucenenet_ray.util.smallfloat import CLASSIC_NORM_TABLE
+
+    leaves: list[tuple[str, float]] = []
+
+    def walk(q: Query) -> None:
+        if isinstance(q, TermQuery):
+            leaves.append((q.term, float(q.boost)))
+        elif isinstance(q, BooleanQuery):
+            for c in q.clauses:
+                if c.occur != Occur.MUST_NOT:
+                    walk(c.query)
+        else:
+            raise NotImplementedError(
+                "classic similarity supports Term/Boolean queries in v1")
+
+    walk(query)
+    idfs = {t: classic_idf(stats[t][0], n) for t, _ in leaves if t in stats}
+    sum_sq = np.float32(0.0)
+    for t, bo in leaves:  # clause order — float32 accumulation contract
+        if t in idfs:
+            qw = np.float32(idfs[t] * np.float32(bo))
+            sum_sq = np.float32(sum_sq + np.float32(qw * qw))
+    qnorm = classic_query_norm(sum_sq) if sum_sq > 0 else np.float32(1.0)
+    weights = {}
+    for t, bo in leaves:
+        if t in idfs:
+            qw = np.float32(idfs[t] * np.float32(bo))
+            value = np.float32(np.float32(qw * qnorm) * idfs[t])
+            weights[(t, bo)] = TermWeight(
+                term=t, df=stats[t][0], ttf=stats[t][1],
+                idf=idfs[t], weight_value=value)
+    return QueryPlan(
+        query=query, k1=k1, b=0.0, num_docs=n,
+        avgdl=np.float32(1.0), cache=cache, weights=weights,
+        phrase_weights={}, expansions={}, all_terms=tuple(sorted(terms)),
+        cache_k1=np.full(256, np.float32(k1), dtype=np.float32),
+        deleted_terms=getattr(reader, "deleted_terms", ()),
+        similarity="classic", classic_table=CLASSIC_NORM_TABLE,
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-bucket evaluation
 
@@ -223,6 +280,11 @@ def _eval_term(term: str, boost: float, chunks: dict[str, PostingsChunk],
         return _EMPTY_D, _EMPTY_S
     lidx = c.local_ids(bucket)
     norms = bucket.norms()[2][lidx]
+    if plan.similarity == "classic":
+        from lucenenet_ray.search.bm25 import classic_score_freqs
+
+        return lidx, classic_score_freqs(c.freqs(), norms, w.weight_value,
+                                         plan.classic_table)
     scores = score_freqs(c.freqs(), norms, w.weight_value, plan.cache_for(term))
     return lidx, scores
 
@@ -537,6 +599,8 @@ def _eval_boolean(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Query
     must_cnt = np.zeros(nb, dtype=np.int16) if n_must else None
     msm = getattr(q, "min_should_match", 0)
     should_cnt = np.zeros(nb, dtype=np.int16) if msm else None
+    classic = plan.similarity == "classic"
+    ov_cnt = np.zeros(nb, dtype=np.int16) if classic else None
     for occur, sq in pos:  # clause order — float32 add order contract
         d, s = _eval_query(sq, chunks, plan, bucket)
         if d.size == 0:
@@ -545,6 +609,8 @@ def _eval_boolean(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Query
             continue
         acc[d] += s
         matched[d] = True
+        if ov_cnt is not None:
+            ov_cnt[d] += 1
         if occur == Occur.MUST:
             must_cnt[d] += 1
         elif should_cnt is not None:
@@ -561,6 +627,13 @@ def _eval_boolean(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: Query
     lidx = np.flatnonzero(sel)
     if lidx.size == 0:
         return _EMPTY_D, _EMPTY_S
+    if classic:
+        # DefaultSimilarity.Coord = overlap / (float)maxOverlap, applied to
+        # the clause-order float32 sum (BooleanScorer2 coordFactor)
+        from lucenenet_ray.search.bm25 import classic_coord
+
+        coord = classic_coord(ov_cnt[lidx], len(pos))
+        return lidx, (acc[lidx] * coord).astype(np.float32)
     return lidx, acc[lidx]
 
 
@@ -590,6 +663,8 @@ def score_bucket(bucket: BucketData, plan: QueryPlan, k: int,
     chunks = bucket.chunks_for_terms(list(plan.all_terms), full=False)
     q = plan.query
     live = bucket.live_mask(plan.deleted_terms)
+    if prune and plan.similarity != "bm25":
+        prune = False  # MaxScore bounds are BM25-shaped; classic goes exhaustive
     if prune and _is_pure_or_terms(q):
         lidx, scores = _eval_or_pruned(q, chunks, plan, bucket, k, live=live)
         total = int(lidx.size)
@@ -767,7 +842,8 @@ class TopDocs:
 def search(reader: IndexReader, query: Query, k: int = 10,
            prune: bool = False,
            after: tuple[float, int] | None = None,
-           time_limit_ms: float | None = None) -> TopDocs:
+           time_limit_ms: float | None = None,
+           similarity: str = "bm25") -> TopDocs:
     """Sequential scatter over buckets + TopDocs.Merge. For the actor-pool
     parallel path see ``lucenenet_ray.search.serve.QueryServer``.
 
@@ -784,7 +860,7 @@ def search(reader: IndexReader, query: Query, k: int = 10,
     import time as _time
 
     t_start = _time.perf_counter() if time_limit_ms is not None else None
-    plan = plan_query(reader, query)
+    plan = plan_query(reader, query, similarity=similarity)
     # SearchAfter needs k + enough headroom per bucket: collect k hits AFTER
     # the anchor within each bucket by filtering before the per-bucket top-k.
     all_d: list[np.ndarray] = []

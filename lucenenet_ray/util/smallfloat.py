@@ -53,6 +53,10 @@ def _load_norm_table() -> np.ndarray:
 
 NORM_TABLE: np.ndarray = _load_norm_table()
 
+# TFIDFSimilarity decodes the raw SmallFloat value itself (DecodeNormValue =
+# SByte315ToSingle — DefaultSimilarity.cs), not 1/f² like BM25's table.
+CLASSIC_NORM_TABLE: np.ndarray = byte315_to_float(np.arange(256, dtype=np.uint8))
+
 
 def encode_norm(field_lengths: np.ndarray, boost: float = 1.0) -> np.ndarray:
     """Norm byte per document: SingleToByte315(boost / sqrt(fieldLength)).

@@ -1,0 +1,92 @@
+"""ClassicSimilarity (TFIDF) — the Similarity-override surface
+(Search/Similarities/TFIDFSimilarity.cs / DefaultSimilarity.cs)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucenenet_ray.search.query import (
+    BooleanClause,
+    BooleanQuery,
+    Occur,
+    PhraseQuery,
+    TermQuery,
+)
+from lucenenet_ray.search.reader import IndexReader
+from lucenenet_ray.search.searcher import search
+from lucenenet_ray.util.smallfloat import CLASSIC_NORM_TABLE, byte315_to_float
+
+
+def test_classic_norm_table():
+    assert CLASSIC_NORM_TABLE[0] == 0.0
+    b = np.arange(1, 256, dtype=np.uint8)
+    assert np.array_equal(CLASSIC_NORM_TABLE[1:], byte315_to_float(b))
+
+
+def test_classic_single_term_scores(documents_index, corpus):
+    """Brute-force float32 replay: score = ((float)sqrt(tf) · value) · dec,
+    value = (idf·queryNorm)·idf with queryNorm = 1/sqrt(idf²) for one term."""
+    path, _m = documents_index
+    r = IndexReader(path)
+    td = search(r, TermQuery(term="spark"), k=20, similarity="classic")
+    assert len(td.docs) == 20
+
+    docs, _texts, toks = corpus
+    n = len(docs)
+    df = sum(1 for d in docs if "spark" in toks[d])
+    idf = np.float32(math.log(n / (df + 1.0)) + 1.0)
+    qw = np.float32(idf * np.float32(1.0))
+    sum_sq = np.float32(np.float32(0.0) + np.float32(qw * qw))
+    qnorm = np.float32(1.0 / math.sqrt(float(sum_sq)))
+    value = np.float32(np.float32(qw * qnorm) * idf)
+
+    from lucenenet_ray.util.smallfloat import encode_norm
+
+    got = {int(d): float(s) for d, s in zip(td.docs, td.scores)}
+    for d in list(got)[:5]:
+        tf = toks[d].count("spark")
+        L = len(toks[d])
+        nb = int(encode_norm(np.array([L]))[0])
+        dec = CLASSIC_NORM_TABLE[nb]
+        expect = np.float32(np.float32(np.float32(math.sqrt(tf)) * value) * dec)
+        assert got[d] == float(expect)
+
+
+def test_classic_coord(documents_index, corpus):
+    """Docs matching 1 of 2 OR clauses score ×(1/2) coord."""
+    path, _m = documents_index
+    r = IndexReader(path)
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="spark")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="quantumflux")),  # df=0
+    ))
+    td2 = search(r, q, k=20, similarity="classic")
+    td1 = search(r, TermQuery(term="spark"), k=20, similarity="classic")
+    # same doc set; the boolean applies coord=1/2 but also a different
+    # queryNorm (sum includes only present terms) — here identical since the
+    # absent term contributes no weight; so score2 = score1 * 0.5 (float32)
+    assert td2.docs.tolist() == td1.docs.tolist()
+    for s1, s2 in zip(td1.scores, td2.scores):
+        assert float(np.float32(np.float32(s1) * np.float32(0.5))) == float(s2)
+
+
+def test_classic_rejects_phrases(documents_index):
+    path, _m = documents_index
+    r = IndexReader(path)
+    with pytest.raises(NotImplementedError):
+        search(r, PhraseQuery(terms=(("batch", 0), ("merge", 1))), k=5,
+               similarity="classic")
+
+
+def test_classic_ranking_differs_from_bm25(documents_index):
+    path, _m = documents_index
+    r = IndexReader(path)
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="spark")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="window")),
+    ))
+    tc = search(r, q, k=1000, similarity="classic")
+    tb = search(r, q, k=1000)
+    assert set(tc.docs.tolist()) == set(tb.docs.tolist())  # same matches
+    assert tc.scores.tolist() != tb.scores.tolist()  # different formula
