@@ -109,7 +109,10 @@ def _q_doc_norms(sf_dir: str) -> pa.Table:
     files = sorted(glob.glob(os.path.join(_index_path(sf_dir), "norms", "*.parquet")))
     t = pa.concat_tables([pq.read_table(f) for f in files])
     idx = pa.compute.sort_indices(t.column("doc_id"))
-    return t.take(idx)
+    t = t.take(idx)
+    # int64 presentation (norms files store int32; DuckDB aggregates BIGINT)
+    return pa.table({c: pa.compute.cast(t.column(c), pa.int64())
+                     for c in t.column_names})
 
 
 def _q_top_terms(sf_dir: str) -> pa.Table:

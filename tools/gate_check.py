@@ -1,0 +1,96 @@
+"""Driver-gate rehearsal: run every queries() entry against its oracle_sql()
+like the driver does (rows, schema, sorted-column value hash incl. types).
+
+Usage: python tools/gate_check.py [sf_dir]
+"""
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon(t):
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(t, pd.DataFrame):
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    if hasattr(t, "to_arrow_refs"):  # ray Dataset
+        import ray
+
+        t = pa.concat_tables(ray.get(t.to_arrow_refs()))
+    return t.select(sorted(t.column_names))
+
+
+def value_hash(t):
+    h = hashlib.sha256()
+    for name in t.column_names:
+        col = t.column(name)
+        h.update(name.encode())
+        h.update(str(col.type).encode())
+        for v in col.to_pylist():
+            h.update(repr(v).encode())
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import ray
+
+    ray.init(address="local", num_cpus=16, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import duckdb
+
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for name in ("region nation customer supplier part orders lineitem "
+                 "events documents embeddings").split():
+        p = os.path.join(sf, f"{name}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    qs = E.queries()
+    osql = E.oracle_sql()
+    bad = []
+    for name, fn in qs.items():
+        try:
+            t = canon(fn(sf))
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:24s} ENGINE-ERROR {type(e).__name__}: {e}")
+            bad.append(name)
+            continue
+        if name not in osql:
+            print(f"{name:24s} rows={t.num_rows} (no oracle)")
+            continue
+        try:
+            o = canon(con.execute(osql[name]).arrow())
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:24s} ORACLE-ERROR {type(e).__name__}: {e}")
+            bad.append(name)
+            continue
+        rows_ok = t.num_rows == o.num_rows
+        schema_ok = [str(f) for f in t.schema] == [str(f) for f in o.schema]
+        hash_ok = value_hash(t) == value_hash(o)
+        status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+        if status == "FAIL":
+            bad.append(name)
+            print(f"{name:24s} {status} rows={rows_ok}({t.num_rows}/{o.num_rows}) "
+                  f"schema={schema_ok} hash={hash_ok}")
+            if not schema_ok:
+                print(f"  engine schema: {t.schema}")
+                print(f"  oracle schema: {o.schema}")
+        else:
+            print(f"{name:24s} OK ({t.num_rows} rows)")
+    print(f"\n{'ALL GREEN' if not bad else 'FAILURES: ' + ', '.join(bad)}")
+    ray.shutdown()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
