@@ -287,6 +287,82 @@ def _q_stored_fields(sf_dir: str) -> pa.Table:
                .append_column("n_chars", fields.column("n_chars"))
 
 
+def _q_block_join(sf_dir: str) -> pa.Table:
+    """ToParentBlockJoinQuery analog (Join/ToParentBlockJoinQuery.cs,
+    ScoreMode.Max): children = lineitems with returnflag 'R' and quantity >
+    30; parents = their orders scored by max child extendedprice; top-20 by
+    (score desc, orderkey asc) + the parent's own o_totalprice."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.joins import block_join_parent_scores, top_parents
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_returnflag", "l_extendedprice"])
+
+    def child_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column("l_returnflag"), "R"),
+                    pc.greater(t.column("l_quantity"), 30))
+        return t.filter(m)
+
+    matched = li.map_batches(child_filter, batch_format="pyarrow")
+    scores = block_join_parent_scores(matched, "l_orderkey",
+                                      "l_extendedprice", "max")
+    top = top_parents(scores, "l_orderkey", 20)
+    # fetch the winning parents' stored column (broadcast the 20 keys —
+    # the small-side lookup, never a shuffle of orders)
+    keys = top.column("l_orderkey").to_pylist()
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+        filters=pc.field("o_orderkey").isin(keys))
+    price = {r["o_orderkey"]: r["o_totalprice"] for r in orders.to_pylist()}
+    return pa.table({
+        "o_orderkey": pa.array(keys, type=pa.int64()),
+        "score": pa.array(top.column("score").to_pylist(), type=pa.float64()),
+        "o_totalprice": pa.array([price[k] for k in keys], type=pa.float64()),
+    })
+
+
+def _q_suggest_prefix(sf_dir: str) -> pa.Table:
+    """AnalyzingSuggester-style prefix autocomplete (Suggest module): top-5
+    completions of 'st' from the term dictionary by (df desc, term asc) —
+    a range scan on the sorted term dict, weight = df."""
+    r = _reader(sf_dir)
+    terms = r.terms_in_range("st", "su")
+    stats = r.term_stats(terms)
+    ranked = sorted(((t, df) for t, (df, _ttf) in stats.items()),
+                    key=lambda x: (-x[1], x[0]))[:5]
+    return pa.table({
+        "term": pa.array([t for t, _ in ranked], type=pa.string()),
+        "weight": pa.array([w for _, w in ranked], type=pa.int64()),
+    })
+
+
+def _q_term_vector(sf_dir: str) -> pa.Table:
+    """Term-vector retrieval for doc 0 (TermVectorsReader / Fields.GetTerms
+    analog): (term, freq) of the doc's body, term-sorted — reconstructed
+    from the stored text through the same analyzer chain."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.analysis import analyze
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"],
+                      filters=pa.compute.field("doc_id") == 0)
+    terms, _pos = analyze(t.column("text")[0].as_py())
+    from collections import Counter
+
+    c = Counter(terms)
+    keys = sorted(c)
+    return pa.table({
+        "term": pa.array(keys, type=pa.string()),
+        "freq": pa.array([c[k] for k in keys], type=pa.int64()),
+    })
+
+
 def _q_classic_tfidf(sf_dir: str) -> pa.Table:
     """Similarity override (Similarity.cs / DefaultSimilarity.cs): the same
     "spark window" OR query scored with ClassicSimilarity — sqrt-tf, idf²,
@@ -848,6 +924,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near_count": _q_span_near,
         "facet_lang_sampled": _q_facet_lang_sampled,
         "classic_tfidf": _q_classic_tfidf,
+        "block_join": _q_block_join,
+        "suggest_prefix": _q_suggest_prefix,
+        "term_vector": _q_term_vector,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -895,6 +974,9 @@ def oracle_sql() -> dict[str, str]:
         "span_near_count": so.span_near_count_sql("merge", "batch", 2),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
+        "block_join": so.block_join_sql(20),
+        "suggest_prefix": so.suggest_prefix_sql("st", 5),
+        "term_vector": so.term_vector_sql(0),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

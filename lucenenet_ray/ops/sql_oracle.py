@@ -504,6 +504,33 @@ def facet_lang_sql() -> str:
     return "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"
 
 
+def block_join_sql(k: int = 20) -> str:
+    """ToParentBlockJoin(Max) oracle over orders/lineitem."""
+    return f"""SELECT l.l_orderkey AS o_orderkey,
+       max(l.l_extendedprice) AS score,
+       any_value(o.o_totalprice) AS o_totalprice
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag = 'R' AND l.l_quantity > 30
+GROUP BY l.l_orderkey
+ORDER BY score DESC, o_orderkey ASC LIMIT {k}"""
+
+
+def suggest_prefix_sql(prefix: str, k: int = 5) -> str:
+    """Prefix-autocomplete oracle: top-k terms by (df desc, term asc)."""
+    esc = prefix.replace("'", "''")
+    return f"""WITH {_toks_cte()}
+SELECT term, count(DISTINCT doc_id) AS weight FROM kept
+WHERE term LIKE '{esc}%' GROUP BY term
+ORDER BY weight DESC, term LIMIT {k}"""
+
+
+def term_vector_sql(doc_id: int = 0) -> str:
+    """Term-vector oracle: (term, freq) of one doc, term-sorted."""
+    return f"""WITH {_toks_cte()}
+SELECT term, count(*) AS freq FROM kept WHERE doc_id = {doc_id}
+GROUP BY term ORDER BY term"""
+
+
 def facet_lang_sampled_sql(pct_buckets: int = 10, keep_lt: int = 3) -> str:
     """RandomSamplingFacetsCollector oracle: identical deterministic
     md5(doc_id) 30% sample, exact counts within it."""
