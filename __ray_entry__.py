@@ -363,6 +363,23 @@ def _q_term_vector(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_media_features(sf_dir: str) -> pa.Table:
+    """Multimodal actor-pool stage over a DETERMINISTIC synthetic media
+    table (binary payloads; real decoders stubbed — ops/multimodal.py):
+    image-feature extraction through map_batches with per-actor setup.
+    Rows-only (no SQL rendering of binary decode)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.multimodal import ImageFeatures, synthesize_media_table
+
+    t = synthesize_media_table(n=64)
+    ds = rd.from_arrow(t).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=16, concurrency=2)
+    out = pa.concat_tables([b for b in ds.iter_batches(batch_format="pyarrow")])
+    out = out.select(["item_id", "height", "width", "n_bytes"])
+    return out.take(pa.compute.sort_indices(out.column("item_id")))
+
+
 def _q_classic_tfidf(sf_dir: str) -> pa.Table:
     """Similarity override (Similarity.cs / DefaultSimilarity.cs): the same
     "spark window" OR query scored with ClassicSimilarity — sqrt-tf, idf²,
@@ -927,6 +944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_join": _q_block_join,
         "suggest_prefix": _q_suggest_prefix,
         "term_vector": _q_term_vector,
+        "media_features": _q_media_features,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)

@@ -331,6 +331,51 @@ def synonym_filter(terms: list[str], positions: list[int],
 
 
 # ---------------------------------------------------------------------------
+# small filters (Miscellaneous/*)
+
+
+def length_filter(terms: list[str], positions: list[int],
+                  min_len: int = 1, max_len: int = 255
+                  ) -> tuple[list[str], list[int]]:
+    """LengthFilter (Miscellaneous/LengthFilter.cs): drop tokens outside
+    [min, max] chars; position holes remain (FilteringTokenFilter)."""
+    out_t, out_p = [], []
+    for t, p in zip(terms, positions):
+        if min_len <= len(t) <= max_len:
+            out_t.append(t)
+            out_p.append(p)
+    return out_t, out_p
+
+
+def trim_filter(terms: list[str]) -> list[str]:
+    """TrimFilter (Miscellaneous/TrimFilter.cs): strip surrounding
+    whitespace (relevant for KeywordTokenizer-style streams)."""
+    return [t.strip() for t in terms]
+
+
+def limit_token_count(terms: list[str], positions: list[int],
+                      max_tokens: int) -> tuple[list[str], list[int]]:
+    """LimitTokenCountFilter (Miscellaneous/LimitTokenCountFilter.cs):
+    keep only the first max_tokens tokens (the index-prefix truncation used
+    for very long docs)."""
+    return terms[:max_tokens], positions[:max_tokens]
+
+
+class KeywordMarkerStemmer(PorterStemmer):
+    """SetKeywordMarkerFilter + PorterStem (Miscellaneous/
+    SetKeywordMarkerFilter.cs): protected terms bypass the stemmer."""
+
+    def __init__(self, protected: frozenset[str] = frozenset()):
+        super().__init__()
+        self.protected = protected
+
+    def __call__(self, term: str) -> str:
+        if term in self.protected:
+            return term
+        return super().__call__(term)
+
+
+# ---------------------------------------------------------------------------
 # MappingCharFilter
 
 

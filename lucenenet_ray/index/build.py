@@ -757,7 +757,12 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
     split_refs: list = []
     raw_refs: list = []
     group: list = []
+    n_bundles = 0
+    t_first = None
     for bundle in partials.iter_internal_ref_bundles():
+        if t_first is None:
+            t_first = _time.perf_counter() - t0
+        n_bundles += 1
         for bref in bundle.block_refs:
             if n_parts == 1:
                 raw_refs.append(bref)
@@ -774,7 +779,11 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
         )
     if prof:
         print(f"[prof]   map stream drained: {_time.perf_counter()-t0:.1f}s "
-              f"({len(split_refs)} split tasks)", file=sys.stderr)
+              f"({len(split_refs)} split tasks; first bundle at "
+              f"{t_first if t_first is not None else -1:.1f}s, "
+              f"{n_bundles} bundles)", file=sys.stderr)
+        if os.environ.get("GRAFT_PROFILE_STATS"):
+            print(partials.stats(), file=sys.stderr)
         t0 = _time.perf_counter()
     if n_parts == 1:
         # no split needed: hand the map blocks straight to the one reducer

@@ -132,6 +132,72 @@ class AudioFrames:
         )
 
 
+class ImageResize:
+    """Actor-pool stage: decoded-image resize to a fixed side (the
+    preprocessing-for-batched-inference shape). Stub decode, real nearest-
+    neighbor resample over the fake pixels — swap the decoder for Pillow in
+    production; the resample math is library-free numpy."""
+
+    def __init__(self, side: int = 2, payload_col: str = "payload",
+                 id_col: str = "item_id"):
+        self.side = side
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.decode = _decode_image_fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        out: list[bytes] = []
+        for v in batch.column(self.payload_col):
+            img = self.decode(v.as_py() or b"")
+            h, w, _ = img.shape
+            yi = (np.arange(self.side) * h // self.side)
+            xi = (np.arange(self.side) * w // self.side)
+            out.append(img[np.ix_(yi, xi)].tobytes())
+        return pa.table({
+            "item_id": ids,
+            "pixels": pa.array(out, type=pa.binary()),
+            "side": pa.array([self.side] * len(out), type=pa.int32()),
+        })
+
+
+class VideoFrameSample:
+    """Actor-pool stage: (id, video binary) → every k-th 'frame' feature row
+    (flat_map shape: one output row per sampled frame). Stub decode treats
+    the payload as a sequence of fixed-size fake frames; the real stage
+    would wrap pyav/ffmpeg — the sampling stride, per-frame feature layout
+    and row explosion are the production dataflow."""
+
+    FRAME_BYTES = 48  # fake 4x4x3 frame
+
+    def __init__(self, stride: int = 5, payload_col: str = "payload",
+                 id_col: str = "item_id"):
+        self.stride = stride
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_fr: list[int] = []
+        out_mean: list[float] = []
+        ids = batch.column(self.id_col).to_pylist()
+        for did, v in zip(ids, batch.column(self.payload_col)):
+            payload = v.as_py() or b""
+            n_frames = len(payload) // self.FRAME_BYTES
+            for f in range(0, n_frames, self.stride):
+                frame = np.frombuffer(
+                    payload[f * self.FRAME_BYTES:(f + 1) * self.FRAME_BYTES],
+                    dtype=np.uint8)
+                out_id.append(did)
+                out_fr.append(f)
+                out_mean.append(float(frame.mean()))
+        return pa.table({
+            "item_id": pa.array(out_id, type=pa.int64()),
+            "frame": pa.array(out_fr, type=pa.int32()),
+            "luma_mean": pa.array(out_mean, type=pa.float64()),
+        })
+
+
 def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic fake media table (binary payloads + metadata) for tests."""
     rng = np.random.default_rng(seed)

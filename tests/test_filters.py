@@ -215,3 +215,21 @@ def test_multiphrase_sloppy(documents_index, corpus):
     tm, tp = search(r, mq, k=100), search(r, pq, k=100)
     assert tm.docs.tolist() == tp.docs.tolist()
     assert [float(x) for x in tm.scores] == [float(x) for x in tp.scores]
+
+
+def test_small_filters():
+    from lucenenet_ray.analysis.filters import (
+        KeywordMarkerStemmer,
+        length_filter,
+        limit_token_count,
+        trim_filter,
+    )
+
+    t, p = length_filter(["a", "abc", "abcdef"], [0, 1, 2], 2, 5)
+    assert t == ["abc"] and p == [1]
+    assert trim_filter([" x ", "y"]) == ["x", "y"]
+    t, p = limit_token_count(["a", "b", "c"], [0, 1, 2], 2)
+    assert t == ["a", "b"] and p == [0, 1]
+    st = KeywordMarkerStemmer(frozenset({"running"}))
+    assert st("running") == "running"  # protected
+    assert st("jumping") == "jump"
