@@ -715,7 +715,9 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
         tabs = [t for t in tables if t is not None and t.num_rows]
         if not tabs:
             return []
-        t = pa.concat_tables(tabs).combine_chunks()
+        # no table-level combine_chunks: it would copy every binary column
+        # once more — _binary_blob combines exactly the columns it gathers
+        t = pa.concat_tables(tabs)
         key = (
             t.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
             * cfg.n_hparts
