@@ -237,7 +237,8 @@ class FuzzyQuery(MultiTermQuery):
 # ---------------------------------------------------------------------------
 
 
-def parse_query(text: str, analyzer: StandardAnalyzer | None = None) -> Query:
+def parse_query(text: str, analyzer: StandardAnalyzer | None = None,
+                synonyms=None) -> Query:
     """Classic-QueryParser subset → Query AST.
 
     Grammar: tokens separated by whitespace; ``"quoted phrase"``; ``AND`` /
@@ -246,6 +247,12 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None) -> Query:
     ``QueryParser.DefaultOperator = OR`` (QueryParserBase).
     Terms and phrase words are analyzed with the StandardAnalyzer chain, so
     stopwords vanish and phrases keep position holes (QueryParserBase:186).
+
+    ``synonyms`` (an ``analysis.filters.SynonymMap``) applies QUERY-TIME
+    synonym injection the way an analyzer-with-SynonymFilter does through
+    QueryParserBase.GetFieldQuery: stacked tokens at one position turn a
+    free term into an OR group and a quoted phrase into a MultiPhraseQuery
+    (TestQueryParser synonym cases / MultiPhraseQuery.cs).
     """
     analyzer = analyzer or StandardAnalyzer()
     import re as _re
@@ -312,6 +319,20 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None) -> Query:
                 add(None, occur)
                 continue
             base = positions[0]
+            if synonyms is not None:
+                # stacked tokens per position → MultiPhraseQuery slots
+                slots: list[tuple[tuple[str, ...], int]] = []
+                stacked = False
+                for t, p in zip(terms, positions):
+                    alts = (t,) + synonyms.lookup(t)
+                    if len(alts) > 1:
+                        stacked = True
+                    slots.append((tuple(field_term(fld, a) for a in alts),
+                                  p - base))
+                if stacked:
+                    add(MultiPhraseQuery(slots=tuple(slots), slop=slop,
+                                         boost=boost), occur)
+                    continue
             if len(terms) == 1:
                 add(TermQuery(term=field_term(fld, terms[0]), boost=boost), occur)
             else:
@@ -341,7 +362,17 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None) -> Query:
         if not terms:
             add(None, occur)
         elif len(terms) == 1:
-            add(TermQuery(term=field_term(fld, terms[0]), boost=boost), occur)
+            t = terms[0]
+            alts = (t,) + synonyms.lookup(t) if synonyms is not None else (t,)
+            if len(alts) > 1:
+                # stacked free term → OR group (QueryParser's BooleanQuery
+                # for posIncr==0 token stacks)
+                add(BooleanQuery(clauses=tuple(
+                    BooleanClause(Occur.SHOULD,
+                                  TermQuery(term=field_term(fld, a), boost=boost))
+                    for a in alts)), occur)
+            else:
+                add(TermQuery(term=field_term(fld, t), boost=boost), occur)
         else:
             # one raw token analyzing to several terms (e.g. "xyz@example.com")
             for t in terms:

@@ -233,3 +233,39 @@ def test_small_filters():
     st = KeywordMarkerStemmer(frozenset({"running"}))
     assert st("running") == "running"  # protected
     assert st("jumping") == "jump"
+
+
+def test_parse_query_with_synonyms(documents_index):
+    """Query-time SynonymFilter through the parser: quoted phrase with a
+    stacked slot -> MultiPhraseQuery; free term -> OR group
+    (QueryParserBase.GetFieldQuery stacked-token handling)."""
+    from lucenenet_ray.analysis.filters import SynonymMap
+    from lucenenet_ray.search.query import (
+        BooleanQuery,
+        MultiPhraseQuery,
+        parse_query,
+    )
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    m = SynonymMap({"merge": ["line"]}, expand=False)
+    q = parse_query('"batch merge"', synonyms=m)
+    assert isinstance(q, MultiPhraseQuery)
+    assert q.slots == ((("batch",), 0), (("merge", "line"), 1))
+
+    qf = parse_query("merge", synonyms=m)
+    assert isinstance(qf, BooleanQuery) and len(qf.clauses) == 2
+
+    # equals the hand-built MultiPhraseQuery results
+    path, _m = documents_index
+    r = IndexReader(path)
+    td = search(r, q, k=50)
+    td2 = search(r, MultiPhraseQuery(
+        slots=((("batch",), 0), (("merge", "line"), 1))), k=50)
+    assert td.docs.tolist() == td2.docs.tolist()
+
+    # no synonyms -> unchanged behavior
+    from lucenenet_ray.search.query import PhraseQuery
+
+    q0 = parse_query('"batch merge"')
+    assert isinstance(q0, PhraseQuery)
