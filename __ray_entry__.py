@@ -363,6 +363,52 @@ def _q_term_vector(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_term_stats_de_stemmed(sf_dir: str) -> pa.Table:
+    """Per-language STEMMING chain (GermanAnalyzer.cs shape: tokenize →
+    lowercase → German stop → GermanLightStemmer): full stemmed term stats
+    over the 'de' docs, checked against a SQL-expressed stemmer oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from lucenenet_ray.analysis.lang import GERMAN_STOP
+        from lucenenet_ray.analysis.lang_stem import StemmingLangAnalyzer
+
+        an = StemmingLangAnalyzer(GERMAN_STOP, "de")
+        mask = pa.compute.equal(t.column("lang"), "de")
+        df: Counter = Counter()
+        ttf: Counter = Counter()
+        for x in t.filter(mask).column("text").to_pylist():
+            terms, _pos = an(x)
+            c = Counter(terms)
+            ttf.update(c)
+            df.update(c.keys())
+        keys = sorted(ttf)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "df": pa.array([df[k] for k in keys], type=pa.int64()),
+            "ttf": pa.array([ttf[k] for k in keys], type=pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .sort("term")
+        .take_all()
+    )
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], type=pa.string()),
+        "df": pa.array([r["df"] for r in out], type=pa.int64()),
+        "ttf": pa.array([r["ttf"] for r in out], type=pa.int64()),
+    })
+
+
 def _q_media_features(sf_dir: str) -> pa.Table:
     """Multimodal actor-pool stage over a DETERMINISTIC synthetic media
     table (binary payloads; real decoders stubbed — ops/multimodal.py):
@@ -945,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_prefix": _q_suggest_prefix,
         "term_vector": _q_term_vector,
         "media_features": _q_media_features,
+        "term_stats_de_stemmed": _q_term_stats_de_stemmed,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -995,6 +1042,7 @@ def oracle_sql() -> dict[str, str]:
         "block_join": so.block_join_sql(20),
         "suggest_prefix": so.suggest_prefix_sql("st", 5),
         "term_vector": so.term_vector_sql(0),
+        "term_stats_de_stemmed": so.term_stats_de_stemmed_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

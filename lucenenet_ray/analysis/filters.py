@@ -331,6 +331,77 @@ def synonym_filter(terms: list[str], positions: list[int],
 
 
 # ---------------------------------------------------------------------------
+# WordDelimiterFilter (Miscellaneous/WordDelimiterFilter.cs)
+
+
+def _wd_parts(term: str, split_on_case: bool, split_on_numerics: bool
+              ) -> list[str]:
+    """Sub-word runs: split at non-alphanumerics, lower→Upper case
+    transitions, and letter↔digit boundaries (WordDelimiterIterator.cs)."""
+    parts: list[str] = []
+    cur: list[str] = []
+
+    def kind(c: str) -> str:
+        if c.isdigit():
+            return "d"
+        if c.isalpha():
+            return "U" if c.isupper() else "l"
+        return "-"
+
+    prev = ""
+    for c in term:
+        k = kind(c)
+        if k == "-":
+            if cur:
+                parts.append("".join(cur))
+                cur = []
+            prev = k
+            continue
+        if cur:
+            boundary = (
+                (split_on_case and prev == "l" and k == "U")
+                or (split_on_numerics and (prev == "d") != (k == "d")
+                    and prev in "lUd" and k in "lUd")
+            )
+            if boundary:
+                parts.append("".join(cur))
+                cur = []
+        cur.append(c)
+        prev = k
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def word_delimiter(term: str,
+                   generate_parts: bool = True,
+                   catenate_all: bool = False,
+                   preserve_original: bool = False,
+                   split_on_case_change: bool = True,
+                   split_on_numerics: bool = True) -> list[str]:
+    """WordDelimiterFilter.cs subset for ONE token → emitted terms in order.
+
+    "PowerShot500" → ["power", "shot", "500"] (parts are NOT lowercased by
+    the reference filter — lowercasing belongs to a later LowerCaseFilter;
+    here we return the raw parts). catenate_all adds the joined run
+    ("PowerShot500"→"PowerShot500" parts joined), preserve_original keeps
+    the input verbatim first. Position bookkeeping (parts at consecutive
+    positions, injected forms stacked at the first part) is the caller's —
+    the common indexing use feeds these straight into a bag-of-terms."""
+    parts = _wd_parts(term, split_on_case_change, split_on_numerics)
+    out: list[str] = []
+    if preserve_original:
+        out.append(term)
+    if generate_parts:
+        out.extend(p for p in parts if p)
+    if catenate_all and parts:
+        cat = "".join(parts)
+        if cat not in out:
+            out.append(cat)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # small filters (Miscellaneous/*)
 
 

@@ -272,17 +272,32 @@ def build_index_incremental(shards: list[tuple[str, "object"]], out_path: str,
     """
     from dataclasses import replace
 
+    import time as _time
+
     shard_paths = []
     lineage = []
     for name, factory in shards:
         spath = os.path.join(out_path, "shards", name)
         shard_paths.append(spath)
         if os.path.exists(os.path.join(spath, "manifest.json")):
-            lineage.append({"shard": name, "status": "skipped (checkpoint)"})
+            with open(os.path.join(spath, "manifest.json")) as f:
+                sm = json.load(f)
+            lineage.append({"shard": name, "status": "skipped (checkpoint)",
+                            "n_docs": sm.get("n_docs")})
             continue
         cfg = replace(cfg_template, index_path=spath)
-        build_index(factory(), cfg, text_col=text_col, id_col=id_col)
-        lineage.append({"shard": name, "status": "built"})
+        t0 = _time.perf_counter()
+        sm = build_index(factory(), cfg, text_col=text_col, id_col=id_col)
+        dt = _time.perf_counter() - t0
+        # per-shard metrics ride the lineage (north-rule "lineage + metrics")
+        lineage.append({
+            "shard": name, "status": "built",
+            "build_sec": round(dt, 3),
+            "n_docs": sm["n_docs"],
+            "docs_per_sec": round(sm["n_docs"] / dt, 1) if dt > 0 else None,
+            "sum_total_term_freq": sm["sum_total_term_freq"],
+            "n_buckets": len(sm.get("buckets", [])),
+        })
 
     manifest = merge_indexes(shard_paths, out_path)
     manifest["shard_lineage"] = lineage

@@ -814,6 +814,49 @@ SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM kept GROUP BY term ORDER BY term"""
 
 
+def term_stats_de_stemmed_sql() -> str:
+    """GermanLightStemmer oracle (Analysis/De/GermanLightStemmer.cs): the
+    two suffix steps expressed as CASE chains over the 'de' docs (the corpus
+    is ASCII so the stemmer's accent fold is a no-op here). Stop set =
+    the engine's German set, as in term_stats_multilang."""
+    from lucenenet_ray.analysis.lang import GERMAN_STOP
+
+    stop = "(" + ", ".join(f"'{w}'" for w in sorted(GERMAN_STOP)) + ")"
+    st = "('b','d','f','g','h','k','l','m','n','t')"
+    return f"""WITH t0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE lang = 'de'
+),
+k AS (SELECT doc_id, w FROM t0 WHERE w <> '' AND w NOT IN {stop}),
+s1 AS (
+  SELECT doc_id, CASE
+    WHEN len(w) > 5 AND w LIKE '%ern' THEN substr(w, 1, len(w)-3)
+    WHEN len(w) > 4 AND substr(w, len(w)-1, 1) = 'e'
+         AND substr(w, len(w), 1) IN ('m','n','r','s')
+      THEN substr(w, 1, len(w)-2)
+    WHEN len(w) > 3 AND substr(w, len(w), 1) = 'e' THEN substr(w, 1, len(w)-1)
+    WHEN len(w) > 3 AND substr(w, len(w), 1) = 's'
+         AND substr(w, len(w)-1, 1) IN {st}
+      THEN substr(w, 1, len(w)-1)
+    ELSE w END AS w
+  FROM k
+),
+s2 AS (
+  SELECT doc_id, CASE
+    WHEN len(w) > 5 AND w LIKE '%est' THEN substr(w, 1, len(w)-3)
+    WHEN len(w) > 4 AND substr(w, len(w)-1, 1) = 'e'
+         AND substr(w, len(w), 1) IN ('r','n')
+      THEN substr(w, 1, len(w)-2)
+    WHEN len(w) > 4 AND substr(w, len(w)-1, 2) = 'st'
+         AND substr(w, len(w)-2, 1) IN {st}
+      THEN substr(w, 1, len(w)-2)
+    ELSE w END AS term
+  FROM s1
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM s2 GROUP BY term ORDER BY term"""
+
+
 def spell_suggest_sql(term: str, max_edits: int = 2, k: int = 5) -> str:
     """DirectSpellChecker analog: dictionary terms within edit distance,
     ranked (distance asc, df desc, term asc)."""

@@ -269,3 +269,59 @@ def test_parse_query_with_synonyms(documents_index):
 
     q0 = parse_query('"batch merge"')
     assert isinstance(q0, PhraseQuery)
+
+
+def test_word_delimiter():
+    from lucenenet_ray.analysis.filters import word_delimiter
+
+    assert word_delimiter("PowerShot") == ["Power", "Shot"]
+    assert word_delimiter("PowerShot500") == ["Power", "Shot", "500"]
+    assert word_delimiter("wi-fi") == ["wi", "fi"]
+    assert word_delimiter("O'Neil's") == ["O", "Neil", "s"]
+    assert word_delimiter("j2se") == ["j", "2", "se"]
+    assert word_delimiter("XMLHttpRequest") == ["XMLHttp", "Request"]
+    assert word_delimiter("wi-fi", catenate_all=True) == ["wi", "fi", "wifi"]
+    assert word_delimiter("wi-fi", preserve_original=True) == [
+        "wi-fi", "wi", "fi"]
+    assert word_delimiter("plain") == ["plain"]
+    assert word_delimiter("ABC500", split_on_numerics=False) == ["ABC500"]
+
+
+def test_light_stemmers():
+    """Rule-level goldens for the per-language light stemmers
+    (GermanLightStemmer.cs / SpanishLightStemmer.cs / FrenchMinimalStemmer.cs
+    semantics, worked by hand from the rule tables)."""
+    from lucenenet_ray.analysis.lang_stem import (
+        french_minimal_stem,
+        german_light_stem,
+        spanish_light_stem,
+    )
+
+    # German: -ern, -e[mnrs], -e, cons+s; then -est, -e[rn], cons+st
+    assert german_light_stem("kindern") == "kind"      # step1 -ern
+    assert german_light_stem("hauses") == "haus"       # step1 -es
+    assert german_light_stem("katze") == "katz"        # step1 -e
+    assert german_light_stem("bilds") == "bild"        # step1 cons+s
+    assert german_light_stem("kleinsten") == "klein"   # -en then cons+st
+    assert german_light_stem("haus") == "haus"
+    assert german_light_stem("häuser") == "haus"       # fold + -er
+    assert german_light_stem("rot") == "rot"
+
+    # Spanish: <5 chars unchanged; -o/-a/-e; ces→z; [oae]s→-2
+    assert spanish_light_stem("gato") == "gato"        # len 4: guard
+    assert spanish_light_stem("gatos") == "gat"
+    assert spanish_light_stem("luces") == "luz"
+    assert spanish_light_stem("meses") == "mes"
+    assert spanish_light_stem("casas") == "cas"
+    assert spanish_light_stem("blanco") == "blanc"
+    assert spanish_light_stem("papel") == "papel"      # no rule fires
+
+    # French minimal: <6 chars unchanged; -aux→-al; strip s,r,e,é in
+    # SEQUENCE; collapse a final double letter
+    assert french_minimal_stem("chevaux") == "cheval"
+    assert french_minimal_stem("cheval") == "cheval"   # len 6, ends 'l'
+    assert french_minimal_stem("chanteuses") == "chanteus"
+    assert french_minimal_stem("porter") == "port"     # -r then -e
+    assert french_minimal_stem("belles") == "bel"      # -s, -e, dedup l
+    assert french_minimal_stem("rouge") == "rouge"     # len 5: guard
+    assert french_minimal_stem("grands") == "grand"
