@@ -593,6 +593,45 @@ def _q_facet_lang_sampled(sf_dir: str) -> Any:
     return out.reset_index(drop=True)
 
 
+def _q_facet_taxonomy(sf_dir: str) -> pa.Table:
+    """Hierarchical taxonomy facets (Facet/Taxonomy/ — counts along a
+    category PATH, parent ordinals aggregating their subtree): dimension
+    lang → lang/source, both levels counted in one pass — per-batch partial
+    counts for every prefix of each doc's path, then one groupby
+    (TaxonomyFacetCounts rollup)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for lang, src in zip(t.column("lang").to_pylist(),
+                             t.column("source").to_pylist()):
+            c[lang] += 1            # parent ordinal
+            c[f"{lang}/{src}"] += 1  # leaf ordinal
+        keys = sorted(c)
+        return pa.table({
+            "path": pa.array(keys, type=pa.string()),
+            "n_docs": pa.array([c[k] for k in keys], type=pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=512)
+        .groupby("path")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort("path")
+        .take_all()
+    )
+    return pa.table({
+        "path": pa.array([r["path"] for r in out], type=pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in out], type=pa.int64()),
+    })
+
+
 def _q_dedup_exact(sf_dir: str) -> Any:
     """Exact dedup (UpdateDocument delete-by-key analog, IndexWriter.cs:1538):
     hash-partitioned groupby(md5(text)) keeping min doc_id."""
@@ -992,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vector": _q_term_vector,
         "media_features": _q_media_features,
         "term_stats_de_stemmed": _q_term_stats_de_stemmed,
+        "facet_taxonomy": _q_facet_taxonomy,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -1043,6 +1083,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_prefix": so.suggest_prefix_sql("st", 5),
         "term_vector": so.term_vector_sql(0),
         "term_stats_de_stemmed": so.term_stats_de_stemmed_sql(),
+        "facet_taxonomy": so.facet_taxonomy_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -531,6 +531,16 @@ SELECT term, count(*) AS freq FROM kept WHERE doc_id = {doc_id}
 GROUP BY term ORDER BY term"""
 
 
+def facet_taxonomy_sql() -> str:
+    """Taxonomy facet rollup oracle: counts at every path prefix."""
+    return """SELECT path, CAST(n_docs AS BIGINT) AS n_docs FROM (
+  SELECT lang AS path, count(*) AS n_docs FROM documents GROUP BY lang
+  UNION ALL
+  SELECT lang || '/' || source AS path, count(*) AS n_docs
+  FROM documents GROUP BY lang, source
+) ORDER BY path"""
+
+
 def facet_lang_sampled_sql(pct_buckets: int = 10, keep_lt: int = 3) -> str:
     """RandomSamplingFacetsCollector oracle: identical deterministic
     md5(doc_id) 30% sample, exact counts within it."""
