@@ -593,6 +593,20 @@ def _q_facet_lang_sampled(sf_dir: str) -> Any:
     return out.reset_index(drop=True)
 
 
+def _q_near_dup_embedding(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup (exact variant): all (id_a, id_b) pairs
+    with cosine ≥ 0.4 via one broadcast of the normalized matrix + chunked
+    matmuls — no shuffle (ops/knn.py cosine_pairs; the LSH-bucketed variant
+    is the 10^12-scale path)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.knn import cosine_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return cosine_pairs(ds, 0.4)
+
+
 def _q_facet_taxonomy(sf_dir: str) -> pa.Table:
     """Hierarchical taxonomy facets (Facet/Taxonomy/ — counts along a
     category PATH, parent ordinals aggregating their subtree): dimension
@@ -1032,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "term_stats_de_stemmed": _q_term_stats_de_stemmed,
         "facet_taxonomy": _q_facet_taxonomy,
+        "near_dup_embedding": _q_near_dup_embedding,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -1084,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vector": so.term_vector_sql(0),
         "term_stats_de_stemmed": so.term_stats_de_stemmed_sql(),
         "facet_taxonomy": so.facet_taxonomy_sql(),
+        "near_dup_embedding": so.near_dup_embedding_sql(0.4),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

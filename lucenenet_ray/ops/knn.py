@@ -100,6 +100,69 @@ def lsh_bucket_of(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits.astype(np.int64) @ weights
 
 
+def cosine_pairs(ds, threshold: float, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> pa.Table:
+    """Embedding-cosine near-dup: EXACT all-pairs with cosine ≥ threshold →
+    (id_a, id_b) with id_a < id_b, sorted.
+
+    Distributed shape: the normalized matrix is broadcast ONCE (``ray.put``)
+    and every batch computes one (batch × all) matmul — O(n²/p) work with no
+    shuffle. This is the exact/oracle-checkable variant; at 10^12 vectors the
+    quadratic is intractable and the scale path is LSH-bucketed candidate
+    pairs (build_lsh_index + per-bucket pair expansion) with this function
+    applied per bucket — same code, bucket-local matrices.
+    """
+    import ray
+
+    mats = []
+    ids_l = []
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        import pyarrow.compute as pc
+
+        ids_l.append(batch.column(id_col).to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        flat = pc.list_flatten(batch.column(vec_col)).to_numpy().astype(np.float64)
+        mats.append(flat.reshape(len(ids_l[-1]), -1))
+    all_ids = np.concatenate(ids_l)
+    mat = np.concatenate(mats)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(all_ids)
+    all_ids = all_ids[order]
+    mn = mn[order]
+    import ray.data as rd
+
+    ref = ray.put((all_ids, mn))
+    n = len(all_ids)
+
+    def pairs_of(batch: pa.Table) -> pa.Table:
+        ids_g, mn_g = ray.get(ref)
+        lo = batch.column("lo")[0].as_py()
+        hi = batch.column("hi")[0].as_py()
+        sims = mn_g[lo:hi] @ mn_g.T
+        ii, jj = np.nonzero(sims >= threshold)
+        gi = ids_g[ii + lo]
+        gj = ids_g[jj]
+        keep = gi < gj
+        return pa.table({
+            "id_a": pa.array(gi[keep], type=pa.int64()),
+            "id_b": pa.array(gj[keep], type=pa.int64()),
+        })
+
+    CHUNK = 2048
+    spans = [{"lo": lo, "hi": min(lo + CHUNK, n)} for lo in range(0, n, CHUNK)]
+    out = (rd.from_items(spans, override_num_blocks=len(spans))
+           .map_batches(pairs_of, batch_format="pyarrow", batch_size=1)
+           .take_all())
+    t = pa.Table.from_pylist(out, schema=pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64())])) if out else pa.table(
+        {"id_a": pa.array([], type=pa.int64()),
+         "id_b": pa.array([], type=pa.int64())})
+    import pyarrow.compute as pc
+
+    return t.take(pc.sort_indices(t, sort_keys=[("id_a", "ascending"),
+                                                ("id_b", "ascending")]))
+
+
 def build_lsh_index(ds, out_path: str, n_bits: int = 6,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     seed: int = 42) -> str:

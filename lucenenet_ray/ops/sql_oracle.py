@@ -531,6 +531,14 @@ SELECT term, count(*) AS freq FROM kept WHERE doc_id = {doc_id}
 GROUP BY term ORDER BY term"""
 
 
+def near_dup_embedding_sql(threshold: float = 0.4) -> str:
+    """Embedding-cosine near-dup oracle: exact pair self-join."""
+    return f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+ORDER BY id_a, id_b"""
+
+
 def facet_taxonomy_sql() -> str:
     """Taxonomy facet rollup oracle: counts at every path prefix."""
     return """SELECT path, CAST(n_docs AS BIGINT) AS n_docs FROM (
