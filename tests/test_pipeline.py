@@ -122,3 +122,65 @@ def test_distributed_searcher_matches_sequential(documents_index):
             assert a.total_hits == c.total_hits and c.total_hits_relation == "eq"
     finally:
         ds.shutdown()
+
+
+def test_distributed_searcher_round2_query_types(documents_index, tmp_path):
+    """Round-2 query types must survive plan pickling to QueryServer actors:
+    MultiPhrase, sloppy phrase, multi-term rewrites, synonyms-from-parser,
+    and tombstone deletes shipped via the plan."""
+    import numpy as np
+
+    from lucenenet_ray.analysis.filters import SynonymMap
+    from lucenenet_ray.index.deletes import delete_documents
+    from lucenenet_ray.search.query import MultiPhraseQuery, parse_query
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import plan_query, search
+    from lucenenet_ray.search.serve import DistributedSearcher
+
+    path, _m = documents_index
+    ds = DistributedSearcher(path, n_actors=2)
+    try:
+        r = IndexReader(path)
+        syn = SynonymMap({"merge": ["line"]}, expand=False)
+        queries = [
+            parse_query('"merge batch"~3'),
+            parse_query("sp* window"),
+            parse_query("spqrk~ data"),
+            parse_query('"batch merge"', synonyms=syn),
+            MultiPhraseQuery(slots=((("batch",), 0), (("merge", "line"), 1)),
+                             slop=2),
+        ]
+        for q in queries:
+            a = search(r, q, k=10)
+            b = ds.search(q, k=10, prune=True)
+            assert np.array_equal(a.docs, b.docs), q
+            assert np.array_equal(a.scores, b.scores), q
+    finally:
+        ds.shutdown()
+
+    # deletes ride the plan: a reader WITH tombstones plans, actors (opened
+    # without the sidecar) must still mask the dead docs
+    ddir = str(tmp_path / "dels")
+    delete_documents(ddir, ["dup"])
+    rdel = IndexReader(path, deletes_path=ddir)
+    q = parse_query("vector dup data")
+    plan = plan_query(rdel, q)
+    assert plan.deleted_terms == ("dup",)
+    ds2 = DistributedSearcher(path, n_actors=2)
+    try:
+        import ray
+
+        a = search(rdel, q, k=20)
+        parts = ray.get([w.search_plan.remote(plan, 20, True)
+                         for w in ds2.actors])
+        import numpy as np
+
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        from lucenenet_ray.search.searcher import _topk
+
+        d, s = _topk(docs, scores, 20)
+        assert np.array_equal(a.docs, d)
+        assert np.array_equal(a.scores, s)
+    finally:
+        ds2.shutdown()
