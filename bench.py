@@ -162,7 +162,10 @@ def run_bench() -> dict:
     # with pinned buckets (warm), scatter/gather per query
     from lucenenet_ray.search.serve import DistributedSearcher
 
-    dsrch = DistributedSearcher(index_path, n_actors=max(2, min(8, NUM_CPUS // 2)))
+    # one pinned actor per ~2 buckets when CPUs allow: per-query latency is
+    # (buckets-per-actor × per-bucket scoring), so the pool size IS the p95
+    # lever (scatter width), bounded by cores
+    dsrch = DistributedSearcher(index_path, n_actors=max(2, min(16, NUM_CPUS // 2)))
     plans = [parse_query(q) for q in QUERY_SET]
     for q in plans:  # warm load
         dsrch.search(q, k=10)
