@@ -467,6 +467,60 @@ def _q_span_near(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_total_hits(sf_dir: str) -> pa.Table:
+    """TotalHitCountCollector (Search/TotalHitCountCollector.cs): exact
+    match count of the 'spark AND window' conjunction."""
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+    from lucenenet_ray.search.searcher import count_matches
+
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.MUST, TermQuery(term=t))
+        for t in ["spark", "window"]))
+    n = count_matches(_reader(sf_dir), q)
+    return pa.table({"n_hits": pa.array([n], type=pa.int64())})
+
+
+def _q_search_after(sf_dir: str) -> pa.Table:
+    """SearchAfter deep paging (IndexSearcher.cs:252-270): page 2 of the
+    'spark window' OR query — ranks 11..20, anchored at hit 10."""
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+    from lucenenet_ray.search.searcher import search
+
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t))
+        for t in ["spark", "window"]))
+    r = _reader(sf_dir)
+    page1 = search(r, q, k=TOPK)
+    anchor = (float(page1.scores[-1]), int(page1.docs[-1]))
+    td = search(r, q, k=TOPK, after=anchor)
+    return pa.table({
+        "rank": pa.array(np.arange(11, 11 + len(td.docs), dtype=np.int64)),
+        "doc_id": pa.array(td.docs.astype(np.int64)),
+        "score": pa.array(td.scores.astype(np.float64)),
+    })
+
+
+def _q_constant_score(sf_dir: str) -> pa.Table:
+    """ConstantScoreQuery (Search/ConstantScoreQuery.cs:37): a prefix filter
+    wrapped as a query — every match scores boost, tie-break doc_id asc."""
+    from lucenenet_ray.search.query import PrefixQuery
+    from lucenenet_ray.search.searcher import search
+
+    q = PrefixQuery(prefix="win", boost=2.5, constant_score=True)
+    td = search(_reader(sf_dir), q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
 def _q_bm25_multiphrase(sf_dir: str) -> pa.Table:
     """MultiPhraseQuery "batch (merge|line)" (Search/MultiPhraseQuery.cs):
     slot 1 unions two terms — the query-time synonym-injection shape
@@ -1047,6 +1101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_de_stemmed": _q_term_stats_de_stemmed,
         "facet_taxonomy": _q_facet_taxonomy,
         "near_dup_embedding": _q_near_dup_embedding,
+        "total_hits": _q_total_hits,
+        "search_after": _q_search_after,
+        "constant_score": _q_constant_score,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -1100,6 +1157,10 @@ def oracle_sql() -> dict[str, str]:
         "term_stats_de_stemmed": so.term_stats_de_stemmed_sql(),
         "facet_taxonomy": so.facet_taxonomy_sql(),
         "near_dup_embedding": so.near_dup_embedding_sql(0.4),
+        "total_hits": so.total_hits_sql(["spark", "window"]),
+        "search_after": so.bm25_topk_sql(["spark", "window"], TOPK, "or",
+                                         offset=TOPK),
+        "constant_score": so.constant_score_prefix_sql("win", 2.5, TOPK),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -181,7 +181,8 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or",
                   boosts: dict[str, float] | None = None,
                   deleted_terms: list[str] | None = None,
-                  stored_cols: list[str] | None = None) -> str:
+                  stored_cols: list[str] | None = None,
+                  offset: int = 0) -> str:
     """Full BM25 top-k oracle — float32-bit-identical to the engine.
 
     mode 'or'  → BooleanQuery of SHOULD TermQuery clauses
@@ -244,7 +245,7 @@ scored AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, CAST(score AS DOUBLE) AS score{stored_sel}
-FROM scored {stored_join} ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+FROM scored {stored_join} ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}"""
 
 
 def tfidf_topk_sql(terms: list[str], k: int = 10) -> str:
@@ -529,6 +530,27 @@ def term_vector_sql(doc_id: int = 0) -> str:
     return f"""WITH {_toks_cte()}
 SELECT term, count(*) AS freq FROM kept WHERE doc_id = {doc_id}
 GROUP BY term ORDER BY term"""
+
+
+def total_hits_sql(terms: list[str]) -> str:
+    """TotalHitCountCollector oracle: docs containing EVERY term."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH {_toks_cte()}
+SELECT CAST(count(*) AS BIGINT) AS n_hits FROM (
+  SELECT doc_id FROM kept WHERE term IN ({terms_sql})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(terms))}
+)"""
+
+
+def constant_score_prefix_sql(prefix: str, boost: float, k: int = 10) -> str:
+    """ConstantScoreQuery over a prefix filter: every match scores boost
+    (a float32-exact constant), ties by doc_id asc."""
+    esc = prefix.replace("'", "''")
+    return f"""WITH {_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM kept WHERE term LIKE '{esc}%')
+SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST({boost!r} AS DOUBLE) AS score
+FROM m ORDER BY doc_id ASC LIMIT {k}"""
 
 
 def near_dup_embedding_sql(threshold: float = 0.4) -> str:
