@@ -521,6 +521,30 @@ def _q_constant_score(sf_dir: str) -> pa.Table:
     return _topdocs_to_table(td)
 
 
+def _q_rescore(sf_dir: str) -> pa.Table:
+    """QueryRescorer (Search/QueryRescorer.cs:32): first-pass 'data merge'
+    OR top-20, re-ranked by combined = first + 2.0 × exact-phrase
+    "batch merge" score (float32; non-matching hits keep the first-pass
+    score); top-10 of the combined order."""
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        PhraseQuery,
+        TermQuery,
+    )
+    from lucenenet_ray.search.searcher import rescore, search
+
+    r = _reader(sf_dir)
+    q1 = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t))
+        for t in ["data", "merge"]))
+    first = search(r, q1, k=20)
+    q2 = PhraseQuery(terms=(("batch", 0), ("merge", 1)))
+    td = rescore(r, first, q2, weight=2.0, k=TOPK)
+    return _topdocs_to_table(td)
+
+
 def _q_bm25_multiphrase(sf_dir: str) -> pa.Table:
     """MultiPhraseQuery "batch (merge|line)" (Search/MultiPhraseQuery.cs):
     slot 1 unions two terms — the query-time synonym-injection shape
@@ -1104,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "total_hits": _q_total_hits,
         "search_after": _q_search_after,
         "constant_score": _q_constant_score,
+        "rescore": _q_rescore,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -1161,6 +1186,8 @@ def oracle_sql() -> dict[str, str]:
         "search_after": so.bm25_topk_sql(["spark", "window"], TOPK, "or",
                                          offset=TOPK),
         "constant_score": so.constant_score_prefix_sql("win", 2.5, TOPK),
+        "rescore": so.rescore_sql(["data", "merge"],
+                                  [("batch", 0), ("merge", 1)], 2.0, 20, TOPK),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

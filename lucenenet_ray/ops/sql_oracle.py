@@ -532,6 +532,66 @@ SELECT term, count(*) AS freq FROM kept WHERE doc_id = {doc_id}
 GROUP BY term ORDER BY term"""
 
 
+def rescore_sql(first_terms: list[str], phrase: list[tuple[str, int]],
+                weight: float, k_first: int, k: int = 10) -> str:
+    """QueryRescorer oracle (Search/QueryRescorer.cs:32): first-pass OR
+    top-k_first, then combined = first + weight*phrase (float32; hits with
+    no phrase match keep the first-pass score), re-ranked (score desc,
+    doc_id asc)."""
+    all_terms = sorted(set(first_terms) | {t for t, _ in phrase})
+    terms_sql = ", ".join(f"'{t}'" for t in first_terms)
+    score_expr = f"COALESCE(s0, {ZERO_R})"
+    for i in range(1, len(first_terms)):
+        score_expr = f"({score_expr} + COALESCE(s{i}, {ZERO_R}))"
+    pivot_cols = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(first_terms))
+    t0, r0 = phrase[0]
+    joins = []
+    for i, (t, r) in enumerate(phrase[1:], 1):
+        joins.append(
+            f"JOIN kept a{i} ON a{i}.doc_id = a0.doc_id AND a{i}.term = '{t}' "
+            f"AND a{i}.pos = a0.pos - {r0} + {r}")
+    idf_sum = "CAST(0.0 AS REAL)"
+    for t, _ in phrase:
+        idf_sum = (f"({idf_sum} + COALESCE((SELECT idf FROM qweights "
+                   f"WHERE term = '{t}'), {ZERO_R}))")
+    w_r = _R.format(v=repr(float(weight)))
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(all_terms)},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term, (w.wv * tf.f) / (tf.f + c.cache) AS s
+  FROM tf JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf.doc_id
+),
+agg AS (SELECT doc_id, {pivot_cols} FROM persc GROUP BY doc_id),
+firstpass AS (
+  SELECT doc_id, {score_expr} AS s1 FROM agg
+  ORDER BY s1 DESC, doc_id ASC LIMIT {k_first}
+),
+pmatch AS (
+  SELECT a0.doc_id, a0.pos AS base FROM kept a0 {' '.join(joins)}
+  WHERE a0.term = '{t0}'
+),
+pf AS (SELECT doc_id, CAST(count(*) AS REAL) AS f FROM pmatch GROUP BY doc_id),
+psc AS (
+  SELECT pf.doc_id, (({idf_sum} * {K1P1_R}) * pf.f) / (pf.f + c.cache) AS s2
+  FROM pf JOIN normcache c ON c.doc_id = pf.doc_id
+),
+combined AS (
+  SELECT fp.doc_id,
+    CASE WHEN p.s2 IS NULL THEN fp.s1
+         ELSE CAST(fp.s1 + CAST({w_r} * p.s2 AS REAL) AS REAL) END AS score
+  FROM firstpass fp LEFT JOIN psc p USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM combined ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def total_hits_sql(terms: list[str]) -> str:
     """TotalHitCountCollector oracle: docs containing EVERY term."""
     terms_sql = ", ".join(f"'{t}'" for t in terms)
