@@ -36,6 +36,13 @@ import numpy as np
 
 BLOCK_SIZE = 128  # Lucene41PostingsFormat.cs:375
 
+# Skip-list note: Lucene's MultiLevelSkipListWriter exists to reach a target
+# block in O(log n) sequential reads. Here the per-term block metadata
+# (block_last_doc / offsets) is a small in-memory array, so
+# np.searchsorted(block_last_doc, target) IS the multi-level skip — a
+# vectorized binary search with the same asymptotics and no extra on-disk
+# structure (SURVEY §2.5 maps the levels to exactly this).
+
 DEFAULT_CODEC = "for"
 
 
