@@ -247,6 +247,92 @@ def _q_bm25_after_delete(sf_dir: str) -> pa.Table:
     return _topdocs_to_table(td)
 
 
+def _q_dv_sort_updated(sf_dir: str) -> pa.Table:
+    """Numeric doc-values update + field sort
+    (IndexWriter.UpdateNumericDocValues(term, field, value),
+    Index/IndexWriter.cs:1764-1796 / index/docvalues.py; then
+    TopFieldCollector with SortField(n_chars, LONG, reverse)): every doc
+    containing 'dup' gets n_chars := 0 via a sidecar update generation; the
+    matches of 'spark' then sort by the UPDATED values (desc, doc asc)."""
+    import shutil
+
+    from lucenenet_ray.index.docvalues import update_numeric_docvalue
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search_sorted_by_docvalue
+
+    udir = os.path.join(
+        "/tmp/lucenenet_ray_dvu", os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(udir, ignore_errors=True)
+    update_numeric_docvalue(udir, "dup", "n_chars", 0)
+    r = IndexReader(_index_path(sf_dir), dv_updates_path=udir)
+    rows = search_sorted_by_docvalue(
+        r, TermQuery(term="spark"), "n_chars", k=20, reverse=True)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+        "n_chars": pa.array([v for _, v in rows], type=pa.int64()),
+    })
+
+
+def _q_expr_sort(sf_dir: str) -> pa.Table:
+    """Expression sort (Lucene.Net.Expressions JavascriptCompiler +
+    SimpleBindings, search/expressions.py): matches of "spark window" (OR)
+    ranked by `_score + sqrt(n_chars) / 100` — BM25 float32 score widened to
+    double, n_chars from numeric doc-values; sqrt/+,/ are IEEE
+    correctly-rounded doubles, so the oracle matches bit-exactly."""
+    from lucenenet_ray.search.expressions import expression_sort
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+
+    r = _reader(sf_dir)
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t))
+        for t in ["spark", "window"]))
+    rows = expression_sort(r, q, "_score + sqrt(n_chars) / 100", k=20)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+        "escore": pa.array([v for _, v in rows], type=pa.float64()),
+    })
+
+
+def _q_payload_stats(sf_dir: str) -> pa.Table:
+    """Offset-payload aggregation (Search/Payloads/PayloadSpanUtil.cs bulk
+    retrieval over TokenOffsetPayloadTokenFilter-style payloads,
+    search/payloads.py): per doc containing 'spark', the count/min/max/sum of
+    the term's start character offsets, straight from the postings' payload
+    stream — no stored-field access."""
+    from lucenenet_ray.search.payloads import payload_stats
+
+    rows = payload_stats(_reader(sf_dir), "spark")
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n": pa.array([r[1] for r in rows], type=pa.int64()),
+        "min_off": pa.array([r[2] for r in rows], type=pa.int64()),
+        "max_off": pa.array([r[3] for r in rows], type=pa.int64()),
+        "sum_off": pa.array([r[4] for r in rows], type=pa.int64()),
+    })
+
+
+def _q_payload_term_score(sf_dir: str) -> pa.Table:
+    """PayloadTermQuery(term='spark', AveragePayloadFunction,
+    includeSpanScore=true) analog (Search/Payloads/PayloadTermQuery.cs):
+    score = BM25 span score × float32 average payload; top-10 by (score
+    desc, doc asc)."""
+    from lucenenet_ray.search.payloads import payload_term_topk
+
+    rows = payload_term_topk(_reader(sf_dir), "spark", k=TOPK, fn="avg")
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
+        "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+        "score": pa.array([np.float64(np.float32(s)) for _, s in rows],
+                          type=pa.float64()),
+    })
+
+
 _DOCSTORE_CACHE: dict[str, str] = {}
 
 
@@ -1129,6 +1215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": _q_search_after,
         "constant_score": _q_constant_score,
         "rescore": _q_rescore,
+        "dv_sort_updated": _q_dv_sort_updated,
+        "expr_sort": _q_expr_sort,
+        "payload_stats": _q_payload_stats,
+        "payload_term_score": _q_payload_term_score,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -1188,6 +1278,10 @@ def oracle_sql() -> dict[str, str]:
         "constant_score": so.constant_score_prefix_sql("win", 2.5, TOPK),
         "rescore": so.rescore_sql(["data", "merge"],
                                   [("batch", 0), ("merge", 1)], 2.0, 20, TOPK),
+        "dv_sort_updated": so.dv_sort_updated_sql("spark", "dup", 0, 20),
+        "expr_sort": so.expr_sort_sql(["spark", "window"], 20),
+        "payload_stats": so.payload_stats_sql("spark"),
+        "payload_term_score": so.payload_term_score_sql("spark", TOPK),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -128,6 +128,11 @@ def analyze(text: str) -> tuple[list[str], list[int]]:
 
 _ASCII_SIMPLE = regex.compile(r"[^ a-z0-9]")
 
+# non-space runs with spans — the offset-bearing fast tokenizer
+import re as _stdre
+
+_WS_RUN_RE = _stdre.compile(r"\S+")
+
 # --- ASCII fast tokenizer -----------------------------------------------------
 # For pure-ASCII text the UAX#29 pattern simplifies: no Extend/Format chars
 # exist below 0x80 (asserted at import), so atoms are single chars and the
@@ -245,6 +250,48 @@ class StandardAnalyzer:
             terms.append(term)
             positions.append(pos)
         return terms, positions
+
+    def call_with_offsets(
+        self, text: str
+    ) -> tuple[list[str], list[int], list[int]]:
+        """Like ``__call__`` but also returns each kept token's START
+        character offset — the OffsetAttribute the tokenizer fills
+        (``StandardTokenizer.cs:180-214`` sets startOffset per token; offsets
+        are code-point indexes here vs Java UTF-16 units — identical for
+        BMP-only text). Feeds offset-payload indexing
+        (IndexConfig.payloads='offset', TokenOffsetPayloadTokenFilter
+        analog — Analysis/Payloads/TokenOffsetPayloadTokenFilter.cs)."""
+        terms: list[str] = []
+        positions: list[int] = []
+        offsets: list[int] = []
+        pos = -1
+        stop = self.stop_words
+        maxlen = self.max_token_length
+        if _ASCII_SIMPLE.search(text) is None:
+            # [a-z0-9 ]-only: tokens are the non-space runs
+            for m in _WS_RUN_RE.finditer(text):
+                tok = m.group()
+                pos += 1
+                if tok in stop or len(tok) > maxlen:
+                    continue
+                terms.append(tok)
+                positions.append(pos)
+                offsets.append(m.start())
+            return terms, positions, offsets
+        ascii_ok = _ASCII_TOKEN_RE is not None and text.isascii()
+        token_iter = (_ASCII_TOKEN_RE if ascii_ok else _TOKEN_RE).finditer(text)
+        for m in token_iter:
+            raw = m.group()
+            pos += 1
+            if len(raw) > maxlen:
+                continue
+            term = raw.lower() if ascii_ok else _java_lower(raw)
+            if term in stop:
+                continue
+            terms.append(term)
+            positions.append(pos)
+            offsets.append(m.start())
+        return terms, positions, offsets
 
 
 def analyze_batch(texts: Iterable[str]) -> tuple[pa.ListArray, pa.ListArray]:

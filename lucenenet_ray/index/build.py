@@ -72,6 +72,14 @@ class IndexConfig:
     # (Lucene41PostingsFormat layout semantics); "vint" = plain delta+VInt
     # (the v0 format). Recorded in the manifest (per-segment codec header).
     codec: str = "for"
+    # per-position payloads (FieldInfo.IndexOptions
+    # DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS /
+    # TokenOffsetPayloadTokenFilter): "offset" stores each kept token's
+    # start character offset as a payload stream parallel to positions —
+    # per-doc self-contained VInt runs, so the segment merge moves payload
+    # bytes without decoding (same invariant as pos_bytes). None = no
+    # payloads (no pay_bytes column; index bytes unchanged).
+    payloads: str | None = None
 
     def bucket_of(self, doc_ids: np.ndarray) -> np.ndarray:
         """Doc-range bucket: (id - id_min) // ceil(span / n_buckets).
@@ -117,6 +125,10 @@ class Inverter:
         else:
             self.multilang = None
         self.analyzer = StandardAnalyzer()
+        if cfg.payloads and (cfg.lang_col or not cfg.store_positions):
+            raise ValueError(
+                "payloads need store_positions and the standard analyzer "
+                "(per-language chains don't report offsets)")
         self._hpart_cache: dict[str, int] = {}
 
     def _hpart(self, term: str) -> int:
@@ -145,14 +157,20 @@ class Inverter:
             langs_all = batch.column(self.cfg.lang_col).to_pylist()
             langs = [langs_all[i] for i in border]
 
-        # Flatten the whole batch into (term, doc_idx, position) triples.
+        # Flatten the whole batch into (term, doc_idx, position[, payload])
+        # tuples.
+        want_pay = bool(self.cfg.payloads)
         flat_terms: list[str] = []
         flat_docidx: list[int] = []
         flat_pos: list[int] = []
+        flat_pay: list[int] = []
         doc_lens = np.zeros(len(texts), dtype=np.int32)
         for di, text in enumerate(texts):
             if langs is not None:
                 terms, positions = self.multilang(text or "", langs[di])
+            elif want_pay:
+                terms, positions, offs = analyzer.call_with_offsets(text or "")
+                flat_pay.extend(offs)
             else:
                 terms, positions = analyzer(text or "")
             doc_lens[di] = len(terms)
@@ -180,16 +198,21 @@ class Inverter:
                     flat_terms.extend(prefix + t for t in terms)
                     flat_docidx.extend([di] * len(terms))
                     flat_pos.extend(positions)
+                    if want_pay:  # keyword/extra fields carry payload 0
+                        flat_pay.extend([0] * len(terms))
                 else:
                     flat_terms.append(prefix + str(v))
                     flat_docidx.append(di)
                     flat_pos.append(0)
+                    if want_pay:
+                        flat_pay.append(0)
 
         out_term: list[str] = []
         out_bucket: list[int] = []
         out_hpart: list[int] = []
         row_val_slices: list[tuple[int, int]] = []  # into the pair arrays
         out_pos: list[bytes] = []
+        out_pay: list[bytes] = []
 
         norms_all = encode_norm(doc_lens)
         buckets_all = self.cfg.bucket_of(doc_ids)
@@ -236,6 +259,13 @@ class Inverter:
             pos_delta = p_sorted.copy()
             pos_delta[1:] -= p_sorted[:-1]
             pos_delta[pair_starts] = p_sorted[pair_starts]
+            if want_pay:
+                # payload stream mirrors positions exactly: offsets ascend
+                # within a (term, doc) run, so the same delta scheme applies
+                pay_arr = np.array(flat_pay, dtype=np.int64)[order]
+                pay_delta = pay_arr.copy()
+                pay_delta[1:] -= pay_arr[:-1]
+                pay_delta[pair_starts] = pay_arr[pair_starts]
 
             # output rows = (term, bucket) runs over the pair list (bucket is
             # monotone within a term because docs are sorted)
@@ -260,6 +290,11 @@ class Inverter:
                     out_pos.append(
                         write_vints(pos_delta[v0:v1].astype(np.uint64)).tobytes()
                     )
+                    if want_pay:
+                        out_pay.append(
+                            write_vints(
+                                pay_delta[v0:v1].astype(np.uint64)).tobytes()
+                        )
                 else:
                     out_pos.append(b"")
 
@@ -309,20 +344,22 @@ class Inverter:
             norm_b[bounds[i] : bounds[i + 1]] for i in range(len(all_lens))
         ]
 
-        return pa.table(
-            {
-                "term": pa.array(out_term + dl_term, type=pa.string()),
-                "bucket": pa.array(out_bucket + dl_bucket, type=pa.int32()),
-                "hpart": pa.array(out_hpart + [0] * len(dl_term), type=pa.int32()),
-                "n": pa.array(all_lens, type=pa.int32()),
-                "doc_bytes": pa.array(doc_rows, type=pa.large_binary()),
-                "freq_bytes": pa.array(freq_rows, type=pa.large_binary()),
-                "norm_bytes": pa.array(norm_rows, type=pa.large_binary()),
-                "pos_bytes": pa.array(
-                    out_pos + [b""] * len(dl_term), type=pa.large_binary()
-                ),
-            }
-        )
+        cols = {
+            "term": pa.array(out_term + dl_term, type=pa.string()),
+            "bucket": pa.array(out_bucket + dl_bucket, type=pa.int32()),
+            "hpart": pa.array(out_hpart + [0] * len(dl_term), type=pa.int32()),
+            "n": pa.array(all_lens, type=pa.int32()),
+            "doc_bytes": pa.array(doc_rows, type=pa.large_binary()),
+            "freq_bytes": pa.array(freq_rows, type=pa.large_binary()),
+            "norm_bytes": pa.array(norm_rows, type=pa.large_binary()),
+            "pos_bytes": pa.array(
+                out_pos + [b""] * len(dl_term), type=pa.large_binary()
+            ),
+        }
+        if want_pay:
+            cols["pay_bytes"] = pa.array(
+                out_pay + [b""] * len(dl_term), type=pa.large_binary())
+        return pa.table(cols)
 
 
 def _split_vint_stream(stream: np.ndarray, counts: np.ndarray) -> list[bytes]:
@@ -383,7 +420,7 @@ def invert_batch_fn(batch: pa.Table, cfg: IndexConfig, text_col: str,
     same index_path with a different IndexConfig never reuses stale state."""
     key = (cfg.index_path, text_col, id_col, cfg.id_min, cfg.id_max,
            cfg.n_buckets, cfg.n_hparts, cfg.lang_col, cfg.store_positions,
-           cfg.extra_fields)
+           cfg.extra_fields, cfg.payloads)
     inv = _INVERTER_SINGLETON.get(key)
     if inv is None:
         inv = Inverter(cfg, text_col, id_col)
@@ -447,6 +484,7 @@ def _merge_group(group: pa.Table, store_positions: bool,
     # then gather segments per term in doc order. (Was: full decode →
     # segmented cumsum → re-delta → re-encode; ~2/3 of reducer CPU.)
     has_pos = store_positions
+    has_pay = "pay_bytes" in group.column_names
     if has_pos:
         pos_blob = _binary_blob(group.column("pos_bytes"), take_idx)
         pb = np.frombuffer(pos_blob, dtype=np.uint8)
@@ -466,11 +504,29 @@ def _merge_group(group: pa.Table, store_positions: bool,
             vbound > 0, pos_ends[np.maximum(vbound, 1) - 1] + 1, 0
         ).astype(np.int64)
         pair_byte_start = np.concatenate(([0], pair_byte_end[:-1]))
+        if has_pay:
+            # payload runs have the SAME per-pair value counts as positions
+            # (one payload per position), so the identical terminator-scan +
+            # byte-segment gather applies to the payload stream
+            pay_blob = _binary_blob(group.column("pay_bytes"), take_idx)
+            yb = np.frombuffer(pay_blob, dtype=np.uint8)
+            pay_ends = np.flatnonzero((yb & 0x80) == 0)
+            if int(vbound[-1] if vbound.size else 0) != pay_ends.size:
+                raise ValueError(
+                    f"payload stream corrupt: {pay_ends.size} values, "
+                    f"expected {int(vbound[-1] if vbound.size else 0)}"
+                )
+            pay_byte_end = np.where(
+                vbound > 0, pay_ends[np.maximum(vbound, 1) - 1] + 1, 0
+            ).astype(np.int64)
+            pay_byte_start = np.concatenate(([0], pay_byte_end[:-1]))
 
     out = {k: [] for k in (
         "bucket", "term", "df", "ttf", "max_freq", "max_norm", "doc_bytes",
         "freq_bytes", "pos_bytes", "block_last_doc", "block_doc_off",
         "block_freq_off", "block_max_freq", "block_max_norm")}
+    if has_pay:
+        out["pay_bytes"] = []
 
     for s, e in zip(starts, ends):
         term = terms_s[s]
@@ -484,11 +540,16 @@ def _merge_group(group: pa.Table, store_positions: bool,
         norms = norms[ordd]
 
         pos_stream = b""
+        pay_stream = b""
         if has_pos and term != DOCLEN_TERM:
             # gather this term's pairs' byte segments in merged doc order
             bstarts = pair_byte_start[v0:v1][ordd]
             blens = (pair_byte_end[v0:v1] - pair_byte_start[v0:v1])[ordd]
             pos_stream = pb[_grouped_take(bstarts, blens)].tobytes()
+            if has_pay:
+                ystarts = pay_byte_start[v0:v1][ordd]
+                ylens = (pay_byte_end[v0:v1] - pay_byte_start[v0:v1])[ordd]
+                pay_stream = yb[_grouped_take(ystarts, ylens)].tobytes()
 
         enc = encode_postings(docs, freqs, norms, None, codec=codec)
         out["bucket"].append(bucket)
@@ -500,6 +561,8 @@ def _merge_group(group: pa.Table, store_positions: bool,
         out["doc_bytes"].append(enc["doc_bytes"])
         out["freq_bytes"].append(enc["freq_bytes"])
         out["pos_bytes"].append(pos_stream)
+        if has_pay:
+            out["pay_bytes"].append(pay_stream)
         out["block_last_doc"].append(enc["block_last_doc"].tolist())
         out["block_doc_off"].append(enc["block_doc_off"].tolist())
         out["block_freq_off"].append(enc["block_freq_off"].tolist())
@@ -517,6 +580,8 @@ def _merge_group(group: pa.Table, store_positions: bool,
             "doc_bytes": pa.array(out["doc_bytes"], type=pa.large_binary()),
             "freq_bytes": pa.array(out["freq_bytes"], type=pa.large_binary()),
             "pos_bytes": pa.array(out["pos_bytes"], type=pa.large_binary()),
+            **({"pay_bytes": pa.array(out["pay_bytes"], type=pa.large_binary())}
+               if has_pay else {}),
             "block_last_doc": pa.array(out["block_last_doc"], type=pa.list_(pa.int64())),
             "block_doc_off": pa.array(out["block_doc_off"], type=pa.list_(pa.int64())),
             "block_freq_off": pa.array(out["block_freq_off"], type=pa.list_(pa.int64())),

@@ -233,19 +233,25 @@ def _rewrite_postings(path: str, index_path: str, out_path: str, dead,
             continue  # term fully deleted
         freqs = decode_freqs(cols["freq_bytes"][i].as_py(), df,
                              codec=codec, doc_bytes=db)
-        pos_b = cols["pos_bytes"][i].as_py()
-        new_pos = b""
-        if pos_b:
+        def _filter_runs(stream_b: bytes) -> bytes:
             # per-doc runs are self-contained byte segments: filter by
-            # terminator-scan + segment gather, never decoding values
-            pb = np.frombuffer(pos_b, dtype=np.uint8)
+            # terminator-scan + segment gather, never decoding values —
+            # identical treatment for position AND payload streams
+            if not stream_b:
+                return b""
+            pb = np.frombuffer(stream_b, dtype=np.uint8)
             ends_idx = np.flatnonzero((pb & 0x80) == 0)
             vbound = np.cumsum(freqs.astype(np.int64))
             seg_end = ends_idx[vbound - 1] + 1
             seg_start = np.concatenate(([0], seg_end[:-1]))
             keep_segs = np.flatnonzero(mask)
             parts = [pb[seg_start[j]:seg_end[j]] for j in keep_segs]
-            new_pos = np.concatenate(parts).tobytes() if parts else b""
+            return np.concatenate(parts).tobytes() if parts else b""
+
+        new_pos = _filter_runs(cols["pos_bytes"][i].as_py())
+        has_pay = "pay_bytes" in t.column_names
+        new_pay = (_filter_runs(cols["pay_bytes"][i].as_py())
+                   if has_pay else b"")
         # kept docs' norm bytes are unchanged by the expunge: look them up in
         # the ORIGINAL norms file (body norm byte is attached to every term's
         # postings, field-prefixed included — Inverter pair_norm)
@@ -262,6 +268,7 @@ def _rewrite_postings(path: str, index_path: str, out_path: str, dead,
             "doc_bytes": enc["doc_bytes"],
             "freq_bytes": enc["freq_bytes"],
             "pos_bytes": new_pos,
+            **({"pay_bytes": new_pay} if has_pay else {}),
             "block_last_doc": enc["block_last_doc"].tolist(),
             "block_doc_off": enc["block_doc_off"].tolist(),
             "block_freq_off": enc["block_freq_off"].tolist(),

@@ -45,10 +45,13 @@ def _remerge_group(group: pa.Table, codec: str = "vint") -> pa.Table:
     bucket = int(group.column("bucket")[0].as_py())
     order = np.argsort(terms, kind="stable")
 
+    has_pay = "pay_bytes" in group.column_names
     out = {k: [] for k in (
         "bucket", "term", "df", "ttf", "max_freq", "max_norm", "doc_bytes",
         "freq_bytes", "pos_bytes", "block_last_doc", "block_doc_off",
         "block_freq_off", "block_max_freq", "block_max_norm")}
+    if has_pay:
+        out["pay_bytes"] = []
 
     terms_s = terms[order]
     new_term = np.empty(len(terms_s), dtype=bool)
@@ -61,7 +64,7 @@ def _remerge_group(group: pa.Table, codec: str = "vint") -> pa.Table:
     for s, e in zip(starts, ends):
         rows = order[s:e]
         term = terms_s[s]
-        docs_l, freqs_l, pos_l = [], [], []
+        docs_l, freqs_l, pos_l, pay_l = [], [], [], []
         maxn = 0
         for r in rows:
             r = int(r)
@@ -71,16 +74,19 @@ def _remerge_group(group: pa.Table, codec: str = "vint") -> pa.Table:
             freqs_l.append(decode_freqs(group.column("freq_bytes")[r].as_py(),
                                         df, codec=codec, doc_bytes=db))
             pos_l.append(group.column("pos_bytes")[r].as_py() or b"")
+            if has_pay:
+                pay_l.append(group.column("pay_bytes")[r].as_py() or b"")
             maxn = max(maxn, group.column("max_norm")[r].as_py())
         docs = np.concatenate(docs_l)
         freqs = np.concatenate(freqs_l)
         ordd = np.argsort(docs, kind="stable")
 
-        pos_stream = b""
-        if term != DOCLEN_TERM and any(len(p) for p in pos_l):
-            # bulk-decode all position deltas, rebase per (chunk, doc) run,
-            # reorder to merged doc order, re-delta, re-encode
-            blob = b"".join(pos_l)
+        def _reorder_stream(blobs: list[bytes]) -> bytes:
+            # bulk-decode all per-doc delta runs, rebase per (chunk, doc)
+            # run, reorder to merged doc order, re-delta, re-encode — works
+            # for positions AND payloads (identical run structure: first
+            # delta absolute per doc, one value per position)
+            blob = b"".join(blobs)
             all_freqs = freqs.astype(np.int64)
             deltas = read_vints(np.frombuffer(blob, dtype=np.uint8),
                                 int(all_freqs.sum()))
@@ -95,7 +101,14 @@ def _remerge_group(group: pa.Table, codec: str = "vint") -> pa.Table:
             nrs = np.concatenate(([0], np.cumsum(all_freqs[ordd])[:-1]))
             d[1:] -= pv[:-1]
             d[nrs] = pv[nrs]
-            pos_stream = write_vints(d.astype(np.uint64)).tobytes()
+            return write_vints(d.astype(np.uint64)).tobytes()
+
+        pos_stream = b""
+        pay_stream = b""
+        if term != DOCLEN_TERM and any(len(p) for p in pos_l):
+            pos_stream = _reorder_stream(pos_l)
+            if has_pay and any(len(p) for p in pay_l):
+                pay_stream = _reorder_stream(pay_l)
 
         docs = docs[ordd]
         freqs = freqs[ordd]
@@ -112,6 +125,8 @@ def _remerge_group(group: pa.Table, codec: str = "vint") -> pa.Table:
         out["doc_bytes"].append(enc["doc_bytes"])
         out["freq_bytes"].append(enc["freq_bytes"])
         out["pos_bytes"].append(pos_stream)
+        if has_pay:
+            out["pay_bytes"].append(pay_stream)
         out["block_last_doc"].append(enc["block_last_doc"].tolist())
         out["block_doc_off"].append(enc["block_doc_off"].tolist())
         out["block_freq_off"].append(enc["block_freq_off"].tolist())
@@ -129,6 +144,8 @@ def _remerge_group(group: pa.Table, codec: str = "vint") -> pa.Table:
             "doc_bytes": pa.array(out["doc_bytes"], type=pa.large_binary()),
             "freq_bytes": pa.array(out["freq_bytes"], type=pa.large_binary()),
             "pos_bytes": pa.array(out["pos_bytes"], type=pa.large_binary()),
+            **({"pay_bytes": pa.array(out["pay_bytes"], type=pa.large_binary())}
+               if has_pay else {}),
             "block_last_doc": pa.array(out["block_last_doc"], type=pa.list_(pa.int64())),
             "block_doc_off": pa.array(out["block_doc_off"], type=pa.list_(pa.int64())),
             "block_freq_off": pa.array(out["block_freq_off"], type=pa.list_(pa.int64())),

@@ -248,6 +248,125 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored {stored_join} ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}"""
 
 
+def dv_sort_updated_sql(match_term: str, update_term: str, new_value: int,
+                        k: int = 20) -> str:
+    """Numeric doc-values update + field-sort oracle
+    (UpdateNumericDocValues(term, n_chars, v) then
+    TopFieldCollector(SortField(n_chars, LONG, reverse=true))): docs
+    containing ``update_term`` read the updated value, everything else the
+    base n_chars column; matches of ``match_term`` sort by (value desc,
+    doc asc)."""
+    return f"""WITH {_toks_cte()},
+matches AS (
+  SELECT DISTINCT doc_id FROM kept WHERE term = '{match_term}'
+),
+upd AS (
+  SELECT DISTINCT doc_id FROM kept WHERE term = '{update_term}'
+)
+SELECT m.doc_id,
+       CASE WHEN u.doc_id IS NOT NULL THEN {new_value}
+            ELSE d.n_chars END AS n_chars
+FROM matches m
+JOIN documents d USING (doc_id)
+LEFT JOIN upd u ON u.doc_id = m.doc_id
+ORDER BY n_chars DESC, m.doc_id ASC LIMIT {k}"""
+
+
+def expr_sort_sql(terms: list[str], k: int = 20) -> str:
+    """Expression-sort oracle for `_score + sqrt(n_chars) / 100` over an OR
+    BooleanQuery: the BM25 float32 score CTE (bit-exact, see bm25_topk_sql)
+    widened to DOUBLE, plus correctly-rounded double sqrt/div/add — both
+    numpy and DuckDB evaluate these IEEE-exactly, so the hash matches."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    score_expr = f"COALESCE(s0, {ZERO_R})"
+    for i in range(1, len(terms)):
+        score_expr = f"({score_expr} + COALESCE(s{i}, {ZERO_R}))"
+    pivot_cols = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms))
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms)},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         (w.wv * tf.f) / (tf.f + c.cache) AS s
+  FROM tf
+  JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf.doc_id
+),
+agg AS (
+  SELECT doc_id, {pivot_cols}
+  FROM persc GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, {score_expr} AS score FROM agg
+)
+SELECT s.doc_id,
+       CAST(s.score AS DOUBLE) + sqrt(CAST(d.n_chars AS DOUBLE)) / 100
+         AS escore
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY escore DESC, s.doc_id ASC LIMIT {k}"""
+
+
+_OFFS_CTE = """
+offs AS (
+  -- start char offset of token `pos` in single-space-joined text:
+  -- sum of (len + 1) of all PRECEDING tokens (incl. stopwords — offsets are
+  -- a raw-token property; the engine stores them only for kept tokens)
+  SELECT doc_id, term, pos,
+         CAST(sum(length(term) + 1) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - length(term) - 1 AS BIGINT) AS start
+  FROM toks
+)"""
+
+
+def payload_stats_sql(term: str) -> str:
+    """Offset-payload aggregation oracle: per doc containing ``term``, the
+    count/min/max/sum of the term's start character offsets."""
+    return f"""WITH {_toks_cte()},{_OFFS_CTE}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(start) AS BIGINT) AS min_off,
+       CAST(max(start) AS BIGINT) AS max_off,
+       CAST(sum(start) AS BIGINT) AS sum_off
+FROM offs WHERE term = '{term}'
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+def payload_term_score_sql(term: str, k: int = 10) -> str:
+    """PayloadTermQuery(avg, includeSpanScore) oracle: BM25 float32 term
+    score × float32 average offset-payload (sum/count — both exact in
+    float32 for offsets < 2^24), final float32 product; top-k by (score
+    desc, doc asc)."""
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte([term])},{_OFFS_CTE},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term = '{term}' GROUP BY doc_id, term
+),
+pay AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(start) AS BIGINT) AS sum_off
+  FROM offs WHERE term = '{term}' GROUP BY doc_id
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(((w.wv * tf.f) / (tf.f + c.cache))
+              * CAST(CAST(p.sum_off AS REAL) / CAST(p.n AS REAL) AS REAL)
+              AS REAL) AS score
+  FROM tf
+  JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf.doc_id
+  JOIN pay p ON p.doc_id = tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def tfidf_topk_sql(terms: list[str], k: int = 10) -> str:
     """ClassicSimilarity (TFIDFSimilarity/DefaultSimilarity) OR-query oracle,
     float32-bit-exact: idf = (float)(ln(N/(df+1))+1); queryNorm =

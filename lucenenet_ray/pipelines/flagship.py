@@ -274,8 +274,18 @@ def index_documents(
         # multi-field schema (SURVEY §1.3): body text + keyword `source`
         # (StringField analog — field-qualified PK-style lookups)
         extra_fields=(("source", "source", False),),
+        # offset payloads (TokenOffsetPayloadTokenFilter analog): each kept
+        # token's start char offset rides the postings as a payload stream
+        payloads="offset",
     )
-    return build_index(ds, cfg, text_col="text", id_col="doc_id")
+    manifest = build_index(ds, cfg, text_col="text", id_col="doc_id")
+    # numeric doc-values column (NumericDocValuesField analog, docvalues.py):
+    # n_chars backs field sorts / expressions without stored-field access
+    from lucenenet_ray.index.docvalues import build_docvalues
+
+    build_docvalues(rd.read_parquet(src, columns=["doc_id", "n_chars"]),
+                    cfg, ["n_chars"])
+    return manifest
 
 
 _INDEX_CACHE: dict[str, str] = {}
@@ -284,9 +294,9 @@ _INDEX_CACHE: dict[str, str] = {}
 def documents_index_for(sf_dir: str, cache_root: str = "/tmp/lucenenet_ray_idx") -> str:
     """Build (once per process/sf) the documents index; returns index path."""
     key = os.path.basename(os.path.normpath(sf_dir))
-    # v2: multi-field schema (body + keyword source) — new cache dir so
-    # stale single-field indexes from earlier rounds are never reused
-    path = os.path.join(cache_root, f"documents_v2_{key}")
+    # v3: + docvalues (n_chars) and offset payloads — new cache dir so
+    # stale indexes from earlier rounds are never reused
+    path = os.path.join(cache_root, f"documents_v3_{key}")
     if key not in _INDEX_CACHE:
         if not os.path.exists(os.path.join(path, "manifest.json")):
             index_documents(sf_dir, path)

@@ -42,6 +42,7 @@ class PostingsChunk:
     block_max_freq: np.ndarray
     block_max_norm: np.ndarray
     codec: str = "vint"
+    pay_bytes: bytes = b""  # per-position payloads (IndexConfig.payloads)
     _docs: np.ndarray | None = None
     _freqs: np.ndarray | None = None
     _pos_flat: np.ndarray | None = None  # absolute positions, doc-major
@@ -105,21 +106,47 @@ class PostingsChunk:
         flat, offs = self.positions_flat()
         return [flat[offs[i] : offs[i + 1]] for i in range(self.df)]
 
+    _pay_flat: np.ndarray | None = None
+
+    def payloads_flat(self) -> tuple[np.ndarray, np.ndarray]:
+        """(flat absolute payload values, per-doc offsets) — payloads are
+        VInt delta runs parallel to positions (one value per position; see
+        IndexConfig.payloads), decoded with the same segmented cumsum."""
+        if self._pay_flat is None:
+            from lucenenet_ray.index.codec import read_vints
+
+            if not self.pay_bytes:
+                raise ValueError(
+                    f"term {self.term!r}: index has no payload stream")
+            freqs = self.freqs().astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(freqs)))
+            deltas = read_vints(
+                np.frombuffer(self.pay_bytes, dtype=np.uint8), int(offs[-1])
+            ).astype(np.int64)
+            c = np.cumsum(deltas)
+            starts = offs[:-1][freqs > 0]
+            base = c[starts] - deltas[starts]
+            self._pay_flat = c - np.repeat(base, freqs[freqs > 0])
+            self._pos_offs = offs
+        return self._pay_flat, self._pos_offs
+
 
 class BucketData:
     """All loaded state for one doc-range bucket."""
 
     def __init__(self, bucket_id: int, norms_path: str, postings_glob: str,
-                 codec: str = "vint"):
+                 codec: str = "vint", docvalues_path: str | None = None):
         import glob as _glob
 
         self.bucket_id = bucket_id
         self.norms_path = norms_path
+        self.docvalues_path = docvalues_path
         self.codec = codec
         self.postings_files = sorted(_glob.glob(postings_glob))
         self._norms: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         self._postings_full: dict[str, PostingsChunk] | None = None
         self._chunk_cache: dict[str, PostingsChunk | None] = {}
+        self._dv_cache: dict[str, np.ndarray] = {}
 
     # -- norms ---------------------------------------------------------------
     def norms(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -136,6 +163,28 @@ class BucketData:
                 z = np.empty(0, dtype=np.int64)
                 self._norms = (z, z.astype(np.int32), z.astype(np.uint8))
         return self._norms
+
+    def docvalues(self, field: str) -> np.ndarray:
+        """Base numeric doc-values column aligned to norms() doc order
+        (int64; Lucene42DocValuesProducer.GetNumeric analog — loaded once
+        per (bucket, field) and pinned, the FieldCache pattern). Docs absent
+        from the docvalues file read 0, Lucene's missing-value default
+        (``NumericDocValues`` returns 0 for docs without a value)."""
+        dv = self._dv_cache.get(field)
+        if dv is None:
+            doc_ids = self.norms()[0]
+            dv = np.zeros(len(doc_ids), dtype=np.int64)
+            if self.docvalues_path and os.path.exists(self.docvalues_path):
+                t = pq.read_table(self.docvalues_path,
+                                  columns=["doc_id", field])
+                ids = t.column("doc_id").to_numpy().astype(np.int64)
+                vals = t.column(field).to_numpy(zero_copy_only=False).astype(np.int64)
+                idx = np.searchsorted(doc_ids, ids)
+                ok = (idx < len(doc_ids))
+                ok[ok] = doc_ids[idx[ok]] == ids[ok]
+                dv[idx[ok]] = vals[ok]
+            self._dv_cache[field] = dv
+        return dv
 
     def norm_of_docs(self, docs: np.ndarray) -> np.ndarray:
         doc_ids, _lens, norm = self.norms()
@@ -158,6 +207,8 @@ class BucketData:
             doc_bytes=t.column("doc_bytes")[i].as_py(),
             freq_bytes=t.column("freq_bytes")[i].as_py(),
             pos_bytes=t.column("pos_bytes")[i].as_py(),
+            pay_bytes=(t.column("pay_bytes")[i].as_py()
+                       if "pay_bytes" in t.column_names else b""),
             block_last_doc=np.asarray(t.column("block_last_doc")[i].as_py(), dtype=np.int64),
             block_doc_off=np.asarray(t.column("block_doc_off")[i].as_py(), dtype=np.int64),
             block_freq_off=np.asarray(t.column("block_freq_off")[i].as_py(), dtype=np.int64),
@@ -225,7 +276,8 @@ class IndexReader:
     """Whole-index handle: manifest + collection stats + buckets + term dict."""
 
     def __init__(self, index_path: str, full_buckets: bool = True,
-                 deletes_path: str | None = None):
+                 deletes_path: str | None = None,
+                 dv_updates_path: str | None = None):
         self.index_path = index_path
         with open(os.path.join(index_path, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -245,6 +297,17 @@ class IndexReader:
             else os.path.join(index_path, "deletes")
         )
         self.deleted_terms: tuple[str, ...] = load_deleted_terms(self.deletes_path)
+        # numeric doc-values update log (UpdateNumericDocValues analog,
+        # docvalues.py) — same sidecar-generation model as deletes
+        from lucenenet_ray.index.docvalues import load_dv_updates
+
+        self.dv_updates_path = (
+            dv_updates_path if dv_updates_path is not None
+            else os.path.join(index_path, "dv_updates")
+        )
+        self.dv_updates: tuple[tuple[str, str, int], ...] = load_dv_updates(
+            self.dv_updates_path)
+        self._dv_resolved: dict[int, tuple] = {}
 
     @property
     def bucket_ids(self) -> list[int]:
@@ -258,9 +321,36 @@ class IndexReader:
                 os.path.join(self.index_path, "norms", f"bucket={bucket_id:05d}.parquet"),
                 os.path.join(self.index_path, "postings", f"bucket={bucket_id:05d}*.parquet"),
                 codec=self.manifest.get("config", {}).get("codec", "vint"),
+                docvalues_path=os.path.join(
+                    self.index_path, "docvalues", f"bucket={bucket_id:05d}.parquet"),
             )
             self._buckets[bucket_id] = bd
         return bd
+
+    def numeric_docvalues(self, bucket_id: int, field: str) -> np.ndarray:
+        """Per-bucket numeric doc-values WITH the update log applied
+        (``SegmentReader`` stacking .dvu generations over the base column,
+        ``ReaderAndUpdates.cs``): updates resolve (term → matching docs) via
+        this bucket's postings and override in generation order — later
+        generations win, exactly ``IndexWriter.UpdateNumericDocValues``
+        semantics. Resolution is vectorized (one fancy-index per update) and
+        the result is cached per (bucket, field, log state)."""
+        bd = self.bucket(bucket_id)
+        key = (field, self.dv_updates)
+        cached = self._dv_resolved.get(bucket_id)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        vals = bd.docvalues(field)
+        relevant = [(t, v) for (t, f, v) in self.dv_updates if f == field]
+        if relevant:
+            vals = vals.copy()
+            chunks = bd.chunks_for_terms([t for t, _ in relevant], full=False)
+            for term, value in relevant:
+                c = chunks.get(term)
+                if c is not None:
+                    vals[c.local_ids(bd)] = value
+        self._dv_resolved[bucket_id] = (key, vals)
+        return vals
 
     # -- global term statistics (IndexSearcher.cs:982-1007) ------------------
     def _termstats(self):

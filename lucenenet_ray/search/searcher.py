@@ -900,6 +900,44 @@ def search(reader: IndexReader, query: Query, k: int = 10,
                    total_hits_relation=rel, timed_out=timed_out)
 
 
+def search_sorted_by_docvalue(
+    reader: IndexReader, query: Query, field: str, k: int = 10,
+    reverse: bool = True,
+) -> list[tuple[int, int]]:
+    """TopFieldCollector over a numeric doc-values sort field
+    (``Search/TopFieldCollector.cs`` with ``SortField(field, LONG, reverse)``;
+    comparator ``FieldComparator.Int64Comparator``): per bucket, matching
+    docs' doc-values (update log applied — reader.numeric_docvalues) feed a
+    partial top-k by (value, doc_id) and the per-bucket heads merge like
+    TopDocs.Merge. Returns [(doc_id, value)] in (value desc|asc, doc asc)
+    order. No scores are computed — trackDocScores=false."""
+    plan = plan_query(reader, query)
+    all_d: list[np.ndarray] = []
+    all_v: list[np.ndarray] = []
+    for b in reader.bucket_ids:
+        bd = reader.bucket(b)
+        chunks = bd.chunks_for_terms(list(plan.all_terms), full=False)
+        lidx, _scores = _eval_query(plan.query, chunks, plan, bd)
+        live = bd.live_mask(plan.deleted_terms)
+        if live is not None and lidx.size:
+            lidx = lidx[live[lidx]]
+        if lidx.size == 0:
+            continue
+        vals = reader.numeric_docvalues(b, field)[lidx]
+        docs = bd.norms()[0][lidx]
+        # partial top-k inside the bucket: sort keys (∓value, doc)
+        kk = min(k, vals.size)
+        keys = np.lexsort((docs, -vals if reverse else vals))[:kk]
+        all_d.append(docs[keys])
+        all_v.append(vals[keys])
+    if not all_d:
+        return []
+    docs = np.concatenate(all_d)
+    vals = np.concatenate(all_v)
+    order = np.lexsort((docs, -vals if reverse else vals))[:k]
+    return [(int(docs[i]), int(vals[i])) for i in order]
+
+
 def count_matches(reader: IndexReader, query: Query) -> int:
     """TotalHitCountCollector analog (Search/TotalHitCountCollector.cs)."""
     return search(reader, query, k=1, prune=False).total_hits

@@ -126,6 +126,7 @@ def test_expunge_matches_direct_build(documents_index, corpus, tmp_path,
         id_min=cfg0["id_min"], id_max=cfg0["id_max"],
         n_buckets=cfg0["n_buckets"], n_hparts=cfg0["n_hparts"],
         extra_fields=tuple(tuple(x) for x in cfg0["extra_fields"]),
+        payloads=cfg0.get("payloads"),
     )
     import pyarrow as pa
 

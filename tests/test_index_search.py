@@ -228,7 +228,8 @@ def test_determinism_across_parallelism(ray_session, tmp_path, documents_index):
     )
     cfg = IndexConfig(index_path=p2, id_min=0, id_max=499, n_buckets=4,
                       batch_size=137, concurrency=2,  # different execution shape
-                      extra_fields=(("source", "source", False),))
+                      extra_fields=(("source", "source", False),),
+                      payloads="offset")
     build_index(ds, cfg)
     for sub in ("postings", "norms"):
         a_files = sorted(os.listdir(os.path.join(base_path, sub)))
