@@ -333,6 +333,30 @@ def _q_payload_term_score(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_numeric_range_filter(sf_dir: str) -> pa.Table:
+    """NumericRangeQuery / FieldCacheRangeFilter over doc-values
+    (Search/NumericRangeQuery.cs, FieldCacheRangeFilter.NewInt64Range;
+    search/query.py NumericDocValuesRangeQuery): 'spark' docs with
+    n_chars ∈ [300, 449], scored bm25 + constant 1.0f for the filter
+    clause (FilteredQuery with ConstantScore semantics), top-10."""
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        NumericDocValuesRangeQuery,
+        Occur,
+        TermQuery,
+    )
+    from lucenenet_ray.search.searcher import search
+
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.MUST, TermQuery(term="spark")),
+        BooleanClause(Occur.MUST, NumericDocValuesRangeQuery(
+            field="n_chars", lower=300, upper=449)),
+    ))
+    td = search(_reader(sf_dir), q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
 _DOCSTORE_CACHE: dict[str, str] = {}
 
 
@@ -1219,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_sort": _q_expr_sort,
         "payload_stats": _q_payload_stats,
         "payload_term_score": _q_payload_term_score,
+        "numeric_range_filter": _q_numeric_range_filter,
     }
     for name in BM25_QUERIES:
         out[name] = _make_bm25_query(name)
@@ -1282,6 +1307,8 @@ def oracle_sql() -> dict[str, str]:
         "expr_sort": so.expr_sort_sql(["spark", "window"], 20),
         "payload_stats": so.payload_stats_sql("spark"),
         "payload_term_score": so.payload_term_score_sql("spark", TOPK),
+        "numeric_range_filter": so.numeric_range_filter_sql(
+            "spark", 300, 449, TOPK),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -755,7 +755,9 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
     # (64 tasks = 2 ragged waves; zipf-skewed groups straggle), coarse enough
     # that per-task overhead stays small at 8. Output bytes are independent
     # of n_parts (files are written per exact (bucket, hpart) group).
-    n_parts = min(cfg.n_buckets * cfg.n_hparts, 128)
+    # GRAFT_REDUCE_PARTS overrides for wave-packing experiments.
+    n_parts = min(cfg.n_buckets * cfg.n_hparts,
+                  int(os.environ.get("GRAFT_REDUCE_PARTS", "128")))
 
     @ray.remote
     def split_block(n_parts_: int, *tables):

@@ -367,6 +367,30 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def numeric_range_filter_sql(term: str, lo: int, hi: int, k: int = 10) -> str:
+    """NumericDocValuesRangeQuery-as-MUST-clause oracle: bm25 float32 score
+    of ``term`` plus the filter clause's constant 1.0f (clause-order float32
+    add), restricted to docs with n_chars in [lo, hi]."""
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte([term])},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term = '{term}' GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(((w.wv * tf.f) / (tf.f + c.cache)) + CAST(1.0 AS REAL)
+              AS REAL) AS score
+  FROM tf
+  JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf.doc_id
+  JOIN documents d ON d.doc_id = tf.doc_id
+  WHERE d.n_chars BETWEEN {lo} AND {hi}
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def tfidf_topk_sql(terms: list[str], k: int = 10) -> str:
     """ClassicSimilarity (TFIDFSimilarity/DefaultSimilarity) OR-query oracle,
     float32-bit-exact: idf = (float)(ln(N/(df+1))+1); queryNorm =

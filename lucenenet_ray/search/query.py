@@ -108,6 +108,26 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class NumericDocValuesRangeQuery(Query):
+    """Numeric range over a doc-values field — the NumericRangeQuery /
+    FieldCacheRangeFilter surface (``Search/NumericRangeQuery.cs``,
+    ``Search/FieldCacheRangeFilter.cs:NewInt64Range``) re-expressed over the
+    engine's numeric doc-values columns (index/docvalues.py) instead of a
+    trie-encoded term hierarchy: ranges evaluate as one vectorized compare
+    per bucket against the pinned column, no term expansion at all (the
+    FieldCache path Lucene itself recommends once values are cached).
+    Matches score a constant ``boost`` like a filter wrapped in
+    ConstantScoreQuery; doc-values UPDATE generations are honored (the plan
+    ships the update log, resolved per bucket against postings)."""
+
+    field: str = ""
+    lower: int | None = None
+    upper: int | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     """score = max(clause scores) + tie_breaker * (sum - max), float32 ops —
     ``Search/DisjunctionMaxQuery.cs:58`` / DisjunctionMaxScorer."""

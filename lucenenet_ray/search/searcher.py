@@ -53,6 +53,7 @@ from lucenenet_ray.search.query import (
     MatchAllDocsQuery,
     MultiPhraseQuery,
     MultiTermQuery,
+    NumericDocValuesRangeQuery,
     Occur,
     PhraseQuery,
     Query,
@@ -89,6 +90,10 @@ class QueryPlan:
     # live mask once and caches it). Stats/weights above are over ALL docs —
     # Lucene's pre-merge liveDocs semantics (SegmentReader liveDocs).
     deleted_terms: tuple[str, ...] = ()
+    # numeric doc-values update generations captured at plan time (same
+    # ship-with-the-plan model as deleted_terms): NumericDocValuesRangeQuery
+    # resolves them per bucket so range filters see updated values
+    dv_updates: tuple[tuple[str, str, int], ...] = ()
     # Similarity override (Similarity.cs / PerFieldSimilarityWrapper surface):
     # "bm25" (default) or "classic" (TFIDFSimilarity/DefaultSimilarity —
     # sqrt-tf · idf² · queryNorm · decoded norm, with Boolean coord).
@@ -129,6 +134,12 @@ def _collect_terms(q: Query, reader: IndexReader, terms: set[str],
         wkeys.update((t, float(q.boost)) for t in exp)
     elif isinstance(q, MatchAllDocsQuery):
         pass
+    elif isinstance(q, NumericDocValuesRangeQuery):
+        # no terms of its own, but doc-values UPDATE resolution needs the
+        # update terms' postings in every bucket (reader.numeric_docvalues
+        # model, shipped via plan.dv_updates)
+        terms.update(t for (t, f, _v) in getattr(reader, "dv_updates", ())
+                     if f == q.field)
     else:  # pragma: no cover
         raise TypeError(f"unsupported query node {type(q)}")
 
@@ -197,6 +208,7 @@ def plan_query(reader: IndexReader, query: Query,
         all_terms=tuple(sorted(terms)),
         cache_k1=np.full(256, np.float32(k1), dtype=np.float32),
         deleted_terms=getattr(reader, "deleted_terms", ()),
+        dv_updates=getattr(reader, "dv_updates", ()),
     )
 
 
@@ -583,7 +595,35 @@ def _eval_query(q: Query, chunks: dict[str, PostingsChunk], plan: QueryPlan,
     if isinstance(q, MatchAllDocsQuery):
         lidx = np.arange(bucket.n_docs, dtype=np.int64)
         return lidx, np.full(lidx.size, np.float32(q.boost), dtype=np.float32)
+    if isinstance(q, NumericDocValuesRangeQuery):
+        return _eval_dv_range(q, chunks, plan, bucket)
     raise TypeError(f"unsupported query node {type(q)}")
+
+
+def _eval_dv_range(q: NumericDocValuesRangeQuery,
+                   chunks: dict[str, PostingsChunk], plan: QueryPlan,
+                   bucket: BucketData) -> tuple[np.ndarray, np.ndarray]:
+    """FieldCacheRangeFilter.NewInt64Range semantics: one vectorized compare
+    against the bucket's pinned doc-values column, constant score = boost
+    (a filter under ConstantScoreQuery). Update generations from the plan
+    override the base column first (later wins — ReaderAndUpdates order)."""
+    vals = bucket.docvalues(q.field)
+    relevant = [(t, v) for (t, f, v) in plan.dv_updates if f == q.field]
+    if relevant:
+        vals = vals.copy()
+        for term, value in relevant:
+            c = chunks.get(term)
+            if c is not None:
+                vals[c.local_ids(bucket)] = value
+    mask = np.ones(vals.size, dtype=bool)
+    if q.lower is not None:
+        mask &= (vals >= q.lower) if q.include_lower else (vals > q.lower)
+    if q.upper is not None:
+        mask &= (vals <= q.upper) if q.include_upper else (vals < q.upper)
+    lidx = np.flatnonzero(mask)
+    if lidx.size == 0:
+        return _EMPTY_D, _EMPTY_S
+    return lidx, np.full(lidx.size, np.float32(q.boost), dtype=np.float32)
 
 
 def _eval_boolean(q: BooleanQuery, chunks: dict[str, PostingsChunk], plan: QueryPlan,

@@ -182,6 +182,58 @@ def test_expression_errors():
         e.evaluate({})
 
 
+def test_numeric_range_filter(dv_index, corpus):
+    """NumericDocValuesRangeQuery as a MUST clause: matches = term docs with
+    n_chars in range; score = bm25 + 1.0f constant."""
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        NumericDocValuesRangeQuery,
+        Occur,
+        TermQuery,
+    )
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    docs, _texts, toks = corpus
+    want_nc = _base_n_chars()
+    r = IndexReader(dv_index)
+    base = search(r, TermQuery(term="spark"), k=r.num_docs)
+    expect = {}
+    for d, s in base.to_list():
+        if 300 <= want_nc[d] <= 449:
+            expect[d] = np.float32(np.float32(s) + np.float32(1.0))
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.MUST, TermQuery(term="spark")),
+        BooleanClause(Occur.MUST, NumericDocValuesRangeQuery(
+            field="n_chars", lower=300, upper=449)),
+    ))
+    td = search(r, q, k=r.num_docs)
+    got = dict(td.to_list())
+    assert got == {d: float(v) for d, v in expect.items()}
+
+
+def test_numeric_range_sees_dv_updates(dv_index, corpus, tmp_path):
+    """Range filter over UPDATED values: docs pushed out of / into range by
+    an update generation are excluded / included."""
+    from lucenenet_ray.index.docvalues import update_numeric_docvalue
+    from lucenenet_ray.search.query import NumericDocValuesRangeQuery
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    docs, _texts, toks = corpus
+    want_nc = _base_n_chars()
+    udir = str(tmp_path / "dvu3")
+    update_numeric_docvalue(udir, "dup", "n_chars", 10_000)
+    r = IndexReader(dv_index, dv_updates_path=udir)
+    td = search(r, NumericDocValuesRangeQuery(field="n_chars", lower=10_000),
+                k=r.num_docs)
+    dup_docs = {d for d in docs if "dup" in toks[d]}
+    base_hits = {d for d in docs if want_nc[d] >= 10_000}
+    assert set(int(d) for d in td.docs) == dup_docs | base_hits
+    assert dup_docs, "corpus must contain dup docs"
+
+
 def test_expression_sort_matches_manual(dv_index, corpus):
     from lucenenet_ray.search.expressions import expression_sort
     from lucenenet_ray.search.query import TermQuery
