@@ -308,6 +308,31 @@ class IndexReader:
         self.dv_updates: tuple[tuple[str, str, int], ...] = load_dv_updates(
             self.dv_updates_path)
         self._dv_resolved: dict[int, tuple] = {}
+        self._version = self._stamp()
+
+    def _stamp(self) -> tuple:
+        """Read the current commit-point stamp from disk: manifest identity +
+        delete/docvalues-update log generations. Cheap: one stat + two dir
+        listings."""
+        import glob as _glob
+
+        st = os.stat(os.path.join(self.index_path, "manifest.json"))
+        dels = tuple(sorted(
+            os.path.basename(f) for f in _glob.glob(
+                os.path.join(self.deletes_path, "del-*.parquet"))
+        )) if os.path.isdir(self.deletes_path) else ()
+        dvus = tuple(sorted(
+            os.path.basename(f) for f in _glob.glob(
+                os.path.join(self.dv_updates_path, "dvu-*.parquet"))
+        )) if os.path.isdir(self.dv_updates_path) else ()
+        return (st.st_mtime_ns, st.st_size, dels, dvus)
+
+    def version(self) -> tuple:
+        """Commit-point stamp AT OPEN TIME (``SegmentInfos.Version`` /
+        ``IndexReader.Version`` — DirectoryReader.DoOpenIfChanged compares
+        a live stamp against this to decide whether a reopen is needed).
+        Fixed for the reader's lifetime, like Lucene's."""
+        return self._version
 
     @property
     def bucket_ids(self) -> list[int]:

@@ -49,6 +49,24 @@ class QueryServer:
         path = self.reader.index_path
         self.reader = IndexReader(path)
 
+    def maybe_refresh(self, warm: bool = False) -> bool:
+        """SearcherManager.MaybeRefresh (SearcherManager.cs:61 /
+        ReferenceManager.cs:170): compare the commit-point version stamp and
+        swap in a fresh reader ONLY if the index changed. Returns True iff a
+        new reader was opened. In-flight ``search_plan`` calls on the actor
+        finished before this ran (actor mailbox is serial), so the swap is
+        atomic from the caller's view — the acquire/release discipline of
+        ReferenceManager collapses to actor message ordering here."""
+        old = self.reader.version()
+        path = self.reader.index_path
+        new_reader = IndexReader(path)
+        if new_reader.version() == old:
+            return False
+        self.reader = new_reader
+        if warm:
+            self.warm()
+        return True
+
     def search_plan(self, plan: QueryPlan, k: int, prune: bool = True):
         """Score this actor's buckets → (docs, scores, total_hits)."""
         all_d, all_s, total = [], [], 0
@@ -93,6 +111,22 @@ class DistributedSearcher:
         d, s = _topk(docs, scores, k)
         return TopDocs(docs=d, scores=s, total_hits=total,
                        total_hits_relation="gte" if prune else "eq")
+
+    def maybe_refresh(self, warm: bool = False) -> bool:
+        """Refresh the driver's stats/term-dict reader and every actor if the
+        commit point moved (tombstone append, docvalues update, or a rebuilt
+        manifest). Returns True iff anything was swapped."""
+        import ray
+
+        old = self.reader.version()
+        new_reader = IndexReader(self.reader.index_path)
+        changed = new_reader.version() != old
+        if changed:
+            self.reader = new_reader
+        flags = ray.get(
+            [a.maybe_refresh.remote(warm) for a in self.actors]
+        )
+        return changed or any(flags)
 
     def shutdown(self) -> None:
         import ray

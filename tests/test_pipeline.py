@@ -124,6 +124,47 @@ def test_distributed_searcher_matches_sequential(documents_index):
         ds.shutdown()
 
 
+def test_searcher_manager_maybe_refresh(documents_index, tmp_path):
+    """SearcherManager.MaybeRefresh semantics (SearcherManager.cs:61):
+    no commit-point change → False and the same reader; a tombstone append
+    moves the version stamp → True, and subsequent searches see the delete
+    without restarting the actor pool."""
+    import os
+    import numpy as np
+
+    from lucenenet_ray.index.deletes import delete_documents
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+    from lucenenet_ray.search.serve import DistributedSearcher
+
+    # private view of the shared index (symlinks) so the default
+    # <index>/deletes sidecar doesn't pollute the session fixture
+    src, _m = documents_index
+    path = str(tmp_path / "idx")
+    os.mkdir(path)
+    for name in os.listdir(src):
+        os.symlink(os.path.join(src, name), os.path.join(path, name))
+
+    ds = DistributedSearcher(path, n_actors=2)
+    try:
+        q = parse_query("vector dup data")
+        before = ds.search(q, k=20, prune=False)
+        assert ds.maybe_refresh() is False  # nothing changed
+
+        delete_documents(os.path.join(path, "deletes"), ["dup"])
+        assert ds.maybe_refresh() is True   # tombstone generation appended
+        assert ds.maybe_refresh() is False  # idempotent
+
+        after = ds.search(q, k=20, prune=False)
+        golden = search(IndexReader(path), q, k=20)
+        assert after.total_hits < before.total_hits
+        assert np.array_equal(after.docs, golden.docs)
+        assert np.array_equal(after.scores, golden.scores)
+    finally:
+        ds.shutdown()
+
+
 def test_distributed_searcher_round2_query_types(documents_index, tmp_path):
     """Round-2 query types must survive plan pickling to QueryServer actors:
     MultiPhrase, sloppy phrase, multi-term rewrites, synonyms-from-parser,
