@@ -247,6 +247,54 @@ def _q_bm25_after_delete(sf_dir: str) -> pa.Table:
     return _topdocs_to_table(td)
 
 
+def _q_bm25_at_commit(sf_dir: str) -> pa.Table:
+    """Commit-point snapshot search (IndexCommit + SnapshotDeletionPolicy +
+    DirectoryReader.Open(IndexCommit) analogs, index/commits.py;
+    reference SnapshotDeletionPolicy.cs:34-118, DirectoryReader.cs:52-76):
+    snapshot the index, then tombstone-delete 'dup' on the live view; a
+    reader opened AT the snapshot still sees the full corpus, so the oracle
+    is the plain (no-delete) BM25 top-k — while the live view diverges."""
+    import shutil
+
+    from lucenenet_ray.index.commits import commit, open_commit
+    from lucenenet_ray.index.deletes import delete_documents
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    src = _index_path(sf_dir)
+    view = os.path.join(
+        "/tmp/lucenenet_ray_commits",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(view, ignore_errors=True)
+    os.makedirs(view)
+    # private symlink view: sidecar log dirs stay LOCAL to the view so the
+    # shared per-sf index is never mutated
+    for name in os.listdir(src):
+        if name not in ("commits", "deletes", "dv_updates"):
+            os.symlink(os.path.join(src, name), os.path.join(view, name))
+    g = commit(view, user_data={"label": "pre-delete"})
+    delete_documents(os.path.join(view, "deletes"), ["dup"])
+    q = BooleanQuery(
+        clauses=tuple(
+            BooleanClause(Occur.SHOULD, TermQuery(term=t))
+            for t in ["data", "line"]
+        )
+    )
+    snap = search(open_commit(view, g), q, k=TOPK, prune=True)
+    # the live view must see the tombstones (divergence is what makes the
+    # snapshot meaningful; point-in-time isolation itself is pytest-covered)
+    live = search(IndexReader(view), q, k=TOPK, prune=False)
+    assert live.total_hits <= snap.total_hits
+    return _topdocs_to_table(snap)
+
+
 def _q_dv_sort_updated(sf_dir: str) -> pa.Table:
     """Numeric doc-values update + field sort
     (IndexWriter.UpdateNumericDocValues(term, field, value),
@@ -1240,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "constant_score": _q_constant_score,
         "rescore": _q_rescore,
         "dv_sort_updated": _q_dv_sort_updated,
+        "bm25_at_commit": _q_bm25_at_commit,
         "expr_sort": _q_expr_sort,
         "payload_stats": _q_payload_stats,
         "payload_term_score": _q_payload_term_score,
@@ -1304,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
         "rescore": so.rescore_sql(["data", "merge"],
                                   [("batch", 0), ("merge", 1)], 2.0, 20, TOPK),
         "dv_sort_updated": so.dv_sort_updated_sql("spark", "dup", 0, 20),
+        "bm25_at_commit": so.bm25_topk_sql(["data", "line"], TOPK, "or"),
         "expr_sort": so.expr_sort_sql(["spark", "window"], 20),
         "payload_stats": so.payload_stats_sql("spark"),
         "payload_term_score": so.payload_term_score_sql("spark", TOPK),

@@ -822,7 +822,12 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
 
     prof = os.environ.get("GRAFT_PROFILE")
     t0 = _time.perf_counter()
-    GROUP = 8
+    GROUP = int(os.environ.get("GRAFT_SPLIT_GROUP", "8"))
+    # split tasks are brief memory-bound repartitions on blocks that already
+    # exist; give them a fractional CPU so they schedule DURING the map stage
+    # instead of queueing behind map tasks — otherwise the last splits only
+    # start after the map drains and sit on the critical path
+    split_cpus = float(os.environ.get("GRAFT_SPLIT_CPUS", "0.5"))
     split_refs: list = []
     raw_refs: list = []
     group: list = []
@@ -839,12 +844,14 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
             group.append(bref)
             if len(group) >= GROUP:
                 split_refs.append(
-                    split_block.options(num_returns=n_parts).remote(n_parts, *group)
+                    split_block.options(num_returns=n_parts, num_cpus=split_cpus)
+                    .remote(n_parts, *group)
                 )
                 group = []
     if group:
         split_refs.append(
-            split_block.options(num_returns=n_parts).remote(n_parts, *group)
+            split_block.options(num_returns=n_parts, num_cpus=split_cpus)
+            .remote(n_parts, *group)
         )
     if prof:
         print(f"[prof]   map stream drained: {_time.perf_counter()-t0:.1f}s "
@@ -854,6 +861,12 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
         if os.environ.get("GRAFT_PROFILE_STATS"):
             print(partials.stats(), file=sys.stderr)
         t0 = _time.perf_counter()
+    if prof and n_parts > 1 and split_refs:
+        # how much of the tail is the LAST split tasks still running?
+        ray.wait([sr[0] for sr in split_refs], num_returns=len(split_refs),
+                 fetch_local=False)
+        print(f"[prof]   splits settled: +{_time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
     if n_parts == 1:
         # no split needed: hand the map blocks straight to the one reducer
         # (num_returns=1 would wrap the 1-tuple as a single object)
