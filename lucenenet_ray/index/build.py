@@ -761,6 +761,13 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
 
     @ray.remote
     def split_block(n_parts_: int, *tables):
+        # ONE stable sort by partition key + zero-copy slices, instead of
+        # n_parts mask+filter passes (which re-scan the key column and
+        # re-gather the table once per partition — 128x the memory traffic).
+        # Each slice is compacted to Arrow IPC bytes: the IPC writer
+        # truncates sliced buffers, so returned objects hold only their own
+        # rows (a pickled Table slice would ship the whole parent buffers),
+        # and the reducer's deserialization is a zero-copy stream read.
         table = pa.concat_tables([t for t in tables if t is not None])
         key = (
             table.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -768,10 +775,19 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
             + table.column("hpart").to_numpy(zero_copy_only=False).astype(np.int64)
         )
         part = key % n_parts_
+        order = np.argsort(part, kind="stable")  # stable: block order kept
+        ts = table.take(order)
+        bounds = np.searchsorted(part[order], np.arange(n_parts_ + 1))
         out = []
         for p in range(n_parts_):
-            mask = part == p
-            out.append(table.filter(pa.array(mask)) if mask.any() else None)
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            if hi == lo:
+                out.append(None)
+                continue
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, ts.schema) as w:
+                w.write_table(ts.slice(lo, hi - lo))
+            out.append(sink.getvalue())
         return tuple(out)
 
     @ray.remote
@@ -779,7 +795,14 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
         import time as _t
 
         t_start = _t.perf_counter()
-        tabs = [t for t in tables if t is not None and t.num_rows]
+        tabs = []
+        for tb in tables:
+            if tb is None:
+                continue
+            if isinstance(tb, (pa.Buffer, bytes, memoryview)):  # IPC slice
+                tb = pa.ipc.open_stream(tb).read_all()
+            if tb.num_rows:
+                tabs.append(tb)
         if not tabs:
             return []
         # no table-level combine_chunks: it would copy every binary column

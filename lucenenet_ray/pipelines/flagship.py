@@ -219,8 +219,9 @@ def index_pages(
     # (~20k pages/task at bench scale), fine enough to load-balance 8..256
     # workers. A data-layout-independent knob — output bytes don't depend on
     # blocking.
+    n_blocks = int(os.environ.get("GRAFT_MAP_BLOCKS", "256"))
     ds = rd.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"],
-                         override_num_blocks=256)
+                         override_num_blocks=n_blocks)
     ds = dedup_latest_pages(pages_path, ds)
     if prof:
         import sys
