@@ -207,10 +207,9 @@ class Inverter:
                     if want_pay:
                         flat_pay.append(0)
 
-        out_term: list[str] = []
-        out_bucket: list[int] = []
-        out_hpart: list[int] = []
-        row_val_slices: list[tuple[int, int]] = []  # into the pair arrays
+        out_term_arr = pa.array([], type=pa.string())
+        out_bucket_arr = np.empty(0, dtype=np.int64)
+        out_hpart_arr = np.empty(0, dtype=np.int64)
         out_pos: list[bytes] = []
         out_pay: list[bytes] = []
 
@@ -278,34 +277,40 @@ class Inverter:
             row_ends = np.append(row_starts[1:], m)
             pair_val_ends = np.append(pair_starts[1:], n)
 
-            for rs, re_ in zip(row_starts, row_ends):
-                term = uniq_terms[pair_term[rs]]
-                out_term.append(term)
-                out_bucket.append(int(pair_bucket[rs]))
-                out_hpart.append(self._hpart(term))
-                row_val_slices.append((rs, re_))
-                if store_pos:
-                    v0 = pair_starts[rs]
-                    v1 = pair_val_ends[re_ - 1]
-                    out_pos.append(
-                        write_vints(pos_delta[v0:v1].astype(np.uint64)).tobytes()
-                    )
-                    if want_pay:
-                        out_pay.append(
-                            write_vints(
-                                pay_delta[v0:v1].astype(np.uint64)).tobytes()
-                        )
-                else:
-                    out_pos.append(b"")
+            # fully vectorized row assembly — no per-row Python loop:
+            # terms via one Arrow dictionary take, hpart computed once per
+            # UNIQUE term (not per row), and positions/payloads VInt-encoded
+            # in ONE bulk pass over the whole batch then split at row
+            # boundaries (rows are contiguous slices of the pair arrays).
+            row_codes = pair_term[row_starts]
+            out_term_arr = darr.dictionary.take(pa.array(row_codes))
+            out_bucket_arr = pair_bucket[row_starts].astype(np.int64)
+            hp = self._hpart
+            uniq_hparts = np.fromiter(
+                (hp(t) for t in uniq_terms), dtype=np.int64,
+                count=len(uniq_terms))
+            out_hpart_arr = uniq_hparts[row_codes]
+            if store_pos:
+                row_pos_counts = (
+                    pair_val_ends[row_ends - 1] - pair_starts[row_starts]
+                ).astype(np.int64)
+                out_pos = _split_vint_stream(
+                    write_vints(pos_delta.astype(np.uint64)), row_pos_counts)
+                if want_pay:
+                    out_pay = _split_vint_stream(
+                        write_vints(pay_delta.astype(np.uint64)),
+                        row_pos_counts)
+            else:
+                out_pos = [b""] * len(row_starts)
 
         # assemble per-row value arrays (contiguous slices of the pair arrays)
-        n_rows = len(out_term)
+        n_rows = len(out_term_arr)
         docs_vals = np.empty(0, np.int64)
         freqs_vals = np.empty(0, np.int64)
         norms_vals = np.empty(0, np.uint8)
         lens = np.empty(0, dtype=np.int64)
         if n_rows:
-            lens = np.array([e - s for s, e in row_val_slices], dtype=np.int64)
+            lens = (row_ends - row_starts).astype(np.int64)
             docs_vals = pair_docid
             freqs_vals = pair_freq.astype(np.int64)
             norms_vals = pair_norm
@@ -345,9 +350,17 @@ class Inverter:
         ]
 
         cols = {
-            "term": pa.array(out_term + dl_term, type=pa.string()),
-            "bucket": pa.array(out_bucket + dl_bucket, type=pa.int32()),
-            "hpart": pa.array(out_hpart + [0] * len(dl_term), type=pa.int32()),
+            "term": pa.concat_arrays(
+                [out_term_arr.cast(pa.string()),
+                 pa.array(dl_term, type=pa.string())]),
+            "bucket": pa.array(
+                np.concatenate((out_bucket_arr,
+                                np.asarray(dl_bucket, dtype=np.int64))),
+                type=pa.int32()),
+            "hpart": pa.array(
+                np.concatenate((out_hpart_arr,
+                                np.zeros(len(dl_term), dtype=np.int64))),
+                type=pa.int32()),
             "n": pa.array(all_lens, type=pa.int32()),
             "doc_bytes": pa.array(doc_rows, type=pa.large_binary()),
             "freq_bytes": pa.array(freq_rows, type=pa.large_binary()),
