@@ -289,9 +289,12 @@ def _q_bm25_at_commit(sf_dir: str) -> pa.Table:
     )
     snap = search(open_commit(view, g), q, k=TOPK, prune=True)
     # the live view must see the tombstones (divergence is what makes the
-    # snapshot meaningful; point-in-time isolation itself is pytest-covered)
+    # snapshot meaningful; point-in-time isolation itself is pytest-covered).
+    # Both sides exact (prune=False): a pruned snapshot count is a 'gte'
+    # lower bound and could spuriously dip below the exact live count.
+    snap_exact = search(open_commit(view, g), q, k=TOPK, prune=False)
     live = search(IndexReader(view), q, k=TOPK, prune=False)
-    assert live.total_hits <= snap.total_hits
+    assert live.total_hits <= snap_exact.total_hits
     return _topdocs_to_table(snap)
 
 
@@ -1035,12 +1038,28 @@ def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
                            columns=list(columns))
 
 
+_CANDIDATE_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("count()", pa.int64())])
+
+
+def _minhash_candidates_table(sf_dir: str) -> pa.Table:
+    """Shared candidate-materialization path for BOTH near_dup queries.
+
+    Hardened: Ray's groupby().count() can emit zero-row blocks with an
+    EMPTY schema — a plain pa.concat_tables then crashes with "Schema at
+    index N was different" (the round-2 near_dup_jaccard failure);
+    util.tables drops those blocks before concatenating."""
+    from lucenenet_ray.ops.neardup import minhash_candidates
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    return dataset_to_table(minhash_candidates(_docs_ds(sf_dir)),
+                            schema=_CANDIDATE_SCHEMA)
+
+
 def _q_near_dup_candidates(sf_dir: str) -> Any:
     """MinHash+LSH candidate pairs: shingle → minhash → band groupby
     (the only shuffle) → in-bucket pair expansion."""
-    from lucenenet_ray.ops.neardup import minhash_candidates
-
-    out = minhash_candidates(_docs_ds(sf_dir)).to_pandas()
+    out = _minhash_candidates_table(sf_dir).to_pandas()
     out = out.rename(columns={"count()": "n_bands"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
@@ -1049,14 +1068,23 @@ def _q_near_dup_jaccard(sf_dir: str) -> Any:
     """Exact n-gram Jaccard verification of LSH candidates — integer
     (intersection, union) so the oracle compare is exact. Distributed: the
     corpus text never reaches the driver; only candidate docs' md5 shingle
-    digests are broadcast (see neardup.jaccard_verify)."""
-    import ray
+    digests are broadcast (see neardup.jaccard_verify). The digest pass
+    reads only candidate docs' rows (parquet predicate push-down), not the
+    whole corpus again."""
+    import pyarrow.dataset as _pads
+    import ray.data as rd
 
-    from lucenenet_ray.ops.neardup import jaccard_verify, minhash_candidates
+    from lucenenet_ray.ops.neardup import jaccard_verify
 
-    cand_refs = ray.get(minhash_candidates(_docs_ds(sf_dir)).to_arrow_refs())
-    cand = pa.concat_tables(cand_refs)
-    out = jaccard_verify(_docs_ds(sf_dir), cand)
+    cand = _minhash_candidates_table(sf_dir)
+    cand_ids = sorted(set(cand.column("doc_a").to_pylist())
+                      | set(cand.column("doc_b").to_pylist()))
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=_pads.field("doc_id").isin(cand_ids),
+    )
+    out = jaccard_verify(docs, cand)
     idx = pa.compute.sort_indices(
         out, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")]
     )

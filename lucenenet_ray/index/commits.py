@@ -45,9 +45,12 @@ def _gen_dir(index_path: str, gen: int) -> str:
 
 
 # Live-tree entries captured by a commit. ``commits`` itself is excluded so
-# snapshots never nest.
+# snapshots never nest. ``docvalues`` (base per-doc numeric columns) must be
+# captured alongside ``dv_updates`` — a snapshot holding only the update log
+# would resolve updates over a zeroed base (BucketData.docvalues falls back
+# to 0 for a missing file) and silently return wrong dv sorts at a commit.
 _SNAPSHOT_ENTRIES = ("manifest.json", "norms", "postings", "termstats",
-                     "deletes", "dv_updates")
+                     "deletes", "docvalues", "dv_updates")
 
 
 def _link_or_copy(src: str, dst: str) -> None:
@@ -98,16 +101,32 @@ def commit(index_path: str, user_data: dict | None = None) -> int:
     # SegmentInfos.Generation survives commit deletion), so the counter is
     # persisted separately from the live snapshot dirs — releasing every
     # snapshot must NOT reset numbering.
-    gens = list_commits(index_path)
     counter_path = os.path.join(_commits_dir(index_path), "next_gen")
-    next_gen = 0
-    if os.path.isfile(counter_path):
-        with open(counter_path) as f:
-            next_gen = int(f.read().strip() or 0)
-    gen = max(next_gen, (gens[-1] + 1) if gens else 0)
-    tmp = _gen_dir(index_path, gen) + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
+    os.makedirs(_commits_dir(index_path), exist_ok=True)
+    while True:
+        gens = list_commits(index_path)
+        next_gen = 0
+        if os.path.isfile(counter_path):
+            with open(counter_path) as f:
+                next_gen = int(f.read().strip() or 0)
+        gen = max(next_gen, (gens[-1] + 1) if gens else 0)
+        # Reserve the generation atomically: the .tmp staging dir doubles as
+        # the lock (os.makedirs without exist_ok fails if another committer
+        # holds it), and the counter is advanced BEFORE publish so a crash
+        # or concurrent committer can never reuse a generation number.
+        tmp = _gen_dir(index_path, gen) + ".tmp"
+        try:
+            os.makedirs(tmp)
+        except FileExistsError:
+            gen += 1  # another committer is staging this gen; retry above it
+            with open(counter_path + ".tmp", "w") as f:
+                f.write(str(gen))
+            os.replace(counter_path + ".tmp", counter_path)
+            continue
+        break
+    with open(counter_path + ".tmp", "w") as f:
+        f.write(str(gen + 1))
+    os.replace(counter_path + ".tmp", counter_path)
     files = _snapshot_tree(index_path, tmp)
     desc = {
         "generation": gen,
@@ -117,9 +136,6 @@ def commit(index_path: str, user_data: dict | None = None) -> int:
     with open(os.path.join(tmp, "commit.json"), "w") as f:
         json.dump(desc, f, indent=1)
     os.replace(tmp, _gen_dir(index_path, gen))  # atomic publish
-    with open(counter_path + ".tmp", "w") as f:
-        f.write(str(gen + 1))
-    os.replace(counter_path + ".tmp", counter_path)
     return gen
 
 
@@ -163,6 +179,13 @@ def replicate(index_path: str, gen: int, target_path: str) -> dict:
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     _snapshot_tree(src, tmp)
-    shutil.rmtree(target_path, ignore_errors=True)
+    # True swap: move the old target aside first so the target path never
+    # ceases to exist — a concurrently opening reader sees old or new, never
+    # a missing directory.
+    old = target_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(target_path):
+        os.rename(target_path, old)
     os.replace(tmp, target_path)
+    shutil.rmtree(old, ignore_errors=True)
     return commit_info(index_path, gen)

@@ -63,7 +63,11 @@ def knn_bruteforce(ds, query_vectors: np.ndarray, k: int = 10,
                           id_col=id_col),
         batch_format="pyarrow",
     )
-    t = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    t = dataset_to_table(partials, schema=pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()),
+         ("sim", pa.float64())]))
     # final small reduce on the driver (partial+final pattern, TopDocs.Merge
     # analog — SURVEY §2.8)
     q = t.column("query_id").to_numpy()
@@ -100,65 +104,79 @@ def lsh_bucket_of(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits.astype(np.int64) @ weights
 
 
+COSINE_PAIRS_CHUNK = 65536
+
+
 def cosine_pairs(ds, threshold: float, vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> pa.Table:
+                 id_col: str = "vec_id",
+                 chunk_rows: int = COSINE_PAIRS_CHUNK) -> pa.Table:
     """Embedding-cosine near-dup: EXACT all-pairs with cosine ≥ threshold →
     (id_a, id_b) with id_a < id_b, sorted.
 
-    Distributed shape: the normalized matrix is broadcast ONCE (``ray.put``)
-    and every batch computes one (batch × all) matmul — O(n²/p) work with no
-    shuffle. This is the exact/oracle-checkable variant; at 10^12 vectors the
-    quadratic is intractable and the scale path is LSH-bucketed candidate
-    pairs (build_lsh_index + per-bucket pair expansion) with this function
-    applied per bucket — same code, bucket-local matrices.
+    Distributed shape (block-pair cross join — the driver NEVER holds the
+    matrix): each input block is normalized into a (ids, mn) chunk object
+    living in the object store; then one Ray task per chunk pair (i ≤ j)
+    computes chunk_i @ chunk_j.T and emits the thresholded pairs. Memory is
+    bounded at 2 chunks per task, compute parallelism is C(C+1)/2 tasks,
+    and the all-pairs FLOPs are inherent to the EXACT semantics — at 10^12
+    vectors use the LSH-bucketed approximate path (build_lsh_index +
+    per-bucket pair expansion) instead.
     """
     import ray
 
-    mats = []
-    ids_l = []
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        import pyarrow.compute as pc
-
-        ids_l.append(batch.column(id_col).to_numpy(zero_copy_only=False)
-                     .astype(np.int64))
-        flat = pc.list_flatten(batch.column(vec_col)).to_numpy().astype(np.float64)
-        mats.append(flat.reshape(len(ids_l[-1]), -1))
-    all_ids = np.concatenate(ids_l)
-    mat = np.concatenate(mats)
-    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(all_ids)
-    all_ids = all_ids[order]
-    mn = mn[order]
-    import ray.data as rd
-
-    ref = ray.put((all_ids, mn))
-    n = len(all_ids)
-
-    def pairs_of(batch: pa.Table) -> pa.Table:
-        ids_g, mn_g = ray.get(ref)
-        lo = batch.column("lo")[0].as_py()
-        hi = batch.column("hi")[0].as_py()
-        sims = mn_g[lo:hi] @ mn_g.T
-        ii, jj = np.nonzero(sims >= threshold)
-        gi = ids_g[ii + lo]
-        gj = ids_g[jj]
-        keep = gi < gj
-        return pa.table({
-            "id_a": pa.array(gi[keep], type=pa.int64()),
-            "id_b": pa.array(gj[keep], type=pa.int64()),
-        })
-
-    CHUNK = 2048
-    spans = [{"lo": lo, "hi": min(lo + CHUNK, n)} for lo in range(0, n, CHUNK)]
-    out = (rd.from_items(spans, override_num_blocks=len(spans))
-           .map_batches(pairs_of, batch_format="pyarrow", batch_size=1)
-           .take_all())
-    t = pa.Table.from_pylist(out, schema=pa.schema(
-        [("id_a", pa.int64()), ("id_b", pa.int64())])) if out else pa.table(
-        {"id_a": pa.array([], type=pa.int64()),
-         "id_b": pa.array([], type=pa.int64())})
     import pyarrow.compute as pc
 
+    def norm_chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(batch.column(vec_col)).to_numpy().astype(np.float64)
+        mat = flat.reshape(len(ids), -1)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "_mn": pa.array(list(mat), type=pa.list_(pa.float64())),
+        })
+
+    # One chunk per output block; blocks stay in the object store as refs.
+    chunk_refs = [
+        r for r in (
+            ds.map_batches(norm_chunk, batch_format="pyarrow",
+                           batch_size=chunk_rows)
+            .to_arrow_refs()
+        )
+    ]
+
+    @ray.remote
+    def pair_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        if ta.num_rows == 0 or tb.num_rows == 0:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        ia = ta.column(id_col).to_numpy().astype(np.int64)
+        ib = tb.column(id_col).to_numpy().astype(np.int64)
+        ma = pc.list_flatten(ta.column("_mn")).to_numpy().reshape(len(ia), -1)
+        mb = pc.list_flatten(tb.column("_mn")).to_numpy().reshape(len(ib), -1)
+        sims = ma @ mb.T
+        ii, jj = np.nonzero(sims >= threshold)
+        if same:
+            # same-chunk matrix is symmetric: keep the strict upper triangle
+            # so each pair is emitted once
+            m = ii < jj
+            ii, jj = ii[m], jj[m]
+        gi, gj = ia[ii], ib[jj]
+        lo = np.minimum(gi, gj)
+        hi = np.maximum(gi, gj)
+        keep = lo < hi  # drops any residual self-id pairs; orients (a < b)
+        return pa.table({"id_a": pa.array(lo[keep], type=pa.int64()),
+                         "id_b": pa.array(hi[keep], type=pa.int64())})
+
+    futures = []
+    for i in range(len(chunk_refs)):
+        for j in range(i, len(chunk_refs)):
+            futures.append(pair_task.remote(chunk_refs[i], chunk_refs[j], i == j))
+    from lucenenet_ray.util.tables import concat_tables
+
+    t = concat_tables(
+        ray.get(futures),
+        schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]))
     return t.take(pc.sort_indices(t, sort_keys=[("id_a", "ascending"),
                                                 ("id_b", "ascending")]))
 
@@ -242,17 +260,28 @@ def knn_lsh_pruned(index_path: str, query_vectors: np.ndarray, k: int = 10,
         allowed_ = ray.get(aref)
         out = _batch_topk_fn(batch, qref, k, vec_col, id_col)
         # per-row bucket filter per query (a row counts for query qi only if
-        # its bucket is in allowed[qi])
-        b_of = {int(i): int(b) for i, b in zip(
-            batch.column(id_col).to_pylist(),
-            batch.column("bucket_val").to_pylist())}
-        keep = [b_of[int(v)] in allowed_[int(q)]
-                for q, v in zip(out.column("query_id").to_pylist(),
-                                out.column("vec_id").to_pylist())]
+        # its bucket is in allowed[qi]) — fully vectorized: vec_id → bucket
+        # via searchsorted, then one np.isin per query
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bks = batch.column("bucket_val").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        sids, sbks = ids[order], bks[order]
+        ov = out.column("vec_id").to_numpy().astype(np.int64)
+        oq = out.column("query_id").to_numpy().astype(np.int64)
+        ob = sbks[np.searchsorted(sids, ov)]
+        keep = np.zeros(len(ov), dtype=bool)
+        for qi, s in enumerate(allowed_):
+            m = oq == qi
+            if m.any():
+                keep[m] = np.isin(ob[m], np.fromiter(s, dtype=np.int64))
         return out.filter(pa.array(keep))
 
     partials = ds.map_batches(topk_with_bucket, batch_format="pyarrow")
-    t = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    t = dataset_to_table(partials, schema=pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()),
+         ("sim", pa.float64())]))
     q = t.column("query_id").to_numpy()
     v = t.column("vec_id").to_numpy()
     s = t.column("sim").to_numpy()
@@ -315,9 +344,10 @@ def knn_lsh(ds, query_vectors: np.ndarray, k: int = 10, n_bits: int = 6,
         flat = pc.list_flatten(batch.column(vec_col)).to_numpy().astype(np.float64)
         mat = flat.reshape(len(ids), -1)
         buckets = lsh_bucket_of(mat, planes_)
-        # keep rows relevant to ANY query, then brute-force within
-        union_allowed = set().union(*allowed_)
-        mask = np.array([int(b) in union_allowed for b in buckets])
+        # keep rows relevant to ANY query, then brute-force within —
+        # vectorized membership (np.isin against the sorted union array)
+        union_arr = np.fromiter(set().union(*allowed_), dtype=np.int64)
+        mask = np.isin(buckets, union_arr)
         if not mask.any():
             return pa.table({"query_id": pa.array([], type=pa.int64()),
                              "vec_id": pa.array([], type=pa.int64()),
@@ -326,21 +356,28 @@ def knn_lsh(ds, query_vectors: np.ndarray, k: int = 10, n_bits: int = 6,
         sub = pa.table({id_col: pa.array(ids[mask]),
                         vec_col: batch.column(vec_col).filter(pa.array(mask))})
         out = _batch_topk_fn(sub, qref, k, vec_col, id_col)
-        b_of = {int(i): int(b) for i, b in zip(ids[mask], buckets[mask])}
+        # vec_id → bucket via searchsorted (ids unique within the batch)
+        kept_ids, kept_bks = ids[mask], buckets[mask]
+        order = np.argsort(kept_ids)
+        sids, sbks = kept_ids[order], kept_bks[order]
+        ov = out.column("vec_id").to_numpy().astype(np.int64)
         return out.append_column(
-            "bucket", pa.array([b_of[int(v)] for v in out.column("vec_id").to_pylist()],
-                               type=pa.int64())
+            "bucket", pa.array(sbks[np.searchsorted(sids, ov)], type=pa.int64())
         )
 
     partials = ds.map_batches(bucketed, batch_format="pyarrow")
-    t = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    t = dataset_to_table(partials, schema=pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()),
+         ("sim", pa.float64()), ("bucket", pa.int64())]))
     q = t.column("query_id").to_numpy()
     v = t.column("vec_id").to_numpy()
     s = t.column("sim").to_numpy()
     b = t.column("bucket").to_numpy()
     rows = []
     for qi in range(qv.shape[0]):
-        m = (q == qi) & np.array([int(x) in allowed[qi] for x in b])
+        m = (q == qi) & np.isin(b, np.fromiter(allowed[qi], dtype=np.int64))
         order = np.lexsort((v[m], -s[m]))[:k]
         for r, j in enumerate(order, 1):
             rows.append((qi, r, int(v[m][j]), float(s[m][j])))

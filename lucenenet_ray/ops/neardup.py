@@ -302,10 +302,13 @@ def jaccard_verify(docs_ds, pairs: pa.Table, k: int = SHINGLE_K) -> pa.Table:
             }
         )
 
+    from lucenenet_ray.util.tables import dataset_to_table
+
     pairs_ds = rd.from_arrow(pairs.select(["doc_a", "doc_b"]))
-    return pa.concat_tables(
-        ray.get(pairs_ds.map_batches(verify, batch_format="pyarrow").to_arrow_refs())
-    )
+    return dataset_to_table(
+        pairs_ds.map_batches(verify, batch_format="pyarrow"),
+        schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("inter", pa.int64()), ("uni", pa.int64())]))
 
 
 # ---------------------------------------------------------------------------

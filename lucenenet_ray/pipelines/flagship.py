@@ -72,7 +72,10 @@ def dedup_latest(ds, max_broadcast_urls: int = 10_000_000):
     n_partial_rows = sum(t.num_rows for t in partial_tables)
     if n_partial_rows > max_broadcast_urls:
         return ds.groupby("url").map_groups(keep_latest_by_url, batch_format="pyarrow")
-    allp = pa.concat_tables(partial_tables)
+    from lucenenet_ray.util.tables import concat_tables as _concat
+
+    allp = _concat(partial_tables, schema=pa.schema(
+        [("url", pa.string()), ("cnt", pa.int64())]))
     agg = pa.TableGroupBy(allp, "url").aggregate([("cnt", "sum")])
     dup_urls = agg.filter(pc.greater(agg.column("cnt_sum"), 1)).column("url")
     if len(dup_urls) == 0:
@@ -127,7 +130,9 @@ def dedup_latest_pages(pages_path: str, ds, max_broadcast_urls: int = 10_000_000
     parts = ray.get(
         narrow.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
     )
-    allp = pa.concat_tables(parts)
+    from lucenenet_ray.util.tables import concat_tables as _concat
+
+    allp = _concat(parts)
     if allp.num_rows > max_broadcast_urls:
         return ds.groupby("url").map_groups(keep_latest_by_url,
                                             batch_format="pyarrow")

@@ -307,7 +307,7 @@ class IndexReader:
         )
         self.dv_updates: tuple[tuple[str, str, int], ...] = load_dv_updates(
             self.dv_updates_path)
-        self._dv_resolved: dict[int, tuple] = {}
+        self._dv_resolved: dict[tuple[int, str], tuple] = {}
         self._version = self._stamp()
 
     def _stamp(self) -> tuple:
@@ -361,8 +361,10 @@ class IndexReader:
         semantics. Resolution is vectorized (one fancy-index per update) and
         the result is cached per (bucket, field, log state)."""
         bd = self.bucket(bucket_id)
-        key = (field, self.dv_updates)
-        cached = self._dv_resolved.get(bucket_id)
+        # Keyed by (bucket, field) so expressions binding several dv fields
+        # don't evict each other; log state is part of the value for safety.
+        key = self.dv_updates
+        cached = self._dv_resolved.get((bucket_id, field))
         if cached is not None and cached[0] == key:
             return cached[1]
         vals = bd.docvalues(field)
@@ -374,7 +376,7 @@ class IndexReader:
                 c = chunks.get(term)
                 if c is not None:
                     vals[c.local_ids(bd)] = value
-        self._dv_resolved[bucket_id] = (key, vals)
+        self._dv_resolved[(bucket_id, field)] = (key, vals)
         return vals
 
     # -- global term statistics (IndexSearcher.cs:982-1007) ------------------

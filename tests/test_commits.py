@@ -96,6 +96,47 @@ def test_replicate_standalone(index_view, tmp_path):
     assert a2.total_hits == a.total_hits
 
 
+def test_commit_preserves_docvalues(index_view, tmp_path):
+    """A snapshot must capture the BASE docvalues directory, not just the
+    update log — otherwise open_commit resolves updates over a zeroed base
+    (the missing-file fallback) and dv sorts at a commit are silently wrong
+    (round-2 ADVICE, commits.py _SNAPSHOT_ENTRIES)."""
+    from lucenenet_ray.index.commits import commit, open_commit, replicate
+    from lucenenet_ray.index.docvalues import update_numeric_docvalue
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search_sorted_by_docvalue
+
+    q = TermQuery(term="spark")
+    want = search_sorted_by_docvalue(
+        IndexReader(index_view), q, "n_chars", k=15, reverse=True)
+
+    g = commit(index_view)
+    r = open_commit(index_view, g)
+    # base values must be non-trivial — guards against the zeroed fallback
+    assert max(int(r.numeric_docvalues(b, "n_chars").max())
+               for b in r.bucket_ids) > 0
+    got = search_sorted_by_docvalue(r, q, "n_chars", k=15, reverse=True)
+    assert got == want
+
+    # a replica checkout carries the base docvalues too
+    target = str(tmp_path / "replica_dv")
+    replicate(index_view, g, target)
+    got2 = search_sorted_by_docvalue(
+        IndexReader(target), q, "n_chars", k=15, reverse=True)
+    assert got2 == want
+
+    # dv updates AFTER the commit stay invisible to the snapshot
+    update_numeric_docvalue(
+        os.path.join(index_view, "dv_updates"), "spark", "n_chars", 0)
+    live = search_sorted_by_docvalue(
+        IndexReader(index_view), q, "n_chars", k=15, reverse=True)
+    assert live != want  # the update changed the live ordering/values
+    still = search_sorted_by_docvalue(
+        open_commit(index_view, g), q, "n_chars", k=15, reverse=True)
+    assert still == want
+
+
 def test_commit_survives_live_rewrite(index_view):
     """Replacing a live file (the rebuild/expunge path uses temp+rename)
     must not corrupt an existing snapshot — the hardlink keeps the old

@@ -56,6 +56,9 @@ def main():
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     qs = E.queries()
+    if len(sys.argv) > 2:  # optional comma-separated query-name filter
+        only = set(sys.argv[2].split(","))
+        qs = {k: v for k, v in qs.items() if k in only}
     osql = E.oracle_sql()
     bad = []
     for name, fn in qs.items():
