@@ -502,6 +502,31 @@ def _q_suggest_prefix(sf_dir: str) -> pa.Table:
     })
 
 
+_SUGGEST_CACHE: dict[str, str] = {}
+
+
+def _q_suggest_weighted(sf_dir: str) -> pa.Table:
+    """AnalyzingSuggester analog (Suggest/Analyzing/AnalyzingSuggester.cs):
+    multi-token completion dictionary (2-gram surfaces, weight = occurrence
+    count) built distributed and stored key-sorted; query 'spark w' walks
+    only the row groups whose key stats intersect the prefix range (the FST
+    arc-walk analog) and ranks by (weight desc, key asc)."""
+    from lucenenet_ray.ops.suggest import build_suggester, suggest_weighted
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/lucenenet_ray_suggest/{key}.parquet"
+    if key not in _SUGGEST_CACHE:
+        if not os.path.exists(path):
+            import ray.data as rd
+
+            build_suggester(
+                rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                columns=["text"]),
+                path)
+        _SUGGEST_CACHE[key] = path
+    return suggest_weighted(_SUGGEST_CACHE[key], "spark ", k=10)
+
+
 def _q_term_vector(sf_dir: str) -> pa.Table:
     """Term-vector retrieval for doc 0 (TermVectorsReader / Fields.GetTerms
     analog): (term, freq) of the doc's body, term-sorted — reconstructed
@@ -1181,6 +1206,20 @@ def _q_knn_lsh(sf_dir: str) -> Any:
     return res.to_pandas()
 
 
+def _q_term_stats_cjk(sf_dir: str) -> pa.Table:
+    """CJK token classes through the full index pipeline
+    (StandardTokenizer.cs:85-104: Han/Hiragana singles, Katakana/Hangul
+    runs): index the deterministic md5-derived CJK corpus and return global
+    term stats; the oracle re-derives expected tokens in SQL."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.pipelines.flagship import cjk_index_for
+
+    t = pq.read_table(os.path.join(cjk_index_for(sf_dir), "termstats"))
+    idx = pa.compute.sort_indices(t.column("term"))
+    return t.take(idx).select(["term", "df", "ttf"])
+
+
 def _q_term_stats_multilang(sf_dir: str) -> pa.Table:
     """Index build with per-language analyzer dispatch on the lang column
     (SURVEY §2.2 per-language analyzers) → global term stats."""
@@ -1260,6 +1299,29 @@ def _q_highlight(sf_dir: str) -> Any:
     )
 
 
+def _q_highlight_passages(sf_dir: str) -> pa.Table:
+    """Passage-scored highlighting (PostingsHighlighter analog): for the
+    top-10 'spark window' hits, the best 20-position passage — scored from
+    the index's position streams, not by re-analyzing text. Deterministic
+    and SQL-expressible: (rank, doc_id, passage, n_hits)."""
+    from lucenenet_ray.ops.highlight import best_passages
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    td = search(r, parse_query("spark window"), k=10)
+    docs = [int(d) for d in td.docs]
+    best = best_passages(r, ["spark", "window"], docs)
+    rows = [(rank, d, best[d][0], best[d][1])
+            for rank, d in enumerate(docs, 1) if d in best]
+    return pa.table({
+        "rank": pa.array([x[0] for x in rows], type=pa.int64()),
+        "doc_id": pa.array([x[1] for x in rows], type=pa.int64()),
+        "passage": pa.array([x[2] for x in rows], type=pa.int64()),
+        "n_hits": pa.array([x[3] for x in rows], type=pa.int64()),
+    })
+
+
 def _q_pages_flagship(sf_dir: str) -> Any:
     """Full pages pipeline (html extract + dedup + index + query) — no SQL
     oracle (HTML extraction is not SQL-expressible); rows-only check."""
@@ -1293,6 +1355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": _q_spell_suggest,
         "sort_by_field": _q_sort_by_field,
         "highlight": _q_highlight,
+        "highlight_passages": _q_highlight_passages,
+        "term_stats_cjk": _q_term_stats_cjk,
         "term_stats_multilang": _q_term_stats_multilang,
         "field_term_lookup": _q_field_term_lookup,
         "bm25_boosted": _q_bm25_boosted,
@@ -1306,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classic_tfidf": _q_classic_tfidf,
         "block_join": _q_block_join,
         "suggest_prefix": _q_suggest_prefix,
+        "suggest_weighted": _q_suggest_weighted,
         "term_vector": _q_term_vector,
         "media_features": _q_media_features,
         "term_stats_de_stemmed": _q_term_stats_de_stemmed,
@@ -1352,6 +1417,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": so.events_window_sql(),
         "semi_join": so.semi_join_sql(),
         "spell_suggest": so.spell_suggest_sql("spqrk", 2, 5),
+        "term_stats_cjk": so.term_stats_cjk_sql(),
         "term_stats_multilang": so.term_stats_multilang_sql(),
         "sort_by_field": so.sort_by_field_sql("spark", 20),
         "field_term_lookup": so.field_term_lookup_sql("source", "src7", TOPK),
@@ -1370,6 +1436,8 @@ def oracle_sql() -> dict[str, str]:
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),
         "suggest_prefix": so.suggest_prefix_sql("st", 5),
+        "suggest_weighted": so.suggest_weighted_sql("spark ", 10),
+        "highlight_passages": so.highlight_passages_sql(["spark", "window"], 10, 20),
         "term_vector": so.term_vector_sql(0),
         "term_stats_de_stemmed": so.term_stats_de_stemmed_sql(),
         "facet_taxonomy": so.facet_taxonomy_sql(),

@@ -43,7 +43,11 @@ ENGLISH_STOP_WORDS = frozenset(
 
 # --- UAX#29 word-break token pattern -----------------------------------------
 # Character classes via the regex module's Word_Break property support.
-_AHL = r"[\p{WB=ALetter}\p{WB=Hebrew_Letter}]"
+# Hangul is EXCLUDED from the letter class: Lucene's grammar gives Hangul its
+# own <HANGUL> token type (StandardTokenizer.cs:97-100), so an unspaced
+# hangul/latin boundary splits ("한글abc" → 한글, abc) instead of forming one
+# UAX#29 ALetter run.
+_AHL = r"(?:(?!\p{Script=Hangul})[\p{WB=ALetter}\p{WB=Hebrew_Letter}])"
 _NU = r"\p{WB=Numeric}"
 _KA = r"\p{WB=Katakana}"
 _EX = r"[\p{WB=Extend}\p{WB=Format}]"
@@ -71,7 +75,12 @@ _SEA = r"[\p{Script=Thai}\p{Script=Lao}\p{Script=Khmer}\p{Script=Myanmar}]+"
 _HAN = r"\p{Script=Han}"
 _HIRA = r"\p{Script=Hiragana}"
 
-_TOKEN_RE = regex.compile(f"(?:{_WORD})|(?:{_SEA})|(?:{_HAN})|(?:{_HIRA})", regex.V0)
+# Hangul syllable/jamo run with trailing Extend/Format (WB4) — one <HANGUL>
+# token per run (TestStandardAnalyzer.cs TestKorean: "훈민정음" → 1 token).
+_HANGUL = f"(?:\\p{{Script=Hangul}}{_EX}*)+"
+
+_TOKEN_RE = regex.compile(
+    f"(?:{_WORD})|(?:{_SEA})|(?:{_HANGUL})|(?:{_HAN})|(?:{_HIRA})", regex.V0)
 
 # Java Character.toLowerCase(int) is a 1:1 code-point mapping; Python's
 # str.lower() applies full (1:N) mappings for a few code points. Patch those.

@@ -46,6 +46,55 @@ def best_fragment(text: str, query_terms: set[str], window: int = 16,
     return " ".join(frag), int(sums[best])
 
 
+PASSAGE_WINDOW = 20
+
+
+def best_passages(reader, terms: list[str], doc_ids, window: int = PASSAGE_WINDOW
+                  ) -> dict[int, tuple[int, int]]:
+    """PostingsHighlighter analog (``PostingsHighlight/PostingsHighlighter.cs``):
+    score passages from the POSTINGS' position streams — no re-analysis of
+    stored text. Passages are fixed ``window``-position blocks (a
+    deterministic, SQL-expressible stand-in for the BreakIterator sentence
+    fragmenter); passage score = number of query-term position hits inside
+    the block; best passage per doc = (hits desc, passage asc).
+
+    Returns {doc_id: (passage_idx, n_hits)} for every requested doc that has
+    at least one query-term hit. Vectorized per bucket: one
+    chunks_for_terms() + fancy-indexed position slices.
+    """
+    import numpy as np
+
+    want = np.asarray(sorted({int(d) for d in doc_ids}), dtype=np.int64)
+    per_doc: dict[int, list[np.ndarray]] = {}
+    for bid in reader.bucket_ids:
+        bucket = reader.bucket(bid)
+        doc_arr, _l, _n = bucket.norms()
+        idx = np.searchsorted(doc_arr, want)
+        inb = (idx < doc_arr.size)
+        inb[inb] = doc_arr[idx[inb]] == want[inb]
+        if not inb.any():
+            continue
+        chunks = bucket.chunks_for_terms(list(terms), full=True)
+        for c in chunks.values():
+            if c is None:
+                continue
+            rows = c.row_of_local(bucket)
+            flat, offs = c.positions_flat()
+            for g, li in zip(want[inb], idx[inb]):
+                r = int(rows[li])
+                if r < 0:
+                    continue
+                per_doc.setdefault(int(g), []).append(flat[offs[r]:offs[r + 1]])
+    best: dict[int, tuple[int, int]] = {}
+    for g, plist in per_doc.items():
+        allpos = np.concatenate(plist)
+        pidx = allpos // window
+        u, cnt = np.unique(pidx, return_counts=True)
+        j = int(np.lexsort((u, -cnt))[0])
+        best[g] = (int(u[j]), int(cnt[j]))
+    return best
+
+
 def suggest_terms(reader, term: str, max_edits: int = 2, k: int = 5
                   ) -> list[tuple[str, int, int]]:
     """Spell suggestions from the term dictionary → [(term, distance, df)]

@@ -668,6 +668,56 @@ WHERE term LIKE '{esc}%' GROUP BY term
 ORDER BY weight DESC, term LIMIT {k}"""
 
 
+def suggest_weighted_sql(prefix: str, k: int = 10) -> str:
+    """AnalyzingSuggester oracle: 2-gram completions of ``prefix`` over the
+    raw token stream, (weight = total occurrences) desc, key asc."""
+    esc = prefix.replace("'", "''").replace("%", "\\%").replace("_", "\\_")
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+  FROM toks WHERE term <> ''
+)
+SELECT sh AS key, count(*) AS weight
+FROM big WHERE sh IS NOT NULL AND sh LIKE '{esc}%' ESCAPE '\\'
+GROUP BY sh ORDER BY weight DESC, key LIMIT {k}"""
+
+
+def highlight_passages_sql(terms: list[str], k: int = 10,
+                           window: int = 20) -> str:
+    """Passage-highlight oracle: best fixed-``window`` position block per
+    top-k doc — (rank, doc_id, passage, n_hits); passage tie → lowest idx.
+    Positions are the analyzer's (stop holes preserved), which on this
+    corpus equal raw whitespace-token ordinals (module docstring)."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH top AS (
+  SELECT * FROM ({bm25_topk_sql(terms, k)}) s
+),
+{_toks_cte()},
+hits AS (
+  SELECT k.doc_id, CAST(floor(k.pos / {window}) AS BIGINT) AS passage,
+         count(*) AS n_hits
+  FROM kept k
+  WHERE k.term IN ({terms_sql})
+    AND k.doc_id IN (SELECT doc_id FROM top)
+  GROUP BY k.doc_id, passage
+),
+best AS (
+  SELECT doc_id, passage, n_hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, passage ASC) AS rn
+  FROM hits
+)
+SELECT t.rank, t.doc_id, b.passage, b.n_hits
+FROM top t JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1
+ORDER BY t.rank"""
+
+
 def term_vector_sql(doc_id: int = 0) -> str:
     """Term-vector oracle: (term, freq) of one doc, term-sorted."""
     return f"""WITH {_toks_cte()}
@@ -1031,6 +1081,56 @@ def semi_join_sql() -> str:
 FROM orders o
 WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 ORDER BY o.o_orderkey"""
+
+
+def term_stats_cjk_sql() -> str:
+    """(term, df, ttf) over the deterministic CJK corpus (sources/cjk.py).
+
+    Re-derives the EXPECTED token stream from the same md5 formulas that
+    generate the corpus text — Han/Hiragana one token per code point,
+    Katakana/Hangul one token per run, latin words verbatim — so a compare
+    against the engine's termstats validates the tokenizer's CJK token
+    classes (StandardTokenizer.cs:85-104) without reimplementing UAX#29."""
+    from lucenenet_ray.sources.cjk import (
+        HAN, HANGUL, HIRAGANA, KATAKANA, LATIN_WORDS, N_DOCS, N_SEGS,
+    )
+
+    def md5i(expr: str) -> str:
+        return _MD5_INT31.format(s=expr)
+
+    words = ", ".join(f"'{w}'" for w in LATIN_WORDS)
+    return f"""WITH docs AS (
+  SELECT doc_id FROM documents WHERE doc_id < {N_DOCS}
+),
+segs AS (
+  SELECT doc_id, j,
+    {md5i("'cjk-s-'||doc_id||'-'||j")} % 5 AS script,
+    1 + ({md5i("'cjk-l-'||doc_id||'-'||j")} % 3) AS seglen
+  FROM docs, generate_series(0, {N_SEGS - 1}) AS t(j)
+),
+chars AS (
+  SELECT doc_id, j, script, k,
+    {md5i("'cjk-c-'||doc_id||'-'||j||'-'||k")} AS r
+  FROM segs, LATERAL (SELECT unnest(range(0, seglen)) AS k)
+),
+tokens AS (
+  SELECT doc_id, chr(CAST({HAN[0]} + (r % {HAN[1]}) AS INTEGER)) AS term
+  FROM chars WHERE script = 0
+  UNION ALL
+  SELECT doc_id, chr(CAST({HIRAGANA[0]} + (r % {HIRAGANA[1]}) AS INTEGER))
+  FROM chars WHERE script = 1
+  UNION ALL
+  SELECT doc_id, string_agg(chr(CAST({KATAKANA[0]} + (r % {KATAKANA[1]}) AS INTEGER)), '' ORDER BY k)
+  FROM chars WHERE script = 2 GROUP BY doc_id, j
+  UNION ALL
+  SELECT doc_id, string_agg(chr(CAST({HANGUL[0]} + (r % {HANGUL[1]}) AS INTEGER)), '' ORDER BY k)
+  FROM chars WHERE script = 3 GROUP BY doc_id, j
+  UNION ALL
+  SELECT doc_id, ([{words}])[1 + (r % {len(LATIN_WORDS)})]
+  FROM chars WHERE script = 4 AND k = 0
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM tokens GROUP BY term ORDER BY term"""
 
 
 def term_stats_multilang_sql() -> str:

@@ -330,6 +330,28 @@ def documents_multilang_index_for(sf_dir: str,
     return path
 
 
+def cjk_index_for(sf_dir: str,
+                  cache_root: str = "/tmp/lucenenet_ray_idx") -> str:
+    """Index over the deterministic CJK corpus (sources/cjk.py) — exercises
+    the CJK token classes (StandardTokenizer.cs:85-104) through the FULL
+    build pipeline; the oracle re-derives expected tokens from the md5
+    formulas in SQL."""
+    import ray.data as rd
+
+    from lucenenet_ray.index.build import IndexConfig, build_index
+    from lucenenet_ray.sources.cjk import N_DOCS, cjk_corpus_table
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(cache_root, f"documents_cjk_{key}")
+    if not os.path.exists(os.path.join(path, "manifest.json")):
+        t = cjk_corpus_table(sf_dir)
+        ds = rd.from_arrow(t)
+        cfg = IndexConfig(index_path=path, id_min=0, id_max=N_DOCS - 1,
+                          n_buckets=4)
+        build_index(ds, cfg, text_col="text", id_col="doc_id")
+    return path
+
+
 def run_query(index_path: str, query_text: str, k: int = 10,
               prune: bool = False) -> TopDocs:
     reader = IndexReader(index_path)

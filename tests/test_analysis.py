@@ -25,6 +25,16 @@ GOLDEN = [
     ("Hello WORLD İstanbul", ["hello", "world", "istanbul"], [0, 1, 2]),
     # CJK: one token per Han ideograph / Hiragana char, Katakana runs
     ("日本語のテキスト", ["日", "本", "語", "の", "テキスト"], [0, 1, 2, 3, 4]),
+    # reference TestStandardAnalyzer.cs CJK goldens (TestJapanese/TestKorean/
+    # TestSupplementary/TestKoreanSA): Hangul runs are their own token type
+    # and split from adjacent Latin (StandardTokenizer.cs:85-104)
+    ("仮名遣い カタカナ", ["仮", "名", "遣", "い", "カタカナ"], [0, 1, 2, 3, 4]),
+    ("훈민정음", ["훈민정음"], [0]),
+    ("안녕하세요 한글입니다", ["안녕하세요", "한글입니다"], [0, 1]),
+    ("한글abc", ["한글", "abc"], [0, 1]),
+    ("𩬅艱鍟䇹愯瀛", ["𩬅", "艱", "鍟", "䇹", "愯", "瀛"], [0, 1, 2, 3, 4, 5]),
+    # combining marks stay attached (TestCombiningMarks)
+    ("아゙", ["아゙"], [0]),
     # numbers and codes
     ("IPv6 2001:db8 x86_64", ["ipv6", "2001", "db8", "x86_64"], [0, 1, 2, 3]),
     # empty / whitespace-only

@@ -119,3 +119,37 @@ def test_lang_id_rule():
     assert lang_id_of("der hund und die katze".split()) == "de"
     assert lang_id_of("xyz qrs".split()) == "und"
     assert lang_id_of([]) == "und"
+
+
+def test_suggest_weighted_prefix_pruning(ray_session, tmp_path):
+    """AnalyzingSuggester analog: weight-ordered completions, and the
+    key-sorted dictionary's row-group stats must prune the prefix scan
+    (the FST arc-walk analog)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.suggest import (
+        _suggest_scan,
+        build_suggester,
+        suggest_weighted,
+    )
+
+    rows = [
+        {"text": "spark window spark window spark merge"},
+        {"text": "spark window spark merge alpha beta"},
+        {"text": "zulu yankee xray whiskey victor uniform"},
+    ]
+    path = str(tmp_path / "sug.parquet")
+    build_suggester(rd.from_items(rows), path, row_group_size=4)
+    out = suggest_weighted(path, "spark ", k=5)
+    keys = out.column("key").to_pylist()
+    weights = out.column("weight").to_pylist()
+    assert keys[0] == "spark window" and weights[0] == 3
+    assert keys[1] == "spark merge" and weights[1] == 2
+    # weights descending, key asc on ties
+    assert weights == sorted(weights, reverse=True)
+    # pruning: the 'z...' row group is never read
+    _t, n_read, n_total = _suggest_scan(path, "spark ")
+    assert n_total > 1 and n_read < n_total
+    # empty prefix range
+    empty = suggest_weighted(path, "qqq", k=5)
+    assert empty.num_rows == 0
