@@ -225,3 +225,21 @@ def test_distributed_searcher_round2_query_types(documents_index, tmp_path):
         assert np.array_equal(a.scores, s)
     finally:
         ds2.shutdown()
+
+
+def test_query_registry_window_is_all_oracle_backed():
+    """The driver grades only the FIRST 50 queries() entries: every one of
+    those must have an oracle, the BM25 rank-identity family must lead, and
+    no-oracle entries must sit at the very end (round-2 VERDICT item 2)."""
+    import __ray_entry__ as e
+
+    qs = list(e.queries().keys())
+    osql = e.oracle_sql()
+    window = qs[:50]
+    assert all(q in osql for q in window), [q for q in window if q not in osql]
+    # headline contract leads the window
+    for name in list(e.BM25_QUERIES) + list(e.BM25_PHRASES) + list(
+            e.BM25_SLOP_PHRASES) + ["numeric_range_filter"]:
+        assert name in window[:10], name
+    # no dangling oracle
+    assert all(q in qs for q in osql)
