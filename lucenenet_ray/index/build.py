@@ -537,7 +537,8 @@ def _merge_group(group: pa.Table, store_positions: bool,
     out = {k: [] for k in (
         "bucket", "term", "df", "ttf", "max_freq", "max_norm", "doc_bytes",
         "freq_bytes", "pos_bytes", "block_last_doc", "block_doc_off",
-        "block_freq_off", "block_max_freq", "block_max_norm")}
+        "block_freq_off", "block_max_freq", "block_max_norm",
+        "skip1_last_doc", "skip1_max_freq", "skip1_max_norm")}
     if has_pay:
         out["pay_bytes"] = []
 
@@ -581,6 +582,9 @@ def _merge_group(group: pa.Table, store_positions: bool,
         out["block_freq_off"].append(enc["block_freq_off"].tolist())
         out["block_max_freq"].append(enc["block_max_freq"].tolist())
         out["block_max_norm"].append(enc["block_max_norm"].tolist())
+        out["skip1_last_doc"].append(enc["skip1_last_doc"].tolist())
+        out["skip1_max_freq"].append(enc["skip1_max_freq"].tolist())
+        out["skip1_max_norm"].append(enc["skip1_max_norm"].tolist())
 
     return pa.table(
         {
@@ -600,6 +604,11 @@ def _merge_group(group: pa.Table, store_positions: bool,
             "block_freq_off": pa.array(out["block_freq_off"], type=pa.list_(pa.int64())),
             "block_max_freq": pa.array(out["block_max_freq"], type=pa.list_(pa.int32())),
             "block_max_norm": pa.array(out["block_max_norm"], type=pa.list_(pa.int32())),
+            # level-1 skip entries (MultiLevelSkipListWriter fan-out 128):
+            # empty lists for terms below df = 128^2
+            "skip1_last_doc": pa.array(out["skip1_last_doc"], type=pa.list_(pa.int64())),
+            "skip1_max_freq": pa.array(out["skip1_max_freq"], type=pa.list_(pa.int32())),
+            "skip1_max_norm": pa.array(out["skip1_max_norm"], type=pa.list_(pa.int32())),
         }
     )
 
@@ -761,6 +770,17 @@ def _hash_shuffle_merge_write(partials, cfg: IndexConfig, store_pos: bool) -> li
     each term's postings by (term, docID) sort — docIDs are globally unique,
     so merged bytes are independent of block arrival order (tested: identical
     digests at 8 vs 32 CPUs).
+
+    REDUCER-SIZING RULE (the 100×-scale contract, tested in
+    tests/test_index_search.py::test_reducer_bytes_bounded_under_skew):
+    a reducer's memory is the bytes of its (bucket, hpart) groups.
+    ``bucket`` is a docID-range partition, so even a single head term —
+    the worst skew an inverted index can produce — spreads its postings
+    uniformly over ALL buckets: max group bytes ≤ corpus_postings_bytes /
+    (n_buckets × n_hparts) + one term-chunk. To run at 100× the corpus,
+    raise ``n_buckets`` (and/or ``n_hparts``) proportionally and lift the
+    reduce-task cap (GRAFT_REDUCE_PARTS, default 128 ≈ 4× a 32-core box)
+    to ~4× the cluster's cores; output bytes are invariant to both knobs.
     """
     import ray
 

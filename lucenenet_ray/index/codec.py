@@ -36,12 +36,35 @@ import numpy as np
 
 BLOCK_SIZE = 128  # Lucene41PostingsFormat.cs:375
 
-# Skip-list note: Lucene's MultiLevelSkipListWriter exists to reach a target
-# block in O(log n) sequential reads. Here the per-term block metadata
-# (block_last_doc / offsets) is a small in-memory array, so
-# np.searchsorted(block_last_doc, target) IS the multi-level skip — a
-# vectorized binary search with the same asymptotics and no extra on-disk
-# structure (SURVEY §2.5 maps the levels to exactly this).
+# Multi-level skip (MultiLevelSkipListWriter.cs fan-out): for small terms
+# np.searchsorted(block_last_doc, target) is the skip list — a vectorized
+# binary search over the in-memory level-0 entries. For HEAD terms
+# (df > BLOCK_SIZE * SKIP1_FANOUT) a stored LEVEL-1 array (one entry per
+# SKIP1_FANOUT level-0 blocks: last doc + max freq/norm bounds) lets the
+# reader locate candidate REGIONS first and touch only those regions'
+# level-0 slices — at 10^9-df terms the level-0 arrays are ~10^7 entries
+# and the level-1 pre-select keeps cold lookups from scanning them
+# (see search/searcher.py _eval_term_restricted).
+SKIP1_FANOUT = 128
+
+
+def build_skip1(block_last_doc: np.ndarray, block_max_freq: np.ndarray,
+                block_max_norm: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                                     np.ndarray]:
+    """Level-1 skip entries: per SKIP1_FANOUT blocks, (last doc, max freq,
+    max norm). Empty until the term has at least 2 regions (df > 128²) —
+    Lucene's writer likewise only adds a level when it has ≥2 entries."""
+    nb = len(block_last_doc)
+    if nb < SKIP1_FANOUT * 2:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32),
+                np.empty(0, dtype=np.int32))
+    starts = np.arange(0, nb, SKIP1_FANOUT, dtype=np.int64)
+    ends = np.minimum(starts + SKIP1_FANOUT, nb)
+    return (
+        np.asarray(block_last_doc)[ends - 1].astype(np.int64),
+        np.maximum.reduceat(np.asarray(block_max_freq), starts).astype(np.int32),
+        np.maximum.reduceat(np.asarray(block_max_norm), starts).astype(np.int32),
+    )
 
 DEFAULT_CODEC = "for"
 
@@ -275,6 +298,7 @@ def encode_postings(
         blk_maxn = np.empty(0, dtype=np.uint8)
         blk_doc_off = np.empty(0, dtype=np.int64)
         blk_frq_off = np.empty(0, dtype=np.int64)
+    s1_last, s1_maxf, s1_maxn = build_skip1(blk_last, blk_maxf, blk_maxn)
     return {
         "doc_bytes": doc_bytes.tobytes(),
         "freq_bytes": freq_bytes.tobytes(),
@@ -284,6 +308,9 @@ def encode_postings(
         "block_freq_off": blk_frq_off,
         "block_max_freq": blk_maxf,
         "block_max_norm": blk_maxn,
+        "skip1_last_doc": s1_last,
+        "skip1_max_freq": s1_maxf,
+        "skip1_max_norm": s1_maxn,
         "first_doc": int(docs[0]) if n else -1,
     }
 

@@ -274,6 +274,10 @@ def _rewrite_postings(path: str, index_path: str, out_path: str, dead,
             "block_freq_off": enc["block_freq_off"].tolist(),
             "block_max_freq": enc["block_max_freq"].tolist(),
             "block_max_norm": enc["block_max_norm"].tolist(),
+            **({"skip1_last_doc": enc["skip1_last_doc"].tolist(),
+                "skip1_max_freq": enc["skip1_max_freq"].tolist(),
+                "skip1_max_norm": enc["skip1_max_norm"].tolist()}
+               if "skip1_last_doc" in t.column_names else {}),
         })
     if not out_rows:
         return 0

@@ -49,7 +49,8 @@ def _remerge_group(group: pa.Table, codec: str = "vint") -> pa.Table:
     out = {k: [] for k in (
         "bucket", "term", "df", "ttf", "max_freq", "max_norm", "doc_bytes",
         "freq_bytes", "pos_bytes", "block_last_doc", "block_doc_off",
-        "block_freq_off", "block_max_freq", "block_max_norm")}
+        "block_freq_off", "block_max_freq", "block_max_norm",
+        "skip1_last_doc", "skip1_max_freq", "skip1_max_norm")}
     if has_pay:
         out["pay_bytes"] = []
 
@@ -132,6 +133,9 @@ def _remerge_group(group: pa.Table, codec: str = "vint") -> pa.Table:
         out["block_freq_off"].append(enc["block_freq_off"].tolist())
         out["block_max_freq"].append(enc["block_max_freq"].tolist())
         out["block_max_norm"].append(enc["block_max_norm"].tolist())
+        out["skip1_last_doc"].append(enc["skip1_last_doc"].tolist())
+        out["skip1_max_freq"].append(enc["skip1_max_freq"].tolist())
+        out["skip1_max_norm"].append(enc["skip1_max_norm"].tolist())
 
     return pa.table(
         {
@@ -151,6 +155,9 @@ def _remerge_group(group: pa.Table, codec: str = "vint") -> pa.Table:
             "block_freq_off": pa.array(out["block_freq_off"], type=pa.list_(pa.int64())),
             "block_max_freq": pa.array(out["block_max_freq"], type=pa.list_(pa.int32())),
             "block_max_norm": pa.array(out["block_max_norm"], type=pa.list_(pa.int32())),
+            "skip1_last_doc": pa.array(out["skip1_last_doc"], type=pa.list_(pa.int64())),
+            "skip1_max_freq": pa.array(out["skip1_max_freq"], type=pa.list_(pa.int32())),
+            "skip1_max_norm": pa.array(out["skip1_max_norm"], type=pa.list_(pa.int32())),
         }
     )
 

@@ -43,6 +43,10 @@ class PostingsChunk:
     block_max_norm: np.ndarray
     codec: str = "vint"
     pay_bytes: bytes = b""  # per-position payloads (IndexConfig.payloads)
+    # level-1 skip entries (MultiLevelSkipListWriter fan-out; codec.py
+    # build_skip1) — stored for head terms (df > 128²), derived lazily for
+    # indexes written before the column existed
+    skip1_last_doc: np.ndarray | None = None
     _docs: np.ndarray | None = None
     _freqs: np.ndarray | None = None
     _pos_flat: np.ndarray | None = None  # absolute positions, doc-major
@@ -50,6 +54,18 @@ class PostingsChunk:
     _local: np.ndarray | None = None  # dense bucket-local row of each doc
 
     _row_of: np.ndarray | None = None
+
+    def skip1(self) -> np.ndarray:
+        """Level-1 skip last-docs (one per SKIP1_FANOUT level-0 blocks);
+        empty for small terms. Derived from level-0 when the index predates
+        the stored column."""
+        if self.skip1_last_doc is None:
+            from lucenenet_ray.index.codec import build_skip1
+
+            self.skip1_last_doc = build_skip1(
+                self.block_last_doc, self.block_max_freq,
+                self.block_max_norm)[0]
+        return self.skip1_last_doc
 
     def local_ids(self, bucket: "BucketData") -> np.ndarray:
         """Bucket-local dense index of every posting's doc — computed ONCE
@@ -196,7 +212,16 @@ class BucketData:
         return len(self.norms()[0])
 
     # -- postings ------------------------------------------------------------
+    @staticmethod
+    def _list_np(t: pa.Table, name: str, i: int, dtype) -> np.ndarray:
+        # ListScalar.values → Arrow array → numpy without the per-element
+        # as_py() list round-trip (head terms have ~df/128 block entries;
+        # as_py() was the chunk-load hot spot)
+        v = t.column(name)[i].values
+        return v.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+
     def _row_to_chunk(self, t: pa.Table, i: int) -> PostingsChunk:
+        has_skip1 = "skip1_last_doc" in t.column_names
         return PostingsChunk(
             codec=self.codec,
             term=t.column("term")[i].as_py(),
@@ -209,11 +234,13 @@ class BucketData:
             pos_bytes=t.column("pos_bytes")[i].as_py(),
             pay_bytes=(t.column("pay_bytes")[i].as_py()
                        if "pay_bytes" in t.column_names else b""),
-            block_last_doc=np.asarray(t.column("block_last_doc")[i].as_py(), dtype=np.int64),
-            block_doc_off=np.asarray(t.column("block_doc_off")[i].as_py(), dtype=np.int64),
-            block_freq_off=np.asarray(t.column("block_freq_off")[i].as_py(), dtype=np.int64),
-            block_max_freq=np.asarray(t.column("block_max_freq")[i].as_py(), dtype=np.int32),
-            block_max_norm=np.asarray(t.column("block_max_norm")[i].as_py(), dtype=np.int32),
+            block_last_doc=self._list_np(t, "block_last_doc", i, np.int64),
+            block_doc_off=self._list_np(t, "block_doc_off", i, np.int64),
+            block_freq_off=self._list_np(t, "block_freq_off", i, np.int64),
+            block_max_freq=self._list_np(t, "block_max_freq", i, np.int32),
+            block_max_norm=self._list_np(t, "block_max_norm", i, np.int32),
+            skip1_last_doc=(self._list_np(t, "skip1_last_doc", i, np.int64)
+                            if has_skip1 else None),
         )
 
     def load_full(self) -> dict[str, PostingsChunk]:

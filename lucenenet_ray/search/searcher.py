@@ -732,6 +732,44 @@ def _decode_freq_block(c: PostingsChunk, bi: int) -> np.ndarray:
                              c.block_freq_off, c.block_doc_off, c.codec)
 
 
+# level-0 skip entries examined by _skip_to_blocks since process start —
+# tests assert the level-1 pre-select reduces this for head terms
+SKIP_STATS = {"level0_examined": 0, "level0_total": 0}
+
+
+def _skip_to_blocks(c: PostingsChunk, cand_docs: np.ndarray) -> np.ndarray:
+    """Target 128-blocks containing any candidate doc — the multi-level skip
+    (MultiLevelSkipListWriter.cs fan-out 128). Head terms (stored/derived
+    level-1 entries, df > 128²) first bound each candidate to a REGION of
+    SKIP1_FANOUT level-0 blocks, then binary-search only those regions'
+    level-0 slices; small terms binary-search level-0 directly."""
+    from lucenenet_ray.index.codec import SKIP1_FANOUT
+
+    nb = len(c.block_last_doc)
+    s1 = c.skip1()
+    if s1.size == 0:
+        SKIP_STATS["level0_examined"] += nb
+        SKIP_STATS["level0_total"] += nb
+        blocks = np.unique(np.searchsorted(c.block_last_doc, cand_docs))
+        return blocks[blocks < nb]
+    reg_of = np.searchsorted(s1, cand_docs)
+    keep = reg_of < s1.size
+    reg_of, cands = reg_of[keep], cand_docs[keep]
+    out: list[np.ndarray] = []
+    examined = 0
+    for r in np.unique(reg_of):
+        lo = int(r) * SKIP1_FANOUT
+        hi = min(lo + SKIP1_FANOUT, nb)
+        sub = c.block_last_doc[lo:hi]
+        examined += hi - lo
+        b = np.unique(np.searchsorted(sub, cands[reg_of == r])) + lo
+        out.append(b[b < hi])
+    SKIP_STATS["level0_examined"] += examined
+    SKIP_STATS["level0_total"] += nb
+    return (np.unique(np.concatenate(out)) if out
+            else np.empty(0, dtype=np.int64))
+
+
 def _eval_term_restricted(term: str, boost: float, matched: np.ndarray,
                           chunks: dict[str, PostingsChunk],
                           plan: QueryPlan, bucket: BucketData
@@ -755,8 +793,7 @@ def _eval_term_restricted(term: str, boost: float, matched: np.ndarray,
         norms = bucket.norms()[2][lsel]
         return lsel, score_freqs(c.freqs()[m], norms, w.weight_value, cache)
     cand_docs = bucket.norms()[0][np.flatnonzero(matched)]
-    blocks = np.unique(np.searchsorted(c.block_last_doc, cand_docs))
-    blocks = blocks[blocks < len(c.block_last_doc)]
+    blocks = _skip_to_blocks(c, cand_docs)
     if blocks.size * BLOCK_SIZE * 4 > c.df:
         lidx = c.local_ids(bucket)  # decodes once; cached for later queries
         m = matched[lidx]

@@ -170,3 +170,81 @@ def test_for_smaller_than_vint_dense():
     f = encode_postings(docs, freqs, norms, None, codec="for")
     v = encode_postings(docs, freqs, norms, None, codec="vint")
     assert len(f["doc_bytes"]) < len(v["doc_bytes"]) / 2
+
+
+@pytest.mark.parametrize("codec", ["vint", "for"])
+def test_skip1_level_entries(codec):
+    """Level-1 skip entries (MultiLevelSkipListWriter fan-out 128): present
+    exactly when df > 128*128 (2+ regions), aggregates equal recomputation
+    from level-0, and the two-level block lookup equals the flat one."""
+    from lucenenet_ray.index.codec import SKIP1_FANOUT, build_skip1
+
+    rng = np.random.default_rng(5)
+    # head term: df spanning > 2 regions, gappy docids
+    df = BLOCK_SIZE * SKIP1_FANOUT * 2 + 777
+    docs = np.cumsum(rng.integers(1, 4, size=df)).astype(np.int64)
+    freqs = rng.integers(1, 9, size=df).astype(np.int32)
+    norms = rng.integers(1, 255, size=df).astype(np.uint8)
+    enc = encode_postings(docs, freqs, norms, None, codec=codec)
+    nb = len(enc["block_last_doc"])
+    n1 = (nb + SKIP1_FANOUT - 1) // SKIP1_FANOUT
+    assert len(enc["skip1_last_doc"]) == n1
+    # aggregates match a recomputation from level-0
+    want_last, want_maxf, want_maxn = build_skip1(
+        enc["block_last_doc"], enc["block_max_freq"], enc["block_max_norm"])
+    assert np.array_equal(enc["skip1_last_doc"], want_last)
+    assert np.array_equal(enc["skip1_max_freq"], want_maxf)
+    assert np.array_equal(enc["skip1_max_norm"], want_maxn)
+    assert enc["skip1_last_doc"][-1] == docs[-1]
+    # small term: no level-1
+    enc_small = encode_postings(docs[:BLOCK_SIZE * 4], freqs[:BLOCK_SIZE * 4],
+                                norms[:BLOCK_SIZE * 4], None, codec=codec)
+    assert len(enc_small["skip1_last_doc"]) == 0
+
+
+def test_skip_to_blocks_two_level_equals_flat():
+    """The level-1 pre-select must pick exactly the blocks the flat
+    binary search picks, while examining far fewer level-0 entries."""
+    from lucenenet_ray.index.codec import SKIP1_FANOUT
+    from lucenenet_ray.search.reader import PostingsChunk
+    from lucenenet_ray.search.searcher import SKIP_STATS, _skip_to_blocks
+
+    rng = np.random.default_rng(11)
+    df = BLOCK_SIZE * SKIP1_FANOUT * 12 + 13
+    docs = np.cumsum(rng.integers(1, 3, size=df)).astype(np.int64)
+    freqs = np.ones(df, dtype=np.int32)
+    norms = np.ones(df, dtype=np.uint8)
+    enc = encode_postings(docs, freqs, norms, None, codec="for")
+
+    def mk(skip1):
+        return PostingsChunk(
+            term="t", df=df, ttf=df, max_freq=1, max_norm=1,
+            doc_bytes=enc["doc_bytes"], freq_bytes=enc["freq_bytes"],
+            pos_bytes=b"", codec="for",
+            block_last_doc=enc["block_last_doc"],
+            block_doc_off=enc["block_doc_off"],
+            block_freq_off=enc["block_freq_off"],
+            block_max_freq=enc["block_max_freq"],
+            block_max_norm=enc["block_max_norm"],
+            skip1_last_doc=skip1)
+
+    # candidates: a tight cluster + block-boundary docs + out-of-range
+    cands = np.unique(np.concatenate([
+        docs[1000:1100], enc["block_last_doc"][:3],
+        np.array([docs[-1] + 50])]))
+    flat = mk(np.empty(0, dtype=np.int64))  # forces the flat path
+    nb = len(enc["block_last_doc"])
+    want = np.unique(np.searchsorted(enc["block_last_doc"], cands))
+    want = want[want < nb]
+    before = dict(SKIP_STATS)
+    got = _skip_to_blocks(mk(enc["skip1_last_doc"]), cands)
+    examined = SKIP_STATS["level0_examined"] - before["level0_examined"]
+    total = SKIP_STATS["level0_total"] - before["level0_total"]
+    assert np.array_equal(np.asarray(got), want)
+    # measured decode-skip reduction: clustered candidates touch few regions
+    assert examined <= 3 * SKIP1_FANOUT
+    assert examined < total / 10
+    # derive path (index without the stored column) agrees too
+    derived = mk(None)
+    got2 = _skip_to_blocks(derived, cands)
+    assert np.array_equal(np.asarray(got2), want)

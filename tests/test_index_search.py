@@ -405,3 +405,44 @@ def test_highlighter():
     frag2, hits2 = best_fragment("no match here", {"zz"}, window=4)
     assert hits2 == 0 and "<b>" not in frag2
     assert best_fragment("", {"x"}) == ("", 0)
+
+
+def test_reducer_bytes_bounded_under_skew():
+    """The reducer-sizing rule (build.py _hash_shuffle_merge_write): because
+    `bucket` partitions by docID range and `hpart` salts terms, the max
+    (bucket, hpart) group bytes shrink ~linearly as n_buckets grows, EVEN
+    with one zipf head term owning most of the postings — so 100x corpus
+    needs only proportionally more buckets, never a bigger reducer."""
+    import numpy as np
+
+    from lucenenet_ray.index.build import IndexConfig, _term_hpart
+
+    rng = np.random.default_rng(3)
+    n_docs = 40_000
+    # zipf vocabulary: term 0 is a head term in ~half the postings
+    n_postings = 200_000
+    term_ids = np.minimum(rng.zipf(1.3, size=n_postings) - 1, 50)
+    doc_ids = rng.integers(0, n_docs, size=n_postings)
+    terms = np.array([f"t{i}" for i in range(51)], dtype=object)
+    post_terms = terms[term_ids]
+    bytes_per_posting = 6  # delta+vint docid + freq, order of magnitude
+
+    def max_group_bytes(n_buckets: int, n_hparts: int) -> int:
+        cfg = IndexConfig(index_path="/tmp/unused", id_min=0,
+                          id_max=n_docs - 1, n_buckets=n_buckets,
+                          n_hparts=n_hparts)
+        b = cfg.bucket_of(doc_ids).astype(np.int64)
+        hp = _term_hpart(post_terms, n_hparts).astype(np.int64)
+        key = b * n_hparts + hp
+        _u, cnt = np.unique(key, return_counts=True)
+        return int(cnt.max()) * bytes_per_posting
+
+    m8 = max_group_bytes(8, 2)
+    m16 = max_group_bytes(16, 2)
+    m32 = max_group_bytes(32, 2)
+    # doubling buckets must roughly halve the max reducer bytes (1.5x slack)
+    assert m16 < m8 / 2 * 1.5
+    assert m32 < m16 / 2 * 1.5
+    # and the max group stays near the uniform share despite the head term
+    share32 = n_postings * bytes_per_posting / (32 * 2)
+    assert m32 < share32 * 3
