@@ -830,6 +830,136 @@ def _q_facet_lang(sf_dir: str) -> Any:
     return out.reset_index(drop=True)
 
 
+FACET_RANGE_EDGES = (0, 200, 400, 800)
+FACET_RANGE_LABELS = ("0-199", "200-399", "400-799", "800+")
+
+
+def _q_facet_range(sf_dir: str) -> pa.Table:
+    """Numeric-range facets (Facet/Range/Int64RangeFacetCounts.cs): counts of
+    n_chars ranges over docs matching 'spark', computed per bucket from the
+    index's postings + numeric doc-values — no stored-field access. Every
+    range is reported (zero counts included), like Lucene's range facets."""
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    td = search(r, TermQuery(term="spark"), k=r.num_docs)
+    docs = np.asarray(sorted(int(d) for d in td.docs), dtype=np.int64)
+    bins = list(FACET_RANGE_EDGES) + [np.iinfo(np.int64).max]
+    counts = np.zeros(len(FACET_RANGE_LABELS), dtype=np.int64)
+    for bid in r.bucket_ids:
+        b = r.bucket(bid)
+        doc_arr = b.norms()[0]
+        idx = np.searchsorted(doc_arr, docs)
+        inb = idx < doc_arr.size
+        inb[inb] = doc_arr[idx[inb]] == docs[inb]
+        if not inb.any():
+            continue
+        vals = r.numeric_docvalues(bid, "n_chars")[idx[inb]]
+        counts += np.histogram(vals, bins=bins)[0]
+    return pa.table({
+        "range": pa.array(list(FACET_RANGE_LABELS), type=pa.string()),
+        "n_docs": pa.array(counts, type=pa.int64()),
+    })
+
+
+def _q_grouping_distinct(sf_dir: str) -> Any:
+    """Distinct-value grouping (Grouping/AbstractDistinctValuesCollector.cs):
+    per `source` group, the number of DISTINCT `lang` values among docs
+    matching 'spark'. Distributed: matched doc ids broadcast once; each
+    batch emits its deduped (source, lang) pairs; one groupby; the final
+    per-group distinct count is group-cardinality-sized on the driver."""
+    import ray
+    import ray.data as rd
+
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    td = search(r, TermQuery(term="spark"), k=r.num_docs)
+    ids_ref = ray.put(np.asarray(sorted(int(d) for d in td.docs),
+                                 dtype=np.int64))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sub = t.filter(pa.array(np.isin(d, wanted)))
+        return sub.select(["source", "lang"]).group_by(
+            ["source", "lang"]).aggregate([])
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source", "lang"])
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    pairs_t = dataset_to_table(
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "lang"]).count(),
+        schema=pa.schema([("source", pa.string()), ("lang", pa.string()),
+                          ("count()", pa.int64())]))
+    out = (pairs_t.group_by("source").aggregate([("lang", "count_distinct")])
+           .rename_columns(["source", "n_langs"]))
+    idx = pa.compute.sort_indices(out.column("source"))
+    return out.take(idx)
+
+
+def _q_drill_sideways(sf_dir: str) -> Any:
+    """DrillSideways (Facet/DrillSideways.cs): base query 'spark' with
+    drill-downs lang='en' AND source='src3'; for each drilled dimension the
+    sideways counts apply every OTHER drill but not its own — one distributed
+    pass emits both dims' partial counts, one groupby sums them."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    td = search(r, TermQuery(term="spark"), k=r.num_docs)
+    ids_ref = ray.put(np.asarray(sorted(int(d) for d in td.docs),
+                                 dtype=np.int64))
+
+    def part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        wanted = ray.get(ids_ref)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sub = t.filter(pa.array(np.isin(d, wanted)))
+        rows_dim, rows_val, rows_n = [], [], []
+        # sideways for lang: apply the OTHER drill (source='src3')
+        a = sub.filter(pc.equal(sub.column("source"), "src3"))
+        ga = pa.TableGroupBy(a.select(["lang"]), "lang").aggregate(
+            [("lang", "count")])
+        rows_dim += ["lang"] * ga.num_rows
+        rows_val += ga.column("lang").to_pylist()
+        rows_n += ga.column("lang_count").to_pylist()
+        # sideways for source: apply the OTHER drill (lang='en')
+        b = sub.filter(pc.equal(sub.column("lang"), "en"))
+        gb = pa.TableGroupBy(b.select(["source"]), "source").aggregate(
+            [("source", "count")])
+        rows_dim += ["source"] * gb.num_rows
+        rows_val += gb.column("source").to_pylist()
+        rows_n += gb.column("source_count").to_pylist()
+        return pa.table({
+            "dim": pa.array(rows_dim, type=pa.string()),
+            "value": pa.array(rows_val, type=pa.string()),
+            "n_docs": pa.array(rows_n, type=pa.int64()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source", "lang"])
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    out = dataset_to_table(
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["dim", "value"]).aggregate(Sum("n_docs", alias_name="n_docs")),
+        schema=pa.schema([("dim", pa.string()), ("value", pa.string()),
+                          ("n_docs", pa.int64())]))
+    idx = pa.compute.sort_indices(
+        out, sort_keys=[("dim", "ascending"), ("value", "ascending")])
+    return out.take(idx)
+
+
 def _q_facet_lang_sampled(sf_dir: str) -> Any:
     """RandomSamplingFacetsCollector analog (Facet/RandomSamplingFacetsCollector.cs):
     facet counts over a DETERMINISTIC doc sample — here md5(doc_id) bucketed
@@ -1361,6 +1491,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": _q_facet_lang,
         "dedup_exact": _q_dedup_exact,
         "grouping_topk": _q_grouping_topk,
+        "facet_range": _q_facet_range,
+        "grouping_distinct": _q_grouping_distinct,
         # -- LLM-training-data ops
         "near_dup_candidates": _q_near_dup_candidates,
         "near_dup_jaccard": _q_near_dup_jaccard,
@@ -1378,7 +1510,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_term_lookup": _q_field_term_lookup,
         # -- analysis variants
         "term_stats_multilang": _q_term_stats_multilang,
-        "shingle_stats": _q_shingle_stats,
         # -- query/scoring surface
         "bm25_boosted": _q_bm25_boosted,
         "bm25_after_delete": _q_bm25_after_delete,
@@ -1386,7 +1517,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near_count": _q_span_near,
         "classic_tfidf": _q_classic_tfidf,
         "stored_fields": _q_stored_fields,
-        "sort_by_field": _q_sort_by_field,
         "spell_suggest": _q_spell_suggest,
         "rescore": _q_rescore,
         "dv_sort_updated": _q_dv_sort_updated,
@@ -1396,6 +1526,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_taxonomy": _q_facet_taxonomy,
         # ---- 50-entry driver window ends here (assert in tests) ----
         # redundant-variant oracle queries (graded r1/r2; gate_check replays)
+        "drill_sideways": _q_drill_sideways,
+        "shingle_stats": _q_shingle_stats,
+        "sort_by_field": _q_sort_by_field,
         "search_after": _q_search_after,
         "constant_score": _q_constant_score,
         "total_hits": _q_total_hits,
@@ -1424,6 +1557,9 @@ def oracle_sql() -> dict[str, str]:
         "facet_lang": so.facet_lang_sql(),
         "dedup_exact": so.dedup_exact_sql(),
         "grouping_topk": so.grouping_topk_sql(3),
+        "facet_range": so.facet_range_sql("spark", FACET_RANGE_EDGES, FACET_RANGE_LABELS),
+        "grouping_distinct": so.grouping_distinct_sql("spark"),
+        "drill_sideways": so.drill_sideways_sql("spark", "en", "src3"),
         "near_dup_candidates": so.minhash_candidates_sql(),
         "near_dup_jaccard": so.jaccard_pairs_sql(),
         "simhash": so.simhash_sql(),

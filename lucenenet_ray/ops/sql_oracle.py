@@ -824,6 +824,50 @@ def facet_taxonomy_sql() -> str:
 ) ORDER BY path"""
 
 
+def facet_range_sql(term: str, edges: tuple, labels: tuple) -> str:
+    """Numeric-range facet oracle: n_chars range counts over docs matching
+    ``term``; every range present (zero counts included), label order."""
+    rows = []
+    for i, lab in enumerate(labels):
+        lo = edges[i]
+        hi = edges[i + 1] if i + 1 < len(edges) else None
+        cond = (f"n_chars >= {lo}" if hi is None
+                else f"n_chars >= {lo} AND n_chars < {hi}")
+        rows.append(f"SELECT {i} AS ord, '{lab}' AS range, "
+                    f"(SELECT count(*) FROM documents d JOIN m USING (doc_id)"
+                    f" WHERE {cond}) AS n_docs")
+    union = "\nUNION ALL\n".join(rows)
+    return f"""WITH {_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM kept WHERE term = '{term}')
+SELECT range, CAST(n_docs AS BIGINT) AS n_docs FROM ({union}) ORDER BY ord"""
+
+
+def grouping_distinct_sql(term: str) -> str:
+    """AbstractDistinctValuesCollector oracle: distinct lang count per
+    source among docs matching ``term``."""
+    return f"""WITH {_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM kept WHERE term = '{term}')
+SELECT d.source, count(DISTINCT d.lang) AS n_langs
+FROM documents d JOIN m USING (doc_id)
+GROUP BY d.source ORDER BY d.source"""
+
+
+def drill_sideways_sql(term: str, lang_drill: str, source_drill: str) -> str:
+    """DrillSideways oracle: for each drilled dim, counts applying every
+    OTHER drill but not its own."""
+    return f"""WITH {_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM kept WHERE term = '{term}'),
+hits AS (SELECT d.* FROM documents d JOIN m USING (doc_id)),
+side AS (
+  SELECT 'lang' AS dim, lang AS value, count(*) AS n_docs
+  FROM hits WHERE source = '{source_drill}' GROUP BY lang
+  UNION ALL
+  SELECT 'source', source, count(*)
+  FROM hits WHERE lang = '{lang_drill}' GROUP BY source
+)
+SELECT dim, value, n_docs FROM side ORDER BY dim, value"""
+
+
 def facet_lang_sampled_sql(pct_buckets: int = 10, keep_lt: int = 3) -> str:
     """RandomSamplingFacetsCollector oracle: identical deterministic
     md5(doc_id) 30% sample, exact counts within it."""
