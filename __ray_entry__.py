@@ -549,6 +549,21 @@ def _q_term_vector(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_term_vector_stored(sf_dir: str) -> pa.Table:
+    """PHYSICAL term-vector retrieval for doc 7 (CompressingTermVectorsReader
+    analog: termvectors/ sidecar written at index time by the inverter —
+    index/build.py _write_term_vector_file; no re-tokenization on read),
+    vs the same tokenize-in-SQL oracle as the reconstruct-on-demand query."""
+    t = _reader(sf_dir).term_vector(7)
+    if t is None:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "freq": pa.array([], type=pa.int64())})
+    return pa.table({
+        "term": t.column("term"),
+        "freq": t.column("freq").cast(pa.int64()),
+    })
+
+
 def _q_term_stats_de_stemmed(sf_dir: str) -> pa.Table:
     """Per-language STEMMING chain (GermanAnalyzer.cs shape: tokenize →
     lowercase → German stop → GermanLightStemmer): full stemmed term stats
@@ -651,6 +666,46 @@ def _q_span_near(sf_dir: str) -> pa.Table:
         "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
         "n_spans": pa.array([r[1] for r in rows], type=pa.int64()),
     })
+
+
+def _spans_count_table(sf_dir: str, q) -> pa.Table:
+    from lucenenet_ray.search.spans import span_counts
+    from lucenenet_ray.search.surround import rewrite_spans
+
+    r = _reader(sf_dir)
+    rows = span_counts(r, rewrite_spans(q, r))
+    return pa.table({
+        "doc_id": pa.array([x[0] for x in rows], type=pa.int64()),
+        "n_spans": pa.array([x[1] for x in rows], type=pa.int64()),
+    })
+
+
+def _q_surround_span_count(sf_dir: str) -> pa.Table:
+    """Surround-dialect distance query '4w(fast, key)' (case-insensitive
+    prefix distance op, QueryParser/Surround/Parser grammar → DistanceQuery
+    slop = distance-1) evaluated as ordered span enumeration."""
+    from lucenenet_ray.search.surround import parse_surround
+
+    return _spans_count_table(sf_dir, parse_surround("4w(fast, key)"))
+
+
+def _q_surround_trunc(sf_dir: str) -> pa.Table:
+    """Surround truncation inside a distance op: '2W(mer*, batch)'
+    (SrndTruncQuery expansion against the sorted term dictionary →
+    SpanOr, then ordered near slop=1)."""
+    from lucenenet_ray.search.surround import parse_surround
+
+    return _spans_count_table(sf_dir, parse_surround("2W(mer*, batch)"))
+
+
+def _q_complex_phrase(sf_dir: str) -> pa.Table:
+    """ComplexPhraseQueryParser '"(spark window) merge"~2': OR-group slot
+    inside a quoted phrase compiled to ordered SpanNear
+    (ComplexPhraseQueryParser.cs rewrite-to-spans)."""
+    from lucenenet_ray.search.surround import parse_complex_phrase
+
+    return _spans_count_table(sf_dir,
+                              parse_complex_phrase('"(spark window) merge"~2'))
 
 
 def _q_total_hits(sf_dir: str) -> pa.Table:
@@ -1537,6 +1592,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_stats": _q_payload_stats,
         "facet_lang_sampled": _q_facet_lang_sampled,
         "term_stats_de_stemmed": _q_term_stats_de_stemmed,
+        # round-3 parser dialects + physical term vectors (oracle-backed;
+        # graded by gate_check)
+        "surround_span_count": _q_surround_span_count,
+        "surround_trunc": _q_surround_trunc,
+        "complex_phrase": _q_complex_phrase,
+        "term_vector_stored": _q_term_vector_stored,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -1586,6 +1647,11 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "window"], TOPK, "or",
             stored_cols=["source", "n_chars"]),
         "span_near_count": so.span_near_count_sql("merge", "batch", 2),
+        "surround_span_count": so.span_near_count_sql("fast", "key", 3),
+        "surround_trunc": so.surround_trunc_count_sql("mer", "batch", 1),
+        "complex_phrase": so.complex_phrase_count_sql(
+            ["spark", "window"], "merge", 2),
+        "term_vector_stored": so.term_vector_sql(7),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

@@ -80,6 +80,14 @@ class IndexConfig:
     # bytes without decoding (same invariant as pos_bytes). None = no
     # payloads (no pay_bytes column; index bytes unchanged).
     payloads: str | None = None
+    # physical term-vector sidecar (CompressingTermVectorsWriter .tvd/.tvx
+    # analog): each invert task side-writes its batch's doc-major
+    # (doc_id, term, freq, positions[, start_offsets]) rows to
+    # termvectors/tv-<mindoc>-<maxdoc>-<digest>.parquet (atomic temp+rename,
+    # content-keyed name → idempotent under task retries). Point lookups
+    # prune by filename doc range then parquet row-group stats — no
+    # re-tokenization at retrieval time (vs the reconstruct-on-demand path).
+    store_term_vectors: bool = False
 
     def bucket_of(self, doc_ids: np.ndarray) -> np.ndarray:
         """Doc-range bucket: (id - id_min) // ceil(span / n_buckets).
@@ -303,6 +311,14 @@ class Inverter:
             else:
                 out_pos = [b""] * len(row_starts)
 
+            if self.cfg.store_term_vectors:
+                _write_term_vector_file(
+                    self.cfg.index_path, pair_docid, pair_term, pair_freq,
+                    pair_starts, pair_val_ends,
+                    p_sorted if store_pos else None,
+                    pay_arr if (store_pos and want_pay) else None,
+                    darr.dictionary)
+
         # assemble per-row value arrays (contiguous slices of the pair arrays)
         n_rows = len(out_term_arr)
         docs_vals = np.empty(0, np.int64)
@@ -423,6 +439,75 @@ def _segmented_cumsum_reset(deltas: np.ndarray, run_starts: np.ndarray,
 
 
 _INVERTER_SINGLETON: dict[tuple, Inverter] = {}
+
+
+def _write_term_vector_file(index_path: str, pair_docid, pair_term,
+                            pair_freq, pair_starts, pair_val_ends,
+                            p_sorted, pay_arr, term_dict) -> None:
+    """Side-write one batch's physical term vectors (doc-major, term-sorted
+    within doc — TermVectorsReader enumerates terms in term order). All
+    columns assembled by vectorized gathers over the inverter's pair arrays;
+    no re-tokenization. Idempotent: the file name is content-keyed and the
+    write is temp+rename, so task retries replace with identical bytes."""
+    import hashlib
+
+    terms_np = np.asarray(term_dict.to_pylist(), dtype=object)[pair_term]
+    tv_order = np.lexsort((terms_np, pair_docid))
+    docs = pair_docid[tv_order]
+    terms = terms_np[tv_order]
+    freqs = pair_freq[tv_order].astype(np.int32)
+    cols: dict = {
+        "doc_id": pa.array(docs, type=pa.int64()),
+        "term": pa.array(terms, type=pa.string()),
+        "freq": pa.array(freqs, type=pa.int32()),
+    }
+    if p_sorted is not None:
+        lens_tv = (pair_val_ends - pair_starts)[tv_order]
+        offs = np.concatenate(([0], np.cumsum(lens_tv)))
+        gather = (np.repeat(pair_starts[tv_order] - offs[:-1], lens_tv)
+                  + np.arange(offs[-1]))
+        cols["positions"] = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(p_sorted[gather].astype(np.int32)))
+        if pay_arr is not None:
+            cols["start_offsets"] = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(pay_arr[gather].astype(np.int32)))
+    tbl = pa.table(cols)
+    tvdir = os.path.join(index_path, "termvectors")
+    os.makedirs(tvdir, exist_ok=True)
+    key = hashlib.md5(docs.tobytes()).hexdigest()[:12]
+    name = f"tv-{int(docs[0]):015d}-{int(docs[-1]):015d}-{key}.parquet"
+    tmp = os.path.join(tvdir, f".{name}.{os.getpid()}.tmp")
+    pq.write_table(tbl, tmp, row_group_size=8192)
+    os.replace(tmp, os.path.join(tvdir, name))
+
+
+def read_term_vector(index_path: str, doc_id: int) -> pa.Table:
+    """Point-lookup a doc's stored term vector: prune sidecar files by the
+    doc range in the name, then parquet row-group stats prune inside the
+    file (Lucene .tvx doc→pointer analog). Raises if the index was built
+    without store_term_vectors."""
+    tvdir = os.path.join(index_path, "termvectors")
+    if not os.path.isdir(tvdir):
+        raise FileNotFoundError(
+            f"index at {index_path} has no termvectors/ sidecar")
+    parts = []
+    for f in sorted(os.listdir(tvdir)):
+        if not (f.startswith("tv-") and f.endswith(".parquet")):
+            continue
+        _, lo, hi, _rest = f.split("-", 3)
+        if int(lo) <= doc_id <= int(hi):
+            t = pq.read_table(
+                os.path.join(tvdir, f),
+                filters=pc.field("doc_id") == doc_id)
+            if t.num_rows:
+                parts.append(t)
+    if not parts:
+        return None
+    from lucenenet_ray.util.tables import concat_tables
+
+    return concat_tables(parts, schema=parts[0].schema)
 
 
 def invert_batch_fn(batch: pa.Table, cfg: IndexConfig, text_col: str,

@@ -552,6 +552,39 @@ FROM m2 WHERE p2 - p1 - 1 <= {slop}
 GROUP BY doc_id ORDER BY doc_id"""
 
 
+def span_near_pred_count_sql(pred1: str, t2: str, slop: int) -> str:
+    """span_near_count_sql generalized: the FIRST clause is any SQL term
+    predicate (an OR-group ``term IN (...)`` per SrndOrQuery, or a
+    truncation ``term LIKE 'p%'`` per SrndTruncQuery expansion — the merged
+    occurrence list is one sorted width-1 span list, so the same
+    minimal-match closed form applies). Output (doc_id, n_spans)."""
+    return f"""WITH {_toks_cte()},
+occ1 AS (SELECT doc_id, pos FROM kept WHERE {pred1}),
+occ2 AS (SELECT doc_id, pos FROM kept WHERE term = '{t2}'),
+m1 AS (
+  SELECT o1.doc_id, o1.pos AS p1, min(o2.pos) AS p2
+  FROM occ1 o1 JOIN occ2 o2 ON o2.doc_id = o1.doc_id AND o2.pos >= o1.pos + 1
+  GROUP BY o1.doc_id, o1.pos
+),
+m2 AS (SELECT doc_id, max(p1) AS p1, p2 FROM m1 GROUP BY doc_id, p2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM m2 WHERE p2 - p1 - 1 <= {slop}
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+def surround_trunc_count_sql(prefix: str, t2: str, slop: int) -> str:
+    """Oracle for ``(slop+1)W(prefix*, t2)``: truncation-expanded ordered
+    near (Surround/Query/SrndTruncQuery.cs + DistanceQuery.cs analog)."""
+    return span_near_pred_count_sql(f"term LIKE '{prefix}%'", t2, slop)
+
+
+def complex_phrase_count_sql(alts: list[str], t2: str, slop: int) -> str:
+    """Oracle for ComplexPhrase ``"(a b) c"~slop``: OR-group first slot,
+    ordered near (ComplexPhraseQueryParser.cs rewrite-to-spans analog)."""
+    inlist = ", ".join(f"'{a}'" for a in alts)
+    return span_near_pred_count_sql(f"term IN ({inlist})", t2, slop)
+
+
 def shingle_stats_sql(n: int = 20) -> str:
     """2-gram ShingleFilter surface over the RAW token stream (no stop
     filter → no fillers; ShingleAnalyzerWrapper default use): top-n shingles

@@ -361,6 +361,33 @@ class IndexReader:
         Fixed for the reader's lifetime, like Lucene's."""
         return self._version
 
+    def term_vector(self, doc_id: int, field: str | None = None):
+        """Stored term vector for one doc from the physical termvectors/
+        sidecar (TermVectorsReader.Get(doc) analog; requires the index to
+        have been built with store_term_vectors). ``field=None`` → body
+        terms only; ``field='src'`` → that field's prefixed terms,
+        unprefixed in the result. Returns a term-sorted pyarrow table
+        (term, freq, positions[, start_offsets]) or None if absent."""
+        from lucenenet_ray.index.build import read_term_vector
+        from lucenenet_ray.search.query import FIELD_SEP
+
+        t = read_term_vector(self.index_path, doc_id)
+        if t is None:
+            return None
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        has_sep = _pc.match_substring(t.column("term"), FIELD_SEP)
+        if field is None:
+            t = t.filter(_pc.invert(has_sep))
+        else:
+            pref = field + FIELD_SEP
+            t = t.filter(_pc.starts_with(t.column("term"), pref))
+            t = t.set_column(
+                t.schema.get_field_index("term"), "term",
+                _pc.utf8_slice_codeunits(t.column("term"), len(pref)))
+        return t.sort_by("term")
+
     @property
     def bucket_ids(self) -> list[int]:
         return [b["bucket"] for b in self.manifest["buckets"]]
