@@ -708,6 +708,45 @@ def _q_complex_phrase(sf_dir: str) -> pa.Table:
                               parse_complex_phrase('"(spark window) merge"~2'))
 
 
+def _q_replica_bm25(sf_dir: str) -> pa.Table:
+    """PUSH-replicated search (Lucene.Net.Replicator LocalReplicator +
+    ReplicationClient analogs, index/replicator.py): commit the index,
+    publish through a ReplicationHub actor, a ReplicaNode actor wakes,
+    checks the commit out and serves the query from ITS checkout. The
+    replica of a pristine commit must rank identically to the live index,
+    so the oracle is the plain BM25 top-k."""
+    import shutil
+
+    import ray
+
+    from lucenenet_ray.index.replicator import (
+        ReplicaNode,
+        ReplicationHub,
+        publish_commit,
+    )
+
+    src = _index_path(sf_dir)
+    root = os.path.join("/tmp/lucenenet_ray_repl",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(root, ignore_errors=True)
+    view = os.path.join(root, "view")
+    os.makedirs(view)
+    for name in os.listdir(src):
+        if name not in ("commits", "deletes", "dv_updates"):
+            os.symlink(os.path.join(src, name), os.path.join(view, name))
+    hub = ReplicationHub.remote(view)
+    replica = ReplicaNode.remote(hub, os.path.join(root, "replica"))
+    fut = replica.sync_once.remote(60.0)  # parks until the publish below
+    publish_commit(hub, view, {"label": "replica-serve"})
+    ray.get(fut)
+    hits = ray.get(replica.search_terms.remote(["data", "merge"], k=TOPK))
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(hits) + 1, dtype=np.int64)),
+        "doc_id": pa.array([int(d) for d, _s in hits], type=pa.int64()),
+        "score": pa.array([float(s) for _d, s in hits], type=pa.float64()),
+    })
+
+
 def _q_total_hits(sf_dir: str) -> pa.Table:
     """TotalHitCountCollector (Search/TotalHitCountCollector.cs): exact
     match count of the 'spark AND window' conjunction."""
@@ -1598,6 +1637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surround_trunc": _q_surround_trunc,
         "complex_phrase": _q_complex_phrase,
         "term_vector_stored": _q_term_vector_stored,
+        "replica_bm25": _q_replica_bm25,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -1652,6 +1692,7 @@ def oracle_sql() -> dict[str, str]:
         "complex_phrase": so.complex_phrase_count_sql(
             ["spark", "window"], "merge", 2),
         "term_vector_stored": so.term_vector_sql(7),
+        "replica_bm25": so.bm25_topk_sql(["data", "merge"], TOPK, "or"),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),
