@@ -5,9 +5,9 @@ language stop set (+ stemmer) (``src/Lucene.Net.Analysis.Common/Analysis/
 {De,Fr,Es,...}``). Here: the same UAX#29 tokenizer + lowercase chain with a
 per-language stop set, dispatched on the ``lang`` column inside the tokenize
 stage; unknown/``und`` languages route through the default English chain
-(FIXTURES.md §1). Stemmers are an extension hook (``stem`` attribute),
-deliberately None in v0 — stemming changes index terms and would need its own
-golden suite (SURVEY §7.5).
+(FIXTURES.md §1). Stemming chains live in ``lang_stem.py``
+(StemmingLangAnalyzer: de/es/fr/it/pt/ru light stemmers, golden-tested);
+CJK codepoint classes are handled inside the UAX#29 tokenizer itself.
 
 Stop sets are compact high-frequency function-word sets (a pragmatic subset
 of the reference's snowball lists, which are data files — swap in the full
@@ -33,6 +33,32 @@ SPANISH_STOP = frozenset(
     "su sus lo como más pero sí o este esta estos estas él ella ellos ellas "
     "nosotros al ser son fue".split()
 )
+ITALIAN_STOP = frozenset(
+    "il lo la i gli le un uno una e di del della dei delle a al alla in nel "
+    "nella che è per con non si su da come ma se più questo questa questi "
+    "queste io tu lui lei noi voi loro sono era anche o dove chi cosa".split()
+)
+PORTUGUESE_STOP = frozenset(
+    "o a os as um uma uns umas e de do da dos das em no na nos nas que é por "
+    "para com não se seu sua seus suas ao à como mas ou este esta isto ele "
+    "ela eles elas nós vós são foi ser tem mais já também".split()
+)
+DUTCH_STOP = frozenset(
+    "de het een en van in op te dat die is was zijn met voor niet aan er om "
+    "ook als bij nog maar dan uit naar door over zo geen wordt heeft naar "
+    "deze dit hij zij wij jullie ik je hem haar hun ons".split()
+)
+RUSSIAN_STOP = frozenset(
+    "и в во не что он на я с со как а то все она так его но да ты к у же вы "
+    "за бы по ее мне было вот от меня еще нет о из ему теперь когда даже ну "
+    "ли если уже или ни быть был него до вас нибудь".split()
+)
+SWEDISH_STOP = frozenset(
+    "och det att i en jag hon som han på den med var sig för så till är men "
+    "ett om hade de av icke mig du henne då sin nu har inte hans honom skulle "
+    "hennes där min man ej vid kunde något från ut när efter upp vi dem vara "
+    "vad över än dig kan sina här ha mot alla under någon eller allt".split()
+)
 
 
 class LangAnalyzer(StandardAnalyzer):
@@ -53,6 +79,11 @@ class MultiLangAnalyzer:
             "de": LangAnalyzer(GERMAN_STOP),
             "fr": LangAnalyzer(FRENCH_STOP),
             "es": LangAnalyzer(SPANISH_STOP),
+            "it": LangAnalyzer(ITALIAN_STOP),
+            "pt": LangAnalyzer(PORTUGUESE_STOP),
+            "nl": LangAnalyzer(DUTCH_STOP),
+            "ru": LangAnalyzer(RUSSIAN_STOP),
+            "sv": LangAnalyzer(SWEDISH_STOP),
         }
 
     def __call__(self, text: str, lang: str | None = None

@@ -325,3 +325,45 @@ def test_light_stemmers():
     assert french_minimal_stem("belles") == "bel"      # -s, -e, dedup l
     assert french_minimal_stem("rouge") == "rouge"     # len 5: guard
     assert french_minimal_stem("grands") == "grand"
+
+
+def test_light_stemmers_it_pt_ru():
+    """Rule-level goldens for the round-3 languages
+    (ItalianLightStemmer.cs / PortugueseLightStemmer.cs /
+    RussianLightStemmer.cs semantics, worked by hand from the rule
+    tables)."""
+    from lucenenet_ray.analysis.lang_stem import (
+        italian_light_stem,
+        portuguese_light_stem,
+        russian_light_stem,
+    )
+
+    # Italian: <6 unchanged; fold; final e/i/a/o with i (or h) lookback
+    assert italian_light_stem("libro") == "libro"        # len 5: guard
+    assert italian_light_stem("abitazione") == "abitazion"
+    assert italian_light_stem("abitazioni") == "abitazion"
+    assert italian_light_stem("vecchie") == "vecch"      # -ie: takes the i
+    assert italian_light_stem("vecchi") == "vecc"        # h before final i
+    assert italian_light_stem("ragazza") == "ragazz"
+    assert italian_light_stem("ragazzo") == "ragazz"
+    assert italian_light_stem("perché") == "perc"        # fold é→e; he→-2
+
+    # Portuguese: suffix table → feminine norm → vowel strip → fold last
+    assert portuguese_light_stem("casas") == "casa"      # plain -s
+    assert portuguese_light_stem("corações") == "coraca" # ões→ão, -o, fold
+    assert portuguese_light_stem("bons") == "bom"        # ns→m
+    assert portuguese_light_stem("papéis") == "papel"    # éis→el
+    assert portuguese_light_stem("normais") == "normal"  # ais→al
+    assert portuguese_light_stem("barris") == "barril"   # is→il
+    assert portuguese_light_stem("rapidamente") == "rapid"
+    assert portuguese_light_stem("chinesa") == "chines"  # esa→ês, fold
+    assert portuguese_light_stem("menina") == "menin"    # len guard on -na
+
+    # Russian: longest-first case endings, then residual normalize
+    assert russian_light_stem("красивая") == "красив"    # -ая
+    assert russian_light_stem("красивыми") == "красив"   # -ыми
+    assert russian_light_stem("журналами") == "журнал"   # -ами
+    assert russian_light_stem("станциями") == "станц"    # -иями (4-char)
+    assert russian_light_stem("книги") == "книг"         # final vowel
+    assert russian_light_stem("жизнь") == "жизн"         # soft sign
+    assert russian_light_stem("дом") == "дом"            # len guard
