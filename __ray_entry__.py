@@ -1444,6 +1444,54 @@ def _q_term_stats_cjk(sf_dir: str) -> pa.Table:
     return t.take(idx).select(["term", "df", "ttf"])
 
 
+def _q_term_stats_cjk_bigram(sf_dir: str) -> pa.Table:
+    """CJKBigramFilter chain (Analysis/Cjk/CJKBigramFilter.cs, HAN|HIRAGANA
+    flags): bigram term stats over the deterministic CJK corpus. Bigrams
+    form only inside offset-aligned runs (whitespace breaks runs), lone
+    flagged chars come out as unigrams, katakana/hangul runs and latin
+    words pass through — the oracle re-derives all of it from the md5
+    corpus formulas in SQL."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lucenenet_ray.sources.cjk import cjk_corpus_table
+
+    ds = rd.from_arrow(cjk_corpus_table(sf_dir))
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from lucenenet_ray.analysis.filters import CJKBigramAnalyzer
+
+        an = CJKBigramAnalyzer()
+        df: Counter = Counter()
+        ttf: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            terms, _pos = an(x or "")
+            c = Counter(terms)
+            ttf.update(c)
+            df.update(c.keys())
+        keys = sorted(ttf)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "df": pa.array([df[k] for k in keys], type=pa.int64()),
+            "ttf": pa.array([ttf[k] for k in keys], type=pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=64)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .sort("term")
+        .take_all()
+    )
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], type=pa.string()),
+        "df": pa.array([r["df"] for r in out], type=pa.int64()),
+        "ttf": pa.array([r["ttf"] for r in out], type=pa.int64()),
+    })
+
+
 def _q_term_stats_multilang(sf_dir: str) -> pa.Table:
     """Index build with per-language analyzer dispatch on the lang column
     (SURVEY §2.2 per-language analyzers) → global term stats."""
@@ -1638,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "complex_phrase": _q_complex_phrase,
         "term_vector_stored": _q_term_vector_stored,
         "replica_bm25": _q_replica_bm25,
+        "term_stats_cjk_bigram": _q_term_stats_cjk_bigram,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -1693,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "window"], "merge", 2),
         "term_vector_stored": so.term_vector_sql(7),
         "replica_bm25": so.bm25_topk_sql(["data", "merge"], TOPK, "or"),
+        "term_stats_cjk_bigram": so.term_stats_cjk_bigram_sql(),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import unicodedata
 
+import regex as _regex
+
 from lucenenet_ray.analysis.standard import ENGLISH_STOP_WORDS, StandardAnalyzer
 
 # ---------------------------------------------------------------------------
@@ -510,3 +512,95 @@ class ShingleAnalyzer:
         terms, positions = self.base(text)
         return shingles(terms, positions, self.min_size, self.max_size,
                         self.output_unigrams)
+
+
+# ---------------------------------------------------------------------------
+# CJK bigrams
+
+
+_CJK_SCRIPT_RE = {
+    "han": _regex.compile(r"\p{Script=Han}+\Z"),
+    "hiragana": _regex.compile(r"\p{Script=Hiragana}+\Z"),
+    "katakana": _regex.compile(r"\p{Script=Katakana}+\Z"),
+    "hangul": _regex.compile(r"\p{Script=Hangul}+\Z"),
+}
+
+
+def cjk_bigrams(terms: list[str], positions: list[int], offsets: list[int],
+                scripts: tuple[str, ...] = ("han", "hiragana"),
+                output_unigrams: bool = False
+                ) -> tuple[list[str], list[int]]:
+    """CJKBigramFilter (``Analysis/Cjk/CJKBigramFilter.cs``): form bigrams
+    over runs of OFFSET-ALIGNED tokens of the selected CJK scripts
+    (``IncrementToken`` clears its buffer when ``StartOffset !=
+    lastEndOffset`` — whitespace between segments breaks runs even though
+    positions stay consecutive). A flagged token with no aligned flagged
+    neighbor is emitted in unigram form; non-flagged tokens pass through
+    unmodified. ``output_unigrams=True`` interleaves unigrams and bigrams
+    (the combined approach: A, AB, B, BC, C).
+
+    Buffer semantics per the reference: a run's CODEPOINTS are what gets
+    bigrammed, so a multi-char run token (e.g. a Katakana run, when
+    'katakana' is flagged) contributes each of its characters."""
+    pats = [_CJK_SCRIPT_RE[s] for s in scripts]
+
+    out_t: list[str] = []
+    out_p: list[int] = []
+
+    run_chars: list[str] = []
+    run_pos: list[int] = []
+
+    def flush_run() -> None:
+        n = len(run_chars)
+        if not n:
+            return
+        if n == 1:
+            out_t.append(run_chars[0])
+            out_p.append(run_pos[0])
+        else:
+            for i in range(n - 1):
+                if output_unigrams:
+                    out_t.append(run_chars[i])
+                    out_p.append(run_pos[i])
+                out_t.append(run_chars[i] + run_chars[i + 1])
+                out_p.append(run_pos[i])
+            if output_unigrams:
+                out_t.append(run_chars[-1])
+                out_p.append(run_pos[-1])
+        run_chars.clear()
+        run_pos.clear()
+
+    last_end = None
+    for term, pos, off in zip(terms, positions, offsets):
+        flagged = any(p.match(term) for p in pats)
+        if not flagged:
+            flush_run()
+            out_t.append(term)
+            out_p.append(pos)
+            last_end = None
+            continue
+        if last_end is not None and off != last_end and run_chars:
+            flush_run()
+        for i, ch in enumerate(term):
+            run_chars.append(ch)
+            run_pos.append(pos if i == 0 else pos)
+        last_end = off + len(term)
+    flush_run()
+    return out_t, out_p
+
+
+class CJKBigramAnalyzer:
+    """CJKAnalyzer chain shape (``Analysis/Cjk/CJKAnalyzer.cs``:
+    StandardTokenizer → CJKBigramFilter → lowercase/stop already applied by
+    the standard chain). ``scripts`` selects the flagged writing systems."""
+
+    def __init__(self, scripts: tuple[str, ...] = ("han", "hiragana"),
+                 output_unigrams: bool = False):
+        self.base = StandardAnalyzer()
+        self.scripts = scripts
+        self.output_unigrams = output_unigrams
+
+    def __call__(self, text: str) -> tuple[list[str], list[int]]:
+        terms, positions, offsets = self.base.call_with_offsets(text)
+        return cjk_bigrams(terms, positions, offsets, self.scripts,
+                           self.output_unigrams)

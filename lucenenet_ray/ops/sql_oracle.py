@@ -1210,6 +1210,63 @@ SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM tokens GROUP BY term ORDER BY term"""
 
 
+def term_stats_cjk_bigram_sql() -> str:
+    """(term, df, ttf) after the CJKBigramFilter chain (HAN|HIRAGANA
+    flags) over the deterministic CJK corpus: Han/Hiragana segments of
+    length n emit n-1 intra-segment bigrams (n>=2) or one unigram (n==1)
+    — whitespace between segments breaks offset alignment, so bigrams
+    never cross segments (CJKBigramFilter.cs IncrementToken clears its
+    buffer on unaligned offsets); Katakana/Hangul runs and latin words
+    pass through unmodified."""
+    from lucenenet_ray.sources.cjk import (
+        HAN, HANGUL, HIRAGANA, KATAKANA, LATIN_WORDS, N_DOCS, N_SEGS,
+    )
+
+    def md5i(expr: str) -> str:
+        return _MD5_INT31.format(s=expr)
+
+    words = ", ".join(f"'{w}'" for w in LATIN_WORDS)
+    return f"""WITH docs AS (
+  SELECT doc_id FROM documents WHERE doc_id < {N_DOCS}
+),
+segs AS (
+  SELECT doc_id, j,
+    {md5i("'cjk-s-'||doc_id||'-'||j")} % 5 AS script,
+    1 + ({md5i("'cjk-l-'||doc_id||'-'||j")} % 3) AS seglen
+  FROM docs, generate_series(0, {N_SEGS - 1}) AS t(j)
+),
+chars AS (
+  SELECT doc_id, j, script, seglen, k,
+    {md5i("'cjk-c-'||doc_id||'-'||j||'-'||k")} AS r
+  FROM segs, LATERAL (SELECT unnest(range(0, seglen)) AS k)
+),
+hh AS (
+  SELECT doc_id, j, seglen, k,
+    CASE WHEN script = 0
+         THEN chr(CAST({HAN[0]} + (r % {HAN[1]}) AS INTEGER))
+         ELSE chr(CAST({HIRAGANA[0]} + (r % {HIRAGANA[1]}) AS INTEGER))
+    END AS ch
+  FROM chars WHERE script IN (0, 1)
+),
+tokens AS (
+  SELECT a.doc_id, a.ch || b.ch AS term
+  FROM hh a JOIN hh b ON b.doc_id = a.doc_id AND b.j = a.j AND b.k = a.k + 1
+  UNION ALL
+  SELECT doc_id, ch FROM hh WHERE seglen = 1
+  UNION ALL
+  SELECT doc_id, string_agg(chr(CAST({KATAKANA[0]} + (r % {KATAKANA[1]}) AS INTEGER)), '' ORDER BY k)
+  FROM chars WHERE script = 2 GROUP BY doc_id, j
+  UNION ALL
+  SELECT doc_id, string_agg(chr(CAST({HANGUL[0]} + (r % {HANGUL[1]}) AS INTEGER)), '' ORDER BY k)
+  FROM chars WHERE script = 3 GROUP BY doc_id, j
+  UNION ALL
+  SELECT doc_id, ([{words}])[1 + (r % {len(LATIN_WORDS)})]
+  FROM chars WHERE script = 4 AND k = 0
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM tokens GROUP BY term ORDER BY term"""
+
+
 def term_stats_multilang_sql() -> str:
     """Per-language analyzer dispatch: stop set chosen by the lang column
     (de/fr/es; everything else routes through the English default chain)."""

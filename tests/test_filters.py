@@ -367,3 +367,28 @@ def test_light_stemmers_it_pt_ru():
     assert russian_light_stem("книги") == "книг"         # final vowel
     assert russian_light_stem("жизнь") == "жизн"         # soft sign
     assert russian_light_stem("дом") == "дом"            # len guard
+
+
+def test_cjk_bigrams():
+    """CJKBigramFilter goldens (Analysis/Cjk/CJKBigramFilter.cs): bigrams
+    within offset-aligned runs only; lone chars as unigrams; unflagged
+    scripts and latin pass through; combined unigram+bigram interleave."""
+    from lucenenet_ray.analysis.filters import CJKBigramAnalyzer, cjk_bigrams
+
+    an = CJKBigramAnalyzer()
+    # whitespace breaks offset alignment: no cross-segment bigram
+    assert an("数据处 理")[0] == ["数据", "据处", "理"]
+    # positions: bigram takes the first char's position
+    assert an("数据处")[1] == [0, 1]
+    # unflagged (katakana run, latin) pass through and break runs
+    assert an("テスト 数据 engine")[0] == ["テスト", "数据", "engine"]
+    # combined approach interleaves: A AB B BC C
+    an2 = CJKBigramAnalyzer(output_unigrams=True)
+    assert an2("数据处")[0] == ["数", "数据", "据", "据处", "处"]
+    # katakana flagged: run codepoints get bigrammed
+    t, _p = cjk_bigrams(["テスト"], [0], [0], scripts=("katakana",))
+    assert t == ["テス", "スト"]
+    # adjacent flagged tokens with aligned offsets join runs (kanji+kana)
+    t, _p = cjk_bigrams(["数", "ひ"], [0, 1], [0, 1],
+                        scripts=("han", "hiragana"))
+    assert t == ["数ひ"]
