@@ -708,6 +708,22 @@ def _q_complex_phrase(sf_dir: str) -> pa.Table:
                               parse_complex_phrase('"(spark window) merge"~2'))
 
 
+def _q_xml_query_bm25(sf_dir: str) -> pa.Table:
+    """XML query dialect (QueryParser/Xml/CoreParser.cs analog,
+    search/xmlparser.py): the same 2-term OR expressed as an XML
+    BooleanQuery must rank hash-identically to the plain BM25 oracle."""
+    from lucenenet_ray.search.searcher import search
+    from lucenenet_ray.search.xmlparser import parse_xml_query
+
+    q = parse_xml_query(
+        "<BooleanQuery>"
+        '<Clause occurs="should"><TermQuery>spark</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery>merge</TermQuery></Clause>'
+        "</BooleanQuery>")
+    td = search(_reader(sf_dir), q, k=TOPK, prune=True)
+    return _topdocs_to_table(td)
+
+
 def _q_replica_bm25(sf_dir: str) -> pa.Table:
     """PUSH-replicated search (Lucene.Net.Replicator LocalReplicator +
     ReplicationClient analogs, index/replicator.py): commit the index,
@@ -1239,6 +1255,23 @@ def _q_events_window(sf_dir: str) -> Any:
     return out[["event_type", "win", "n_events", "min_user", "max_user"]]
 
 
+def _q_events_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization over the events log (ops/sessions.py):
+    ONE user_id hash shuffle, vectorized per-group session split (30-min
+    inactivity gap), checked against a DuckDB window-function oracle."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.sessions import sessionize
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id"])
+    out = sessionize(ds).to_pandas().sort_values(
+        ["user_id", "session_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["user_id", "session_id", "start_us", "end_us", "n_events"]],
+        preserve_index=False)
+
+
 def _q_semi_join(sf_dir: str) -> Any:
     """Query-time semi-join (JoinUtil.CreateJoinQuery, Join/JoinUtil.cs):
     collect join keys from the 'from' side, broadcast the key set, filter the
@@ -1687,6 +1720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vector_stored": _q_term_vector_stored,
         "replica_bm25": _q_replica_bm25,
         "term_stats_cjk_bigram": _q_term_stats_cjk_bigram,
+        "xml_query_bm25": _q_xml_query_bm25,
+        "events_sessionize": _q_events_sessionize,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -1743,6 +1778,8 @@ def oracle_sql() -> dict[str, str]:
         "term_vector_stored": so.term_vector_sql(7),
         "replica_bm25": so.bm25_topk_sql(["data", "merge"], TOPK, "or"),
         "term_stats_cjk_bigram": so.term_stats_cjk_bigram_sql(),
+        "xml_query_bm25": so.bm25_topk_sql(["spark", "merge"], TOPK, "or"),
+        "events_sessionize": so.events_sessionize_sql(),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

@@ -1153,6 +1153,30 @@ GROUP BY event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)
 ORDER BY event_type, win"""
 
 
+def events_sessionize_sql(gap_us: int = 30 * 60 * 1_000_000) -> str:
+    """Sessionization oracle: window-function gap split, ties broken by
+    event_id like ops/sessions.py sessionize_group."""
+    return f"""WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+o AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN ts_us - lag(ts_us) OVER w > {gap_us} THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT user_id, ts_us,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id"""
+
+
 def semi_join_sql() -> str:
     return """SELECT o.o_orderkey, o.o_custkey
 FROM orders o
