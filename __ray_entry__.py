@@ -1272,6 +1272,78 @@ def _q_events_sessionize(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def _q_nb_classify(sf_dir: str) -> pa.Table:
+    """Naive-Bayes classification (SimpleNaiveBayesClassifier.cs:141-232,
+    ops/classify.py): per-class log-probabilities for three corpus docs,
+    all statistics from the inverted index (class postings, term dict,
+    norms) — doubles bit-compared against the SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.classify import NaiveBayesClassifier
+
+    ids = [3, 7, 11]
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "in", ids)])
+    texts = dict(zip(t.column("doc_id").to_pylist(),
+                     t.column("text").to_pylist()))
+    nb = NaiveBayesClassifier(_reader(sf_dir), "source")
+    iid, cls, logp = [], [], []
+    for did in ids:
+        lp = nb.log_probs(texts[did])
+        for c, v in zip(nb.model.classes, lp):
+            iid.append(did)
+            cls.append(c)
+            logp.append(float(v))
+    return pa.table({
+        "input_id": pa.array(iid, type=pa.int64()),
+        "cls": pa.array(cls, type=pa.string()),
+        "logp": pa.array(logp, type=pa.float64()),
+    })
+
+
+def _q_nb_classify_all(sf_dir: str) -> pa.Table:
+    """Corpus-scale naive-Bayes inference (ops/classify.py): ONE
+    groupby(term, class) training shuffle, model broadcast once via
+    ray.put, actor-pool map_batches argmax per doc — the Ray-first shape
+    of Classification at 100TB."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.classify import nb_classify_dataset, train_nb_model
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    model = train_nb_model(
+        rd.read_parquet(src, columns=["doc_id", "text", "source"]), "source")
+    out = nb_classify_dataset(
+        rd.read_parquet(src, columns=["doc_id", "text"]), model)
+    import ray
+
+    t = pa.concat_tables(
+        [b for b in ray.get(out.to_arrow_refs()) if b.num_rows],
+        promote_options="permissive")
+    return t.take(pa.compute.sort_indices(t.column("doc_id")))
+
+
+def _q_knn_classify(sf_dir: str) -> pa.Table:
+    """kNN classification (KNearestNeighborClassifier.cs:70-122,
+    ops/classify.py): MoreLikeThis query from doc 0's text, BM25 top-10
+    neighbours, majority vote over the `source` class field."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.classify import KNNClassifier
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "=", 0)])
+    text = t.column("text")[0].as_py()
+    kc = KNNClassifier(_reader(sf_dir), "source", k=TOPK)
+    vt = kc.vote_table(text)
+    return pa.table({
+        "cls": pa.array([c for c, _n in vt], type=pa.string()),
+        "votes": pa.array([n for _c, n in vt], type=pa.int64()),
+    })
+
+
 def _q_semi_join(sf_dir: str) -> Any:
     """Query-time semi-join (JoinUtil.CreateJoinQuery, Join/JoinUtil.cs):
     collect join keys from the 'from' side, broadcast the key set, filter the
@@ -1722,6 +1794,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_cjk_bigram": _q_term_stats_cjk_bigram,
         "xml_query_bm25": _q_xml_query_bm25,
         "events_sessionize": _q_events_sessionize,
+        "nb_classify": _q_nb_classify,
+        "nb_classify_all": _q_nb_classify_all,
+        "knn_classify": _q_knn_classify,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -1780,6 +1855,9 @@ def oracle_sql() -> dict[str, str]:
         "term_stats_cjk_bigram": so.term_stats_cjk_bigram_sql(),
         "xml_query_bm25": so.bm25_topk_sql(["spark", "merge"], TOPK, "or"),
         "events_sessionize": so.events_sessionize_sql(),
+        "nb_classify": so.nb_classify_sql([3, 7, 11]),
+        "nb_classify_all": so.nb_classify_all_sql(),
+        "knn_classify": so.knn_classify_sql(0, TOPK),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

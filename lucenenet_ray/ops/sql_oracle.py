@@ -1387,3 +1387,149 @@ def grouping_topk_sql(k: int = 3) -> str:
   SELECT lang, doc_id, n_chars,
          CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk
   FROM documents) WHERE rnk <= {k} ORDER BY lang, rnk"""
+
+
+# ---------------------------------------------------------------------------
+# classification (Lucene.Net.Classification analogs, ops/classify.py)
+
+_NB_STATS_CTE = """
+pairs AS (SELECT DISTINCT doc_id, term FROM kept),
+body AS (
+  -- Terms.SumDocFreq / Terms.DocCount of the text field
+  SELECT count(*) AS sumdf, count(DISTINCT doc_id) AS dc FROM pairs
+),
+cls AS (SELECT source AS c, count(*) AS dfc FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(dfc) AS BIGINT) AS D FROM cls)"""
+
+
+def _nb_percls_cte(input_filter: str) -> str:
+    """(input_id, class, pos) → per-token ln((hits+1)/den) rows; the
+    likelihood sum is a left-assoc list_reduce in token order, matching the
+    engine's accumulation (SimpleNaiveBayesClassifier.cs:168-190).  DuckDB
+    ln() is libm — bit-identical to the engine's math.log (verified)."""
+    return f"""
+itoks AS (
+  SELECT doc_id AS input_id, term, pos FROM kept WHERE {input_filter}
+),
+hits AS (
+  SELECT k.term, d.source AS c, count(DISTINCT k.doc_id) AS h
+  FROM kept k JOIN documents d USING (doc_id)
+  WHERE k.term IN (SELECT DISTINCT term FROM itoks)
+  GROUP BY k.term, d.source
+),
+percl AS (
+  SELECT i.input_id, cl.c, i.pos,
+         ln((COALESCE(h.h, 0) + 1.0)
+            / ((CAST((SELECT sumdf FROM body) AS DOUBLE)
+                / (SELECT dc FROM body)) * cl.dfc + (SELECT D FROM tot)))
+           AS lnv
+  FROM itoks i CROSS JOIN cls cl
+  LEFT JOIN hits h ON h.term = i.term AND h.c = cl.c
+),
+lik AS (
+  SELECT input_id, c,
+         list_reduce(list(lnv ORDER BY pos), (x, y) -> x + y) AS l
+  FROM percl GROUP BY input_id, c
+),
+logps AS (
+  SELECT l.input_id, l.c,
+         (ln(CAST(cl.dfc AS DOUBLE))
+          - ln(CAST((SELECT D FROM tot) AS DOUBLE))) + l.l AS logp
+  FROM lik l JOIN cls cl ON cl.c = l.c
+)"""
+
+
+def nb_classify_sql(doc_ids: list[int]) -> str:
+    """Per-class naive-Bayes log-probabilities for the given input docs
+    (SimpleNaiveBayesClassifier.AssignClass inner loop, classify.py
+    NaiveBayesClassifier.log_probs) — doubles, bit-exact."""
+    ids = ", ".join(str(i) for i in doc_ids)
+    return f"""WITH {_toks_cte()},{_NB_STATS_CTE},{_nb_percls_cte(f"doc_id IN ({ids})")}
+SELECT input_id, c AS cls, logp FROM logps ORDER BY input_id, cls"""
+
+
+def nb_classify_all_sql() -> str:
+    """Corpus-wide AssignClass (classify.py nb_classify_dataset): the argmax
+    class per doc, ties to the lexicographically smallest class (the
+    engine's strict-max in class-sorted order)."""
+    return f"""WITH {_toks_cte()},{_NB_STATS_CTE},{_nb_percls_cte("TRUE")},
+allc AS (
+  -- docs with zero kept tokens still classify: prior-only logp
+  SELECT d.doc_id AS input_id, cl.c,
+         COALESCE(lp.logp,
+                  ln(CAST(cl.dfc AS DOUBLE))
+                  - ln(CAST((SELECT D FROM tot) AS DOUBLE))) AS logp
+  FROM documents d CROSS JOIN cls cl
+  LEFT JOIN logps lp ON lp.input_id = d.doc_id AND lp.c = cl.c
+)
+SELECT input_id AS doc_id, c AS cls
+FROM (SELECT input_id, c,
+             row_number() OVER (PARTITION BY input_id
+                                ORDER BY logp DESC, c ASC) AS rn
+      FROM allc)
+WHERE rn = 1 ORDER BY doc_id"""
+
+
+def knn_classify_sql(doc_id: int = 0, k: int = 10, max_terms: int = 25,
+                     min_tf: int = 2, min_df: int = 5) -> str:
+    """kNN classifier oracle (KNearestNeighborClassifier.cs:70-122 /
+    classify.py KNNClassifier): MLT term selection for the input doc
+    (mlt_terms_sql math), float32 BM25 over the selected terms with the
+    clause-order left-assoc sum done by list_reduce (REAL-cast each step —
+    bit-identical to the engine's float32 accumulation), top-k by
+    (score desc, doc asc), then the class vote (votes desc, class asc)."""
+    return f"""WITH {_toks_cte()},{_NORM_CTE},
+src AS (
+  SELECT term, count(*) AS tf
+  FROM (SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id = {doc_id})
+  WHERE term <> '' GROUP BY term
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term
+),
+mltsel AS (
+  SELECT s.term, d.df,
+         s.tf * (1.0 + ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                          / (d.df + 1.0))) AS mscore
+  FROM src s JOIN dfs d USING (term)
+  WHERE s.tf >= {min_tf} AND d.df >= {min_df}
+),
+sel AS (
+  SELECT term, df,
+         CAST(row_number() OVER (ORDER BY mscore DESC, term ASC) AS BIGINT) AS r
+  FROM mltsel ORDER BY mscore DESC, term ASC LIMIT {max_terms}
+),
+qw AS (
+  SELECT term, r,
+    CAST(ln(1 + (CAST((SELECT N FROM coll) AS DOUBLE) - df + 0.5)
+            /(df + 0.5)) AS REAL) * {K1P1_R} AS wv
+  FROM sel
+),
+tfq AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tfq.doc_id, w.r, (w.wv * tfq.f) / (tfq.f + c.cache) AS sc
+  FROM tfq JOIN qw w USING (term)
+  JOIN normcache c ON c.doc_id = tfq.doc_id
+),
+cand AS (SELECT DISTINCT doc_id FROM persc),
+fullm AS (
+  SELECT cand.doc_id, s.r, COALESCE(p.sc, {ZERO_R}) AS sc
+  FROM cand CROSS JOIN sel s
+  LEFT JOIN persc p ON p.doc_id = cand.doc_id AND p.r = s.r
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list(sc ORDER BY r), (x, y) -> CAST(x + y AS REAL))
+           AS score
+  FROM fullm GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT d.source AS cls, CAST(count(*) AS BIGINT) AS votes
+FROM topk JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY votes DESC, cls ASC"""
