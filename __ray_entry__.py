@@ -1344,6 +1344,80 @@ def _q_knn_classify(sf_dir: str) -> pa.Table:
     })
 
 
+def _percolate_plans():
+    """The registered query set for the percolation gate query — one of
+    each node family the SQL oracle can express (percolate_sql mirrors
+    these conditions exactly)."""
+    from lucenenet_ray.search.query import NumericDocValuesRangeQuery
+    from lucenenet_ray.search.query import parse_query as P
+
+    return [
+        ("q0", P("spark AND window")),
+        ("q1", P('"batch merge"')),
+        ("q2", P("vector dup -spark")),
+        ("q3", P("sp*")),
+        ("q4", P("merge NOT window")),
+        ("q5", P('"spark data"~2')),
+        ("q6", NumericDocValuesRangeQuery(field="n_chars", lower=200,
+                                          upper=1200, include_lower=True,
+                                          include_upper=False)),
+    ]
+
+
+def _q_percolate(sf_dir: str) -> pa.Table:
+    """Percolation (MemoryIndex.cs:40-46 prospective search,
+    ops/percolate.py): the query set is broadcast once, the document
+    stream is matched batch-wise with numpy set algebra — (doc, query)
+    match pairs."""
+    from lucenenet_ray.ops.percolate import percolate
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    out = percolate(
+        _docs_ds(sf_dir, columns=("doc_id", "text", "n_chars")),
+        _percolate_plans(), numeric_cols=("n_chars",))
+    t = dataset_to_table(out, schema=pa.schema(
+        [("doc_id", pa.int64()), ("query_id", pa.string())]))
+    return t.take(pa.compute.sort_indices(
+        t, sort_keys=[("doc_id", "ascending"), ("query_id", "ascending")]))
+
+
+def _q_memory_index_score(sf_dir: str) -> pa.Table:
+    """MemoryIndex.Search (MemoryIndex.cs:531, ops/percolate.py): every doc
+    scored as its own one-doc collection (N=1, df=1, avgdl=dl) for the OR
+    query 'spark merge'; float32-exact vs the SQL oracle."""
+    from lucenenet_ray.ops.percolate import MemoryIndex
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    class Score:
+        def __init__(self):
+            from lucenenet_ray.analysis.standard import StandardAnalyzer
+
+            self.analyzer = StandardAnalyzer()
+            self.q = parse_query("spark merge")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, scores = [], []
+            for did, text in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("text").to_pylist()):
+                mi = MemoryIndex(text, analyzer=self.analyzer)
+                s = mi.search(self.q)
+                if s > 0.0:
+                    ids.append(did)
+                    scores.append(s)
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "score": pa.array(np.asarray(scores, dtype=np.float32),
+                                  type=pa.float32()),
+            })
+
+    t = dataset_to_table(
+        _docs_ds(sf_dir).map_batches(Score, batch_format="pyarrow",
+                                     concurrency=2),
+        schema=pa.schema([("doc_id", pa.int64()), ("score", pa.float32())]))
+    return t.take(pa.compute.sort_indices(t.column("doc_id")))
+
+
 def _q_semi_join(sf_dir: str) -> Any:
     """Query-time semi-join (JoinUtil.CreateJoinQuery, Join/JoinUtil.cs):
     collect join keys from the 'from' side, broadcast the key set, filter the
@@ -1797,6 +1871,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": _q_nb_classify,
         "nb_classify_all": _q_nb_classify_all,
         "knn_classify": _q_knn_classify,
+        "percolate": _q_percolate,
+        "memory_index_score": _q_memory_index_score,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -1858,6 +1934,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_classify": so.nb_classify_sql([3, 7, 11]),
         "nb_classify_all": so.nb_classify_all_sql(),
         "knn_classify": so.knn_classify_sql(0, TOPK),
+        "percolate": so.percolate_sql(),
+        "memory_index_score": so.memory_index_score_sql(),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

@@ -1533,3 +1533,80 @@ topk AS (
 SELECT d.source AS cls, CAST(count(*) AS BIGINT) AS votes
 FROM topk JOIN documents d USING (doc_id)
 GROUP BY d.source ORDER BY votes DESC, cls ASC"""
+
+
+# ---------------------------------------------------------------------------
+# MemoryIndex / percolation (Lucene.Net.Memory analogs, ops/percolate.py)
+
+
+def percolate_sql() -> str:
+    """Match pairs for the fixed percolation query set in
+    ``__ray_entry__._percolate_plans`` (ops/percolate.py Percolator).
+
+    Phrase adjacency uses the kept CTE's ORIGINAL token positions (stopword
+    holes preserved), matching the analyzer's position increments; the
+    sloppy 2-term phrase matches iff some pair satisfies
+    |pos2 - pos1 - 1| <= slop (SloppyPhraseScorer match condition for two
+    distinct terms at offsets 0,1)."""
+    def ex(term: str) -> str:
+        return ("EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = d.doc_id "
+                f"AND k.term = '{term}')")
+
+    q0 = f"{ex('spark')} AND {ex('window')}"
+    q1 = ("EXISTS (SELECT 1 FROM kept a JOIN kept b ON b.doc_id = a.doc_id "
+          "AND b.pos = a.pos + 1 AND b.term = 'merge' "
+          "WHERE a.doc_id = d.doc_id AND a.term = 'batch')")
+    q2 = f"({ex('vector')} OR {ex('dup')}) AND NOT {ex('spark')}"
+    q3 = ("EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = d.doc_id "
+          "AND k.term LIKE 'sp%')")
+    q4 = f"{ex('merge')} AND NOT {ex('window')}"
+    q5 = ("EXISTS (SELECT 1 FROM kept a JOIN kept b ON b.doc_id = a.doc_id "
+          "AND b.term = 'data' AND abs(b.pos - a.pos - 1) <= 2 "
+          "WHERE a.doc_id = d.doc_id AND a.term = 'spark')")
+    q6 = "d.n_chars >= 200 AND d.n_chars < 1200"
+    arms = "\nUNION ALL\n".join(
+        f"SELECT d.doc_id, 'q{i}' AS query_id FROM documents d WHERE {cond}"
+        for i, cond in enumerate((q0, q1, q2, q3, q4, q5, q6)))
+    return f"""WITH {_toks_cte()}
+SELECT doc_id, query_id FROM ({arms})
+ORDER BY doc_id, query_id"""
+
+
+def memory_index_score_sql() -> str:
+    """Per-doc MemoryIndex.Search score for the OR query 'spark merge'
+    (ops/percolate.py MemoryIndex.search): each doc is its own one-doc
+    collection — N = 1, df = 1 per present term, avgdl = the doc's own
+    length — with the engine's float32 kernel (w*f)/(f+cache) and
+    clause-order adds.  Docs matching neither term are absent (no-match =
+    no hit, like the reference collector)."""
+    # idf(N=1, df=1) = ln(1 + 0.5/1.5), float32; weight = f32(f32(idf*1f)*2.2f)
+    wv = (f"CAST(CAST(ln(1 + 0.5/1.5) AS REAL) * CAST(1.0 AS REAL) AS REAL)"
+          f" * {K1P1_R}")
+    decoded = ("CAST((1.0 + CAST((n.nb + 384) % 4 AS DOUBLE)/4.0)"
+               " * power(2.0, CAST(floor((n.nb + 384)/4) AS BIGINT) - 127)"
+               " AS REAL)")
+    return f"""WITH {_toks_cte()},{_NORM_CTE},
+micache AS (
+  -- per-doc cache: avgdl is the doc's OWN length (one-doc collection)
+  SELECT n.doc_id,
+    {K1_R} * ({ONE_MINUS_B_R} + {B_R} *
+      (CAST(1.0 AS REAL) / ({decoded} * {decoded}))
+      / CAST(CAST(n.L AS DOUBLE) AS REAL)) AS cache
+  FROM normb n WHERE n.L > 0
+),
+tfq AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN ('spark', 'merge') GROUP BY doc_id, term
+),
+persc AS (
+  SELECT t.doc_id, t.term,
+         CAST(({wv} * t.f) / (t.f + c.cache) AS REAL) AS sc
+  FROM tfq t JOIN micache c USING (doc_id)
+)
+SELECT doc_id,
+       CAST(COALESCE(s0.sc, {ZERO_R}) + COALESCE(s1.sc, {ZERO_R}) AS REAL)
+         AS score
+FROM (SELECT DISTINCT doc_id FROM persc) m
+LEFT JOIN (SELECT doc_id, sc FROM persc WHERE term = 'spark') s0 USING (doc_id)
+LEFT JOIN (SELECT doc_id, sc FROM persc WHERE term = 'merge') s1 USING (doc_id)
+ORDER BY doc_id"""
