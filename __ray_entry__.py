@@ -1344,6 +1344,40 @@ def _q_knn_classify(sf_dir: str) -> pa.Table:
     })
 
 
+def _phonetic_stats(sf_dir: str, encoder) -> pa.Table:
+    """(code, n_terms, sum_df) over the index term dictionary — the
+    PhoneticFilter's encoder applied to the engine's own terms, aggregated
+    (analysis/phonetic.py; Soundex.cs / RefinedSoundex.cs)."""
+    import pyarrow.parquet as pq
+
+    t = _body_terms(pq.read_table(
+        os.path.join(_index_path(sf_dir), "termstats")))
+    codes = pa.array([encoder(x) for x in t.column("term").to_pylist()],
+                     type=pa.string())
+    g = pa.table({"code": codes, "df": t.column("df")}) \
+        .group_by("code").aggregate([("df", "sum"), ("code", "count")])
+    g = pa.table({
+        "code": g.column("code"),
+        "n_terms": g.column("code_count").cast(pa.int64()),
+        "sum_df": g.column("df_sum").cast(pa.int64()),
+    })
+    idx = pa.compute.sort_indices(
+        g, sort_keys=[("sum_df", "descending"), ("code", "ascending")])
+    return g.take(idx).slice(0, 20)
+
+
+def _q_soundex_stats(sf_dir: str) -> pa.Table:
+    from lucenenet_ray.analysis.phonetic import soundex
+
+    return _phonetic_stats(sf_dir, soundex)
+
+
+def _q_refined_soundex_stats(sf_dir: str) -> pa.Table:
+    from lucenenet_ray.analysis.phonetic import refined_soundex
+
+    return _phonetic_stats(sf_dir, refined_soundex)
+
+
 def _percolate_plans():
     """The registered query set for the percolation gate query — one of
     each node family the SQL oracle can express (percolate_sql mirrors
@@ -1873,6 +1907,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": _q_knn_classify,
         "percolate": _q_percolate,
         "memory_index_score": _q_memory_index_score,
+        "soundex_stats": _q_soundex_stats,
+        "refined_soundex_stats": _q_refined_soundex_stats,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -1936,6 +1972,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_classify": so.knn_classify_sql(0, TOPK),
         "percolate": so.percolate_sql(),
         "memory_index_score": so.memory_index_score_sql(),
+        "soundex_stats": so.soundex_stats_sql(),
+        "refined_soundex_stats": so.refined_soundex_stats_sql(),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

@@ -1610,3 +1610,63 @@ FROM (SELECT DISTINCT doc_id FROM persc) m
 LEFT JOIN (SELECT doc_id, sc FROM persc WHERE term = 'spark') s0 USING (doc_id)
 LEFT JOIN (SELECT doc_id, sc FROM persc WHERE term = 'merge') s1 USING (doc_id)
 ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# phonetic encoders (Lucene.Net.Analysis.Phonetic analogs, analysis/phonetic.py)
+
+
+def _collapse_runs(expr: str, digits: str) -> str:
+    """Adjacent-duplicate collapse without backrefs (DuckDB RE2 has none):
+    one '{d}+' -> '{d}' replace per possible code digit."""
+    for d in digits:
+        expr = f"regexp_replace({expr}, '{d}+', '{d}', 'g')"
+    return expr
+
+
+def soundex_stats_sql(n: int = 20) -> str:
+    """(soundex code, n_terms, sum_df) over the term dictionary — the
+    Soundex.cs US_ENGLISH algorithm in SQL: first letter kept, H/W removed
+    from the tail (they don't break runs), vowels kept as '0' separators
+    through the collapse then dropped, pad to 4."""
+    digits = ("translate(u[1] || translate(substr(u, 2), 'HW', ''), "
+              "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202')")
+    coll = _collapse_runs(digits, "0123456")
+    code = f"u[1] || substr(replace(substr({coll}, 2), '0', '') || '000', 1, 3)"
+    return f"""WITH {_toks_cte()},
+terms AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM kept GROUP BY term
+),
+coded AS (
+  SELECT CASE WHEN u = '' THEN '' ELSE {code} END AS code, df
+  FROM (SELECT upper(regexp_replace(term, '[^a-zA-Z]', '', 'g')) AS u, df
+        FROM terms)
+)
+SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS sum_df
+FROM coded GROUP BY code
+ORDER BY sum_df DESC, code ASC LIMIT {n}"""
+
+
+def refined_soundex_stats_sql(n: int = 20) -> str:
+    """(refined-soundex code, n_terms, sum_df) — RefinedSoundex.cs: first
+    letter + EVERY letter's code (vowel '0's included), adjacent-duplicate
+    collapse, unlimited length."""
+    digits = ("translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+              "'01360240043788015936020505')")
+    code = f"u[1] || {_collapse_runs(digits, '0123456789')}"
+    return f"""WITH {_toks_cte()},
+terms AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM kept GROUP BY term
+),
+coded AS (
+  SELECT CASE WHEN u = '' THEN '' ELSE {code} END AS code, df
+  FROM (SELECT upper(regexp_replace(term, '[^a-zA-Z]', '', 'g')) AS u, df
+        FROM terms)
+)
+SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS sum_df
+FROM coded GROUP BY code
+ORDER BY sum_df DESC, code ASC LIMIT {n}"""
