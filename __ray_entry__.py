@@ -1366,6 +1366,22 @@ def _phonetic_stats(sf_dir: str, encoder) -> pa.Table:
     return g.take(idx).slice(0, 20)
 
 
+def _q_early_terminated_sort(sf_dir: str) -> pa.Table:
+    """Sorted index + early termination (SortingMergePolicy.cs /
+    EarlyTerminatingSortingCollector.cs:59-140, index/sorter.py): top-10
+    'spark' docs by n_chars desc collected in docID(=sort) order; trailing
+    rank buckets are never opened."""
+    from lucenenet_ray.index.sorter import early_terminating_search
+    from lucenenet_ray.pipelines.flagship import documents_sorted_index_for
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.reader import IndexReader
+
+    r = IndexReader(documents_sorted_index_for(sf_dir))
+    out, stats = early_terminating_search(r, parse_query("spark"), k=10)
+    assert stats["collected"] <= 10
+    return out
+
+
 def _q_soundex_stats(sf_dir: str) -> pa.Table:
     from lucenenet_ray.analysis.phonetic import soundex
 
@@ -1909,6 +1925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "memory_index_score": _q_memory_index_score,
         "soundex_stats": _q_soundex_stats,
         "refined_soundex_stats": _q_refined_soundex_stats,
+        "early_terminated_sort": _q_early_terminated_sort,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -1974,6 +1991,7 @@ def oracle_sql() -> dict[str, str]:
         "memory_index_score": so.memory_index_score_sql(),
         "soundex_stats": so.soundex_stats_sql(),
         "refined_soundex_stats": so.refined_soundex_stats_sql(),
+        "early_terminated_sort": so.early_terminated_sort_sql("spark", 10),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

@@ -1670,3 +1670,15 @@ SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
        CAST(sum(df) AS BIGINT) AS sum_df
 FROM coded GROUP BY code
 ORDER BY sum_df DESC, code ASC LIMIT {n}"""
+
+
+def early_terminated_sort_sql(term: str = "spark", k: int = 10) -> str:
+    """Sorted-index early-terminated top-k (index/sorter.py): docs
+    containing the term, by (n_chars desc, doc_id asc) — the sorted index's
+    docID order."""
+    return f"""WITH {_toks_cte()}
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = d.doc_id
+              AND k.term = '{term}')
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT {k}"""

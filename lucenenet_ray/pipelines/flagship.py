@@ -332,6 +332,21 @@ def documents_index_for(sf_dir: str, cache_root: str = "/tmp/lucenenet_ray_idx")
     return _INDEX_CACHE[key]
 
 
+def documents_sorted_index_for(sf_dir: str, sort_col: str = "n_chars",
+                               cache_root: str = "/tmp/lucenenet_ray_idx"
+                               ) -> str:
+    """documents index with docIDs permuted into (sort_col desc, id asc)
+    order — the SortingMergePolicy analog (index/sorter.py)."""
+    from lucenenet_ray.index.sorter import build_sorted_index
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(cache_root, f"documents_sorted_{sort_col}_{key}")
+    if not os.path.exists(os.path.join(path, "manifest.json")):
+        build_sorted_index(os.path.join(sf_dir, "documents.parquet"), path,
+                           sort_col=sort_col, descending=True, n_buckets=8)
+    return path
+
+
 def documents_multilang_index_for(sf_dir: str,
                                   cache_root: str = "/tmp/lucenenet_ray_idx") -> str:
     """documents index with per-language analyzer dispatch (lang column)."""
