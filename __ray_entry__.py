@@ -1366,6 +1366,25 @@ def _phonetic_stats(sf_dir: str, encoder) -> pa.Table:
     return g.take(idx).slice(0, 20)
 
 
+def _q_sweetspot_tfidf(sf_dir: str) -> pa.Table:
+    """SweetSpotSimilarity override (Misc/SweetSpotSimilarity.cs,
+    search/sweetspot.py): 'spark window' OR scored with BaselineTf(1.5,
+    2.0) and the [3,8] plateau length norm, float32-bit-exact vs SQL."""
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.sweetspot import (SweetSpotSimilarity,
+                                                sweetspot_search)
+
+    sim = SweetSpotSimilarity(ln_min=3, ln_max=8, ln_steep=0.5,
+                              tf_base=1.5, tf_min=2.0)
+    rows = sweetspot_search(_reader(sf_dir), parse_query("spark window"),
+                            k=TOPK, sim=sim)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+        "score": pa.array(np.asarray([s for _, s in rows],
+                                     dtype=np.float32), type=pa.float32()),
+    })
+
+
 def _q_early_terminated_sort(sf_dir: str) -> pa.Table:
     """Sorted index + early termination (SortingMergePolicy.cs /
     EarlyTerminatingSortingCollector.cs:59-140, index/sorter.py): top-10
@@ -1926,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soundex_stats": _q_soundex_stats,
         "refined_soundex_stats": _q_refined_soundex_stats,
         "early_terminated_sort": _q_early_terminated_sort,
+        "sweetspot_tfidf": _q_sweetspot_tfidf,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -1992,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         "soundex_stats": so.soundex_stats_sql(),
         "refined_soundex_stats": so.refined_soundex_stats_sql(),
         "early_terminated_sort": so.early_terminated_sort_sql("spark", 10),
+        "sweetspot_tfidf": so.sweetspot_topk_sql(["spark", "window"], TOPK),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

@@ -1682,3 +1682,91 @@ FROM documents d
 WHERE EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = d.doc_id
               AND k.term = '{term}')
 ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT {k}"""
+
+
+def sweetspot_topk_sql(terms: list[str], k: int = 10,
+                       ln_min: int = 3, ln_max: int = 8,
+                       tf_base: float = 1.5, tf_min: float = 2.0) -> str:
+    """SweetSpotSimilarity OR-query oracle (Misc/SweetSpotSimilarity.cs,
+    search/sweetspot.py), float32-bit-exact: DefaultSimilarity idf/
+    queryNorm/coord with BaselineTf and the plateau length norm swapped in;
+    the norm is byte315-encoded from the doc length then classic-decoded
+    (the byte a SweetSpot writer would have stored)."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    idf_of = ("CAST(ln(CAST((SELECT N FROM coll) AS DOUBLE)/(df + 1)) + 1.0 "
+              "AS REAL)")
+    sum_sq = "CAST(0.0 AS REAL)"
+    for t in terms:
+        qw = f"(SELECT idf FROM cweights WHERE term = '{t}')"
+        sum_sq = f"CAST({sum_sq} + CAST({qw} * {qw} AS REAL) AS REAL)"
+    score_expr = f"COALESCE(s0, {ZERO_R})"
+    for i in range(1, len(terms)):
+        score_expr = f"CAST({score_expr} + COALESCE(s{i}, {ZERO_R}) AS REAL)"
+    pivot_cols = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms))
+    maxov = len(terms)
+    span = ln_max - ln_min
+    return f"""WITH {_toks_cte()},
+cweights AS (
+  SELECT term, count(DISTINCT doc_id) AS df, {idf_of} AS idf
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY term
+),
+qn AS (SELECT CAST(1.0 / sqrt(CAST({sum_sq} AS DOUBLE)) AS REAL) AS v),
+cvals AS (
+  SELECT term, CAST(CAST(idf * (SELECT v FROM qn) AS REAL) * idf AS REAL) AS value
+  FROM cweights
+),
+lnv AS (
+  -- ComputeLengthNorm(L): plateau [ln_min, ln_max], float32
+  SELECT doc_id,
+    CAST(1.0 / sqrt(CAST(
+      0.5 * (abs(L - {ln_min}) + abs(L - {ln_max}) - {span}) + 1.0
+      AS DOUBLE)) AS REAL) AS f
+  FROM doclen WHERE L > 0
+),
+ssnb AS (
+  -- SingleToByte315 of the length norm (same emulation as normb)
+  SELECT doc_id,
+    GREATEST(1,
+      4 * (CAST(floor(log2(f)) AS BIGINT) + 127)
+      + CAST(floor((f / power(2.0, floor(log2(f))) - 1.0) * 4.0) AS BIGINT)
+      - 384) AS nb
+  FROM lnv
+),
+normdec AS (
+  SELECT doc_id,
+    CAST((1.0 + CAST((nb + 384) % 4 AS DOUBLE)/4.0)
+         * power(2.0, CAST(floor((nb + 384)/4) AS BIGINT) - 127) AS REAL)
+      AS dec
+  FROM ssnb
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(CAST(
+      CASE WHEN tf.f <= {tf_min}
+           THEN CAST(CAST({tf_base} AS DOUBLE) AS REAL)
+           ELSE CAST(sqrt(CAST(
+             (CAST(tf.f AS REAL) + CAST({tf_base * tf_base} AS REAL))
+             - CAST({tf_min} AS REAL) AS DOUBLE)) AS REAL)
+      END * v.value AS REAL) * nd.dec AS REAL) AS s
+  FROM tf
+  JOIN cvals v USING (term)
+  JOIN normdec nd ON nd.doc_id = tf.doc_id
+),
+agg AS (
+  SELECT doc_id, count(DISTINCT term) AS overlap, {pivot_cols}
+  FROM persc GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+    CAST(({score_expr}) *
+      CAST(CAST(overlap AS REAL) / CAST({maxov} AS REAL) AS REAL) AS REAL) AS score
+  FROM agg
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
