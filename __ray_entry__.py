@@ -1678,6 +1678,47 @@ def _q_knn_lsh(sf_dir: str) -> Any:
     return res.to_pandas()
 
 
+_IVF_INDEX_CACHE: dict[str, tuple[str, Any]] = {}
+
+
+def _q_knn_ivf(sf_dir: str) -> Any:
+    """IVF-Flat ANN (ops/ivf.py): deterministic spherical k-means coarse
+    quantizer, vectors hive-partitioned by list, queries probe only their
+    nprobe closest lists (partition-pruned reads). Rows-only driver check
+    (approximate by design; determinism + pruning + recall in pytest)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.ivf import (build_ivf_index, knn_ivf_pruned,
+                                       train_centroids)
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    id2vec = {}
+    for i in range(t.num_rows):
+        vid = t.column("vec_id")[i].as_py()
+        if vid in KNN_QUERY_IDS:
+            id2vec[vid] = t.column("embedding")[i].as_py()
+    qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key not in _IVF_INDEX_CACHE:
+        out = f"/tmp/lucenenet_ray_ivfidx/{key}"
+        cent = train_centroids(
+            rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"]),
+            n_lists=8, n_iters=4)
+        if not os.path.exists(os.path.join(out, "_BUILT")):
+            build_ivf_index(
+                rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"]),
+                out, cent)
+            with open(os.path.join(out, "_BUILT"), "w") as f:
+                f.write("ok")
+        _IVF_INDEX_CACHE[key] = (out, cent)
+    path, cent = _IVF_INDEX_CACHE[key]
+    res, _nread, _ntotal = knn_ivf_pruned(path, cent, qv, k=10, nprobe=3)
+    return res.to_pandas()
+
+
 def _q_term_stats_cjk(sf_dir: str) -> pa.Table:
     """CJK token classes through the full index pipeline
     (StandardTokenizer.cs:85-104: Han/Hiragana singles, Katakana/Hangul
@@ -1951,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight": _q_highlight,
         "media_features": _q_media_features,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "pages_flagship": _q_pages_flagship,
     })
     return out
