@@ -1616,6 +1616,17 @@ def _q_quality_stats(sf_dir: str) -> Any:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bpe_token_count(sf_dir: str) -> Any:
+    """GPT-2-style pre-tokenizer token counting (ops/textstats.py
+    BpeTokenCount): per-doc counts under the classic BPE pre-tokenizer
+    regex, compiled once per actor, RE2-parity-exact vs the SQL oracle."""
+    from lucenenet_ray.ops.textstats import BpeTokenCount
+
+    out = _docs_ds(sf_dir).map_batches(
+        BpeTokenCount, batch_format="pyarrow", concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 KNN_QUERY_IDS = [0, 1, 2]
 
 
@@ -1987,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "refined_soundex_stats": _q_refined_soundex_stats,
         "early_terminated_sort": _q_early_terminated_sort,
         "sweetspot_tfidf": _q_sweetspot_tfidf,
+        "bpe_token_count": _q_bpe_token_count,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2055,6 +2067,7 @@ def oracle_sql() -> dict[str, str]:
         "refined_soundex_stats": so.refined_soundex_stats_sql(),
         "early_terminated_sort": so.early_terminated_sort_sql("spark", 10),
         "sweetspot_tfidf": so.sweetspot_topk_sql(["spark", "window"], TOPK),
+        "bpe_token_count": so.bpe_token_count_sql(),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

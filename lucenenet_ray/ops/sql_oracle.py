@@ -1770,3 +1770,12 @@ scored AS (
 )
 SELECT doc_id, score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def bpe_token_count_sql() -> str:
+    """GPT-2-style pre-tokenizer token counts (ops/textstats.py
+    BpeTokenCount) — identical RE2-safe pattern, leftmost-first in both."""
+    pat = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    return f"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id"""

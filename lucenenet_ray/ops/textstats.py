@@ -124,3 +124,29 @@ class Fingerprints:
                 "fp": pa.array(out_fp, type=pa.int64()),
             }
         )
+
+
+class BpeTokenCount:
+    """GPT-2-style pre-tokenizer token count (the LLM-training 'how many
+    tokens is this doc' estimator): the classic byte-pair-encoding
+    PRE-tokenizer regex — space-attached letter runs, digit runs, and
+    punctuation runs, whitespace remainder — counted per doc.  The pattern
+    avoids lookahead so the DuckDB RE2 oracle tokenizes identically
+    (leftmost-first alternation in both engines).  Compiled once per actor
+    (``__init__``), vectorized batch emit."""
+
+    PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        import regex as _regex
+
+        self.re = _regex.compile(self.PATTERN)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        counts = [len(self.re.findall(t or "")) for t in texts]
+        return pa.table({
+            "doc_id": batch.column(self.id_col),
+            "n_bpe_tokens": pa.array(counts, type=pa.int64()),
+        })
