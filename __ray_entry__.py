@@ -1616,6 +1616,25 @@ def _q_quality_stats(sf_dir: str) -> Any:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pk_split_term_stats(sf_dir: str) -> pa.Table:
+    """PKIndexSplitter (Misc/Index/PKIndexSplitter.cs:38-75,
+    index/split.py): split the documents index at doc_id 250 and return
+    the FIRST output's recomputed term dictionary — identical to a direct
+    build over the id range."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.index.split import split_index
+
+    with tempfile.TemporaryDirectory(prefix="pksplit_") as td:
+        split_index(_index_path(sf_dir), os.path.join(td, "lo"),
+                    os.path.join(td, "hi"), 250)
+        t = _body_terms(pq.read_table(os.path.join(td, "lo", "termstats")))
+        idx = pa.compute.sort_indices(t.column("term"))
+        return t.take(idx).select(["term", "df", "ttf"])
+
+
 def _q_bpe_token_count(sf_dir: str) -> Any:
     """GPT-2-style pre-tokenizer token counting (ops/textstats.py
     BpeTokenCount): per-doc counts under the classic BPE pre-tokenizer
@@ -1999,6 +2018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "early_terminated_sort": _q_early_terminated_sort,
         "sweetspot_tfidf": _q_sweetspot_tfidf,
         "bpe_token_count": _q_bpe_token_count,
+        "pk_split_term_stats": _q_pk_split_term_stats,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2068,6 +2088,7 @@ def oracle_sql() -> dict[str, str]:
         "early_terminated_sort": so.early_terminated_sort_sql("spark", 10),
         "sweetspot_tfidf": so.sweetspot_topk_sql(["spark", "window"], TOPK),
         "bpe_token_count": so.bpe_token_count_sql(),
+        "pk_split_term_stats": so.pk_split_term_stats_sql(250),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

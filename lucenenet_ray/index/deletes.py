@@ -123,6 +123,26 @@ def expunge_deletes(index_path: str, out_path: str,
     dead_by_bucket = {
         r["bucket"]: np.asarray(r["dead"], dtype=np.int64) for r in dead_tbl
     }
+    return rewrite_without_docs(index_path, out_path, dead_by_bucket,
+                                codec, reader.manifest)
+
+
+def rewrite_without_docs(index_path: str, out_path: str,
+                         dead_by_bucket: dict, codec: str,
+                         base_manifest: dict) -> dict:
+    """Physically rewrite an index dropping the given per-bucket doc sets —
+    the SegmentMerger-applying-liveDocs core shared by expunge_deletes and
+    the index splitter (PKIndexSplitter analog, index/split.py)."""
+    import json
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from lucenenet_ray.index.build import write_termstats
+
+    os.makedirs(out_path, exist_ok=True)
+    buckets = [int(b["bucket"]) for b in base_manifest["buckets"]]
     dead_ref = ray.put(dead_by_bucket)
 
     # -- pass 2: rewrite norms + postings files (one task per file)
@@ -172,7 +192,7 @@ def expunge_deletes(index_path: str, out_path: str,
 
     write_termstats(out_path, sum(r["n_terms"] for r in bucket_rows))
 
-    manifest = dict(reader.manifest)
+    manifest = dict(base_manifest)
     manifest["config"] = dict(manifest.get("config", {}), index_path=out_path)
     manifest["n_docs"] = sum(r["n_docs"] for r in bucket_rows)
     manifest["sum_total_term_freq"] = sum(r["sum_len"] for r in bucket_rows)

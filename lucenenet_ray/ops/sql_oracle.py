@@ -1779,3 +1779,21 @@ def bpe_token_count_sql() -> str:
     return f"""SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
 FROM documents ORDER BY doc_id"""
+
+
+def pk_split_term_stats_sql(mid: int = 250) -> str:
+    """Term stats of the first PK-split output (index/split.py split_index
+    with doc_id < mid): identical to a direct build over the id range."""
+    return f"""WITH
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents WHERE doc_id < {mid}
+),
+kept AS (
+  SELECT doc_id, term, pos FROM toks
+  WHERE term <> '' AND term NOT IN {STOP_SQL}
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM kept GROUP BY term ORDER BY term"""
