@@ -1616,6 +1616,31 @@ def _q_quality_stats(sf_dir: str) -> Any:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dataset_split_counts(sf_dir: str) -> pa.Table:
+    """Train/test/cv dataset split (Utils/DatasetSplitter.cs:112-124,
+    ops/classify.py dataset_split): three self-contained output indexes;
+    per-split doc counts and recomputed sumTotalTermFreq from their
+    manifests vs the closed-form SQL assignment."""
+    import tempfile
+
+    from lucenenet_ray.ops.classify import dataset_split
+
+    with tempfile.TemporaryDirectory(prefix="dsplit_") as td:
+        ms = dataset_split(_index_path(sf_dir),
+                           os.path.join(td, "train"),
+                           os.path.join(td, "test"),
+                           os.path.join(td, "cv"),
+                           test_ratio=0.2, cv_ratio=0.1)
+    names = ["train", "test", "cv"]
+    rows = sorted(zip(names, ms), key=lambda r: r[0])
+    return pa.table({
+        "split": pa.array([n for n, _ in rows], type=pa.string()),
+        "n_docs": pa.array([m["n_docs"] for _, m in rows], type=pa.int64()),
+        "sum_ttf": pa.array([m["sum_total_term_freq"] for _, m in rows],
+                            type=pa.int64()),
+    })
+
+
 def _q_pk_split_term_stats(sf_dir: str) -> pa.Table:
     """PKIndexSplitter (Misc/Index/PKIndexSplitter.cs:38-75,
     index/split.py): split the documents index at doc_id 250 and return
@@ -2019,6 +2044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sweetspot_tfidf": _q_sweetspot_tfidf,
         "bpe_token_count": _q_bpe_token_count,
         "pk_split_term_stats": _q_pk_split_term_stats,
+        "dataset_split_counts": _q_dataset_split_counts,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2089,6 +2115,7 @@ def oracle_sql() -> dict[str, str]:
         "sweetspot_tfidf": so.sweetspot_topk_sql(["spark", "window"], TOPK),
         "bpe_token_count": so.bpe_token_count_sql(),
         "pk_split_term_stats": so.pk_split_term_stats_sql(250),
+        "dataset_split_counts": so.dataset_split_counts_sql(),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

@@ -457,3 +457,61 @@ def nb_classify_dataset(docs_ds, model: NBModel, text_col: str = "text",
         batch_format="pyarrow",
         concurrency=min(concurrency, cap),
     )
+
+
+# ---------------------------------------------------------------------------
+# train/test/cv dataset splitting (Utils/DatasetSplitter.cs)
+
+
+def dataset_split_assignment(size: int, test_ratio: float,
+                             cv_ratio: float) -> "np.ndarray":
+    """DatasetSplitter.Split's sequential assignment rule
+    (DatasetSplitter.cs:112-124), reproduced exactly: iterating docs in
+    docID order with counter b, a doc goes to TEST when ``b % 2 == 0`` and
+    the test index is under ``size*testRatio`` docs, else to CV while under
+    ``size*cvRatio``, else to TRAIN.  Returns int8 per position:
+    0=train, 1=test, 2=cv."""
+    out = np.zeros(size, dtype=np.int8)
+    n_test = n_cv = 0
+    for b in range(size):
+        if b % 2 == 0 and n_test < size * test_ratio:
+            out[b] = 1
+            n_test += 1
+        elif n_cv < size * cv_ratio:
+            out[b] = 2
+            n_cv += 1
+    return out
+
+
+def dataset_split(index_path: str, out_train: str, out_test: str,
+                  out_cv: str, test_ratio: float = 0.2,
+                  cv_ratio: float = 0.1):
+    """Split one index into train/test/cross-validation indexes
+    (DatasetSplitter.cs Split) via the liveDocs rewrite core
+    (deletes.rewrite_without_docs — each output is a self-contained index
+    with recomputed stats).  Returns the three manifests (train, test, cv).
+    """
+    from lucenenet_ray.index.deletes import rewrite_without_docs
+    from lucenenet_ray.search.reader import IndexReader
+
+    reader = IndexReader(index_path, deletes_path="/nonexistent")
+    codec = reader.manifest.get("config", {}).get("codec", "vint")
+    buckets = sorted(reader.bucket_ids)
+    per_bucket = {b: reader.bucket(b).norms()[0] for b in buckets}
+    size = sum(d.size for d in per_bucket.values())
+    assign = dataset_split_assignment(size, test_ratio, cv_ratio)
+    manifests = []
+    pos0 = {b: 0 for b in buckets}
+    pos = 0
+    for b in buckets:  # global position = bucket offset + local row
+        pos0[b] = pos
+        pos += per_bucket[b].size
+    for split_id, out in ((0, out_train), (1, out_test), (2, out_cv)):
+        dead = {}
+        for b in buckets:
+            docs = per_bucket[b]
+            a = assign[pos0[b]:pos0[b] + docs.size]
+            dead[b] = docs[a != split_id]
+        manifests.append(rewrite_without_docs(index_path, out, dead, codec,
+                                              reader.manifest))
+    return manifests

@@ -1797,3 +1797,29 @@ kept AS (
 )
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM kept GROUP BY term ORDER BY term"""
+
+
+def dataset_split_counts_sql() -> str:
+    """Per-split (n_docs, sum token count) for DatasetSplitter ratios
+    (0.2 test, 0.1 cv) on a 500-doc corpus (ops/classify.py dataset_split).
+    Closed form of the sequential rule (DatasetSplitter.cs:112-124): both
+    quotas fill inside the even/odd interleave prefix when
+    cvRatio <= testRatio <= 0.5, so test = even positions < 2*nTest and
+    cv = odd positions < 2*nCv (positions in docID order)."""
+    return f"""WITH {_toks_cte()},
+posed AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS pos
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id,
+    CASE WHEN pos % 2 = 0 AND pos < 200 THEN 'test'
+         WHEN pos % 2 = 1 AND pos < 100 THEN 'cv'
+         ELSE 'train' END AS split
+  FROM posed
+)
+SELECT a.split, CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum(d.L), 0) AS BIGINT) AS sum_ttf
+FROM assigned a JOIN doclen d USING (doc_id)
+GROUP BY a.split ORDER BY a.split"""

@@ -134,3 +134,31 @@ def test_empty_text_classifies_to_prior_argmax(nb):
     cls, _ = nb.assign_class("")
     lp = nb.model.priors()
     assert cls == nb.model.classes[int(np.argmax(lp))]
+
+
+def test_dataset_split_rule_and_indexes(documents_index, tmp_path):
+    """DatasetSplitter.cs:112-124 sequential rule + three self-contained
+    output indexes whose doc sets partition the corpus."""
+    from lucenenet_ray.ops.classify import (dataset_split,
+                                            dataset_split_assignment)
+    from lucenenet_ray.search.reader import IndexReader
+
+    a = dataset_split_assignment(10, 0.2, 0.1)
+    # size 10: test quota 2 fills at positions 0,2; cv quota 1 at pos 1
+    assert a.tolist() == [1, 2, 1, 0, 0, 0, 0, 0, 0, 0]
+
+    path, manifest = documents_index
+    outs = [str(tmp_path / s) for s in ("train", "test", "cv")]
+    ms = dataset_split(path, *outs, test_ratio=0.2, cv_ratio=0.1)
+    n = manifest["n_docs"]
+    assert ms[1]["n_docs"] == 100 and ms[2]["n_docs"] == 50  # 500 docs
+    assert sum(m["n_docs"] for m in ms) == n
+    seen: set[int] = set()
+    for out in outs:
+        r = IndexReader(out)
+        ids = set()
+        for b in r.bucket_ids:
+            ids.update(r.bucket(b).norms()[0].tolist())
+        assert not (ids & seen)
+        seen |= ids
+    assert len(seen) == n
