@@ -1407,6 +1407,17 @@ def _q_soundex_stats(sf_dir: str) -> pa.Table:
     return _phonetic_stats(sf_dir, soundex)
 
 
+def _q_dmetaphone_stats(sf_dir: str) -> pa.Table:
+    """Double Metaphone (DoubleMetaphoneFilter.cs / Language/
+    DoubleMetaphone.cs, analysis/dmetaphone.py): term dictionary grouped
+    by primary code. Rows-only by design — the rule pack is not
+    SQL-expressible; parity is pinned by the reference test vectors in
+    tests/test_dmetaphone.py."""
+    from lucenenet_ray.analysis.dmetaphone import double_metaphone
+
+    return _phonetic_stats(sf_dir, lambda t: double_metaphone(t) or "")
+
+
 def _q_refined_soundex_stats(sf_dir: str) -> pa.Table:
     from lucenenet_ray.analysis.phonetic import refined_soundex
 
@@ -2051,6 +2062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "dmetaphone_stats": _q_dmetaphone_stats,
         "pages_flagship": _q_pages_flagship,
     })
     return out
