@@ -527,6 +527,17 @@ def _q_suggest_weighted(sf_dir: str) -> pa.Table:
     return suggest_weighted(_SUGGEST_CACHE[key], "spark ", k=10)
 
 
+def _q_suggest_infix(sf_dir: str) -> pa.Table:
+    """AnalyzingInfixSuggester (Suggest/Analyzing/AnalyzingInfixSuggester.cs,
+    ops/suggest.py suggest_infix): completions whose ANY token starts with
+    'mer', weight desc, key asc."""
+    from lucenenet_ray.ops.suggest import suggest_infix
+
+    _q_suggest_weighted(sf_dir)  # ensure the dictionary is built/cached
+    key = os.path.basename(os.path.normpath(sf_dir))
+    return suggest_infix(_SUGGEST_CACHE[key], "mer", k=10)
+
+
 def _q_term_vector(sf_dir: str) -> pa.Table:
     """Term-vector retrieval for doc 0 (TermVectorsReader / Fields.GetTerms
     analog): (term, freq) of the doc's body, term-sorted — reconstructed
@@ -2056,6 +2067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": _q_bpe_token_count,
         "pk_split_term_stats": _q_pk_split_term_stats,
         "dataset_split_counts": _q_dataset_split_counts,
+        "suggest_infix": _q_suggest_infix,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2128,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": so.bpe_token_count_sql(),
         "pk_split_term_stats": so.pk_split_term_stats_sql(250),
         "dataset_split_counts": so.dataset_split_counts_sql(),
+        "suggest_infix": so.suggest_infix_sql("mer", 10),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

@@ -1823,3 +1823,24 @@ SELECT a.split, CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs,
        CAST(COALESCE(sum(d.L), 0) AS BIGINT) AS sum_ttf
 FROM assigned a JOIN doclen d USING (doc_id)
 GROUP BY a.split ORDER BY a.split"""
+
+
+def suggest_infix_sql(query: str, k: int = 10) -> str:
+    """AnalyzingInfixSuggester oracle: 2-gram completions where ANY token
+    starts with the query, weight desc, key asc."""
+    esc = query.replace("'", "''").replace("%", "\\%").replace("_", "\\_")
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+  FROM toks WHERE term <> ''
+)
+SELECT sh AS key, count(*) AS weight
+FROM big WHERE sh IS NOT NULL
+  AND (sh LIKE '{esc}%' ESCAPE '\\' OR sh LIKE '% {esc}%' ESCAPE '\\')
+GROUP BY sh ORDER BY weight DESC, key LIMIT {k}"""

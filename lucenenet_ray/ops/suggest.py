@@ -131,3 +131,28 @@ def _suggest_scan(dict_path: str, prefix: str) -> tuple[pa.Table, int, int]:
     mask = pc.and_(pc.greater_equal(t.column("key"), prefix),
                    pc.less(t.column("key"), hi))
     return t.filter(mask), len(groups), f.metadata.num_row_groups
+
+
+def suggest_infix(dict_path: str, query: str, k: int = 10) -> pa.Table:
+    """AnalyzingInfixSuggester analog
+    (``Suggest/Analyzing/AnalyzingInfixSuggester.cs``): match completions
+    whose ANY token starts with the query (the reference indexes the
+    suggestion surfaces and prefix-matches the last query token anywhere
+    in them), ranked weight desc, key asc.
+
+    Unlike the key-sorted prefix scan, infix matching can't use the sorted
+    dictionary's range pruning — the reference builds a dedicated search
+    index for the same reason.  The dictionary is vocabulary-scale (not
+    corpus-scale) so a vectorized full scan is the honest cost here; at
+    10^12-doc vocabularies hang a permuterm (token → key) sidecar next to
+    the dictionary."""
+    import pyarrow.compute as pc
+
+    t = pq.read_table(dict_path)
+    q = query.strip()
+    m = pc.or_(pc.starts_with(t.column("key"), q),
+               pc.match_substring(t.column("key"), " " + q))
+    t = t.filter(m)
+    idx = pc.sort_indices(t, sort_keys=[("weight", "descending"),
+                                        ("key", "ascending")])
+    return t.take(idx).slice(0, k)
