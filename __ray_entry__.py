@@ -1418,6 +1418,16 @@ def _q_soundex_stats(sf_dir: str) -> pa.Table:
     return _phonetic_stats(sf_dir, soundex)
 
 
+def _q_metaphone_stats(sf_dir: str) -> pa.Table:
+    """Original Metaphone (Language/Metaphone.cs, analysis/metaphone.py):
+    term dictionary grouped by code. Rows-only by design — rule pack not
+    SQL-expressible; parity pinned by reference vectors in
+    tests/test_metaphone.py."""
+    from lucenenet_ray.analysis.metaphone import metaphone
+
+    return _phonetic_stats(sf_dir, metaphone)
+
+
 def _q_dmetaphone_stats(sf_dir: str) -> pa.Table:
     """Double Metaphone (DoubleMetaphoneFilter.cs / Language/
     DoubleMetaphone.cs, analysis/dmetaphone.py): term dictionary grouped
@@ -2075,6 +2085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "dmetaphone_stats": _q_dmetaphone_stats,
+        "metaphone_stats": _q_metaphone_stats,
         "pages_flagship": _q_pages_flagship,
     })
     return out
