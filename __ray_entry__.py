@@ -1648,6 +1648,53 @@ def _q_quality_stats(sf_dir: str) -> Any:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_spatial_bbox(sf_dir: str) -> pa.Table:
+    """Rectangle spatial filter (Spatial/Vector/PointVectorStrategy two
+    NumericRangeQuery form, ops/spatial.py bbox_filter) over the
+    deterministic synthetic coords — exact compare parity with SQL."""
+    from lucenenet_ray.ops.spatial import bbox_filter
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    out = bbox_filter(_docs_ds(sf_dir, columns=("doc_id",)),
+                      10.0, 50.0, -20.0, 60.0)
+    t = dataset_to_table(out.select_columns(["doc_id", "lat", "lon"]),
+                         schema=pa.schema([("doc_id", pa.int64()),
+                                           ("lat", pa.float64()),
+                                           ("lon", pa.float64())]))
+    return t.take(pa.compute.sort_indices(t.column("doc_id")))
+
+
+SPATIAL_QUERY_POINTS = [(25.0, 30.0), (-60.0, 120.0)]
+
+
+def _q_spatial_knn(sf_dir: str) -> pa.Table:
+    """Nearest docs by squared Euclidean degrees
+    (Spatial/Vector/DistanceValueSource.cs sort key, ops/spatial.py
+    knn_euclidean): per-batch partial top-k, broadcast query points,
+    doubles bit-exact vs SQL."""
+    from lucenenet_ray.ops.spatial import knn_euclidean
+
+    return knn_euclidean(_docs_ds(sf_dir, columns=("doc_id",)),
+                         np.asarray(SPATIAL_QUERY_POINTS), k=10)
+
+
+def _q_spatial_cells(sf_dir: str) -> pa.Table:
+    """QuadPrefixTree cell aggregation (Prefix/Tree/QuadPrefixTree.cs
+    A/B/C/D quadrant letters, ops/spatial.py): doc counts per level-3
+    cell — integer grid math, exact."""
+    from lucenenet_ray.ops.spatial import GeoEnrich
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    ds = _docs_ds(sf_dir, columns=("doc_id",)).map_batches(
+        GeoEnrich(3), batch_format="pyarrow")
+    t = dataset_to_table(ds.groupby("cell").count(), schema=None)
+    t = pa.table({
+        "cell": t.column("cell"),
+        "n": t.column("count()").cast(pa.int64()),
+    })
+    return t.take(pa.compute.sort_indices(t.column("cell")))
+
+
 def _q_dataset_split_counts(sf_dir: str) -> pa.Table:
     """Train/test/cv dataset split (Utils/DatasetSplitter.cs:112-124,
     ops/classify.py dataset_split): three self-contained output indexes;
@@ -2078,6 +2125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pk_split_term_stats": _q_pk_split_term_stats,
         "dataset_split_counts": _q_dataset_split_counts,
         "suggest_infix": _q_suggest_infix,
+        "spatial_bbox": _q_spatial_bbox,
+        "spatial_knn": _q_spatial_knn,
+        "spatial_cells": _q_spatial_cells,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2152,6 +2202,9 @@ def oracle_sql() -> dict[str, str]:
         "pk_split_term_stats": so.pk_split_term_stats_sql(250),
         "dataset_split_counts": so.dataset_split_counts_sql(),
         "suggest_infix": so.suggest_infix_sql("mer", 10),
+        "spatial_bbox": so.spatial_bbox_sql(10.0, 50.0, -20.0, 60.0),
+        "spatial_knn": so.spatial_knn_sql(SPATIAL_QUERY_POINTS, 10),
+        "spatial_cells": so.spatial_cells_sql(3),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

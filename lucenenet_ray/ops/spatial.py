@@ -1,0 +1,170 @@
+"""Spatial search (Lucene.Net.Spatial analogs).
+
+Reference semantics re-expressed (NOT ported):
+
+- :func:`quad_cell` / :func:`quad_cells` —
+  ``Spatial/Prefix/Tree/QuadPrefixTree.cs``: recursive quadrant letters
+  per level, 'A' = NW, 'B' = NE, 'C' = SW, 'D' = SE (:182-185
+  CheckBattenberg order); a point's level-L cell is the length-L letter
+  string, and every prefix is its ancestor cell — the
+  RecursivePrefixTreeStrategy token family.
+
+- :func:`bbox_filter` — ``Vector/PointVectorStrategy`` +
+  NumericRangeQuery pair (the "two ranges" rectangle): vectorized
+  per-batch compares over lat/lon columns (the FieldCache pattern).
+
+- :func:`knn_euclidean` — ``Vector/DistanceValueSource.cs``: squared
+  Euclidean degree distance (the strategy's sort key; monotone with the
+  true distance for ranking) — per-batch partial top-k against broadcast
+  query points, tiny driver merge (the ops/knn.py shape).
+
+Grid coordinates are INTEGER-derived (``x = lon_centi * 2^L // 36000``)
+so the engine and the DuckDB oracle agree bit-for-bit with no float
+rounding at cell boundaries; only the distance query touches doubles,
+and it uses *, +, - exclusively (exact and order-identical in both
+engines).
+
+Scale shape: cells are partition keys — hive-partition the corpus by a
+coarse cell level and a bbox/radius query prunes whole directories, the
+same contract as ops/knn.py (LSH) and ops/ivf.py (IVF) pruning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# deterministic synthetic geo columns for the documents corpus (no geo in
+# the testdata): centi-degree ints derived from doc_id — integer exact.
+LAT_MULT, LON_MULT = 7919, 104729
+
+
+def synth_latlon_centi(doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(lat_centi in [-9000, 9000), lon_centi in [-18000, 18000)) int64."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    lat = (d * LAT_MULT) % 18000 - 9000
+    lon = (d * LON_MULT) % 36000 - 18000
+    return lat, lon
+
+
+def quad_cells_from_centi(lat_centi: np.ndarray, lon_centi: np.ndarray,
+                          level: int) -> np.ndarray:
+    """Vectorized level-L quad cell strings from centi-degree ints."""
+    grid = 1 << level
+    x = (np.asarray(lon_centi, dtype=np.int64) + 18000) * grid // 36000
+    y = (np.asarray(lat_centi, dtype=np.int64) + 9000) * grid // 18000
+    letters = np.empty((len(x), level), dtype="U1")
+    for i in range(level):
+        shift = level - 1 - i
+        xb = (x >> shift) & 1
+        yb = (y >> shift) & 1
+        # A=NW(x0,y1) B=NE(x1,y1) C=SW(x0,y0) D=SE(x1,y0)
+        code = np.where(yb == 1, np.where(xb == 0, "A", "B"),
+                        np.where(xb == 0, "C", "D"))
+        letters[:, i] = code
+    return np.array(["".join(row) for row in letters])
+
+
+def quad_cell(lat: float, lon: float, level: int) -> str:
+    """Single-point cell (QuadPrefixTree letter path)."""
+    lat_c = np.asarray([int(round(lat * 100))], dtype=np.int64)
+    lon_c = np.asarray([int(round(lon * 100))], dtype=np.int64)
+    return quad_cells_from_centi(lat_c, lon_c, level)[0]
+
+
+def quad_cells(lat: float, lon: float, max_level: int) -> list[str]:
+    """All ancestor cells down to max_level (the indexed token family)."""
+    full = quad_cell(lat, lon, max_level)
+    return [full[:i] for i in range(1, max_level + 1)]
+
+
+class GeoEnrich:
+    """map_batches stage: append lat/lon (degrees, float64) and the
+    level-L quad cell to each doc — the 'index-time' spatial tokens."""
+
+    def __init__(self, level: int = 3, id_col: str = "doc_id"):
+        self.level = level
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy().astype(np.int64)
+        lat_c, lon_c = synth_latlon_centi(ids)
+        cells = quad_cells_from_centi(lat_c, lon_c, self.level)
+        return batch.append_column(
+            "lat", pa.array(lat_c.astype(np.float64) / 100.0)
+        ).append_column(
+            "lon", pa.array(lon_c.astype(np.float64) / 100.0)
+        ).append_column("cell", pa.array(cells, type=pa.string()))
+
+
+def bbox_filter(docs_ds, lat_min: float, lat_max: float, lon_min: float,
+                lon_max: float, level: int = 3, id_col: str = "doc_id"):
+    """Rectangle intersects-filter: [lat_min, lat_max) × [lon_min, lon_max)
+    (half-open like NumericRangeQuery with includeUpper=false)."""
+    def fil(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        m = (lat >= lat_min) & (lat < lat_max) & \
+            (lon >= lon_min) & (lon < lon_max)
+        return batch.filter(pa.array(m))
+
+    return docs_ds.map_batches(GeoEnrich(level, id_col),
+                               batch_format="pyarrow") \
+                  .map_batches(fil, batch_format="pyarrow")
+
+
+def knn_euclidean(docs_ds, query_points: np.ndarray, k: int = 10,
+                  id_col: str = "doc_id") -> pa.Table:
+    """Top-k nearest docs per query point by squared Euclidean degrees
+    (DistanceValueSource sort key; *,+,- only → bit-exact in SQL).
+    Returns (query_id, rank, doc_id, dist2)."""
+    import ray
+
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    qp = np.asarray(query_points, dtype=np.float64)
+    qref = ray.put(qp)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        out_q, out_id, out_d = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(q.shape[0]):
+            dlat = lat - q[qi, 0]
+            dlon = lon - q[qi, 1]
+            d2 = dlat * dlat + dlon * dlon
+            part = (np.argpartition(d2, kk - 1)[:kk]
+                    if kk < len(ids) else np.arange(len(ids)))
+            order = part[np.lexsort((ids[part], d2[part]))]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_d.extend(d2[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "dist2": pa.array(out_d, type=pa.float64()),
+        })
+
+    t = dataset_to_table(
+        docs_ds.map_batches(GeoEnrich(1, id_col), batch_format="pyarrow")
+               .map_batches(partial, batch_format="pyarrow"),
+        schema=pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64()),
+                          ("dist2", pa.float64())]))
+    q = t.column("query_id").to_numpy()
+    v = t.column("doc_id").to_numpy()
+    d = t.column("dist2").to_numpy()
+    rows = []
+    for qi in range(qp.shape[0]):
+        m = q == qi
+        order = np.lexsort((v[m], d[m]))[:k]
+        for r, j in enumerate(order, 1):
+            rows.append((qi, r, int(v[m][j]), float(d[m][j])))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "dist2": pa.array([r[3] for r in rows], type=pa.float64()),
+    })

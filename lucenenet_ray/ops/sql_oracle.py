@@ -1844,3 +1844,73 @@ SELECT sh AS key, count(*) AS weight
 FROM big WHERE sh IS NOT NULL
   AND (sh LIKE '{esc}%' ESCAPE '\\' OR sh LIKE '% {esc}%' ESCAPE '\\')
 GROUP BY sh ORDER BY weight DESC, key LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# spatial (Lucene.Net.Spatial analogs, ops/spatial.py)
+
+_GEO_CTE = """
+geo AS (
+  SELECT doc_id,
+         CAST((doc_id * 7919) % 18000 - 9000 AS BIGINT) AS lat_c,
+         CAST((doc_id * 104729) % 36000 - 18000 AS BIGINT) AS lon_c
+  FROM documents
+),
+geod AS (
+  SELECT doc_id, lat_c, lon_c,
+         CAST(lat_c AS DOUBLE) / 100.0 AS lat,
+         CAST(lon_c AS DOUBLE) / 100.0 AS lon
+  FROM geo
+)"""
+
+
+def spatial_bbox_sql(lat_min: float, lat_max: float, lon_min: float,
+                     lon_max: float) -> str:
+    """Rectangle filter (PointVectorStrategy two-range form,
+    ops/spatial.py bbox_filter) over the deterministic synthetic coords."""
+    return f"""WITH {_GEO_CTE}
+SELECT doc_id, lat, lon FROM geod
+WHERE lat >= {lat_min} AND lat < {lat_max}
+  AND lon >= {lon_min} AND lon < {lon_max}
+ORDER BY doc_id"""
+
+
+def spatial_knn_sql(points: list[tuple[float, float]], k: int = 10) -> str:
+    """Squared-Euclidean-degree knn (Vector/DistanceValueSource.cs sort
+    key; *,+,- only — bit-exact doubles both sides)."""
+    arms = []
+    for qi, (qlat, qlon) in enumerate(points):
+        arms.append(f"""SELECT CAST({qi} AS BIGINT) AS query_id,
+       CAST(row_number() OVER (
+         ORDER BY (lat - {qlat}) * (lat - {qlat})
+                + (lon - {qlon}) * (lon - {qlon}) ASC, doc_id ASC)
+         AS BIGINT) AS rank,
+       doc_id,
+       (lat - {qlat}) * (lat - {qlat})
+       + (lon - {qlon}) * (lon - {qlon}) AS dist2
+FROM geod QUALIFY rank <= {k}""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""WITH {_GEO_CTE}
+SELECT * FROM ({body}) ORDER BY query_id, rank"""
+
+
+def spatial_cells_sql(level: int = 3) -> str:
+    """Doc counts per level-L QuadPrefixTree cell (A=NW B=NE C=SW D=SE,
+    QuadPrefixTree.cs:182-185) — integer grid math identical to
+    quad_cells_from_centi."""
+    grid = 1 << level
+    x = f"(((lon_c + 18000) * {grid}) // 36000)"
+    y = f"(((lat_c + 9000) * {grid}) // 18000)"
+    parts = []
+    for i in range(level):
+        shift = level - 1 - i
+        xb = f"(({x} >> {shift}) & 1)"
+        yb = f"(({y} >> {shift}) & 1)"
+        parts.append(
+            f"CASE WHEN {yb} = 1 THEN (CASE WHEN {xb} = 0 THEN 'A' "
+            f"ELSE 'B' END) ELSE (CASE WHEN {xb} = 0 THEN 'C' ELSE 'D' "
+            f"END) END")
+    cell = " || ".join(parts)
+    return f"""WITH {_GEO_CTE}
+SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n
+FROM geod GROUP BY cell ORDER BY cell"""

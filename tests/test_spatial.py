@@ -1,0 +1,59 @@
+"""Spatial ops (ops/spatial.py): quad-cell letter semantics, ancestor
+prefixes, bbox exactness, knn identity vs brute force."""
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_quad_cell_letters():
+    from lucenenet_ray.ops.spatial import quad_cell
+
+    # level 1 quadrants: A=NW B=NE C=SW D=SE (QuadPrefixTree.cs:182-185)
+    assert quad_cell(45.0, -90.0, 1) == "A"
+    assert quad_cell(45.0, 90.0, 1) == "B"
+    assert quad_cell(-45.0, -90.0, 1) == "C"
+    assert quad_cell(-45.0, 90.0, 1) == "D"
+
+
+def test_quad_cells_prefix_family():
+    from lucenenet_ray.ops.spatial import quad_cell, quad_cells
+
+    cells = quad_cells(37.77, -122.42, 4)
+    assert len(cells) == 4
+    for i, c in enumerate(cells, 1):
+        assert len(c) == i
+        assert cells[-1].startswith(c)
+    assert cells[-1] == quad_cell(37.77, -122.42, 4)
+
+
+def test_bbox_filter_exact(ray_session):
+    from lucenenet_ray.ops.spatial import bbox_filter, synth_latlon_centi
+    from lucenenet_ray.util.tables import dataset_to_table
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    out = dataset_to_table(
+        bbox_filter(ds, 0.0, 45.0, -90.0, 0.0), schema=None)
+    got = set(out.column("doc_id").to_pylist())
+    ids = np.arange(500, dtype=np.int64)
+    lat, lon = synth_latlon_centi(ids)
+    want = {int(i) for i, la, lo in zip(ids, lat / 100.0, lon / 100.0)
+            if 0.0 <= la < 45.0 and -90.0 <= lo < 0.0}
+    assert got == want and got
+
+
+def test_knn_matches_bruteforce(ray_session):
+    from lucenenet_ray.ops.spatial import knn_euclidean, synth_latlon_centi
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    out = knn_euclidean(ds, np.asarray([(10.0, 10.0)]), k=5)
+    ids = np.arange(500, dtype=np.int64)
+    lat_c, lon_c = synth_latlon_centi(ids)
+    lat, lon = lat_c / 100.0, lon_c / 100.0
+    d2 = (lat - 10.0) ** 2 + (lon - 10.0) ** 2
+    order = np.lexsort((ids, d2))[:5]
+    assert out.column("doc_id").to_pylist() == ids[order].tolist()
+    assert out.column("dist2").to_pylist() == d2[order].tolist()
