@@ -1428,6 +1428,25 @@ def _q_metaphone_stats(sf_dir: str) -> pa.Table:
     return _phonetic_stats(sf_dir, metaphone)
 
 
+def _q_caverphone_stats(sf_dir: str) -> pa.Table:
+    """Caverphone 2.0 (Language/Caverphone2.cs, analysis/caverphone.py):
+    term dictionary grouped by code; the whole rewrite pipeline is
+    regex-expressible, so the oracle chains the same rules in RE2."""
+    from lucenenet_ray.analysis.caverphone import caverphone2
+
+    return _phonetic_stats(sf_dir, caverphone2)
+
+
+def _q_nysiis_stats(sf_dir: str) -> pa.Table:
+    """NYSIIS (Language/Nysiis.cs, analysis/nysiis.py): term dictionary
+    grouped by strict code. Rows-only by design (the in-place transcode
+    scan is not SQL-expressible); parity pinned by the reference vectors
+    in tests/test_nysiis.py."""
+    from lucenenet_ray.analysis.nysiis import nysiis
+
+    return _phonetic_stats(sf_dir, lambda t: nysiis(t) or "")
+
+
 def _q_dmetaphone_stats(sf_dir: str) -> pa.Table:
     """Double Metaphone (DoubleMetaphoneFilter.cs / Language/
     DoubleMetaphone.cs, analysis/dmetaphone.py): term dictionary grouped
@@ -2128,6 +2147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_bbox": _q_spatial_bbox,
         "spatial_knn": _q_spatial_knn,
         "spatial_cells": _q_spatial_cells,
+        "caverphone_stats": _q_caverphone_stats,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2136,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "dmetaphone_stats": _q_dmetaphone_stats,
         "metaphone_stats": _q_metaphone_stats,
+        "nysiis_stats": _q_nysiis_stats,
         "pages_flagship": _q_pages_flagship,
     })
     return out
@@ -2205,6 +2226,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_bbox": so.spatial_bbox_sql(10.0, 50.0, -20.0, 60.0),
         "spatial_knn": so.spatial_knn_sql(SPATIAL_QUERY_POINTS, 10),
         "spatial_cells": so.spatial_cells_sql(3),
+        "caverphone_stats": so.caverphone_stats_sql(),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

@@ -1914,3 +1914,26 @@ def spatial_cells_sql(level: int = 3) -> str:
     return f"""WITH {_GEO_CTE}
 SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n
 FROM geod GROUP BY cell ORDER BY cell"""
+
+
+def caverphone_stats_sql(n: int = 20) -> str:
+    """(Caverphone-2.0 code, n_terms, sum_df) over the term dictionary —
+    the full ordered rewrite pipeline (analysis/caverphone.py _RULES)
+    expressed as a chain of RE2 regexp_replace('g') calls, exactly the
+    reference's Regex.Replace-all semantics."""
+    from lucenenet_ray.analysis.caverphone import _RULES
+
+    expr = "regexp_replace(lower(term), '[^a-z]', '', 'g')"
+    for pat, rep in _RULES:
+        p = pat.replace("\\", "\\\\").replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    code = f"substr({expr} || '1111111111', 1, 10)"
+    return f"""WITH {_toks_cte()},
+terms AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM kept GROUP BY term
+)
+SELECT {code} AS code, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS sum_df
+FROM terms GROUP BY code
+ORDER BY sum_df DESC, code ASC LIMIT {n}"""
