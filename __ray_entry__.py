@@ -1428,6 +1428,39 @@ def _q_metaphone_stats(sf_dir: str) -> pa.Table:
     return _phonetic_stats(sf_dir, metaphone)
 
 
+def _topk_rows_table(rows) -> pa.Table:
+    return pa.table({
+        "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+        "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+        "score": pa.array([float(s) for _, s in rows], type=pa.float64()),
+    })
+
+
+def _q_boosting_query(sf_dir: str) -> pa.Table:
+    """BoostingQuery (Queries/BoostingQuery.cs:71-83,
+    search/queries_ext.py): 'spark' demoted by 0.4 when the doc also
+    matches 'merge' — float32-exact vs SQL."""
+    from lucenenet_ray.search.queries_ext import boosting_search
+    from lucenenet_ray.search.query import TermQuery
+
+    rows = boosting_search(_reader(sf_dir), TermQuery(term="spark"),
+                           TermQuery(term="merge"), 0.4, k=TOPK)
+    return _topk_rows_table(rows)
+
+
+def _q_custom_score(sf_dir: str) -> pa.Table:
+    """CustomScoreQuery (Queries/CustomScoreQuery.cs,
+    search/queries_ext.py): BM25('spark window') * (float)n_chars read
+    from the index's docvalues — float32-exact vs SQL."""
+    from lucenenet_ray.search.queries_ext import custom_score_search
+    from lucenenet_ray.search.query import parse_query
+
+    rows = custom_score_search(_reader(sf_dir),
+                               parse_query("spark window"), "n_chars",
+                               k=TOPK)
+    return _topk_rows_table(rows)
+
+
 def _q_caverphone_stats(sf_dir: str) -> pa.Table:
     """Caverphone 2.0 (Language/Caverphone2.cs, analysis/caverphone.py):
     term dictionary grouped by code; the whole rewrite pipeline is
@@ -2148,6 +2181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_knn": _q_spatial_knn,
         "spatial_cells": _q_spatial_cells,
         "caverphone_stats": _q_caverphone_stats,
+        "boosting_query": _q_boosting_query,
+        "custom_score": _q_custom_score,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2227,6 +2262,9 @@ def oracle_sql() -> dict[str, str]:
         "spatial_knn": so.spatial_knn_sql(SPATIAL_QUERY_POINTS, 10),
         "spatial_cells": so.spatial_cells_sql(3),
         "caverphone_stats": so.caverphone_stats_sql(),
+        "boosting_query": so.boosting_query_sql("spark", "merge", 0.4, TOPK),
+        "custom_score": so.custom_score_sql(["spark", "window"], "n_chars",
+                                            TOPK),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

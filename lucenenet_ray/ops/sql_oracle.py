@@ -1937,3 +1937,80 @@ SELECT {code} AS code, CAST(count(*) AS BIGINT) AS n_terms,
        CAST(sum(df) AS BIGINT) AS sum_df
 FROM terms GROUP BY code
 ORDER BY sum_df DESC, code ASC LIMIT {n}"""
+
+
+def boosting_query_sql(match_term: str, context_term: str, boost: float,
+                       k: int = 10) -> str:
+    """BoostingQuery oracle (Queries/BoostingQuery.cs:71-83,
+    search/queries_ext.py boosting_search): BM25 float32 clause scores;
+    docs matching only the match term keep their score (coord 1.0), docs
+    also matching the context term get the clause sum times ``boost``."""
+    boost_r = _R.format(v=repr(float(boost)))
+    terms = [match_term, context_term]
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms)},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         (w.wv * tf.f) / (tf.f + c.cache) AS s
+  FROM tf
+  JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf.doc_id
+),
+agg AS (
+  SELECT doc_id,
+         MAX(CASE WHEN term = '{match_term}' THEN s END) AS s0,
+         MAX(CASE WHEN term = '{context_term}' THEN s END) AS s1
+  FROM persc GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN s1 IS NULL THEN CAST(s0 AS REAL)
+              ELSE CAST(CAST(s0 + s1 AS REAL) * {boost_r} AS REAL)
+         END AS score
+  FROM agg WHERE s0 IS NOT NULL
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def custom_score_sql(terms: list[str], dv_field: str = "n_chars",
+                     k: int = 10) -> str:
+    """CustomScoreQuery oracle (Queries/CustomScoreQuery.cs /
+    CustomScoreProvider.CustomScore, search/queries_ext.py
+    custom_score_search): f32(BM25 OR-sum * (float)docvalue)."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    score_expr = f"COALESCE(s0, {ZERO_R})"
+    for i in range(1, len(terms)):
+        score_expr = f"({score_expr} + COALESCE(s{i}, {ZERO_R}))"
+    pivot_cols = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms))
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms)},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         (w.wv * tf.f) / (tf.f + c.cache) AS s
+  FROM tf
+  JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf.doc_id
+),
+agg AS (
+  SELECT doc_id, {pivot_cols} FROM persc GROUP BY doc_id
+),
+scored AS (
+  SELECT a.doc_id,
+         CAST(CAST(({score_expr}) AS REAL)
+              * CAST(d.{dv_field} AS REAL) AS REAL) AS score
+  FROM agg a JOIN documents d USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
