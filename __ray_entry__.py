@@ -1747,6 +1747,24 @@ def _q_spatial_cells(sf_dir: str) -> pa.Table:
     return t.take(pa.compute.sort_indices(t.column("cell")))
 
 
+def _q_geohash_cells(sf_dir: str) -> pa.Table:
+    """GeohashPrefixTree cells (Prefix/Tree/GeohashPrefixTree.cs,
+    ops/spatial.py geohash_encode — the public Niemeyer base-32
+    encoding): doc counts per precision-2 geohash of the synthetic
+    coords, exact vs the SQL bit-interleave oracle."""
+    from lucenenet_ray.ops.spatial import GeohashEnrich
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    ds = _docs_ds(sf_dir, columns=("doc_id",)).map_batches(
+        GeohashEnrich(2), batch_format="pyarrow")
+    t = dataset_to_table(ds.groupby("geohash").count(), schema=None)
+    t = pa.table({
+        "geohash": t.column("geohash"),
+        "n": t.column("count()").cast(pa.int64()),
+    })
+    return t.take(pa.compute.sort_indices(t.column("geohash")))
+
+
 def _q_dataset_split_counts(sf_dir: str) -> pa.Table:
     """Train/test/cv dataset split (Utils/DatasetSplitter.cs:112-124,
     ops/classify.py dataset_split): three self-contained output indexes;
@@ -2183,6 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caverphone_stats": _q_caverphone_stats,
         "boosting_query": _q_boosting_query,
         "custom_score": _q_custom_score,
+        "geohash_cells": _q_geohash_cells,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2263,6 +2282,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_cells": so.spatial_cells_sql(3),
         "caverphone_stats": so.caverphone_stats_sql(),
         "boosting_query": so.boosting_query_sql("spark", "merge", 0.4, TOPK),
+        "geohash_cells": so.geohash_cells_sql(),
         "custom_score": so.custom_score_sql(["spark", "window"], "n_chars",
                                             TOPK),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),

@@ -168,3 +168,67 @@ def knn_euclidean(docs_ds, query_points: np.ndarray, k: int = 10,
         "doc_id": pa.array([r[2] for r in rows], type=pa.int64()),
         "dist2": pa.array([r[3] for r in rows], type=pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Geohash prefix tree (Prefix/Tree/GeohashPrefixTree.cs; the encoding
+# itself is Niemeyer's public geohash algorithm, implemented by the
+# Spatial4n dependency the reference tree delegates to)
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: float, lon: float, precision: int = 12) -> str:
+    """Standard base-32 geohash: bits alternate lon/lat (lon first),
+    grouped 5 per character."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True
+    while len(bits) < precision * 5:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    out = []
+    for i in range(precision):
+        v = 0
+        for b in bits[i * 5:i * 5 + 5]:
+            v = (v << 1) | b
+        out.append(_GEOHASH_B32[v])
+    return "".join(out)
+
+
+def geohash_cells(lat: float, lon: float, max_precision: int) -> list[str]:
+    """Ancestor-prefix token family (GeohashPrefixTree.GetCell levels)."""
+    full = geohash_encode(lat, lon, max_precision)
+    return [full[:i] for i in range(1, max_precision + 1)]
+
+
+class GeohashEnrich:
+    """map_batches stage: append the precision-P geohash of the synthetic
+    coords — GeohashPrefixTree tokens as a partition-key column."""
+
+    def __init__(self, precision: int = 4, id_col: str = "doc_id"):
+        self.precision = precision
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy().astype(np.int64)
+        lat_c, lon_c = synth_latlon_centi(ids)
+        gh = [geohash_encode(la / 100.0, lo / 100.0, self.precision)
+              for la, lo in zip(lat_c.tolist(), lon_c.tolist())]
+        return batch.append_column("geohash", pa.array(gh, type=pa.string()))

@@ -2014,3 +2014,25 @@ scored AS (
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, CAST(score AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def geohash_cells_sql() -> str:
+    """Doc counts per precision-2 geohash (ops/spatial.py geohash_encode /
+    GeohashPrefixTree.cs token family): 10 interleaved bits (lon first)
+    from the 5-bit integer grids — exactly the interval-halving result
+    because every cell boundary is a multiple of 25 centi-degrees (exact
+    in binary)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    x = "(((lon_c + 18000) * 32) // 36000)"
+    y = "(((lat_c + 9000) * 32) // 18000)"
+    c1 = (f"(((({x} >> 4) & 1) << 4) | ((({y} >> 4) & 1) << 3) | "
+          f"((({x} >> 3) & 1) << 2) | ((({y} >> 3) & 1) << 1) | "
+          f"(({x} >> 2) & 1))")
+    c2 = (f"(((({y} >> 2) & 1) << 4) | ((({x} >> 1) & 1) << 3) | "
+          f"((({y} >> 1) & 1) << 2) | ((({x} >> 0) & 1) << 1) | "
+          f"(({y} >> 0) & 1))")
+    return f"""WITH {_GEO_CTE}
+SELECT substr('{b32}', CAST({c1} AS INTEGER) + 1, 1)
+       || substr('{b32}', CAST({c2} AS INTEGER) + 1, 1) AS geohash,
+       CAST(count(*) AS BIGINT) AS n
+FROM geod GROUP BY geohash ORDER BY geohash"""

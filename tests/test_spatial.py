@@ -57,3 +57,15 @@ def test_knn_matches_bruteforce(ray_session):
     order = np.lexsort((ids, d2))[:5]
     assert out.column("doc_id").to_pylist() == ids[order].tolist()
     assert out.column("dist2").to_pylist() == d2[order].tolist()
+
+
+def test_geohash_public_vectors():
+    from lucenenet_ray.ops.spatial import geohash_cells, geohash_encode
+
+    # canonical vectors (Niemeyer / geohash.org)
+    assert geohash_encode(57.64911, 10.40744, 11) == "u4pruydqqvj"
+    assert geohash_encode(42.6, -5.6, 5) == "ezs42"
+    assert geohash_encode(0.0, 0.0, 1) == "s"
+    assert geohash_encode(37.8324, 112.5584, 9) == "ww8p1r4t8"
+    cells = geohash_cells(57.64911, 10.40744, 5)
+    assert cells == ["u", "u4", "u4p", "u4pr", "u4pru"]
