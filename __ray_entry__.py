@@ -1480,6 +1480,26 @@ def _q_nysiis_stats(sf_dir: str) -> pa.Table:
     return _phonetic_stats(sf_dir, lambda t: nysiis(t) or "")
 
 
+def _q_mra_stats(sf_dir: str) -> pa.Table:
+    """Match Rating Approach (Language/MatchRatingApproachEncoder.cs,
+    analysis/cologne.py): term dictionary grouped by MRA code; the
+    pipeline is pure string functions so the oracle replicates it."""
+    from lucenenet_ray.analysis.cologne import match_rating_encode
+
+    return _phonetic_stats(sf_dir, match_rating_encode)
+
+
+def _q_cologne_stats(sf_dir: str) -> pa.Table:
+    """Kölner Phonetik (Language/ColognePhonetic.cs,
+    analysis/cologne.py): term dictionary grouped by Cologne code.
+    Rows-only by design (streaming scan with re-queued X expansion is
+    not SQL-expressible); parity pinned by the 52 reference vectors in
+    tests/test_cologne.py."""
+    from lucenenet_ray.analysis.cologne import cologne_phonetic
+
+    return _phonetic_stats(sf_dir, lambda t: cologne_phonetic(t) or "")
+
+
 def _q_dmetaphone_stats(sf_dir: str) -> pa.Table:
     """Double Metaphone (DoubleMetaphoneFilter.cs / Language/
     DoubleMetaphone.cs, analysis/dmetaphone.py): term dictionary grouped
@@ -2202,6 +2222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosting_query": _q_boosting_query,
         "custom_score": _q_custom_score,
         "geohash_cells": _q_geohash_cells,
+        "mra_stats": _q_mra_stats,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2211,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dmetaphone_stats": _q_dmetaphone_stats,
         "metaphone_stats": _q_metaphone_stats,
         "nysiis_stats": _q_nysiis_stats,
+        "cologne_stats": _q_cologne_stats,
         "pages_flagship": _q_pages_flagship,
     })
     return out
@@ -2283,6 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         "caverphone_stats": so.caverphone_stats_sql(),
         "boosting_query": so.boosting_query_sql("spark", "merge", 0.4, TOPK),
         "geohash_cells": so.geohash_cells_sql(),
+        "mra_stats": so.mra_stats_sql(),
         "custom_score": so.custom_score_sql(["spark", "window"], "n_chars",
                                             TOPK),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),

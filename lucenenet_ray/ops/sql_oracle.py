@@ -2036,3 +2036,43 @@ SELECT substr('{b32}', CAST({c1} AS INTEGER) + 1, 1)
        || substr('{b32}', CAST({c2} AS INTEGER) + 1, 1) AS geohash,
        CAST(count(*) AS BIGINT) AS n
 FROM geod GROUP BY geohash ORDER BY geohash"""
+
+
+def mra_stats_sql(n: int = 20) -> str:
+    """(Match-Rating-Approach code, n_terms, sum_df) over the term
+    dictionary (analysis/cologne.py match_rating_encode).  The corpus
+    terms are ASCII, so the accent-fold step is a no-op and the whole
+    pipeline is string functions: clean, drop vowels except a leading
+    one, single-pass double-consonant collapse, first-3 + last-3."""
+    clean = ("regexp_replace(regexp_replace(upper(term), "
+             "'[-&''.,]', '', 'g'), '\\s+', '', 'g')")
+    body = "regexp_replace(s, '[AEIOU]', '', 'g')"
+    dedup = "s2"
+    for dc in ("BB", "CC", "DD", "FF", "GG", "HH", "JJ", "KK", "LL", "MM",
+               "NN", "PP", "QQ", "RR", "SS", "TT", "VV", "WW", "XX", "YY",
+               "ZZ"):
+        dedup = f"replace({dedup}, '{dc}', '{dc[0]}')"
+    return f"""WITH {_toks_cte()},
+terms AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM kept GROUP BY term
+),
+cl AS (SELECT {clean} AS s, df FROM terms),
+vless AS (
+  SELECT CASE WHEN length(s) < 2 THEN ''
+              WHEN substr(s, 1, 1) IN ('A','E','I','O','U')
+                THEN substr(s, 1, 1) || {body}
+              ELSE {body} END AS s2, df
+  FROM cl
+),
+coded AS (
+  SELECT CASE WHEN s3 = '' THEN ''
+              WHEN length(s3) > 6
+                THEN substr(s3, 1, 3) || substr(s3, length(s3) - 2, 3)
+              ELSE s3 END AS code, df
+  FROM (SELECT {dedup} AS s3, df FROM vless)
+)
+SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS sum_df
+FROM coded GROUP BY code
+ORDER BY sum_df DESC, code ASC LIMIT {n}"""
