@@ -1480,6 +1480,23 @@ def _q_nysiis_stats(sf_dir: str) -> pa.Table:
     return _phonetic_stats(sf_dir, lambda t: nysiis(t) or "")
 
 
+def _q_sv_stem_stats(sf_dir: str) -> pa.Table:
+    """SwedishLightStemmer (Analysis/Sv/SwedishLightStemmer.cs,
+    lang_stem.swedish_light_stem): term dictionary grouped by stem,
+    vs the rule cascade in SQL."""
+    from lucenenet_ray.analysis.lang_stem import swedish_light_stem
+
+    return _phonetic_stats(sf_dir, swedish_light_stem)
+
+
+def _q_no_stem_stats(sf_dir: str) -> pa.Table:
+    """NorwegianLightStemmer Bokmål (Analysis/No/NorwegianLightStemmer.cs,
+    lang_stem.norwegian_light_stem): term dictionary grouped by stem."""
+    from lucenenet_ray.analysis.lang_stem import norwegian_light_stem
+
+    return _phonetic_stats(sf_dir, norwegian_light_stem)
+
+
 def _q_mra_stats(sf_dir: str) -> pa.Table:
     """Match Rating Approach (Language/MatchRatingApproachEncoder.cs,
     analysis/cologne.py): term dictionary grouped by MRA code; the
@@ -2223,6 +2240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custom_score": _q_custom_score,
         "geohash_cells": _q_geohash_cells,
         "mra_stats": _q_mra_stats,
+        "sv_stem_stats": _q_sv_stem_stats,
+        "no_stem_stats": _q_no_stem_stats,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2306,6 +2325,8 @@ def oracle_sql() -> dict[str, str]:
         "boosting_query": so.boosting_query_sql("spark", "merge", 0.4, TOPK),
         "geohash_cells": so.geohash_cells_sql(),
         "mra_stats": so.mra_stats_sql(),
+        "sv_stem_stats": so.sv_stem_stats_sql(),
+        "no_stem_stats": so.no_stem_stats_sql(),
         "custom_score": so.custom_score_sql(["spark", "window"], "n_chars",
                                             TOPK),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),

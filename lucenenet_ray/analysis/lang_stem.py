@@ -208,9 +208,67 @@ def russian_light_stem(w: str) -> str:
     return w
 
 
+_SV_4SUF = ("arne", "erna", "ande", "else", "aste", "orna", "aren")
+_SV_2SUF = ("ar", "er", "or", "en", "at", "te", "et")
+
+
+def swedish_light_stem(w: str) -> str:
+    """SwedishLightStemmer.Stem (Savoy's light stemmer for Swedish,
+    ``Analysis/Sv/SwedishLightStemmer.cs``): possessive -s then ONE
+    longest-first suffix strip; length guards are on the pre-strip
+    length at each step like the reference's running ``len``."""
+    n = len(w)
+    if n > 4 and w[-1] == "s":
+        w = w[:-1]
+        n -= 1
+    if n > 7 and (w.endswith("elser") or w.endswith("heten")):
+        return w[:-5]
+    if n > 6 and w.endswith(_SV_4SUF):
+        return w[:-4]
+    if n > 5 and (w.endswith("are") or w.endswith("ast")
+                  or w.endswith("het")):
+        return w[:-3]
+    if n > 4 and w.endswith(_SV_2SUF):
+        return w[:-2]
+    if n > 3 and w[-1] in "taen":
+        return w[:-1]
+    return w
+
+
+_NO_4SUF = ("ende", "else", "este", "eren")  # Bokmål set
+_NO_3SUF = ("ere", "est", "ene")
+_NO_2SUF = ("er", "en", "et", "st", "te")
+
+
+def norwegian_light_stem(w: str) -> str:
+    """NorwegianLightStemmer.Stem with the default BOKMAAL flag
+    (``Analysis/No/NorwegianLightStemmer.cs``): possessive -s, then one
+    longest-first strip from the Bokmål ending sets."""
+    n = len(w)
+    if n > 4 and w[-1] == "s":
+        w = w[:-1]
+        n -= 1
+    if n > 7 and (w.endswith("heter") or w.endswith("heten")):
+        return w[:-5]
+    if n > 5 and (w.endswith("dom") or w.endswith("het")):
+        return w[:-3]
+    if n > 7 and (w.endswith("elser") or w.endswith("elsen")):
+        return w[:-5]
+    if n > 6 and w.endswith(_NO_4SUF):
+        return w[:-4]
+    if n > 5 and w.endswith(_NO_3SUF):
+        return w[:-3]
+    if n > 4 and w.endswith(_NO_2SUF):
+        return w[:-2]
+    if n > 3 and w[-1] in "aen":
+        return w[:-1]
+    return w
+
+
 _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "fr": french_minimal_stem, "it": italian_light_stem,
-            "pt": portuguese_light_stem, "ru": russian_light_stem}
+            "pt": portuguese_light_stem, "ru": russian_light_stem,
+            "sv": swedish_light_stem, "no": norwegian_light_stem}
 
 
 class StemmingLangAnalyzer(LangAnalyzer):

@@ -2076,3 +2076,50 @@ SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
        CAST(sum(df) AS BIGINT) AS sum_df
 FROM coded GROUP BY code
 ORDER BY sum_df DESC, code ASC LIMIT {n}"""
+
+
+def _stem_stats_wrap(stem_case: str, n: int) -> str:
+    return f"""WITH {_toks_cte()},
+terms AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM kept GROUP BY term
+),
+s1 AS (SELECT CASE WHEN len(term) > 4 AND right(term, 1) = 's'
+                   THEN substr(term, 1, len(term) - 1) ELSE term END AS w,
+              df FROM terms),
+coded AS (SELECT {stem_case} AS code, df FROM s1)
+SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS sum_df
+FROM coded GROUP BY code
+ORDER BY sum_df DESC, code ASC LIMIT {n}"""
+
+
+def sv_stem_stats_sql(n: int = 20) -> str:
+    """SwedishLightStemmer oracle (Analysis/Sv/SwedishLightStemmer.cs,
+    lang_stem.swedish_light_stem): possessive -s then ONE longest-first
+    suffix strip, applied to every body term."""
+    cut = "substr(w, 1, len(w) - {k})"
+    case = f"""CASE
+    WHEN len(w) > 7 AND right(w, 5) IN ('elser', 'heten') THEN {cut.format(k=5)}
+    WHEN len(w) > 6 AND right(w, 4) IN ('arne','erna','ande','else','aste','orna','aren') THEN {cut.format(k=4)}
+    WHEN len(w) > 5 AND right(w, 3) IN ('are','ast','het') THEN {cut.format(k=3)}
+    WHEN len(w) > 4 AND right(w, 2) IN ('ar','er','or','en','at','te','et') THEN {cut.format(k=2)}
+    WHEN len(w) > 3 AND right(w, 1) IN ('t','a','e','n') THEN {cut.format(k=1)}
+    ELSE w END"""
+    return _stem_stats_wrap(case, n)
+
+
+def no_stem_stats_sql(n: int = 20) -> str:
+    """NorwegianLightStemmer (Bokmål) oracle
+    (Analysis/No/NorwegianLightStemmer.cs, lang_stem.norwegian_light_stem)."""
+    cut = "substr(w, 1, len(w) - {k})"
+    case = f"""CASE
+    WHEN len(w) > 7 AND right(w, 5) IN ('heter', 'heten') THEN {cut.format(k=5)}
+    WHEN len(w) > 5 AND right(w, 3) IN ('dom', 'het') THEN {cut.format(k=3)}
+    WHEN len(w) > 7 AND right(w, 5) IN ('elser', 'elsen') THEN {cut.format(k=5)}
+    WHEN len(w) > 6 AND right(w, 4) IN ('ende','else','este','eren') THEN {cut.format(k=4)}
+    WHEN len(w) > 5 AND right(w, 3) IN ('ere','est','ene') THEN {cut.format(k=3)}
+    WHEN len(w) > 4 AND right(w, 2) IN ('er','en','et','st','te') THEN {cut.format(k=2)}
+    WHEN len(w) > 3 AND right(w, 1) IN ('a','e','n') THEN {cut.format(k=1)}
+    ELSE w END"""
+    return _stem_stats_wrap(case, n)
