@@ -1506,6 +1506,17 @@ def _q_mra_stats(sf_dir: str) -> pa.Table:
     return _phonetic_stats(sf_dir, match_rating_encode)
 
 
+def _q_dm_soundex_stats(sf_dir: str) -> pa.Table:
+    """Daitch-Mokotoff Soundex (Language/DaitchMokotoffSoundex.cs,
+    analysis/dmsoundex.py): term dictionary grouped by the
+    first-alternative code. Rows-only by design (branching rule engine
+    not SQL-expressible); parity pinned by the 30 reference vectors in
+    tests/test_dmsoundex.py."""
+    from lucenenet_ray.analysis.dmsoundex import dm_encode
+
+    return _phonetic_stats(sf_dir, lambda t: dm_encode(t) or "")
+
+
 def _q_cologne_stats(sf_dir: str) -> pa.Table:
     """Kölner Phonetik (Language/ColognePhonetic.cs,
     analysis/cologne.py): term dictionary grouped by Cologne code.
@@ -2252,6 +2263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metaphone_stats": _q_metaphone_stats,
         "nysiis_stats": _q_nysiis_stats,
         "cologne_stats": _q_cologne_stats,
+        "dm_soundex_stats": _q_dm_soundex_stats,
         "pages_flagship": _q_pages_flagship,
     })
     return out
