@@ -538,6 +538,36 @@ def _q_suggest_infix(sf_dir: str) -> pa.Table:
     return suggest_infix(_SUGGEST_CACHE[key], "mer", k=10)
 
 
+_FREETEXT_CACHE: dict[str, str] = {}
+
+
+def _q_freetext_lookup(sf_dir: str) -> pa.Table:
+    """FreeTextSuggester (Suggest/Analyzing/FreeTextSuggester.cs,
+    ops/freetext.py): stupid-backoff bigram model, lookup 'spark ' —
+    exact-rational integer weights vs the HUGEINT SQL oracle."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.freetext import (FreeTextModel,
+                                            build_freetext_model)
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/lucenenet_ray_freetext/{key}.parquet"
+    if key not in _FREETEXT_CACHE:
+        if not os.path.exists(path):
+            build_freetext_model(
+                rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                columns=["text"]), path)
+        _FREETEXT_CACHE[key] = path
+    model = FreeTextModel(_FREETEXT_CACHE[key])
+    rows = model.lookup("spark ", k=10)
+    # the oracle covers only the bigram arm; assert we never backed off
+    assert len(rows) == 10
+    return pa.table({
+        "token": pa.array([t for t, _w in rows], type=pa.string()),
+        "weight": pa.array([w for _t, w in rows], type=pa.int64()),
+    })
+
+
 def _q_term_vector(sf_dir: str) -> pa.Table:
     """Term-vector retrieval for doc 0 (TermVectorsReader / Fields.GetTerms
     analog): (term, freq) of the doc's body, term-sorted — reconstructed
@@ -2243,6 +2273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pk_split_term_stats": _q_pk_split_term_stats,
         "dataset_split_counts": _q_dataset_split_counts,
         "suggest_infix": _q_suggest_infix,
+        "freetext_lookup": _q_freetext_lookup,
         "spatial_bbox": _q_spatial_bbox,
         "spatial_knn": _q_spatial_knn,
         "spatial_cells": _q_spatial_cells,
@@ -2330,6 +2361,7 @@ def oracle_sql() -> dict[str, str]:
         "pk_split_term_stats": so.pk_split_term_stats_sql(250),
         "dataset_split_counts": so.dataset_split_counts_sql(),
         "suggest_infix": so.suggest_infix_sql("mer", 10),
+        "freetext_lookup": so.freetext_lookup_sql("spark", 10),
         "spatial_bbox": so.spatial_bbox_sql(10.0, 50.0, -20.0, 60.0),
         "spatial_knn": so.spatial_knn_sql(SPATIAL_QUERY_POINTS, 10),
         "spatial_cells": so.spatial_cells_sql(3),

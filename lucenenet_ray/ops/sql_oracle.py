@@ -2123,3 +2123,37 @@ def no_stem_stats_sql(n: int = 20) -> str:
     WHEN len(w) > 3 AND right(w, 1) IN ('a','e','n') THEN {cut.format(k=1)}
     ELSE w END"""
     return _stem_stats_wrap(case, n)
+
+
+def freetext_lookup_sql(context: str = "spark", k: int = 10) -> str:
+    """FreeTextSuggester lookup oracle (ops/freetext.py
+    FreeTextModel.lookup with a trailing separator): next tokens after
+    ``context`` scored weight = floor(LONG_MAX * bigramCount /
+    contextUnigramCount) in HUGEINT — the exact-rational form of the
+    reference's decimal formula (:777).  The context has >= k distinct
+    successors on this corpus, so the top-k never reaches the backed-off
+    unigram level (asserted by the engine query)."""
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+big AS (
+  SELECT term AS w1,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks WHERE term <> ''
+),
+ctx AS (
+  SELECT CAST(count(*) AS HUGEINT) AS c FROM toks
+  WHERE term = '{context}'
+),
+cand AS (
+  SELECT w2 AS token, CAST(count(*) AS HUGEINT) AS cnt
+  FROM big WHERE w1 = '{context}' AND w2 IS NOT NULL AND w2 <> ''
+  GROUP BY w2
+)
+SELECT token,
+       CAST((CAST(9223372036854775807 AS HUGEINT) * cnt)
+            // (SELECT c FROM ctx) AS BIGINT) AS weight
+FROM cand ORDER BY weight DESC, token ASC LIMIT {k}"""
