@@ -1649,6 +1649,41 @@ def _q_memory_index_score(sf_dir: str) -> pa.Table:
     return t.take(pa.compute.sort_indices(t.column("doc_id")))
 
 
+def _q_child_block_join(sf_dir: str) -> pa.Table:
+    """ToChildBlockJoinQuery analog (Join/ToChildBlockJoinQuery.cs,
+    ops/joins.py child_block_join): parents = URGENT orders, match
+    propagated down to their heavy lineitems (broadcast parent keys +
+    np.isin per batch — no shuffle)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.joins import child_block_join
+
+    parents = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filters=[("o_orderpriority", "=", "1-URGENT")])
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def heavy(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("l_quantity"), 45))
+
+    out = child_block_join(li.map_batches(heavy, batch_format="pyarrow"),
+                           parents.column("o_orderkey").to_numpy(),
+                           "l_orderkey")
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    t = dataset_to_table(out, schema=pa.schema(
+        [("l_orderkey", pa.int64()), ("l_linenumber", pa.int64()),
+         ("l_quantity", pa.int64())]))
+    idx = pa.compute.sort_indices(t, sort_keys=[
+        ("l_orderkey", "ascending"), ("l_linenumber", "ascending")])
+    return t.take(idx).slice(0, 50)
+
+
 def _q_semi_join(sf_dir: str) -> Any:
     """Query-time semi-join (JoinUtil.CreateJoinQuery, Join/JoinUtil.cs):
     collect join keys from the 'from' side, broadcast the key set, filter the
@@ -2274,6 +2309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split_counts": _q_dataset_split_counts,
         "suggest_infix": _q_suggest_infix,
         "freetext_lookup": _q_freetext_lookup,
+        "child_block_join": _q_child_block_join,
         "spatial_bbox": _q_spatial_bbox,
         "spatial_knn": _q_spatial_knn,
         "spatial_cells": _q_spatial_cells,
@@ -2362,6 +2398,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split_counts": so.dataset_split_counts_sql(),
         "suggest_infix": so.suggest_infix_sql("mer", 10),
         "freetext_lookup": so.freetext_lookup_sql("spark", 10),
+        "child_block_join": so.child_block_join_sql(50),
         "spatial_bbox": so.spatial_bbox_sql(10.0, 50.0, -20.0, 60.0),
         "spatial_knn": so.spatial_knn_sql(SPATIAL_QUERY_POINTS, 10),
         "spatial_cells": so.spatial_cells_sql(3),

@@ -47,3 +47,28 @@ def top_parents(scores, parent_key: str, k: int) -> pa.Table:
         parent_key: pa.array([r[parent_key] for r in rows]),
         "score": pa.array([r["score"] for r in rows]),
     })
+
+
+def child_block_join(children_ds, parent_keys, child_key: str):
+    """ToChildBlockJoinQuery analog (``Join/ToChildBlockJoinQuery.cs``):
+    a parent-side match propagates DOWN — every child whose parent key is
+    in the matching set survives (each child inherits its parent's
+    match/score; the reference walks the block from the parent bit set).
+
+    Ray shape: the matching parents' keys are the broadcast small side
+    (``ray.put`` once, one vectorized ``np.isin`` per batch) — the same
+    no-shuffle semi-join contract as JoinUtil; at parent cardinalities
+    that outgrow a broadcast, swap in the hash-partitioned join, same as
+    semi_join's documented fallback."""
+    import numpy as np
+    import ray
+
+    kref = ray.put(np.sort(np.asarray(parent_keys, dtype=np.int64)))
+
+    def fil(batch: pa.Table) -> pa.Table:
+        keys = ray.get(kref)
+        vals = batch.column(child_key).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(np.isin(vals, keys)))
+
+    return children_ds.map_batches(fil, batch_format="pyarrow")

@@ -2157,3 +2157,12 @@ SELECT token,
        CAST((CAST(9223372036854775807 AS HUGEINT) * cnt)
             // (SELECT c FROM ctx) AS BIGINT) AS weight
 FROM cand ORDER BY weight DESC, token ASC LIMIT {k}"""
+
+
+def child_block_join_sql(k: int = 50) -> str:
+    """ToChildBlockJoinQuery oracle (ops/joins.py child_block_join):
+    heavy lineitems of URGENT orders, (orderkey, linenumber) order."""
+    return f"""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity > 45
+ORDER BY l.l_orderkey, l.l_linenumber LIMIT {k}"""
