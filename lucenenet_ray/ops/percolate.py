@@ -215,9 +215,48 @@ class MemoryIndex:
 # Ray-Data-first percolation
 
 
+def required_any_terms(q: Query) -> frozenset[str] | None:
+    """A term set such that any matching doc MUST contain at least one —
+    the presearcher key (Lucene Monitor's term-filtered percolation: at
+    10^5+ registered queries, only queries whose required terms appear in
+    the batch are evaluated at all).  ``None`` = no such set exists
+    (MatchAll, multi-term wildcards, numeric ranges, pure-MUST_NOT) —
+    those queries are always evaluated."""
+    if isinstance(q, TermQuery):
+        return frozenset((q.term,))
+    if isinstance(q, PhraseQuery):
+        return frozenset(t for t, _ in q.terms) or None
+    if isinstance(q, MultiPhraseQuery):
+        first = q.slots[0][0] if q.slots else ()
+        return frozenset(first) or None
+    if isinstance(q, BooleanQuery):
+        musts = [required_any_terms(cl.query) for cl in q.clauses
+                 if cl.occur is Occur.MUST]
+        for m in musts:
+            if m is not None:
+                return m  # any MUST clause's set works
+        if musts:
+            # MUST clauses exist but none yields a term set; SHOULD
+            # clauses are then optional, so no set is safe
+            return None
+        shoulds = [required_any_terms(cl.query) for cl in q.clauses
+                   if cl.occur is Occur.SHOULD]
+        if shoulds and all(s is not None for s in shoulds):
+            return frozenset().union(*shoulds)
+        return None
+    if isinstance(q, DisjunctionMaxQuery):
+        parts = [required_any_terms(d) for d in q.disjuncts]
+        if parts and all(p is not None for p in parts):
+            return frozenset().union(*parts)
+        return None
+    return None
+
+
 class Percolator:
     """Actor-pool stage: queries parsed/broadcast once (``__init__``), each
-    batch tokenized once and inverted, then numpy set algebra per query."""
+    batch tokenized once and inverted, then numpy set algebra per query —
+    but only for queries whose presearcher terms appear in the batch
+    (required_any_terms); the rest are skipped without any evaluation."""
 
     def __init__(self, plans_ref, text_col: str = "text",
                  id_col: str = "doc_id", numeric_cols: tuple[str, ...] = ()):
@@ -228,6 +267,8 @@ class Percolator:
         plans = ray.get(plans_ref) if not isinstance(plans_ref, list) \
             else plans_ref
         self.plans: list[tuple[str, Query]] = plans
+        self.required = [required_any_terms(p) for _qid, p in plans]
+        self.evaluated = 0  # presearcher effectiveness counter (tests)
         self.text_col, self.id_col = text_col, id_col
         self.numeric_cols = numeric_cols
         self.analyzer = StandardAnalyzer()
@@ -328,7 +369,10 @@ class Percolator:
         numeric = {c: batch.column(c).to_numpy()
                    for c in self.numeric_cols if c in batch.column_names}
         out_doc, out_q = [], []
-        for qid, plan in self.plans:
+        for (qid, plan), req in zip(self.plans, self.required):
+            if req is not None and not any(t in inv for t in req):
+                continue  # presearcher: no required term in this batch
+            self.evaluated += 1
             rows = self._rows(plan, inv, len(docs), docs, numeric)
             out_doc.extend(ids[rows].tolist())
             out_q.extend([qid] * rows.size)

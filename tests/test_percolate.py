@@ -121,3 +121,42 @@ def test_min_should_match_semantics():
         for t in ("spark", "merge", "zebra")), min_should_match=2)
     assert MemoryIndex("spark merge other").matches(q)
     assert not MemoryIndex("spark other").matches(q)
+
+
+def test_presearcher_required_terms():
+    from lucenenet_ray.ops.percolate import required_any_terms
+    from lucenenet_ray.search.query import (BooleanClause, BooleanQuery,
+                                            MatchAllDocsQuery, Occur,
+                                            TermQuery, parse_query)
+
+    assert required_any_terms(parse_query("spark")) == {"spark"}
+    assert required_any_terms(parse_query("spark AND window")) in (
+        {"spark"}, {"window"})
+    assert required_any_terms(parse_query("spark window")) == \
+        {"spark", "window"}
+    assert required_any_terms(parse_query('"batch merge"')) == \
+        {"batch", "merge"}
+    assert required_any_terms(parse_query("sp*")) is None
+    # MUST MatchAll + optional SHOULD: shoulds are NOT required
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.MUST, MatchAllDocsQuery()),
+        BooleanClause(Occur.SHOULD, TermQuery(term="spark"))))
+    assert required_any_terms(q) is None
+
+
+def test_presearcher_skips_absent_queries():
+    """A batch containing none of a query's required terms must not
+    evaluate it at all (the Monitor-style prefilter)."""
+    import pyarrow as pa
+
+    from lucenenet_ray.ops.percolate import Percolator
+    from lucenenet_ray.search.query import parse_query
+
+    plans = [("a", parse_query("zebra AND lion")),
+             ("b", parse_query("spark"))]
+    p = Percolator(plans)
+    batch = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                      "text": pa.array(["spark window", "merge batch"])})
+    out = p(batch)
+    assert p.evaluated == 1  # only 'b' ran
+    assert set(out.column("query_id").to_pylist()) == {"b"}
