@@ -59,9 +59,24 @@ def train_centroids(ds, n_lists: int = 16, n_iters: int = 5,
 
     from lucenenet_ray.util.tables import dataset_to_table
 
-    # deterministic init: the n_lists lowest-id vectors
+    # deterministic init: the n_lists lowest-id vectors. A full ds.sort
+    # for 16 seed rows would be an all-to-all shuffle; instead a narrow
+    # per-batch min-k partial (ids + vectors of each batch's n_lists
+    # smallest) feeds a tiny driver merge — bytes moved ~ n_lists *
+    # n_blocks rows, never the corpus.
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        k = min(n_lists, len(ids))
+        part = np.argpartition(ids, k - 1)[:k] if k < len(ids) else \
+            np.arange(len(ids))
+        return batch.take(pa.array(np.sort(part)))
+
     seed_t = dataset_to_table(
-        ds.sort(id_col).limit(n_lists), schema=None)
+        ds.map_batches(seed_partial, batch_format="pyarrow"), schema=None)
+    order = np.argsort(seed_t.column(id_col).to_numpy(
+        zero_copy_only=False).astype(np.int64), kind="stable")[:n_lists]
+    seed_t = seed_t.take(pa.array(order))
     cent = _normalize(_to_matrix(seed_t, vec_col))
     for _ in range(n_iters):
         cref = ray.put(cent)
