@@ -1407,6 +1407,41 @@ def _phonetic_stats(sf_dir: str, encoder) -> pa.Table:
     return g.take(idx).slice(0, 20)
 
 
+def _q_fvh_highlight(sf_dir: str) -> pa.Table:
+    """FastVectorHighlighter analog (Highlighter/VectorHighlight/,
+    ops/highlight.py fvh_best_fragment): fragments for the BM25 top-5
+    'spark window' docs driven by the PHYSICAL term-vector sidecar (no
+    re-analysis). Rows-only by design (rendered fragments)."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.highlight import fvh_best_fragment
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.searcher import search
+
+    idx = _index_path(sf_dir)
+    td = search(_reader(sf_dir), parse_query("spark window"), k=5)
+    docs = [d for d, _s in td.to_list()]
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "in", docs)])
+    texts = dict(zip(t.column("doc_id").to_pylist(),
+                     t.column("text").to_pylist()))
+    rows = []
+    for rank, d in enumerate(docs, 1):
+        out = fvh_best_fragment(idx, texts[d], d, ["spark", "window"],
+                                fragsize=80)
+        if out is not None:
+            frag, n_hits, start = out
+            rows.append((rank, d, n_hits, start, frag))
+    return pa.table({
+        "rank": pa.array([r[0] for r in rows], type=pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_hits": pa.array([r[2] for r in rows], type=pa.int64()),
+        "frag_start": pa.array([r[3] for r in rows], type=pa.int64()),
+        "fragment": pa.array([r[4] for r in rows], type=pa.string()),
+    })
+
+
 def _q_sweetspot_tfidf(sf_dir: str) -> pa.Table:
     """SweetSpotSimilarity override (Misc/SweetSpotSimilarity.cs,
     search/sweetspot.py): 'spark window' OR scored with BaselineTf(1.5,
@@ -2332,6 +2367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cologne_stats": _q_cologne_stats,
         "dm_soundex_stats": _q_dm_soundex_stats,
         "pages_flagship": _q_pages_flagship,
+        "fvh_highlight": _q_fvh_highlight,
     })
     return out
 

@@ -128,3 +128,63 @@ def suggest_terms(reader, term: str, max_edits: int = 2, k: int = 5
                 break
     out.sort(key=lambda x: (x[1], -x[2], x[0]))
     return out[:k]
+
+
+def fvh_best_fragment(index_path: str, text: str, doc_id: int,
+                      terms: list[str], fragsize: int = 100,
+                      tag: str = "b") -> tuple[str, int, int] | None:
+    """FastVectorHighlighter analog (``Highlighter/VectorHighlight/``
+    FieldTermStack + SimpleFragListBuilder + the fragments builder): the
+    hit list comes from the doc's PHYSICAL term vector (positions +
+    start offsets stored by the inverter, index/build.py
+    _write_term_vector_file) — no re-analysis and no postings traversal,
+    which is exactly why the reference requires
+    ``FieldType.StoreTermVectorOffsets``.
+
+    Fragments are fixed ``fragsize``-char windows opened greedily at each
+    unconsumed hit (SimpleFragListBuilder's margin-less core); the best
+    fragment is the one with the most hits (tie: earliest).  Returns
+    (rendered fragment with <tag> marks, n_hits, frag_start) or None when
+    the doc has no vector / no hits.
+
+    End offsets are start + len(term): the standard chain is
+    length-preserving on this corpus (lowercase only); a stemming chain
+    would need stored end offsets like the reference's .tvf writes.
+    """
+    from lucenenet_ray.index.build import read_term_vector
+
+    tv = read_term_vector(index_path, doc_id)
+    if tv is None or "start_offsets" not in tv.column_names:
+        return None
+    want = set(terms)
+    hits: list[tuple[int, int]] = []  # (start_char, term_len)
+    for term, offs in zip(tv.column("term").to_pylist(),
+                          tv.column("start_offsets").to_pylist()):
+        if term in want:
+            hits.extend((o, len(term)) for o in offs)
+    if not hits:
+        return None
+    hits.sort()
+    # greedy windows
+    best: tuple[int, int] | None = None  # (-n_hits, start)
+    i = 0
+    n = len(hits)
+    while i < n:
+        start = hits[i][0]
+        j = i
+        while j < n and hits[j][0] + hits[j][1] <= start + fragsize:
+            j += 1
+        cand = (-(j - i), start)
+        if best is None or cand < best:
+            best = cand
+        i = j if j > i else i + 1
+    n_hits, frag_start = -best[0], best[1]
+    frag_end = min(len(text), frag_start + fragsize)
+    piece = text[frag_start:frag_end]
+    # render marks right-to-left so offsets stay valid
+    marks = [(o - frag_start, ln) for o, ln in hits
+             if frag_start <= o and o + ln <= frag_end]
+    for off, ln in sorted(marks, reverse=True):
+        piece = (piece[:off] + f"<{tag}>" + piece[off:off + ln]
+                 + f"</{tag}>" + piece[off + ln:])
+    return piece, n_hits, frag_start
