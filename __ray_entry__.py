@@ -1442,6 +1442,26 @@ def _q_fvh_highlight(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_chained_filter(sf_dir: str) -> pa.Table:
+    """ChainedFilter (Queries/ChainedFilter.cs:42-49, search/filters.py):
+    left-fold filter algebra — spark OR n_chars∈[500,900) ANDNOT window
+    XOR merge — over per-bucket doc sets, exact vs SQL set ops."""
+    from lucenenet_ray.search.filters import (ANDNOT, OR, XOR,
+                                              chained_filter)
+    from lucenenet_ray.search.query import (NumericDocValuesRangeQuery,
+                                            TermQuery)
+
+    docs = chained_filter(_reader(sf_dir), [
+        TermQuery(term="spark"),
+        NumericDocValuesRangeQuery(field="n_chars", lower=500, upper=900,
+                                   include_lower=True,
+                                   include_upper=False),
+        TermQuery(term="window"),
+        TermQuery(term="merge"),
+    ], [OR, OR, ANDNOT, XOR])
+    return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
+
+
 def _q_sweetspot_tfidf(sf_dir: str) -> pa.Table:
     """SweetSpotSimilarity override (Misc/SweetSpotSimilarity.cs,
     search/sweetspot.py): 'spark window' OR scored with BaselineTf(1.5,
@@ -2345,6 +2365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_infix": _q_suggest_infix,
         "freetext_lookup": _q_freetext_lookup,
         "child_block_join": _q_child_block_join,
+        "chained_filter": _q_chained_filter,
         "spatial_bbox": _q_spatial_bbox,
         "spatial_knn": _q_spatial_knn,
         "spatial_cells": _q_spatial_cells,
@@ -2435,6 +2456,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_infix": so.suggest_infix_sql("mer", 10),
         "freetext_lookup": so.freetext_lookup_sql("spark", 10),
         "child_block_join": so.child_block_join_sql(50),
+        "chained_filter": so.chained_filter_sql(),
         "spatial_bbox": so.spatial_bbox_sql(10.0, 50.0, -20.0, 60.0),
         "spatial_knn": so.spatial_knn_sql(SPATIAL_QUERY_POINTS, 10),
         "spatial_cells": so.spatial_cells_sql(3),

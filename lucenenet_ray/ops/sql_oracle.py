@@ -2166,3 +2166,23 @@ def child_block_join_sql(k: int = 50) -> str:
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity > 45
 ORDER BY l.l_orderkey, l.l_linenumber LIMIT {k}"""
+
+
+def chained_filter_sql() -> str:
+    """ChainedFilter oracle (search/filters.py chained_filter): the gate
+    chain is (term 'spark') OR (n_chars in [500, 900)) ANDNOT (term
+    'window') XOR (term 'merge') — left fold, doc ids ascending."""
+    ex = ("SELECT DISTINCT doc_id FROM kept WHERE term = '{t}'")
+    return f"""WITH {_toks_cte()},
+f0 AS ({ex.format(t='spark')}),
+f1 AS (SELECT doc_id FROM documents WHERE n_chars >= 500 AND n_chars < 900),
+f2 AS ({ex.format(t='window')}),
+f3 AS ({ex.format(t='merge')}),
+s1 AS (SELECT doc_id FROM f0 UNION SELECT doc_id FROM f1),
+s2 AS (SELECT doc_id FROM s1 EXCEPT SELECT doc_id FROM f2),
+s3 AS (
+  (SELECT doc_id FROM s2 EXCEPT SELECT doc_id FROM f3)
+  UNION
+  (SELECT doc_id FROM f3 EXCEPT SELECT doc_id FROM s2)
+)
+SELECT doc_id FROM s3 ORDER BY doc_id"""
