@@ -1462,6 +1462,33 @@ def _q_chained_filter(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
 
 
+def _q_duplicate_filter(sf_dir: str) -> pa.Table:
+    """DuplicateFilter (Sandbox/Queries/DuplicateFilter.cs:33-47,
+    search/duplicates.py): keep-LAST-occurrence-per-``source`` doc set
+    (PM_FULL_VALIDATION) attached to a BM25 'spark OR window' query as a
+    zero-boost DocIdSetQuery MUST clause — the FilteredQuery composition
+    (FilteredQuery.cs:35-48: score comes from the wrapped query; +0.0f is a
+    float32 identity), top-10."""
+    from lucenenet_ray.search.duplicates import duplicate_filter
+    from lucenenet_ray.search.query import (BooleanClause, BooleanQuery,
+                                            DocIdSetQuery, Occur, TermQuery)
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    kept = duplicate_filter(r, "source", keep_mode="last")
+    inner = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="spark")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="window")),
+    ))
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.MUST, inner),
+        BooleanClause(Occur.MUST, DocIdSetQuery(
+            boost=0.0, doc_ids=tuple(int(d) for d in kept))),
+    ))
+    td = search(r, q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
 def _q_sweetspot_tfidf(sf_dir: str) -> pa.Table:
     """SweetSpotSimilarity override (Misc/SweetSpotSimilarity.cs,
     search/sweetspot.py): 'spark window' OR scored with BaselineTf(1.5,
@@ -2376,6 +2403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mra_stats": _q_mra_stats,
         "sv_stem_stats": _q_sv_stem_stats,
         "no_stem_stats": _q_no_stem_stats,
+        "duplicate_filter": _q_duplicate_filter,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2468,6 +2496,9 @@ def oracle_sql() -> dict[str, str]:
         "no_stem_stats": so.no_stem_stats_sql(),
         "custom_score": so.custom_score_sql(["spark", "window"], "n_chars",
                                             TOPK),
+        "duplicate_filter": so.bm25_topk_sql(
+            ["spark", "window"], TOPK, "or",
+            restrict_docs_sql=so.duplicate_keep_sql("source", "last")),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

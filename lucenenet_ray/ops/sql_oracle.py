@@ -182,7 +182,8 @@ def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or",
                   boosts: dict[str, float] | None = None,
                   deleted_terms: list[str] | None = None,
                   stored_cols: list[str] | None = None,
-                  offset: int = 0) -> str:
+                  offset: int = 0,
+                  restrict_docs_sql: str | None = None) -> str:
     """Full BM25 top-k oracle — float32-bit-identical to the engine.
 
     mode 'or'  → BooleanQuery of SHOULD TermQuery clauses
@@ -218,6 +219,12 @@ def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or",
         )
     else:
         dead_filter = ""
+    if restrict_docs_sql:
+        # FilteredQuery composition (DocIdSetQuery boost=0.0 → +0.0f is a
+        # float32 identity, scores unchanged): restrict RESULTS only; every
+        # statistic stays corpus-wide like the engine's filter clause
+        kw = "AND" if dead_filter else "WHERE"
+        dead_filter += f"\n  {kw} doc_id IN ({restrict_docs_sql})"
     if stored_cols:
         stored_sel = "".join(f", d.{c}" for c in stored_cols)
         stored_join = "JOIN documents d USING (doc_id)"
@@ -908,6 +915,15 @@ def facet_lang_sampled_sql(pct_buckets: int = 10, keep_lt: int = 3) -> str:
     return f"""SELECT lang, count(*) AS n_docs FROM documents
 WHERE {h} % {pct_buckets} < {keep_lt}
 GROUP BY lang ORDER BY lang"""
+
+
+def duplicate_keep_sql(field: str = "source", keep: str = "last") -> str:
+    """DuplicateFilter keeper set (Sandbox DuplicateFilter.cs:33-47,
+    KM_USE_FIRST/LAST_OCCURRENCE under PM_FULL_VALIDATION): one surviving
+    doc per key-field value — composes into bm25_topk_sql via
+    ``restrict_docs_sql``."""
+    agg = "max" if keep == "last" else "min"
+    return f"SELECT {agg}(doc_id) FROM documents GROUP BY {field}"
 
 
 def dedup_exact_sql() -> str:

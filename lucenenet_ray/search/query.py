@@ -128,6 +128,35 @@ class NumericDocValuesRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class DocIdSetQuery(Query):
+    """A precomputed doc-id set used as a filter clause — the Filter /
+    CachingWrapperFilter surface (``Search/Filter.cs``,
+    ``Search/CachingWrapperFilter.cs``): an arbitrary DocIdSet produced
+    outside the query tree (e.g. ``search/duplicates.duplicate_filter``, the
+    DuplicateFilter analog) attached to a scoring query as a MUST clause of
+    a BooleanQuery — the FilteredQuery composition. With the default
+    ``boost=0.0`` the clause adds +0.0f to the float32 clause-order sum
+    (exact identity), so scores equal the unfiltered query's scores, like
+    FilteredQuery's "score comes from the wrapped query" contract
+    (``Search/FilteredQuery.cs:35-48``).
+
+    ``doc_ids`` holds GLOBAL doc ids as a sorted tuple (hashable for the
+    frozen dataclass); evaluation is one vectorized ``np.isin`` per bucket
+    against the bucket's global-id column — no driver-side bitset."""
+
+    doc_ids: tuple[int, ...] = ()
+
+    def sorted_array(self):
+        import numpy as np
+
+        arr = getattr(self, "_arr", None)
+        if arr is None:
+            arr = np.asarray(self.doc_ids, dtype=np.int64)
+            object.__setattr__(self, "_arr", arr)
+        return arr
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     """score = max(clause scores) + tie_breaker * (sum - max), float32 ops —
     ``Search/DisjunctionMaxQuery.cs:58`` / DisjunctionMaxScorer."""

@@ -49,6 +49,7 @@ from lucenenet_ray.search.query import (
     BooleanClause,
     BooleanQuery,
     DisjunctionMaxQuery,
+    DocIdSetQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     MultiPhraseQuery,
@@ -140,6 +141,8 @@ def _collect_terms(q: Query, reader: IndexReader, terms: set[str],
         # model, shipped via plan.dv_updates)
         terms.update(t for (t, f, _v) in getattr(reader, "dv_updates", ())
                      if f == q.field)
+    elif isinstance(q, DocIdSetQuery):
+        pass  # precomputed set — no terms, no stats
     else:  # pragma: no cover
         raise TypeError(f"unsupported query node {type(q)}")
 
@@ -597,7 +600,22 @@ def _eval_query(q: Query, chunks: dict[str, PostingsChunk], plan: QueryPlan,
         return lidx, np.full(lidx.size, np.float32(q.boost), dtype=np.float32)
     if isinstance(q, NumericDocValuesRangeQuery):
         return _eval_dv_range(q, chunks, plan, bucket)
+    if isinstance(q, DocIdSetQuery):
+        return _eval_docidset(q, bucket)
     raise TypeError(f"unsupported query node {type(q)}")
+
+
+def _eval_docidset(q: DocIdSetQuery, bucket: BucketData
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Filter/CachingWrapperFilter analog: one vectorized membership test of
+    the bucket's global-id column against the precomputed set; constant
+    score = boost (0.0 by default → FilteredQuery identity under the
+    float32 clause sum)."""
+    gids = bucket.norms()[0]
+    lidx = np.flatnonzero(np.isin(gids, q.sorted_array()))
+    if lidx.size == 0:
+        return _EMPTY_D, _EMPTY_S
+    return lidx, np.full(lidx.size, np.float32(q.boost), dtype=np.float32)
 
 
 def _eval_dv_range(q: NumericDocValuesRangeQuery,
