@@ -1462,6 +1462,21 @@ def _q_chained_filter(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
 
 
+def _q_simple_query_bm25(sf_dir: str) -> pa.Table:
+    """SimpleQueryParser dialect (QueryParser/Simple/SimpleQueryParser.cs,
+    search/simpleparser.py): parse 'spark|window merge' under
+    DefaultOperator=MUST → BooleanQuery(MUST (spark | window), MUST merge),
+    BM25 top-10 — structural goldens in tests/test_simpleparser.py, scoring
+    checked here against the nested-group float32 oracle."""
+    from lucenenet_ray.search.query import Occur
+    from lucenenet_ray.search.searcher import search
+    from lucenenet_ray.search.simpleparser import parse_simple
+
+    q = parse_simple("spark|window merge", default_operator=Occur.MUST)
+    td = search(_reader(sf_dir), q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
 def _q_duplicate_filter(sf_dir: str) -> pa.Table:
     """DuplicateFilter (Sandbox/Queries/DuplicateFilter.cs:33-47,
     search/duplicates.py): keep-LAST-occurrence-per-``source`` doc set
@@ -2404,6 +2419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sv_stem_stats": _q_sv_stem_stats,
         "no_stem_stats": _q_no_stem_stats,
         "duplicate_filter": _q_duplicate_filter,
+        "simple_query_bm25": _q_simple_query_bm25,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2499,6 +2515,8 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_filter": so.bm25_topk_sql(
             ["spark", "window"], TOPK, "or",
             restrict_docs_sql=so.duplicate_keep_sql("source", "last")),
+        "simple_query_bm25": so.simple_or_and_sql(
+            ["spark", "window"], ["merge"], TOPK),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

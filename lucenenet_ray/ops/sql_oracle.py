@@ -917,6 +917,51 @@ WHERE {h} % {pct_buckets} < {keep_lt}
 GROUP BY lang ORDER BY lang"""
 
 
+def simple_or_and_sql(or_terms: list[str], must_terms: list[str],
+                      k: int = 10) -> str:
+    """BM25 oracle for the SimpleQueryParser tree of ``"a|b c"`` under
+    DefaultOperator=MUST (SimpleQueryParser.cs BuildQueryTree :494-543):
+    BooleanQuery(MUST (a SHOULD b), MUST c). Engine float32 order: the
+    nested group sums first ((0+s_a)+s_b), then each MUST term adds —
+    left-assoc in clause order."""
+    terms = list(or_terms) + list(must_terms)
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    pivot_cols = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms))
+    inner = f"COALESCE(s0, {ZERO_R})"
+    for i in range(1, len(or_terms)):
+        inner = f"({inner} + COALESCE(s{i}, {ZERO_R}))"
+    score = inner
+    for i in range(len(or_terms), len(terms)):
+        score = f"({score} + COALESCE(s{i}, {ZERO_R}))"
+    or_cond = " OR ".join(
+        f"s{i} IS NOT NULL" for i in range(len(or_terms)))
+    must_cond = " AND ".join(
+        f"s{i} IS NOT NULL" for i in range(len(or_terms), len(terms)))
+    having = f"HAVING ({or_cond})" + (f" AND {must_cond}" if must_cond else "")
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms)},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         (w.wv * tf.f) / (tf.f + c.cache) AS s
+  FROM tf
+  JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf.doc_id
+),
+agg AS (
+  SELECT doc_id, {pivot_cols}
+  FROM persc GROUP BY doc_id {having}
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM (SELECT doc_id, {score} AS score FROM agg)
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def duplicate_keep_sql(field: str = "source", keep: str = "last") -> str:
     """DuplicateFilter keeper set (Sandbox DuplicateFilter.cs:33-47,
     KM_USE_FIRST/LAST_OCCURRENCE under PM_FULL_VALIDATION): one surviving
