@@ -1588,6 +1588,59 @@ def _q_custom_score(sf_dir: str) -> pa.Table:
     return _topk_rows_table(rows)
 
 
+def _q_function_recip(sf_dir: str) -> pa.Table:
+    """FunctionQuery (Queries/Function/FunctionQuery.cs AllScorer:167-174,
+    search/function.py function_search): every live doc scored
+    f32(1000 / (f32(n_chars) + 1000)) via ReciprocalFloatFunction over the
+    n_chars doc-values column — float32-exact vs SQL."""
+    from lucenenet_ray.search.function import (
+        Int64FieldSource,
+        ReciprocalFunction,
+        function_search,
+    )
+
+    vs = ReciprocalFunction(source=Int64FieldSource(field="n_chars"),
+                            a=1000.0, m=1.0, b=1000.0)
+    rows = function_search(_reader(sf_dir), vs, k=TOPK)
+    return _topk_rows_table(rows)
+
+
+def _q_function_scale(sf_dir: str) -> pa.Table:
+    """ScaleFunction (Queries/Function/ValueSources/ScaleFloatFunction.cs
+    CreateScaleInfo over ALL docs, search/function.py): f32(n_chars)
+    rescaled from its corpus [min,max] into [0,1], top-k."""
+    from lucenenet_ray.search.function import (
+        Int64FieldSource,
+        ScaleFunction,
+        function_search,
+    )
+
+    vs = ScaleFunction(source=Int64FieldSource(field="n_chars"),
+                       min=0.0, max=1.0)
+    rows = function_search(_reader(sf_dir), vs, k=TOPK)
+    return _topk_rows_table(rows)
+
+
+def _q_boosted_query(sf_dir: str) -> pa.Table:
+    """BoostedQuery (Queries/Function/BoostedQuery.cs CustomScorer:181-184,
+    search/function.py boosted_search): BM25('spark window' OR) hits
+    re-scored by f32(score * (1000 / (f32(n_chars) + 1000))) — the
+    left-assoc ``qWeight * scorer.GetScore() * vals.SingleVal(doc)``
+    float multiply order."""
+    from lucenenet_ray.search.function import (
+        Int64FieldSource,
+        ReciprocalFunction,
+        boosted_search,
+    )
+    from lucenenet_ray.search.query import parse_query
+
+    vs = ReciprocalFunction(source=Int64FieldSource(field="n_chars"),
+                            a=1000.0, m=1.0, b=1000.0)
+    rows = boosted_search(_reader(sf_dir), parse_query("spark window"), vs,
+                          k=TOPK)
+    return _topk_rows_table(rows)
+
+
 def _q_caverphone_stats(sf_dir: str) -> pa.Table:
     """Caverphone 2.0 (Language/Caverphone2.cs, analysis/caverphone.py):
     term dictionary grouped by code; the whole rewrite pipeline is
@@ -2420,6 +2473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "no_stem_stats": _q_no_stem_stats,
         "duplicate_filter": _q_duplicate_filter,
         "simple_query_bm25": _q_simple_query_bm25,
+        "function_recip": _q_function_recip,
+        "function_scale": _q_function_scale,
+        "boosted_query": _q_boosted_query,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2517,6 +2573,10 @@ def oracle_sql() -> dict[str, str]:
             restrict_docs_sql=so.duplicate_keep_sql("source", "last")),
         "simple_query_bm25": so.simple_or_and_sql(
             ["spark", "window"], ["merge"], TOPK),
+        "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
+        "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),
+        "boosted_query": so.boosted_recip_sql(
+            ["spark", "window"], 1000.0, 1000.0, TOPK),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),
         "classic_tfidf": so.tfidf_topk_sql(["spark", "window"], TOPK),
         "block_join": so.block_join_sql(20),

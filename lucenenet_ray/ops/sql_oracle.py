@@ -2247,3 +2247,84 @@ s3 AS (
   (SELECT doc_id FROM f3 EXCEPT SELECT doc_id FROM s2)
 )
 SELECT doc_id FROM s3 ORDER BY doc_id"""
+
+
+def function_recip_sql(a: float = 1000.0, m: float = 1.0, b: float = 1000.0,
+                       k: int = 10) -> str:
+    """FunctionQuery oracle (search/function.py function_search with
+    ReciprocalFunction(Int64FieldSource('n_chars'))): every doc matches,
+    score = f32(a / (m * f32(n_chars) + b)) — REAL arithmetic in DuckDB is
+    float32 like the engine's numpy kernels; (score desc, doc asc) order."""
+    return f"""WITH scored AS (
+  SELECT doc_id,
+         CAST({a} AS REAL) / (CAST({m} AS REAL) * CAST(n_chars AS REAL)
+              + CAST({b} AS REAL)) AS score
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def function_scale_sql(lo: float = 0.0, hi: float = 1.0, k: int = 10) -> str:
+    """ScaleFunction oracle (ScaleFloatFunction.cs CreateScaleInfo over ALL
+    docs): rescale f32(n_chars) from its corpus [min,max] into [lo,hi];
+    score = f32((x - min) * ((hi-lo)/span) + lo)."""
+    return f"""WITH si AS (
+  SELECT CAST(min(CAST(n_chars AS REAL)) AS REAL) AS mn,
+         CAST(max(CAST(n_chars AS REAL)) AS REAL) AS mx
+  FROM documents
+)
+, scored AS (
+  SELECT doc_id,
+         (CAST(n_chars AS REAL) - si.mn)
+            * ((CAST({hi} AS REAL) - CAST({lo} AS REAL)) / (si.mx - si.mn))
+            + CAST({lo} AS REAL) AS score
+  FROM documents, si
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def boosted_recip_sql(terms: list[str], a: float = 1000.0, b: float = 1000.0,
+                      k: int = 10) -> str:
+    """BoostedQuery oracle (BoostedQuery.cs CustomScorer:181-184,
+    search/function.py boosted_search): OR-of-terms BM25 float32 score
+    multiplied per doc by f32(a / (f32(n_chars) + b)), left-assoc float32
+    exactly as ``qWeight * scorer.GetScore() * vals.SingleVal(doc)``."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    score_expr = f"COALESCE(s0, {ZERO_R})"
+    for i in range(1, len(terms)):
+        score_expr = f"({score_expr} + COALESCE(s{i}, {ZERO_R}))"
+    pivot_cols = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms))
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms)},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         (w.wv * tf.f) / (tf.f + c.cache) AS s
+  FROM tf
+  JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf.doc_id
+),
+agg AS (
+  SELECT doc_id, {pivot_cols}
+  FROM persc GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, {score_expr} AS score FROM agg
+)
+, boosted AS (
+  SELECT s.doc_id,
+         s.score * (CAST({a} AS REAL)
+              / (CAST(d.n_chars AS REAL) + CAST({b} AS REAL))) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM boosted ORDER BY score DESC, doc_id ASC LIMIT {k}"""

@@ -1,0 +1,209 @@
+"""FunctionQuery / ValueSource family (``Lucene.Net.Queries/Function``)
+re-expressed as vectorized float32 kernels over the engine's per-bucket
+doc-values columns.
+
+Reference semantics (NOT ported):
+
+- ValueSource tree (``Function/ValueSource.cs`` + ``ValueSources/*``): a
+  composable per-document float function. Each node here evaluates a whole
+  bucket at once as a float32 numpy array — IEEE-754 single ops match the
+  reference's per-doc C# ``float`` arithmetic bit-for-bit, node by node.
+  Implemented sources: Int64FieldSource (``LongFieldSource.cs`` —
+  (float)longVal over the doc-values column, update generations honored),
+  ConstValueSource, SumFunction (``SumFloatFunction.cs``, left-assoc add),
+  ProductFunction (``ProductFloatFunction.cs``, left-assoc multiply),
+  LinearFunction (``LinearFloatFunction.cs``: m*x+b), ReciprocalFunction
+  (``ReciprocalFloatFunction.cs:82-85``: a/(m*x+b)), ScaleFunction
+  (``ScaleFloatFunction.cs``: (x-minVal)*(max-min)/(maxVal-minVal)+min
+  with minVal/maxVal computed over ALL docs of the reader like
+  CreateScaleInfo walks every segment).
+
+- :func:`function_search` — ``FunctionQuery.cs`` AllScorer:167-174: every
+  live doc matches, score = f32(boost * value). Evaluated per bucket with
+  a per-bucket partial top-k then a tiny driver merge (never a corpus-size
+  sort), the same scatter/merge shape as the BM25 serving path.
+
+- :func:`boosted_search` — ``BoostedQuery.cs`` CustomScorer:181-184:
+  score = f32(f32(boost * subQueryScore) * value) over the sub-query's
+  match set (left-assoc float multiply order as written there:
+  ``qWeight * scorer.GetScore() * vals.SingleVal(doc)``).
+
+At cluster scale the ValueSource tree is plan-shippable state (pure
+constants + field names), evaluated bucket-locally by the serving actors;
+nothing here materializes text or postings on the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from lucenenet_ray.search.query import Query
+
+
+@dataclass(frozen=True)
+class ValueSource:
+    def values(self, reader, bucket) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class Int64FieldSource(ValueSource):
+    """LongFieldSource.cs: SingleVal = (float)longValue from doc values —
+    read through :meth:`IndexReader.numeric_docvalues` so stacked
+    update-log generations are applied (ReaderAndUpdates semantics)."""
+
+    field: str = ""
+
+    def values(self, reader, bucket) -> np.ndarray:
+        return reader.numeric_docvalues(
+            bucket.bucket_id, self.field).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class ConstValueSource(ValueSource):
+    value: float = 0.0
+
+    def values(self, reader, bucket) -> np.ndarray:
+        return np.full(bucket.n_docs, np.float32(self.value),
+                       dtype=np.float32)
+
+
+@dataclass(frozen=True)
+class SumFunction(ValueSource):
+    sources: tuple[ValueSource, ...] = ()
+
+    def values(self, reader, bucket) -> np.ndarray:
+        acc = np.zeros(bucket.n_docs, dtype=np.float32)
+        for s in self.sources:  # left-assoc float32 adds
+            acc = acc + s.values(reader, bucket)
+        return acc
+
+
+@dataclass(frozen=True)
+class ProductFunction(ValueSource):
+    sources: tuple[ValueSource, ...] = ()
+
+    def values(self, reader, bucket) -> np.ndarray:
+        acc = np.ones(bucket.n_docs, dtype=np.float32)
+        for s in self.sources:  # left-assoc float32 multiplies
+            acc = acc * s.values(reader, bucket)
+        return acc
+
+
+@dataclass(frozen=True)
+class LinearFunction(ValueSource):
+    """LinearFloatFunction.cs: m*x + b."""
+
+    source: ValueSource = None
+    slope: float = 1.0
+    intercept: float = 0.0
+
+    def values(self, reader, bucket) -> np.ndarray:
+        x = self.source.values(reader, bucket)
+        return np.float32(self.slope) * x + np.float32(self.intercept)
+
+
+@dataclass(frozen=True)
+class ReciprocalFunction(ValueSource):
+    """ReciprocalFloatFunction.cs:82-85: a/(m*x + b)."""
+
+    source: ValueSource = None
+    a: float = 1.0
+    m: float = 1.0
+    b: float = 1.0
+
+    def values(self, reader, bucket) -> np.ndarray:
+        x = self.source.values(reader, bucket)
+        return np.float32(self.a) / (np.float32(self.m) * x
+                                     + np.float32(self.b))
+
+
+@dataclass(frozen=True)
+class ScaleFunction(ValueSource):
+    """ScaleFloatFunction.cs: rescale the source's [minVal, maxVal] (over
+    ALL docs, CreateScaleInfo) into [min, max]."""
+
+    source: ValueSource = None
+    min: float = 0.0
+    max: float = 1.0
+
+    def _scale_info(self, reader) -> tuple[np.float32, np.float32]:
+        # CreateScaleInfo walks every segment once per search; memoized per
+        # reader so per-bucket evaluation isn't O(buckets^2).
+        cache = reader.__dict__.setdefault("_scaleinfo_cache", {})
+        hit = cache.get(self)
+        if hit is not None:
+            return hit
+        lo = np.float32(np.inf)
+        hi = np.float32(-np.inf)
+        for b in reader.bucket_ids:
+            v = self.source.values(reader, reader.bucket(b))
+            if v.size:
+                lo = min(lo, v.min())
+                hi = max(hi, v.max())
+        cache[self] = (np.float32(lo), np.float32(hi))
+        return cache[self]
+
+    def values(self, reader, bucket) -> np.ndarray:
+        lo, hi = self._scale_info(reader)
+        span = hi - lo
+        scale = (np.float32(1.0) if span == np.float32(0.0)
+                 else (np.float32(self.max) - np.float32(self.min)) / span)
+        x = self.source.values(reader, bucket)
+        return (x - lo) * scale + np.float32(self.min)
+
+
+def function_search(reader, vs: ValueSource, k: int = 10,
+                    boost: float = 1.0) -> list[tuple[int, np.float32]]:
+    """FunctionQuery top-k: all docs scored f32(boost * value), merged from
+    per-bucket partial top-k in (score desc, doc asc) order."""
+    bf = np.float32(boost)
+    deleted = getattr(reader, "deleted_terms", ())
+    partials: list[tuple[np.ndarray, np.ndarray]] = []
+    for b in reader.bucket_ids:
+        bucket = reader.bucket(b)
+        ids = bucket.norms()[0]
+        scores = bf * vs.values(reader, bucket)
+        live = bucket.live_mask(deleted)
+        if live is not None:
+            ids, scores = ids[live], scores[live]
+        if ids.size > k:
+            # tie-safe partial top-k: keep EVERY doc scoring >= the k-th
+            # score, then (score desc, doc asc) — HitQueue tie-break
+            part = np.argpartition(-scores, k - 1)
+            kth = scores[part[k - 1]]
+            cand = np.flatnonzero(scores >= kth)
+            top = cand[np.lexsort((ids[cand], -scores[cand]))][:k]
+        else:
+            top = np.lexsort((ids, -scores))
+        partials.append((ids[top], scores[top]))
+    docs = np.concatenate([p[0] for p in partials])
+    scores = np.concatenate([p[1] for p in partials])
+    order = np.lexsort((docs, -scores))[:k]
+    return [(int(docs[i]), np.float32(scores[i])) for i in order]
+
+
+def boosted_search(reader, sub: Query, vs: ValueSource, k: int = 10,
+                   boost: float = 1.0) -> list[tuple[int, np.float32]]:
+    """BoostedQuery top-k: sub-query hits re-scored by
+    f32(f32(boost * subscore) * value)."""
+    from lucenenet_ray.search.searcher import search
+
+    bf = np.float32(boost)
+    td = search(reader, sub, k=reader.num_docs, prune=False)
+    all_ids: list[np.ndarray] = []
+    all_vals: list[np.ndarray] = []
+    for b in reader.bucket_ids:
+        bucket = reader.bucket(b)
+        all_ids.append(bucket.norms()[0])
+        all_vals.append(vs.values(reader, bucket))
+    ids = np.concatenate(all_ids)
+    vals = np.concatenate(all_vals)
+    order = np.argsort(ids, kind="stable")
+    ids, vals = ids[order], vals[order]
+    hit_vals = vals[np.searchsorted(ids, td.docs)]
+    scores = (bf * td.scores.astype(np.float32)) * hit_vals
+    top = np.lexsort((td.docs, -scores))[:k]
+    return [(int(td.docs[i]), np.float32(scores[i])) for i in top]
