@@ -21,6 +21,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from lucenenet_ray.ops import sql_oracle as so
 
@@ -1191,6 +1192,134 @@ def _q_facet_taxonomy(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_facet_sum_value(sf_dir: str) -> pa.Table:
+    """Association facets (Facet/Taxonomy/TaxonomyFacetSumIntAssociations.cs;
+    same rollup as TaxonomyFacetSumValueSource.cs but integer-exact): over
+    docs matching 'spark', SUM a per-doc integer association (n_chars) at
+    every taxonomy path prefix (lang and lang/source). Distributed shape:
+    matched ids broadcast once via ray.put, per-batch partial sums, ONE
+    small groupby — the corpus never gathers on the driver."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    td = search(r, TermQuery(term="spark"), k=r.num_docs)
+    hits_ref = ray.put(np.asarray(sorted(int(d) for d in td.docs),
+                                  dtype=np.int64))
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        hits = _ray.get(hits_ref)
+        ids = t.column("doc_id").to_numpy()
+        pos = np.searchsorted(hits, ids)
+        inh = pos < hits.size
+        inh[inh] = hits[pos[inh]] == ids[inh]
+        if not inh.any():
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "sum_assoc": pa.array([], type=pa.int64())})
+        sums: dict[str, int] = {}
+        for lang, src, v in zip(
+                np.asarray(t.column("lang"))[inh].tolist(),
+                np.asarray(t.column("source"))[inh].tolist(),
+                t.column("n_chars").to_numpy()[inh].tolist()):
+            sums[lang] = sums.get(lang, 0) + v
+            leaf = f"{lang}/{src}"
+            sums[leaf] = sums.get(leaf, 0) + v
+        keys = sorted(sums)
+        return pa.table({
+            "path": pa.array(keys, type=pa.string()),
+            "sum_assoc": pa.array([sums[k] for k in keys], type=pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=512)
+        .groupby("path")
+        .aggregate(Sum("sum_assoc", alias_name="sum_assoc"))
+        .sort("path")
+        .take_all()
+    )
+    return pa.table({
+        "path": pa.array([r_["path"] for r_ in out], type=pa.string()),
+        "sum_assoc": pa.array([r_["sum_assoc"] for r_ in out],
+                              type=pa.int64()),
+    })
+
+
+def _q_all_groups(sf_dir: str) -> pa.Table:
+    """AllGroupsCollector (Grouping/AbstractAllGroupsCollector.cs): the set
+    of distinct `source` groups among docs matching 'spark', plus the count
+    — group keys only, no per-group docs. Per-batch dedup then a tiny
+    driver union (group cardinality, not corpus)."""
+    import ray
+    import ray.data as rd
+
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    td = search(r, TermQuery(term="spark"), k=r.num_docs)
+    hits_ref = ray.put(np.asarray(sorted(int(d) for d in td.docs),
+                                  dtype=np.int64))
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        hits = _ray.get(hits_ref)
+        ids = t.column("doc_id").to_numpy()
+        pos = np.searchsorted(hits, ids)
+        inh = pos < hits.size
+        inh[inh] = hits[pos[inh]] == ids[inh]
+        vals = sorted(set(np.asarray(t.column("source"))[inh].tolist()))
+        return pa.table({"grp": pa.array(vals, type=pa.string())})
+
+    groups = sorted({
+        row["grp"] for row in
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1024)
+          .take_all()
+    })
+    return pa.table({"grp": pa.array(groups, type=pa.string())})
+
+
+def _q_group_heads(sf_dir: str) -> pa.Table:
+    """AllGroupHeadsCollector (Grouping/AbstractAllGroupHeadsCollector.cs):
+    for each `source` group, the single most-relevant doc for 'spark'
+    (score desc, doc asc tie — HitQueue order). Hit list is query-sized;
+    the group-head fold is a lexsort over it, never over the corpus."""
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    td = search(r, TermQuery(term="spark"), k=r.num_docs)
+    docs = np.asarray([int(d) for d in td.docs], dtype=np.int64)
+    scores = np.asarray([float(s) for s in td.scores], dtype=np.float64)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "source"])
+    src_of = dict(zip(t.column("doc_id").to_pylist(),
+                      t.column("source").to_pylist()))
+    srcs = np.asarray([src_of[int(d)] for d in docs])
+    order = np.lexsort((docs, -scores))
+    heads: dict[str, tuple[int, float]] = {}
+    for i in order:
+        g = srcs[i]
+        if g not in heads:
+            heads[g] = (int(docs[i]), float(scores[i]))
+    keys = sorted(heads)
+    return pa.table({
+        "grp": pa.array(keys, type=pa.string()),
+        "doc_id": pa.array([heads[k][0] for k in keys], type=pa.int64()),
+        "score": pa.array([heads[k][1] for k in keys], type=pa.float64()),
+    })
+
+
 def _q_dedup_exact(sf_dir: str) -> Any:
     """Exact dedup (UpdateDocument delete-by-key analog, IndexWriter.cs:1538):
     hash-partitioned groupby(md5(text)) keeping min doc_id."""
@@ -1586,6 +1715,35 @@ def _q_custom_score(sf_dir: str) -> pa.Table:
                                parse_query("spark window"), "n_chars",
                                k=TOPK)
     return _topk_rows_table(rows)
+
+
+def _q_bm25_bloom(sf_dir: str) -> pa.Table:
+    """Bloom-filtered postings (Codecs/Bloom/BloomFilteringPostingsFormat.cs
+    + FuzzySet.cs, index/bloom.py): per-bucket FuzzySet sidecar consulted
+    before any postings scan; a bloom-negative term skips the bucket's
+    parquet entirely. Results must be bit-identical to the plain BM25 path
+    — the filter only ever prunes definite misses. The query mixes a common
+    term with one absent from the corpus to exercise the negative path."""
+    import os
+
+    from lucenenet_ray.index.bloom import build_bloom
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    path = _index_path(sf_dir)
+    if not os.path.isdir(os.path.join(path, "bloom")):
+        build_bloom(path)
+    r = IndexReader(path, full_buckets=False)  # lazy path consults the bloom
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t))
+        for t in ["spark", "zzzneverseen"]))
+    return _topdocs_to_table(search(r, q, k=TOPK))
 
 
 def _q_function_recip(sf_dir: str) -> pa.Table:
@@ -2476,6 +2634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_recip": _q_function_recip,
         "function_scale": _q_function_scale,
         "boosted_query": _q_boosted_query,
+        "bm25_bloom": _q_bm25_bloom,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2573,6 +2732,7 @@ def oracle_sql() -> dict[str, str]:
             restrict_docs_sql=so.duplicate_keep_sql("source", "last")),
         "simple_query_bm25": so.simple_or_and_sql(
             ["spark", "window"], ["merge"], TOPK),
+        "bm25_bloom": so.bm25_topk_sql(["spark", "zzzneverseen"], TOPK, "or"),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),
         "boosted_query": so.boosted_recip_sql(

@@ -50,7 +50,8 @@ def _gen_dir(index_path: str, gen: int) -> str:
 # would resolve updates over a zeroed base (BucketData.docvalues falls back
 # to 0 for a missing file) and silently return wrong dv sorts at a commit.
 _SNAPSHOT_ENTRIES = ("manifest.json", "norms", "postings", "termstats",
-                     "deletes", "docvalues", "dv_updates", "termvectors")
+                     "deletes", "docvalues", "dv_updates", "termvectors",
+                     "bloom")
 
 
 def _link_or_copy(src: str, dst: str) -> None:

@@ -151,12 +151,15 @@ class BucketData:
     """All loaded state for one doc-range bucket."""
 
     def __init__(self, bucket_id: int, norms_path: str, postings_glob: str,
-                 codec: str = "vint", docvalues_path: str | None = None):
+                 codec: str = "vint", docvalues_path: str | None = None,
+                 bloom_path: str | None = None):
         import glob as _glob
 
         self.bucket_id = bucket_id
         self.norms_path = norms_path
         self.docvalues_path = docvalues_path
+        self.bloom_path = bloom_path
+        self._bloom_cached: object = False  # False = not loaded yet
         self.codec = codec
         self.postings_files = sorted(_glob.glob(postings_glob))
         self._norms: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
@@ -275,12 +278,41 @@ class BucketData:
         self._live_cache = (deleted_terms, mask)
         return mask
 
+    def _bloom_set(self):
+        """Lazy-loaded per-bucket FuzzySet sidecar (None when absent —
+        filters are optional, exactly BloomFilteringPostingsFormat reading
+        a segment with no .blm entry for the field)."""
+        if self._bloom_cached is False:
+            from lucenenet_ray.index.bloom import load_bloom
+
+            self._bloom_cached = (load_bloom(self.bloom_path)
+                                  if self.bloom_path else None)
+        return self._bloom_cached
+
     def chunks_for_terms(self, terms: list[str], full: bool = True) -> dict[str, PostingsChunk]:
         """term → chunk for terms present in this bucket."""
         if full or self._postings_full is not None:
             loaded = self.load_full()
             return {t: loaded[t] for t in terms if t in loaded}
         missing = [t for t in terms if t not in self._chunk_cache]
+        if missing:
+            # Bloom consult (BloomFilteringPostingsFormat.cs: check the
+            # FuzzySet before touching the terms dict): bloom-negative terms
+            # are DEFINITELY absent — cache the miss, skip the parquet scan.
+            fs = self._bloom_set()
+            if fs is not None and missing:
+                import numpy as _np
+
+                from lucenenet_ray.index.bloom import murmurhash2_batch
+
+                neg = ~fs.may_contain_hashes(murmurhash2_batch(
+                    [m.encode("utf-8") for m in missing]))
+                if _np.any(neg):
+                    for m, is_neg in zip(missing, neg):
+                        if is_neg:
+                            self._chunk_cache[m] = None
+                    missing = [m for m, is_neg in zip(missing, neg)
+                               if not is_neg]
         if missing:
             found = set()
             for f in self.postings_files:
@@ -402,6 +434,8 @@ class IndexReader:
                 codec=self.manifest.get("config", {}).get("codec", "vint"),
                 docvalues_path=os.path.join(
                     self.index_path, "docvalues", f"bucket={bucket_id:05d}.parquet"),
+                bloom_path=os.path.join(
+                    self.index_path, "bloom", f"bucket={bucket_id:05d}.parquet"),
             )
             self._buckets[bucket_id] = bd
         return bd
