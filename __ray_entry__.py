@@ -2635,6 +2635,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_scale": _q_function_scale,
         "boosted_query": _q_boosted_query,
         "bm25_bloom": _q_bm25_bloom,
+        "facet_sum_value": _q_facet_sum_value,
+        "all_groups": _q_all_groups,
+        "group_heads": _q_group_heads,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2733,6 +2736,9 @@ def oracle_sql() -> dict[str, str]:
         "simple_query_bm25": so.simple_or_and_sql(
             ["spark", "window"], ["merge"], TOPK),
         "bm25_bloom": so.bm25_topk_sql(["spark", "zzzneverseen"], TOPK, "or"),
+        "facet_sum_value": so.facet_sum_value_sql("spark"),
+        "all_groups": so.all_groups_sql("spark"),
+        "group_heads": so.group_heads_sql("spark"),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),
         "boosted_query": so.boosted_recip_sql(

@@ -2328,3 +2328,51 @@ scored AS (
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, CAST(score AS DOUBLE) AS score
 FROM boosted ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def facet_sum_value_sql(term: str = "spark") -> str:
+    """TaxonomyFacetSumIntAssociations oracle: SUM(n_chars) at every
+    taxonomy path prefix (lang and lang/source) over docs matching
+    ``term`` — integer-exact."""
+    return f"""WITH {_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM kept WHERE term = '{term}'),
+hits AS (SELECT d.* FROM documents d JOIN m USING (doc_id))
+SELECT path, CAST(v AS BIGINT) AS sum_assoc FROM (
+  SELECT lang AS path, sum(n_chars) AS v FROM hits GROUP BY lang
+  UNION ALL
+  SELECT lang || '/' || source, sum(n_chars) FROM hits GROUP BY lang, source
+) ORDER BY path"""
+
+
+def all_groups_sql(term: str = "spark") -> str:
+    """AllGroupsCollector oracle: distinct `source` groups among docs
+    matching ``term``, group keys ascending."""
+    return f"""WITH {_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM kept WHERE term = '{term}')
+SELECT DISTINCT source AS grp FROM documents JOIN m USING (doc_id)
+ORDER BY grp"""
+
+
+def group_heads_sql(term: str = "spark") -> str:
+    """AllGroupHeadsCollector oracle: per `source` group, the top-scoring
+    doc for the single-term BM25 query (score desc, doc asc tie) — the
+    float32 score CTE widened to DOUBLE for output."""
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte([term])},
+tf AS (
+  SELECT doc_id, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term = '{term}' GROUP BY doc_id
+),
+scored AS (
+  SELECT tf.doc_id, (w.wv * tf.f) / (tf.f + c.cache) AS score
+  FROM tf
+  JOIN qweights w ON w.term = '{term}'
+  JOIN normcache c ON c.doc_id = tf.doc_id
+),
+ranked AS (
+  SELECT d.source AS grp, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT grp, doc_id, CAST(score AS DOUBLE) AS score
+FROM ranked WHERE rn = 1 ORDER BY grp"""
