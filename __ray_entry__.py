@@ -1192,6 +1192,26 @@ def _q_facet_taxonomy(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination (GPT-3-appendix-style n-gram overlap;
+    ops/decontaminate.py): docs sharing any 5-gram with the deterministic
+    benchmark subset (doc_id % 31 == 0), with the count of contaminated
+    distinct grams. Benchmark hashes broadcast once; zero shuffles."""
+    from lucenenet_ray.ops.decontaminate import decontaminate
+
+    return decontaminate(os.path.join(sf_dir, "documents.parquet"),
+                         modulo=31, k=5)
+
+
+def _q_dup_ngrams(sf_dir: str) -> pa.Table:
+    """Corpus-internal duplicated 5-grams (ops/decontaminate.py
+    dup_ngram_counts): per doc, how many of its distinct 5-grams appear in
+    >= 2 docs — groupby(hash) then groupby(doc), no driver grams."""
+    from lucenenet_ray.ops.decontaminate import dup_ngram_counts
+
+    return dup_ngram_counts(os.path.join(sf_dir, "documents.parquet"), k=5)
+
+
 def _q_facet_sum_value(sf_dir: str) -> pa.Table:
     """Association facets (Facet/Taxonomy/TaxonomyFacetSumIntAssociations.cs;
     same rollup as TaxonomyFacetSumValueSource.cs but integer-exact): over
@@ -2638,6 +2658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_sum_value": _q_facet_sum_value,
         "all_groups": _q_all_groups,
         "group_heads": _q_group_heads,
+        "decontaminate": _q_decontaminate,
+        "dup_ngrams": _q_dup_ngrams,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2739,6 +2761,8 @@ def oracle_sql() -> dict[str, str]:
         "facet_sum_value": so.facet_sum_value_sql("spark"),
         "all_groups": so.all_groups_sql("spark"),
         "group_heads": so.group_heads_sql("spark"),
+        "decontaminate": so.decontaminate_sql(31, 5),
+        "dup_ngrams": so.dup_ngrams_sql(5),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),
         "boosted_query": so.boosted_recip_sql(

@@ -2376,3 +2376,39 @@ ranked AS (
 )
 SELECT grp, doc_id, CAST(score AS DOUBLE) AS score
 FROM ranked WHERE rn = 1 ORDER BY grp"""
+
+
+def _grams_cte(k: int) -> str:
+    """Distinct md5-int60 k-gram hashes per doc (docs shorter than k drop
+    out) — identical hashing to ops/decontaminate._gram_hashes."""
+    h = _MD5_INT60.format(
+        s=f"array_to_string(list_slice(arr, i, i + {k - 1}), ' ')")
+    return f"""arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, {h} AS h
+  FROM arrs, LATERAL (SELECT unnest(range(1, len(arr) - {k - 2})) AS i)
+  WHERE len(arr) >= {k}
+)"""
+
+
+def decontaminate_sql(modulo: int = 97, k: int = 8) -> str:
+    """Decontamination oracle (ops/decontaminate.decontaminate): per
+    non-benchmark doc, the count of its distinct k-grams present in the
+    benchmark subset's (doc_id % modulo = 0) gram set."""
+    return f"""WITH {_grams_cte(k)},
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % {modulo} = 0)
+SELECT g.doc_id, count(*) AS n_hits
+FROM grams g JOIN bench USING (h)
+WHERE g.doc_id % {modulo} <> 0
+GROUP BY g.doc_id ORDER BY g.doc_id"""
+
+
+def dup_ngrams_sql(k: int = 5) -> str:
+    """Cross-document duplicated k-grams oracle
+    (ops/decontaminate.dup_ngram_counts): per doc, its distinct k-grams
+    shared with at least one other doc."""
+    return f"""WITH {_grams_cte(k)},
+common AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1)
+SELECT doc_id, count(*) AS n_dup
+FROM grams JOIN common USING (h)
+GROUP BY doc_id ORDER BY doc_id"""
