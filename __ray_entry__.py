@@ -1192,6 +1192,29 @@ def _q_facet_taxonomy(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_slow_fuzzy(sf_dir: str) -> pa.Table:
+    """SlowFuzzyQuery term enum (Sandbox/Queries/SlowFuzzyTermsEnum.cs:144,
+    ops/slowfuzzy.py): every dictionary term with fuzzy similarity > 0.2
+    to 'sort' (prefixLength=0) plus df and the float32 rewrite boost
+    (sim - minSim) / (1 - minSim)."""
+    from lucenenet_ray.ops.slowfuzzy import slow_fuzzy_terms
+
+    return slow_fuzzy_terms(os.path.join(_index_path(sf_dir), "termstats"),
+                            "sort", 0.2)
+
+
+def _q_fuzzy_like_this(sf_dir: str) -> pa.Table:
+    """FuzzyLikeThisQuery (Sandbox/Queries/FuzzyLikeThisQuery.cs:191-262,
+    ops/slowfuzzy.py): variants of 'sort table' with the shared-idf
+    rescore, global top-10."""
+    from lucenenet_ray.ops.slowfuzzy import fuzzy_like_this
+
+    r = _reader(sf_dir)
+    return fuzzy_like_this(os.path.join(_index_path(sf_dir), "termstats"),
+                           ["sort", "table"], r.num_docs,
+                           min_similarity=0.2, max_num_terms=10)
+
+
 def _q_decontaminate(sf_dir: str) -> pa.Table:
     """Benchmark decontamination (GPT-3-appendix-style n-gram overlap;
     ops/decontaminate.py): docs sharing any 5-gram with the deterministic
@@ -2659,6 +2682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "all_groups": _q_all_groups,
         "group_heads": _q_group_heads,
         "decontaminate": _q_decontaminate,
+        "slow_fuzzy": _q_slow_fuzzy,
+        "fuzzy_like_this": _q_fuzzy_like_this,
         "dup_ngrams": _q_dup_ngrams,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -2762,6 +2787,8 @@ def oracle_sql() -> dict[str, str]:
         "all_groups": so.all_groups_sql("spark"),
         "group_heads": so.group_heads_sql("spark"),
         "decontaminate": so.decontaminate_sql(31, 5),
+        "slow_fuzzy": so.slow_fuzzy_sql("sort", 0.2),
+        "fuzzy_like_this": so.fuzzy_like_this_sql(["sort", "table"], 0.2, 10),
         "dup_ngrams": so.dup_ngrams_sql(5),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),

@@ -2412,3 +2412,70 @@ common AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1)
 SELECT doc_id, count(*) AS n_dup
 FROM grams JOIN common USING (h)
 GROUP BY doc_id ORDER BY doc_id"""
+
+
+def slow_fuzzy_sql(probe: str = "batch", min_sim: float = 0.5) -> str:
+    """SlowFuzzyQuery term-enum oracle (ops/slowfuzzy.slow_fuzzy_terms):
+    similarity = f32(1 - lev/min(len(term), len(probe))), accepted when
+    strictly above min_sim; boost = f32((sim - min_sim) / (1 - min_sim))."""
+    plen = len(probe)
+    return f"""WITH {_toks_cte()},
+termdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term
+),
+scored AS (
+  SELECT term, df,
+         CAST(1.0 AS REAL)
+           - CAST(levenshtein(term, '{probe}') AS REAL)
+             / CAST(least(length(term), {plen}) AS REAL) AS sim
+  FROM termdf
+)
+SELECT term, df,
+       CAST((sim - CAST({min_sim} AS REAL))
+            * (CAST(1.0 AS REAL) / (CAST(1.0 AS REAL) - CAST({min_sim} AS REAL)))
+            AS DOUBLE) AS boost
+FROM scored WHERE sim > CAST({min_sim} AS REAL)
+ORDER BY term"""
+
+
+def fuzzy_like_this_sql(tokens: list[str], min_sim: float = 0.2,
+                        k: int = 10) -> str:
+    """FuzzyLikeThisQuery.AddTerms oracle (ops/slowfuzzy.fuzzy_like_this):
+    per source token, slow-fuzzy variants with boost ramp; one idf per
+    token (source df, else integer-mean variant df); variant score =
+    f32((boost * boost) * idf); global top-k (score desc, term, source)."""
+    ms = f"CAST({min_sim} AS REAL)"
+    scale = f"(CAST(1.0 AS REAL) / (CAST(1.0 AS REAL) - {ms}))"
+    parts = []
+    for i, tok in enumerate(tokens):
+        sim = (f"CAST(1.0 AS REAL) - CAST(levenshtein(term, '{tok}') AS REAL)"
+               f" / CAST(least(length(term), {len(tok)}) AS REAL)")
+        parts.append(f"""v{i} AS (
+  SELECT '{tok}' AS source, term, df, (sim - {ms}) * {scale} AS boost
+  FROM (SELECT term, df, {sim} AS sim FROM termdf)
+  WHERE sim > {ms}
+),
+d{i} AS (
+  SELECT CASE WHEN max(CASE WHEN term = '{tok}' THEN df END) IS NOT NULL
+              THEN max(CASE WHEN term = '{tok}' THEN df END)
+              ELSE sum(df) // count(*) END AS dfsrc
+  FROM v{i}
+),
+s{i} AS (
+  SELECT source, term,
+         (boost * boost)
+           * CAST(ln(CAST((SELECT N FROM coll) AS DOUBLE)
+                     / (d{i}.dfsrc + 1)) + 1.0 AS REAL) AS score
+  FROM v{i}, d{i}
+)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{i}"
+                                 for i in range(len(tokens)))
+    ctes = ",\n".join(parts)
+    return f"""WITH {_toks_cte()},
+termdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term
+),
+{ctes}
+SELECT source, term, CAST(score AS DOUBLE) AS score
+FROM ({union})
+ORDER BY score DESC, term ASC, source ASC LIMIT {k}"""
