@@ -1203,6 +1203,16 @@ def _q_slow_fuzzy(sf_dir: str) -> pa.Table:
                             "sort", 0.2)
 
 
+def _q_sorted_set_sort(sf_dir: str) -> pa.Table:
+    """SortedSetSortField (Sandbox/Queries/SortedSetSortField.cs:181-197,
+    search/sortedset.py): docs ordered by the lexicographic MIN of their
+    term set (doc-asc ties), with the MAX selector's value alongside —
+    both selectors from one ascending postings walk."""
+    from lucenenet_ray.search.sortedset import sorted_set_sort
+
+    return sorted_set_sort(_reader(sf_dir), k=20, selector="min")
+
+
 def _q_fuzzy_like_this(sf_dir: str) -> pa.Table:
     """FuzzyLikeThisQuery (Sandbox/Queries/FuzzyLikeThisQuery.cs:191-262,
     ops/slowfuzzy.py): variants of 'sort table' with the shared-idf
@@ -2684,6 +2694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "slow_fuzzy": _q_slow_fuzzy,
         "fuzzy_like_this": _q_fuzzy_like_this,
+        "sorted_set_sort": _q_sorted_set_sort,
         "dup_ngrams": _q_dup_ngrams,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -2789,6 +2800,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": so.decontaminate_sql(31, 5),
         "slow_fuzzy": so.slow_fuzzy_sql("sort", 0.2),
         "fuzzy_like_this": so.fuzzy_like_this_sql(["sort", "table"], 0.2, 10),
+        "sorted_set_sort": so.sorted_set_sort_sql(20),
         "dup_ngrams": so.dup_ngrams_sql(5),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),

@@ -2479,3 +2479,13 @@ termdf AS (
 SELECT source, term, CAST(score AS DOUBLE) AS score
 FROM ({union})
 ORDER BY score DESC, term ASC, source ASC LIMIT {k}"""
+
+
+def sorted_set_sort_sql(k: int = 20) -> str:
+    """SortedSetSortField oracle (search/sortedset.sorted_set_sort): docs
+    with a non-empty kept-term set ordered by their lexicographic MIN term
+    (doc asc ties), MAX term alongside."""
+    return f"""WITH {_toks_cte()}
+SELECT doc_id, min(term) AS min_term, max(term) AS max_term
+FROM kept GROUP BY doc_id
+ORDER BY min_term, doc_id LIMIT {k}"""
