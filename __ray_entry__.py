@@ -2174,6 +2174,38 @@ def _q_quality_stats(sf_dir: str) -> Any:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pii_scrub(sf_dir: str) -> Any:
+    """PII detect+redact (ops/scrub.PiiScrub): deterministic PII spans are
+    spliced into each doc (md5 formulas, SQL-mirrored), then the compiled
+    RE2-safe patterns count and redact them — an exact regex-semantics
+    parity test vs DuckDB's RE2."""
+    from lucenenet_ray.ops.scrub import PiiScrub, pii_augmented_text
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        aug = [pii_augmented_text(i, x or "") for i, x in zip(ids, texts)]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(aug, type=pa.string())})
+
+    out = (_docs_ds(sf_dir)
+           .map_batches(augment, batch_format="pyarrow")
+           .map_batches(PiiScrub(), batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_repetition_removal(sf_dir: str) -> Any:
+    """Within-doc repeated-chunk removal (ops/scrub.RepetitionRemover):
+    C4-style span dedup, chunked 3-gram variant, integer outputs."""
+    from lucenenet_ray.ops.scrub import RepetitionRemover
+
+    out = (_docs_ds(sf_dir)
+           .map_batches(RepetitionRemover(k=3), batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_spatial_bbox(sf_dir: str) -> pa.Table:
     """Rectangle spatial filter (Spatial/Vector/PointVectorStrategy two
     NumericRangeQuery form, ops/spatial.py bbox_filter) over the
@@ -2696,6 +2728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_like_this": _q_fuzzy_like_this,
         "sorted_set_sort": _q_sorted_set_sort,
         "dup_ngrams": _q_dup_ngrams,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_removal": _q_repetition_removal,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2801,6 +2835,8 @@ def oracle_sql() -> dict[str, str]:
         "slow_fuzzy": so.slow_fuzzy_sql("sort", 0.2),
         "fuzzy_like_this": so.fuzzy_like_this_sql(["sort", "table"], 0.2, 10),
         "sorted_set_sort": so.sorted_set_sort_sql(20),
+        "pii_scrub": so.pii_scrub_sql(),
+        "repetition_removal": so.repetition_removal_sql(3),
         "dup_ngrams": so.dup_ngrams_sql(5),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),

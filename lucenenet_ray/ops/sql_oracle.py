@@ -2489,3 +2489,68 @@ def sorted_set_sort_sql(k: int = 20) -> str:
 SELECT doc_id, min(term) AS min_term, max(term) AS max_term
 FROM kept GROUP BY doc_id
 ORDER BY min_term, doc_id LIMIT {k}"""
+
+
+def pii_scrub_sql() -> str:
+    """PII scrub oracle (ops/scrub.PiiScrub over pii_augmented_text): the
+    augmented text is re-derived from the same md5 formulas, then RE2
+    regexp_extract_all / regexp_replace pin the exact find+redact
+    semantics the Ray op must reproduce."""
+    from lucenenet_ray.ops.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    h1 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':email'")
+    h2 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':phone'")
+    h3 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':ip'")
+    # DuckDB single-quoted literals are escape-free: patterns go verbatim
+    email, phone, ip = EMAIL_RE, PHONE_RE, IPV4_RE
+    return f"""WITH h AS (
+  SELECT doc_id, text, {h1} AS h1, {h2} AS h2, {h3} AS h3 FROM documents
+),
+aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN h1 % 3 = 0
+                 THEN ' user'||(h1 % 97)||'@mail'||(h1 % 13)||'.com'
+                 ELSE '' END
+         || CASE WHEN h2 % 4 = 0
+                 THEN ' +1-555-'||(1000 + h2 % 9000)
+                 ELSE '' END
+         || CASE WHEN h3 % 5 = 0
+                 THEN ' 10.'||(h3 % 256)||'.'||(h2 % 256)||'.'||(h1 % 256)
+                 ELSE '' END AS t
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{phone}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_replace(regexp_replace(regexp_replace(t,
+            '{email}', '<EMAIL>', 'g'),
+            '{phone}', '<PHONE>', 'g'),
+            '{ip}', '<IP>', 'g')) AS BIGINT) AS redacted_n_chars
+FROM aug ORDER BY doc_id"""
+
+
+def repetition_removal_sql(k: int = 3) -> str:
+    """Within-doc repeated-chunk removal oracle (ops/scrub.RepetitionRemover):
+    consecutive non-overlapping k-token chunks, first occurrence kept."""
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+),
+chunks AS (
+  SELECT doc_id, i,
+         array_to_string(arr[i:least(i + {k - 1}, len(arr))], ' ') AS chunk,
+         least(i + {k - 1}, len(arr)) - i + 1 AS clen
+  FROM toks, LATERAL (SELECT unnest(range(1, len(arr) + 1, {k})) AS i) r
+),
+marked AS (
+  SELECT doc_id, clen,
+         row_number() OVER (PARTITION BY doc_id, chunk ORDER BY i) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COALESCE(sum(CASE WHEN rn = 1 THEN clen ELSE 0 END), 0) AS BIGINT)
+         AS clean_n_tokens,
+       CAST(COALESCE(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS chunks_removed
+FROM marked GROUP BY doc_id ORDER BY doc_id"""
