@@ -652,6 +652,83 @@ def _q_term_stats_de_stemmed(sf_dir: str) -> pa.Table:
     })
 
 
+def _stemmed_term_stats(sf_dir: str, make_analyzer, lang_filter=None
+                        ) -> pa.Table:
+    """Shared shape for stemmed-chain term stats: per-batch Counter
+    partials (vocab-sized, tiny), one groupby(term) Sum, driver holds only
+    the final vocab-sized table."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cols = ["text"] if lang_filter is None else ["text", "lang"]
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        an = make_analyzer()
+        if lang_filter is not None:
+            t = t.filter(pa.compute.equal(t.column("lang"), lang_filter))
+        df: Counter = Counter()
+        ttf: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            terms, _pos = an(x)
+            c = Counter(terms)
+            ttf.update(c)
+            df.update(c.keys())
+        keys = sorted(ttf)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "df": pa.array([df[k] for k in keys], type=pa.int64()),
+            "ttf": pa.array([ttf[k] for k in keys], type=pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .sort("term")
+        .take_all()
+    )
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], type=pa.string()),
+        "df": pa.array([r["df"] for r in out], type=pa.int64()),
+        "ttf": pa.array([r["ttf"] for r in out], type=pa.int64()),
+    })
+
+
+def _q_en_minimal_stats(sf_dir: str) -> pa.Table:
+    """EnglishMinimalStemmer chain (EnglishMinimalStemFilter shape:
+    standard chain → S-stemmer): stemmed term stats vs a CASE-expressed
+    SQL stemmer (Analysis/En/EnglishMinimalStemmer.cs)."""
+    def make():
+        from lucenenet_ray.analysis.lang_stem import english_minimal_stem
+        from lucenenet_ray.analysis.standard import StandardAnalyzer
+
+        base = StandardAnalyzer()
+
+        def an(text):
+            terms, pos = base(text)
+            return [english_minimal_stem(t) for t in terms], pos
+        return an
+
+    return _stemmed_term_stats(sf_dir, make)
+
+
+def _q_term_stats_cz_stemmed(sf_dir: str) -> pa.Table:
+    """CzechAnalyzer chain (CzechAnalyzer.cs shape: tokenize → lowercase →
+    Czech stop → CzechStemmer) applied corpus-wide; oracle mirrors the
+    ASCII-reachable rules (Analysis/Cz/CzechStemmer.cs)."""
+    def make():
+        from lucenenet_ray.analysis.lang import CZECH_STOP
+        from lucenenet_ray.analysis.lang_stem import StemmingLangAnalyzer
+
+        return StemmingLangAnalyzer(CZECH_STOP, "cz")
+
+    return _stemmed_term_stats(sf_dir, make)
+
+
 def _q_media_features(sf_dir: str) -> pa.Table:
     """Multimodal actor-pool stage over a DETERMINISTIC synthetic media
     table (binary payloads; real decoders stubbed — ops/multimodal.py):
@@ -2730,6 +2807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": _q_dup_ngrams,
         "pii_scrub": _q_pii_scrub,
         "repetition_removal": _q_repetition_removal,
+        "en_minimal_stats": _q_en_minimal_stats,
+        "term_stats_cz_stemmed": _q_term_stats_cz_stemmed,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2837,6 +2916,8 @@ def oracle_sql() -> dict[str, str]:
         "sorted_set_sort": so.sorted_set_sort_sql(20),
         "pii_scrub": so.pii_scrub_sql(),
         "repetition_removal": so.repetition_removal_sql(3),
+        "en_minimal_stats": so.en_minimal_stats_sql(),
+        "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),

@@ -59,6 +59,26 @@ SWEDISH_STOP = frozenset(
     "hennes där min man ej vid kunde något från ut när efter upp vi dem vara "
     "vad över än dig kan sina här ha mot alla under någon eller allt".split()
 )
+FINNISH_STOP = frozenset(
+    "ja ei se on että hän oli mutta kun niin myös kuin jos mitä joka siis "
+    "vain me he nyt ole sen tai sitä olla".split()
+)
+HUNGARIAN_STOP = frozenset(
+    "a az és hogy nem is de egy ez meg már csak mint el vagy ha volt lesz "
+    "van még mi ki be fel le át".split()
+)
+CZECH_STOP = frozenset(
+    "a se na je to v z že s o do i k by ale jako za po od pro tak když "
+    "nebo už jen co".split()
+)
+INDONESIAN_STOP = frozenset(
+    "yang dan di ke dari ini itu dengan untuk pada adalah tidak akan atau "
+    "juga saya kami mereka ada sebagai dalam bisa telah sudah oleh".split()
+)
+LATVIAN_STOP = frozenset(
+    "un ir es tu ka ar uz no par bet kā tas šis tā pie pēc jau vēl tikai "
+    "vai bija būs viņš".split()
+)
 
 
 class LangAnalyzer(StandardAnalyzer):
@@ -84,6 +104,11 @@ class MultiLangAnalyzer:
             "nl": LangAnalyzer(DUTCH_STOP),
             "ru": LangAnalyzer(RUSSIAN_STOP),
             "sv": LangAnalyzer(SWEDISH_STOP),
+            "fi": LangAnalyzer(FINNISH_STOP),
+            "hu": LangAnalyzer(HUNGARIAN_STOP),
+            "cz": LangAnalyzer(CZECH_STOP),
+            "id": LangAnalyzer(INDONESIAN_STOP),
+            "lv": LangAnalyzer(LATVIAN_STOP),
         }
 
     def __call__(self, text: str, lang: str | None = None

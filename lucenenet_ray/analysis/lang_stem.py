@@ -11,6 +11,16 @@ Semantics re-expressed rule-for-rule from:
   feminine normalization, vowel strip, fold)
 - ``Analysis/Ru/RussianLightStemmer.cs`` (Dolamic & Savoy: longest-first
   case endings + residual normalize)
+- ``Analysis/Fi/FinnishLightStemmer.cs`` (Savoy CLEF-2003: recursive
+  particle strip, case step, hde→ksi + k/p/t gemination normalize)
+- ``Analysis/Hu/HungarianLightStemmer.cs`` (case, possessive, plural -k,
+  final-vowel normalize)
+- ``Analysis/Cz/CzechStemmer.cs`` (case + possessive + palatalization undo)
+- ``Analysis/Id/IndonesianStemmer.cs`` (particle/possessive suffixes,
+  flag-gated derivational prefix+suffix interplay)
+- ``Analysis/Lv/LatvianStemmer.cs`` (vowel-count-gated affix table +
+  unpalatalization repairs)
+- ``Analysis/En/EnglishMinimalStemmer.cs`` (Harman S-stemmer)
 
 They chain after lowercase + stop filtering, like GermanAnalyzer.cs /
 SpanishAnalyzer.cs / FrenchAnalyzer.cs build their TokenStreamComponents.
@@ -265,10 +275,436 @@ def norwegian_light_stem(w: str) -> str:
     return w
 
 
+_FI_FOLD = str.maketrans("äåö", "aao")
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def _fi_step1(w: str) -> str:
+    """FinnishLightStemmer.Step1: recursive -kin / -ko strip, then the
+    -dellinen / -dellisuus adjective endings."""
+    if len(w) > 8:
+        if w.endswith("kin"):
+            return _fi_step1(w[:-3])
+        if w.endswith("ko"):
+            return _fi_step1(w[:-2])
+    if len(w) > 11:
+        if w.endswith("dellinen"):
+            return w[:-8]
+        if w.endswith("dellisuus"):
+            return w[:-9]
+    return w
+
+
+def _fi_step3(w: str) -> str:
+    n = len(w)
+    if n > 8:
+        if w.endswith("nnen"):
+            return w[:-4] + "s"
+        if w.endswith("ntena"):
+            return w[:-5] + "s"
+        if w.endswith("tten"):
+            return w[:-4]
+        if w.endswith("eiden"):
+            return w[:-5]
+    if n > 6:
+        if w.endswith(("neen", "niin", "seen", "teen", "inen")):
+            return w[:-4]
+        if w[-3] == "h" and w[-2] in _FI_VOWELS and w[-1] == "n":
+            return w[:-3]
+        if w.endswith("den"):
+            return w[:-3] + "s"
+        if w.endswith("ksen"):
+            return w[:-4] + "s"
+        if w.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi", "lle")):
+            return w[:-3]
+    if n > 5:
+        if w.endswith(("na", "ne")):
+            return w[:-2]
+        if w.endswith("nei"):
+            return w[:-3]
+    if n > 4:
+        if w.endswith(("ja", "ta")):
+            return w[:-2]
+        if w[-1] == "a":
+            return w[:-1]
+        if w[-1] == "n" and w[-2] in _FI_VOWELS:
+            return w[:-2]
+        if w[-1] == "n":
+            return w[:-1]
+    return w
+
+
+def finnish_light_stem(w: str) -> str:
+    """FinnishLightStemmer.Stem (Savoy CLEF-2003,
+    ``Analysis/Fi/FinnishLightStemmer.cs``): fold ä/å/ö, then the
+    particle / case / possessive steps, then the two normalizations
+    (hde→ksi, residual vowel strips, k/p/t gemination collapse)."""
+    if len(w) < 4:
+        return w
+    w = w.translate(_FI_FOLD)
+    w = _fi_step1(w)
+    # step 2
+    if len(w) > 5:
+        if w.endswith(("lla", "tse", "sti")):
+            w = w[:-3]
+        elif w.endswith("ni"):
+            w = w[:-2]
+        elif w.endswith("aa"):
+            w = w[:-1]
+    w = _fi_step3(w)
+    # norm 1
+    if len(w) > 5 and w.endswith("hde"):
+        w = w[:-3] + "ksi"
+    if len(w) > 4 and w.endswith(("ei", "at")):
+        w = w[:-2]
+    elif len(w) > 3 and w[-1] in "tsjeai":
+        w = w[:-1]
+    # norm 2
+    if len(w) > 8 and w[-1] in "eou":
+        w = w[:-1]
+    if len(w) > 4:
+        if w[-1] == "i":
+            w = w[:-1]
+        if len(w) > 4:
+            out = [w[0]]
+            for c in w[1:]:
+                if c == out[-1] and c in "kpt":
+                    continue
+                out.append(c)
+            w = "".join(out)
+    return w
+
+
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "aeeiooooouuuu")
+_HU_VOWELS = frozenset("aeiouy")
+_HU_3SUF = ("nak", "nek", "val", "vel", "ert", "rol", "ban", "ben", "bol",
+            "nal", "nel", "hoz", "hez", "tol")
+_HU_2SUF = ("at", "et", "ot", "va", "ve", "ra", "re", "ba", "be", "ul", "ig")
+
+
+def _hu_remove_case(w: str) -> str:
+    n = len(w)
+    if n > 6 and w.endswith("kent"):
+        return w[:-4]
+    if n > 5:
+        if w.endswith(_HU_3SUF):
+            return w[:-3]
+        if w.endswith(("al", "el")) and w[-3] not in _HU_VOWELS \
+                and w[-3] == w[-4]:
+            return w[:-3]
+    if n > 4:
+        if w.endswith(_HU_2SUF):
+            return w[:-2]
+        if w.endswith(("on", "en")) and w[-3] not in _HU_VOWELS:
+            return w[:-2]
+        if w[-1] in "tn":
+            return w[:-1]
+        if w[-1] in "ae" and w[-2] == w[-3] and w[-2] not in _HU_VOWELS:
+            return w[:-2]
+    return w
+
+
+def _hu_remove_possessive(w: str) -> str:
+    n = len(w)
+    if n > 6:
+        if w[-5] not in _HU_VOWELS and w.endswith(("atok", "otok", "etek")):
+            return w[:-4]
+        if w.endswith(("itek", "itok")):
+            return w[:-4]
+    if n > 5:
+        if w[-4] not in _HU_VOWELS and w.endswith(("unk", "tok", "tek")):
+            return w[:-3]
+        if w[-4] in _HU_VOWELS and w.endswith("juk"):
+            return w[:-3]
+        if w.endswith("ink"):
+            return w[:-3]
+    if n > 4:
+        if w[-3] not in _HU_VOWELS and w.endswith(
+                ("am", "em", "om", "ad", "ed", "od", "uk")):
+            return w[:-2]
+        if w[-3] in _HU_VOWELS and w.endswith(("nk", "ja", "je")):
+            return w[:-2]
+        if w.endswith(("im", "id", "ik")):
+            return w[:-2]
+    if n > 3:
+        if w[-1] in "ae" and w[-2] not in _HU_VOWELS:
+            return w[:-1]
+        if w[-1] in "md" and w[-2] in _HU_VOWELS:
+            return w[:-1]
+        if w[-1] == "i":
+            return w[:-1]
+    return w
+
+
+def hungarian_light_stem(w: str) -> str:
+    """HungarianLightStemmer.Stem (Savoy,
+    ``Analysis/Hu/HungarianLightStemmer.cs``): accent fold, case strip,
+    possessive strip, plural -k, final-vowel normalize."""
+    w = w.translate(_HU_FOLD)
+    w = _hu_remove_case(w)
+    w = _hu_remove_possessive(w)
+    # plural
+    if len(w) > 3 and w[-1] == "k":
+        if w[-2] in "aoe":
+            w = w[:-2] if len(w) > 4 else w[:-1]
+        else:
+            w = w[:-1]
+    # normalize
+    if len(w) > 3 and w[-1] in "aeio":
+        w = w[:-1]
+    return w
+
+
+_CZ_3SUF = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+            "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+            "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+_CZ_2SUF = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+            "mi", "ou")
+
+
+def czech_stem(w: str) -> str:
+    """CzechStemmer.Stem (Dolamic & Savoy light stemmer for Czech,
+    ``Analysis/Cz/CzechStemmer.cs``): case endings, possessive -ov/-in/-ův,
+    then palatalization-undoing normalization."""
+    n = len(w)
+    # remove case
+    if n > 7 and w.endswith("atech"):
+        w = w[:-5]
+    elif n > 6 and w.endswith(("ětem", "etem", "atům")):
+        w = w[:-4]
+    elif n > 5 and w.endswith(_CZ_3SUF):
+        w = w[:-3]
+    elif n > 4 and w.endswith(_CZ_2SUF):
+        w = w[:-2]
+    elif n > 3 and w[-1] in "aeiouůyáéíýě":
+        w = w[:-1]
+    # remove possessives
+    if len(w) > 5 and w.endswith(("ov", "in", "ův")):
+        w = w[:-2]
+    # normalize
+    if not w:
+        return w
+    if w.endswith("čt"):
+        return w[:-2] + "ck"
+    if w.endswith("št"):
+        return w[:-2] + "sk"
+    if w[-1] in "cč":
+        return w[:-1] + "k"
+    if w[-1] in "zž":
+        return w[:-1] + "h"
+    if len(w) > 1 and w[-2] == "e":
+        return w[:-2] + w[-1]
+    if len(w) > 2 and w[-2] == "ů":
+        return w[:-2] + "o" + w[-1]
+    return w
+
+
+# (suffix, vowel-count threshold, fires palatalization) — order is the
+# reference's first-match-wins table
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False), ("am", 1, False),
+    ("ēm", 1, False), ("īm", 1, False), ("im", 1, False), ("um", 1, False),
+    ("us", 1, True), ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False), ("ēs", 1, False),
+    ("is", 1, False), ("ie", 1, False), ("u", 1, True), ("a", 1, True),
+    ("i", 1, True), ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False), ("s", 0, False),
+    ("š", 0, False),
+)
+_LV_VOWELS = frozenset("aeiouāīēū")
+
+
+def _lv_unpalatalize(w: str, removed_first: str) -> str:
+    """LatvianStemmer.Unpalatalize: the char AFTER the cut (first char of
+    the removed suffix) selects the kš→kst / ņņ→nn repairs."""
+    if removed_first == "u":
+        if w.endswith("kš"):
+            return w[:-2] + "kst"
+        if w.endswith("ņņ"):
+            return w[:-2] + "nn"
+    if w.endswith(("pj", "bj", "mj", "vj")):
+        return w[:-1]
+    for pal, rep in (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+                     ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll")):
+        if w.endswith(pal):
+            return w[:-2] + rep
+    if w and w[-1] == "č":
+        return w[:-1] + "c"
+    if w and w[-1] == "ļ":
+        return w[:-1] + "l"
+    if w and w[-1] == "ņ":
+        return w[:-1] + "n"
+    return w
+
+
+def latvian_stem(w: str) -> str:
+    """LatvianStemmer.Stem (``Analysis/Lv/LatvianStemmer.cs``): one
+    longest-table affix strip gated on the ORIGINAL word's vowel count,
+    with unpalatalization repairs after the palatalizing affixes."""
+    n_vowels = sum(1 for c in w if c in _LV_VOWELS)
+    for affix, vc, palatalizes in _LV_AFFIXES:
+        if n_vowels > vc and len(w) >= len(affix) + 3 and w.endswith(affix):
+            cut = w[: -len(affix)]
+            return _lv_unpalatalize(cut, affix[0]) if palatalizes else cut
+    return w
+
+
+_ID_VOWELS = frozenset("aeiou")
+# flag bits mirroring IndonesianStemmer.cs REMOVED_*
+_ID_KE, _ID_PENG, _ID_DI, _ID_MENG, _ID_TER, _ID_BER, _ID_PE = (
+    1, 2, 4, 8, 16, 32, 64)
+
+
+def indonesian_stem(w: str, stem_derivational: bool = True) -> str:
+    """IndonesianStemmer.Stem (Asian & Williams,
+    ``Analysis/Id/IndonesianStemmer.cs``): particle + possessive suffixes,
+    then derivational prefix/suffix interplay gated by REMOVED_* flags and
+    a running syllable (vowel) count."""
+    flags = 0
+    syl = sum(1 for c in w if c in _ID_VOWELS)
+
+    def particle(x: str) -> str:
+        nonlocal syl
+        if x.endswith(("kah", "lah", "pun")):
+            syl -= 1
+            return x[:-3]
+        return x
+
+    def possessive(x: str) -> str:
+        nonlocal syl
+        if x.endswith(("ku", "mu")):
+            syl -= 1
+            return x[:-2]
+        if x.endswith("nya"):
+            syl -= 1
+            return x[:-3]
+        return x
+
+    def first_prefix(x: str) -> str:
+        nonlocal syl, flags
+        if x.startswith("meng"):
+            flags |= _ID_MENG; syl -= 1
+            return x[4:]
+        if x.startswith("meny") and len(x) > 4 and x[4] in _ID_VOWELS:
+            flags |= _ID_MENG; syl -= 1
+            return "s" + x[4:]
+        if x.startswith(("men", "mem")):
+            flags |= _ID_MENG; syl -= 1
+            return x[3:]
+        if x.startswith("me"):
+            flags |= _ID_MENG; syl -= 1
+            return x[2:]
+        if x.startswith("peng"):
+            flags |= _ID_PENG; syl -= 1
+            return x[4:]
+        if x.startswith("peny") and len(x) > 4 and x[4] in _ID_VOWELS:
+            flags |= _ID_PENG; syl -= 1
+            return "s" + x[4:]
+        if x.startswith("peny"):
+            flags |= _ID_PENG; syl -= 1
+            return x[4:]
+        if x.startswith("pen") and len(x) > 3 and x[3] in _ID_VOWELS:
+            flags |= _ID_PENG; syl -= 1
+            return "t" + x[3:]
+        if x.startswith(("pen", "pem")):
+            flags |= _ID_PENG; syl -= 1
+            return x[3:]
+        if x.startswith("di"):
+            flags |= _ID_DI; syl -= 1
+            return x[2:]
+        if x.startswith("ter"):
+            flags |= _ID_TER; syl -= 1
+            return x[3:]
+        if x.startswith("ke"):
+            flags |= _ID_KE; syl -= 1
+            return x[2:]
+        return x
+
+    def second_prefix(x: str) -> str:
+        nonlocal syl, flags
+        if x.startswith("ber"):
+            flags |= _ID_BER; syl -= 1
+            return x[3:]
+        if x == "belajar":
+            flags |= _ID_BER; syl -= 1
+            return x[3:]
+        if x.startswith("be") and len(x) > 4 and x[2] not in _ID_VOWELS \
+                and x[3] == "e" and x[4] == "r":
+            flags |= _ID_BER; syl -= 1
+            return x[2:]
+        if x.startswith("per"):
+            syl -= 1
+            return x[3:]
+        if x == "pelajar":
+            syl -= 1
+            return x[3:]
+        if x.startswith("pe"):
+            flags |= _ID_PE; syl -= 1
+            return x[2:]
+        return x
+
+    def suffix(x: str) -> str:
+        nonlocal syl
+        if x.endswith("kan") and not flags & (_ID_KE | _ID_PENG | _ID_PE):
+            syl -= 1
+            return x[:-3]
+        if x.endswith("an") and not flags & (_ID_DI | _ID_MENG | _ID_TER):
+            syl -= 1
+            return x[:-2]
+        if x.endswith("i") and not x.endswith("si") \
+                and not flags & (_ID_BER | _ID_KE | _ID_PENG):
+            syl -= 1
+            return x[:-1]
+        return x
+
+    if syl > 2:
+        w = particle(w)
+    if syl > 2:
+        w = possessive(w)
+    if stem_derivational:
+        before = w
+        if syl > 2:
+            w = first_prefix(w)
+        if w != before:
+            before = w
+            if syl > 2:
+                w = suffix(w)
+            if w != before and syl > 2:
+                w = second_prefix(w)
+        else:
+            if syl > 2:
+                w = second_prefix(w)
+            if syl > 2:
+                w = suffix(w)
+    return w
+
+
+def english_minimal_stem(w: str) -> str:
+    """EnglishMinimalStemmer.Stem (S-stemmer, Donna Harman,
+    ``Analysis/En/EnglishMinimalStemmer.cs``): plural-only strip — keeps
+    -us/-ss, maps -ies→y (with a/e lookback), keeps -[iaoe]es."""
+    if len(w) < 3 or w[-1] != "s":
+        return w
+    p = w[-2]
+    if p in "us":
+        return w
+    if p == "e":
+        if len(w) > 3 and w[-3] == "i" and w[-4] not in "ae":
+            return w[:-3] + "y"
+        if w[-3] in "iaoe":
+            return w
+    return w[:-1]
+
+
 _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "fr": french_minimal_stem, "it": italian_light_stem,
             "pt": portuguese_light_stem, "ru": russian_light_stem,
-            "sv": swedish_light_stem, "no": norwegian_light_stem}
+            "sv": swedish_light_stem, "no": norwegian_light_stem,
+            "fi": finnish_light_stem, "hu": hungarian_light_stem,
+            "cz": czech_stem, "id": indonesian_stem, "lv": latvian_stem}
 
 
 class StemmingLangAnalyzer(LangAnalyzer):

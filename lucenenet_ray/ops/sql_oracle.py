@@ -2554,3 +2554,77 @@ SELECT doc_id,
        CAST(COALESCE(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
          AS chunks_removed
 FROM marked GROUP BY doc_id ORDER BY doc_id"""
+
+
+def en_minimal_stats_sql() -> str:
+    """EnglishMinimalStemmer oracle (Analysis/En/EnglishMinimalStemmer.cs,
+    Harman S-stemmer): the plural-strip rules as one CASE over the standard
+    kept-token stream; stemmed (term, df, ttf)."""
+    return f"""WITH {_toks_cte()},
+st AS (
+  SELECT doc_id, CASE
+    WHEN len(term) < 3 OR substr(term, len(term), 1) <> 's' THEN term
+    WHEN substr(term, len(term)-1, 1) IN ('u','s') THEN term
+    WHEN substr(term, len(term)-1, 1) = 'e' AND len(term) > 3
+         AND substr(term, len(term)-2, 1) = 'i'
+         AND substr(term, len(term)-3, 1) NOT IN ('a','e')
+      THEN substr(term, 1, len(term)-3) || 'y'
+    WHEN substr(term, len(term)-1, 1) = 'e'
+         AND substr(term, len(term)-2, 1) IN ('i','a','o','e') THEN term
+    ELSE substr(term, 1, len(term)-1) END AS term
+  FROM kept
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM st GROUP BY term ORDER BY term"""
+
+
+def term_stats_cz_stemmed_sql() -> str:
+    """CzechStemmer oracle (Analysis/Cz/CzechStemmer.cs) applied
+    corpus-wide with the engine's Czech stop set. The corpus is ASCII, so
+    the diacritic branches (ětem/atům/ův/čt/št/ů…) are statically dead and
+    the CASE chains mirror only the ASCII-reachable rules — exact on this
+    input, like term_stats_de_stemmed's fold no-op."""
+    from lucenenet_ray.analysis.lang import CZECH_STOP
+
+    stop = "(" + ", ".join(f"'{w}'" for w in sorted(CZECH_STOP)) + ")"
+    suf3 = "('ech','ich','emi','ete','eti','iho','imu','ata','aty','ama'," \
+           "'ami','ovi')"
+    suf2 = "('em','es','at','os','us','mi','ou')"
+    return f"""WITH t0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+k AS (SELECT doc_id, w FROM t0 WHERE w <> '' AND w NOT IN {stop}),
+c1 AS (
+  SELECT doc_id, CASE
+    WHEN len(w) > 7 AND substr(w, len(w)-4, 5) = 'atech'
+      THEN substr(w, 1, len(w)-5)
+    WHEN len(w) > 6 AND substr(w, len(w)-3, 4) = 'etem'
+      THEN substr(w, 1, len(w)-4)
+    WHEN len(w) > 5 AND substr(w, len(w)-2, 3) IN {suf3}
+      THEN substr(w, 1, len(w)-3)
+    WHEN len(w) > 4 AND substr(w, len(w)-1, 2) IN {suf2}
+      THEN substr(w, 1, len(w)-2)
+    WHEN len(w) > 3 AND substr(w, len(w), 1) IN ('a','e','i','o','u','y')
+      THEN substr(w, 1, len(w)-1)
+    ELSE w END AS w
+  FROM k
+),
+c2 AS (
+  SELECT doc_id, CASE
+    WHEN len(w) > 5 AND substr(w, len(w)-1, 2) IN ('ov','in')
+      THEN substr(w, 1, len(w)-2)
+    ELSE w END AS w
+  FROM c1
+),
+c3 AS (
+  SELECT doc_id, CASE
+    WHEN w = '' THEN w
+    WHEN substr(w, len(w), 1) = 'c' THEN substr(w, 1, len(w)-1) || 'k'
+    WHEN substr(w, len(w), 1) = 'z' THEN substr(w, 1, len(w)-1) || 'h'
+    WHEN len(w) > 1 AND substr(w, len(w)-1, 1) = 'e'
+      THEN substr(w, 1, len(w)-2) || substr(w, len(w), 1)
+    ELSE w END AS term
+  FROM c2
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM c3 GROUP BY term ORDER BY term"""
