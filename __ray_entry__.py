@@ -698,6 +698,28 @@ def _stemmed_term_stats(sf_dir: str, make_analyzer, lang_filter=None
     })
 
 
+def _q_common_grams_stats(sf_dir: str) -> pa.Table:
+    """CommonGramsFilter chain (CommonGramsFilter.cs: tokenize → lowercase
+    → common-grams, NO stop removal): term stats over unigrams + grams."""
+    def make():
+        from lucenenet_ray.analysis.filters import common_grams
+        from lucenenet_ray.analysis.standard import StandardAnalyzer
+
+        class NoStop(StandardAnalyzer):
+            stop_words = frozenset()
+
+        base = NoStop()
+        common = StandardAnalyzer.stop_words
+
+        def an(text):
+            terms, pos = base(text)
+            t, p, _g = common_grams(terms, pos, common)
+            return t, p
+        return an
+
+    return _stemmed_term_stats(sf_dir, make)
+
+
 def _q_en_minimal_stats(sf_dir: str) -> pa.Table:
     """EnglishMinimalStemmer chain (EnglishMinimalStemFilter shape:
     standard chain → S-stemmer): stemmed term stats vs a CASE-expressed
@@ -2809,6 +2831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_removal": _q_repetition_removal,
         "en_minimal_stats": _q_en_minimal_stats,
         "term_stats_cz_stemmed": _q_term_stats_cz_stemmed,
+        "common_grams_stats": _q_common_grams_stats,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2918,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_removal": so.repetition_removal_sql(3),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
+        "common_grams_stats": so.common_grams_stats_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),

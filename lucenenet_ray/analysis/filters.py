@@ -604,3 +604,51 @@ class CJKBigramAnalyzer:
         terms, positions, offsets = self.base.call_with_offsets(text)
         return cjk_bigrams(terms, positions, offsets, self.scripts,
                            self.output_unigrams)
+
+
+# ---------------------------------------------------------------------------
+# CommonGrams
+
+
+def common_grams(terms: list[str], positions: list[int],
+                 common: frozenset[str]
+                 ) -> tuple[list[str], list[int], list[bool]]:
+    """CommonGramsFilter (``Analysis/CommonGrams/CommonGramsFilter.cs``):
+    keep every unigram; additionally emit ``prev_cur`` grams (separator
+    '_', posIncrement 0 → the PREVIOUS token's position, posLength 2)
+    for each adjacent pair where either side is in ``common``. The gram is
+    emitted between its two unigrams, matching the filter's savedState
+    interleave. Membership is exact-case like CharArraySet(ignoreCase=
+    false); chain after lowercase. Returns (terms, positions, is_gram)."""
+    out_t: list[str] = []
+    out_p: list[int] = []
+    out_g: list[bool] = []
+    for i, (t, p) in enumerate(zip(terms, positions)):
+        if i > 0 and (terms[i - 1] in common or t in common):
+            out_t.append(terms[i - 1] + "_" + t)
+            out_p.append(positions[i - 1])
+            out_g.append(True)
+        out_t.append(t)
+        out_p.append(p)
+        out_g.append(False)
+    return out_t, out_p, out_g
+
+
+def common_grams_query(terms: list[str], is_gram: list[bool]) -> list[str]:
+    """CommonGramsQueryFilter (``CommonGramsQueryFilter.cs``): one-token
+    lookahead over the CommonGramsFilter stream — a held token is emitted
+    only when the NEXT token is not a gram (so unigrams absorbed into a
+    following gram disappear), and the final held token is dropped when the
+    last emission was a gram (the trailing-stopword cases)."""
+    out: list[str] = []
+    prev: str | None = None
+    prev_gram = False
+    last_emitted_gram = False
+    for t, g in zip(terms, is_gram):
+        if prev is not None and not g:
+            out.append(prev)
+            last_emitted_gram = prev_gram
+        prev, prev_gram = t, g
+    if prev is not None and not (out and last_emitted_gram):
+        out.append(prev)
+    return out

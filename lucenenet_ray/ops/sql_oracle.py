@@ -2628,3 +2628,26 @@ c3 AS (
 )
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM c3 GROUP BY term ORDER BY term"""
+
+
+def common_grams_stats_sql() -> str:
+    """CommonGramsFilter oracle (Analysis/CommonGrams/CommonGramsFilter.cs):
+    unigrams all kept (NO stop removal — the filter replaces StopFilter),
+    plus prev_cur grams for adjacent pairs where either side is common
+    (common set = the engine's English stop set); (term, df, ttf)."""
+    return f"""WITH t0 AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+uni AS (SELECT doc_id, term FROM t0 WHERE term <> ''),
+grams AS (
+  SELECT a.doc_id, a.term || '_' || b.term AS term
+  FROM t0 a JOIN t0 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term <> '' AND b.term <> ''
+    AND (a.term IN {STOP_SQL} OR b.term IN {STOP_SQL})
+),
+allt AS (SELECT * FROM uni UNION ALL SELECT * FROM grams)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM allt GROUP BY term ORDER BY term"""
