@@ -698,6 +698,66 @@ def _stemmed_term_stats(sf_dir: str, make_analyzer, lang_filter=None
     })
 
 
+def _q_path_hierarchy_stats(sf_dir: str) -> pa.Table:
+    """PathHierarchyTokenizer over a synthetic per-doc path built from
+    stored columns (source/lang/d<doc_id%7>); prefix-token term stats."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from lucenenet_ray.analysis.misc_filters import \
+            path_hierarchy_tokenize
+
+        df: Counter = Counter()
+        ttf: Counter = Counter()
+        for i, s, lg in zip(t.column("doc_id").to_pylist(),
+                            t.column("source").to_pylist(),
+                            t.column("lang").to_pylist()):
+            toks, _inc = path_hierarchy_tokenize(f"{s}/{lg}/d{i % 7}")
+            c = Counter(toks)
+            ttf.update(c)
+            df.update(c.keys())
+        keys = sorted(ttf)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "df": pa.array([df[k] for k in keys], type=pa.int64()),
+            "ttf": pa.array([ttf[k] for k in keys], type=pa.int64()),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("ttf", alias_name="ttf"))
+           .sort("term").take_all())
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], type=pa.string()),
+        "df": pa.array([r["df"] for r in out], type=pa.int64()),
+        "ttf": pa.array([r["ttf"] for r in out], type=pa.int64()),
+    })
+
+
+def _q_reverse_stats(sf_dir: str) -> pa.Table:
+    """ReverseStringFilter chain: standard chain → reverse; term stats
+    (the leading-wildcard indexing shape)."""
+    def make():
+        from lucenenet_ray.analysis.misc_filters import reverse_string
+        from lucenenet_ray.analysis.standard import StandardAnalyzer
+
+        base = StandardAnalyzer()
+
+        def an(text):
+            terms, pos = base(text)
+            return [reverse_string(t) for t in terms], pos
+        return an
+
+    return _stemmed_term_stats(sf_dir, make)
+
+
 def _q_common_grams_stats(sf_dir: str) -> pa.Table:
     """CommonGramsFilter chain (CommonGramsFilter.cs: tokenize → lowercase
     → common-grams, NO stop removal): term stats over unigrams + grams."""
@@ -2832,6 +2892,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "en_minimal_stats": _q_en_minimal_stats,
         "term_stats_cz_stemmed": _q_term_stats_cz_stemmed,
         "common_grams_stats": _q_common_grams_stats,
+        "path_hierarchy_stats": _q_path_hierarchy_stats,
+        "reverse_stats": _q_reverse_stats,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -2942,6 +3004,8 @@ def oracle_sql() -> dict[str, str]:
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),
+        "path_hierarchy_stats": so.path_hierarchy_stats_sql(),
+        "reverse_stats": so.reverse_stats_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),

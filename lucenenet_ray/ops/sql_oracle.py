@@ -2651,3 +2651,30 @@ grams AS (
 allt AS (SELECT * FROM uni UNION ALL SELECT * FROM grams)
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM allt GROUP BY term ORDER BY term"""
+
+
+def path_hierarchy_stats_sql() -> str:
+    """PathHierarchyTokenizer oracle (Analysis/Path/PathHierarchyTokenizer
+    .cs): each doc's synthetic path source/lang/d<doc_id%7> emits its three
+    prefix tokens; (term, df, ttf)."""
+    return """WITH p AS (
+  SELECT doc_id, source, lang, 'd' || (doc_id % 7) AS leaf FROM documents
+),
+toks AS (
+  SELECT doc_id, source AS term FROM p
+  UNION ALL
+  SELECT doc_id, source || '/' || lang FROM p
+  UNION ALL
+  SELECT doc_id, source || '/' || lang || '/' || leaf FROM p
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM toks GROUP BY term ORDER BY term"""
+
+
+def reverse_stats_sql() -> str:
+    """ReverseStringFilter oracle (Analysis/Reverse/ReverseStringFilter.cs):
+    stats over reversed kept tokens — the leading-wildcard index shape."""
+    return f"""WITH {_toks_cte()}
+SELECT reverse(term) AS term, count(DISTINCT doc_id) AS df,
+       count(*) AS ttf
+FROM kept GROUP BY reverse(term) ORDER BY term"""
