@@ -698,6 +698,25 @@ def _stemmed_term_stats(sf_dir: str, make_analyzer, lang_filter=None
     })
 
 
+def _q_compound_stats(sf_dir: str) -> pa.Table:
+    """DictionaryCompoundWordTokenFilter chain (standard chain → compound
+    decompose with the fixed test dictionary); originals + subwords."""
+    def make():
+        from lucenenet_ray.analysis.compound import dictionary_compound
+        from lucenenet_ray.analysis.standard import StandardAnalyzer
+        from lucenenet_ray.ops.sql_oracle import COMPOUND_DICT
+
+        base = StandardAnalyzer()
+        d = frozenset(COMPOUND_DICT)
+
+        def an(text):
+            terms, pos = base(text)
+            return dictionary_compound(terms, pos, d)
+        return an
+
+    return _stemmed_term_stats(sf_dir, make)
+
+
 def _q_path_hierarchy_stats(sf_dir: str) -> pa.Table:
     """PathHierarchyTokenizer over a synthetic per-doc path built from
     stored columns (source/lang/d<doc_id%7>); prefix-token term stats."""
@@ -2894,6 +2913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_grams_stats": _q_common_grams_stats,
         "path_hierarchy_stats": _q_path_hierarchy_stats,
         "reverse_stats": _q_reverse_stats,
+        "compound_stats": _q_compound_stats,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -3006,6 +3026,7 @@ def oracle_sql() -> dict[str, str]:
         "common_grams_stats": so.common_grams_stats_sql(),
         "path_hierarchy_stats": so.path_hierarchy_stats_sql(),
         "reverse_stats": so.reverse_stats_sql(),
+        "compound_stats": so.compound_stats_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),

@@ -2678,3 +2678,30 @@ def reverse_stats_sql() -> str:
 SELECT reverse(term) AS term, count(DISTINCT doc_id) AS df,
        count(*) AS ttf
 FROM kept GROUP BY reverse(term) ORDER BY term"""
+
+
+COMPOUND_DICT = ("win", "dow", "tab", "le", "ord", "er", "bat", "ch",
+                 "str", "eam", "spa", "rk", "vec", "tor", "sma", "ll")
+
+
+def compound_stats_sql() -> str:
+    """DictionaryCompoundWordTokenFilter oracle
+    (Analysis/Compound/DictionaryCompoundWordTokenFilter.cs): originals +
+    every dictionary subword (len 2..15) of tokens >= 5 chars, any start
+    offset; (term, df, ttf)."""
+    d = "(" + ", ".join(f"'{w}'" for w in sorted(COMPOUND_DICT)) + ")"
+    return f"""WITH {_toks_cte()},
+subs AS (
+  SELECT doc_id, substr(term, i + 1, j) AS term
+  FROM kept,
+       LATERAL (SELECT unnest(range(0, len(term) - 2 + 1)) AS i) a,
+       LATERAL (SELECT unnest(range(2, 16)) AS j) b
+  WHERE len(term) >= 5 AND i + j <= len(term)
+    AND substr(term, i + 1, j) IN {d}
+),
+allt AS (
+  SELECT doc_id, term FROM kept
+  UNION ALL SELECT doc_id, term FROM subs
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM allt GROUP BY term ORDER BY term"""
