@@ -79,6 +79,18 @@ LATVIAN_STOP = frozenset(
     "un ir es tu ka ar uz no par bet kā tas šis tā pie pēc jau vēl tikai "
     "vai bija būs viņš".split()
 )
+ARABIC_STOP = frozenset(
+    "من في على أن إلى عن مع هذا هذه التي الذي ما لا لم و أو ثم قد كان "
+    "كانت هو هي".split()
+)
+BULGARIAN_STOP = frozenset(
+    "и в на с за от по но или като че да се е са било той тя то те този "
+    "тази това тези при".split()
+)
+HINDI_STOP = frozenset(
+    "के का एक में की है यह और से हैं को पर इस होता कि जो कर मे गया करने "
+    "किया".split()
+)
 
 
 class LangAnalyzer(StandardAnalyzer):
@@ -109,6 +121,9 @@ class MultiLangAnalyzer:
             "cz": LangAnalyzer(CZECH_STOP),
             "id": LangAnalyzer(INDONESIAN_STOP),
             "lv": LangAnalyzer(LATVIAN_STOP),
+            "ar": LangAnalyzer(ARABIC_STOP),
+            "bg": LangAnalyzer(BULGARIAN_STOP),
+            "hi": LangAnalyzer(HINDI_STOP),
         }
 
     def __call__(self, text: str, lang: str | None = None

@@ -682,6 +682,139 @@ def indonesian_stem(w: str, stem_derivational: bool = True) -> str:
     return w
 
 
+# Arabic (Light10): ArabicStemmer.cs + ArabicNormalizer.cs
+_AR_PREFIXES = ("ال", "وال",
+                "بال", "كال",
+                "فال", "لل", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي")
+_AR_ALEF_VARIANTS = frozenset("آأإ")
+_AR_DELETE = frozenset("ـًٌٍَُِ"
+                       "ّْ")
+
+
+def arabic_normalize(w: str) -> str:
+    """ArabicNormalizer.Normalize (``Analysis/Ar/ArabicNormalizer.cs``):
+    fold hamza'd alefs → alef, dotless yeh → yeh, teh marbuta → heh; delete
+    tatweel and the harakat diacritics."""
+    out = []
+    for ch in w:
+        if ch in _AR_ALEF_VARIANTS:
+            out.append("ا")
+        elif ch == "ى":
+            out.append("ي")
+        elif ch == "ة":
+            out.append("ه")
+        elif ch in _AR_DELETE:
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def arabic_stem(w: str) -> str:
+    """ArabicStemmer.Stem (Larkey's Light10,
+    ``Analysis/Ar/ArabicStemmer.cs``): at most ONE prefix (wa- needs a
+    4-char word, others length+2), then EVERY matching suffix in table
+    order, each needing 2 chars left after the strip."""
+    for p in _AR_PREFIXES:
+        if len(p) == 1:
+            if len(w) >= 4 and w.startswith(p):
+                w = w[1:]
+                break
+        elif len(w) >= len(p) + 2 and w.startswith(p):
+            w = w[len(p):]
+            break
+    for suf in _AR_SUFFIXES:
+        if len(w) >= len(suf) + 2 and w.endswith(suf):
+            w = w[:-len(suf)]
+    return w
+
+
+def bulgarian_stem(w: str) -> str:
+    """BulgarianStemmer.Stem (Nakov's BulStem light rules,
+    ``Analysis/Bg/BulgarianStemmer.cs``): -ища fast path, definite-article
+    strip, plural strip (with ци→к / зи→г / еXи→яX / си→х repairs), final
+    я/а/о/е, -ен→н, ъN→N."""
+    if len(w) < 4:
+        return w
+    if len(w) > 5 and w.endswith("ища"):
+        return w[:-3]
+    # remove article
+    n = len(w)
+    if n > 6 and w.endswith("ият"):
+        w = w[:-3]
+    elif n > 5 and w.endswith(("ът", "то", "те", "та", "ия")):
+        w = w[:-2]
+    elif n > 4 and w.endswith("ят"):
+        w = w[:-2]
+    # remove plural
+    n = len(w)
+    if n > 6 and w.endswith("овци"):
+        w = w[:-3]
+    elif n > 6 and w.endswith("ове"):
+        w = w[:-3]
+    elif n > 6 and w.endswith("еве"):
+        w = w[:-3] + "й"
+    elif n > 5 and w.endswith("ища"):
+        w = w[:-3]
+    elif n > 5 and w.endswith("та"):
+        w = w[:-2]
+    elif n > 5 and w.endswith("ци"):
+        w = w[:-2] + "к"
+    elif n > 5 and w.endswith("зи"):
+        w = w[:-2] + "г"
+    elif n > 5 and w[-3] == "е" and w[-1] == "и":
+        w = w[:-3] + "я" + w[-2]
+    elif n > 4 and w.endswith("си"):
+        w = w[:-2] + "х"
+    elif n > 4 and w.endswith("и"):
+        w = w[:-1]
+    if len(w) > 3:
+        # single guard for BOTH strips (BulgarianStemmer.cs:46-56): a
+        # 4-char -я word still loses a following а/о/е at length 3
+        if w.endswith("я"):
+            w = w[:-1]
+        if w and w[-1] in "аое":
+            w = w[:-1]
+    if len(w) > 4 and w.endswith("ен"):
+        w = w[:-2] + "н"
+    if len(w) > 5 and w[-2] == "ъ":
+        w = w[:-2] + w[-1]
+    return w
+
+
+_HI_5SUF = ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")
+_HI_4SUF = ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे",
+            "ेंगे", "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं",
+            "ताएं", "ियाँ", "ियों", "ियां")
+_HI_3SUF = ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे",
+            "ाने", "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं",
+            "ुओं", "ुएं", "ुआं")
+_HI_2SUF = ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं",
+            "ती", "ता", "ाँ", "ां", "ों", "ें")
+_HI_1SUF = ("ो", "े", "ू", "ु", "ी", "ि", "ा")
+
+
+def hindi_stem(w: str) -> str:
+    """HindiStemmer.Stem (lightweight Hindi stemmer, Ramanathan & Rao,
+    ``Analysis/Hi/HindiStemmer.cs``): one longest-first suffix strip with
+    per-tier length guards."""
+    n = len(w)
+    if n > 6 and w.endswith(_HI_5SUF):
+        return w[:-5]
+    if n > 5 and w.endswith(_HI_4SUF):
+        return w[:-4]
+    if n > 4 and w.endswith(_HI_3SUF):
+        return w[:-3]
+    if n > 3 and w.endswith(_HI_2SUF):
+        return w[:-2]
+    if n > 2 and w.endswith(_HI_1SUF):
+        return w[:-1]
+    return w
+
+
 def english_minimal_stem(w: str) -> str:
     """EnglishMinimalStemmer.Stem (S-stemmer, Donna Harman,
     ``Analysis/En/EnglishMinimalStemmer.cs``): plural-only strip — keeps
@@ -699,12 +832,19 @@ def english_minimal_stem(w: str) -> str:
     return w[:-1]
 
 
+def arabic_light_stem(w: str) -> str:
+    """ArabicAnalyzer chain tail (normalize → stem)."""
+    return arabic_stem(arabic_normalize(w))
+
+
 _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "fr": french_minimal_stem, "it": italian_light_stem,
             "pt": portuguese_light_stem, "ru": russian_light_stem,
             "sv": swedish_light_stem, "no": norwegian_light_stem,
             "fi": finnish_light_stem, "hu": hungarian_light_stem,
-            "cz": czech_stem, "id": indonesian_stem, "lv": latvian_stem}
+            "cz": czech_stem, "id": indonesian_stem, "lv": latvian_stem,
+            "ar": arabic_light_stem, "bg": bulgarian_stem,
+            "hi": hindi_stem}
 
 
 class StemmingLangAnalyzer(LangAnalyzer):

@@ -112,3 +112,87 @@ def test_stemming_analyzer_fi():
     terms, pos = an("autoja ja autossa")
     assert terms == ["auto", "auto"]   # 'ja' is a stopword
     assert pos == [0, 2]               # position hole preserved
+
+
+@pytest.mark.parametrize("w,want", [
+    # TestArabicStemFilter.cs vectors (prefix + suffix table)
+    ("الحسن", "حسن"),
+    ("والحسن", "حسن"),
+    ("بالحسن", "حسن"),
+    ("كالحسن", "حسن"),
+    ("فالحسن", "حسن"),
+    ("للاخر", "اخر"),
+    ("وحسن", "حسن"),
+    ("زوجها", "زوج"),
+    ("ساهدان", "ساهد"),
+    ("ساهدات", "ساهد"),
+    ("ساهدون", "ساهد"),
+    ("ساهدين", "ساهد"),
+    ("ساهديه", "ساهد"),
+    ("ساهدية", "ساهد"),
+    ("ساهده", "ساهد"),
+    ("ساهدة", "ساهد"),
+    ("ساهدي", "ساهد"),
+    ("وساهدون", "ساهد"),
+    ("ساهدهات", "ساهد"),     # sequential multi-suffix strip
+    ("الو", "الو"),           # too short for the ال prefix
+])
+def test_arabic(w, want):
+    from lucenenet_ray.analysis.lang_stem import arabic_stem
+
+    assert arabic_stem(w) == want
+
+
+def test_arabic_normalize():
+    from lucenenet_ray.analysis.lang_stem import arabic_normalize
+
+    assert arabic_normalize("أحمد") == "احمد"     # hamza above → alef
+    assert arabic_normalize("مصطفى") == "مصطفي"   # dotless yeh → yeh
+    assert arabic_normalize("مدرسة") == "مدرسه"   # teh marbuta → heh
+    assert arabic_normalize("مـحـمـد") == "محمد"  # tatweel deleted
+
+
+@pytest.mark.parametrize("w,want", [
+    # TestBulgarianStemmer.cs vectors
+    ("град", "град"), ("града", "град"), ("градът", "град"),
+    ("градове", "град"), ("градовете", "град"),
+    ("народ", "народ"), ("народа", "народ"), ("народът", "народ"),
+    ("народи", "народ"), ("народите", "народ"), ("народе", "народ"),
+    ("път", "път"), ("пътя", "път"), ("пътят", "път"),
+    ("пътища", "път"), ("пътищата", "път"),
+    ("градец", "градец"), ("градеца", "градец"), ("градецът", "градец"),
+    ("градовце", "градовц"),
+    ("празници", "празник"),
+])
+def test_bulgarian(w, want):
+    from lucenenet_ray.analysis.lang_stem import bulgarian_stem
+
+    assert bulgarian_stem(w) == want
+
+
+@pytest.mark.parametrize("w,want", [
+    # TestHindiStemmer.cs vectors
+    ("लडका", "लडक"), ("लडके", "लडक"), ("लडकों", "लडक"),
+    ("गुरु", "गुर"), ("गुरुओं", "गुर"),
+    ("दोस्त", "दोस्त"), ("दोस्तों", "दोस्त"),
+    ("लडकी", "लडक"), ("लडकियों", "लडक"),
+    ("किताब", "किताब"), ("किताबें", "किताब"), ("किताबों", "किताब"),
+    ("आध्यापीका", "आध्यापीक"), ("आध्यापीकाएं", "आध्यापीक"),
+    ("आध्यापीकाओं", "आध्यापीक"),
+    ("खाना", "खा"), ("खाता", "खा"), ("खाती", "खा"), ("खा", "खा"),
+    ("कठिनाइयां", "कठिन"),
+])
+def test_hindi(w, want):
+    from lucenenet_ray.analysis.lang_stem import hindi_stem
+
+    assert hindi_stem(w) == want
+
+
+def test_dispatch_17_langs():
+    from lucenenet_ray.analysis.lang import MultiLangAnalyzer
+    from lucenenet_ray.analysis.lang_stem import _STEM_FN
+
+    m = MultiLangAnalyzer()
+    for lang in ("ar", "bg", "hi"):
+        assert lang in m.analyzers
+        assert lang in _STEM_FN
