@@ -91,6 +91,9 @@ HINDI_STOP = frozenset(
     "के का एक में की है यह और से हैं को पर इस होता कि जो कर मे गया करने "
     "किया".split()
 )
+SORANI_STOP = frozenset(
+    "و بە لە کە بۆ ئەم ئەو هەر دە بوو دەبێت لەگەڵ وەک جا هیچ".split()
+)
 
 
 class LangAnalyzer(StandardAnalyzer):
@@ -124,6 +127,7 @@ class MultiLangAnalyzer:
             "ar": LangAnalyzer(ARABIC_STOP),
             "bg": LangAnalyzer(BULGARIAN_STOP),
             "hi": LangAnalyzer(HINDI_STOP),
+            "ckb": LangAnalyzer(SORANI_STOP),
         }
 
     def __call__(self, text: str, lang: str | None = None

@@ -837,6 +837,106 @@ def arabic_light_stem(w: str) -> str:
     return arabic_stem(arabic_normalize(w))
 
 
+_CKB_FARSI_YEH = "ی"
+_CKB_AE = "ە"
+_CKB_HEH = "ه"
+_CKB_DELETE = frozenset("ـًٌٍَُِ"
+                        "ّْ")
+
+
+def sorani_normalize(w: str) -> str:
+    """SoraniNormalizer.Normalize (``Analysis/Ckb/SoraniNormalizer.cs``):
+    yeh variants → Farsi yeh, kaf → keheh, heh+ZWNJ → ae, final heh → ae,
+    teh marbuta → ae, heh doachashmee → heh, initial/above reh → rreh,
+    delete tatweel + harakat + Unicode Cf format chars."""
+    import unicodedata
+
+    out: list[str] = []
+    for ch in w:
+        if ch in ("ي", "ى"):
+            out.append(_CKB_FARSI_YEH)
+        elif ch == "ك":
+            out.append("ک")
+        elif ch == "‌":
+            if out and out[-1] == _CKB_HEH:
+                out[-1] = _CKB_AE
+        elif ch == "ة":
+            out.append(_CKB_AE)
+        elif ch == "ھ":
+            out.append(_CKB_HEH)
+        elif ch == "ر" and not out:
+            out.append("ڕ")
+        elif ch == "ڒ":
+            out.append("ڕ")
+        elif ch in _CKB_DELETE or unicodedata.category(ch) == "Cf":
+            continue
+        else:
+            out.append(ch)
+    # final heh → ae: applies only when heh is the very last scanned char
+    if w and w[-1] == _CKB_HEH and out and out[-1] == _CKB_HEH:
+        out[-1] = _CKB_AE
+    return "".join(out)
+
+
+def sorani_stem(w: str) -> str:
+    """SoraniStemmer.Stem (``Analysis/Ckb/SoraniStemmer.cs``): postposition
+    strip (دا/نا/ەوە), possessive strip (مان/یان/تان), then one
+    indefinite/definite/plural/demonstrative suffix strip."""
+    # postposition
+    if len(w) > 5 and w.endswith("دا"):
+        w = w[:-2]
+    elif len(w) > 4 and w.endswith("نا"):
+        w = w[:-1]
+    elif len(w) > 6 and w.endswith("ەوە"):
+        w = w[:-3]
+    # possessive pronoun
+    if len(w) > 6 and w.endswith(("مان", "یان", "تان")):
+        w = w[:-3]
+    # indefinite (with izafe)
+    n = len(w)
+    if n > 6 and w.endswith("ێکی"):
+        return w[:-3]
+    if n > 7 and w.endswith("یەکی"):
+        return w[:-4]
+    # the remaining single-strip chain
+    if n > 5 and w.endswith("ێک"):
+        return w[:-2]
+    if n > 6 and w.endswith("یەک"):
+        return w[:-3]
+    if n > 6 and w.endswith("ەکە"):
+        return w[:-3]
+    if n > 5 and w.endswith("کە"):
+        return w[:-2]
+    if n > 7 and w.endswith("ەکان"):
+        return w[:-4]
+    if n > 6 and w.endswith("کان"):
+        return w[:-3]
+    if n > 7 and w.endswith("یانی"):
+        return w[:-4]
+    if n > 6 and w.endswith("انی"):
+        return w[:-3]
+    if n > 6 and w.endswith("یان"):
+        return w[:-3]
+    if n > 5 and w.endswith("ان"):
+        return w[:-2]
+    if n > 7 and w.endswith("یانە"):
+        return w[:-4]
+    if n > 6 and w.endswith("انە"):
+        return w[:-3]
+    if n > 5 and w.endswith(("ایە", "ەیە")):
+        return w[:-2]
+    if n > 4 and w.endswith("ە"):
+        return w[:-1]
+    if n > 4 and w.endswith("ی"):
+        return w[:-1]
+    return w
+
+
+def sorani_light_stem(w: str) -> str:
+    """SoraniAnalyzer chain tail (normalize → stem)."""
+    return sorani_stem(sorani_normalize(w))
+
+
 _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "fr": french_minimal_stem, "it": italian_light_stem,
             "pt": portuguese_light_stem, "ru": russian_light_stem,
@@ -844,7 +944,7 @@ _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "fi": finnish_light_stem, "hu": hungarian_light_stem,
             "cz": czech_stem, "id": indonesian_stem, "lv": latvian_stem,
             "ar": arabic_light_stem, "bg": bulgarian_stem,
-            "hi": hindi_stem}
+            "hi": hindi_stem, "ckb": sorani_light_stem}
 
 
 class StemmingLangAnalyzer(LangAnalyzer):

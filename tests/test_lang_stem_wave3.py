@@ -196,3 +196,29 @@ def test_dispatch_17_langs():
     for lang in ("ar", "bg", "hi"):
         assert lang in m.analyzers
         assert lang in _STEM_FN
+
+
+@pytest.mark.parametrize("w,want", [
+    # TestSoraniStemFilter.cs vectors (full normalize→stem chain)
+    ("پیاوێک", "پیاو"), ("دەرگایەک", "دەرگا"), ("پیاوەكە", "پیاو"),
+    ("دەرگاكە", "دەرگا"), ("کتاویە", "کتاوی"), ("دەرگایە", "دەرگا"),
+    ("پیاوان", "پیاو"), ("دەرگایان", "دەرگا"), ("پیاوەکان", "پیاو"),
+    ("دەرگاکان", "دەرگا"), ("پیاوانە", "پیاو"), ("دەرگایانە", "دەرگا"),
+    ("هۆتیلی", "هۆتیل"), ("هۆتیلێکی", "هۆتیل"), ("هۆتیلانی", "هۆتیل"),
+])
+def test_sorani(w, want):
+    from lucenenet_ray.analysis.lang_stem import sorani_light_stem
+
+    assert sorani_light_stem(w) == want
+
+
+@pytest.mark.parametrize("w,want", [
+    # TestSoraniNormalizationFilter.cs vectors
+    ("ي", "ی"), ("ى", "ی"), ("ك", "ک"),
+    ("ه‌", "ە"), ("ه‌ک", "ەک"),
+    ("ھ", "ه"), ("ة", "ە"), ("ههه", "ههە"),
+])
+def test_sorani_normalize(w, want):
+    from lucenenet_ray.analysis.lang_stem import sorani_normalize
+
+    assert sorani_normalize(w) == want
