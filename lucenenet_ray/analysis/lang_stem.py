@@ -815,6 +815,112 @@ def hindi_stem(w: str) -> str:
     return w
 
 
+_FR_FOLD = str.maketrans("àáâôèéêùûîç", "aaaoeeeuuic")
+
+
+def _fr_norm(w: str) -> str:
+    """FrenchLightStemmer.Norm: accent fold + adjacent-duplicate-letter
+    collapse (len>4 gate), -ie strip, then final r / e / duplicate strips
+    under ONE len>4 check."""
+    if len(w) > 4:
+        w = w.translate(_FR_FOLD)
+        out = [w[0]]
+        for c in w[1:]:
+            if c == out[-1] and c.isalpha():
+                continue
+            out.append(c)
+        w = "".join(out)
+    if len(w) > 4 and w.endswith("ie"):
+        w = w[:-2]
+    if len(w) > 4:
+        if w[-1] == "r":
+            w = w[:-1]
+        if w[-1] == "e":
+            w = w[:-1]
+        if w[-1] == w[-2] and w[-1].isalpha():
+            w = w[:-1]
+    return w
+
+
+def french_light_stem(w: str) -> str:
+    """FrenchLightStemmer.Stem (Savoy UniNE light stemmer,
+    ``Analysis/Fr/FrenchLightStemmer.cs``): aux→al, x/s plural strip, the
+    ordered derivational-suffix table with in-place repairs (q/u/e/r/f
+    substitutions), then Norm."""
+    if len(w) > 5 and w[-1] == "x":
+        if w[-3] == "a" and w[-2] == "u" and w[-4] != "e":
+            w = w[:-2] + "l" + w[-1]
+        w = w[:-1]
+    if len(w) > 3 and w[-1] == "x":
+        w = w[:-1]
+    if len(w) > 3 and w[-1] == "s":
+        w = w[:-1]
+    n = len(w)
+    if n > 9 and w.endswith("issement"):
+        return _fr_norm(w[:-7] + "r")
+    if n > 8 and w.endswith("issant"):
+        return _fr_norm(w[:-5] + "r")
+    if n > 6 and w.endswith("ement"):
+        w = w[:-4]
+        if len(w) > 3 and w.endswith("ive"):
+            w = w[:-2] + "f"
+        return _fr_norm(w)
+    if n > 11 and w.endswith("ficatrice"):
+        return _fr_norm(w[:-7] + "er")
+    if n > 10 and w.endswith("ficateur"):
+        return _fr_norm(w[:-6] + "er")
+    if n > 9 and w.endswith("catrice"):
+        return _fr_norm(w[:-7] + "que" + w[-4])
+    if n > 8 and w.endswith("cateur"):
+        return _fr_norm(w[:-6] + "quer")
+    if n > 8 and w.endswith("atrice"):
+        return _fr_norm(w[:-6] + "er")
+    if n > 7 and w.endswith("ateur"):
+        return _fr_norm(w[:-5] + "er")
+    if n > 6 and w.endswith("trice"):
+        w = w[:-4] + "eur"
+    n = len(w)
+    if n > 5 and w.endswith("ième"):
+        return _fr_norm(w[:-4])
+    if n > 7 and w.endswith("teuse"):
+        return _fr_norm(w[:-3] + "r")
+    if n > 6 and w.endswith("teur"):
+        return _fr_norm(w[:-2] + "r")
+    if n > 5 and w.endswith("euse"):
+        return _fr_norm(w[:-2])
+    if n > 8 and w.endswith("ère"):
+        return _fr_norm(w[:-3] + "er")
+    if n > 7 and w.endswith("ive"):
+        return _fr_norm(w[:-2] + "f")
+    if n > 4 and w.endswith(("folle", "molle")):
+        return _fr_norm(w[:-3] + "u")
+    if n > 9 and w.endswith("nnelle"):
+        return _fr_norm(w[:-5])
+    if n > 9 and w.endswith("nnel"):
+        return _fr_norm(w[:-3])
+    if n > 4 and w.endswith("ète"):
+        w = w[:-3] + "et"
+    if len(w) > 8 and w.endswith("ique"):
+        w = w[:-4]
+    n = len(w)
+    if n > 8 and w.endswith("esse"):
+        return _fr_norm(w[:-3])
+    if n > 7 and w.endswith("inage"):
+        return _fr_norm(w[:-3])
+    if n > 9 and w.endswith("isation"):
+        w = w[:-7]
+        if len(w) > 5 and w.endswith("ual"):
+            w = w[:-2] + "e" + w[-1]
+        return _fr_norm(w)
+    if n > 9 and w.endswith("isateur"):
+        return _fr_norm(w[:-7])
+    if n > 8 and w.endswith("ation"):
+        return _fr_norm(w[:-5])
+    if n > 8 and w.endswith("ition"):
+        return _fr_norm(w[:-5])
+    return _fr_norm(w)
+
+
 def english_minimal_stem(w: str) -> str:
     """EnglishMinimalStemmer.Stem (S-stemmer, Donna Harman,
     ``Analysis/En/EnglishMinimalStemmer.cs``): plural-only strip — keeps
@@ -935,6 +1041,26 @@ def sorani_stem(w: str) -> str:
 def sorani_light_stem(w: str) -> str:
     """SoraniAnalyzer chain tail (normalize → stem)."""
     return sorani_stem(sorani_normalize(w))
+
+
+def persian_normalize(w: str) -> str:
+    """PersianNormalizer.Normalize (``Analysis/Fa/PersianNormalizer.cs``):
+    Farsi yeh / yeh barree → Arabic yeh, keheh → kaf, heh-yeh / heh-goal →
+    heh, delete hamza-above. (PersianAnalyzer has no stemmer — the chain is
+    Arabic normalize → Persian normalize → stop.)"""
+    out: list[str] = []
+    for ch in w:
+        if ch in ("ی", "ے"):
+            out.append("ي")
+        elif ch == "ک":
+            out.append("ك")
+        elif ch in ("ۀ", "ہ"):
+            out.append("ه")
+        elif ch == "ٔ":
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,

@@ -222,3 +222,52 @@ def test_sorani_normalize(w, want):
     from lucenenet_ray.analysis.lang_stem import sorani_normalize
 
     assert sorani_normalize(w) == want
+
+
+@pytest.mark.parametrize("w,want", [
+    # TestFrenchLightStemFilter.cs vectors (full UniNE light stemmer;
+    # 'personnel'/'colonisateur' are commented out in the reference too)
+    ("chevaux", "cheval"), ("hiboux", "hibou"), ("chantés", "chant"),
+    ("chanter", "chant"), ("chante", "chant"), ("baronnes", "baron"),
+    ("peaux", "peau"), ("anneaux", "aneau"), ("neveux", "neveu"),
+    ("affreux", "afreu"), ("affreuse", "afreu"),
+    ("investissement", "investi"), ("investir", "investi"),
+    ("assourdissant", "asourdi"), ("pratiquement", "pratiqu"),
+    ("administrativement", "administratif"),
+    ("justificatrice", "justifi"), ("justificateur", "justifi"),
+    ("educatrice", "eduqu"), ("eduquer", "eduqu"),
+    ("communicateur", "comuniqu"), ("accompagnatrice", "acompagn"),
+    ("administrateur", "administr"), ("productrice", "product"),
+    ("acheteuse", "achet"), ("planteur", "plant"),
+    ("poreuse", "poreu"), ("plieuse", "plieu"),
+    ("bijoutière", "bijouti"), ("caissière", "caisi"),
+    ("abrasive", "abrasif"), ("folle", "fou"),
+    ("personnelle", "person"), ("personne", "person"),
+    ("complète", "complet"), ("aromatique", "aromat"),
+    ("faiblesse", "faibl"), ("patinage", "patin"),
+    ("sonorisation", "sono"), ("ritualisation", "rituel"),
+    ("nomination", "nomin"), ("disposition", "dispos"),
+    ("1234555", "1234555"), ("abcdeff", "abcdef"),
+    ("abcccddeef", "abcdef"), ("créées", "cre"), ("22hh00", "22h00"),
+    ("", ""),
+])
+def test_french_light(w, want):
+    from lucenenet_ray.analysis.lang_stem import french_light_stem
+
+    assert french_light_stem(w) == want
+
+
+@pytest.mark.parametrize("w,want", [
+    # TestPersianNormalizationFilter.cs vectors
+    ("های", "هاي"),      # Farsi yeh
+    ("هاے", "هاي"),      # yeh barree
+    ("کشاندن", "كشاندن"),  # keheh → kaf
+    ("كتابۀ", "كتابه"),   # heh-yeh
+    ("كتابهٔ", "كتابه"),   # heh + hamza above
+    ("زادہ", "زاده"),     # heh goal
+    ("", ""),
+])
+def test_persian_normalize(w, want):
+    from lucenenet_ray.analysis.lang_stem import persian_normalize
+
+    assert persian_normalize(w) == want
