@@ -698,6 +698,69 @@ def _stemmed_term_stats(sf_dir: str, make_analyzer, lang_filter=None
     })
 
 
+def _q_icu_fold_stats(sf_dir: str) -> pa.Table:
+    """ICU-style folding chain: deterministic accent splice (md5-gated,
+    SQL-mirrored) → no-stop tokenize → icu_fold; term stats."""
+    def make():
+        from lucenenet_ray.analysis.icu_like import icu_fold
+        from lucenenet_ray.analysis.standard import StandardAnalyzer
+
+        class NoStop(StandardAnalyzer):
+            stop_words = frozenset()
+
+        base = NoStop()
+
+        def an(text):
+            terms, pos = base(text)
+            return [icu_fold(t) for t in terms], pos
+        return an
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from lucenenet_ray.ops.neardup import md5_int31
+
+        an = make()
+        df: Counter = Counter()
+        ttf: Counter = Counter()
+        for i, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            x = x or ""
+            if md5_int31(f"{i}:a") % 3 == 0:
+                x = x.replace("a", "à")
+            if md5_int31(f"{i}:e") % 4 == 0:
+                x = x.replace("e", "é")
+            if md5_int31(f"{i}:o") % 5 == 0:
+                x = x.replace("o", "ô")
+            terms, _pos = an(x)
+            c = Counter(terms)
+            ttf.update(c)
+            df.update(c.keys())
+        keys = sorted(ttf)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "df": pa.array([df[k] for k in keys], type=pa.int64()),
+            "ttf": pa.array([ttf[k] for k in keys], type=pa.int64()),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("ttf", alias_name="ttf"))
+           .sort("term").take_all())
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], type=pa.string()),
+        "df": pa.array([r["df"] for r in out], type=pa.int64()),
+        "ttf": pa.array([r["ttf"] for r in out], type=pa.int64()),
+    })
+
+
 def _q_compound_stats(sf_dir: str) -> pa.Table:
     """DictionaryCompoundWordTokenFilter chain (standard chain → compound
     decompose with the fixed test dictionary); originals + subwords."""
@@ -2914,6 +2977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_hierarchy_stats": _q_path_hierarchy_stats,
         "reverse_stats": _q_reverse_stats,
         "compound_stats": _q_compound_stats,
+        "icu_fold_stats": _q_icu_fold_stats,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -3027,6 +3091,7 @@ def oracle_sql() -> dict[str, str]:
         "path_hierarchy_stats": so.path_hierarchy_stats_sql(),
         "reverse_stats": so.reverse_stats_sql(),
         "compound_stats": so.compound_stats_sql(),
+        "icu_fold_stats": so.icu_fold_stats_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),

@@ -2705,3 +2705,41 @@ allt AS (
 )
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM allt GROUP BY term ORDER BY term"""
+
+
+def icu_fold_stats_sql() -> str:
+    """ICUFoldingFilter oracle (Analysis/Icu/ICUFoldingFilter.cs analog,
+    analysis/icu_like.icu_fold): deterministic accents are spliced into
+    each doc (md5-gated a→à / e→é / o→ô replaces, SQL-mirrored), then the
+    fold must restore the ASCII term stream — on this precomposed Latin
+    palette lower(strip_accents(x)) is provably equal to the full
+    NFKD/strip-Mn/casefold/NFKC fold (pinned by pytest)."""
+    h1 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':a'")
+    h2 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':e'")
+    h3 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':o'")
+    return f"""WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN {h3} % 5 = 0 THEN replace(
+                CASE WHEN {h2} % 4 = 0 THEN replace(
+                  CASE WHEN {h1} % 3 = 0 THEN replace(text, 'a', 'à')
+                       ELSE text END, 'e', 'é') ELSE
+                  CASE WHEN {h1} % 3 = 0 THEN replace(text, 'a', 'à')
+                       ELSE text END END, 'o', 'ô')
+              ELSE
+                CASE WHEN {h2} % 4 = 0 THEN replace(
+                  CASE WHEN {h1} % 3 = 0 THEN replace(text, 'a', 'à')
+                       ELSE text END, 'e', 'é') ELSE
+                  CASE WHEN {h1} % 3 = 0 THEN replace(text, 'a', 'à')
+                       ELSE text END END
+         END AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM aug
+),
+folded AS (
+  SELECT doc_id, lower(strip_accents(term)) AS term
+  FROM toks WHERE term <> ''
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM folded GROUP BY term ORDER BY term"""
