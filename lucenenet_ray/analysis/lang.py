@@ -129,6 +129,9 @@ class MultiLangAnalyzer:
             "hi": LangAnalyzer(HINDI_STOP),
             "ckb": LangAnalyzer(SORANI_STOP),
         }
+        from lucenenet_ray.analysis.greek import GreekAnalyzer
+
+        self.analyzers["el"] = GreekAnalyzer()  # full fold→stop→stem chain
 
     def __call__(self, text: str, lang: str | None = None
                  ) -> tuple[list[str], list[int]]:
