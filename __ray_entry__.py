@@ -698,6 +698,38 @@ def _stemmed_term_stats(sf_dir: str, make_analyzer, lang_filter=None
     })
 
 
+def _q_freq_mass(sf_dir: str) -> Any:
+    """Corpus-frequency doc scoring (ops/textstats.FreqMass): index
+    termstats broadcast once (ray.put), per-actor dict in __init__,
+    zero-shuffle scoring pass."""
+    import ray
+
+    from lucenenet_ray.ops.textstats import FreqMass
+
+    import pyarrow.parquet as pq
+
+    stats = _body_terms(
+        pq.read_table(os.path.join(_index_path(sf_dir), "termstats")))
+    ref = ray.put(stats)
+    out = (_docs_ds(sf_dir)
+           .map_batches(FreqMass, fn_constructor_args=(ref,),
+                        batch_format="pyarrow", concurrency=2)
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_funnel(sf_dir: str) -> pa.Table:
+    """Ordered-step funnel over the events log (ops/funnel.py): one
+    groupby(user_id) shuffle, vectorized per-group cascade."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.funnel import funnel
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    return funnel(ds)
+
+
 def _q_icu_fold_stats(sf_dir: str) -> pa.Table:
     """ICU-style folding chain: deterministic accent splice (md5-gated,
     SQL-mirrored) → no-stop tokenize → icu_fold; term stats."""
@@ -2978,6 +3010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reverse_stats": _q_reverse_stats,
         "compound_stats": _q_compound_stats,
         "icu_fold_stats": _q_icu_fold_stats,
+        "freq_mass": _q_freq_mass,
+        "funnel": _q_funnel,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -3092,6 +3126,8 @@ def oracle_sql() -> dict[str, str]:
         "reverse_stats": so.reverse_stats_sql(),
         "compound_stats": so.compound_stats_sql(),
         "icu_fold_stats": so.icu_fold_stats_sql(),
+        "freq_mass": so.freq_mass_sql(),
+        "funnel": so.funnel_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),

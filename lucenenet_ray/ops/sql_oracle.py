@@ -2743,3 +2743,47 @@ folded AS (
 )
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM folded GROUP BY term ORDER BY term"""
+
+
+def freq_mass_sql() -> str:
+    """FreqMass oracle (ops/textstats.FreqMass): per doc, the sum of
+    GLOBAL ttf/df over its kept-token occurrences — exact integers."""
+    return f"""WITH {_toks_cte()},
+g AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+  FROM kept GROUP BY term
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sum(g.ttf), 0) AS BIGINT) AS ttf_mass,
+       CAST(COALESCE(sum(g.df), 0) AS BIGINT) AS df_mass,
+       CAST(count(k.term) AS BIGINT) AS n_kept
+FROM documents d
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN g ON k.term = g.term
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+
+def funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase")
+               ) -> str:
+    """Funnel oracle (ops/funnel.funnel): per step, users whose earliest
+    qualifying event (strictly after the previous step's first completion)
+    exists; cascading min-timestamp joins."""
+    ctes = ["""s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{0}' GROUP BY user_id
+)""".format(steps[0].replace("'", "''"))]
+    for i in range(1, len(steps)):
+        esc = steps[i].replace("'", "''")
+        ctes.append(f"""s{i + 1} AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s{i} USING (user_id)
+  WHERE e.event_type = '{esc}' AND e.ts > s{i}.t
+  GROUP BY e.user_id
+)""")
+    selects = [
+        f"SELECT '{steps[i].replace(chr(39), chr(39) * 2)}' AS step, "
+        f"CAST({i + 1} AS BIGINT) AS step_ord, "
+        f"CAST((SELECT count(*) FROM s{i + 1}) AS BIGINT) AS n_users"
+        for i in range(len(steps))]
+    return ("WITH " + ",\n".join(ctes) + "\n" +
+            "\nUNION ALL\n".join(selects) + "\nORDER BY step_ord")

@@ -150,3 +150,55 @@ class BpeTokenCount:
             "doc_id": batch.column(self.id_col),
             "n_bpe_tokens": pa.array(counts, type=pa.int64()),
         })
+
+
+class FreqMass:
+    """Corpus-frequency document scoring (training-data quality signal:
+    docs dominated by ultra-common tokens vs rare-token docs). Per doc:
+    the sum of the GLOBAL ttf and df of each kept token occurrence plus
+    the kept-token count — all integers, so the oracle compare is exact.
+
+    Scale shape: the global term stats come from the already-built index's
+    termstats table — broadcast ONCE via ray.put and fetched per actor in
+    ``__init__`` (never per batch). At web scale the dict holds the top-K
+    head terms + an OOV default (the tail contributes negligible mass);
+    at test scale it is the full vocabulary. Zero shuffles on the scoring
+    pass itself.
+    """
+
+    def __init__(self, stats_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+
+        from lucenenet_ray.analysis.standard import StandardAnalyzer
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.an = StandardAnalyzer()
+        t = ray.get(stats_ref)
+        terms = t.column("term").to_pylist()
+        dfs = t.column("df").to_pylist()
+        ttfs = t.column("ttf").to_pylist()
+        self.stats = {w: (d, f) for w, d, f in zip(terms, dfs, ttfs)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        texts = batch.column(self.text_col).to_pylist()
+        ttf_mass, df_mass, n_kept = [], [], []
+        stats = self.stats
+        for x in texts:
+            terms, _pos = self.an(x or "")
+            tm = dm = 0
+            for w in terms:
+                d, f = stats.get(w, (0, 0))
+                tm += f
+                dm += d
+            ttf_mass.append(tm)
+            df_mass.append(dm)
+            n_kept.append(len(terms))
+        return pa.table({
+            "doc_id": ids,
+            "ttf_mass": pa.array(ttf_mass, type=pa.int64()),
+            "df_mass": pa.array(df_mass, type=pa.int64()),
+            "n_kept": pa.array(n_kept, type=pa.int64()),
+        })
