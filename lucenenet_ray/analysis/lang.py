@@ -128,6 +128,7 @@ class MultiLangAnalyzer:
             "bg": LangAnalyzer(BULGARIAN_STOP),
             "hi": LangAnalyzer(HINDI_STOP),
             "ckb": LangAnalyzer(SORANI_STOP),
+            "br": LangAnalyzer(PORTUGUESE_STOP),
         }
         from lucenenet_ray.analysis.greek import GreekAnalyzer
 

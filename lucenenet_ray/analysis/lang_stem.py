@@ -1043,6 +1043,15 @@ def sorani_light_stem(w: str) -> str:
     return sorani_stem(sorani_normalize(w))
 
 
+def _brazilian_or_original(w: str) -> str:
+    """BrazilianStemFilter semantics: keep the original term when the
+    stemmer returns None (non-indexable input)."""
+    from lucenenet_ray.analysis.brazilian import brazilian_stem
+
+    r = brazilian_stem(w)
+    return w if r is None else r
+
+
 def persian_normalize(w: str) -> str:
     """PersianNormalizer.Normalize (``Analysis/Fa/PersianNormalizer.cs``):
     Farsi yeh / yeh barree → Arabic yeh, keheh → kaf, heh-yeh / heh-goal →
@@ -1070,7 +1079,8 @@ _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "fi": finnish_light_stem, "hu": hungarian_light_stem,
             "cz": czech_stem, "id": indonesian_stem, "lv": latvian_stem,
             "ar": arabic_light_stem, "bg": bulgarian_stem,
-            "hi": hindi_stem, "ckb": sorani_light_stem}
+            "hi": hindi_stem, "ckb": sorani_light_stem,
+            "br": _brazilian_or_original}
 
 
 class StemmingLangAnalyzer(LangAnalyzer):

@@ -1862,12 +1862,19 @@ FROM kept GROUP BY term ORDER BY term"""
 
 def dataset_split_counts_sql() -> str:
     """Per-split (n_docs, sum token count) for DatasetSplitter ratios
-    (0.2 test, 0.1 cv) on a 500-doc corpus (ops/classify.py dataset_split).
-    Closed form of the sequential rule (DatasetSplitter.cs:112-124): both
+    (0.2 test, 0.1 cv) — ops/classify.py dataset_split. Closed form of the
+    sequential rule (DatasetSplitter.cs:112-124) at ANY corpus size: both
     quotas fill inside the even/odd interleave prefix when
-    cvRatio <= testRatio <= 0.5, so test = even positions < 2*nTest and
-    cv = odd positions < 2*nCv (positions in docID order)."""
+    cvRatio <= testRatio <= 0.5, so test = the first ceil(N*testRatio)
+    even positions and cv = the first ceil(N*cvRatio) odd positions
+    (positions in docID order). The quota is ceil because the engine's
+    loop admits while ``count < N*ratio`` (strict float compare)."""
     return f"""WITH {_toks_cte()},
+q AS (
+  SELECT CAST(2 * ceil(count(*) * 0.2) AS BIGINT) AS test_lim,
+         CAST(2 * ceil(count(*) * 0.1) AS BIGINT) AS cv_lim
+  FROM documents
+),
 posed AS (
   SELECT doc_id,
          CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS pos
@@ -1875,8 +1882,8 @@ posed AS (
 ),
 assigned AS (
   SELECT doc_id,
-    CASE WHEN pos % 2 = 0 AND pos < 200 THEN 'test'
-         WHEN pos % 2 = 1 AND pos < 100 THEN 'cv'
+    CASE WHEN pos % 2 = 0 AND pos < (SELECT test_lim FROM q) THEN 'test'
+         WHEN pos % 2 = 1 AND pos < (SELECT cv_lim FROM q) THEN 'cv'
          ELSE 'train' END AS split
   FROM posed
 )
