@@ -1043,6 +1043,38 @@ def sorani_light_stem(w: str) -> str:
     return sorani_stem(sorani_normalize(w))
 
 
+def german_minimal_stem(w: str) -> str:
+    """GermanMinimalStemmer.Stem (``Analysis/De/GermanMinimalStemmer.cs``):
+    words <5 unchanged; fold umlauts; strip -nen, then -en/-se/-es/-er
+    (len>5), then single n/e/s/r."""
+    if len(w) < 5:
+        return w
+    w = w.translate(str.maketrans("äöü", "aou"))
+    if len(w) > 6 and w.endswith("nen"):
+        return w[:-3]
+    if len(w) > 5 and (w.endswith(("en", "se", "es", "er"))):
+        return w[:-2]
+    if w[-1] in "nesr":
+        return w[:-1]
+    return w
+
+
+def norwegian_minimal_stem(w: str, nynorsk: bool = False) -> str:
+    """NorwegianMinimalStemmer.Stem with the default BOKMAAL flag
+    (``Analysis/No/NorwegianMinimalStemmer.cs``): possessive -s, definite
+    plural -ene (-ane in Nynorsk), -er/-en/-et (-ar Nynorsk), final a/e."""
+    if len(w) > 4 and w[-1] == "s":
+        w = w[:-1]
+    if len(w) > 5 and (w.endswith("ene") or (nynorsk and w.endswith("ane"))):
+        return w[:-3]
+    if len(w) > 4 and (w.endswith(("er", "en", "et"))
+                       or (nynorsk and w.endswith("ar"))):
+        return w[:-2]
+    if len(w) > 3 and w[-1] in "ae":
+        return w[:-1]
+    return w
+
+
 def _brazilian_or_original(w: str) -> str:
     """BrazilianStemFilter semantics: keep the original term when the
     stemmer returns None (non-indexable input)."""

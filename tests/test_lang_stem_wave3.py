@@ -271,3 +271,51 @@ def test_persian_normalize(w, want):
     from lucenenet_ray.analysis.lang_stem import persian_normalize
 
     assert persian_normalize(w) == want
+
+
+@pytest.mark.parametrize("w,want", [
+    # TestGermanMinimalStemFilter.cs vectors
+    ("sängerinnen", "sangerin"), ("frauen", "frau"),
+    ("kenntnisse", "kenntnis"), ("staates", "staat"),
+    ("bilder", "bild"), ("boote", "boot"),
+    ("götter", "gott"), ("äpfel", "apfel"),
+    ("haus", "haus"),   # len < 5 unchanged
+])
+def test_german_minimal(w, want):
+    from lucenenet_ray.analysis.lang_stem import german_minimal_stem
+
+    assert german_minimal_stem(w) == want
+
+
+def _datafile_vectors(name):
+    import os
+    path = os.path.join("/root/reference/src/"
+                        "Lucene.Net.Tests.Analysis.Common/Analysis/No",
+                        name)
+    out = []
+    for line in open(path):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) == 2:
+            out.append(tuple(parts))
+    return out
+
+
+def test_norwegian_minimal_datafile():
+    from lucenenet_ray.analysis.lang_stem import norwegian_minimal_stem
+
+    vecs = _datafile_vectors("nb_minimal.txt")
+    assert len(vecs) > 50
+    for w, want in vecs:
+        assert norwegian_minimal_stem(w) == want, w
+
+
+def test_norwegian_light_datafile():
+    from lucenenet_ray.analysis.lang_stem import norwegian_light_stem
+
+    vecs = _datafile_vectors("nb_light.txt")
+    assert len(vecs) > 100
+    for w, want in vecs:
+        assert norwegian_light_stem(w) == want, w
