@@ -698,6 +698,58 @@ def _stemmed_term_stats(sf_dir: str, make_analyzer, lang_filter=None
     })
 
 
+def _q_url_email_stats(sf_dir: str) -> pa.Table:
+    """UAX29URLEmailTokenizer analog: urls/emails kept whole with their
+    token type; per-(term,type) stats over the url/email-spliced corpus."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from lucenenet_ray.analysis.standard import ENGLISH_STOP_WORDS
+        from lucenenet_ray.analysis.urlemail import url_email_tokenize
+        from lucenenet_ray.ops.neardup import md5_int31
+
+        df: Counter = Counter()
+        ttf: Counter = Counter()
+        for i, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            x = x or ""
+            h1 = md5_int31(f"{i}:url")
+            h2 = md5_int31(f"{i}:em")
+            if h1 % 3 == 0:
+                x += f" https://site{h1 % 50}.example.com/p/{h1 % 7}"
+            if h2 % 4 == 0:
+                x += f" dev{h2 % 60}@corp{h2 % 5}.io"
+            terms, _pos, types = url_email_tokenize(x, ENGLISH_STOP_WORDS)
+            c = Counter(zip(terms, types))
+            ttf.update(c)
+            df.update(c.keys())
+        keys = sorted(ttf)
+        return pa.table({
+            "term": pa.array([k[0] for k in keys], type=pa.string()),
+            "type": pa.array([k[1] for k in keys], type=pa.string()),
+            "df": pa.array([df[k] for k in keys], type=pa.int64()),
+            "ttf": pa.array([ttf[k] for k in keys], type=pa.int64()),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+           .groupby(["term", "type"])
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("ttf", alias_name="ttf"))
+           .sort(["term", "type"]).take_all())
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], type=pa.string()),
+        "type": pa.array([r["type"] for r in out], type=pa.string()),
+        "df": pa.array([r["df"] for r in out], type=pa.int64()),
+        "ttf": pa.array([r["ttf"] for r in out], type=pa.int64()),
+    })
+
+
 def _q_freq_mass(sf_dir: str) -> Any:
     """Corpus-frequency doc scoring (ops/textstats.FreqMass): index
     termstats broadcast once (ray.put), per-actor dict in __init__,
@@ -3012,6 +3064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "icu_fold_stats": _q_icu_fold_stats,
         "freq_mass": _q_freq_mass,
         "funnel": _q_funnel,
+        "url_email_stats": _q_url_email_stats,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -3128,6 +3181,7 @@ def oracle_sql() -> dict[str, str]:
         "icu_fold_stats": so.icu_fold_stats_sql(),
         "freq_mass": so.freq_mass_sql(),
         "funnel": so.funnel_sql(),
+        "url_email_stats": so.url_email_stats_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),

@@ -1,0 +1,57 @@
+"""URL/email-preserving tokenization
+(``Analysis/Standard/UAX29URLEmailTokenizer.cs`` — token types
+URL=7 / EMAIL=8 on top of the UAX#29 word classes).
+
+The reference implements RFC-3986/5321 recognition as a 100k-state JFlex
+DFA; re-expressing that table is out of scope. This analog implements the
+component's CONTRACT on whitespace-delimited web text: a whitespace token
+that is an email or URL is emitted whole with its type (never split at
+@ / : / / like the plain tokenizer would); anything else goes through the
+standard chain. The recognition patterns are RE2-safe so the DuckDB oracle
+(regexp_matches) is exact on the same input.
+"""
+
+from __future__ import annotations
+
+import re
+
+# RE2-safe (no lookaround); anchored full-token matches
+EMAIL_TOKEN_RE = r"^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$"
+URL_TOKEN_RE = (r"^(https?://|www\.)[a-z0-9.-]+\.[a-z]{2,}"
+                r"(:[0-9]+)?(/[a-z0-9._~%/+-]*)?$")
+
+_EMAIL = re.compile(EMAIL_TOKEN_RE)
+_URL = re.compile(URL_TOKEN_RE)
+
+TYPE_WORD = "<ALPHANUM>"
+TYPE_URL = "<URL>"
+TYPE_EMAIL = "<EMAIL>"
+
+
+def url_email_tokenize(text: str, stop_words: frozenset[str] = frozenset()
+                       ) -> tuple[list[str], list[int], list[str]]:
+    """Tokenize keeping URLs/emails whole: (terms, positions, types).
+    Position increments count dropped stopwords like the standard chain;
+    URL/EMAIL tokens are never stop-filtered (they can't be stopwords)."""
+    terms: list[str] = []
+    positions: list[int] = []
+    types: list[str] = []
+    pos = -1
+    for tok in text.split():
+        pos += 1
+        low = tok.lower()
+        if _EMAIL.match(low):
+            terms.append(low)
+            positions.append(pos)
+            types.append(TYPE_EMAIL)
+        elif _URL.match(low):
+            terms.append(low)
+            positions.append(pos)
+            types.append(TYPE_URL)
+        else:
+            if low in stop_words or not low:
+                continue
+            terms.append(low)
+            positions.append(pos)
+            types.append(TYPE_WORD)
+    return terms, positions, types

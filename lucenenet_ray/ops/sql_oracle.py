@@ -2794,3 +2794,44 @@ def funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase")
         for i in range(len(steps))]
     return ("WITH " + ",\n".join(ctes) + "\n" +
             "\nUNION ALL\n".join(selects) + "\nORDER BY step_ord")
+
+
+def url_email_stats_sql() -> str:
+    """UAX29URLEmailTokenizer oracle (analysis/urlemail.py): urls/emails
+    are deterministically spliced into each doc (md5 formulas), then per
+    token-type (term, type, df, ttf) — regexp_matches is anchored-pattern
+    exact on the same whitespace tokens."""
+    from lucenenet_ray.analysis.urlemail import EMAIL_TOKEN_RE, URL_TOKEN_RE
+
+    h1 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':url'")
+    h2 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':em'")
+    stop = STOP_SQL
+    return f"""WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN {h1} % 3 = 0
+                 THEN ' https://site' || ({h1} % 50) || '.example.com/p/'
+                      || ({h1} % 7) ELSE '' END
+         || CASE WHEN {h2} % 4 = 0
+                 THEN ' dev' || ({h2} % 60) || '@corp' || ({h2} % 5)
+                      || '.io' ELSE '' END AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM aug
+),
+typed AS (
+  SELECT doc_id, term,
+         CASE WHEN regexp_matches(term, '{EMAIL_TOKEN_RE}')
+              THEN '<EMAIL>'
+              WHEN regexp_matches(term, '{URL_TOKEN_RE}')
+              THEN '<URL>'
+              ELSE '<ALPHANUM>' END AS type
+  FROM toks WHERE term <> ''
+),
+kept AS (
+  SELECT * FROM typed
+  WHERE type <> '<ALPHANUM>' OR term NOT IN {stop}
+)
+SELECT term, type, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM kept GROUP BY term, type ORDER BY term, type"""
