@@ -1,0 +1,243 @@
+"""Hunspell affix-dictionary stemmer
+(``Analysis/Hunspell/Dictionary.cs`` + ``Stemmer.cs`` — the .aff/.dic
+morphological stemmer behind HunspellStemFilter).
+
+Subset faithful to the reference's stemming core:
+
+- .dic entries ``word/FLAGS`` (morph fields after whitespace ignored),
+  multiple homonym entries per word, ``ignore_case`` lowering both sides.
+- .aff ``PFX``/``SFX`` blocks (multiple blocks per flag merge), strip,
+  affix with ``/continuation`` classes, condition patterns (``[..]``
+  classes, ``.``; dash escaped; unterminated ``[`` repaired), crossproduct
+  flag, ``FLAG long|num`` parsing strategies, ``CIRCUMFIX`` flag.
+- Stemming: whole-word dictionary stems (one per homonym entry), one
+  prefix and up to two suffixes via continuation-class cross-checks,
+  exactly the reference's recursion ladder (Stemmer.cs Stem/ApplyAffix,
+  incl. the prefixFlag-through-continuation check and circumfix pairing).
+- Reference quirk reproduced: the FIRST distinct condition pattern parsed
+  gets ordinal 0, and ``CheckCondition`` skips ordinal 0 — that pattern is
+  never actually checked (Stemmer.cs:325 ``if (condition != 0)``).
+
+Out of re-expression scope (documented): ICONV/OCONV tables, COMPOUND*
+rules, NEEDAFFIX/ONLYINCOMPOUND pruning, flag aliases (AF), escaped
+slashes. These raise on sight rather than mis-stemming silently.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class _Affix:
+    __slots__ = ("flag", "strip", "affix", "pattern", "cross",
+                 "cont_flags", "ordinal")
+
+    def __init__(self, flag, strip, affix, pattern, cross, cont_flags,
+                 ordinal):
+        self.flag = flag
+        self.strip = strip
+        self.affix = affix
+        self.pattern = pattern   # compiled regex or None (unchecked)
+        self.cross = cross
+        self.cont_flags = cont_flags
+        self.ordinal = ordinal
+
+
+def _parse_flags(s: str, mode: str) -> tuple[str, ...]:
+    if mode == "num":
+        return tuple(x.strip() for x in s.split(",") if x.strip())
+    if mode == "long":
+        return tuple(s[i:i + 2] for i in range(0, len(s) - 1, 2))
+    return tuple(s)
+
+
+class HunspellDictionary:
+    def __init__(self, aff_text: str, dic_text: str,
+                 ignore_case: bool = False):
+        self.ignore_case = ignore_case
+        self.flag_mode = "single"
+        self.circumfix: str | None = None
+        self.complex_prefixes = False
+        self.two_stage = False
+        self.prefixes: dict[str, list[_Affix]] = {}
+        self.suffixes: dict[str, list[_Affix]] = {}
+        self._parse_aff(aff_text)
+        self.words: dict[str, list[frozenset]] = {}
+        self._parse_dic(dic_text)
+
+    # -- parsing ----------------------------------------------------------
+    def _parse_aff(self, text: str) -> None:
+        lines = text.splitlines()
+        i = 0
+        while i < len(lines):
+            parts = lines[i].split()
+            i += 1
+            if not parts:
+                continue
+            kw = parts[0]
+            if kw == "FLAG":
+                self.flag_mode = parts[1]
+            elif kw == "CIRCUMFIX":
+                self.circumfix = _parse_flags(parts[1], self.flag_mode)[0]
+            elif kw == "COMPLEXPREFIXES":
+                self.complex_prefixes = True
+            elif kw in ("ICONV", "OCONV", "COMPOUNDRULE", "COMPOUNDFLAG",
+                        "AF", "NEEDAFFIX", "ONLYINCOMPOUND"):
+                raise NotImplementedError(
+                    f"hunspell subset: {kw} not supported")
+            elif kw in ("PFX", "SFX"):
+                flag = _parse_flags(parts[1], self.flag_mode)[0]
+                cross = parts[2] == "Y"
+                n = int(parts[3])
+                for _ in range(n):
+                    rule = lines[i].split()
+                    i += 1
+                    strip = "" if rule[2] == "0" else rule[2]
+                    affix_arg = rule[3]
+                    cont: tuple[str, ...] = ()
+                    if "/" in affix_arg:
+                        affix_arg, _, flagpart = affix_arg.rpartition("/")
+                        cont = _parse_flags(flagpart, self.flag_mode)
+                        self.two_stage = True
+                    cond = rule[4] if len(rule) > 4 else "."
+                    pattern = self._condition(cond, strip, kw == "PFX")
+                    aff = _Affix(flag, strip,
+                                 "" if affix_arg == "0" else affix_arg,
+                                 pattern, cross, frozenset(cont), 0)
+                    target = (self.prefixes if kw == "PFX"
+                              else self.suffixes)
+                    target.setdefault(aff.affix, []).append(aff)
+
+    def _condition(self, cond: str, strip: str, is_prefix: bool):
+        """Pattern ordinal 0 is pre-reserved for the zero condition
+        (Dictionary.cs:269 ``seenPatterns[".*"] = 0``) and CheckCondition
+        skips ordinal 0 — so '.' and cond==strip compile to no check; every
+        real pattern is checked."""
+        if cond.startswith("[") and not cond.endswith("]"):
+            cond = cond + "]"
+        cond = cond.replace("-", "\\-")
+        if cond == "." or cond == strip:
+            return None
+        regex = cond + ".*" if is_prefix else ".*" + cond
+        return re.compile(regex)
+
+    def _parse_dic(self, text: str) -> None:
+        lines = text.splitlines()
+        start = 1 if lines and lines[0].strip().isdigit() else 0
+        for line in lines[start:]:
+            entry = line.split()
+            if not entry:
+                continue
+            token = entry[0]
+            word, _, flagpart = token.partition("/")
+            if self.ignore_case:
+                word = word.lower()
+            flags = frozenset(_parse_flags(flagpart, self.flag_mode))
+            self.words.setdefault(word, []).append(flags)
+
+
+class HunspellStemmer:
+    """Stemmer.cs recursion ladder over a HunspellDictionary."""
+
+    def __init__(self, dictionary: HunspellDictionary):
+        self.d = dictionary
+
+    def stem(self, word: str) -> list[str]:
+        if self.d.ignore_case:
+            word = word.lower()
+        stems = [word for _flags in self.d.words.get(word, [])]
+        stems += self._stem(word, None, None, None, 0, True, True,
+                            False, False)
+        return stems
+
+    def unique_stems(self, word: str) -> list[str]:
+        seen: set[str] = set()
+        out = []
+        for s in self.stem(word):
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    def _stem(self, word, previous, prev_flag, prefix_flag, depth,
+              do_prefix, do_suffix, prev_was_prefix, circumfix):
+        d = self.d
+        stems: list[str] = []
+        if do_prefix and d.prefixes:
+            for i in range(len(word) - 1, -1, -1):
+                for e in d.prefixes.get(word[:i], ()):
+                    if e is previous:
+                        continue
+                    if depth == 0:
+                        compatible = True
+                    elif e.cross:
+                        compatible = prev_flag in e.cont_flags
+                    else:
+                        compatible = False
+                    if not compatible:
+                        continue
+                    stripped = e.strip + word[i:]
+                    if e.pattern is not None \
+                            and not e.pattern.fullmatch(stripped):
+                        continue
+                    stems += self._apply(stripped, e, None, depth, True,
+                                         circumfix)
+        if do_suffix and d.suffixes:
+            for i in range(len(word)):
+                for e in d.suffixes.get(word[i:], ()):
+                    if e is previous:
+                        continue
+                    if depth == 0:
+                        compatible = True
+                    elif e.cross:
+                        compatible = ((not e.cont_flags and prev_was_prefix)
+                                      or prev_flag in e.cont_flags)
+                    else:
+                        compatible = False
+                    if not compatible:
+                        continue
+                    stripped = word[:i] + e.strip
+                    if e.pattern is not None \
+                            and not e.pattern.fullmatch(stripped):
+                        continue
+                    stems += self._apply(stripped, e, prefix_flag, depth,
+                                         False, circumfix)
+        return stems
+
+    def _apply(self, stripped, e, prefix_flag, depth, is_prefix,
+               circumfix):
+        d = self.d
+        stems: list[str] = []
+        for flags in d.words.get(stripped, ()):
+            if e.flag not in flags:
+                continue
+            chained_prefix = d.complex_prefixes and depth == 1 and is_prefix
+            if (not chained_prefix and prefix_flag is not None
+                    and prefix_flag not in flags
+                    and prefix_flag not in e.cont_flags):
+                continue
+            if d.circumfix is not None:
+                if (d.circumfix in e.cont_flags) != circumfix:
+                    continue
+            stems.append(stripped)
+        if d.circumfix is not None and not circumfix and is_prefix:
+            circumfix = d.circumfix in e.cont_flags
+        if e.cross:
+            if depth == 0:
+                if is_prefix:
+                    stems += self._stem(
+                        stripped, e, e.flag, e.flag, 1,
+                        d.complex_prefixes and d.two_stage, True, True,
+                        circumfix)
+                elif not d.complex_prefixes and d.two_stage:
+                    stems += self._stem(stripped, e, e.flag, prefix_flag,
+                                        1, False, True, False, circumfix)
+            elif depth == 1:
+                if is_prefix and d.complex_prefixes:
+                    stems += self._stem(stripped, e, e.flag, e.flag, 2,
+                                        False, True, True, circumfix)
+                elif (not is_prefix and not d.complex_prefixes
+                      and d.two_stage):
+                    stems += self._stem(stripped, e, e.flag, prefix_flag,
+                                        2, False, True, False, circumfix)
+        return stems
