@@ -99,3 +99,128 @@ def codepoint_count_keep(terms: list[str], positions: list[int],
             out_t.append(t)
             out_p.append(p)
     return out_t, out_p
+
+
+def hyphenated_words(terms: list[str]) -> list[str]:
+    """HyphenatedWordsFilter
+    (``Analysis/Miscellaneous/HyphenatedWordsFilter.cs``): tokens ending
+    in '-' are joined (hyphen dropped) with following tokens until one
+    does not end in '-'; a trailing unclosed run keeps a final '-'."""
+    out: list[str] = []
+    pending: list[str] = []
+    for t in terms:
+        if t and t.endswith("-"):
+            pending.append(t[:-1])
+        elif pending:
+            pending.append(t)
+            out.append("".join(pending))
+            pending = []
+        else:
+            out.append(t)
+    if pending:
+        out.append("".join(pending) + "-")
+    return out
+
+
+def scandinavian_fold(term: str) -> str:
+    """ScandinavianFoldingFilter
+    (``Analysis/Miscellaneous/ScandinavianFoldingFilter.cs``): å/ä/æ→a,
+    ö/ø→o (case kept) and the aa/ae/ao/oe/oo digraph collapses, scanning
+    left to right with in-place deletes like the reference."""
+    buf = list(term)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c in ("å", "ä", "æ"):
+            buf[i] = "a"
+        elif c in ("Å", "Ä", "Æ"):
+            buf[i] = "A"
+        elif c in ("ø", "ö"):
+            buf[i] = "o"
+        elif c in ("Ø", "Ö"):
+            buf[i] = "O"
+        elif i < len(buf) - 1:
+            nxt = buf[i + 1]
+            if c in "aA" and nxt in "aAeEoO":
+                del buf[i + 1]
+            elif c in "oO" and nxt in "eEoO":
+                del buf[i + 1]
+        i += 1
+    return "".join(buf)
+
+
+def scandinavian_normalize(term: str) -> str:
+    """ScandinavianNormalizationFilter
+    (``Analysis/Miscellaneous/ScandinavianNormalizationFilter.cs``):
+    ä→æ, ö→ø, and aa→å / ae→æ / ao→å / oe→ø / oo→ø digraph folds."""
+    buf = list(term)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c == "ä":
+            buf[i] = "æ"
+        elif c == "Ä":
+            buf[i] = "Æ"
+        elif c == "ö":
+            buf[i] = "ø"
+        elif c == "Ö":
+            buf[i] = "Ø"
+        elif i < len(buf) - 1:
+            nxt = buf[i + 1]
+            if c == "a" and nxt in "aoAO":
+                del buf[i + 1]
+                buf[i] = "å"
+            elif c == "A" and nxt in "aAoO":
+                del buf[i + 1]
+                buf[i] = "Å"
+            elif c == "a" and nxt in "eE":
+                del buf[i + 1]
+                buf[i] = "æ"
+            elif c == "A" and nxt in "eE":
+                del buf[i + 1]
+                buf[i] = "Æ"
+            elif c == "o" and nxt in "eEoO":
+                del buf[i + 1]
+                buf[i] = "ø"
+            elif c == "O" and nxt in "eEoO":
+                del buf[i + 1]
+                buf[i] = "Ø"
+        i += 1
+    return "".join(buf)
+
+
+def apostrophe_filter(term: str) -> str:
+    """ApostropheFilter (``Analysis/Tr/ApostropheFilter.cs``): keep only
+    the part before the FIRST apostrophe (' or ’) — Turkish possessive
+    truncation."""
+    for i, ch in enumerate(term):
+        if ch in ("'", "’"):
+            return term[:i]
+    return term
+
+
+def pattern_replace(terms: list[str], pattern: str, replacement: str,
+                    replace_all: bool = True) -> list[str]:
+    """PatternReplaceFilter (``Analysis/Pattern/PatternReplaceFilter.cs``):
+    regex replace inside each token (all matches or first only)."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+    count = 0 if replace_all else 1
+    return [rx.sub(replacement, t, count=count) for t in terms]
+
+
+def remove_duplicates(terms: list[str], positions: list[int]
+                      ) -> tuple[list[str], list[int]]:
+    """RemoveDuplicatesTokenFilter
+    (``Analysis/Miscellaneous/RemoveDuplicatesTokenFilter.cs``): drop a
+    token when the SAME term already occurred at the SAME position."""
+    seen: set[tuple[int, str]] = set()
+    out_t, out_p = [], []
+    for t, p in zip(terms, positions):
+        if (p, t) in seen:
+            continue
+        seen.add((p, t))
+        out_t.append(t)
+        out_p.append(p)
+    return out_t, out_p

@@ -83,3 +83,72 @@ def test_codepoint_count():
     t, p = codepoint_count_keep(["a", "ab", "abc", "abcd"], [0, 1, 2, 3],
                                 2, 3)
     assert t == ["ab", "abc"] and p == [1, 2]
+
+
+@pytest.mark.parametrize("w,want", [
+    # TestScandinavianFoldingFilter.cs vectors
+    ("aeäaeeea", "aaaeea"), ("aeäaeeeae", "aaaeea"), ("aeaeeeae", "aaeea"),
+    ("bøen", "boen"), ("åene", "aene"),
+    ("blåbærsyltetøj", "blabarsyltetoj"),
+    ("blaabaarsyltetoej", "blabarsyltetoj"),
+    ("blåbärsyltetöj", "blabarsyltetoj"),
+    ("räksmörgås", "raksmorgas"), ("ræksmørgås", "raksmorgas"),
+    ("raeksmoergaas", "raksmorgas"), ("ræksmörgaos", "raksmorgas"),
+    ("ab", "ab"), ("ob", "ob"), ("Ab", "Ab"), ("Ob", "Ob"),
+    ("å", "a"), ("aa", "a"), ("aA", "a"), ("ao", "a"), ("aO", "a"),
+    ("AA", "A"), ("Aa", "A"), ("Ao", "A"), ("AO", "A"),
+    ("æ", "a"), ("ä", "a"), ("Æ", "A"), ("Ä", "A"),
+])
+def test_scandinavian_fold(w, want):
+    from lucenenet_ray.analysis.misc_filters import scandinavian_fold
+
+    assert scandinavian_fold(w) == want
+
+
+@pytest.mark.parametrize("w,want", [
+    # TestScandinavianNormalizationFilter.cs shapes
+    ("aa", "å"), ("ao", "å"), ("ae", "æ"), ("oe", "ø"), ("oo", "ø"),
+    ("ä", "æ"), ("ö", "ø"), ("Ä", "Æ"), ("Ö", "Ø"),
+    ("blaabaersyltetoej", "blåbærsyltetøj"),
+    ("plain", "plain"),
+])
+def test_scandinavian_normalize(w, want):
+    from lucenenet_ray.analysis.misc_filters import scandinavian_normalize
+
+    assert scandinavian_normalize(w) == want
+
+
+def test_hyphenated_words():
+    from lucenenet_ray.analysis.misc_filters import hyphenated_words
+
+    # TestHyphenatedWordsFilter.cs shape: line-broken hyphens rejoined
+    assert hyphenated_words(
+        ["ecologi-", "cal", "devel-", "op", "comment"]) == \
+        ["ecological", "develop", "comment"]
+    # trailing unclosed hyphen keeps the dash
+    assert hyphenated_words(["abc-"]) == ["abc-"]
+    assert hyphenated_words(["multi-", "part-", "word"]) == \
+        ["multipartword"]
+
+
+def test_apostrophe_filter():
+    from lucenenet_ray.analysis.misc_filters import apostrophe_filter
+
+    assert apostrophe_filter("türkiye'nin") == "türkiye"
+    assert apostrophe_filter("ankara’ya") == "ankara"
+    assert apostrophe_filter("plain") == "plain"
+
+
+def test_pattern_replace():
+    from lucenenet_ray.analysis.misc_filters import pattern_replace
+
+    assert pattern_replace(["aabbaa"], "a+", "x") == ["xbbx"]
+    assert pattern_replace(["aabbaa"], "a+", "x", replace_all=False) == \
+        ["xbbaa"]
+
+
+def test_remove_duplicates():
+    from lucenenet_ray.analysis.misc_filters import remove_duplicates
+
+    t, p = remove_duplicates(["a", "a", "b", "a"], [0, 0, 1, 2])
+    assert t == ["a", "b", "a"] and p == [0, 1, 2]
