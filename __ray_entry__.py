@@ -409,6 +409,33 @@ def _q_numeric_range_filter(sf_dir: str) -> pa.Table:
     return _topdocs_to_table(td)
 
 
+def _q_numeric_trie_range(sf_dir: str) -> pa.Table:
+    """NumericRangeQuery over *trie-indexed* terms (NumericRangeQuery.cs:
+    340-379 + NumericUtils.SplitRange, index/numeric.py): n_chars indexed as
+    prefix-coded terms at precisionStep 4 (Int64Field default), range
+    [305, 460) decomposed into per-shift term-dict scans, matched docs =
+    union of the cover's postings (each in-range doc matched by exactly one
+    cover term — the split invariant)."""
+    import numpy as np
+
+    from lucenenet_ray.pipelines.flagship import documents_numeric_index_for
+    from lucenenet_ray.search.query import NumericRangeQuery64
+    from lucenenet_ray.search.reader import IndexReader
+
+    r = IndexReader(documents_numeric_index_for(sf_dir))
+    q = NumericRangeQuery64(field_name="n_chars", lower=305, upper=460,
+                            include_lower=True, include_upper=False)
+    terms = r.expand_query(q)
+    parts = []
+    for b in r.bucket_ids:
+        for c in r.bucket(b).chunks_for_terms(terms).values():
+            parts.append(c.docs())
+    docs = (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, np.int64))
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64),
+                                        type=pa.int64())})
+
+
 _DOCSTORE_CACHE: dict[str, str] = {}
 
 
@@ -3065,6 +3092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_mass": _q_freq_mass,
         "funnel": _q_funnel,
         "url_email_stats": _q_url_email_stats,
+        "numeric_trie_range": _q_numeric_trie_range,
         # no-oracle-by-design (rows-only)
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
@@ -3210,6 +3238,9 @@ def oracle_sql() -> dict[str, str]:
         "payload_term_score": so.payload_term_score_sql("spark", TOPK),
         "numeric_range_filter": so.numeric_range_filter_sql(
             "spark", 300, 449, TOPK),
+        "numeric_trie_range": ("SELECT doc_id FROM documents "
+                               "WHERE n_chars >= 305 AND n_chars < 460 "
+                               "ORDER BY doc_id"),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -195,6 +195,34 @@ class Inverter:
         for col, fname, analyzed in self.cfg.extra_fields:
             if col not in batch.column_names:
                 continue
+            if isinstance(analyzed, str) and analyzed.startswith("numeric"):
+                # NumericTokenStream analog (NumericUtils.cs:150-174): one
+                # prefix-coded trie term per shift level 0, ps, 2ps, ... < 64,
+                # all at position 0, vectorized per shift over the batch.
+                from lucenenet_ray.index.numeric import (
+                    PRECISION_STEP_DEFAULT, int64_array_to_prefix_coded,
+                    trie_shifts)
+
+                ps = (int(analyzed.split(":", 1)[1]) if ":" in analyzed
+                      else PRECISION_STEP_DEFAULT)
+                arr = batch.column(col)
+                valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)[border]
+                vals = (arr.combine_chunks() if hasattr(arr, "combine_chunks")
+                        else arr)
+                vals = pc.fill_null(pc.cast(vals, pa.int64()), 0).to_numpy(
+                    zero_copy_only=False)[border]
+                idxs = np.flatnonzero(valid)
+                sel = vals[idxs].astype(np.int64)
+                pfx = fname + FIELD_SEP
+                idx_list = idxs.tolist()
+                for sh in trie_shifts(ps):
+                    toks = int64_array_to_prefix_coded(sel, sh)
+                    flat_terms.extend(pfx + t for t in toks)
+                    flat_docidx.extend(idx_list)
+                    flat_pos.extend([0] * len(toks))
+                    if want_pay:
+                        flat_pay.extend([0] * len(toks))
+                continue
             vals_all = batch.column(col).to_pylist()
             prefix = fname + FIELD_SEP
             for di in range(len(texts)):

@@ -367,6 +367,31 @@ def documents_multilang_index_for(sf_dir: str,
     return path
 
 
+def documents_numeric_index_for(sf_dir: str,
+                                cache_root: str = "/tmp/lucenenet_ray_idx"
+                                ) -> str:
+    """documents index with `n_chars` additionally trie-indexed as a
+    NumericField (precisionStep 4 — Int64Field default,
+    NumericUtils.cs:75): exercises the NumericTokenStream analog through
+    the full distributed build (index/numeric.py)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.index.build import IndexConfig, build_index
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(cache_root, f"documents_num_{key}")
+    if not os.path.exists(os.path.join(path, "manifest.json")):
+        src = os.path.join(sf_dir, "documents.parquet")
+        n = pq.read_metadata(src).num_rows
+        ds = rd.read_parquet(src, columns=["doc_id", "text", "n_chars"])
+        cfg = IndexConfig(index_path=path, id_min=0, id_max=max(n - 1, 1),
+                          n_buckets=8,
+                          extra_fields=(("n_chars", "n_chars", "numeric:4"),))
+        build_index(ds, cfg, text_col="text", id_col="doc_id")
+    return path
+
+
 def cjk_index_for(sf_dir: str,
                   cache_root: str = "/tmp/lucenenet_ray_idx") -> str:
     """Index over the deterministic CJK corpus (sources/cjk.py) — exercises

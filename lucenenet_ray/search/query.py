@@ -253,6 +253,44 @@ class TermRangeQuery(MultiTermQuery):
         return True
 
 
+@dataclass(frozen=True)
+class NumericRangeQuery64(MultiTermQuery):
+    """NumericRangeQuery over a *trie-indexed* int64 field
+    (``Search/NumericRangeQuery.cs:340-379``; terms produced by the
+    inverter's ``numeric:<precisionStep>`` extra-field mode, the
+    NumericTokenStream analog). ``None`` bound = open end; exclusive bounds
+    step inward by one. Expansion decomposes the range with
+    NumericUtils.SplitRange into per-shift term-dict range scans
+    (reader.expand_query) — the middle of the range is matched by a handful
+    of low-precision terms, the boundaries by full-precision scans."""
+
+    field_name: str = ""
+    lower: int | None = None
+    upper: int | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    precision_step: int = 4
+
+    def encoded_ranges(self) -> list[tuple[str, str]]:
+        """(lo_term, hi_term) inclusive prefix-coded scan bounds, unprefixed."""
+        from lucenenet_ray.index.numeric import (int64_to_prefix_coded,
+                                                 normalize_bounds,
+                                                 split_int64_range)
+
+        b = normalize_bounds(self.lower, self.upper,
+                             self.include_lower, self.include_upper)
+        if b is None:
+            return []
+        return [
+            (int64_to_prefix_coded(mn, sh), int64_to_prefix_coded(mx, sh))
+            for mn, mx, sh in split_int64_range(self.precision_step, *b)
+        ]
+
+    def matches_term(self, term: str) -> bool:
+        body = term.split(FIELD_SEP, 1)[1] if FIELD_SEP in term else term
+        return any(lo <= body <= hi for lo, hi in self.encoded_ranges())
+
+
 def _levenshtein_within(a: str, b: str, k: int) -> bool:
     if abs(len(a) - len(b)) > k:
         return False

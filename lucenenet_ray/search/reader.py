@@ -547,6 +547,7 @@ class IndexReader:
         """
         from lucenenet_ray.search.query import (
             FuzzyQuery,
+            NumericRangeQuery64,
             PrefixQuery,
             RegexpQuery,
             TermRangeQuery,
@@ -574,6 +575,17 @@ class IndexReader:
                 self.terms_in_range(q.lower, q.upper,
                                     q.include_lower, q.include_upper),
                 qfield(q.lower if q.lower is not None else q.upper))
+        elif isinstance(q, NumericRangeQuery64):
+            # NumericRangeQuery.cs:340-379: SplitRange sub-ranges, each a
+            # pure range scan on the sorted term dict at one shift level
+            # (disjoint: shift byte leads each encoding). Row-group min/max
+            # pushdown prunes like any TermRange scan.
+            prefix = q.field_name + FIELD_SEP
+            out = []
+            for lo, hi in q.encoded_ranges():
+                out.extend(self.terms_in_range(prefix + lo, prefix + hi,
+                                               True, True))
+            out = sorted(set(out))
         elif isinstance(q, (WildcardQuery, RegexpQuery)):
             pat = q.pattern
             lit = _literal_prefix(pat, wildcard=isinstance(q, WildcardQuery))
