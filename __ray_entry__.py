@@ -1941,6 +1941,29 @@ def _phonetic_stats(sf_dir: str, encoder) -> pa.Table:
     return g.take(idx).slice(0, 20)
 
 
+def _q_snowball_da_stats(sf_dir: str) -> pa.Table:
+    """Danish Snowball stemmer (Tartarus/Snowball/Ext/DanishStemmer.cs,
+    analysis/snowball.py danish_stem — the reference DanishAnalyzer's
+    default stemmer): term dictionary grouped by stem vs the full algorithm
+    re-expressed in SQL (R1 min-3, main suffix, consonant pair, other
+    suffix, undouble). Validated separately on the reference's own 23,829
+    vocabulary fixtures (TestSnowballVocabData.zip)."""
+    from lucenenet_ray.analysis.snowball import danish_stem
+
+    return _phonetic_stats(sf_dir, danish_stem)
+
+
+def _q_snowball_en_stats(sf_dir: str) -> pa.Table:
+    """English Snowball / Porter2 (Tartarus EnglishStemmer.cs,
+    analysis/snowball.py porter2_stem): term dictionary grouped by stem.
+    Rows-only by design (Porter2's R1/R2 + shortv + 5 steps exceed a sane
+    SQL re-expression); bit-validated on the reference's full 29,417-word
+    vocabulary fixture in tests/test_snowball.py."""
+    from lucenenet_ray.analysis.snowball import porter2_stem
+
+    return _phonetic_stats(sf_dir, porter2_stem)
+
+
 def _q_fvh_highlight(sf_dir: str) -> pa.Table:
     """FastVectorHighlighter analog (Highlighter/VectorHighlight/,
     ops/highlight.py fvh_best_fragment): fragments for the BM25 top-5
@@ -3093,7 +3116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "url_email_stats": _q_url_email_stats,
         "numeric_trie_range": _q_numeric_trie_range,
+        "snowball_da_stats": _q_snowball_da_stats,
         # no-oracle-by-design (rows-only)
+        "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
         "highlight": _q_highlight,
         "media_features": _q_media_features,
@@ -3241,6 +3266,7 @@ def oracle_sql() -> dict[str, str]:
         "numeric_trie_range": ("SELECT doc_id FROM documents "
                                "WHERE n_chars >= 305 AND n_chars < 460 "
                                "ORDER BY doc_id"),
+        "snowball_da_stats": so.snowball_da_stats_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -91,6 +91,14 @@ HINDI_STOP = frozenset(
     "के का एक में की है यह और से हैं को पर इस होता कि जो कर मे गया करने "
     "किया".split()
 )
+DANISH_STOP = frozenset(
+    ("og i jeg det at en den til er som på de med han af for ikke der var "
+     "mig sig men et har om vi min havde ham hun nu over da fra du ud sin "
+     "dem os op man hans hvor eller hvad skal selv her alle vil blev kunne "
+     "ind når være dog noget ville jo deres efter ned skulle denne end "
+     "dette mit også under have dig anden hende mine alt meget sit sine "
+     "vor mod disse hvis din nogle hos blive mange ad bliver hendes været "
+     "thi jer sådan").split())  # Snowball danish_stop.txt (DanishAnalyzer)
 SORANI_STOP = frozenset(
     "و بە لە کە بۆ ئەم ئەو هەر دە بوو دەبێت لەگەڵ وەک جا هیچ".split()
 )
@@ -133,6 +141,12 @@ class MultiLangAnalyzer:
         from lucenenet_ray.analysis.greek import GreekAnalyzer
 
         self.analyzers["el"] = GreekAnalyzer()  # full fold→stop→stem chain
+        # DanishAnalyzer.cs chain: stop (danish_stop.txt) + SnowballFilter
+        # (DanishStemmer) — the only reference analyzer whose DEFAULT
+        # stemmer is the Snowball program (analysis/snowball.py)
+        from lucenenet_ray.analysis.lang_stem import StemmingLangAnalyzer
+
+        self.analyzers["da"] = StemmingLangAnalyzer(DANISH_STOP, "da")
 
     def __call__(self, text: str, lang: str | None = None
                  ) -> tuple[list[str], list[int]]:

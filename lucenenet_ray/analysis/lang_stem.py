@@ -1104,6 +1104,9 @@ def persian_normalize(w: str) -> str:
     return "".join(out)
 
 
+from lucenenet_ray.analysis.snowball import (danish_stem, norwegian_stem,
+                                             porter2_stem, swedish_stem)
+
 _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "fr": french_minimal_stem, "it": italian_light_stem,
             "pt": portuguese_light_stem, "ru": russian_light_stem,
@@ -1112,7 +1115,12 @@ _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "cz": czech_stem, "id": indonesian_stem, "lv": latvian_stem,
             "ar": arabic_light_stem, "bg": bulgarian_stem,
             "hi": hindi_stem, "ckb": sorani_light_stem,
-            "br": _brazilian_or_original}
+            "br": _brazilian_or_original,
+            # Snowball family (analysis/snowball.py): "da" is the reference
+            # DanishAnalyzer default; the *_snowball keys are the
+            # SnowballFilter alternatives to the light stemmers above
+            "da": danish_stem, "en_snowball": porter2_stem,
+            "no_snowball": norwegian_stem, "sv_snowball": swedish_stem}
 
 
 class StemmingLangAnalyzer(LangAnalyzer):

@@ -2177,6 +2177,69 @@ def sv_stem_stats_sql(n: int = 20) -> str:
     return _stem_stats_wrap(case, n)
 
 
+def snowball_da_stats_sql(n: int = 20) -> str:
+    """Danish *Snowball* stemmer oracle (Tartarus DanishStemmer.cs,
+    analysis/snowball.py danish_stem) — the full algorithm re-expressed in
+    SQL: R1 with 3-letter minimum (regexp for the first vowel→non-vowel
+    boundary), longest main suffix fitting R1 (s needs an s_ending letter
+    before it), consonant-pair trim, igst/other-suffix step (with the
+    consonant-pair retry), final undouble."""
+    V = "aeiouyæåø"
+    S_END = "'a','b','c','d','f','g','h','j','k','l','m','n','o','p','r','t','v','y','z','å'"
+
+    def cut(e: str, k: int) -> str:
+        return f"substr({e}, 1, len({e}) - {k})"
+
+    def cp(e: str) -> str:  # consonant_pair: gd/dt/gt/kt in R1 → drop last
+        return (f"CASE WHEN len({e}) >= 2 AND right({e}, 2) IN "
+                f"('gd','dt','gt','kt') AND len({e}) - 2 >= p1 "
+                f"THEN {cut(e, 1)} ELSE {e} END")
+
+    main = f"""CASE
+ WHEN right(w,7)='erendes' AND len(w)-7>=p1 THEN {cut('w',7)}
+ WHEN right(w,6) IN ('erende','hedens') AND len(w)-6>=p1 THEN {cut('w',6)}
+ WHEN right(w,5) IN ('ethed','erede','heden','heder','endes','ernes','erens','erets') AND len(w)-5>=p1 THEN {cut('w',5)}
+ WHEN right(w,4) IN ('ered','ende','erne','eren','erer','heds','enes','eres','eret') AND len(w)-4>=p1 THEN {cut('w',4)}
+ WHEN right(w,3) IN ('hed','ene','ere','ens','ers','ets') AND len(w)-3>=p1 THEN {cut('w',3)}
+ WHEN right(w,2) IN ('en','er','es','et') AND len(w)-2>=p1 THEN {cut('w',2)}
+ WHEN right(w,1)='e' AND len(w)-1>=p1 THEN {cut('w',1)}
+ WHEN right(w,1)='s' AND len(w)-1>=p1 THEN
+   CASE WHEN len(w)>=2 AND substr(w,len(w)-1,1) IN ({S_END})
+        THEN {cut('w',1)} ELSE w END
+ ELSE w END"""
+    other = f"""CASE
+ WHEN right(wa,4)='løst' AND len(wa)-4>=p1 THEN {cut('wa',1)}
+ WHEN right(wa,4)='elig' AND len(wa)-4>=p1 THEN {cp(cut('wa',4))}
+ WHEN right(wa,3) IN ('lig','els') AND len(wa)-3>=p1 THEN {cp(cut('wa',3))}
+ WHEN right(wa,2)='ig' AND len(wa)-2>=p1 THEN {cp(cut('wa',2))}
+ ELSE wa END"""
+    return f"""WITH {_toks_cte()},
+terms AS (
+  SELECT term AS w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM kept GROUP BY term
+),
+marked AS (
+  SELECT w, df,
+         GREATEST(CASE WHEN m = '' THEN len(w) ELSE len(m) END, 3) AS p1
+  FROM (SELECT w, df,
+               regexp_extract(w, '^(.*?[{V}][^{V}])') AS m
+        FROM terms)
+),
+s1 AS (SELECT {main} AS w, p1, df FROM marked),
+s2 AS (SELECT {cp('w')} AS w, p1, df FROM s1),
+s3a AS (SELECT CASE WHEN right(w,4)='igst' THEN {cut('w',2)} ELSE w END AS wa,
+               p1, df FROM s2),
+s3 AS (SELECT {other} AS w, p1, df FROM s3a),
+s4 AS (SELECT CASE WHEN len(w)>=2 AND len(w)-1>=p1
+                    AND right(w,1)=substr(w,len(w)-1,1)
+                    AND right(w,1) NOT IN ({"','".join(V).join(["'", "'"])})
+              THEN {cut('w',1)} ELSE w END AS code, df FROM s3)
+SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS sum_df
+FROM s4 GROUP BY code
+ORDER BY sum_df DESC, code ASC LIMIT {n}"""
+
+
 def no_stem_stats_sql(n: int = 20) -> str:
     """NorwegianLightStemmer (Bokmål) oracle
     (Analysis/No/NorwegianLightStemmer.cs, lang_stem.norwegian_light_stem)."""
