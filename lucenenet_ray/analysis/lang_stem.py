@@ -1106,6 +1106,9 @@ def persian_normalize(w: str) -> str:
 
 from lucenenet_ray.analysis.snowball import (danish_stem, norwegian_stem,
                                              porter2_stem, swedish_stem)
+from lucenenet_ray.analysis.snowball_romance import (
+    french_stem as _sb_french, italian_stem as _sb_italian,
+    portuguese_stem as _sb_portuguese, spanish_stem as _sb_spanish)
 
 _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "fr": french_minimal_stem, "it": italian_light_stem,
@@ -1120,7 +1123,9 @@ _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             # DanishAnalyzer default; the *_snowball keys are the
             # SnowballFilter alternatives to the light stemmers above
             "da": danish_stem, "en_snowball": porter2_stem,
-            "no_snowball": norwegian_stem, "sv_snowball": swedish_stem}
+            "no_snowball": norwegian_stem, "sv_snowball": swedish_stem,
+            "es_snowball": _sb_spanish, "fr_snowball": _sb_french,
+            "it_snowball": _sb_italian, "pt_snowball": _sb_portuguese}
 
 
 class StemmingLangAnalyzer(LangAnalyzer):
