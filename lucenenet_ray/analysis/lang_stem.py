@@ -1109,6 +1109,11 @@ from lucenenet_ray.analysis.snowball import (danish_stem, norwegian_stem,
 from lucenenet_ray.analysis.snowball_romance import (
     french_stem as _sb_french, italian_stem as _sb_italian,
     portuguese_stem as _sb_portuguese, spanish_stem as _sb_spanish)
+from lucenenet_ray.analysis.snowball_germanic import (
+    dutch_stem as _sb_dutch, german2_stem as _sb_german2,
+    german_snowball_stem as _sb_german)
+from lucenenet_ray.analysis.snowball_more import (
+    russian_stem as _sb_russian)
 
 _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "fr": french_minimal_stem, "it": italian_light_stem,
@@ -1125,7 +1130,9 @@ _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "da": danish_stem, "en_snowball": porter2_stem,
             "no_snowball": norwegian_stem, "sv_snowball": swedish_stem,
             "es_snowball": _sb_spanish, "fr_snowball": _sb_french,
-            "it_snowball": _sb_italian, "pt_snowball": _sb_portuguese}
+            "it_snowball": _sb_italian, "pt_snowball": _sb_portuguese,
+            "de_snowball": _sb_german, "de2_snowball": _sb_german2,
+            "nl_snowball": _sb_dutch, "ru_snowball": _sb_russian}
 
 
 class StemmingLangAnalyzer(LangAnalyzer):

@@ -1,0 +1,47 @@
+"""Germanic/Slavic (and later waves of) Snowball stemmers vs the
+reference's full vocabulary fixtures (TestSnowballVocab.cs protocol)."""
+
+import zipfile
+
+import pytest
+
+from lucenenet_ray.analysis.snowball_germanic import (
+    dutch_stem,
+    german2_stem,
+    german_snowball_stem,
+)
+from lucenenet_ray.analysis.snowball_more import russian_stem
+
+_ZIP = ("/root/reference/src/Lucene.Net.Tests.Analysis.Common/Analysis/"
+        "Snowball/TestSnowballVocabData.zip")
+
+
+def _vocab(lang):
+    z = zipfile.ZipFile(_ZIP)
+    voc = z.read(f"{lang}/voc.txt").decode("utf-8").split()
+    out = z.read(f"{lang}/output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) and len(voc) > 20000
+    return voc, out
+
+
+@pytest.mark.parametrize("lang,fn", [
+    ("german", german_snowball_stem),
+    ("german2", german2_stem),
+    ("dutch", dutch_stem),
+    ("russian", russian_stem),
+])
+def test_full_reference_vocabulary(lang, fn):
+    voc, out = _vocab(lang)
+    bad = [(v, o, fn(v)) for v, o in zip(voc, out) if fn(v) != o]
+    assert not bad, f"{lang}: {len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_spot_checks():
+    # German2 qu protection: the two letters after qu are never folded
+    assert german2_stem("quae") == "quae"
+    # German ß fold + s-ending
+    assert german_snowball_stem("grüßen") == "gruss"
+    # Dutch undouble + e-ending
+    assert dutch_stem("lichamelijk") == "licham"
+    # Russian perfective gerund group 1 needs preceding а/я
+    assert russian_stem("прочитавши") == "прочита"
