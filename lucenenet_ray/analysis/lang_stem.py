@@ -1113,7 +1113,8 @@ from lucenenet_ray.analysis.snowball_germanic import (
     dutch_stem as _sb_dutch, german2_stem as _sb_german2,
     german_snowball_stem as _sb_german)
 from lucenenet_ray.analysis.snowball_more import (
-    russian_stem as _sb_russian)
+    finnish_stem as _sb_finnish, hungarian_stem as _sb_hungarian,
+    romanian_stem as _sb_romanian, russian_stem as _sb_russian)
 
 _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "fr": french_minimal_stem, "it": italian_light_stem,
@@ -1132,7 +1133,9 @@ _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "es_snowball": _sb_spanish, "fr_snowball": _sb_french,
             "it_snowball": _sb_italian, "pt_snowball": _sb_portuguese,
             "de_snowball": _sb_german, "de2_snowball": _sb_german2,
-            "nl_snowball": _sb_dutch, "ru_snowball": _sb_russian}
+            "nl_snowball": _sb_dutch, "ru_snowball": _sb_russian,
+            "fi_snowball": _sb_finnish, "hu_snowball": _sb_hungarian,
+            "ro_snowball": _sb_romanian}
 
 
 class StemmingLangAnalyzer(LangAnalyzer):

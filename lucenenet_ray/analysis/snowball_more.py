@@ -135,3 +135,466 @@ def russian_stem(word: str) -> str:
                 w = w[:base]
             break
     return w
+
+
+# ---------------------------------------------------------------------------
+# Finnish (FinnishStemmer.cs; among tables a_0..a_9 at :44-160)
+
+_FI_V1 = frozenset("aeiouyäö")
+_FI_V2 = frozenset("aeiouäö")
+_FI_AEI = frozenset("aäei")
+_FI_PART_END = _FI_V1 | {"n", "t"}
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_FI_PARTICLE = tuple(sorted((
+    ("pa", 1), ("sti", 2), ("kaan", 1), ("han", 1), ("kin", 1),
+    ("hän", 1), ("kään", 1), ("ko", 1), ("pä", 1), ("kö", 1),
+), key=lambda t: len(t[0]), reverse=True))
+
+_FI_POSS = tuple(sorted((
+    [(s, -1) for s in ("lla", "na", "ssa", "ta", "lta", "sta", "llä",
+                       "nä", "ssä", "tä", "ltä", "stä", "lle", "ine")]
+    + [("nsa", 3), ("mme", 3), ("nne", 3), ("ni", 2), ("si", 1),
+       ("an", 4), ("en", 6), ("än", 5), ("nsä", 3)]
+), key=lambda t: len(t[0]), reverse=True))
+_FI_AN_CTX = ("lla", "na", "ssa", "ta", "lta", "sta")          # a_1
+_FI_AEN_CTX = ("llä", "nä", "ssä", "tä", "ltä", "stä")          # a_2
+_FI_EN_CTX = ("lle", "ine")                                     # a_3
+
+# (suffix, code, method): method "VI" = preceded by i after a V2 vowel,
+# "LONG" = preceded by a doubled vowel — evaluated DURING the among match
+# (inside the R1 limit), failing over to the next-longest entry.
+_FI_CASE = tuple(sorted((
+    ("a", 8, None), ("lla", -1, None), ("na", -1, None),
+    ("ssa", -1, None), ("ta", -1, None), ("lta", -1, None),
+    ("sta", -1, None), ("tta", 9, None), ("lle", -1, None),
+    ("ine", -1, None), ("ksi", -1, None), ("n", 7, None),
+    ("han", 1, None), ("den", -1, "VI"), ("seen", -1, "LONG"),
+    ("hen", 2, None), ("tten", -1, "VI"), ("hin", 3, None),
+    ("siin", -1, "VI"), ("hon", 4, None), ("hän", 5, None),
+    ("hön", 6, None), ("ä", 8, None), ("llä", -1, None),
+    ("nä", -1, None), ("ssä", -1, None), ("tä", -1, None),
+    ("ltä", -1, None), ("stä", -1, None), ("ttä", 9, None),
+), key=lambda t: len(t[0]), reverse=True))
+
+_FI_OTHER = tuple(sorted((
+    ("eja", -1), ("mma", 1), ("imma", -1), ("mpa", 1), ("impa", -1),
+    ("mmi", 1), ("immi", -1), ("mpi", 1), ("impi", -1), ("ejä", -1),
+    ("mmä", 1), ("immä", -1), ("mpä", 1), ("impä", -1),
+), key=lambda t: len(t[0]), reverse=True))
+
+
+def finnish_stem(word: str) -> str:
+    """Finnish Snowball stemmer (FinnishStemmer.cs Stem():1559-1650)."""
+    w = word
+    p1 = _r1(w, _FI_V1)
+    p2 = _r1(w, _FI_V1, p1)
+    ending_removed = False
+
+    # particle etc (setlimit R1; conditions after limit restore)
+    for suf, code in _FI_PARTICLE:
+        if w.endswith(suf) and len(w) - len(suf) >= p1:
+            base = len(w) - len(suf)
+            if code == 1:
+                if base >= 1 and w[base - 1] in _FI_PART_END:
+                    w = w[:base]
+            elif base >= p2:
+                w = w[:base]
+            break
+
+    # possessive (setlimit R1; context checks after restore)
+    for suf, code in _FI_POSS:
+        if w.endswith(suf) and len(w) - len(suf) >= p1:
+            base = len(w) - len(suf)
+            if code == 1:
+                if not (base >= 1 and w[base - 1] == "k"):
+                    w = w[:base]
+            elif code == 2:
+                w = w[:base]
+                if w.endswith("kse"):
+                    w = w[:-3] + "ksi"
+            elif code == 3:
+                w = w[:base]
+            elif code == 4:
+                if w[:base].endswith(_FI_AN_CTX):
+                    w = w[:base]
+            elif code == 5:
+                if w[:base].endswith(_FI_AEN_CTX):
+                    w = w[:base]
+            elif code == 6:
+                if w[:base].endswith(_FI_EN_CTX):
+                    w = w[:base]
+            break
+
+    # case ending (setlimit R1; method-gated among; shared delete)
+    for suf, code, method in _FI_CASE:
+        if not (w.endswith(suf) and len(w) - len(suf) >= p1):
+            continue
+        base = len(w) - len(suf)
+        if method == "VI":
+            if not (base - 1 >= p1 and w[base - 1] == "i"
+                    and base - 2 >= p1 and w[base - 2] in _FI_V2):
+                continue
+        elif method == "LONG":
+            if not (base - 2 >= p1 and w[base - 2: base] in _FI_LONG):
+                continue
+        # among committed; run the post-restore condition
+        if code == 1 and not (base >= 1 and w[base - 1] == "a"):
+            break
+        if code == 2 and not (base >= 1 and w[base - 1] == "e"):
+            break
+        if code == 3 and not (base >= 1 and w[base - 1] == "i"):
+            break
+        if code == 4 and not (base >= 1 and w[base - 1] == "o"):
+            break
+        if code == 5 and not (base >= 1 and w[base - 1] == "ä"):
+            break
+        if code == 6 and not (base >= 1 and w[base - 1] == "ö"):
+            break
+        if code == 9 and not (base >= 1 and w[base - 1] == "e"):
+            break
+        if code == 8 and not (base >= 2 and w[base - 1] in _FI_V1
+                              and w[base - 2] not in _FI_V1):
+            break
+        if code == 7:
+            # n: extend the deletion over the final char of a preceding
+            # long vowel or "ie"
+            if base >= 2 and (w[base - 2: base] in _FI_LONG
+                              or w[base - 2: base] == "ie"):
+                base -= 1
+        w = w[:base]
+        ending_removed = True
+        break
+
+    # other endings (setlimit R2; "po" veto checked after restore)
+    for suf, code in _FI_OTHER:
+        if w.endswith(suf) and len(w) - len(suf) >= p2:
+            base = len(w) - len(suf)
+            if code == 1 and w[:base].endswith("po"):
+                break
+            w = w[:base]
+            break
+
+    if ending_removed:
+        # i_plural (setlimit R1)
+        if w and w[-1] in "ij" and len(w) - 1 >= p1:
+            w = w[:-1]
+    else:
+        # t_plural: final t after a vowel (both inside R1), then the
+        # R2 mma/imma cleanup
+        if (w.endswith("t") and len(w) - 1 >= p1
+                and len(w) - 2 >= p1 and w[-2] in _FI_V1):
+            w = w[:-1]
+            for suf, code in (("imma", -1), ("mma", 1)):
+                if w.endswith(suf) and len(w) - len(suf) >= p2:
+                    base = len(w) - len(suf)
+                    if code == 1 and w[:base].endswith("po"):
+                        break
+                    w = w[:base]
+                    break
+
+    # tidy (four setlimit-R1 try-steps, then the consonant undouble)
+    if len(w) - 2 >= p1 and w[-2:] in _FI_LONG:
+        w = w[:-1]
+    if (len(w) - 1 >= p1 and len(w) - 2 >= p1 and w[-1] in _FI_AEI
+            and w[-2] not in _FI_V1):
+        w = w[:-1]
+    if (w.endswith("j") and len(w) - 1 >= p1 and len(w) - 2 >= p1
+            and w[-2] in "ou"):
+        w = w[:-1]
+    if (w.endswith("o") and len(w) - 1 >= p1 and len(w) - 2 >= p1
+            and w[-2] == "j"):
+        w = w[:-1]
+    # undouble: rightmost non-vowel, deleted when preceded by itself
+    j = len(w) - 1
+    while j >= 0 and w[j] in _FI_V1:
+        j -= 1
+    if j >= 1 and w[j - 1] == w[j]:
+        w = w[:j] + w[j + 1:]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (HungarianStemmer.cs; among tables a_0..a_11 at :44-258).
+# The reference's 2002-era tables use Latin-1 õ/û approximations for ő/ű;
+# the vocabulary fixture uses the same codepoints.
+
+_HU_V = frozenset("aeiouáéíóöõúüû")
+_HU_DIGRAPH = ("dzs", "ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
+               "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_MARK_DI = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLE = ("ccs", "zzs", "ggy", "lly", "nny", "tty", "ssz", "bb", "cc",
+              "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp", "rr",
+              "ss", "tt", "vv", "zz")
+
+_HU_CASE = _bylen(
+    "ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel", "ul", "nál",
+    "nél", "ból", "ról", "tól", "bõl", "rõl", "tõl", "ül", "n", "an",
+    "ban", "en", "ben", "képpen", "on", "ön", "képp", "kor", "t", "at",
+    "et", "ként", "anként", "enként", "onként", "ot", "ért", "öt", "hez",
+    "hoz", "höz", "vá", "vé")
+
+_HU_OWNED = tuple(sorted((
+    ("éi", 7), ("áéi", 6), ("ééi", 5), ("é", 9), ("ké", 4), ("aké", 1),
+    ("eké", 1), ("oké", 1), ("áké", 3), ("éké", 2), ("öké", 1),
+    ("éé", 8),
+), key=lambda t: len(t[0]), reverse=True))
+_HU_SING = tuple(sorted((
+    ("a", 18), ("ja", 17), ("d", 16), ("ad", 13), ("ed", 13), ("od", 13),
+    ("ád", 14), ("éd", 15), ("öd", 13), ("e", 18), ("je", 17), ("nk", 4),
+    ("unk", 1), ("ánk", 2), ("énk", 3), ("ünk", 1), ("uk", 8),
+    ("juk", 7), ("ájuk", 5), ("ük", 8), ("jük", 7), ("éjük", 6),
+    ("m", 12), ("am", 9), ("em", 9), ("om", 9), ("ám", 10), ("ém", 11),
+    ("o", 18), ("á", 19), ("é", 20),
+), key=lambda t: len(t[0]), reverse=True))
+_HU_PLUR = tuple(sorted((
+    ("id", 10), ("aid", 9), ("jaid", 6), ("eid", 9), ("jeid", 6),
+    ("áid", 7), ("éid", 8), ("i", 15), ("ai", 14), ("jai", 11),
+    ("ei", 14), ("jei", 11), ("ái", 12), ("éi", 13), ("itek", 24),
+    ("eitek", 21), ("jeitek", 20), ("éitek", 23), ("ik", 29),
+    ("aik", 26), ("jaik", 25), ("eik", 26), ("jeik", 25), ("áik", 27),
+    ("éik", 28), ("ink", 20), ("aink", 17), ("jaink", 16), ("eink", 17),
+    ("jeink", 16), ("áink", 18), ("éink", 19), ("aitok", 21),
+    ("jaitok", 20), ("áitok", 22), ("im", 5), ("aim", 4), ("jaim", 1),
+    ("eim", 4), ("jeim", 1), ("áim", 2), ("éim", 3),
+), key=lambda t: len(t[0]), reverse=True))
+# action per code: None = delete, else replacement text
+_HU_SING_ACT = {1: None, 2: "a", 3: "e", 4: None, 5: "a", 6: "e",
+                7: None, 8: None, 9: None, 10: "a", 11: "e", 12: None,
+                13: None, 14: "a", 15: "e", 16: None, 17: None, 18: None,
+                19: "a", 20: "e"}
+_HU_OWNED_ACT = {1: None, 2: "e", 3: "a", 4: None, 5: "e", 6: "a",
+                 7: None, 8: "e", 9: None}
+_HU_PLUR_ACT = {1: None, 2: "a", 3: "e", 4: None, 5: None, 6: None,
+                7: "a", 8: "e", 9: None, 10: None, 11: None, 12: "a",
+                13: "e", 14: None, 15: None, 16: None, 17: None,
+                18: "a", 19: "e", 20: None, 21: None, 22: "a", 23: "e",
+                24: None, 25: None, 26: None, 27: "a", 28: "e",
+                29: None}
+_HU_PLURAL = tuple(sorted((
+    ("k", 7), ("ak", 4), ("ek", 6), ("ok", 5), ("ák", 1), ("ék", 2),
+    ("ök", 3),
+), key=lambda t: len(t[0]), reverse=True))
+_HU_PLURAL_ACT = {1: "a", 2: "e", 3: None, 4: None, 5: None, 6: None,
+                  7: None}
+
+
+def _hu_p1(w: str) -> int:
+    """Vowel-initial: after the first consonant (digraph counts whole);
+    consonant-initial: after the first vowel."""
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _HU_V:
+        for i in range(1, n):
+            if w[i] not in _HU_V:
+                for d in _HU_MARK_DI:
+                    if w.startswith(d, i):
+                        return i + len(d)
+                return i + 1
+        return n
+    for i in range(1, n):
+        if w[i] in _HU_V:
+            return i + 1
+    return n
+
+
+def _hu_undouble(w: str) -> str:
+    """Remove the second-to-last char (...bb -> ...b, ...ccs -> ...cs)."""
+    return w[:-2] + w[-1] if len(w) >= 2 else w
+
+
+def _hu_v_ending(w: str, p1: int) -> str:
+    if w and w[-1] in "áé" and len(w) - 1 >= p1:
+        return w[:-1] + ("a" if w[-1] == "á" else "e")
+    return w
+
+
+def hungarian_stem(word: str) -> str:
+    """Hungarian Snowball stemmer (HungarianStemmer.cs Stem():1118-1220)."""
+    w = word
+    p1 = _hu_p1(w)
+
+    # instrum: al/el in R1 after a double consonant, then undouble
+    for suf in ("al", "el"):
+        if w.endswith(suf) and len(w) - 2 >= p1 \
+                and w[:-2].endswith(_HU_DOUBLE):
+            w = _hu_undouble(w[:-2])
+            break
+    # case
+    suf = _longest(w, _HU_CASE)
+    if suf is not None and len(w) - len(suf) >= p1:
+        w = _hu_v_ending(w[: -len(suf)], p1)
+    # case_special: én -> e, án/ánként -> a
+    for suf, rep in (("ánként", "a"), ("án", "a"), ("én", "e")):
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p1:
+                w = w[: -len(suf)] + rep
+            break
+    # case_other: (a/e)stul|stül forms
+    for suf, rep in (("astul", ""), ("estül", ""), ("ástul", "a"),
+                     ("éstül", "e"), ("stul", ""), ("stül", "")):
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p1:
+                w = w[: -len(suf)] + rep
+            break
+    # factive: á/é in R1 after a double consonant, then undouble
+    if w and w[-1] in "áé" and len(w) - 1 >= p1 \
+            and w[:-1].endswith(_HU_DOUBLE):
+        w = _hu_undouble(w[:-1])
+    # owned / sing_owner / plur_owner / plural
+    for table, acts in ((_HU_OWNED, _HU_OWNED_ACT),
+                        (_HU_SING, _HU_SING_ACT),
+                        (_HU_PLUR, _HU_PLUR_ACT),
+                        (_HU_PLURAL, _HU_PLURAL_ACT)):
+        for suf, code in table:
+            if w.endswith(suf):
+                if len(w) - len(suf) >= p1:
+                    rep = acts[code]
+                    w = w[: -len(suf)] + (rep or "")
+                break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Romanian (RomanianStemmer.cs; among tables a_0..a_5 at :44-290; uses the
+# 2002-era cedilla forms ş/ţ, as does the vocabulary fixture)
+
+_RO_V = frozenset("aăâeiîou")
+
+_RO_STEP0 = tuple(sorted((
+    ("ea", 3), ("aţia", 7), ("aua", 2), ("iua", 4), ("aţie", 7),
+    ("ele", 3), ("ile", 5), ("iile", 4), ("iei", 4), ("atei", 6),
+    ("ii", 4), ("ului", 1), ("ul", 1), ("elor", 3), ("ilor", 4),
+    ("iilor", 4),
+), key=lambda t: len(t[0]), reverse=True))
+_RO_STEP0_ACT = {1: "", 2: "a", 3: "e", 4: "i", 5: "i", 6: "at",
+                 7: "aţi"}
+
+_RO_COMBO = tuple(sorted((
+    ("icala", 4), ("iciva", 4), ("ativa", 5), ("itiva", 6), ("icale", 4),
+    ("aţiune", 5), ("iţiune", 6), ("atoare", 5), ("itoare", 6),
+    ("ătoare", 5), ("icitate", 4), ("abilitate", 1), ("ibilitate", 2),
+    ("ivitate", 3), ("icive", 4), ("ative", 5), ("itive", 6),
+    ("icali", 4), ("atori", 5), ("icatori", 4), ("itori", 6),
+    ("ători", 5), ("icitati", 4), ("abilitati", 1), ("ivitati", 3),
+    ("icivi", 4), ("ativi", 5), ("itivi", 6), ("icităi", 4),
+    ("abilităi", 1), ("ivităi", 3), ("icităţi", 4), ("abilităţi", 1),
+    ("ivităţi", 3), ("ical", 4), ("ator", 5), ("icator", 4),
+    ("itor", 6), ("ător", 5), ("iciv", 4), ("ativ", 5), ("itiv", 6),
+    ("icală", 4), ("icivă", 4), ("ativă", 5), ("itivă", 6),
+), key=lambda t: len(t[0]), reverse=True))
+_RO_COMBO_ACT = {1: "abil", 2: "ibil", 3: "iv", 4: "ic", 5: "at",
+                 6: "it"}
+
+_RO_STD = tuple(sorted((
+    [(s, 1) for s in ("ica", "abila", "ibila", "oasa", "ata", "ita",
+                      "anta", "uta", "iva", "ic", "ice", "abile",
+                      "ibile", "oase", "ate", "itate", "ite", "ante",
+                      "ute", "ive", "ici", "abili", "ibili", "atori",
+                      "osi", "ati", "itati", "iti", "anti", "uti",
+                      "ivi", "ităi", "oşi", "ităţi", "abil", "ibil",
+                      "ator", "os", "at", "it", "ant", "ut", "iv",
+                      "ică", "abilă", "ibilă", "oasă", "ată", "ită",
+                      "antă", "ută", "ivă")]
+    + [(s, 2) for s in ("iune", "iuni")]
+    + [(s, 3) for s in ("ista", "isme", "iste", "isti", "işti", "ism",
+                        "ist", "istă")]
+), key=lambda t: len(t[0]), reverse=True))
+
+_RO_VERB = tuple(sorted((
+    [(s, 1) for s in (
+        "ea", "ia", "esc", "ăsc", "ind", "ând", "are", "ere", "ire",
+        "âre", "ase", "ise", "use", "âse", "eşte", "ăşte", "eze", "ai",
+        "eai", "iai", "eşti", "ăşti", "ui", "ezi", "âi", "aşi",
+        "aseşi", "iseşi", "useşi", "âseşi", "işi", "uşi", "âşi",
+        "eaţi", "iaţi", "arăţi", "aserăţi", "iserăţi", "userăţi",
+        "âserăţi", "irăţi", "urăţi", "ârăţi", "am", "eam", "iam",
+        "asem", "isem", "usem", "âsem", "arăm", "aserăm", "iserăm",
+        "userăm", "âserăm", "irăm", "urăm", "ârăm", "au", "eau", "iau",
+        "indu", "ându", "ez", "ească", "ară", "aseră", "iseră",
+        "useră", "âseră", "iră", "ură", "âră", "ează")]
+    + [(s, 2) for s in ("se", "sese", "sei", "seşi", "seseşi", "aţi",
+                        "eţi", "iţi", "âţi", "serăţi", "seserăţi",
+                        "em", "sesem", "im", "âm", "ăm", "serăm",
+                        "seserăm", "seră", "seseră")]
+), key=lambda t: len(t[0]), reverse=True))
+
+_RO_VOWEL = _bylen("a", "e", "ie", "i", "ă")
+
+
+def _ro_prelude(w: str) -> str:
+    ch = list(w)
+    for i in range(1, len(ch) - 1):
+        if ch[i] in "iu" and ch[i - 1] in _RO_V and ch[i + 1] in _RO_V:
+            ch[i] = ch[i].upper()
+    return "".join(ch)
+
+
+def romanian_stem(word: str) -> str:
+    """Romanian Snowball stemmer (RomanianStemmer.cs Stem():1542-1640)."""
+    from lucenenet_ray.analysis.snowball_romance import _rv_romance
+
+    w = _ro_prelude(word)
+    rv = _rv_romance(w, _RO_V)
+    r1 = _r1(w, _RO_V)
+    r2 = _r1(w, _RO_V, r1)
+
+    # step 0 (R1)
+    for suf, code in _RO_STEP0:
+        if w.endswith(suf):
+            base = len(w) - len(suf)
+            if base >= r1:
+                if code == 5 and w[:base].endswith("ab"):
+                    break
+                w = w[:base] + _RO_STEP0_ACT[code]
+            break
+
+    # standard suffix: repeat combo (R1), then the R2 residue
+    removed = False
+    changed = True
+    while changed:
+        changed = False
+        for suf, code in _RO_COMBO:
+            if w.endswith(suf) and len(w) - len(suf) >= r1:
+                w = w[: -len(suf)] + _RO_COMBO_ACT[code]
+                removed = True
+                changed = True
+                break
+    for suf, code in _RO_STD:
+        if w.endswith(suf):
+            base = len(w) - len(suf)
+            if base >= r2:
+                if code == 1:
+                    w = w[:base]
+                    removed = True
+                elif code == 2:
+                    if base >= 1 and w[base - 1] == "ţ":
+                        w = w[: base - 1] + "t"
+                        removed = True
+                else:
+                    w = w[:base] + "ist"
+                    removed = True
+            break
+
+    if not removed:
+        # verb suffix (setlimit RV; code-1 needs a preceding non-vowel
+        # or u, itself inside RV)
+        for suf, code in _RO_VERB:
+            if w.endswith(suf) and len(w) - len(suf) >= rv:
+                base = len(w) - len(suf)
+                if code == 2:
+                    w = w[:base]
+                elif base - 1 >= rv and (w[base - 1] not in _RO_V
+                                         or w[base - 1] == "u"):
+                    w = w[:base]
+                break
+
+    # vowel suffix (RV)
+    for suf in _RO_VOWEL:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= rv:
+                w = w[: -len(suf)]
+            break
+
+    return w.replace("I", "i").replace("U", "u")

@@ -45,3 +45,32 @@ def test_spot_checks():
     assert dutch_stem("lichamelijk") == "licham"
     # Russian perfective gerund group 1 needs preceding а/я
     assert russian_stem("прочитавши") == "прочита"
+
+
+from lucenenet_ray.analysis.snowball_more import (  # noqa: E402
+    finnish_stem,
+    hungarian_stem,
+    romanian_stem,
+)
+
+
+@pytest.mark.parametrize("lang,fn", [
+    ("finnish", finnish_stem),
+    ("hungarian", hungarian_stem),
+    ("romanian", romanian_stem),
+])
+def test_full_reference_vocabulary_wave3(lang, fn):
+    voc, out = _vocab(lang)
+    bad = [(v, o, fn(v)) for v, o in zip(voc, out) if fn(v) != o]
+    assert not bad, f"{lang}: {len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_spot_checks_wave3():
+    # Finnish genitive plural
+    assert finnish_stem("tyttöjen") == "tyttöj"
+    # Finnish case ending n after long vowel deletes the pair's tail
+    assert finnish_stem("taloon") == "talo"
+    # Hungarian instrumental after double consonant undoubles
+    assert hungarian_stem("babbal") == "bab"
+    # Romanian combo-suffix repeat then verb suffix
+    assert romanian_stem("abilitate") == "abil"
