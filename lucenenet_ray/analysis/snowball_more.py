@@ -598,3 +598,359 @@ def romanian_stem(word: str) -> str:
             break
 
     return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Porter (classic 1980 algorithm, Tartarus `porter` program —
+# PorterStemmer.cs; distinct from the Porter2/English stemmer in
+# analysis/snowball.py)
+
+_PT1_V = frozenset("aeiouy")
+_PT1_STEP2 = tuple(sorted((
+    ("tional", "tion"), ("ational", "ate"), ("enci", "ence"),
+    ("anci", "ance"), ("abli", "able"), ("entli", "ent"), ("eli", "e"),
+    ("ousli", "ous"), ("ization", "ize"), ("izer", "ize"),
+    ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("aliti", "al"),
+    ("alli", "al"), ("fulness", "ful"), ("ousness", "ous"),
+    ("iveness", "ive"), ("iviti", "ive"), ("biliti", "ble"),
+), key=lambda t: len(t[0]), reverse=True))
+_PT1_STEP3 = tuple(sorted((
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+), key=lambda t: len(t[0]), reverse=True))
+_PT1_STEP4 = _bylen(
+    "ic", "ance", "ence", "able", "ible", "ate", "ive", "ize", "iti",
+    "al", "ism", "ion", "er", "ous", "ant", "ent", "ment", "ement", "ou")
+_PT1_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+
+
+def _pt1_shortv(w: str) -> bool:
+    """non-vowel other than w/x/Y, then vowel, then non-vowel — at the
+    word end (PorterStemmer.cs r_shortv)."""
+    return (len(w) >= 3 and w[-1] not in _PT1_V and w[-1] not in "wxY"
+            and w[-2] in _PT1_V and w[-3] not in _PT1_V)
+
+
+def porter_classic_stem(word: str) -> str:
+    """Classic Porter stemmer (PorterStemmer.cs Stem():750-920)."""
+    w = word
+    y_found = False
+    ch = list(w)
+    if ch and ch[0] == "y":
+        ch[0] = "Y"
+        y_found = True
+    for i in range(1, len(ch)):
+        if ch[i] == "y" and ch[i - 1] in _PT1_V:
+            ch[i] = "Y"
+            y_found = True
+    w = "".join(ch)
+    p1 = _r1(w, _PT1_V)
+    p2 = _r1(w, _PT1_V, p1)
+
+    # step 1a
+    for suf, rep in (("sses", "ss"), ("ies", "i"), ("ss", None),
+                     ("s", "")):
+        if w.endswith(suf):
+            if rep is not None:
+                w = w[: -len(suf)] + rep
+            break
+    # step 1b
+    for suf, code in (("eed", 1), ("ing", 2), ("ed", 2)):
+        if w.endswith(suf):
+            if code == 1:
+                if len(w) - 3 >= p1:
+                    w = w[:-3] + "ee"
+            else:
+                stem = w[: -len(suf)]
+                if any(c in _PT1_V for c in stem):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_PT1_DOUBLES):
+                        w = w[:-1]
+                    elif len(w) == p1 and _pt1_shortv(w):
+                        w += "e"
+            break
+    # step 1c: y after some vowel -> i
+    if w and w[-1] in "yY" and any(c in _PT1_V for c in w[:-1]):
+        w = w[:-1] + "i"
+    # step 2 (R1)
+    for suf, rep in _PT1_STEP2:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p1:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3 (R1)
+    for suf, rep in _PT1_STEP3:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p1:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4 (R2; ion only after s/t)
+    for suf in _PT1_STEP4:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p2:
+                if suf == "ion":
+                    if len(w) >= 4 and w[-4] in "st":
+                        w = w[:-3]
+                else:
+                    w = w[: -len(suf)]
+            break
+    # step 5a
+    if w.endswith("e"):
+        if len(w) - 1 >= p2 or (len(w) - 1 >= p1
+                                and not _pt1_shortv(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if (w.endswith("ll") and len(w) - 1 >= p2):
+        w = w[:-1]
+
+    if y_found:
+        w = w.replace("Y", "y")
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Armenian (ArmenianStemmer.cs; among tables a_0..a_3 at :44-240). Four
+# sequential longest-match deletes (ending/verb/adjective/noun), the whole
+# backward pass inside setlimit(RV); `ending` additionally requires R2.
+
+_HY_V = frozenset("աեէըիուօ")
+
+_HY_ADJ = ("երորդ", "րորդ", "որակ", "ական", "արան", "եկեն", "երեն",
+           "որէն", "ովին", "լայն", "վուն", "ավետ", "ալի", "ակի", "գին",
+           "պես", "կոտ", "բար", "եղ", "են", "ին", "իվ", "ատ")
+_HY_VERB = ("ացրինք", "վեցինք", "ացնալ", "եցնել", "ացվել", "եցվել",
+            "կոտել", "ացրին", "վեցին", "ացրիր", "վեցիր", "ացրեց",
+            "ալուց", "ելուց", "ացրիք", "վեցիք", "ացանք", "ացինք",
+            "եցինք", "ացրի", "վեցի", "անալ", "ենալ", "ցնել", "ատել",
+            "ոտել", "վում", "ացան", "ացին", "եցին", "ալիս", "ելիս",
+            "ացավ", "եցավ", "ալով", "ելով", "ացար", "եցար", "ացիր",
+            "եցիր", "ալու", "ելու", "ացաք", "ացիք", "եցիք", "ցանք",
+            "ացա", "եցա", "ացի", "եցի", "ըալ", "ըել", "նել", "չել",
+            "վել", "տել", "ված", "ում", "ցան", "ցաք", "անք", "վե",
+            "ալ", "ել", "ան", "ավ", "ար", "աց", "եց", "աք", "ա")
+_HY_NOUN = ("ություն", "մունք", "ույթ", "ուհի", "անակ", "ստան", "արան",
+            "եղէն", "յուն", "ուստ", "ավոր", "անօց", "ալիք", "անիք",
+            "վածք", "ույք", "ունք", "որդ", "յակ", "ուկ", "պան", "ածո",
+            "ուս", "գար", "վոր", "չեք", "ենք", "ոնք", "իչք", "արք",
+            "ցի", "իլ", "ակ", "իկ", "ան", "իչ", "ոց", "ու", "իք", "ք")
+_HY_END = ("ությանդ", "ությանը", "ությանն", "ությանս", "ներում",
+           "ության", "անում", "երում", "ներին", "ներով", "վանից",
+           "ներից", "վանդ", "ներդ", "վանը", "ները", "ների", "երին",
+           "ներն", "վանս", "անով", "երով", "ոջից", "երից", "ամբ",
+           "անդ", "ոջդ", "երդ", "ուդ", "անը", "ոջը", "երը", "երի",
+           "վան", "երն", "ուն", "ոջս", "վով", "ներ", "վից", "ցից",
+           "ուց", "սա", "վա", "վի", "ան", "ին", "ոջ", "ով", "եր",
+           "ից", "ոց", "դ", "ը", "ի", "ն", "ց")
+
+
+def armenian_stem(word: str) -> str:
+    """Armenian Snowball stemmer (ArmenianStemmer.cs Stem():1680-1740)."""
+    w = word
+    n = len(w)
+    rv = n
+    for i in range(n):
+        if w[i] in _HY_V:
+            rv = i + 1
+            break
+    r2 = _r1(w, _HY_V, _r1(w, _HY_V))
+
+    suf = _longest(w, _HY_END, rv)
+    if suf is not None and len(w) - len(suf) >= r2:
+        w = w[: -len(suf)]
+    for table in (_HY_VERB, _HY_ADJ, _HY_NOUN):
+        suf = _longest(w, table, rv)
+        if suf is not None:
+            w = w[: -len(suf)]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Lovins (LovinsStemmer.cs; the 1968 Lovins stemmer as a Snowball program:
+# 294 condition-gated endings — the condition runs DURING the among match,
+# failing over to the next-longest ending — then undouble + 34 respells)
+
+_LOVINS_ENDINGS = (
+    ("alistically", "B"), ("izationally", "B"), ("arizability", "A"),
+    ("arisations", "A"), ("arizations", "A"), ("antialness", "A"),
+    ("entialness", "A"), ("entialize", "A"), ("izational", "A"),
+    ("entiation", "A"), ("arisation", "A"), ("arization", "A"),
+    ("entations", "A"), ("eableness", "E"), ("ativeness", "A"),
+    ("ionalness", "A"), ("itousness", "A"), ("antaneous", "A"),
+    ("allically", "C"), ("istically", "A"), ("ationally", "B"),
+    ("antiality", "A"), ("entiality", "A"), ("izability", "A"),
+    ("arizable", "A"), ("ionalize", "A"), ("ionalism", "A"),
+    ("entation", "A"), ("izations", "A"), ("ableness", "A"),
+    ("ibleness", "A"), ("icalness", "A"), ("lessness", "A"),
+    ("eousness", "A"), ("iousness", "A"), ("entially", "A"),
+    ("ionality", "A"), ("alistic", "B"), ("aristic", "A"),
+    ("ivistic", "A"), ("elihood", "E"), ("encible", "A"), ("entiate", "A"),
+    ("icalize", "A"), ("arizing", "A"), ("istical", "A"), ("ational", "B"),
+    ("icalism", "A"), ("ativism", "A"), ("ication", "G"), ("ination", "A"),
+    ("isation", "A"), ("ization", "F"), ("alities", "A"), ("ivities", "A"),
+    ("entials", "A"), ("ateness", "A"), ("iteness", "A"), ("iveness", "A"),
+    ("ingness", "A"), ("ishness", "A"), ("ariness", "E"), ("fulness", "A"),
+    ("ousness", "A"), ("entness", "A"), ("izement", "A"), ("icalist", "A"),
+    ("atively", "A"), ("atingly", "A"), ("aically", "A"), ("oidally", "A"),
+    ("ionally", "A"), ("entally", "A"), ("icianry", "A"), ("icality", "A"),
+    ("ability", "A"), ("ibility", "A"), ("arized", "A"), ("icance", "A"),
+    ("atable", "A"), ("izable", "E"), ("eature", "Z"), ("ionate", "D"),
+    ("ialize", "A"), ("ancing", "B"), ("encing", "A"), ("ioning", "A"),
+    ("enting", "C"), ("ancial", "A"), ("ential", "A"), ("oidism", "A"),
+    ("action", "G"), ("ariser", "A"), ("arizer", "A"), ("istics", "A"),
+    ("ancies", "A"), ("encies", "A"), ("nesses", "A"), ("atives", "A"),
+    ("ionals", "A"), ("icians", "A"), ("ations", "B"), ("alness", "A"),
+    ("icists", "A"), ("aceous", "A"), ("acious", "B"), ("ialist", "A"),
+    ("ionist", "A"), ("entist", "A"), ("ically", "A"), ("efully", "A"),
+    ("ifully", "A"), ("lessly", "A"), ("eously", "A"), ("iously", "A"),
+    ("iality", "A"), ("allic", "BB"), ("antic", "C"), ("istic", "A"),
+    ("anced", "B"), ("enced", "A"), ("ished", "A"), ("ioned", "A"),
+    ("ented", "C"), ("aroid", "A"), ("ehood", "A"), ("ihood", "A"),
+    ("icide", "A"), ("otide", "A"), ("idine", "I"), ("ature", "E"),
+    ("inate", "A"), ("ative", "A"), ("alize", "A"), ("arize", "A"),
+    ("aging", "B"), ("ening", "E"), ("ating", "I"), ("izing", "F"),
+    ("aical", "A"), ("oidal", "A"), ("arial", "A"), ("ional", "A"),
+    ("ental", "A"), ("icism", "A"), ("alism", "B"), ("inism", "J"),
+    ("ician", "A"), ("ation", "B"), ("ances", "B"), ("ences", "A"),
+    ("oides", "A"), ("acies", "A"), ("aries", "A"), ("ities", "A"),
+    ("izers", "F"), ("ators", "A"), ("eless", "A"), ("eness", "E"),
+    ("iness", "A"), ("itous", "A"), ("icant", "A"), ("ement", "A"),
+    ("icist", "A"), ("alist", "A"), ("iedly", "A"), ("ately", "A"),
+    ("ively", "A"), ("ingly", "B"), ("arily", "A"), ("ially", "A"),
+    ("fully", "A"), ("early", "Y"), ("ously", "A"), ("ently", "A"),
+    ("atory", "A"), ("acity", "A"), ("icity", "A"), ("ality", "A"),
+    ("elity", "A"), ("inity", "CC"), ("arity", "B"), ("ivity", "A"),
+    ("aric", "A"), ("atic", "B"), ("itic", "H"), ("ened", "E"),
+    ("ated", "I"), ("ized", "F"), ("hood", "A"), ("ward", "A"),
+    ("ance", "B"), ("ence", "A"), ("able", "A"), ("ible", "A"),
+    ("wise", "A"), ("ying", "B"), ("yish", "A"), ("ical", "A"),
+    ("eful", "A"), ("iful", "A"), ("ogen", "A"), ("izer", "F"),
+    ("ator", "A"), ("ides", "L"), ("ages", "B"), ("ines", "M"),
+    ("ates", "A"), ("ings", "N"), ("ials", "A"), ("isms", "B"),
+    ("ians", "A"), ("ions", "B"), ("iers", "A"), ("less", "A"),
+    ("ness", "A"), ("ants", "B"), ("ists", "A"), ("eous", "A"),
+    ("ious", "A"), ("ancy", "B"), ("ency", "A"), ("ealy", "Y"),
+    ("ably", "A"), ("ibly", "A"), ("edly", "E"), ("lily", "A"),
+    ("ally", "B"), ("enly", "E"), ("arly", "K"), ("eity", "A"),
+    ("ata", "A"), ("aic", "A"), ("ied", "A"), ("oid", "A"), ("ide", "L"),
+    ("age", "B"), ("ene", "E"), ("ine", "M"), ("one", "R"), ("ese", "A"),
+    ("ate", "A"), ("ite", "AA"), ("ive", "A"), ("ize", "F"), ("ing", "N"),
+    ("ish", "C"), ("eal", "Y"), ("ial", "A"), ("ful", "A"), ("ism", "B"),
+    ("ium", "A"), ("ian", "A"), ("ion", "Q"), ("ear", "Y"), ("ier", "A"),
+    ("ics", "A"), ("ies", "P"), ("als", "BB"), ("ars", "O"), ("ous", "A"),
+    ("ant", "B"), ("ent", "C"), ("ist", "A"), ("acy", "A"), ("ely", "E"),
+    ("ily", "A"), ("ary", "F"), ("ery", "E"), ("ity", "A"), ("s'", "A"),
+    ("ia", "A"), ("ic", "A"), ("ed", "E"), ("ae", "A"), ("al", "BB"),
+    ("yl", "R"), ("um", "U"), ("en", "F"), ("on", "S"), ("ar", "X"),
+    ("or", "T"), ("'s", "A"), ("as", "B"), ("es", "E"), ("is", "A"),
+    ("us", "V"), ("ly", "B"), ("a", "A"), ("e", "A"), ("i", "A"),
+    ("o", "A"), ("s", "W"), ("y", "B"),
+)
+
+_LOVINS_AA = ("ph", "th", "er", "or", "es", "d", "f", "l", "t")
+_LOVINS_DOUBLE = ("bb", "dd", "gg", "ll", "mm", "nn", "pp", "rr", "ss",
+                  "tt")
+_LOVINS_RESPELL = tuple(sorted((
+    ("iev", "ief", ""), ("uct", "uc", ""), ("umpt", "um", ""),
+    ("rpt", "rb", ""), ("urs", "ur", ""), ("istr", "ister", ""),
+    ("metr", "meter", ""), ("olv", "olut", ""), ("ul", "l", "!aio"),
+    ("bex", "bic", ""), ("dex", "dic", ""), ("pex", "pic", ""),
+    ("tex", "tic", ""), ("ax", "ac", ""), ("ex", "ec", ""),
+    ("ix", "ic", ""), ("lux", "luc", ""), ("uad", "uas", ""),
+    ("vad", "vas", ""), ("cid", "cis", ""), ("lid", "lis", ""),
+    ("erid", "eris", ""), ("pand", "pans", ""), ("end", "ens", "!s"),
+    ("ond", "ons", ""), ("lud", "lus", ""), ("rud", "rus", ""),
+    ("her", "hes", "!pt"), ("mit", "mis", ""), ("ent", "ens", "!m"),
+    ("ert", "ers", ""), ("et", "es", "!n"), ("yt", "ys", ""),
+    ("yz", "ys", ""),
+), key=lambda t: len(t[0]), reverse=True))
+
+
+def _lovins_cond(cond: str, s: str) -> bool:
+    """Conditions A..CC (LovinsStemmer.cs r_A:407 .. r_CC:1643); `s` is
+    the candidate stem."""
+    n = len(s)
+    if cond == "A":
+        return n >= 2
+    if cond == "B":
+        return n >= 3
+    if cond == "C":
+        return n >= 4
+    if cond == "D":
+        return n >= 5
+    if cond == "E":
+        return n >= 2 and s[-1] != "e"
+    if cond == "F":
+        return n >= 3 and s[-1] != "e"
+    if cond == "G":
+        return n >= 3 and s[-1] == "f"
+    if cond == "H":
+        return n >= 2 and (s[-1] == "t" or s.endswith("ll"))
+    if cond == "I":
+        return n >= 2 and s[-1] not in "oe"
+    if cond == "J":
+        return n >= 2 and s[-1] not in "ae"
+    if cond in ("K", "X"):
+        hop = 3 if cond == "K" else 2
+        return n >= hop and (s[-1] in "li"
+                             or (s[-1] == "e" and n >= 3
+                                 and s[-3] == "u"))
+    if cond == "L":
+        return (n >= 2 and s[-1] not in "ux"
+                and (s[-1] != "s" or s[-2] == "o"))
+    if cond == "M":
+        return n >= 2 and s[-1] not in "acem"
+    if cond == "N":
+        return n >= 3 and (s[-3] != "s" or n >= 4)
+    if cond == "O":
+        return n >= 2 and s[-1] in "li"
+    if cond == "P":
+        return n >= 2 and s[-1] != "c"
+    if cond == "Q":
+        return n >= 3 and s[-1] not in "ln"
+    if cond == "R":
+        return n >= 2 and s[-1] in "nr"
+    if cond == "S":
+        return n >= 2 and (s.endswith("dr")
+                           or (s[-1] == "t" and not s.endswith("tt")))
+    if cond == "T":
+        return n >= 2 and (s[-1] == "s"
+                           or (s[-1] == "t" and not s.endswith("ot")))
+    if cond == "U":
+        return n >= 2 and s[-1] in "lmnr"
+    if cond == "V":
+        return n >= 2 and s[-1] == "c"
+    if cond == "W":
+        return n >= 2 and s[-1] not in "su"
+    if cond == "Y":
+        return n >= 2 and s.endswith("in")
+    if cond == "Z":
+        return n >= 2 and s[-1] != "f"
+    if cond == "AA":
+        return n >= 2 and s.endswith(_LOVINS_AA)
+    if cond == "BB":
+        return (n >= 3 and not s.endswith("met")
+                and not s.endswith("ryst"))
+    if cond == "CC":
+        return n >= 2 and s[-1] == "l"
+    raise ValueError(cond)
+
+
+def lovins_stem(word: str) -> str:
+    """Lovins stemmer (LovinsStemmer.cs Stem():3010-3040)."""
+    w = word
+    for suf, cond in _LOVINS_ENDINGS:
+        if w.endswith(suf) and _lovins_cond(cond, w[: -len(suf)]):
+            w = w[: -len(suf)]
+            break
+    if w.endswith(_LOVINS_DOUBLE):
+        w = w[:-1]
+    for suf, rep, veto in _LOVINS_RESPELL:
+        if w.endswith(suf):
+            base = len(w) - len(suf)
+            if veto and base >= 1 and w[base - 1] in veto[1:]:
+                break
+            w = w[:base] + rep
+            break
+    return w

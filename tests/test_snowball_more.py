@@ -74,3 +74,35 @@ def test_spot_checks_wave3():
     assert hungarian_stem("babbal") == "bab"
     # Romanian combo-suffix repeat then verb suffix
     assert romanian_stem("abilitate") == "abil"
+
+
+from lucenenet_ray.analysis.snowball_more import (  # noqa: E402
+    armenian_stem,
+    lovins_stem,
+    porter_classic_stem,
+)
+
+
+@pytest.mark.parametrize("lang,fn", [
+    ("porter", porter_classic_stem),
+    ("lovins", lovins_stem),
+])
+def test_full_reference_vocabulary_wave4(lang, fn):
+    # classic Porter stems "s" to "", so align by LINE (split() drops
+    # empty output lines and shifts everything)
+    z = zipfile.ZipFile(_ZIP)
+    voc = z.read(f"{lang}/voc.txt").decode("utf-8").splitlines()
+    out = z.read(f"{lang}/output.txt").decode("utf-8").splitlines()
+    assert len(voc) == len(out) and len(voc) > 20000
+    bad = [(v, o, fn(v)) for v, o in zip(voc, out) if fn(v) != o]
+    assert not bad, f"{lang}: {len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_wave4_spot_checks():
+    # Lovins condition B (min stem 3) with respell metr -> meter
+    assert lovins_stem("symmetrically") == "symmeter"
+    # classic Porter differs from Porter2 on e.g. "abilities"
+    assert porter_classic_stem("agreed") == "agre"
+    assert porter_classic_stem("controll") == "control"
+    # Armenian (no reference fixture; hand-traced rules): plural genitive
+    assert armenian_stem("ժողովուրդների") == "ժողովուրդ"
