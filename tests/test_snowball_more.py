@@ -106,3 +106,24 @@ def test_wave4_spot_checks():
     assert porter_classic_stem("controll") == "control"
     # Armenian (no reference fixture; hand-traced rules): plural genitive
     assert armenian_stem("ժողովուրդների") == "ժողովուրդ"
+
+
+from lucenenet_ray.analysis.snowball_kp import kp_stem  # noqa: E402
+
+
+def test_kp_full_reference_vocabulary():
+    z = zipfile.ZipFile(_ZIP)
+    voc = z.read("kraaij_pohlmann/voc.txt").decode("utf-8").splitlines()
+    out = z.read("kraaij_pohlmann/output.txt").decode("utf-8").splitlines()
+    assert len(voc) == len(out) > 40000
+    bad = [(v, o, kp_stem(v)) for v, o in zip(voc, out) if kp_stem(v) != o]
+    assert not bad, f"kp: {len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_kp_spot_checks():
+    # lengthen_V open-syllable doubling after suffix removal
+    assert kp_stem("lopen") == "loop"
+    # vetoed when the stem vowel is preceded by another AIOU vowel
+    assert kp_stem("ademen") == "adem"
+    # ge- prefix loss with Step_1c final-d cleanup
+    assert kp_stem("gelopen") == "loop"
