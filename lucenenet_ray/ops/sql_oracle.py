@@ -2898,3 +2898,45 @@ kept AS (
 )
 SELECT term, type, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM kept GROUP BY term, type ORDER BY term, type"""
+
+
+def word_break_sql(probes: tuple[str, ...] = ("sparkwindow",
+                                              "batchmerge")) -> str:
+    """WordBreakSpellChecker.SuggestWordBreaks analog (maxChanges=1): every
+    split of each probe whose two halves are both dictionary terms, ranked
+    like LengthThenMaxFreqComparer (max df desc) with a deterministic
+    (left, right) tiebreak."""
+    vals = ", ".join(f"('{p}')" for p in probes)
+    return f"""WITH {_toks_cte()},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term),
+probes(probe) AS (VALUES {vals}),
+splits AS (
+  SELECT probe, i,
+         substr(probe, 1, i) AS left_word,
+         substr(probe, i + 1) AS right_word
+  FROM probes, LATERAL (SELECT unnest(generate_series(1, len(probe) - 1))
+                        AS i)
+)
+SELECT s.probe, s.left_word, s.right_word,
+       l.df AS left_df, r.df AS right_df
+FROM splits s
+JOIN dfs l ON l.term = s.left_word
+JOIN dfs r ON r.term = s.right_word
+ORDER BY s.probe, greatest(l.df, r.df) DESC, s.left_word, s.right_word"""
+
+
+def word_combine_sql(terms: tuple[str, ...] = ("spark", "win", "dow",
+                                               "merge", "sort")) -> str:
+    """WordBreakSpellChecker.SuggestWordCombinations analog (maxChanges=1,
+    SUGGEST_ALWAYS): adjacent term pairs whose concatenation is a
+    dictionary term, ranked by combined df desc then position."""
+    vals = ", ".join(
+        f"({i}, '{terms[i]}', '{terms[i] + terms[i + 1]}')"
+        for i in range(len(terms) - 1))
+    return f"""WITH {_toks_cte()},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term),
+pairs(idx, left_word, combined) AS (VALUES {vals})
+SELECT CAST(p.idx AS BIGINT) AS idx, p.combined, d.df
+FROM pairs p JOIN dfs d ON d.term = p.combined
+WHERE d.df >= 1
+ORDER BY d.df DESC, p.idx"""
