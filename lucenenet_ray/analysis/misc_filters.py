@@ -224,3 +224,97 @@ def remove_duplicates(terms: list[str], positions: list[int]
         out_t.append(t)
         out_p.append(p)
     return out_t, out_p
+
+
+def capitalization(term: str, only_first_word: bool = True,
+                   keep: frozenset[str] | None = None,
+                   force_first_letter: bool = True,
+                   ok_prefix: tuple[str, ...] = (),
+                   min_word_length: int = 0,
+                   max_word_count: int = 2147483647,
+                   max_token_length: int = 2147483647) -> str:
+    """CapitalizationFilter.cs:143-250: capitalize sub-words (split on
+    space/control/dot) inside the token, with keep-set / prefix / length
+    escapes; over max_word_count restores the original token."""
+    if len(term) >= max_token_length:
+        return term
+
+    def process(word: str, word_count: int) -> str:
+        if not word:
+            return word
+        if only_first_word and word_count > 0:
+            return word.lower()
+        if keep is not None and word in keep:
+            if word_count == 0 and force_first_letter:
+                return word[0].upper() + word[1:]
+            return word
+        if len(word) < min_word_length:
+            return word
+        for p in ok_prefix:
+            if word.startswith(p):
+                return word
+        return word[0].upper() + word[1:].lower()
+
+    out = []
+    count = 0
+    cur = []
+    for ch in term:
+        if ch <= " " or ch == ".":
+            if cur:
+                out.append(process("".join(cur), count))
+                count += 1
+                cur = []
+            out.append(ch)
+        else:
+            cur.append(ch)
+    if cur:
+        out.append(process("".join(cur), count))
+        count += 1
+    if count > max_word_count:
+        return term
+    return "".join(out)
+
+
+def keyword_repeat(terms: list[str], positions: list[int]
+                   ) -> tuple[list[str], list[int], list[bool]]:
+    """KeywordRepeatFilter.cs: each token emitted twice — first copy
+    keyword-marked (posInc preserved), second at posInc 0."""
+    out_t, out_p, out_kw = [], [], []
+    for t, p in zip(terms, positions):
+        out_t += [t, t]
+        out_p += [p, p]
+        out_kw += [True, False]
+    return out_t, out_p, out_kw
+
+
+def stemmer_override(terms: list[str], overrides: dict[str, str],
+                     stem=None) -> list[str]:
+    """StemmerOverrideFilter.cs: dictionary hits replace the term and are
+    keyword-marked (so a downstream stemmer skips them); misses flow to
+    the stemmer."""
+    out = []
+    for t in terms:
+        o = overrides.get(t)
+        if o is not None:
+            out.append(o)
+        else:
+            out.append(stem(t) if stem is not None else t)
+    return out
+
+
+def type_token_filter(terms: list[str], types: list[str],
+                      stop_types: frozenset[str],
+                      use_white_list: bool = False) -> list[str]:
+    """TypeTokenFilter.cs: drop (or keep, when white-listing) tokens whose
+    type is in the set."""
+    if use_white_list:
+        return [t for t, ty in zip(terms, types) if ty in stop_types]
+    return [t for t, ty in zip(terms, types) if ty not in stop_types]
+
+
+def limit_token_position(terms: list[str], positions: list[int],
+                         max_token_position: int) -> list[str]:
+    """LimitTokenPositionFilter.cs: keep tokens whose position is
+    <= max_token_position (positions are 1-based accumulated posIncs)."""
+    return [t for t, p in zip(terms, positions)
+            if p <= max_token_position]

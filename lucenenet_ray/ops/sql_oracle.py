@@ -2940,3 +2940,56 @@ SELECT CAST(p.idx AS BIGINT) AS idx, p.combined, d.df
 FROM pairs p JOIN dfs d ON d.term = p.combined
 WHERE d.df >= 1
 ORDER BY d.df DESC, p.idx"""
+
+
+def classic_stats_sql() -> str:
+    """ClassicAnalyzer oracle (analysis/core_tokenizers.py): classic-typed
+    tokens (acronym/company/host/num) are deterministically spliced into
+    each doc; per (term, type) stats. Corpus tokens are plain [a-z0-9]+
+    so ClassicTokenizer degenerates to whitespace+stop on them."""
+    h1 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':acr'")
+    h2 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':co'")
+    h3 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':host'")
+    h4 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':num'")
+    return f"""WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN {h1} % 3 = 0
+                 THEN ' ' || ['u.s.a.', 'i.b.m.', 'd.n.a.'][({h1} % 3) + 1]
+                 ELSE '' END
+         || CASE WHEN {h2} % 4 = 0
+                 THEN ' ' || ['at&t', 'excite@home',
+                              'procter&gamble'][({h2} % 3) + 1]
+                 ELSE '' END
+         || CASE WHEN {h3} % 5 = 0
+                 THEN ' www.site' || ({h3} % 40) || '.org' ELSE '' END
+         || CASE WHEN {h4} % 6 = 0
+                 THEN ' ' || ({h4} % 9) || '-x-' || ({h4} % 7)
+                 ELSE '' END AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS raw FROM aug
+),
+typed AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(raw, '^[a-z]\\.([a-z]\\.)+$')
+              THEN replace(raw, '.', '') ELSE raw END AS term,
+         CASE WHEN regexp_matches(raw, '^[a-z]\\.([a-z]\\.)+$')
+              THEN '<ACRONYM>'
+              WHEN regexp_matches(raw, '^[a-z]+[&@][a-z]+$')
+              THEN '<COMPANY>'
+              WHEN regexp_matches(raw, '^[a-z0-9]+(\\.[a-z0-9]+)+$')
+              THEN '<HOST>'
+              WHEN regexp_matches(raw,
+                   '^[0-9]+(-[a-z0-9]+-[0-9]+)+$')
+              THEN '<NUM>'
+              ELSE '<ALPHANUM>' END AS type
+  FROM toks WHERE raw <> ''
+),
+kept AS (
+  SELECT * FROM typed
+  WHERE type <> '<ALPHANUM>' OR term NOT IN {STOP_SQL}
+)
+SELECT term, type, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM kept GROUP BY term, type ORDER BY term, type"""
