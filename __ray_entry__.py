@@ -3076,6 +3076,18 @@ def _q_classic_stats(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+
+def _q_suggest_blended(sf_dir: str) -> pa.Table:
+    """BlendedInfixSuggester (Suggest/Analyzing/BlendedInfixSuggester.cs,
+    ops/suggest.py suggest_blended): infix matches for 'mer' with
+    POSITION_LINEAR weight blending."""
+    from lucenenet_ray.ops.suggest import suggest_blended
+
+    _q_suggest_weighted(sf_dir)  # ensure the dictionary is built/cached
+    key = os.path.basename(os.path.normpath(sf_dir))
+    return suggest_blended(_SUGGEST_CACHE[key], "mer", k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -3230,6 +3242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cologne_stats": _q_cologne_stats,
         "dm_soundex_stats": _q_dm_soundex_stats,
         "classic_stats": _q_classic_stats,
+        "suggest_blended": _q_suggest_blended,
         "word_break": _q_word_break,
         "word_combine": _q_word_combine,
         "pages_flagship": _q_pages_flagship,
@@ -3339,6 +3352,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": so.funnel_sql(),
         "url_email_stats": so.url_email_stats_sql(),
         "classic_stats": so.classic_stats_sql(),
+        "suggest_blended": so.suggest_blended_sql("mer", 10),
         "word_break": so.word_break_sql(),
         "word_combine": so.word_combine_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),

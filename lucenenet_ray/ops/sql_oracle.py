@@ -2993,3 +2993,35 @@ kept AS (
 )
 SELECT term, type, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM kept GROUP BY term, type ORDER BY term, type"""
+
+
+def suggest_blended_sql(query: str, k: int = 10) -> str:
+    """BlendedInfixSuggester oracle (POSITION_LINEAR): score =
+    trunc(weight * (1 - 0.10 * first-matching-token-position))."""
+    esc = query.replace("'", "''").replace("%", "\\%").replace("_", "\\_")
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+  FROM toks WHERE term <> ''
+),
+dict AS (
+  SELECT sh AS key, count(*) AS weight
+  FROM big WHERE sh IS NOT NULL
+    AND (sh LIKE '{esc}%' ESCAPE '\\' OR sh LIKE '% {esc}%' ESCAPE '\\')
+  GROUP BY sh
+),
+blended AS (
+  SELECT key, weight,
+         CAST(trunc(weight * (1 - 0.10 * (CASE
+              WHEN split_part(key, ' ', 1) LIKE '{esc}%' ESCAPE '\\'
+              THEN 0 ELSE 1 END))) AS BIGINT) AS score
+  FROM dict
+)
+SELECT key, weight, score FROM blended
+ORDER BY score DESC, key LIMIT {k}"""

@@ -156,3 +156,41 @@ def suggest_infix(dict_path: str, query: str, k: int = 10) -> pa.Table:
     idx = pc.sort_indices(t, sort_keys=[("weight", "descending"),
                                         ("key", "ascending")])
     return t.take(idx).slice(0, k)
+
+
+def suggest_blended(dict_path: str, query: str, k: int = 10,
+                    blender: str = "POSITION_LINEAR",
+                    num_factor: int = 10) -> pa.Table:
+    """BlendedInfixSuggester analog
+    (``Suggest/Analyzing/BlendedInfixSuggester.cs``): infix matches scored
+    by ``(long)(weight * coefficient)`` where the coefficient comes from
+    the FIRST position at which a token matches the query prefix —
+    POSITION_LINEAR: 1 - 0.10*position; POSITION_RECIPROCAL:
+    1/(position+1) (:CalculateCoefficient). The reference over-fetches
+    num_factor*k infix matches before blending; our dictionary scan is
+    exhaustive so the over-fetch is implicit."""
+    import pyarrow.compute as pc
+
+    t = pq.read_table(dict_path)
+    q = query.strip()
+    m = pc.or_(pc.starts_with(t.column("key"), q),
+               pc.match_substring(t.column("key"), " " + q))
+    t = t.filter(m)
+    keys = t.column("key").to_pylist()
+    weights = t.column("weight").to_pylist()
+    rows = []
+    for key, w in zip(keys, weights):
+        pos = next(i for i, tok in enumerate(key.split(" "))
+                   if tok.startswith(q))
+        if blender == "POSITION_RECIPROCAL":
+            coef = 1.0 / (pos + 1)
+        else:
+            coef = 1.0 - 0.10 * pos
+        rows.append((key, int(w), int(w * coef)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:k]
+    return pa.table({
+        "key": pa.array([r[0] for r in rows], type=pa.string()),
+        "weight": pa.array([r[1] for r in rows], type=pa.int64()),
+        "score": pa.array([r[2] for r in rows], type=pa.int64()),
+    })

@@ -33,3 +33,23 @@ def test_infix_k_cap(tmp_path):
 
     out = suggest_infix(_dict(tmp_path), "mer", k=2)
     assert out.num_rows == 2
+
+
+def test_suggest_blended_linear_and_reciprocal(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.suggest import suggest_blended
+
+    p = str(tmp_path / "dict.parquet")
+    pq.write_table(pa.table({
+        "key": ["merge sort", "quick merge", "merge join", "zz top"],
+        "weight": [10, 10, 7, 99]}), p)
+    t = suggest_blended(p, "mer", k=10)
+    # "merge sort" pos0 -> 10; "quick merge" pos1 -> 9; "merge join" -> 7
+    assert t.column("key").to_pylist() == [
+        "merge sort", "quick merge", "merge join"]
+    assert t.column("score").to_pylist() == [10, 9, 7]
+    t = suggest_blended(p, "mer", k=10, blender="POSITION_RECIPROCAL")
+    # reciprocal: pos1 coefficient 1/2 -> 5
+    assert t.column("score").to_pylist() == [10, 7, 5]
