@@ -3088,6 +3088,31 @@ def _q_suggest_blended(sf_dir: str) -> pa.Table:
     return suggest_blended(_SUGGEST_CACHE[key], "mer", k=10)
 
 
+
+def _q_suggest_fuzzy(sf_dir: str) -> pa.Table:
+    """FuzzySuggester (Suggest/Analyzing/FuzzySuggester.cs,
+    ops/suggest.py suggest_fuzzy): completions for the typo 'mirge'
+    (-> merge...) — transpositions=False to stay bit-comparable with the
+    plain-Levenshtein SQL oracle."""
+    from lucenenet_ray.ops.suggest import suggest_fuzzy
+
+    _q_suggest_weighted(sf_dir)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    return suggest_fuzzy(_SUGGEST_CACHE[key], "mirge", k=10,
+                         transpositions=False)
+
+
+
+def _q_suggest_fst_bucketed(sf_dir: str) -> pa.Table:
+    """FSTCompletionLookup (Suggest/Fst/FSTCompletionLookup.cs,
+    ops/suggest.py suggest_fst_bucketed): decile-bucketed completion."""
+    from lucenenet_ray.ops.suggest import suggest_fst_bucketed
+
+    _q_suggest_weighted(sf_dir)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    return suggest_fst_bucketed(_SUGGEST_CACHE[key], "merge ", k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -3243,6 +3268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dm_soundex_stats": _q_dm_soundex_stats,
         "classic_stats": _q_classic_stats,
         "suggest_blended": _q_suggest_blended,
+        "suggest_fuzzy": _q_suggest_fuzzy,
+        "suggest_fst_bucketed": _q_suggest_fst_bucketed,
         "word_break": _q_word_break,
         "word_combine": _q_word_combine,
         "pages_flagship": _q_pages_flagship,
@@ -3353,6 +3380,8 @@ def oracle_sql() -> dict[str, str]:
         "url_email_stats": so.url_email_stats_sql(),
         "classic_stats": so.classic_stats_sql(),
         "suggest_blended": so.suggest_blended_sql("mer", 10),
+        "suggest_fuzzy": so.suggest_fuzzy_sql("mirge", 10),
+        "suggest_fst_bucketed": so.suggest_fst_bucketed_sql("merge ", 10),
         "word_break": so.word_break_sql(),
         "word_combine": so.word_combine_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),

@@ -3025,3 +3025,77 @@ blended AS (
 )
 SELECT key, weight, score FROM blended
 ORDER BY score DESC, key LIMIT {k}"""
+
+
+def suggest_fuzzy_sql(query: str, k: int = 10, max_edits: int = 1) -> str:
+    """FuzzySuggester oracle (transpositions=False so DuckDB's plain
+    levenshtein matches): keys with some prefix within max_edits of the
+    query, first char exact, exact-prefix matches first."""
+    esc = query.replace("'", "''")
+    n = len(query)
+    pls = range(max(1, n - max_edits), n + max_edits + 1)
+    prefix_ok = " OR ".join(
+        f"levenshtein(substr(key, 1, {p}), '{esc}') <= {max_edits}"
+        for p in pls)
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+  FROM toks WHERE term <> ''
+),
+dict AS (
+  SELECT sh AS key, count(*) AS weight FROM big
+  WHERE sh IS NOT NULL AND substr(sh, 1, 1) = substr('{esc}', 1, 1)
+  GROUP BY sh
+),
+matched AS (
+  SELECT key, weight,
+         CASE WHEN starts_with(key, '{esc}') THEN 1 ELSE 0 END AS exact
+  FROM dict
+  WHERE starts_with(key, '{esc}') OR ({prefix_ok})
+)
+SELECT key, weight, CAST(exact AS BIGINT) AS exact FROM matched
+ORDER BY exact DESC, weight DESC, key LIMIT {k}"""
+
+
+def suggest_fst_bucketed_sql(prefix: str, k: int = 10,
+                             buckets: int = 10) -> str:
+    """FSTCompletionLookup oracle: rank-decile buckets with equal-weight
+    runs sharing the run-first bucket (min over the weight partition)."""
+    esc = prefix.replace("'", "''")
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+  FROM toks WHERE term <> ''
+),
+dict AS (
+  SELECT sh AS key, count(*) AS weight FROM big
+  WHERE sh IS NOT NULL GROUP BY sh
+),
+ranked AS (
+  SELECT key, weight,
+         row_number() OVER (ORDER BY weight, key) - 1 AS line,
+         count(*) OVER () AS n
+  FROM dict
+),
+bucketed AS (
+  SELECT key, weight,
+         min(CAST(line * {buckets} // n AS BIGINT))
+             OVER (PARTITION BY weight) AS bucket
+  FROM ranked
+)
+SELECT key, bucket FROM bucketed
+WHERE starts_with(key, '{esc}')
+ORDER BY (CASE WHEN key = '{esc}' THEN 0 ELSE 1 END), bucket DESC, key
+LIMIT {k}"""

@@ -194,3 +194,123 @@ def suggest_blended(dict_path: str, query: str, k: int = 10,
         "weight": pa.array([r[1] for r in rows], type=pa.int64()),
         "score": pa.array([r[2] for r in rows], type=pa.int64()),
     })
+
+
+def _dl_within(a: str, b: str, k: int, transpositions: bool) -> bool:
+    """edit_distance(a, b) <= k (optionally Damerau transpositions)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev2 = None
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(cur[j - 1] + 1, prev[j] + 1, prev[j - 1] + cost)
+            if (transpositions and i > 1 and j > 1
+                    and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + cost)
+        if min(cur) > k:
+            return False
+        prev2, prev = prev, cur
+    return prev[len(b)] <= k
+
+
+def suggest_fuzzy(dict_path: str, query: str, k: int = 10,
+                  max_edits: int = 1, transpositions: bool = True,
+                  non_fuzzy_prefix: int = 1, min_fuzzy_length: int = 3,
+                  exact_first: bool = True) -> pa.Table:
+    """FuzzySuggester analog (``Suggest/Analyzing/FuzzySuggester.cs``,
+    defaults :DEFAULT_*): completions whose key has SOME prefix within
+    max_edits of the query (the Levenshtein-automaton × FST intersection),
+    with the first non_fuzzy_prefix chars exact and no fuzzing at all for
+    queries shorter than min_fuzzy_length. exact-prefix matches rank
+    first (AnalyzingSuggester exactFirst), then weight desc, key asc."""
+    import pyarrow.compute as pc
+
+    q = query.strip()
+    if len(q) < min_fuzzy_length or max_edits == 0:
+        t = suggest_weighted(dict_path, q, k)
+        return pa.table({
+            "key": t.column("key"),
+            "weight": t.column("weight"),
+            "exact": pa.array([1] * t.num_rows, type=pa.int64()),
+        })
+    t = pq.read_table(dict_path)
+    if non_fuzzy_prefix > 0:
+        t = t.filter(pc.starts_with(t.column("key"),
+                                    q[:non_fuzzy_prefix]))
+    rows = []
+    for key, w in zip(t.column("key").to_pylist(),
+                      t.column("weight").to_pylist()):
+        exact = key.startswith(q)
+        ok = exact
+        if not ok:
+            for plen in range(max(1, len(q) - max_edits),
+                              min(len(key), len(q) + max_edits) + 1):
+                if _dl_within(key[:plen], q, max_edits, transpositions):
+                    ok = True
+                    break
+        if ok:
+            rows.append((key, int(w), 1 if exact else 0))
+    if exact_first:
+        rows.sort(key=lambda r: (-r[2], -r[1], r[0]))
+    else:
+        rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return pa.table({
+        "key": pa.array([r[0] for r in rows], type=pa.string()),
+        "weight": pa.array([r[1] for r in rows], type=pa.int64()),
+        "exact": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+def suggest_stop_filter(terms: list[str], text: str,
+                        stop_words) -> list[tuple[str, bool]]:
+    """SuggestStopFilter analog (``Suggest/Analyzing/SuggestStopFilter.cs``):
+    stopwords are dropped EXCEPT a final stopword the user may still be
+    typing — kept (keyword-marked True) when the input text ends exactly
+    at the token's end (no trailing separator)."""
+    out = []
+    for i, t in enumerate(terms):
+        if t not in stop_words:
+            out.append((t, False))
+        elif i == len(terms) - 1 and text.rstrip() == text \
+                and text.endswith(t):
+            out.append((t, True))
+    return out
+
+
+def suggest_fst_bucketed(dict_path: str, prefix: str, k: int = 10,
+                         buckets: int = 10,
+                         exact_match_first: bool = True) -> pa.Table:
+    """FSTCompletionLookup analog (``Suggest/Fst/FSTCompletionLookup.cs``
+    Build/DoLookup + FSTCompletionBuilder): weights are discretized into
+    rank-based buckets — entries sorted (weight asc, key asc), bucket =
+    line*buckets/count with equal weights inheriting the run's first
+    bucket — and completions rank by (exact first, bucket desc, key asc).
+    """
+    t = pq.read_table(dict_path)
+    rows = sorted(zip(t.column("key").to_pylist(),
+                      t.column("weight").to_pylist()),
+                  key=lambda r: (r[1], r[0]))
+    n = len(rows)
+    bucket_of = {}
+    prev_w = None
+    prev_b = 0
+    for line, (key, w) in enumerate(rows):
+        b = prev_b if (line > 0 and w == prev_w) \
+            else line * buckets // n
+        bucket_of[key] = b
+        prev_w, prev_b = w, b
+    out = [(key, int(w), bucket_of[key]) for key, w in rows
+           if key.startswith(prefix)]
+    if exact_match_first:
+        out.sort(key=lambda r: (0 if r[0] == prefix else 1, -r[2], r[0]))
+    else:
+        out.sort(key=lambda r: (-r[2], r[0]))
+    out = out[:k]
+    return pa.table({
+        "key": pa.array([r[0] for r in out], type=pa.string()),
+        "bucket": pa.array([r[2] for r in out], type=pa.int64()),
+    })

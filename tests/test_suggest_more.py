@@ -53,3 +53,64 @@ def test_suggest_blended_linear_and_reciprocal(tmp_path):
     t = suggest_blended(p, "mer", k=10, blender="POSITION_RECIPROCAL")
     # reciprocal: pos1 coefficient 1/2 -> 5
     assert t.column("score").to_pylist() == [10, 7, 5]
+
+
+def test_suggest_fuzzy(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.suggest import suggest_fuzzy
+
+    p = str(tmp_path / "dict.parquet")
+    pq.write_table(pa.table({
+        "key": ["merge sort", "marge x", "merge join", "zerge q",
+                "me q"],
+        "weight": [10, 8, 7, 99, 50]}), p)
+    t = suggest_fuzzy(p, "merge", k=10, transpositions=False)
+    # non_fuzzy_prefix=1 excludes zerge; exact-prefix first
+    assert t.column("key").to_pylist() == [
+        "merge sort", "merge join", "marge x"]
+    # short queries fall back to exact prefix (min_fuzzy_length=3)
+    t = suggest_fuzzy(p, "me", k=10)
+    assert t.column("key").to_pylist() == ["me q", "merge sort",
+                                           "merge join"]
+    # Damerau transposition counts as one edit when enabled
+    t = suggest_fuzzy(p, "emrge", k=10, transpositions=True)
+    assert "merge sort" not in t.column("key").to_pylist()  # prefix 'e'!='m'
+    t = suggest_fuzzy(p, "mrege", k=10, transpositions=True)
+    assert "merge sort" in t.column("key").to_pylist()
+    t2 = suggest_fuzzy(p, "mrege", k=10, transpositions=False)
+    assert "merge sort" not in t2.column("key").to_pylist()
+
+
+def test_suggest_stop_filter():
+    from lucenenet_ray.ops.suggest import suggest_stop_filter
+
+    stop = frozenset(["the", "a", "of"])
+    # trailing stopword the user may still be typing is kept
+    assert suggest_stop_filter(["lord", "of", "the"], "lord of the",
+                               stop) == [("lord", False), ("the", True)]
+    # a completed (space-followed) trailing stopword is dropped
+    assert suggest_stop_filter(["lord", "of", "the"], "lord of the ",
+                               stop) == [("lord", False)]
+    assert suggest_stop_filter(["the", "lord"], "the lord",
+                               stop) == [("lord", False)]
+
+
+def test_suggest_fst_bucketed(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.suggest import suggest_fst_bucketed
+
+    p = str(tmp_path / "dict.parquet")
+    pq.write_table(pa.table({
+        "key": [f"k{i:02d}" for i in range(10)] + ["tie a", "tie b"],
+        "weight": list(range(1, 11)) + [5, 5]}), p)
+    t = suggest_fst_bucketed(p, "tie", k=10, buckets=10)
+    # equal weights share the run-FIRST bucket (line carry)
+    assert len(set(t.column("bucket").to_pylist())) == 1
+    t = suggest_fst_bucketed(p, "k0", k=10, buckets=10)
+    # higher buckets (ranks) first
+    b = t.column("bucket").to_pylist()
+    assert b == sorted(b, reverse=True)
