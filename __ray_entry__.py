@@ -3113,6 +3113,20 @@ def _q_suggest_fst_bucketed(sf_dir: str) -> pa.Table:
     return suggest_fst_bucketed(_SUGGEST_CACHE[key], "merge ", k=10)
 
 
+
+def _q_spellchecker_ngram(sf_dir: str) -> pa.Table:
+    """SpellChecker.cs (n-gram candidate gen + LevensteinDistance
+    similarity ranking, ops/spell.py spellchecker_ngram)."""
+    from lucenenet_ray.ops.spell import spellchecker_ngram
+
+    out = spellchecker_ngram(_reader(sf_dir), "qery", num_sug=5)
+    return pa.table({
+        "term": pa.array([x[0] for x in out], type=pa.string()),
+        "score": pa.array([x[1] for x in out], type=pa.float64()),
+        "df": pa.array([x[2] for x in out], type=pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -3270,6 +3284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_blended": _q_suggest_blended,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_fst_bucketed": _q_suggest_fst_bucketed,
+        "spellchecker_ngram": _q_spellchecker_ngram,
         "word_break": _q_word_break,
         "word_combine": _q_word_combine,
         "pages_flagship": _q_pages_flagship,
@@ -3382,6 +3397,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_blended": so.suggest_blended_sql("mer", 10),
         "suggest_fuzzy": so.suggest_fuzzy_sql("mirge", 10),
         "suggest_fst_bucketed": so.suggest_fst_bucketed_sql("merge ", 10),
+        "spellchecker_ngram": so.spellchecker_ngram_sql("qery", 5),
         "word_break": so.word_break_sql(),
         "word_combine": so.word_combine_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),

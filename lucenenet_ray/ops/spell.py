@@ -246,3 +246,56 @@ def suggest_word_combinations(reader, terms: list[str],
                 break
     out.sort(key=lambda t: (len(t[0]), -t[2], t[0]))
     return out[:max_suggestions]
+
+
+def _grams(word: str, ng: int) -> list[str]:
+    """SpellChecker.FormGrams."""
+    return [word[i: i + ng] for i in range(len(word) - ng + 1)]
+
+
+def _gram_sizes(length: int) -> range:
+    """SpellChecker.GetMin/GetMax (:GetMin/GetMax)."""
+    if length > 5:
+        return range(3, 5)
+    if length == 5:
+        return range(2, 4)
+    return range(1, 3)
+
+
+def spellchecker_ngram(reader, word: str, num_sug: int = 5,
+                       accuracy: float = 0.5,
+                       distance=levenstein_distance
+                       ) -> list[tuple[str, float, int]]:
+    """SpellChecker.cs SuggestSimilar analog over this engine's term
+    dictionary: candidates share at least one n-gram with the probe (the
+    reference cuts candidates at the gram query's top 10*numSug Lucene
+    scores; as maxHits grows that cut converges to the full gram-sharing
+    set used here — the documented delta), scored by the string distance
+    (default LevensteinDistance similarity), filtered by `accuracy` and
+    df >= 1, ranked (score desc, freq desc, term asc) — the
+    SuggestWordScoreComparator order."""
+    import pyarrow.compute as pc
+
+    from lucenenet_ray.search.query import FIELD_SEP
+
+    grams = set()
+    for ng in _gram_sizes(len(word)):
+        grams.update(_grams(word, ng))
+    t = reader._termstats().to_table(columns=["term", "df"])
+    mask = pc.invert(pc.match_substring(t.column("term"), FIELD_SEP))
+    t = t.filter(mask)
+    cand = None
+    for g in sorted(grams):
+        m = pc.match_substring(t.column("term"), g)
+        cand = m if cand is None else pc.or_(cand, m)
+    t = t.filter(cand)
+    out = []
+    for term, df in zip(t.column("term").to_pylist(),
+                        t.column("df").to_pylist()):
+        if term == word or df < 1:
+            continue
+        score = distance(word, term)
+        if score >= accuracy:
+            out.append((term, score, int(df)))
+    out.sort(key=lambda r: (-r[1], -r[2], r[0]))
+    return out[:num_sug]

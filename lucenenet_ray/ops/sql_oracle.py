@@ -3099,3 +3099,35 @@ SELECT key, bucket FROM bucketed
 WHERE starts_with(key, '{esc}')
 ORDER BY (CASE WHEN key = '{esc}' THEN 0 ELSE 1 END), bucket DESC, key
 LIMIT {k}"""
+
+
+def spellchecker_ngram_sql(word: str, num_sug: int = 5,
+                           accuracy: float = 0.5) -> str:
+    """SpellChecker.cs oracle: gram-sharing dictionary terms scored by the
+    LevensteinDistance similarity (1 - d/max), accuracy-filtered, ranked
+    (score desc, df desc, term asc)."""
+    esc = word.replace("'", "''")
+    n = len(word)
+    if n > 5:
+        sizes = (3, 4)
+    elif n == 5:
+        sizes = (2, 3)
+    else:
+        sizes = (1, 2)
+    grams = sorted({word[i: i + ng] for ng in sizes
+                    for ng_ in [ng] for i in range(n - ng + 1)})
+    gvals = ", ".join("('" + g.replace("'", "''") + "')" for g in grams)
+    return f"""WITH {_toks_cte()},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term),
+grams(g) AS (VALUES {gvals}),
+cand AS (
+  SELECT DISTINCT term, df FROM dfs, grams WHERE contains(term, g)
+),
+scored AS (
+  SELECT term, df,
+         1.0 - CAST(levenshtein(term, '{esc}') AS DOUBLE)
+             / greatest(len(term), len('{esc}')) AS score
+  FROM cand WHERE term <> '{esc}'
+)
+SELECT term, score, df FROM scored WHERE score >= {accuracy}
+ORDER BY score DESC, df DESC, term LIMIT {num_sug}"""

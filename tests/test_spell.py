@@ -182,3 +182,16 @@ def test_combining_words():
     assert len(cs) == 2
     assert cs[0][0] == (1, 2) and cs[0][1] == "hundred"
     assert len(cs[1][0]) == 3
+
+
+def test_spellchecker_ngram():
+    from lucenenet_ray.ops.spell import spellchecker_ngram
+
+    r = _StubReader(["query spark", "query window", "key merge"])
+    out = spellchecker_ngram(r, "qery", num_sug=5)
+    assert out[0][0] == "query"
+    assert abs(out[0][1] - 0.8) < 1e-9
+    assert ("key", 0.5, 1) in out
+    # accuracy filter
+    out = spellchecker_ngram(r, "qery", num_sug=5, accuracy=0.75)
+    assert [x[0] for x in out] == ["query"]
