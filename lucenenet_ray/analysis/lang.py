@@ -102,6 +102,19 @@ DANISH_STOP = frozenset(
 SORANI_STOP = frozenset(
     "و بە لە کە بۆ ئەم ئەو هەر دە بوو دەبێت لەگەڵ وەک جا هیچ".split()
 )
+ROMANIAN_STOP = frozenset(
+    "și în de la a al ale cu pe pentru este sunt care o un una nu se mai "
+    "dar sau ca să din ei el ea noi voi lor fost fi după când unde ce".split()
+)
+NORWEGIAN_STOP = frozenset(
+    "og i jeg det at en et den til er som på de med han av ikke der så "
+    "var meg seg men ett har om vi min mitt ha hadde hun nå over da ved "
+    "fra du ut sin dem oss opp man kan hans hvor eller hva skal selv".split()
+)
+TURKISH_STOP = frozenset(
+    "ve bir bu da de için ile olarak olan daha çok en gibi kadar sonra "
+    "ama ise ne var yok her o ki mi mı mu mü değil diye ya hem ancak".split()
+)
 
 
 class LangAnalyzer(StandardAnalyzer):
@@ -144,9 +157,33 @@ class MultiLangAnalyzer:
         # DanishAnalyzer.cs chain: stop (danish_stop.txt) + SnowballFilter
         # (DanishStemmer) — the only reference analyzer whose DEFAULT
         # stemmer is the Snowball program (analysis/snowball.py)
-        from lucenenet_ray.analysis.lang_stem import StemmingLangAnalyzer
+        from lucenenet_ray.analysis.lang_stem import (StemmingLangAnalyzer,
+                                                      TurkishAnalyzer)
 
         self.analyzers["da"] = StemmingLangAnalyzer(DANISH_STOP, "da")
+        # Reference-DEFAULT Snowball chains (each *Analyzer.cs builds
+        # SnowballFilter(<lang>Stemmer) after lowercase+stop; the light
+        # stemmers used for de/es/fr/it/pt are those analyzers' defaults,
+        # but ru/sv/fi/hu/nl/ro/no/tr default to Snowball):
+        self.analyzers["ru"] = StemmingLangAnalyzer(RUSSIAN_STOP,
+                                                    "ru_snowball")
+        self.analyzers["sv"] = StemmingLangAnalyzer(SWEDISH_STOP,
+                                                    "sv_snowball")
+        self.analyzers["fi"] = StemmingLangAnalyzer(FINNISH_STOP,
+                                                    "fi_snowball")
+        self.analyzers["hu"] = StemmingLangAnalyzer(HUNGARIAN_STOP,
+                                                    "hu_snowball")
+        # DutchAnalyzer.cs: StemmerOverride(4-entry default dict) +
+        # Snowball Dutch
+        self.analyzers["nl"] = StemmingLangAnalyzer(DUTCH_STOP,
+                                                    "nl_default")
+        self.analyzers["ro"] = StemmingLangAnalyzer(ROMANIAN_STOP,
+                                                    "ro_snowball")
+        self.analyzers["no"] = StemmingLangAnalyzer(NORWEGIAN_STOP,
+                                                    "no_snowball")
+        # TurkishAnalyzer.cs: Apostrophe + TurkishLowerCase + stop +
+        # Snowball Turkish
+        self.analyzers["tr"] = TurkishAnalyzer(TURKISH_STOP)
 
     def __call__(self, text: str, lang: str | None = None
                  ) -> tuple[list[str], list[int]]:

@@ -1115,6 +1115,8 @@ from lucenenet_ray.analysis.snowball_germanic import (
 from lucenenet_ray.analysis.snowball_more import (
     finnish_stem as _sb_finnish, hungarian_stem as _sb_hungarian,
     romanian_stem as _sb_romanian, russian_stem as _sb_russian)
+from lucenenet_ray.analysis.snowball_turkish import (
+    turkish_stem as _sb_turkish)
 
 _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "fr": french_minimal_stem, "it": italian_light_stem,
@@ -1135,7 +1137,7 @@ _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "de_snowball": _sb_german, "de2_snowball": _sb_german2,
             "nl_snowball": _sb_dutch, "ru_snowball": _sb_russian,
             "fi_snowball": _sb_finnish, "hu_snowball": _sb_hungarian,
-            "ro_snowball": _sb_romanian}
+            "ro_snowball": _sb_romanian, "tr_snowball": _sb_turkish}
 
 
 class StemmingLangAnalyzer(LangAnalyzer):
@@ -1160,3 +1162,86 @@ class StemmingLangAnalyzer(LangAnalyzer):
                 cache[t] = s
             out.append(s)
         return out, positions
+
+
+def turkish_lowercase(term: str) -> str:
+    """TurkishLowerCaseFilter.cs: I before a combining dot -> i (dot
+    consumed), plain I -> dotless ı, İ -> i; everything else regular
+    lowercase. The iOrAfter state lets nonspacing marks sit between the I
+    and its dot."""
+    import unicodedata
+
+    out = []
+    chars = list(term)
+    i = 0
+    n = len(chars)
+    while i < n:
+        ch = chars[i]
+        if ch == "I":
+            j = i + 1
+            while j < n and unicodedata.category(chars[j]) == "Mn" \
+                    and chars[j] != "̇":
+                j += 1
+            if j < n and chars[j] == "̇":
+                out.append("i")
+                out.extend(chars[i + 1: j])   # keep other marks
+                i = j + 1
+                continue
+            out.append("ı")
+            i += 1
+            continue
+        if ch == "İ":
+            out.append("i")
+            i += 1
+            continue
+        out.append(ch.lower())
+        i += 1
+    return "".join(out)
+
+
+class TurkishAnalyzer:
+    """TurkishAnalyzer.cs chain (4.8): StandardTokenizer →
+    ApostropheFilter → TurkishLowerCaseFilter → stop → SnowballFilter
+    (TurkishStemmer)."""
+
+    def __init__(self, stop_words: frozenset[str]):
+        self.stop_words = stop_words
+        self._cache: dict[str, str] = {}
+
+    def __call__(self, text: str) -> tuple[list[str], list[int]]:
+        from lucenenet_ray.analysis.misc_filters import apostrophe_filter
+        from lucenenet_ray.analysis.snowball_turkish import turkish_stem
+        from lucenenet_ray.analysis.standard import tokenize
+
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = -1
+        cache = self._cache
+        for tok in tokenize(text):
+            pos += 1
+            low = turkish_lowercase(apostrophe_filter(tok))
+            if low in self.stop_words:
+                continue
+            s = cache.get(low)
+            if s is None:
+                s = turkish_stem(low)
+                cache[low] = s
+            terms.append(s)
+            positions.append(pos)
+        return terms, positions
+
+
+def _dutch_default_stem(term: str) -> str:
+    """DutchAnalyzer.cs default chain tail: StemmerOverrideFilter with the
+    built-in 4-entry dict, then the Dutch Snowball stemmer."""
+    override = _NL_STEM_DICT.get(term)
+    if override is not None:
+        return override
+    return _sb_dutch(term)
+
+
+# DutchAnalyzer.cs DefaultSetHolder.DEFAULT_STEM_DICT
+_NL_STEM_DICT = {"fiets": "fiets", "bromfiets": "bromfiets",
+                 "ei": "eier", "kind": "kinder"}
+
+_STEM_FN["nl_default"] = _dutch_default_stem

@@ -127,3 +127,21 @@ def test_kp_spot_checks():
     assert kp_stem("ademen") == "adem"
     # ge- prefix loss with Step_1c final-d cleanup
     assert kp_stem("gelopen") == "loop"
+
+
+def test_snowball_analyzer_dispatch():
+    from lucenenet_ray.analysis.lang import MultiLangAnalyzer
+    from lucenenet_ray.analysis.lang_stem import turkish_lowercase
+
+    a = MultiLangAnalyzer()
+    # RussianAnalyzer.cs default = Snowball Russian
+    assert a("мальчики читали", "ru")[0] == ["мальчик", "чита"]
+    # DutchAnalyzer.cs default: StemmerOverride dict protects 'fiets'
+    assert a("fiets lichamelijk", "nl")[0] == ["fiets", "licham"]
+    # TurkishAnalyzer.cs: apostrophe + Turkish lowercase + snowball
+    assert a("Ankara'nın çocukları", "tr")[0] == ["ankar", "çocuk"]
+    assert turkish_lowercase("DİYARBAKIR") == "diyarbakır"
+    assert turkish_lowercase("I") == "ı" and turkish_lowercase("İ") == "i"
+    # Romanian/Norwegian/Swedish/Finnish/Hungarian snowball chains wired
+    assert a("băieții", "ro")[0] == ["băieț"]
+    assert a("husene", "no")[0] == ["hus"]
