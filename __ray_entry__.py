@@ -3127,6 +3127,55 @@ def _q_spellchecker_ngram(sf_dir: str) -> pa.Table:
     })
 
 
+
+# DoubleRange facets (Facet/Range/DoubleRangeFacetCounts.cs): ranges with
+# explicit min/max-inclusive flags, matching DoubleRange.cs:59-100 accept()
+_DOUBLE_RANGES = (
+    ("lo", 0.0, True, 20000.0, False),
+    ("mid", 20000.0, True, 45000.0, False),
+    ("hi", 45000.0, True, float("inf"), True),
+)
+
+
+def _q_facet_range_double(sf_dir: str) -> pa.Table:
+    """DoubleRangeFacetCounts analog: counts of l_extendedprice ranges over
+    lineitems with l_returnflag = 'R' — per-batch vectorized histogram
+    partials summed in one tiny reduce (zero-count ranges reported)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        x = np.asarray(v.column("l_extendedprice").to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        counts = []
+        for _label, lo, lo_inc, hi, hi_inc in _DOUBLE_RANGES:
+            m = (x >= lo) if lo_inc else (x > lo)
+            m &= (x <= hi) if hi_inc else (x < hi)
+            counts.append(int(m.sum()))
+        return pa.table({
+            "label": pa.array([r[0] for r in _DOUBLE_RANGES]),
+            "count": pa.array(counts, type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("label").aggregate(Sum("count", alias_name="count"))
+           .to_pandas())
+    order = {r[0]: i for i, r in enumerate(_DOUBLE_RANGES)}
+    out["ord"] = out["label"].map(order)
+    out = out.sort_values("ord")
+    return pa.table({
+        "label": pa.array(out["label"].tolist(), type=pa.string()),
+        "count": pa.array([int(c) for c in out["count"]], type=pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -3285,6 +3334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_fst_bucketed": _q_suggest_fst_bucketed,
         "spellchecker_ngram": _q_spellchecker_ngram,
+        "facet_range_double": _q_facet_range_double,
         "word_break": _q_word_break,
         "word_combine": _q_word_combine,
         "pages_flagship": _q_pages_flagship,
@@ -3398,6 +3448,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_fuzzy": so.suggest_fuzzy_sql("mirge", 10),
         "suggest_fst_bucketed": so.suggest_fst_bucketed_sql("merge ", 10),
         "spellchecker_ngram": so.spellchecker_ngram_sql("qery", 5),
+        "facet_range_double": so.facet_range_double_sql(),
         "word_break": so.word_break_sql(),
         "word_combine": so.word_combine_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),

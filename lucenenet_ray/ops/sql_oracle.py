@@ -3131,3 +3131,20 @@ scored AS (
 )
 SELECT term, score, df FROM scored WHERE score >= {accuracy}
 ORDER BY score DESC, df DESC, term LIMIT {num_sug}"""
+
+
+def facet_range_double_sql() -> str:
+    """DoubleRangeFacetCounts oracle: inclusive/exclusive double ranges of
+    l_extendedprice over returned lineitems; all ranges reported."""
+    return """WITH m AS (
+  SELECT l_extendedprice AS x FROM lineitem WHERE l_returnflag = 'R'
+),
+r(label, ord) AS (VALUES ('lo', 0), ('mid', 1), ('hi', 2))
+SELECT r.label,
+       CASE r.label
+         WHEN 'lo' THEN (SELECT count(*) FROM m WHERE x >= 0 AND x < 20000)
+         WHEN 'mid' THEN (SELECT count(*) FROM m
+                          WHERE x >= 20000 AND x < 45000)
+         ELSE (SELECT count(*) FROM m WHERE x >= 45000)
+       END AS count
+FROM r ORDER BY r.ord"""
