@@ -473,3 +473,58 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None,
     if len(clauses) == 1 and clauses[0].occur in (Occur.SHOULD, Occur.MUST):
         return clauses[0].query
     return BooleanQuery(clauses=tuple(clauses))
+
+
+def analyzing_parse_query(text: str, analyzer=None, synonyms=None) -> Query:
+    """AnalyzingQueryParser (QueryParser/Analyzing/AnalyzingQueryParser.cs):
+    the classic grammar, but wildcard / prefix / fuzzy terms are analyzed —
+    each non-wildcard CHUNK runs through the analyzer (GetWildcardQuery
+    :30-70 splits at unescaped * and ?; GetPrefixQuery/GetFuzzyQuery
+    analyze the whole term), and a chunk that analyzes to more or fewer
+    than one token raises, like AnalyzeSingleChunk (:95-130)."""
+    import re as _re
+
+    analyzer = analyzer or StandardAnalyzer()
+
+    def one(chunk: str, whole: str) -> str:
+        terms, _pos = analyzer(chunk)
+        if len(terms) != 1:
+            raise ValueError(
+                f"Unable to analyze multi-term text {whole!r}: chunk "
+                f"{chunk!r} analyzed to {len(terms)} tokens")
+        return terms[0]
+
+    def rewrite(tok: str) -> str:
+        body = tok
+        suffix = ""
+        if body.endswith("~") and not body.startswith('"'):
+            body, suffix = body[:-1], "~"
+        if "*" in body or "?" in body:
+            out = []
+            last = 0
+            for m in _re.finditer(r"\\?([*?])", body):
+                if m.group(0).startswith("\\"):
+                    continue
+                if m.start() > last:
+                    out.append(one(body[last: m.start()], tok))
+                out.append(m.group(1))
+                last = m.end()
+            if last < len(body):
+                out.append(one(body[last:], tok))
+            return "".join(out) + suffix
+        if suffix == "~":
+            return one(body, tok) + suffix
+        return tok
+
+    parts = []
+    for tok in text.split():
+        if (tok[0] not in '"+-[' and tok not in ("AND", "OR", "NOT")
+                and ("*" in tok or "?" in tok or tok.endswith("~"))):
+            mod = ""
+            if tok[0] in "+-":
+                mod, tok = tok[0], tok[1:]
+            parts.append(mod + rewrite(tok))
+        else:
+            parts.append(tok)
+    return parse_query(" ".join(parts), analyzer=analyzer,
+                       synonyms=synonyms)

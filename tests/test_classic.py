@@ -90,3 +90,37 @@ def test_classic_ranking_differs_from_bm25(documents_index):
     tb = search(r, q, k=1000)
     assert set(tc.docs.tolist()) == set(tb.docs.tolist())  # same matches
     assert tc.scores.tolist() != tb.scores.tolist()  # different formula
+
+
+def test_analyzing_query_parser():
+    """AnalyzingQueryParser: wildcard chunks run through the analyzer
+    (TestAnalyzingQueryParser.cs shapes: folding applies inside
+    wildcards/prefixes/fuzzies; multi-token chunks raise)."""
+    import pytest
+
+    from lucenenet_ray.search.query import (FuzzyQuery, PrefixQuery,
+                                            WildcardQuery,
+                                            analyzing_parse_query)
+
+    class FoldingAnalyzer:
+        def __call__(self, text):
+            from lucenenet_ray.analysis.filters import ascii_fold
+            toks = [ascii_fold(t.lower()) for t in text.split()]
+            return toks, list(range(1, len(toks) + 1))
+
+    a = FoldingAnalyzer()
+    q = analyzing_parse_query("Ubersetzung Über*", analyzer=a)
+    wc = [c.query for c in q.clauses
+          if isinstance(c.query, (WildcardQuery, PrefixQuery))]
+    assert len(wc) == 1
+    pat = getattr(wc[0], "pattern", None) or getattr(wc[0], "prefix")
+    assert pat.split("\x1f")[-1].startswith("uber")
+    q = analyzing_parse_query("mötley~", analyzer=a)
+    # a single-clause query collapses to the FuzzyQuery itself
+    assert isinstance(q, FuzzyQuery)
+    assert q.term.split("\x1f")[-1] == "motley"
+    with pytest.raises(ValueError):
+        class Splitting:
+            def __call__(self, text):
+                return ["a", "b"], [1, 2]
+        analyzing_parse_query("foo*", analyzer=Splitting())
