@@ -318,3 +318,92 @@ def limit_token_position(terms: list[str], positions: list[int],
     <= max_token_position (positions are 1-based accumulated posIncs)."""
     return [t for t, p in zip(terms, positions)
             if p <= max_token_position]
+
+
+def tee_sink(tokens: list[tuple], sinks: dict[str, object]
+             ) -> dict[str, list[tuple]]:
+    """TeeSinkTokenFilter analog (``Analysis/Sinks/TeeSinkTokenFilter.cs``):
+    one pass over the stream feeds every sink whose filter accepts the
+    token; the primary stream is unchanged. `tokens` are (term, pos, type)
+    triples; `sinks` maps name -> predicate(term, pos, type)."""
+    out = {name: [] for name in sinks}
+    for tok in tokens:
+        for name, accept in sinks.items():
+            if accept(*tok):
+                out[name].append(tok)
+    return out
+
+
+def date_recognizer_sink(term: str, pos: int = 0, typ: str = "") -> bool:
+    """DateRecognizerSinkFilter.Accept: token parses as a date."""
+    import datetime
+
+    for fmt in ("%Y-%m-%d", "%m/%d/%Y", "%d.%m.%Y", "%Y/%m/%d"):
+        try:
+            datetime.datetime.strptime(term, fmt)
+            return True
+        except ValueError:
+            continue
+    return False
+
+
+def token_range_sink(lower: int, upper: int):
+    """TokenRangeSinkFilter: accept tokens with lower <= ordinal < upper
+    (the filter counts tokens as they stream by)."""
+    state = {"n": -1}
+
+    def accept(term: str, pos: int = 0, typ: str = "") -> bool:
+        state["n"] += 1
+        return lower <= state["n"] < upper
+    return accept
+
+
+def token_type_sink(type_to_match: str):
+    """TokenTypeSinkFilter: accept tokens of one type."""
+    def accept(term: str, pos: int = 0, typ: str = "") -> bool:
+        return typ == type_to_match
+    return accept
+
+
+def delimited_payload(terms: list[str], delimiter: str = "|",
+                      encoder: str = "float"
+                      ) -> tuple[list[str], list[bytes | None]]:
+    """DelimitedPayloadTokenFilter (``Analysis/Payloads/
+    DelimitedPayloadTokenFilter.cs``): split each token at the LAST
+    delimiter; the tail becomes the payload via the encoder
+    (FloatEncoder/IntegerEncoder/IdentityEncoder — PayloadHelper byte
+    order, big-endian like Lucene's)."""
+    import struct
+
+    out_t, out_p = [], []
+    for t in terms:
+        i = t.rfind(delimiter)
+        if i < 0:
+            out_t.append(t)
+            out_p.append(None)
+            continue
+        term, tail = t[:i], t[i + 1:]
+        if encoder == "float":
+            p = struct.pack(">f", float(tail))
+        elif encoder == "int":
+            p = struct.pack(">i", int(tail))
+        else:
+            p = tail.encode("utf-8")
+        out_t.append(term)
+        out_p.append(p)
+    return out_t, out_p
+
+
+def numeric_payload(terms: list[str], types: list[str], payload: float,
+                    type_match: str) -> list[bytes | None]:
+    """NumericPayloadTokenFilter: attach the float payload to tokens of
+    one type."""
+    import struct
+
+    p = struct.pack(">f", payload)
+    return [p if ty == type_match else None for ty in types]
+
+
+def type_as_payload(types: list[str]) -> list[bytes]:
+    """TypeAsPayloadTokenFilter: the token type becomes the payload."""
+    return [ty.encode("utf-8") for ty in types]

@@ -129,3 +129,37 @@ def test_keyword_repeat_and_friends():
                              use_white_list=True) == ["1"]
 
     assert limit_token_position(["a", "b", "c"], [1, 2, 3], 2) == ["a", "b"]
+
+
+def test_tee_sink_and_payload_filters():
+    from lucenenet_ray.analysis.misc_filters import (
+        date_recognizer_sink,
+        delimited_payload,
+        numeric_payload,
+        tee_sink,
+        token_range_sink,
+        token_type_sink,
+        type_as_payload,
+    )
+
+    toks = [("2024-01-05", 1, "<ALPHANUM>"), ("hello", 2, "<ALPHANUM>"),
+            ("42", 3, "<NUM>"), ("03/15/2020", 4, "<NUM>")]
+    sinks = tee_sink(toks, {
+        "dates": lambda t, p, ty: date_recognizer_sink(t),
+        "nums": token_type_sink("<NUM>"),
+        "first2": token_range_sink(0, 2),
+    })
+    assert [t for t, _, _ in sinks["dates"]] == ["2024-01-05",
+                                                 "03/15/2020"]
+    assert [t for t, _, _ in sinks["nums"]] == ["42", "03/15/2020"]
+    assert [t for t, _, _ in sinks["first2"]] == ["2024-01-05", "hello"]
+
+    import struct
+    t, p = delimited_payload(["the|0.1", "quick|2.0", "plain"])
+    assert t == ["the", "quick", "plain"]
+    assert p[0] == struct.pack(">f", 0.1) and p[2] is None
+    t, p = delimited_payload(["a|1", "b|2"], encoder="int")
+    assert p == [struct.pack(">i", 1), struct.pack(">i", 2)]
+    assert numeric_payload(["x", "y"], ["<A>", "<B>"], 3.0,
+                           "<B>")[1] == struct.pack(">f", 3.0)
+    assert type_as_payload(["<A>"]) == [b"<A>"]
