@@ -3176,6 +3176,16 @@ def _q_facet_range_double(sf_dir: str) -> pa.Table:
     })
 
 
+
+def _q_near_dup_components(sf_dir: str) -> Any:
+    """Connected components over the MinHash-LSH candidate pairs — the
+    dedup finisher (keep min doc per component; ops/neardup.py
+    connected_components, min-label propagation)."""
+    from lucenenet_ray.ops.neardup import connected_components
+
+    return connected_components(_minhash_candidates_table(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -3335,6 +3345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_fst_bucketed": _q_suggest_fst_bucketed,
         "spellchecker_ngram": _q_spellchecker_ngram,
         "facet_range_double": _q_facet_range_double,
+        "near_dup_components": _q_near_dup_components,
         "word_break": _q_word_break,
         "word_combine": _q_word_combine,
         "pages_flagship": _q_pages_flagship,
@@ -3449,6 +3460,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_fst_bucketed": so.suggest_fst_bucketed_sql("merge ", 10),
         "spellchecker_ngram": so.spellchecker_ngram_sql("qery", 5),
         "facet_range_double": so.facet_range_double_sql(),
+        "near_dup_components": so.near_dup_components_sql(),
         "word_break": so.word_break_sql(),
         "word_combine": so.word_combine_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),

@@ -393,3 +393,68 @@ class SimHash:
                 "simhash": pa.array(out, type=pa.int64()),
             }
         )
+
+
+def connected_components(edges, max_rounds: int = 50):
+    """Connected components over candidate pairs — the MinHash-dedup
+    finisher (keep one representative per component, drop the rest).
+
+    Input: a Ray Dataset OR pyarrow table of (doc_a, doc_b) edges (the
+    minhash_candidates output). Returns a pyarrow table (doc_id, root)
+    covering every node that appears in an edge, root = component min.
+
+    Scale shape: distributed min-label propagation (the map-reduce CC /
+    label-propagation algorithm): each round every node adopts the min
+    label among itself and its neighbors — ONE map_batches over the edges
+    plus one groupby-min per round; LSH candidate graphs are star-capped
+    (candidate_pairs max_bucket), so the diameter — and the round count —
+    stays tiny (2-4). Like jaccard_verify's digest dict, the label map is
+    broadcast per round (candidate-scale, NOT corpus-scale); above ~10^8
+    clustered docs, swap the broadcast for a hash-partitioned
+    label-exchange join keyed the same way as the band shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    if hasattr(edges, "to_arrow_refs"):
+        import ray
+
+        from lucenenet_ray.util.tables import dataset_to_table
+
+        edges = dataset_to_table(
+            edges, schema=pa.schema([("doc_a", pa.int64()),
+                                     ("doc_b", pa.int64())]))
+    a = np.asarray(edges.column("doc_a").to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    b = np.asarray(edges.column("doc_b").to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    # symmetrize once; vectorized rounds (the per-round kernel a worker
+    # would run in map_batches over its edge shard)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    nodes = np.unique(src)
+    label = dict(zip(nodes.tolist(), nodes.tolist()))
+    for _ in range(max_rounds):
+        lab = np.asarray([label[x] for x in dst.tolist()], dtype=np.int64)
+        changed = False
+        # groupby(src).min(neighbor labels ∪ own)
+        order = np.argsort(src, kind="stable")
+        s_sorted = src[order]
+        l_sorted = lab[order]
+        bounds = np.flatnonzero(np.diff(s_sorted)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [s_sorted.size]])
+        mins = np.minimum.reduceat(l_sorted, starts)
+        for i, st in enumerate(starts):
+            node = int(s_sorted[st])
+            m = min(int(mins[i]), label[node])
+            if m < label[node]:
+                label[node] = m
+                changed = True
+        del ends
+        if not changed:
+            break
+    keys = sorted(label)
+    return pa.table({
+        "doc_id": pa.array(keys, type=pa.int64()),
+        "root": pa.array([label[k] for k in keys], type=pa.int64()),
+    })

@@ -3148,3 +3148,24 @@ SELECT r.label,
          ELSE (SELECT count(*) FROM m WHERE x >= 45000)
        END AS count
 FROM r ORDER BY r.ord"""
+
+
+def near_dup_components_sql() -> str:
+    """Connected components over the SAME minhash candidate pairs: a
+    recursive transitive closure, root = min reachable node."""
+    cand = minhash_candidates_sql()
+    return f"""WITH RECURSIVE cand AS (
+  SELECT doc_a, doc_b FROM ({cand})
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM cand
+  UNION SELECT doc_b, doc_a FROM cand
+  UNION SELECT doc_a, doc_a FROM cand
+  UNION SELECT doc_b, doc_b FROM cand
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, min(d) AS root FROM reach GROUP BY s ORDER BY s"""

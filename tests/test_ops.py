@@ -153,3 +153,17 @@ def test_suggest_weighted_prefix_pruning(ray_session, tmp_path):
     # empty prefix range
     empty = suggest_weighted(path, "qqq", k=5)
     assert empty.num_rows == 0
+
+
+def test_connected_components():
+    import pyarrow as pa
+
+    from lucenenet_ray.ops.neardup import connected_components
+
+    # two chains + one isolate pair: {1,2,3,4}, {10,11}, {20,21}
+    edges = pa.table({"doc_a": [2, 3, 1, 10, 20],
+                      "doc_b": [3, 4, 2, 11, 21]})
+    t = connected_components(edges)
+    m = dict(zip(t.column("doc_id").to_pylist(),
+                 t.column("root").to_pylist()))
+    assert m == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
