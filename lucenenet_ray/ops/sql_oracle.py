@@ -3169,3 +3169,16 @@ reach(s, d) AS (
   SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
 )
 SELECT s AS doc_id, min(d) AS root FROM reach GROUP BY s ORDER BY s"""
+
+
+def stratified_sample_sql(fr_en: float = 0.4, fr_de: float = 0.8) -> str:
+    """Stratified-sample oracle: identical md5 keep-rule per language."""
+    h = _MD5_INT31.format(s="'strat:'||CAST(doc_id AS VARCHAR)")
+    return f"""WITH kept AS (
+  SELECT lang FROM documents
+  WHERE {h} < CASE lang
+      WHEN 'en' THEN CAST({fr_en} * 2147483648 AS BIGINT)
+      WHEN 'de' THEN CAST({fr_de} * 2147483648 AS BIGINT)
+      ELSE 2147483648 END
+)
+SELECT lang, count(*) AS kept FROM kept GROUP BY lang ORDER BY lang"""
