@@ -3207,6 +3207,76 @@ def _q_stratified_sample(sf_dir: str) -> Any:
     })
 
 
+
+_DTRIE_CACHE: dict[str, str] = {}
+
+
+def _q_numeric_range_double(sf_dir: str) -> pa.Table:
+    """NumericRangeQuery over a DOUBLE trie field (DoubleField /
+    NumericUtils.DoubleToSortableInt64, index/numeric.py): l_extendedprice
+    indexed as prefix-coded terms at precisionStep 4; range
+    [1000.0, 9000.0) decomposed by SplitRange into per-shift term-range
+    scans over the term-sorted dictionary; result = matched row count."""
+    import ray.data as rd
+
+    from lucenenet_ray.index.numeric import (double_to_sortable_int64,
+                                             int64_to_prefix_coded,
+                                             split_int64_range)
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/lucenenet_ray_dtrie/{key}.parquet"
+    if key not in _DTRIE_CACHE or not os.path.exists(path):
+        from ray.data.aggregate import Sum
+
+        ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                             columns=["l_extendedprice"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            from lucenenet_ray.index.numeric import trie_tokens_int64
+
+            c: Counter = Counter()
+            for v in t.column("l_extendedprice").to_pylist():
+                c.update(trie_tokens_int64(
+                    double_to_sortable_int64(float(v))))
+            keys = sorted(c)
+            return pa.table({
+                "term": pa.array(keys, type=pa.string()),
+                "n": pa.array([c[k] for k in keys], type=pa.int64()),
+            })
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096)
+               .groupby("term").aggregate(Sum("n", alias_name="n"))
+               .sort(key="term"))
+        from lucenenet_ray.util.tables import dataset_to_table
+
+        t = dataset_to_table(agg, schema=pa.schema(
+            [("term", pa.string()), ("n", pa.int64())]))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, path + ".tmp", row_group_size=4096)
+        os.replace(path + ".tmp", path)
+        _DTRIE_CACHE[key] = path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    lo = double_to_sortable_int64(1000.0)
+    hi = double_to_sortable_int64(9000.0) - 1   # exclusive upper
+    total = 0
+    t = pq.read_table(path)
+    for mn, mx, shift in split_int64_range(4, lo, hi):
+        lo_t = int64_to_prefix_coded(mn, shift)
+        hi_t = int64_to_prefix_coded(mx, shift)
+        m = pc.and_(pc.greater_equal(t.column("term"), lo_t),
+                    pc.less_equal(t.column("term"), hi_t))
+        total += pc.sum(pc.filter(t.column("n"), m)).as_py() or 0
+    return pa.table({"n_matches": pa.array([total], type=pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -3368,6 +3438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_range_double": _q_facet_range_double,
         "near_dup_components": _q_near_dup_components,
         "stratified_sample": _q_stratified_sample,
+        "numeric_range_double": _q_numeric_range_double,
         "word_break": _q_word_break,
         "word_combine": _q_word_combine,
         "pages_flagship": _q_pages_flagship,
@@ -3484,6 +3555,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_range_double": so.facet_range_double_sql(),
         "near_dup_components": so.near_dup_components_sql(),
         "stratified_sample": so.stratified_sample_sql(),
+        "numeric_range_double": "SELECT count(*) AS n_matches FROM lineitem WHERE l_extendedprice >= 1000.0 AND l_extendedprice < 9000.0",
         "word_break": so.word_break_sql(),
         "word_combine": so.word_combine_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),

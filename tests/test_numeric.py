@@ -187,3 +187,42 @@ def test_numeric_range_each_doc_matched_once(numeric_index):
     stats = r.term_stats(terms)
     total_df = sum(df for df, _ in stats.values())
     assert total_df == int(((vals >= -250) & (vals <= 1234)).sum())
+
+
+def test_double_trie_range_split_covers_exactly():
+    """DoubleField trie: the SplitRange decomposition over sortable doubles
+    counts each in-range value exactly once."""
+    from lucenenet_ray.index.numeric import (
+        double_to_sortable_int64,
+        int64_to_prefix_coded,
+        split_int64_range,
+        trie_tokens_int64,
+    )
+
+    vals = [0.5, 1.0, 3.25, 999.99, 1000.0, 4500.5, 8999.999, 9000.0,
+            -12.5, 12345.6]
+    # per-term counts (the tiny index)
+    from collections import Counter
+    idx = Counter()
+    for v in vals:
+        idx.update(trie_tokens_int64(double_to_sortable_int64(v)))
+    lo = double_to_sortable_int64(1000.0)
+    hi = double_to_sortable_int64(9000.0) - 1
+    total = 0
+    for mn, mx, shift in split_int64_range(4, lo, hi):
+        lo_t = int64_to_prefix_coded(mn, shift)
+        hi_t = int64_to_prefix_coded(mx, shift)
+        total += sum(n for t, n in idx.items() if lo_t <= t <= hi_t)
+    assert total == sum(1 for v in vals if 1000.0 <= v < 9000.0) == 3
+
+
+def test_double_sortable_order():
+    from lucenenet_ray.index.numeric import (
+        double_to_sortable_int64,
+        sortable_int64_to_double,
+    )
+
+    xs = [-1e300, -2.5, -0.0, 0.0, 1e-300, 3.14, 2**60 * 1.0]
+    ss = [double_to_sortable_int64(x) for x in xs]
+    assert ss == sorted(ss)
+    assert [sortable_int64_to_double(s) for s in ss] == xs
