@@ -528,3 +528,55 @@ def analyzing_parse_query(text: str, analyzer=None, synonyms=None) -> Query:
             parts.append(tok)
     return parse_query(" ".join(parts), analyzer=analyzer,
                        synonyms=synonyms)
+
+
+def multifield_parse_query(text: str, fields: list[str],
+                           boosts: dict[str, float] | None = None,
+                           analyzer=None, synonyms=None) -> Query:
+    """MultiFieldQueryParser (QueryParser/Classic/MultiFieldQueryParser.cs
+    :56-120 GetFieldQuery): parse with no explicit field, then expand every
+    clause across `fields` as a SHOULD group, applying per-field boosts.
+    The default field "" maps to the engine's unprefixed (body) terms."""
+    base = parse_query(text, analyzer=analyzer, synonyms=synonyms)
+    boosts = boosts or {}
+
+    def refield(q: Query, field: str) -> Query:
+        import dataclasses
+
+        boost = boosts.get(field)
+
+        def pref(term: str) -> str:
+            return term if field == "" else field_term(field, term)
+
+        if isinstance(q, TermQuery):
+            out = dataclasses.replace(q, term=pref(q.term))
+        elif isinstance(q, PrefixQuery):
+            out = dataclasses.replace(q, prefix=pref(q.prefix))
+        elif isinstance(q, WildcardQuery):
+            out = dataclasses.replace(q, pattern=pref(q.pattern))
+        elif isinstance(q, FuzzyQuery):
+            out = dataclasses.replace(q, term=pref(q.term))
+        elif isinstance(q, PhraseQuery):
+            out = dataclasses.replace(
+                q, terms=tuple(pref(t) for t in q.terms))
+        elif isinstance(q, BooleanQuery):
+            out = dataclasses.replace(q, clauses=tuple(
+                dataclasses.replace(c, query=refield(c.query, field))
+                for c in q.clauses))
+        else:
+            out = q
+        if boost is not None and not isinstance(out, BooleanQuery):
+            out = dataclasses.replace(out, boost=out.boost * boost)
+        return out
+
+    def expand(q: Query) -> Query:
+        if isinstance(q, BooleanQuery):
+            import dataclasses
+
+            return dataclasses.replace(q, clauses=tuple(
+                dataclasses.replace(c, query=expand(c.query))
+                for c in q.clauses))
+        return BooleanQuery(clauses=tuple(
+            BooleanClause(Occur.SHOULD, refield(q, f)) for f in fields))
+
+    return expand(base)

@@ -124,3 +124,21 @@ def test_analyzing_query_parser():
             def __call__(self, text):
                 return ["a", "b"], [1, 2]
         analyzing_parse_query("foo*", analyzer=Splitting())
+
+
+def test_multifield_query_parser():
+    """MultiFieldQueryParser: clauses expand across fields with boosts
+    (TestMultiFieldQueryParser.cs shapes)."""
+    from lucenenet_ray.search.query import (BooleanQuery, TermQuery,
+                                            multifield_parse_query)
+
+    q = multifield_parse_query("spark", ["", "source"],
+                               boosts={"source": 2.0})
+    assert isinstance(q, BooleanQuery) and len(q.clauses) == 2
+    t0, t1 = q.clauses[0].query, q.clauses[1].query
+    assert isinstance(t0, TermQuery) and t0.term == "spark"
+    assert t1.term.startswith("source") and t1.boost == 2.0
+
+    q = multifield_parse_query("spark AND window", ["", "source"])
+    # each conjunct is itself an across-fields OR group
+    assert all(isinstance(c.query, BooleanQuery) for c in q.clauses)
