@@ -3277,6 +3277,21 @@ def _q_numeric_range_double(sf_dir: str) -> pa.Table:
     return pa.table({"n_matches": pa.array([total], type=pa.int64())})
 
 
+
+def _q_simhash_pairs(sf_dir: str) -> Any:
+    """SimHash near-dup pairs (Manku et al. block-permutation blocking +
+    exact popcount verify, ops/neardup.py simhash_pairs): Hamming <= 3."""
+    from lucenenet_ray.ops.neardup import simhash_pairs
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    t = dataset_to_table(
+        simhash_pairs(_docs_ds(sf_dir)),
+        schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("min(hamming)", pa.int64())]))
+    out = t.to_pandas().rename(columns={"min(hamming)": "hamming"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -3439,6 +3454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_components": _q_near_dup_components,
         "stratified_sample": _q_stratified_sample,
         "numeric_range_double": _q_numeric_range_double,
+        "simhash_pairs": _q_simhash_pairs,
         "word_break": _q_word_break,
         "word_combine": _q_word_combine,
         "pages_flagship": _q_pages_flagship,
@@ -3556,6 +3572,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_components": so.near_dup_components_sql(),
         "stratified_sample": so.stratified_sample_sql(),
         "numeric_range_double": "SELECT count(*) AS n_matches FROM lineitem WHERE l_extendedprice >= 1000.0 AND l_extendedprice < 9000.0",
+        "simhash_pairs": so.simhash_pairs_sql(),
         "word_break": so.word_break_sql(),
         "word_combine": so.word_combine_sql(),
         "dup_ngrams": so.dup_ngrams_sql(5),

@@ -458,3 +458,90 @@ def connected_components(edges, max_rounds: int = 50):
         "doc_id": pa.array(keys, type=pa.int64()),
         "root": pa.array([label[k] for k in keys], type=pa.int64()),
     })
+
+
+# SimHash near-dup blocking (Manku, Jain & Sarma, WWW'07 "Detecting
+# Near-Duplicates for Web Crawling"): with the 63-bit signature cut into
+# `blocks` contiguous chunks, any pair within Hamming distance k shares at
+# least (blocks - k) chunks, so blocks = k+1 guarantees ≥1 identical chunk
+# — candidates come from ONE groupby(block, chunk-value) shuffle and only
+# candidates pay the exact popcount verify.
+_SIMHASH_BLOCK_OFFSETS = (0, 16, 32, 48)   # 16/16/16/15 bits of the 63
+
+
+def _simhash_blocks(sig: "np.ndarray") -> list["np.ndarray"]:
+    out = []
+    for i, off in enumerate(_SIMHASH_BLOCK_OFFSETS):
+        width = (_SIMHASH_BLOCK_OFFSETS + (63,))[i + 1] - off
+        out.append((sig >> off) & ((np.int64(1) << width) - 1))
+    return out
+
+
+def simhash_pairs(ds, hamming_k: int = 3, max_bucket: int = DEFAULT_MAX_BUCKET):
+    """Distinct (doc_a, doc_b, hamming) pairs with Hamming(simhash) <= k
+    (k <= 3 keeps the 4-block pigeonhole exact)."""
+    import functools
+
+    import pyarrow as pa
+
+    if hamming_k >= len(_SIMHASH_BLOCK_OFFSETS):
+        raise ValueError("hamming_k must be < 4 for the 4-block pigeonhole")
+
+    sig = ds.map_batches(SimHash(), batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        s = np.asarray(t.column("simhash").to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        blks = _simhash_blocks(s)
+        n = len(ids)
+        return pa.table({
+            "block": pa.array(np.repeat(np.arange(len(blks),
+                                                  dtype=np.int64), n)),
+            "chunk": pa.array(np.concatenate(blks)),
+            "doc_id": pa.array(np.tile(ids, len(blks))),
+            "simhash": pa.array(np.tile(s, len(blks))),
+        })
+
+    def bucket_pairs(t: pa.Table, max_bucket: int) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+        s = np.asarray(t.column("simhash").to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, s = ids[order], s[order]
+        n = len(ids)
+        if n < 2:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        if n > max_bucket:  # star-edge cap, like candidate_pairs
+            a = np.full(n - 1, ids[0], dtype=np.int64)
+            b = ids[1:]
+            ham = _popcount64(s[0] ^ s[1:])
+        else:
+            iu, ju = np.triu_indices(n, k=1)
+            a, b = ids[iu], ids[ju]
+            ham = _popcount64(s[iu] ^ s[ju])
+        keep = ham <= hamming_k
+        return pa.table({"doc_a": pa.array(a[keep]),
+                         "doc_b": pa.array(b[keep]),
+                         "hamming": pa.array(ham[keep].astype(np.int64))})
+
+    pairs = sig.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["block", "chunk"]) \
+        .map_groups(functools.partial(bucket_pairs, max_bucket=max_bucket),
+                    batch_format="pyarrow")
+    return pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+
+
+def _popcount64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized popcount via an 8-bit lookup table."""
+    v = x.astype(np.uint64)
+    out = np.zeros(v.shape, dtype=np.int64)
+    for _ in range(8):
+        out += _POP8[(v & np.uint64(0xFF)).astype(np.intp)]
+        v = v >> np.uint64(8)
+    return out
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)

@@ -3182,3 +3182,27 @@ def stratified_sample_sql(fr_en: float = 0.4, fr_de: float = 0.8) -> str:
       ELSE 2147483648 END
 )
 SELECT lang, count(*) AS kept FROM kept GROUP BY lang ORDER BY lang"""
+
+
+def simhash_pairs_sql(hamming_k: int = 3) -> str:
+    """SimHash near-dup oracle: pairs sharing >= 1 of the 4 signature
+    chunks with exact Hamming <= k (bit_count over xor)."""
+    sig = simhash_sql()
+    return f"""WITH sig AS (
+  SELECT doc_id, simhash FROM ({sig})
+),
+blk AS (
+  SELECT doc_id, simhash,
+         (simhash >> 0) & 65535 AS b0,
+         (simhash >> 16) & 65535 AS b1,
+         (simhash >> 32) & 65535 AS b2,
+         (simhash >> 48) & 32767 AS b3
+  FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM blk a JOIN blk b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {hamming_k}
+ORDER BY doc_a, doc_b"""

@@ -167,3 +167,28 @@ def test_connected_components():
     m = dict(zip(t.column("doc_id").to_pylist(),
                  t.column("root").to_pylist()))
     assert m == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_simhash_pairs_blocking(ray_session):
+    """The 4-block pigeonhole finds every Hamming<=3 pair the brute force
+    finds (exactness of the blocking, not just recall)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucenenet_ray.ops.neardup import (_popcount64, simhash63,
+                                           simhash_pairs)
+
+    docs = ["spark window merge sort", "spark window merge sorts",
+            "totally different content here", "spark window merge sort",
+            "spark window merge sort extra"]
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    got = simhash_pairs(rd.from_arrow(t)).to_pandas()
+    got = set(zip(got["doc_a"], got["doc_b"]))
+    sigs = np.array([simhash63(d.split()) for d in docs], dtype=np.int64)
+    want = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if _popcount64(np.array([sigs[i] ^ sigs[j]]))[0] <= 3:
+                want.add((i, j))
+    assert got == want and (0, 3) in want
