@@ -3184,25 +3184,39 @@ def stratified_sample_sql(fr_en: float = 0.4, fr_de: float = 0.8) -> str:
 SELECT lang, count(*) AS kept FROM kept GROUP BY lang ORDER BY lang"""
 
 
-def simhash_pairs_sql(hamming_k: int = 3) -> str:
+def simhash_pairs_sql(hamming_k: int = 3, max_bucket: int = 256) -> str:
     """SimHash near-dup oracle: pairs sharing >= 1 of the 4 signature
-    chunks with exact Hamming <= k (bit_count over xor)."""
+    chunks, modelling the star-edge cap EXACTLY like simhash_pairs —
+    buckets over max_bucket emit only (bucket-min, other) edges — then
+    exact Hamming <= k (bit_count over xor)."""
     sig = simhash_sql()
     return f"""WITH sig AS (
   SELECT doc_id, simhash FROM ({sig})
 ),
 blk AS (
-  SELECT doc_id, simhash,
-         (simhash >> 0) & 65535 AS b0,
-         (simhash >> 16) & 65535 AS b1,
-         (simhash >> 32) & 65535 AS b2,
-         (simhash >> 48) & 32767 AS b3
-  FROM sig
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM blk a JOIN blk b
-  ON a.doc_id < b.doc_id
- AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {hamming_k}
+  SELECT doc_id, simhash, b.block, b.chunk
+  FROM sig, LATERAL (
+    SELECT * FROM (VALUES
+      (0, (simhash >> 0) & 65535),
+      (1, (simhash >> 16) & 65535),
+      (2, (simhash >> 32) & 65535),
+      (3, (simhash >> 48) & 32767)) AS v(block, chunk)) b
+),
+stats AS (
+  SELECT block, chunk, count(*) AS n, min(doc_id) AS center
+  FROM blk GROUP BY block, chunk
+),
+bucket_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM blk a
+  JOIN blk b ON a.block = b.block AND a.chunk = b.chunk
+            AND a.doc_id < b.doc_id
+  JOIN stats s ON s.block = a.block AND s.chunk = a.chunk
+  WHERE s.n <= {max_bucket} OR a.doc_id = s.center
+),
+cand AS (SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM bucket_pairs)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {hamming_k}
 ORDER BY doc_a, doc_b"""
