@@ -580,3 +580,23 @@ def multifield_parse_query(text: str, fields: list[str],
             BooleanClause(Occur.SHOULD, refield(q, f)) for f in fields))
 
     return expand(base)
+
+
+def ngram_phrase_rewrite(q: "PhraseQuery", n: int) -> "PhraseQuery":
+    """NGramPhraseQuery.Rewrite (Search/NGramPhraseQuery.cs:30-70): for an
+    exact (slop 0) phrase of CONSECUTIVE n-gram terms, every n-th term plus
+    the last suffices — overlapping grams make the dropped positions
+    redundant. Returns `q` unchanged when not optimizable (slop, < 3
+    terms, n < 2, or position gaps)."""
+    import dataclasses
+
+    if getattr(q, "slop", 0) != 0 or n < 2 or len(q.terms) < 3:
+        return q
+    positions = [p for _t, p in q.terms]
+    if any(positions[i] + 1 != positions[i + 1]
+           for i in range(len(positions) - 1)):
+        return q
+    last = len(q.terms) - 1
+    kept = tuple(tp for i, tp in enumerate(q.terms)
+                 if i % n == 0 or i >= last)
+    return dataclasses.replace(q, terms=kept)

@@ -148,3 +148,25 @@ def test_time_limiting_collector(documents_index):
     ok = search(r, q, k=10_000, time_limit_ms=60_000)
     assert not ok.timed_out
     assert ok.docs.tolist() == full.docs.tolist()
+
+
+def test_ngram_phrase_rewrite(documents_index):
+    """NGramPhraseQuery: the every-n-th-term rewrite matches exactly the
+    same docs as the full n-gram phrase (NGramPhraseQuery.cs:30-70)."""
+    from lucenenet_ray.analysis.filters import ngram_filter
+    from lucenenet_ray.search.query import PhraseQuery, ngram_phrase_rewrite
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    # bigram phrase for the word "window" over 2-gram terms of chars
+    grams = ngram_filter("window", 2, 2)
+    full = PhraseQuery(terms=tuple((g, i) for i, g in enumerate(grams)))
+    opt = ngram_phrase_rewrite(full, 2)
+    assert len(opt.terms) < len(full.terms)
+    assert [p for _t, p in opt.terms] == [0, 2, 4]
+    # non-optimizable shapes pass through unchanged
+    assert ngram_phrase_rewrite(full, 1) is full
+    sloppy = PhraseQuery(terms=full.terms, slop=1)
+    assert ngram_phrase_rewrite(sloppy, 2) is sloppy
+    gap = PhraseQuery(terms=(("wi", 0), ("nd", 2), ("do", 3)))
+    assert ngram_phrase_rewrite(gap, 2) is gap
