@@ -431,6 +431,9 @@ def connected_components(edges, max_rounds: int = 50):
     # would run in map_batches over its edge shard)
     src = np.concatenate([a, b])
     dst = np.concatenate([b, a])
+    if src.size == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "root": pa.array([], type=pa.int64())})
     nodes = np.unique(src)
     label = dict(zip(nodes.tolist(), nodes.tolist()))
     for _ in range(max_rounds):

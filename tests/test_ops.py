@@ -192,3 +192,14 @@ def test_simhash_pairs_blocking(ray_session):
             if _popcount64(np.array([sigs[i] ^ sigs[j]]))[0] <= 3:
                 want.add((i, j))
     assert got == want and (0, 3) in want
+
+
+def test_connected_components_empty():
+    import pyarrow as pa
+
+    from lucenenet_ray.ops.neardup import connected_components
+
+    t = connected_components(pa.table({
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64())}))
+    assert t.num_rows == 0 and t.column_names == ["doc_id", "root"]
