@@ -48,6 +48,12 @@ BM25_SLOP_PHRASES: dict[str, tuple[list[tuple[str, int]], int]] = {
 TOPK = 10
 
 
+
+def _sf_key(sf_dir: str) -> str:
+    from lucenenet_ray.pipelines.flagship import sf_cache_key
+
+    return sf_cache_key(sf_dir)
+
 def _index_path(sf_dir: str) -> str:
     from lucenenet_ray.pipelines.flagship import documents_index_for
 
@@ -455,7 +461,7 @@ def _q_stored_fields(sf_dir: str) -> pa.Table:
     from lucenenet_ray.search.searcher import search
     from lucenenet_ray.store.docstore import DocStore, build_docstore
 
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = _sf_key(sf_dir)
     if key not in _DOCSTORE_CACHE:
         out = f"/tmp/lucenenet_ray_docstore/{key}"
         if not os.path.exists(os.path.join(out, "_BUILT")):
@@ -541,7 +547,7 @@ def _q_suggest_weighted(sf_dir: str) -> pa.Table:
     arc-walk analog) and ranks by (weight desc, key asc)."""
     from lucenenet_ray.ops.suggest import build_suggester, suggest_weighted
 
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = _sf_key(sf_dir)
     path = f"/tmp/lucenenet_ray_suggest/{key}.parquet"
     if key not in _SUGGEST_CACHE:
         if not os.path.exists(path):
@@ -562,7 +568,7 @@ def _q_suggest_infix(sf_dir: str) -> pa.Table:
     from lucenenet_ray.ops.suggest import suggest_infix
 
     _q_suggest_weighted(sf_dir)  # ensure the dictionary is built/cached
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = _sf_key(sf_dir)
     return suggest_infix(_SUGGEST_CACHE[key], "mer", k=10)
 
 
@@ -578,7 +584,7 @@ def _q_freetext_lookup(sf_dir: str) -> pa.Table:
     from lucenenet_ray.ops.freetext import (FreeTextModel,
                                             build_freetext_model)
 
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = _sf_key(sf_dir)
     path = f"/tmp/lucenenet_ray_freetext/{key}.parquet"
     if key not in _FREETEXT_CACHE:
         if not os.path.exists(path):
@@ -2748,7 +2754,7 @@ def _q_knn_lsh(sf_dir: str) -> Any:
         if vid in KNN_QUERY_IDS:
             id2vec[vid] = t.column("embedding")[i].as_py()
     qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = _sf_key(sf_dir)
     if key not in _LSH_INDEX_CACHE:
         out = f"/tmp/lucenenet_ray_lshidx/{key}"
         if not os.path.exists(os.path.join(out, "_BUILT")):
@@ -2784,7 +2790,7 @@ def _q_knn_ivf(sf_dir: str) -> Any:
         if vid in KNN_QUERY_IDS:
             id2vec[vid] = t.column("embedding")[i].as_py()
     qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = _sf_key(sf_dir)
     if key not in _IVF_INDEX_CACHE:
         out = f"/tmp/lucenenet_ray_ivfidx/{key}"
         cent = train_centroids(
@@ -3084,7 +3090,7 @@ def _q_suggest_blended(sf_dir: str) -> pa.Table:
     from lucenenet_ray.ops.suggest import suggest_blended
 
     _q_suggest_weighted(sf_dir)  # ensure the dictionary is built/cached
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = _sf_key(sf_dir)
     return suggest_blended(_SUGGEST_CACHE[key], "mer", k=10)
 
 
@@ -3097,7 +3103,7 @@ def _q_suggest_fuzzy(sf_dir: str) -> pa.Table:
     from lucenenet_ray.ops.suggest import suggest_fuzzy
 
     _q_suggest_weighted(sf_dir)
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = _sf_key(sf_dir)
     return suggest_fuzzy(_SUGGEST_CACHE[key], "mirge", k=10,
                          transpositions=False)
 
@@ -3109,7 +3115,7 @@ def _q_suggest_fst_bucketed(sf_dir: str) -> pa.Table:
     from lucenenet_ray.ops.suggest import suggest_fst_bucketed
 
     _q_suggest_weighted(sf_dir)
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = _sf_key(sf_dir)
     return suggest_fst_bucketed(_SUGGEST_CACHE[key], "merge ", k=10)
 
 
@@ -3223,7 +3229,7 @@ def _q_numeric_range_double(sf_dir: str) -> pa.Table:
                                              int64_to_prefix_coded,
                                              split_int64_range)
 
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = _sf_key(sf_dir)
     path = f"/tmp/lucenenet_ray_dtrie/{key}.parquet"
     if key not in _DTRIE_CACHE or not os.path.exists(path):
         from ray.data.aggregate import Sum

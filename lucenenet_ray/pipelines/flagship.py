@@ -319,9 +319,23 @@ def index_documents(
 _INDEX_CACHE: dict[str, str] = {}
 
 
+def sf_cache_key(sf_dir: str, table: str = "documents") -> str:
+    """Cache key for /tmp artifacts derived from an sf table: the sf name
+    PLUS a (mtime, size) fingerprint of the source parquet, so a
+    regenerated corpus (new driver seed, same path) never reuses stale
+    indexes/dictionaries."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(p)
+        return f"{key}_{st.st_mtime_ns % (1 << 40):x}{st.st_size % (1 << 24):x}"
+    except OSError:
+        return key
+
+
 def documents_index_for(sf_dir: str, cache_root: str = "/tmp/lucenenet_ray_idx") -> str:
     """Build (once per process/sf) the documents index; returns index path."""
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = sf_cache_key(sf_dir)
     # v4: + physical termvectors/ sidecar — new cache dir so stale indexes
     # from earlier rounds are never reused
     path = os.path.join(cache_root, f"documents_v4_{key}")
@@ -339,7 +353,7 @@ def documents_sorted_index_for(sf_dir: str, sort_col: str = "n_chars",
     order — the SortingMergePolicy analog (index/sorter.py)."""
     from lucenenet_ray.index.sorter import build_sorted_index
 
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = sf_cache_key(sf_dir)
     path = os.path.join(cache_root, f"documents_sorted_{sort_col}_{key}")
     if not os.path.exists(os.path.join(path, "manifest.json")):
         build_sorted_index(os.path.join(sf_dir, "documents.parquet"), path,
@@ -355,7 +369,7 @@ def documents_multilang_index_for(sf_dir: str,
 
     from lucenenet_ray.index.build import IndexConfig, build_index
 
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = sf_cache_key(sf_dir)
     path = os.path.join(cache_root, f"documents_ml_{key}")
     if not os.path.exists(os.path.join(path, "manifest.json")):
         src = os.path.join(sf_dir, "documents.parquet")
@@ -379,7 +393,7 @@ def documents_numeric_index_for(sf_dir: str,
 
     from lucenenet_ray.index.build import IndexConfig, build_index
 
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = sf_cache_key(sf_dir)
     path = os.path.join(cache_root, f"documents_num_{key}")
     if not os.path.exists(os.path.join(path, "manifest.json")):
         src = os.path.join(sf_dir, "documents.parquet")
@@ -403,7 +417,7 @@ def cjk_index_for(sf_dir: str,
     from lucenenet_ray.index.build import IndexConfig, build_index
     from lucenenet_ray.sources.cjk import N_DOCS, cjk_corpus_table
 
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = sf_cache_key(sf_dir)
     path = os.path.join(cache_root, f"documents_cjk_{key}")
     if not os.path.exists(os.path.join(path, "manifest.json")):
         t = cjk_corpus_table(sf_dir)
@@ -427,7 +441,7 @@ def flagship_sf(sf_dir: str, index_root: str = "/tmp/lucenenet_ray_idx",
     import pandas as pd
 
     pages = pages_parquet(sf_dir)
-    key = os.path.basename(os.path.normpath(sf_dir))
+    key = sf_cache_key(sf_dir)
     index_path = os.path.join(index_root, f"pages_{key}")
     if not os.path.exists(os.path.join(index_path, "manifest.json")):
         index_pages(pages, index_path)

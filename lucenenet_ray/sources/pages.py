@@ -151,7 +151,8 @@ def synthesize_pages_table(documents_path: str) -> pa.Table:
 def pages_parquet(sf_dir: str, cache_dir: str = "/tmp/lucenenet_ray_pages") -> str:
     """Materialize (once) the synthetic pages parquet for an sf dir; returns
     the file path. Cached by sf-dir basename — deterministic content."""
-    key = os.path.basename(os.path.normpath(sf_dir))
+    from lucenenet_ray.pipelines.flagship import sf_cache_key
+    key = sf_cache_key(sf_dir)
     out = os.path.join(cache_dir, f"pages_{key}.parquet")
     if not os.path.exists(out):
         os.makedirs(cache_dir, exist_ok=True)
