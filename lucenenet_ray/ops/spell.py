@@ -125,7 +125,12 @@ def ngram_distance(source: str, target: str, n: int = 2) -> float:
                     cost += 1
                 elif sa[i - 1 + ni] == "\x00":
                     tn -= 1
-            ec = cost / tn
+            if tn == 0:
+                # input contained literal NULs (the gram-prefix sentinel):
+                # C# float division yields NaN/Inf here rather than raising
+                ec = float("nan") if cost == 0 else float("inf")
+            else:
+                ec = cost / tn
             cur[i] = min(cur[i - 1] + 1, prev[i] + 1, prev[i - 1] + ec)
         prev = cur
     return 1.0 - prev[sl] / max(tl, sl)
