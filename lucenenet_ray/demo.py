@@ -77,6 +77,53 @@ def cmd_search(args) -> int:
     return 0
 
 
+
+def cmd_terminfo(args) -> int:
+    """GetTermInfo.cs analog: docFreq / totalTermFreq of one term."""
+    from lucenenet_ray.search.reader import IndexReader
+
+    r = IndexReader(args.index)
+    df, ttf = r.term_stats([args.term]).get(args.term, (0, 0))
+    print(f"{args.term}:{args.term} \t totalTF = {ttf:,} \t "
+          f"doc freq = {df:,}")
+    return 0
+
+
+def cmd_highfreqterms(args) -> int:
+    """HighFreqTerms.cs analog: top-k terms by docFreq (or by
+    totalTermFreq with -t), highest first."""
+    import pyarrow.compute as pc
+
+    from lucenenet_ray.search.query import FIELD_SEP
+    from lucenenet_ray.search.reader import IndexReader
+
+    r = IndexReader(args.index)
+    t = r._termstats().to_table(columns=["term", "df", "ttf"])
+    t = t.filter(pc.invert(pc.match_substring(t.column("term"),
+                                              FIELD_SEP)))
+    key = "ttf" if args.t else "df"
+    idx = pc.sort_indices(t, sort_keys=[(key, "descending"),
+                                        ("term", "ascending")])
+    t = t.take(idx[: args.k])
+    for term, df, ttf in zip(t.column("term").to_pylist(),
+                             t.column("df").to_pylist(),
+                             t.column("ttf").to_pylist()):
+        if args.t:
+            print(f"{term} totalTF={ttf:,} docFreq={df:,}")
+        else:
+            print(f"{term} docFreq={df:,}")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """IndexMergeTool.cs analog: merge N indexes into one."""
+    from lucenenet_ray.index.merge_indexes import merge_indexes
+
+    m = merge_indexes(args.inputs, args.out)
+    print(f"Merged {len(args.inputs)} indexes "
+          f"({m['n_docs']} docs) -> {args.out}")
+    return 0
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lucenenet_ray.demo")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -92,9 +139,26 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("-qf", "--queries-file")
     ps.add_argument("-p", "--paging", type=int, default=10)
     ps.add_argument("-r", "--repeat", type=int, default=1)
+    pt = sub.add_parser("terminfo", help="GetTermInfo analog")
+    pt.add_argument("index")
+    pt.add_argument("term")
+    ph = sub.add_parser("highfreqterms", help="HighFreqTerms analog")
+    ph.add_argument("index")
+    ph.add_argument("-t", action="store_true",
+                    help="order by totalTermFreq")
+    ph.add_argument("-k", type=int, default=100)
+    pm = sub.add_parser("merge", help="IndexMergeTool analog")
+    pm.add_argument("out")
+    pm.add_argument("inputs", nargs="+")
     args = p.parse_args(argv)
     if args.cmd == "index":
         return cmd_index(args)
+    if args.cmd == "terminfo":
+        return cmd_terminfo(args)
+    if args.cmd == "highfreqterms":
+        return cmd_highfreqterms(args)
+    if args.cmd == "merge":
+        return cmd_merge(args)
     return cmd_search(args)
 
 

@@ -30,3 +30,20 @@ def test_search_requires_query(ray_session, tmp_path):
     from lucenenet_ray.demo import main
 
     assert main(["search", str(tmp_path)]) == 2
+
+
+def test_terminfo_and_highfreqterms_cli(documents_index, capsys):
+    from lucenenet_ray.demo import main
+
+    path, _m = documents_index
+    assert main(["terminfo", path, "spark"]) == 0
+    out = capsys.readouterr().out
+    assert "doc freq" in out and "spark" in out
+
+    assert main(["highfreqterms", path, "-k", "5"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 5 and all("docFreq=" in ln for ln in out)
+
+    assert main(["highfreqterms", path, "-t", "-k", "3"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3 and "totalTF=" in out[0]
