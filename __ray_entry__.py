@@ -2587,6 +2587,44 @@ def _q_repetition_removal(sf_dir: str) -> Any:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _webclean_aug_ds(sf_dir: str):
+    """documents with deterministic web-page pathologies spliced in
+    (ops/webclean.webclean_augmented_text; SQL mirror in sql_oracle)."""
+    from lucenenet_ray.ops.webclean import webclean_augmented_text
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        aug = [webclean_augmented_text(i, x or "") for i, x in zip(ids, texts)]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(aug, type=pa.string())})
+
+    return _docs_ds(sf_dir).map_batches(augment, batch_format="pyarrow")
+
+
+def _q_gopher_quality(sf_dir: str) -> Any:
+    """Gopher Appendix-A quality rules (ops/webclean.GopherQuality): integer
+    features + keep decision per doc, every ratio rule an integer
+    cross-multiplication so the oracle compare is exact."""
+    from lucenenet_ray.ops.webclean import GopherQuality
+
+    out = (_webclean_aug_ds(sf_dir)
+           .map_batches(GopherQuality(), batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_c4_clean(sf_dir: str) -> Any:
+    """C4 §2.2 line-level cleaning + page filter (ops/webclean.C4Clean):
+    kept-line counts, cleaned length, sentence count, page keep."""
+    from lucenenet_ray.ops.webclean import C4Clean
+
+    out = (_webclean_aug_ds(sf_dir)
+           .map_batches(C4Clean(), batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_spatial_bbox(sf_dir: str) -> pa.Table:
     """Rectangle spatial filter (Spatial/Vector/PointVectorStrategy two
     NumericRangeQuery form, ops/spatial.py bbox_filter) over the
@@ -3439,6 +3477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_email_stats": _q_url_email_stats,
         "numeric_trie_range": _q_numeric_trie_range,
         "snowball_da_stats": _q_snowball_da_stats,
+        "gopher_quality": _q_gopher_quality,
+        "c4_clean": _q_c4_clean,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -3559,6 +3599,8 @@ def oracle_sql() -> dict[str, str]:
         "sorted_set_sort": so.sorted_set_sort_sql(20),
         "pii_scrub": so.pii_scrub_sql(),
         "repetition_removal": so.repetition_removal_sql(3),
+        "gopher_quality": so.gopher_quality_sql(),
+        "c4_clean": so.c4_clean_sql(),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

@@ -3220,3 +3220,118 @@ SELECT doc_a, doc_b,
        CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {hamming_k}
 ORDER BY doc_a, doc_b"""
+
+
+def _webclean_aug_expr() -> str:
+    """SQL expression rebuilding ops/webclean.webclean_augmented_text(doc_id,
+    text) — pure concat + repeat over the md5_int31 hashes, exactly the
+    Python synthesizer branch for branch."""
+    h1 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':wc1'")
+    h2 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':wc2'")
+    h3 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':wc3'")
+    nl = "chr(10)"
+    return f"""text
+  || repeat({nl}||'the table of data holds '||(({h1}) % 20)
+            ||' rows and that is fine.', ({h3}) % 7)
+  || CASE WHEN ({h1}) % 2 = 0
+          THEN {nl}||'- bullet item '||(({h1}) % 50) ELSE '' END
+  || CASE WHEN ({h1}) % 3 = 0
+          THEN {nl}||'this line trails off with more to come...' ELSE '' END
+  || CASE WHEN ({h2}) % 3 = 0
+          THEN {nl}||'please enable javascript to view this page.' ELSE '' END
+  || CASE WHEN ({h2}) % 5 = 0
+          THEN {nl}||'lorem ipsum dolor sit amet.' ELSE '' END
+  || CASE WHEN ({h3}) % 5 = 0
+          THEN {nl}||'function f() '||chr(123)||' return '||(({h3}) % 9)
+               ||'; '||chr(125) ELSE '' END
+  || CASE WHEN ({h1}) % 5 = 0
+          THEN {nl}||repeat('#', ({h2}) % 4 + 1)||' marks here' ELSE '' END
+  || CASE WHEN ({h2}) % 2 = 0 THEN {nl}||'ok go.' ELSE '' END"""
+
+
+def gopher_quality_sql(min_words: int = 50, max_words: int = 100000) -> str:
+    """Gopher Appendix-A quality-rule oracle (ops/webclean.GopherQuality over
+    webclean_augmented_text): every feature integer, every ratio rule a
+    cross-multiplication, so the compare is exact."""
+    from lucenenet_ray.ops.webclean import GOPHER_STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""WITH aug AS (
+  SELECT doc_id, {_webclean_aug_expr()} AS t FROM documents
+),
+w AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(t, '[ \\n]'), x -> x <> '') AS words,
+         string_split(t, chr(10)) AS lines
+  FROM aug
+),
+feat AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(words, x -> len(x))), 0) AS BIGINT)
+      AS total_word_chars,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+      AS BIGINT) AS n_alpha_words,
+    CAST(len(t) - len(replace(t, '#', ''))
+         + (len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT)
+      AS n_symbol_hits,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, x -> substr(x, 1, 2) = '- ')) AS BIGINT)
+      AS n_bullet_lines,
+    CAST(len(list_filter(lines,
+         x -> len(x) >= 3 AND substr(x, len(x) - 2, 3) = '...')) AS BIGINT)
+      AS n_ellipsis_lines,
+    CAST(len(list_filter([{stop_list}], s -> list_contains(words, s)))
+      AS BIGINT) AS n_stop_hits
+  FROM w
+)
+SELECT doc_id, n_words, total_word_chars, n_alpha_words, n_symbol_hits,
+       n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_hits,
+       CAST(CASE WHEN n_words BETWEEN {min_words} AND {max_words}
+                  AND 3 * n_words <= total_word_chars
+                  AND total_word_chars <= 10 * n_words
+                  AND 10 * n_symbol_hits <= n_words
+                  AND 10 * n_bullet_lines <= 9 * n_lines
+                  AND 10 * n_ellipsis_lines <= 3 * n_lines
+                  AND 5 * n_alpha_words >= 4 * n_words
+                  AND n_stop_hits >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM feat ORDER BY doc_id"""
+
+
+def c4_clean_sql() -> str:
+    """C4 line-level cleaning oracle (ops/webclean.C4Clean over
+    webclean_augmented_text): lines kept iff terminal punctuation + >= 3
+    words + no 'javascript'; page kept iff >= 5 sentences, no 'lorem ipsum',
+    no curly brace."""
+    return f"""WITH aug AS (
+  SELECT doc_id, {_webclean_aug_expr()} AS t FROM documents
+),
+l AS (
+  SELECT doc_id, t,
+         list_filter(string_split(t, chr(10)),
+            x -> substr(x, len(x), 1) IN ('.', '!', '?', '"')
+                 AND len(list_filter(string_split(x, ' '), y -> y <> '')) >= 3
+                 AND NOT contains(x, 'javascript')) AS kept,
+         string_split(t, chr(10)) AS lines
+  FROM aug
+),
+c AS (
+  SELECT doc_id, t, lines, kept,
+         COALESCE(array_to_string(kept, chr(10)), '') AS clean
+  FROM l
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+  CAST(len(clean) AS BIGINT) AS clean_n_chars,
+  CAST(len(clean) - len(replace(clean, '.', ''))
+       + len(clean) - len(replace(clean, '!', ''))
+       + len(clean) - len(replace(clean, '?', '')) AS BIGINT) AS n_sentences,
+  CAST(CASE WHEN len(clean) - len(replace(clean, '.', ''))
+                 + len(clean) - len(replace(clean, '!', ''))
+                 + len(clean) - len(replace(clean, '?', '')) >= 5
+             AND NOT contains(t, 'lorem ipsum')
+             AND NOT contains(t, chr(123))
+        THEN 1 ELSE 0 END AS BIGINT) AS page_keep
+FROM c ORDER BY doc_id"""
