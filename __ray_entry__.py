@@ -2625,6 +2625,38 @@ def _q_c4_clean(sf_dir: str) -> Any:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_substring_dedup(sf_dir: str) -> Any:
+    """Duplicated-window substring dedup (Lee et al. 2022 practice;
+    ops/neardup.duplicated_window_spans): per doc, how many k-token windows
+    are corpus-duplicated and how many token positions they cover. The span
+    table stays distributed until the per-doc aggregate; the wrapper
+    left-joins it with a distributed token-count pass (docs with no
+    duplicated window report zeros)."""
+    from lucenenet_ray.ops.neardup import DUPWIN_K, duplicated_window_spans
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    spans = dataset_to_table(
+        duplicated_window_spans(_docs_ds(sf_dir), k=DUPWIN_K),
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("n_dup_windows", pa.int64()),
+                          ("n_covered", pa.int64())])).to_pandas()
+
+    def ntok(t: pa.Table) -> pa.Table:
+        counts = [len((x or "").split())
+                  for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(counts, type=pa.int64())})
+
+    toks = (_docs_ds(sf_dir).map_batches(ntok, batch_format="pyarrow")
+            .to_pandas())
+    out = toks.merge(spans, on="doc_id", how="left").fillna(0)
+    for c in ("n_dup_windows", "n_covered"):
+        out[c] = out[c].astype("int64")
+    out["n_kept"] = out["n_tokens"] - out["n_covered"]
+    cols = ["doc_id", "n_tokens", "n_dup_windows", "n_covered", "n_kept"]
+    return out.sort_values("doc_id")[cols].reset_index(drop=True)
+
+
 def _q_spatial_bbox(sf_dir: str) -> pa.Table:
     """Rectangle spatial filter (Spatial/Vector/PointVectorStrategy two
     NumericRangeQuery form, ops/spatial.py bbox_filter) over the
@@ -3479,6 +3511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snowball_da_stats": _q_snowball_da_stats,
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
+        "substring_dedup": _q_substring_dedup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -3601,6 +3634,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_removal": so.repetition_removal_sql(3),
         "gopher_quality": so.gopher_quality_sql(),
         "c4_clean": so.c4_clean_sql(),
+        "substring_dedup": so.substring_dedup_sql(5),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

@@ -548,3 +548,74 @@ def _popcount64(x: "np.ndarray") -> "np.ndarray":
 
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+# --- Duplicated-window substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": remove every substring that
+# appears more than once in the corpus, at token-window granularity).
+# Scale shape: windows stage is a stateless map (rows never return to the
+# driver), duplicated-hash detection is ONE groupby(h) shuffle, per-doc span
+# coverage is ONE groupby(doc_id) shuffle of only the MARKED rows (a small
+# fraction of the corpus at realistic dup rates). No broadcast state.
+
+DUPWIN_K = 5
+
+
+def _md5_int60(s: str) -> int:
+    """md5 → int64 in [0, 2^60): DuckDB equivalent
+    ``CAST(('0x'||substr(md5(s),1,15)) AS BIGINT)`` — the full 15-hex
+    prefix (no % 2^31) so window-hash collisions are negligible while the
+    oracle still makes the IDENTICAL dup/keep decision per window."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _window_rows(batch: pa.Table, k: int) -> pa.Table:
+    """Stateless stage → (h, doc_id, pos) for every k-token window.
+    pos is 1-based (SQL range parity). Docs shorter than k emit nothing."""
+    out_h: list[int] = []
+    out_d: list[int] = []
+    out_p: list[int] = []
+    for did, txt in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+        toks = (txt or "").split()
+        n = len(toks)
+        for i in range(n - k + 1):
+            out_h.append(_md5_int60(" ".join(toks[i:i + k])))
+            out_d.append(did)
+            out_p.append(i + 1)
+    return pa.table({
+        "h": pa.array(out_h, type=pa.int64()),
+        "doc_id": pa.array(out_d, type=pa.int64()),
+        "pos": pa.array(out_p, type=pa.int64()),
+    })
+
+
+def duplicated_window_spans(ds, k: int = DUPWIN_K):
+    """Per doc: windows whose hash occurs >= 2 times corpus-wide (including
+    within-doc repeats) and the token positions they cover.
+
+    Returns a Dataset of (doc_id, n_dup_windows, n_covered) — docs with no
+    duplicated window are absent (join against doc lengths downstream)."""
+
+    wins = ds.map_batches(_window_rows, fn_kwargs={"k": k},
+                          batch_format="pyarrow", batch_size=512)
+
+    def dup_rows(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64())})
+        return group.select(["doc_id", "pos"])
+
+    def coverage(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id")[0].as_py()
+        pos = np.asarray(group.column("pos"), dtype=np.int64)
+        covered = np.unique((pos[:, None] + np.arange(k)[None, :]).ravel())
+        return pa.table({
+            "doc_id": pa.array([did], type=pa.int64()),
+            "n_dup_windows": pa.array([group.num_rows], type=pa.int64()),
+            "n_covered": pa.array([int(covered.size)], type=pa.int64()),
+        })
+
+    return (wins.groupby("h").map_groups(dup_rows, batch_format="pyarrow")
+                .groupby("doc_id").map_groups(coverage,
+                                              batch_format="pyarrow"))

@@ -3335,3 +3335,41 @@ SELECT doc_id,
              AND NOT contains(t, chr(123))
         THEN 1 ELSE 0 END AS BIGINT) AS page_keep
 FROM c ORDER BY doc_id"""
+
+
+def substring_dedup_sql(k: int = 5) -> str:
+    """Duplicated-window substring-dedup oracle
+    (ops/neardup.duplicated_window_spans): a k-token window is duplicated
+    iff its 60-bit md5 hash occurs >= 2 times corpus-wide (within-doc
+    repeats included); covered = distinct token positions under any
+    duplicated window. Same hash domain as the Ray op so the dup/keep
+    decision is bit-identical."""
+    h = ("CAST(('0x'||substr(md5(array_to_string(arr[i:i+" + str(k - 1)
+         + "],' ')),1,15)) AS BIGINT)")
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i, {h} AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, len(arr) - {k} + 2)) AS i) r
+  WHERE len(arr) >= {k}
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+marked AS (SELECT w.doc_id, w.i FROM wins w JOIN dup USING (h)),
+cover AS (
+  SELECT DISTINCT doc_id, p
+  FROM marked, LATERAL (SELECT unnest(range(i, i + {k})) AS p) q
+),
+agg AS (SELECT doc_id, count(*) AS n_dup_windows FROM marked GROUP BY doc_id),
+cov AS (SELECT doc_id, count(*) AS n_covered FROM cover GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.arr) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(len(t.arr) - COALESCE(c.n_covered, 0) AS BIGINT) AS n_kept
+FROM toks t
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+ORDER BY t.doc_id"""
