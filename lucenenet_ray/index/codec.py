@@ -68,6 +68,48 @@ def build_skip1(block_last_doc: np.ndarray, block_max_freq: np.ndarray,
 
 DEFAULT_CODEC = "for"
 
+# Registered codec names (the 2-codec registry of SURVEY §2.12 plus the
+# SimpleText debug codec). Selected per index via IndexConfig.codec and
+# recorded in the manifest — the per-segment codec-name header of
+# SegmentInfos.
+CODECS = ("for", "vint", "simpletext")
+
+
+# --- SimpleText debug codec (Codecs/SimpleText/SimpleTextCodec.cs analog:
+# "FOR RECREATIONAL USE ONLY" — a human-readable index you can cat).
+# Doc and freq streams are ASCII decimal lines, one value per line (d-gaps
+# in the doc stream, plain freqs in the freq stream; NO parity fold).
+# Positions stay per-doc VInt runs like every other codec here — that
+# invariant is what lets the segment merge move position bytes without
+# decoding them. Semantics parity with the reference (a readable debug
+# format plugged into the same codec registry), not byte parity.
+
+def _encode_simpletext(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """→ (uint8 stream of ``<value>\\n`` lines, per-BLOCK_SIZE block start
+    byte offsets). Per-value Python formatting — this codec is explicitly
+    a debug format, never a hot path."""
+    if vals.size == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    strs = [str(int(v)) for v in vals.tolist()]
+    stream = np.frombuffer(("\n".join(strs) + "\n").encode("ascii"),
+                           dtype=np.uint8)
+    lens = np.fromiter((len(s) + 1 for s in strs), dtype=np.int64,
+                       count=len(strs))
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return stream, starts[::BLOCK_SIZE].copy()
+
+
+def _decode_simpletext(buf: np.ndarray, count: int | None = None) -> np.ndarray:
+    """Parse a slice of ``<value>\\n`` lines → uint64 array."""
+    b = np.asarray(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    vals = np.array(bytes(b).split(), dtype=np.uint64)
+    if count is not None and vals.size != count:
+        raise ValueError(
+            f"simpletext stream had {vals.size} values, expected {count}")
+    return vals
+
 
 _PLANE_BYTES = BLOCK_SIZE // 8  # 16 bytes per bit-plane
 
@@ -255,6 +297,9 @@ def encode_postings(
                 _encode_tail_parity(deltas[n_full:], freqs[n_full:]).tobytes())
         doc_bytes = np.frombuffer(b"".join(doc_frames), dtype=np.uint8)
         freq_bytes = np.frombuffer(b"".join(frq_frames), dtype=np.uint8)
+    elif codec == "simpletext":
+        doc_bytes, st_doc_offs = _encode_simpletext(deltas)
+        freq_bytes, st_frq_offs = _encode_simpletext(freqs.astype(np.uint64))
     else:
         doc_bytes = write_vints(deltas)
         freq_bytes = write_vints(freqs.astype(np.uint64))
@@ -283,6 +328,9 @@ def encode_postings(
         if codec == "for":
             blk_doc_off = np.asarray(doc_offs, dtype=np.int64)
             blk_frq_off = np.asarray(frq_offs, dtype=np.int64)
+        elif codec == "simpletext":
+            blk_doc_off = st_doc_offs
+            blk_frq_off = st_frq_offs
         else:
             doc_ends = np.flatnonzero((doc_bytes & 0x80) == 0)
             frq_ends = np.flatnonzero((freq_bytes & 0x80) == 0)
@@ -389,6 +437,8 @@ def decode_docs(doc_bytes: bytes, n: int, codec: str = "vint",
     if codec == "for":
         deltas, _ = _for_deltas_freqs(doc_bytes, b"", n, want_freqs=False,
                                       block_doc_off=block_doc_off)
+    elif codec == "simpletext":
+        deltas = _decode_simpletext(np.frombuffer(doc_bytes, dtype=np.uint8), n)
     else:
         deltas = read_vints(np.frombuffer(doc_bytes, dtype=np.uint8), n)
     return np.cumsum(deltas.astype(np.int64))
@@ -406,6 +456,9 @@ def decode_freqs(freq_bytes: bytes, n: int, codec: str = "vint",
                                      block_freq_off=block_freq_off,
                                      want_deltas=False)
         return freqs.astype(np.int32)
+    if codec == "simpletext":
+        return _decode_simpletext(
+            np.frombuffer(freq_bytes, dtype=np.uint8), n).astype(np.int32)
     return read_vints(np.frombuffer(freq_bytes, dtype=np.uint8), n).astype(np.int32)
 
 
@@ -450,6 +503,8 @@ def decode_doc_block(
             deltas = _unpack_for_block(buf, start)[0].astype(np.int64)
         else:  # parity tail
             deltas = _decode_tail_parity(buf[start:], count)[0].astype(np.int64)
+    elif codec == "simpletext":
+        deltas = _decode_simpletext(buf[start:end], count).astype(np.int64)
     else:
         deltas = read_vints(buf[start:end], count).astype(np.int64)
     base = int(block_last_doc[block_idx - 1]) if block_idx > 0 else 0
@@ -480,4 +535,6 @@ def decode_freq_block(
     start = int(block_freq_off[block_idx])
     end = (int(block_freq_off[block_idx + 1])
            if block_idx + 1 < len(block_freq_off) else fb.size)
+    if codec == "simpletext":
+        return _decode_simpletext(fb[start:end], count).astype(np.int32)
     return read_vints(fb[start:end], count).astype(np.int32)
