@@ -2233,6 +2233,56 @@ def _q_boosted_query(sf_dir: str) -> pa.Table:
     return _topk_rows_table(rows)
 
 
+def _q_function_tfidf(sf_dir: str) -> pa.Table:
+    """TFValueSource × IDFValueSource (Queries/Function/ValueSources/
+    TFValueSource.cs:155-179, IDFValueSource.cs:48-58, search/function.py):
+    FunctionQuery scoring every doc f32(f32(sqrt(tf('spark'))) * idf) — the
+    classic tf·idf decomposed into composable value sources. idf uses the
+    GLOBAL df (IndexSearcher.TermStatistics), docs without the term score
+    Tf(0)=0."""
+    from lucenenet_ray.search.function import (
+        IDFSource,
+        ProductFunction,
+        TFSource,
+        function_search,
+    )
+
+    vs = ProductFunction(sources=(TFSource("spark"), IDFSource("spark")))
+    rows = function_search(_reader(sf_dir), vs, k=TOPK)
+    return _topk_rows_table(rows)
+
+
+def _q_function_if_range(sf_dir: str) -> pa.Table:
+    """If/RangeMap/Pow/Div/Max value sources in one tree
+    (IfFunction.cs:80-83, RangeMapFloatFunction.cs:80-90,
+    PowFloatFunction.cs:41-44, DivFloatFunction.cs, MaxFloatFunction.cs:39-46;
+    search/function.py): score = max(n_chars in [300,700] ? n_chars^0.5
+    : n_chars/100, 5.0) — float32 node-by-node (pow in double, cast back)."""
+    from lucenenet_ray.search.function import (
+        ConstValueSource,
+        DivFunction,
+        IfFunction,
+        Int64FieldSource,
+        MaxFunction,
+        PowFunction,
+        RangeMapFunction,
+        function_search,
+    )
+
+    nchars = Int64FieldSource(field="n_chars")
+    cond = RangeMapFunction(source=nchars, min=300.0, max=700.0,
+                            target=ConstValueSource(1.0),
+                            default=ConstValueSource(0.0))
+    branch = IfFunction(cond=cond,
+                        true_source=PowFunction(a=nchars,
+                                                b=ConstValueSource(0.5)),
+                        false_source=DivFunction(a=nchars,
+                                                 b=ConstValueSource(100.0)))
+    vs = MaxFunction(sources=(branch, ConstValueSource(5.0)))
+    rows = function_search(_reader(sf_dir), vs, k=TOPK)
+    return _topk_rows_table(rows)
+
+
 def _q_caverphone_stats(sf_dir: str) -> pa.Table:
     """Caverphone 2.0 (Language/Caverphone2.cs, analysis/caverphone.py):
     term dictionary grouped by code; the whole rewrite pipeline is
@@ -3485,6 +3535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simple_query_bm25": _q_simple_query_bm25,
         "function_recip": _q_function_recip,
         "function_scale": _q_function_scale,
+        "function_tfidf": _q_function_tfidf,
+        "function_if_range": _q_function_if_range,
         "boosted_query": _q_boosted_query,
         "bm25_bloom": _q_bm25_bloom,
         "facet_sum_value": _q_facet_sum_value,
@@ -3660,6 +3712,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngrams": so.dup_ngrams_sql(5),
         "function_recip": so.function_recip_sql(1000.0, 1.0, 1000.0, TOPK),
         "function_scale": so.function_scale_sql(0.0, 1.0, TOPK),
+        "function_tfidf": so.function_tfidf_sql("spark", TOPK),
+        "function_if_range": so.function_if_range_sql(
+            300.0, 700.0, 0.5, 100.0, 5.0, TOPK),
         "boosted_query": so.boosted_recip_sql(
             ["spark", "window"], 1000.0, 1000.0, TOPK),
         "facet_lang_sampled": so.facet_lang_sampled_sql(),

@@ -2357,6 +2357,54 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def function_tfidf_sql(term: str, k: int = 10) -> str:
+    """TF×IDF FunctionQuery oracle (search/function.py TFSource/IDFSource):
+    every doc matches; score = f32(f32(sqrt(tf)) * idf) with
+    idf = f32(ln(maxDoc / (df + 1)) + 1) over GLOBAL stats; docs without
+    the term score Tf(0) = 0."""
+    return f"""WITH {_toks_cte()},
+n AS (SELECT count(*) AS nd FROM documents),
+dfv AS (SELECT count(DISTINCT doc_id) AS v FROM kept WHERE term = '{term}'),
+idf AS (
+  SELECT CAST(ln(CAST(n.nd AS DOUBLE) / (dfv.v + 1)) + 1.0 AS REAL) AS w
+  FROM n, dfv
+),
+tf AS (
+  SELECT doc_id, CAST(sqrt(CAST(count(*) AS DOUBLE)) AS REAL) AS tfv
+  FROM kept WHERE term = '{term}' GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(CAST(tf.tfv * idf.w AS REAL), CAST(0 AS REAL)) AS score
+  FROM documents d LEFT JOIN tf ON tf.doc_id = d.doc_id, idf
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def function_if_range_sql(lo: float, hi: float, exp: float, div: float,
+                          floor_v: float, k: int = 10) -> str:
+    """If/RangeMap/Pow/Div/Max oracle (search/function.py): per doc
+    x = f32(n_chars); score = max(x in [lo,hi] ? f32(pow(x, exp)) : x/div,
+    floor_v) — REAL arithmetic node-for-node, pow in DOUBLE cast back."""
+    return f"""WITH scored AS (
+  SELECT doc_id,
+         GREATEST(
+           CASE WHEN CAST(n_chars AS REAL) >= CAST({lo} AS REAL)
+                 AND CAST(n_chars AS REAL) <= CAST({hi} AS REAL)
+                THEN CAST(pow(CAST(CAST(n_chars AS REAL) AS DOUBLE),
+                              CAST({exp} AS DOUBLE)) AS REAL)
+                ELSE CAST(n_chars AS REAL) / CAST({div} AS REAL)
+           END,
+           CAST({floor_v} AS REAL)) AS score
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def boosted_recip_sql(terms: list[str], a: float = 1000.0, b: float = 1000.0,
                       k: int = 10) -> str:
     """BoostedQuery oracle (BoostedQuery.cs CustomScorer:181-184,

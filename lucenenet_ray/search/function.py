@@ -18,6 +18,18 @@ Reference semantics (NOT ported):
   with minVal/maxVal computed over ALL docs of the reader like
   CreateScaleInfo walks every segment).
 
+- Wave 2 combinators: PowFunction (``PowFloatFunction.cs:41-44``, double
+  pow cast to float), DivFunction (``DivFloatFunction.cs``), Max/MinFunction
+  (``MaxFloatFunction.cs:39-46``), RangeMapFunction
+  (``RangeMapFloatFunction.cs``), IfFunction (``IfFunction.cs:80-83``); and
+  stats-backed sources: TermFreqSource/TFSource
+  (``TermFreqValueSource.cs:164`` / ``TFValueSource.cs:155-179`` — per-doc
+  postings freq / sqrt tf), DocFreqSource/IDFSource
+  (``DocFreqValueSource.cs`` / ``IDFValueSource.cs:48-58`` — constants from
+  GLOBAL term stats, broadcast in the plan, never recomputed per bucket),
+  NormSource (``NormValueSource.cs:95-98``), SumTotalTermFreqSource /
+  TotalTermFreqSource, MaxDocSource / NumDocsSource.
+
 - :func:`function_search` — ``FunctionQuery.cs`` AllScorer:167-174: every
   live doc matches, score = f32(boost * value). Evaluated per bucket with
   a per-bucket partial top-k then a tiny driver merge (never a corpus-size
@@ -153,6 +165,223 @@ class ScaleFunction(ValueSource):
                  else (np.float32(self.max) - np.float32(self.min)) / span)
         x = self.source.values(reader, bucket)
         return (x - lo) * scale + np.float32(self.min)
+
+
+@dataclass(frozen=True)
+class PowFunction(ValueSource):
+    """PowFloatFunction.cs:41-44: (float)Math.Pow(a, b) — the two float32
+    operands are promoted to double, powed, and cast back to float32."""
+
+    a: ValueSource = None
+    b: ValueSource = None
+
+    def values(self, reader, bucket) -> np.ndarray:
+        av = self.a.values(reader, bucket).astype(np.float64)
+        bv = self.b.values(reader, bucket).astype(np.float64)
+        return np.power(av, bv).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class DivFunction(ValueSource):
+    """DivFloatFunction.cs:39-42: a / b, float32 division."""
+
+    a: ValueSource = None
+    b: ValueSource = None
+
+    def values(self, reader, bucket) -> np.ndarray:
+        return self.a.values(reader, bucket) / self.b.values(reader, bucket)
+
+
+@dataclass(frozen=True)
+class MaxFunction(ValueSource):
+    """MaxFloatFunction.cs:39-46: elementwise max over components (the
+    reference folds with a float.NegativeInfinity seed)."""
+
+    sources: tuple[ValueSource, ...] = ()
+
+    def values(self, reader, bucket) -> np.ndarray:
+        acc = np.full(bucket.n_docs, -np.inf, dtype=np.float32)
+        for s in self.sources:
+            acc = np.maximum(acc, s.values(reader, bucket))
+        return acc
+
+
+@dataclass(frozen=True)
+class MinFunction(ValueSource):
+    """MinFloatFunction.cs:39-46: elementwise min over components."""
+
+    sources: tuple[ValueSource, ...] = ()
+
+    def values(self, reader, bucket) -> np.ndarray:
+        acc = np.full(bucket.n_docs, np.inf, dtype=np.float32)
+        for s in self.sources:
+            acc = np.minimum(acc, s.values(reader, bucket))
+        return acc
+
+
+@dataclass(frozen=True)
+class RangeMapFunction(ValueSource):
+    """RangeMapFloatFunction.cs:80-90: source values inside [min, max]
+    (inclusive, float32 compare) map to the target source's value; values
+    outside map to the default source's value, or pass through unchanged
+    when no default is given."""
+
+    source: ValueSource = None
+    min: float = 0.0
+    max: float = 0.0
+    target: ValueSource = None
+    default: ValueSource | None = None
+
+    def values(self, reader, bucket) -> np.ndarray:
+        v = self.source.values(reader, bucket)
+        t = self.target.values(reader, bucket)
+        d = (self.default.values(reader, bucket)
+             if self.default is not None else v)
+        inside = (v >= np.float32(self.min)) & (v <= np.float32(self.max))
+        return np.where(inside, t, d).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class IfFunction(ValueSource):
+    """IfFunction.cs:80-83: ifVals.BoolVal(doc) ? trueVal : falseVal; a
+    float SingleDocValues' BoolVal is ``SingleVal(doc) != 0``
+    (DocValues/SingleDocValues.cs)."""
+
+    cond: ValueSource = None
+    true_source: ValueSource = None
+    false_source: ValueSource = None
+
+    def values(self, reader, bucket) -> np.ndarray:
+        c = self.cond.values(reader, bucket)
+        t = self.true_source.values(reader, bucket)
+        f = self.false_source.values(reader, bucket)
+        return np.where(c != np.float32(0.0), t, f).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class TermFreqSource(ValueSource):
+    """TermFreqValueSource.cs:164: the raw postings Freq for the term in
+    each doc; 0 for docs without the term (the reference's enum returns
+    ``Freq = 0`` past the last match)."""
+
+    term: str = ""
+
+    def values(self, reader, bucket) -> np.ndarray:
+        ids = bucket.norms()[0]
+        out = np.zeros(len(ids), dtype=np.float32)
+        ch = bucket.chunks_for_terms([self.term]).get(self.term)
+        if ch is not None:
+            idx = np.searchsorted(ids, ch.docs())
+            out[idx] = ch.freqs().astype(np.float32)
+        return out
+
+
+@dataclass(frozen=True)
+class TFSource(ValueSource):
+    """TFValueSource.cs:155-179: similarity.Tf(freq) with the searcher's
+    TFIDFSimilarity — (float)Math.Sqrt(freq); Tf(0) = 0 for docs without
+    the term."""
+
+    term: str = ""
+
+    def values(self, reader, bucket) -> np.ndarray:
+        f = TermFreqSource(self.term).values(reader, bucket)
+        return np.sqrt(f.astype(np.float64)).astype(np.float32)
+
+
+@dataclass(frozen=True)
+class DocFreqSource(ValueSource):
+    """DocFreqValueSource.cs:53: constant (float)searcher.DocFreq(term) —
+    GLOBAL df (IndexSearcher.TermStatistics), identical in every bucket."""
+
+    term: str = ""
+
+    def values(self, reader, bucket) -> np.ndarray:
+        df = reader.term_stats([self.term]).get(self.term, (0, 0))[0]
+        return np.full(bucket.n_docs, np.float32(df), dtype=np.float32)
+
+
+@dataclass(frozen=True)
+class IDFSource(ValueSource):
+    """IDFValueSource.cs:48-58: constant TFIDFSimilarity.Idf(docFreq,
+    reader.MaxDoc) = (float)(ln(maxDoc / (double)(df + 1)) + 1)."""
+
+    term: str = ""
+
+    def values(self, reader, bucket) -> np.ndarray:
+        from lucenenet_ray.search.bm25 import classic_idf
+
+        df = reader.term_stats([self.term]).get(self.term, (0, 0))[0]
+        w = classic_idf(df, reader.num_docs)
+        return np.full(bucket.n_docs, w, dtype=np.float32)
+
+
+@dataclass(frozen=True)
+class NormSource(ValueSource):
+    """NormValueSource.cs:95-98: similarity.DecodeNormValue(normByte) —
+    ClassicSimilarity's SmallFloat Byte315ToSingle table per doc."""
+
+    field: str = "body"
+
+    def values(self, reader, bucket) -> np.ndarray:
+        from lucenenet_ray.util.smallfloat import CLASSIC_NORM_TABLE
+
+        norm = bucket.norms()[2]
+        return CLASSIC_NORM_TABLE[norm.astype(np.int64)].astype(np.float32)
+
+
+@dataclass(frozen=True)
+class SumTotalTermFreqSource(ValueSource):
+    """SumTotalTermFreqValueSource.cs:72: constant (float)sumTotalTermFreq
+    of the field (total token count of the index)."""
+
+    field: str = "body"
+
+    def values(self, reader, bucket) -> np.ndarray:
+        return np.full(bucket.n_docs, np.float32(reader.sum_total_term_freq),
+                       dtype=np.float32)
+
+
+@dataclass(frozen=True)
+class TotalTermFreqSource(ValueSource):
+    """TotalTermFreqValueSource.cs:66-80: constant (float)totalTermFreq of
+    the term summed over all segments (0 when absent)."""
+
+    term: str = ""
+
+    def values(self, reader, bucket) -> np.ndarray:
+        ttf = reader.term_stats([self.term]).get(self.term, (0, 0))[1]
+        return np.full(bucket.n_docs, np.float32(ttf), dtype=np.float32)
+
+
+@dataclass(frozen=True)
+class MaxDocSource(ValueSource):
+    """MaxDocValueSource.cs: constant reader.MaxDoc (includes deleted
+    docs — tombstones don't shrink the docID space)."""
+
+    def values(self, reader, bucket) -> np.ndarray:
+        return np.full(bucket.n_docs, np.float32(reader.num_docs),
+                       dtype=np.float32)
+
+
+@dataclass(frozen=True)
+class NumDocsSource(ValueSource):
+    """NumDocsValueSource.cs:43: constant reader.NumDocs = maxDoc minus
+    tombstoned docs, counted once per reader over every bucket's liveDocs."""
+
+    def values(self, reader, bucket) -> np.ndarray:
+        cache = reader.__dict__.setdefault("_numdocs_cache", {})
+        key = getattr(reader, "deleted_terms", ())
+        n = cache.get(key)
+        if n is None:
+            deleted = key
+            n = 0
+            for b in reader.bucket_ids:
+                bd = reader.bucket(b)
+                live = bd.live_mask(deleted)
+                n += int(live.sum()) if live is not None else bd.n_docs
+            cache[key] = n
+        return np.full(bucket.n_docs, np.float32(n), dtype=np.float32)
 
 
 def function_search(reader, vs: ValueSource, k: int = 10,

@@ -116,6 +116,109 @@ def test_boosted_query_rescored_hits(reader):
         assert s == exp
 
 
+def test_pow_div_min_max_rangemap_if_algebra(reader):
+    """Wave-2 combinators: float32 node-by-node, pow in double."""
+    from lucenenet_ray.search.function import (
+        ConstValueSource,
+        DivFunction,
+        IfFunction,
+        Int64FieldSource,
+        MaxFunction,
+        MinFunction,
+        PowFunction,
+        RangeMapFunction,
+    )
+
+    f = Int64FieldSource(field="n_chars")
+    b = reader.bucket(reader.bucket_ids[0])
+    x = reader.numeric_docvalues(b.bucket_id, "n_chars").astype(np.float32)
+
+    got = PowFunction(a=f, b=ConstValueSource(0.5)).values(reader, b)
+    assert np.array_equal(
+        got, np.power(x.astype(np.float64), 0.5).astype(np.float32))
+
+    got = DivFunction(a=f, b=ConstValueSource(7.0)).values(reader, b)
+    assert np.array_equal(got, x / np.float32(7.0))
+
+    got = MaxFunction(sources=(f, ConstValueSource(400.0))).values(reader, b)
+    assert np.array_equal(got, np.maximum(x, np.float32(400.0)))
+    got = MinFunction(sources=(f, ConstValueSource(400.0))).values(reader, b)
+    assert np.array_equal(got, np.minimum(x, np.float32(400.0)))
+
+    rm = RangeMapFunction(source=f, min=300.0, max=700.0,
+                          target=ConstValueSource(1.0))
+    got = rm.values(reader, b)  # no default: out-of-range passes through
+    inside = (x >= np.float32(300.0)) & (x <= np.float32(700.0))
+    assert np.array_equal(got, np.where(inside, np.float32(1.0), x))
+
+    got = IfFunction(cond=rm, true_source=ConstValueSource(9.0),
+                     false_source=f).values(reader, b)
+    # cond != 0 everywhere x != 0; in-range docs read 1.0 → true branch
+    assert np.array_equal(got, np.where(
+        np.where(inside, np.float32(1.0), x) != 0, np.float32(9.0), x))
+
+
+def test_postings_backed_sources_match_direct_scan(reader):
+    """TermFreq/TF per doc vs the raw postings; DocFreq/IDF/TotalTermFreq
+    constants vs reader.term_stats; absent term → all zeros / df=0."""
+    from lucenenet_ray.search.bm25 import classic_idf
+    from lucenenet_ray.search.function import (
+        DocFreqSource,
+        IDFSource,
+        TermFreqSource,
+        TFSource,
+        TotalTermFreqSource,
+    )
+
+    term = "spark"
+    df, ttf = reader.term_stats([term])[term]
+    seen_df = 0
+    seen_ttf = 0
+    for bid in reader.bucket_ids:
+        b = reader.bucket(bid)
+        ids = b.norms()[0]
+        tf = TermFreqSource(term).values(reader, b)
+        ch = b.chunks_for_terms([term]).get(term)
+        exp = np.zeros(len(ids), dtype=np.float32)
+        if ch is not None:
+            exp[np.searchsorted(ids, ch.docs())] = ch.freqs()
+        assert np.array_equal(tf, exp)
+        seen_df += int((tf > 0).sum())
+        seen_ttf += int(tf.sum())
+        assert np.array_equal(
+            TFSource(term).values(reader, b),
+            np.sqrt(tf.astype(np.float64)).astype(np.float32))
+        assert np.all(DocFreqSource(term).values(reader, b) == np.float32(df))
+        assert np.all(IDFSource(term).values(reader, b)
+                      == classic_idf(df, reader.num_docs))
+        assert np.all(TotalTermFreqSource(term).values(reader, b)
+                      == np.float32(ttf))
+        assert np.all(TermFreqSource("zzz_absent").values(reader, b) == 0)
+    assert seen_df == df and seen_ttf == ttf
+
+
+def test_norm_and_collection_constant_sources(reader):
+    from lucenenet_ray.search.function import (
+        MaxDocSource,
+        NormSource,
+        NumDocsSource,
+        SumTotalTermFreqSource,
+    )
+    from lucenenet_ray.util.smallfloat import CLASSIC_NORM_TABLE
+
+    b = reader.bucket(reader.bucket_ids[0])
+    got = NormSource().values(reader, b)
+    exp = CLASSIC_NORM_TABLE[b.norms()[2].astype(np.int64)].astype(np.float32)
+    assert np.array_equal(got, exp)
+    assert np.all(SumTotalTermFreqSource().values(reader, b)
+                  == np.float32(reader.sum_total_term_freq))
+    assert np.all(MaxDocSource().values(reader, b)
+                  == np.float32(reader.num_docs))
+    # no deletes in the fixture: NumDocs == MaxDoc
+    assert np.all(NumDocsSource().values(reader, b)
+                  == np.float32(reader.num_docs))
+
+
 def test_function_query_respects_dv_updates(reader, documents_index, tmp_path):
     """Int64FieldSource reads through the update-resolved accessor
     (ReaderAndUpdates stacking), not the base column."""
