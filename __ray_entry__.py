@@ -3334,6 +3334,58 @@ def _q_stratified_sample(sf_dir: str) -> Any:
 
 
 
+def _q_pack_sequences(sf_dir: str) -> pa.Table:
+    """Training-sequence packing (ops/packing.py pack_sequences):
+    concat-and-chunk in doc_id order, BPE-pre-tokenizer counts, 1 EOS
+    separator per doc, seq_len=128; per doc (start_off, first_seq,
+    last_seq, n_seqs) — integer-exact vs a SQL window cumsum."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.packing import pack_sequences
+
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = pack_sequences(ds, seq_len=128, sep_tokens=1)
+    return dataset_to_table(out).sort_by("doc_id")
+
+
+def _q_epoch_shuffle(sf_dir: str) -> pa.Table:
+    """Deterministic epoch shuffle (ops/sampling.py epoch_shuffle): global
+    reorder by md5('epoch:1:' + doc_id) — a reproducible training
+    permutation; first 100 rows of epoch 1 with their rank."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.sampling import epoch_shuffle
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    head = epoch_shuffle(ds, seed=1).limit(100)
+    t = dataset_to_table(head)
+    return pa.table({
+        "rank": pa.array(range(1, t.num_rows + 1), type=pa.int64()),
+        "doc_id": t.column("doc_id"),
+        "shuffle_key": t.column("shuffle_key"),
+    })
+
+
+def _q_domain_stats(sf_dir: str) -> pa.Table:
+    """Domain share-cap + blocklist hygiene (ops/domains.py domain_stats):
+    per-domain doc counts with blocked_list ('d3.example.com') and
+    blocked_cap (share strictly above 1/20, exact integer
+    cross-multiplication) flags over the md5-derived skewed domains."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.domains import domain_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return domain_stats(ds)
+
+
 _DTRIE_CACHE: dict[str, str] = {}
 
 
@@ -3564,6 +3616,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
         "substring_dedup": _q_substring_dedup,
+        "pack_sequences": _q_pack_sequences,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "domain_stats": _q_domain_stats,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -3687,6 +3742,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": so.gopher_quality_sql(),
         "c4_clean": so.c4_clean_sql(),
         "substring_dedup": so.substring_dedup_sql(5),
+        "pack_sequences": so.pack_sequences_sql(128, 1),
+        "epoch_shuffle": so.epoch_shuffle_sql(1, 100),
+        "domain_stats": so.domain_stats_sql(("d3.example.com",), 1, 20),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

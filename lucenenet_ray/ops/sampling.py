@@ -1,4 +1,5 @@
-"""Deterministic stratified sampling — training-data mixture building.
+"""Deterministic stratified sampling + epoch shuffling — training-data
+mixture building and data ordering.
 
 A per-stratum (e.g. per-language) keep-fraction applied with a
 content-keyed md5 hash, so the sample is reproducible, order-independent,
@@ -34,3 +35,29 @@ def stratified_sample(ds, fractions: dict[str, float],
         return t.filter(pa.array(mask, type=pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def epoch_shuffle(ds, seed: int = 1, key_col: str = "doc_id",
+                  salt: str = "epoch"):
+    """Deterministic global training-epoch shuffle: reorder the corpus by
+    ``md5(f"{salt}:{seed}:{key}")`` — every epoch (seed) is a different but
+    fully reproducible permutation, independent of block layout or worker
+    scheduling (the property a resumable 100-TB training run needs: any
+    shard of the shuffled order can be re-derived from the key alone).
+
+    The reorder is Ray Data's distributed ``sort`` — a genuine all-to-all,
+    because a global shuffle IS an all-to-all; at scale the sorted stream
+    is written back as partitioned parquet (range-partitioned by the hash
+    key, so a trainer can read any contiguous slice). Hex-string keys make
+    the DuckDB oracle byte-identical (``md5(...)`` there returns the same
+    hex)."""
+    import hashlib
+
+    def add_key(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        sk = [hashlib.md5(f"{salt}:{seed}:{k}".encode()).hexdigest()
+              for k in keys]
+        return t.append_column("shuffle_key", pa.array(sk, type=pa.string()))
+
+    return ds.map_batches(add_key, batch_format="pyarrow").sort(
+        ["shuffle_key", key_col])

@@ -2357,6 +2357,68 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def pack_sequences_sql(seq_len: int = 128, sep: int = 1) -> str:
+    """Sequence-packing oracle (ops/packing.py pack_sequences): BPE
+    pre-tokenizer counts, docs concatenated in doc_id order with ``sep``
+    EOS tokens each, chunked into seq_len slices — all-integer window
+    cumsum."""
+    pat = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    return f"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens + {sep}) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM t
+)
+SELECT doc_id, n_tokens, start_off,
+       CAST(start_off // {seq_len} AS BIGINT) AS first_seq,
+       CAST((start_off + GREATEST(n_tokens, 1) - 1) // {seq_len} AS BIGINT)
+         AS last_seq,
+       CAST((start_off + GREATEST(n_tokens, 1) - 1) // {seq_len}
+         - start_off // {seq_len} + 1 AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id"""
+
+
+def epoch_shuffle_sql(seed: int = 1, n: int = 100) -> str:
+    """Epoch-shuffle oracle (ops/sampling.py epoch_shuffle): order by
+    md5('epoch:{{seed}}:' + doc_id) hex, first n rows ranked."""
+    return f"""WITH keyed AS (
+  SELECT doc_id,
+         md5('epoch:{seed}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, shuffle_key
+FROM keyed ORDER BY shuffle_key, doc_id LIMIT {n}"""
+
+
+def domain_stats_sql(blocklist: tuple[str, ...] = ("d3.example.com",),
+                     cap_num: int = 1, cap_den: int = 20) -> str:
+    """Domain hygiene oracle (ops/domains.py domain_stats): same
+    md5-derived skewed domain map, per-domain counts, blocklist + exact
+    integer share-cap flags."""
+    h = _MD5_INT31.format(s="'dom:' || CAST(doc_id AS VARCHAR)")
+    bl = ", ".join(f"'{d}'" for d in blocklist)
+    return f"""WITH dom AS (
+  SELECT doc_id,
+         'd' || CAST(((h % 40) * (h % 40)) // 40 AS VARCHAR)
+             || '.example.com' AS domain
+  FROM (SELECT doc_id, {h} AS h FROM documents)
+),
+n AS (SELECT count(*) AS total FROM documents),
+agg AS (SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain)
+SELECT agg.domain, agg.n_docs,
+       agg.domain IN ({bl}) AS blocked_list,
+       agg.n_docs * {cap_den} > n.total * {cap_num} AS blocked_cap
+FROM agg, n ORDER BY agg.domain"""
+
+
 def function_tfidf_sql(term: str, k: int = 10) -> str:
     """TF×IDF FunctionQuery oracle (search/function.py TFSource/IDFSource):
     every doc matches; score = f32(f32(sqrt(tf)) * idf) with
