@@ -2005,6 +2005,46 @@ def _q_fvh_highlight(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_classic_highlight(sf_dir: str) -> pa.Table:
+    """Classic Highlighter (Highlight/Highlighter.cs GetBestTextFragments,
+    SimpleFragmenter.cs:57-63, QueryTermScorer.cs:119-143,
+    QueryTermExtractor.cs:54-66 idf weights; ops/highlight.py
+    classic_best_fragment): best 100-char fragment per BM25 top-10
+    'spark merge' doc — fragment score = float32 sum of unique query-term
+    idf weights, ties to the earliest fragment."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.highlight import classic_best_fragment
+    from lucenenet_ray.search.bm25 import classic_idf
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.searcher import search
+
+    terms = ["spark", "merge"]
+    r = _reader(sf_dir)
+    stats = r.term_stats(terms)
+    weights = {t: classic_idf(stats.get(t, (0, 0))[0], r.num_docs)
+               for t in terms}
+    td = search(r, parse_query(" ".join(terms)), k=TOPK)
+    docs = [d for d, _s in td.to_list()]
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "in", docs)])
+    texts = dict(zip(t.column("doc_id").to_pylist(),
+                     t.column("text").to_pylist()))
+    rows = []
+    for rank, d in enumerate(docs, 1):
+        out = classic_best_fragment(texts[d], weights, fragment_size=100)
+        if out is not None:
+            frag, score = out
+            rows.append((rank, d, frag, float(score)))
+    return pa.table({
+        "rank": pa.array([r_[0] for r_ in rows], type=pa.int64()),
+        "doc_id": pa.array([r_[1] for r_ in rows], type=pa.int64()),
+        "frag": pa.array([r_[2] for r_ in rows], type=pa.int64()),
+        "score": pa.array([r_[3] for r_ in rows], type=pa.float64()),
+    })
+
+
 def _q_chained_filter(sf_dir: str) -> pa.Table:
     """ChainedFilter (Queries/ChainedFilter.cs:42-49, search/filters.py):
     left-fold filter algebra — spark OR n_chars∈[500,900) ANDNOT window
@@ -3619,6 +3659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "epoch_shuffle": _q_epoch_shuffle,
         "domain_stats": _q_domain_stats,
+        "classic_highlight": _q_classic_highlight,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -3745,6 +3786,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": so.pack_sequences_sql(128, 1),
         "epoch_shuffle": so.epoch_shuffle_sql(1, 100),
         "domain_stats": so.domain_stats_sql(("d3.example.com",), 1, 20),
+        "classic_highlight": so.classic_highlight_sql(
+            ["spark", "merge"], 100, TOPK),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

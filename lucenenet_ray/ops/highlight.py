@@ -130,6 +130,56 @@ def suggest_terms(reader, term: str, max_edits: int = 2, k: int = 5
     return out[:k]
 
 
+def classic_best_fragment(text: str, term_weights: dict[str, np.float32],
+                          fragment_size: int = 100,
+                          analyzer: StandardAnalyzer | None = None
+                          ) -> tuple[int, np.float32] | None:
+    """Classic Highlighter core (``Highlight/Highlighter.cs``
+    GetBestTextFragments + ``SimpleFragmenter.cs:57-63`` +
+    ``QueryTermScorer.cs:119-143``): the analyzer's kept-token stream is
+    cut into fragments — a new fragment starts at the first token whose
+    END char offset reaches ``fragment_size * currentNumFrags`` — and each
+    fragment scores the float32 sum of the weights of the UNIQUE query
+    terms it contains (first-occurrence accumulation order). Weights are
+    the caller's (``QueryTermExtractor.GetIdfWeightedTerms`` boost·idf).
+
+    Returns (fragment_index, score) of the best fragment (score desc,
+    earliest on ties), or None when no query term occurs.
+
+    The fragmenter state machine ``k_i = min(k_{i-1}+1, e_i//F + 1)`` has
+    the closed form ``k_i = i + 1 + min(0, min_{j<=i}(e_j//F - j))``
+    (1-based i), evaluated here as one numpy running-min — the same
+    window-function form the SQL oracle uses."""
+    analyzer = analyzer or StandardAnalyzer()
+    terms, _pos, offs = analyzer.call_with_offsets(text or "")
+    if not terms:
+        return None
+    ends = np.asarray([o + len(t) for o, t in zip(offs, terms)],
+                      dtype=np.int64)
+    f = ends // int(fragment_size)
+    i1 = np.arange(1, len(terms) + 1, dtype=np.int64)
+    runmin = np.minimum.accumulate(np.concatenate(([0], f - i1)))
+    frag = i1 + runmin[1:]  # 0-based fragment per token
+    best: tuple[np.float32, int] | None = None
+    score = np.float32(0.0)
+    seen: set[str] = set()
+    cur = 0
+    for t, fr in zip(terms, frag):
+        if fr != cur:
+            if score > 0 and (best is None or score > best[0]):
+                best = (score, cur)
+            cur = int(fr)
+            score = np.float32(0.0)
+            seen = set()
+        w = term_weights.get(t)
+        if w is not None and t not in seen:
+            score = np.float32(score + w)
+            seen.add(t)
+    if score > 0 and (best is None or score > best[0]):
+        best = (score, cur)
+    return None if best is None else (best[1], best[0])
+
+
 def fvh_best_fragment(index_path: str, text: str, doc_id: int,
                       terms: list[str], fragsize: int = 100,
                       tag: str = "b") -> tuple[str, int, int] | None:

@@ -2357,6 +2357,65 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def classic_highlight_sql(terms: list[str], frag_size: int = 100,
+                          k: int = 10) -> str:
+    """Classic Highlighter oracle (ops/highlight.py classic_best_fragment):
+    fragment boundaries via the SimpleFragmenter state machine's closed
+    form ``frag_i = i + least(0, min_{j<=i}(end_j//F - j))`` (running-min
+    window); fragment score = REAL sum of unique query-term classic-idf
+    weights; best = (score desc, frag asc). End offsets re-derived from
+    the space-joined corpus (sum of token lengths + separators)."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    pivot = " + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN wv END), {ZERO_R})"
+        for t in terms)
+    return f"""WITH top AS (
+  SELECT * FROM ({bm25_topk_sql(terms, k)}) s
+),
+{_toks_cte()},
+nq AS (SELECT count(*) AS nd FROM documents),
+cw AS (
+  SELECT term,
+         CAST(ln(CAST(nq.nd AS DOUBLE) / (df + 1)) + 1.0 AS REAL) AS wv
+  FROM (SELECT term, count(DISTINCT doc_id) AS df FROM kept
+        WHERE term IN ({terms_sql}) GROUP BY term) d, nq
+),
+offs AS (
+  SELECT doc_id, pos,
+         CAST(SUM(length(term) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS end_off
+  FROM toks
+),
+seq AS (
+  SELECT k.doc_id, k.pos, k.term, o.end_off,
+         row_number() OVER (PARTITION BY k.doc_id ORDER BY k.pos) AS i
+  FROM kept k JOIN offs o ON o.doc_id = k.doc_id AND o.pos = k.pos
+  WHERE k.doc_id IN (SELECT doc_id FROM top)
+),
+frag AS (
+  SELECT doc_id, term,
+         CAST(i + LEAST(0, MIN(end_off // {frag_size} - i) OVER (
+           PARTITION BY doc_id ORDER BY i)) AS BIGINT) AS frag
+  FROM seq
+),
+fs AS (
+  SELECT doc_id, frag, {pivot} AS score
+  FROM (SELECT DISTINCT doc_id, frag, term FROM frag
+        WHERE term IN ({terms_sql})) x
+  JOIN cw USING (term)
+  GROUP BY doc_id, frag
+),
+best AS (
+  SELECT doc_id, frag, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, frag ASC) AS rn
+  FROM fs WHERE score > 0
+)
+SELECT t.rank, t.doc_id, b.frag, CAST(b.score AS DOUBLE) AS score
+FROM top t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
+ORDER BY t.rank"""
+
+
 def pack_sequences_sql(seq_len: int = 128, sep: int = 1) -> str:
     """Sequence-packing oracle (ops/packing.py pack_sequences): BPE
     pre-tokenizer counts, docs concatenated in doc_id order with ``sep``

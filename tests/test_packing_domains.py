@@ -116,3 +116,51 @@ def test_domain_filter_drops_blocked_and_capped(docs_ds, ray_session):
     kept_doms = set(synth_domains(kept_ids))
     assert not (kept_doms & blocked)
     assert len(kept_ids) == n - sum(counts[d] for d in blocked)
+
+
+def test_classic_fragmenter_closed_form_matches_state_machine():
+    """The numpy running-min closed form == the literal SimpleFragmenter
+    loop (IsNewFragment: end >= F * currentNumFrags), including jump cases
+    where a gap spans multiple fragment sizes (k lags floor(e/F))."""
+    import numpy as np
+
+    rng = [(5, 12, 25, 31, 44), (99, 100, 101, 199, 200, 201),
+           (10, 350, 360, 980, 990),  # big jumps: k must lag floor
+           tuple(range(7, 700, 7))]
+    F = 100
+    for ends in rng:
+        e = np.asarray(ends, dtype=np.int64)
+        # literal state machine
+        k, frags = 1, []
+        for x in e:
+            if x >= F * k:
+                k += 1
+            frags.append(k - 1)
+        # closed form (ops/highlight.py classic_best_fragment)
+        f = e // F
+        i1 = np.arange(1, len(e) + 1, dtype=np.int64)
+        runmin = np.minimum.accumulate(np.concatenate(([0], f - i1)))
+        got = (i1 + runmin[1:]).tolist()
+        assert got == frags, (ends, got, frags)
+
+
+def test_classic_best_fragment_semantics():
+    import numpy as np
+
+    from lucenenet_ray.ops.highlight import classic_best_fragment
+
+    w = {"spark": np.float32(2.0), "merge": np.float32(1.5)}
+    # both terms in fragment 0 → score 3.5 there; 'spark' repeats later but
+    # unique-per-fragment keeps later frags at lower score
+    text = ("spark merge " + "filler " * 20 + "spark " + "pad " * 40
+            + "spark merge spark")
+    frag, score = classic_best_fragment(text, w, fragment_size=100)
+    assert frag == 0
+    assert score == np.float32(np.float32(2.0) + np.float32(1.5))
+    # no query terms → None
+    assert classic_best_fragment("just plain words here", w) is None
+    # tie between two fragments → earliest wins
+    text2 = "spark " + "x " * 60 + "spark"
+    frag2, score2 = classic_best_fragment(text2, w, fragment_size=50)
+    assert score2 == np.float32(2.0)
+    assert frag2 == 0
