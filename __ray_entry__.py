@@ -2045,6 +2045,43 @@ def _q_classic_highlight(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_grouping_by_function(sf_dir: str) -> pa.Table:
+    """GroupingSearch(ValueSource) two-pass grouping
+    (Grouping/Function/FunctionFirstPassGroupingCollector.cs /
+    FunctionSecondPassGroupingCollector.cs, search/function.py
+    function_grouping_search): 'spark window' hits grouped by a nested
+    RangeMap length-bucket function (0: n_chars<=399, 1: <=699, 2: rest);
+    top-3 groups by best-doc score, top-2 docs per group."""
+    from lucenenet_ray.search.function import (
+        ConstValueSource,
+        Int64FieldSource,
+        RangeMapFunction,
+        function_grouping_search,
+    )
+    from lucenenet_ray.search.query import parse_query
+
+    nchars = Int64FieldSource(field="n_chars")
+    key = RangeMapFunction(
+        source=nchars, min=0.0, max=399.0, target=ConstValueSource(0.0),
+        default=RangeMapFunction(source=nchars, min=400.0, max=699.0,
+                                 target=ConstValueSource(1.0),
+                                 default=ConstValueSource(2.0)))
+    groups = function_grouping_search(_reader(sf_dir),
+                                      parse_query("spark window"), key,
+                                      n_groups=3, group_docs=2)
+    rows = []
+    for grnk, (gkey, docs) in enumerate(groups, 1):
+        for drnk, (d, s) in enumerate(docs, 1):
+            rows.append((grnk, float(gkey), drnk, d, float(s)))
+    return pa.table({
+        "grp_rank": pa.array([r_[0] for r_ in rows], type=pa.int64()),
+        "group_key": pa.array([r_[1] for r_ in rows], type=pa.float64()),
+        "doc_rank": pa.array([r_[2] for r_ in rows], type=pa.int64()),
+        "doc_id": pa.array([r_[3] for r_ in rows], type=pa.int64()),
+        "score": pa.array([r_[4] for r_ in rows], type=pa.float64()),
+    })
+
+
 def _q_chained_filter(sf_dir: str) -> pa.Table:
     """ChainedFilter (Queries/ChainedFilter.cs:42-49, search/filters.py):
     left-fold filter algebra — spark OR n_chars∈[500,900) ANDNOT window
@@ -3660,6 +3697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "domain_stats": _q_domain_stats,
         "classic_highlight": _q_classic_highlight,
+        "grouping_by_function": _q_grouping_by_function,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -3788,6 +3826,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": so.domain_stats_sql(("d3.example.com",), 1, 20),
         "classic_highlight": so.classic_highlight_sql(
             ["spark", "merge"], 100, TOPK),
+        "grouping_by_function": so.grouping_by_function_sql(
+            ["spark", "window"], (399, 699), 3, 2),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

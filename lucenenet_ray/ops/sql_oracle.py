@@ -2357,6 +2357,65 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def grouping_by_function_sql(terms: list[str], edges: tuple[int, int] = (399, 699),
+                             n_groups: int = 3, group_docs: int = 2) -> str:
+    """GroupingSearch(ValueSource) oracle (search/function.py
+    function_grouping_search): BM25 OR scores, nested-RangeMap length
+    buckets as group keys, groups by (max score desc, key asc), top docs
+    per group by (score desc, doc asc)."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    score_expr = f"COALESCE(s0, {ZERO_R})"
+    for i in range(1, len(terms)):
+        score_expr = f"({score_expr} + COALESCE(s{i}, {ZERO_R}))"
+    pivot_cols = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms))
+    lo, hi = edges
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms)},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         (w.wv * tf.f) / (tf.f + c.cache) AS s
+  FROM tf
+  JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf.doc_id
+),
+agg AS (
+  SELECT doc_id, {pivot_cols}
+  FROM persc GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, {score_expr} AS score FROM agg
+),
+keyed AS (
+  SELECT s.doc_id, s.score,
+         CASE WHEN d.n_chars <= {lo} THEN 0.0
+              WHEN d.n_chars <= {hi} THEN 1.0
+              ELSE 2.0 END AS group_key
+  FROM scored s JOIN documents d USING (doc_id)
+),
+topg AS (
+  SELECT group_key,
+         row_number() OVER (ORDER BY max(score) DESC, group_key ASC)
+           AS grp_rank
+  FROM keyed GROUP BY group_key
+),
+docs AS (
+  SELECT group_key, doc_id, score,
+         row_number() OVER (PARTITION BY group_key
+                            ORDER BY score DESC, doc_id ASC) AS doc_rank
+  FROM keyed
+)
+SELECT t.grp_rank, CAST(t.group_key AS DOUBLE) AS group_key,
+       d.doc_rank, d.doc_id, CAST(d.score AS DOUBLE) AS score
+FROM topg t JOIN docs d ON d.group_key = t.group_key
+WHERE t.grp_rank <= {n_groups} AND d.doc_rank <= {group_docs}
+ORDER BY t.grp_rank, d.doc_rank"""
+
+
 def classic_highlight_sql(terms: list[str], frag_size: int = 100,
                           k: int = 10) -> str:
     """Classic Highlighter oracle (ops/highlight.py classic_best_fragment):

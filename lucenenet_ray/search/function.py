@@ -414,6 +414,47 @@ def function_search(reader, vs: ValueSource, k: int = 10,
     return [(int(docs[i]), np.float32(scores[i])) for i in order]
 
 
+def function_grouping_search(reader, sub: Query, vs: ValueSource,
+                             n_groups: int = 3, group_docs: int = 2,
+                             ) -> list[tuple[np.float32, list[tuple[int, np.float32]]]]:
+    """GroupingSearch(ValueSource) — the Grouping/Function collectors
+    (``FunctionFirstPassGroupingCollector.cs`` /
+    ``FunctionSecondPassGroupingCollector.cs``): the group key is the
+    value source's per-doc value; first pass ranks groups by their best
+    doc's relevance (groupSort = score desc, key asc on ties), second
+    pass keeps the top ``group_docs`` docs per selected group
+    (score desc, doc asc). Returns [(key, [(doc, score), ...]), ...] in
+    group-rank order."""
+    from lucenenet_ray.search.searcher import search
+
+    td = search(reader, sub, k=reader.num_docs, prune=False)
+    all_ids: list[np.ndarray] = []
+    all_vals: list[np.ndarray] = []
+    for b in reader.bucket_ids:
+        bucket = reader.bucket(b)
+        all_ids.append(bucket.norms()[0])
+        all_vals.append(vs.values(reader, bucket))
+    ids = np.concatenate(all_ids)
+    vals = np.concatenate(all_vals)
+    order = np.argsort(ids, kind="stable")
+    ids, vals = ids[order], vals[order]
+    keys = vals[np.searchsorted(ids, td.docs)]
+    scores = td.scores.astype(np.float32)
+    uniq = np.unique(keys)
+    gmax = np.array([scores[keys == u].max() for u in uniq],
+                    dtype=np.float32)
+    gorder = np.lexsort((uniq, -gmax))[:n_groups]
+    out = []
+    for gi in gorder:
+        u = uniq[gi]
+        m = keys == u
+        d, s = td.docs[m], scores[m]
+        top = np.lexsort((d, -s))[:group_docs]
+        out.append((np.float32(u),
+                    [(int(d[i]), np.float32(s[i])) for i in top]))
+    return out
+
+
 def boosted_search(reader, sub: Query, vs: ValueSource, k: int = 10,
                    boost: float = 1.0) -> list[tuple[int, np.float32]]:
     """BoostedQuery top-k: sub-query hits re-scored by

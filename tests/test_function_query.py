@@ -219,6 +219,42 @@ def test_norm_and_collection_constant_sources(reader):
                   == np.float32(reader.num_docs))
 
 
+def test_function_grouping_search_matches_naive(reader):
+    """GroupingSearch(ValueSource): groups by (best score desc, key asc),
+    docs by (score desc, doc asc), vs a brute-force regroup."""
+    from lucenenet_ray.search.function import (
+        ConstValueSource,
+        Int64FieldSource,
+        RangeMapFunction,
+        function_grouping_search,
+    )
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.searcher import search
+
+    nchars = Int64FieldSource(field="n_chars")
+    key = RangeMapFunction(
+        source=nchars, min=0.0, max=399.0, target=ConstValueSource(0.0),
+        default=RangeMapFunction(source=nchars, min=400.0, max=699.0,
+                                 target=ConstValueSource(1.0),
+                                 default=ConstValueSource(2.0)))
+    q = parse_query("spark window")
+    got = function_grouping_search(reader, q, key, n_groups=3, group_docs=2)
+
+    td = search(reader, q, k=reader.num_docs, prune=False)
+    ids, x = _all_dv(reader)
+    kf = np.where(x <= 399, 0.0, np.where(x <= 699, 1.0, 2.0)).astype(
+        np.float32)
+    key_of = dict(zip(ids.tolist(), kf.tolist()))
+    byg: dict[float, list[tuple[int, float]]] = {}
+    for d, s in td.to_list():
+        byg.setdefault(key_of[d], []).append((d, s))
+    exp_groups = sorted(byg, key=lambda g: (-max(s for _, s in byg[g]), g))[:3]
+    assert [float(g) for g, _ in got] == exp_groups
+    for (_g, docs), g in zip(got, exp_groups):
+        exp = sorted(byg[g], key=lambda t: (-t[1], t[0]))[:2]
+        assert [(d, float(s)) for d, s in docs] == exp
+
+
 def test_function_query_respects_dv_updates(reader, documents_index, tmp_path):
     """Int64FieldSource reads through the update-resolved accessor
     (ReaderAndUpdates stacking), not the base column."""
