@@ -2045,6 +2045,39 @@ def _q_classic_highlight(sf_dir: str) -> pa.Table:
     })
 
 
+SPATIAL_RECT = (-3000, 1000, 2000, 9000)  # lat_lo, lat_hi, lon_lo, lon_hi
+SPATIAL_COVER_LEVEL = 6
+
+
+def _spatial_intersects_oracle() -> str:
+    from lucenenet_ray.ops.spatial import quad_cover
+
+    lat_lo, lat_hi, lon_lo, lon_hi = SPATIAL_RECT
+    cover = quad_cover(lat_lo, lat_hi, lon_lo, lon_hi, SPATIAL_COVER_LEVEL)
+    return so.spatial_intersects_sql(cover, SPATIAL_COVER_LEVEL)
+
+
+def _q_spatial_intersects(sf_dir: str) -> pa.Table:
+    """RecursivePrefixTreeStrategy Intersects
+    (Spatial/Prefix/RecursivePrefixTreeStrategy.cs,
+    IntersectsPrefixTreeFilter.cs; ops/spatial.py quad_cover +
+    intersects_filter): recursive cell cover of the query rectangle
+    (full-inside cells at their own level, grid-approximate leaves at
+    level 6), docs matched by cell-prefix — integer-exact both sides."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.spatial import intersects_filter, quad_cover
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    lat_lo, lat_hi, lon_lo, lon_hi = SPATIAL_RECT
+    cover = quad_cover(lat_lo, lat_hi, lon_lo, lon_hi, SPATIAL_COVER_LEVEL)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    out = intersects_filter(ds, cover, SPATIAL_COVER_LEVEL)
+    t = dataset_to_table(out)
+    return pa.table({"doc_id": t.column("doc_id")}).sort_by("doc_id")
+
+
 def _q_grouping_by_function(sf_dir: str) -> pa.Table:
     """GroupingSearch(ValueSource) two-pass grouping
     (Grouping/Function/FunctionFirstPassGroupingCollector.cs /
@@ -3698,6 +3731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "classic_highlight": _q_classic_highlight,
         "grouping_by_function": _q_grouping_by_function,
+        "spatial_intersects": _q_spatial_intersects,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -3828,6 +3862,7 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "merge"], 100, TOPK),
         "grouping_by_function": so.grouping_by_function_sql(
             ["spark", "window"], (399, 699), 3, 2),
+        "spatial_intersects": _spatial_intersects_oracle(),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

@@ -78,6 +78,78 @@ def quad_cells(lat: float, lon: float, max_level: int) -> list[str]:
     return [full[:i] for i in range(1, max_level + 1)]
 
 
+def _cell_bounds(x: int, n: int, total: int, off: int) -> tuple[int, int]:
+    """Centi-degree half-open range [lo, hi) of grid slot x out of n:
+    inverse of ``(c + off) * n // total`` (ceil boundaries)."""
+    lo = -((-x * total) // n) - off
+    hi = -((-(x + 1) * total) // n) - off
+    return lo, hi
+
+
+def quad_cover(lat_lo: int, lat_hi: int, lon_lo: int, lon_hi: int,
+               max_level: int) -> list[str]:
+    """RecursivePrefixTreeStrategy Intersects cell cover
+    (``Spatial/Prefix/RecursivePrefixTreeStrategy.cs`` →
+    ``IntersectsPrefixTreeFilter.cs`` / AbstractVisitingPrefixTreeFilter
+    visit-or-leaf recursion): descend the quad tree from level 1; a cell
+    whose bounds lie FULLY inside the query rectangle is emitted at its
+    own level (all indexed descendants match by prefix); a partially
+    overlapping cell recurses, until ``max_level`` where it is emitted as
+    a grid-approximate leaf. Rectangle bounds are INCLUSIVE centi-degree
+    ints — all integer math, mirrored by the SQL oracle.
+
+    Returns a prefix-free cover (no cell is an ancestor of another),
+    sorted."""
+    out: list[str] = []
+
+    def visit(path: str, x: int, y: int, level: int) -> None:
+        grid = 1 << level
+        lon_a, lon_b = _cell_bounds(x, grid, 36000, 18000)
+        lat_a, lat_b = _cell_bounds(y, grid, 18000, 9000)
+        if lon_a > lon_hi or lon_b <= lon_lo or lat_a > lat_hi or lat_b <= lat_lo:
+            return  # disjoint
+        inside = (lon_a >= lon_lo and lon_b - 1 <= lon_hi
+                  and lat_a >= lat_lo and lat_b - 1 <= lat_hi)
+        if inside or level == max_level:
+            out.append(path)
+            return
+        for dy in (1, 0):
+            for dx in (0, 1):
+                letter = ("A" if dx == 0 else "B") if dy == 1 else (
+                    "C" if dx == 0 else "D")
+                visit(path + letter, 2 * x + dx, 2 * y + dy, level + 1)
+
+    for dy in (1, 0):
+        for dx in (0, 1):
+            letter = ("A" if dx == 0 else "B") if dy == 1 else (
+                "C" if dx == 0 else "D")
+            visit(letter, dx, dy, 1)
+    return sorted(out)
+
+
+def intersects_filter(docs_ds, cover: list[str], max_level: int,
+                      id_col: str = "doc_id"):
+    """Docs whose max_level cell starts with any cover prefix — the
+    IntersectsPrefixTreeFilter match. Vectorized: one GeoEnrich pass plus
+    a pyarrow starts_with OR-fold (cover is small by construction). At
+    scale the cover prefixes are partition-prunable ranges
+    [p, p+successor) over the hive-partitioned coarse cell key."""
+    import pyarrow.compute as pc
+
+    def fil(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        lat_c, lon_c = synth_latlon_centi(ids)
+        cells = pa.array(quad_cells_from_centi(lat_c, lon_c, max_level),
+                         type=pa.string())
+        mask = None
+        for p in cover:
+            m = pc.starts_with(cells, p)
+            mask = m if mask is None else pc.or_(mask, m)
+        return batch.filter(mask) if mask is not None else batch.slice(0, 0)
+
+    return docs_ds.map_batches(fil, batch_format="pyarrow")
+
+
 class GeoEnrich:
     """map_batches stage: append lat/lon (degrees, float64) and the
     level-L quad cell to each doc — the 'index-time' spatial tokens."""

@@ -2357,6 +2357,35 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def spatial_intersects_sql(cover: list[str], level: int = 6) -> str:
+    """RecursivePrefixTree Intersects oracle (ops/spatial.py quad_cover +
+    intersects_filter): doc level-L cell from the same integer grid math,
+    matched by prefix against the (Python-computed, constant) cover."""
+    grid = 1 << level
+    x = f"(((lon_c + 18000) * {grid}) // 36000)"
+    y = f"(((lat_c + 9000) * {grid}) // 18000)"
+    parts = []
+    for i in range(level):
+        shift = level - 1 - i
+        xb = f"(({x} >> {shift}) & 1)"
+        yb = f"(({y} >> {shift}) & 1)"
+        parts.append(
+            f"CASE WHEN {yb} = 1 THEN (CASE WHEN {xb} = 0 THEN 'A' "
+            f"ELSE 'B' END) ELSE (CASE WHEN {xb} = 0 THEN 'C' ELSE 'D' "
+            f"END) END")
+    cell = " || ".join(parts)
+    cond = " OR ".join(f"cell LIKE '{p}%'" for p in cover)
+    return f"""WITH
+geo AS (
+  SELECT doc_id,
+         CAST((doc_id * 7919) % 18000 - 9000 AS BIGINT) AS lat_c,
+         CAST((doc_id * 104729) % 36000 - 18000 AS BIGINT) AS lon_c
+  FROM documents
+),
+celled AS (SELECT doc_id, {cell} AS cell FROM geo)
+SELECT doc_id FROM celled WHERE {cond} ORDER BY doc_id"""
+
+
 def grouping_by_function_sql(terms: list[str], edges: tuple[int, int] = (399, 699),
                              n_groups: int = 3, group_docs: int = 2) -> str:
     """GroupingSearch(ValueSource) oracle (search/function.py

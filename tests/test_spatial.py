@@ -69,3 +69,51 @@ def test_geohash_public_vectors():
     assert geohash_encode(37.8324, 112.5584, 9) == "ww8p1r4t8"
     cells = geohash_cells(57.64911, 10.40744, 5)
     assert cells == ["u", "u4", "u4p", "u4pr", "u4pru"]
+
+
+def test_quad_cover_prefix_free_and_superset(ray_session):
+    """RecursivePrefixTree Intersects: the cover is prefix-free; every doc
+    whose exact point lies in the rect is matched (grid leaves can only
+    ADD edge docs, never drop interior ones)."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucenenet_ray.ops.spatial import (intersects_filter, quad_cover,
+                                           synth_latlon_centi)
+
+    lat_lo, lat_hi, lon_lo, lon_hi = -3000, 1000, 2000, 9000
+    cover = quad_cover(lat_lo, lat_hi, lon_lo, lon_hi, 6)
+    assert cover
+    for i, a in enumerate(cover):
+        for b in cover[i + 1:]:
+            assert not b.startswith(a) and not a.startswith(b)
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id"])
+    got = set()
+    for b in intersects_filter(ds, cover, 6).iter_batches(
+            batch_format="pyarrow"):
+        got.update(b.column("doc_id").to_pylist())
+    ids = np.arange(500, dtype=np.int64)
+    lat, lon = synth_latlon_centi(ids)
+    exact = set(ids[(lat >= lat_lo) & (lat <= lat_hi)
+                    & (lon >= lon_lo) & (lon <= lon_hi)].tolist())
+    assert exact <= got
+    # approximation only adds docs whose CELL touches the rect: every
+    # extra doc is within one level-6 cell width of the boundary
+    cell_w_lon, cell_w_lat = 36000 // 64 + 1, 18000 // 64 + 1
+    for d in got - exact:
+        la, lo = synth_latlon_centi(np.asarray([d]))
+        assert (lat_lo - cell_w_lat <= la[0] <= lat_hi + cell_w_lat
+                and lon_lo - cell_w_lon <= lo[0] <= lon_hi + cell_w_lon)
+
+
+def test_quad_cover_full_world_is_whole_corpus(ray_session):
+    import ray.data as rd
+
+    from lucenenet_ray.ops.spatial import intersects_filter, quad_cover
+
+    cover = quad_cover(-9000, 8999, -18000, 17999, 4)
+    assert sorted(cover) == ["A", "B", "C", "D"]
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id"])
+    assert intersects_filter(ds, cover, 4).count() == 500
