@@ -2078,6 +2078,29 @@ def _q_spatial_intersects(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": t.column("doc_id")}).sort_by("doc_id")
 
 
+def _q_function_query_source(sf_dir: str) -> pa.Table:
+    """QueryValueSource (Queries/Function/ValueSources/QueryValueSource.cs,
+    search/function.py): per-doc value = BM25('data merge' OR) score with
+    defVal 0.05 for non-matches, multiplied by 500/(2*n_chars+800) — a
+    FunctionQuery whose tree embeds a full relevance query."""
+    from lucenenet_ray.search.function import (
+        Int64FieldSource,
+        ProductFunction,
+        QueryValueSource,
+        ReciprocalFunction,
+        function_search,
+    )
+    from lucenenet_ray.search.query import parse_query
+
+    vs = ProductFunction(sources=(
+        QueryValueSource(query=parse_query("data merge"), def_val=0.05),
+        ReciprocalFunction(source=Int64FieldSource(field="n_chars"),
+                           a=500.0, m=2.0, b=800.0),
+    ))
+    rows = function_search(_reader(sf_dir), vs, k=TOPK)
+    return _topk_rows_table(rows)
+
+
 def _q_grouping_by_function(sf_dir: str) -> pa.Table:
     """GroupingSearch(ValueSource) two-pass grouping
     (Grouping/Function/FunctionFirstPassGroupingCollector.cs /
@@ -3732,6 +3755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classic_highlight": _q_classic_highlight,
         "grouping_by_function": _q_grouping_by_function,
         "spatial_intersects": _q_spatial_intersects,
+        "function_query_source": _q_function_query_source,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -3863,6 +3887,8 @@ def oracle_sql() -> dict[str, str]:
         "grouping_by_function": so.grouping_by_function_sql(
             ["spark", "window"], (399, 699), 3, 2),
         "spatial_intersects": _spatial_intersects_oracle(),
+        "function_query_source": so.function_query_source_sql(
+            ["data", "merge"], 0.05, 500.0, 2.0, 800.0, TOPK),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

@@ -2357,6 +2357,50 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def function_query_source_sql(terms: list[str], def_val: float, a: float,
+                              m: float, b: float, k: int = 10) -> str:
+    """QueryValueSource oracle (search/function.py): per-doc value =
+    BM25 OR score (def_val for non-matches) × a/(m·f32(n_chars)+b), REAL
+    node-for-node."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    score_expr = f"COALESCE(s0, {ZERO_R})"
+    for i in range(1, len(terms)):
+        score_expr = f"({score_expr} + COALESCE(s{i}, {ZERO_R}))"
+    pivot_cols = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms))
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms)},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         (w.wv * tf.f) / (tf.f + c.cache) AS s
+  FROM tf
+  JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf.doc_id
+),
+agg AS (
+  SELECT doc_id, {pivot_cols}
+  FROM persc GROUP BY doc_id
+),
+qscore AS (
+  SELECT doc_id, {score_expr} AS score FROM agg
+),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(q.score, CAST({def_val} AS REAL))
+           * (CAST({a} AS REAL)
+              / (CAST({m} AS REAL) * CAST(d.n_chars AS REAL)
+                 + CAST({b} AS REAL))) AS score
+  FROM documents d LEFT JOIN qscore q USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def spatial_intersects_sql(cover: list[str], level: int = 6) -> str:
     """RecursivePrefixTree Intersects oracle (ops/spatial.py quad_cover +
     intersects_filter): doc level-L cell from the same integer grid math,

@@ -355,6 +355,41 @@ class TotalTermFreqSource(ValueSource):
 
 
 @dataclass(frozen=True)
+class QueryValueSource(ValueSource):
+    """QueryValueSource.cs: per-doc value = the wrapped query's relevance
+    score, ``def_val`` for docs the query doesn't match (the reference's
+    QueryDocValues walks the scorer lazily; here the sub-search runs once
+    per reader — memoized — and scores scatter into a doc-aligned
+    array)."""
+
+    query: Query = None
+    def_val: float = 0.0
+
+    def _scores(self, reader) -> tuple[np.ndarray, np.ndarray]:
+        cache = reader.__dict__.setdefault("_qvs_cache", {})
+        hit = cache.get(self)
+        if hit is None:
+            from lucenenet_ray.search.searcher import search
+
+            td = search(reader, self.query, k=reader.num_docs, prune=False)
+            order = np.argsort(td.docs, kind="stable")
+            hit = (td.docs[order], td.scores.astype(np.float32)[order])
+            cache[self] = hit
+        return hit
+
+    def values(self, reader, bucket) -> np.ndarray:
+        docs, scores = self._scores(reader)
+        ids = bucket.norms()[0]
+        out = np.full(len(ids), np.float32(self.def_val), dtype=np.float32)
+        if docs.size:
+            idx = np.searchsorted(docs, ids)
+            ok = idx < docs.size
+            ok[ok] = docs[idx[ok]] == ids[ok]
+            out[ok] = scores[idx[ok]]
+        return out
+
+
+@dataclass(frozen=True)
 class MaxDocSource(ValueSource):
     """MaxDocValueSource.cs: constant reader.MaxDoc (includes deleted
     docs — tombstones don't shrink the docID space)."""

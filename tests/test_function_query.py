@@ -255,6 +255,26 @@ def test_function_grouping_search_matches_naive(reader):
         assert [(d, float(s)) for d, s in docs] == exp
 
 
+def test_query_value_source_scores_and_default(reader):
+    """QueryValueSource: matching docs read the sub-query's score,
+    non-matching docs read def_val; memoized per reader."""
+    from lucenenet_ray.search.function import QueryValueSource
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.searcher import search
+
+    q = parse_query("spark window")
+    vs = QueryValueSource(query=q, def_val=0.25)
+    sub = dict(search(reader, q, k=reader.num_docs, prune=False).to_list())
+    for bid in reader.bucket_ids:
+        b = reader.bucket(bid)
+        got = vs.values(reader, b)
+        for d, v in zip(b.norms()[0].tolist(), got):
+            exp = sub.get(d)
+            assert v == (np.float32(exp) if exp is not None
+                         else np.float32(0.25))
+    assert vs in reader.__dict__["_qvs_cache"]  # one search per reader
+
+
 def test_function_query_respects_dv_updates(reader, documents_index, tmp_path):
     """Int64FieldSource reads through the update-resolved accessor
     (ReaderAndUpdates stacking), not the base column."""
