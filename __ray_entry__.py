@@ -2101,6 +2101,30 @@ def _q_function_query_source(sf_dir: str) -> pa.Table:
     return _topk_rows_table(rows)
 
 
+def _q_function_ord(sf_dir: str) -> pa.Table:
+    """Ord/ReverseOrdFieldSource (Queries/Function/ValueSources/
+    OrdFieldSource.cs:63-103, ReverseOrdFieldSource.cs:66-100,
+    search/function.py OrdFieldSource): global string ordinal of the
+    'source' keyword field (top-level-reader ords), reversed
+    (valueCount-ord-1), plus 1000/(n_chars+1000) as a tie-breaking term —
+    float32-exact."""
+    from lucenenet_ray.search.function import (
+        Int64FieldSource,
+        OrdFieldSource,
+        ReciprocalFunction,
+        SumFunction,
+        function_search,
+    )
+
+    vs = SumFunction(sources=(
+        OrdFieldSource(field="source", reverse=True),
+        ReciprocalFunction(source=Int64FieldSource(field="n_chars"),
+                           a=1000.0, m=1.0, b=1000.0),
+    ))
+    rows = function_search(_reader(sf_dir), vs, k=TOPK)
+    return _topk_rows_table(rows)
+
+
 def _q_grouping_by_function(sf_dir: str) -> pa.Table:
     """GroupingSearch(ValueSource) two-pass grouping
     (Grouping/Function/FunctionFirstPassGroupingCollector.cs /
@@ -3756,6 +3780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_by_function": _q_grouping_by_function,
         "spatial_intersects": _q_spatial_intersects,
         "function_query_source": _q_function_query_source,
+        "function_ord": _q_function_ord,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -3889,6 +3914,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_intersects": _spatial_intersects_oracle(),
         "function_query_source": so.function_query_source_sql(
             ["data", "merge"], 0.05, 500.0, 2.0, 800.0, TOPK),
+        "function_ord": so.function_ord_sql("source", 1000.0, 1000.0, TOPK),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

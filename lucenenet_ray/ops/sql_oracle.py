@@ -2401,6 +2401,29 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def function_ord_sql(field: str = "source", a: float = 1000.0,
+                     b: float = 1000.0, k: int = 10) -> str:
+    """Reverse-ord oracle (search/function.py OrdFieldSource reverse):
+    score = f32(valueCount - ord - 1) + f32(a/(f32(n_chars)+b)); ord =
+    0-based rank among sorted distinct field values."""
+    return f"""WITH o AS (
+  SELECT {field} AS v,
+         CAST(row_number() OVER (ORDER BY {field}) - 1 AS BIGINT) AS ord
+  FROM (SELECT DISTINCT {field} FROM documents)
+),
+n AS (SELECT count(*) AS cnt FROM o),
+scored AS (
+  SELECT d.doc_id,
+         CAST(n.cnt - o.ord - 1 AS REAL)
+           + (CAST({a} AS REAL)
+              / (CAST(d.n_chars AS REAL) + CAST({b} AS REAL))) AS score
+  FROM documents d JOIN o ON o.v = d.{field}, n
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def spatial_intersects_sql(cover: list[str], level: int = 6) -> str:
     """RecursivePrefixTree Intersects oracle (ops/spatial.py quad_cover +
     intersects_filter): doc level-L cell from the same integer grid math,

@@ -390,6 +390,59 @@ class QueryValueSource(ValueSource):
 
 
 @dataclass(frozen=True)
+class OrdFieldSource(ValueSource):
+    """OrdFieldSource.cs:63-103 / ReverseOrdFieldSource.cs:66-100: the
+    doc's GLOBAL ordinal for a single-valued string field — both sources
+    wrap the TOP-level reader (SlowCompositeReaderWrapper), so the ord is
+    the rank of the doc's value among the index-wide sorted distinct
+    values of the field; missing docs read ord -1. ``reverse`` gives
+    ``valueCount - ord - 1`` (ReverseOrdFieldSource Int32Val).
+
+    Global ords come from ONE term-dictionary range scan (the field's
+    sorted terms — plan-shippable, broadcast once per reader); per-bucket
+    assignment walks only that field's postings (single-valued: one hit
+    per doc), memoized per (bucket, field)."""
+
+    field: str = ""
+    reverse: bool = False
+
+    def _field_terms(self, reader) -> list[str]:
+        from lucenenet_ray.search.query import FIELD_SEP
+
+        cache = reader.__dict__.setdefault("_ord_terms_cache", {})
+        terms = cache.get(self.field)
+        if terms is None:
+            from lucenenet_ray.search.reader import _prefix_successor
+
+            prefix = self.field + FIELD_SEP
+            terms = reader.terms_in_range(prefix, _prefix_successor(prefix))
+            cache[self.field] = terms
+        return terms
+
+    def _ords(self, reader, bucket) -> np.ndarray:
+        cache = reader.__dict__.setdefault("_ord_vals_cache", {})
+        key = (bucket.bucket_id, self.field)
+        ords = cache.get(key)
+        if ords is None:
+            terms = self._field_terms(reader)
+            ords = np.full(bucket.n_docs, -1, dtype=np.int64)
+            chunks = bucket.chunks_for_terms(terms, full=False)
+            for ordinal, t in enumerate(terms):
+                c = chunks.get(t)
+                if c is not None:
+                    ords[c.local_ids(bucket)] = ordinal
+            cache[key] = ords
+        return ords
+
+    def values(self, reader, bucket) -> np.ndarray:
+        ords = self._ords(reader, bucket)
+        if self.reverse:
+            end = len(self._field_terms(reader))
+            return (end - ords - 1).astype(np.float32)
+        return ords.astype(np.float32)
+
+
+@dataclass(frozen=True)
 class MaxDocSource(ValueSource):
     """MaxDocValueSource.cs: constant reader.MaxDoc (includes deleted
     docs — tombstones don't shrink the docID space)."""

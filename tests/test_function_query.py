@@ -275,6 +275,32 @@ def test_query_value_source_scores_and_default(reader):
     assert vs in reader.__dict__["_qvs_cache"]  # one search per reader
 
 
+def test_ord_field_source_global_ranks(reader, documents_index):
+    """OrdFieldSource: global ords == rank among sorted distinct values;
+    reverse = valueCount - ord - 1; every doc valued (single-valued
+    keyword field)."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.search.function import OrdFieldSource
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "source"])
+    src_of = dict(zip(t.column("doc_id").to_pylist(),
+                      t.column("source").to_pylist()))
+    distinct = sorted(set(src_of.values()))
+    ord_of = {v: i for i, v in enumerate(distinct)}
+    fwd = OrdFieldSource(field="source")
+    rev = OrdFieldSource(field="source", reverse=True)
+    for bid in reader.bucket_ids:
+        b = reader.bucket(bid)
+        ids = b.norms()[0].tolist()
+        f = fwd.values(reader, b)
+        r = rev.values(reader, b)
+        for i, d in enumerate(ids):
+            assert f[i] == np.float32(ord_of[src_of[d]])
+            assert r[i] == np.float32(len(distinct) - ord_of[src_of[d]] - 1)
+
+
 def test_function_query_respects_dv_updates(reader, documents_index, tmp_path):
     """Int64FieldSource reads through the update-resolved accessor
     (ReaderAndUpdates stacking), not the base column."""
