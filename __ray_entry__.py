@@ -2125,6 +2125,31 @@ def _q_function_ord(sf_dir: str) -> pa.Table:
     return _topk_rows_table(rows)
 
 
+def _q_join_scored(sf_dir: str) -> pa.Table:
+    """JoinUtil scored join (Join/JoinUtil.cs CreateJoinQuery +
+    TermsIncludingScoreQuery.cs, ScoreMode.Max): from-side lineitem rows
+    with l_returnflag='R' carry score l_extendedprice; each to-side order
+    scores the MAX of its matching from-side scores; top-20 orders
+    (score desc, key asc). Ray shape: ONE groupby(key) max aggregate +
+    a distributed top-k (ops/joins.py block_join_parent_scores — JoinUtil
+    and block join share the aggregate-then-rank expression; max is
+    float-order-independent, so the compare is exact)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.joins import block_join_parent_scores, top_parents
+
+    def only_r(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.equal(t.column("l_returnflag"), "R"))
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_returnflag"],
+    ).map_batches(only_r, batch_format="pyarrow")
+    scores = block_join_parent_scores(li, "l_orderkey", "l_extendedprice",
+                                      score_mode="max")
+    return top_parents(scores, "l_orderkey", 20)
+
+
 def _q_grouping_by_function(sf_dir: str) -> pa.Table:
     """GroupingSearch(ValueSource) two-pass grouping
     (Grouping/Function/FunctionFirstPassGroupingCollector.cs /
@@ -3781,6 +3806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_intersects": _q_spatial_intersects,
         "function_query_source": _q_function_query_source,
         "function_ord": _q_function_ord,
+        "join_scored": _q_join_scored,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -3915,6 +3941,10 @@ def oracle_sql() -> dict[str, str]:
         "function_query_source": so.function_query_source_sql(
             ["data", "merge"], 0.05, 500.0, 2.0, 800.0, TOPK),
         "function_ord": so.function_ord_sql("source", 1000.0, 1000.0, TOPK),
+        "join_scored": (
+            "SELECT l_orderkey, max(l_extendedprice) AS score "
+            "FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey "
+            "ORDER BY score DESC, l_orderkey ASC LIMIT 20"),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),
