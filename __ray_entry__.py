@@ -1836,6 +1836,49 @@ def _q_events_window(sf_dir: str) -> Any:
     return out[["event_type", "win", "n_events", "min_user", "max_user"]]
 
 
+def _q_events_sliding_window(sf_dir: str) -> pa.Table:
+    """Sliding-window aggregate (streaming idiom; size = 2h, step = 1h —
+    each event lands in exactly 2 overlapping windows): vectorized window
+    expansion inside map_batches (concat of size/step copies per batch, no
+    per-row loop) then ONE groupby((event_type, window)). Window w covers
+    ts in [w*step, w*step + size)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "user_id"])
+    step_us = 3_600_000_000
+    n_overlap = 2  # size = n_overlap * step
+
+    def expand(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        epoch_us = pc.cast(t.column("ts"), pa.int64())
+        base = pc.cast(pc.divide(epoch_us, step_us), pa.int64())
+        parts = []
+        for k in range(n_overlap):
+            parts.append(pa.table({
+                "event_type": t.column("event_type"),
+                "win": pc.subtract(base, k),
+                "user_id": t.column("user_id"),
+            }))
+        return pa.concat_tables(parts)
+
+    from ray.data.aggregate import Count, Max
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Max("user_id", alias_name="max_user"),
+        )
+        .to_pandas()
+        .sort_values(["event_type", "win"])
+        .reset_index(drop=True)
+    )
+    return out[["event_type", "win", "n_events", "max_user"]]
+
+
 def _q_events_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based sessionization over the events log (ops/sessions.py):
     ONE user_id hash shuffle, vectorized per-group session split (30-min
@@ -3807,6 +3850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_query_source": _q_function_query_source,
         "function_ord": _q_function_ord,
         "join_scored": _q_join_scored,
+        "events_sliding_window": _q_events_sliding_window,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -3945,6 +3989,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, max(l_extendedprice) AS score "
             "FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey "
             "ORDER BY score DESC, l_orderkey ASC LIMIT 20"),
+        "events_sliding_window": (
+            "WITH e AS (SELECT event_type, user_id, "
+            "  epoch_us(ts) // 3600000000 AS base FROM events), "
+            "x AS (SELECT event_type, user_id, base - k.k AS win "
+            "  FROM e, (VALUES (0), (1)) k(k)) "
+            "SELECT event_type, win, CAST(count(*) AS BIGINT) AS n_events, "
+            "  max(user_id) AS max_user "
+            "FROM x GROUP BY event_type, win ORDER BY event_type, win"),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),
