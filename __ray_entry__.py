@@ -1836,6 +1836,27 @@ def _q_events_window(sf_dir: str) -> Any:
     return out[["event_type", "win", "n_events", "min_user", "max_user"]]
 
 
+def _q_mlt_search(sf_dir: str) -> pa.Table:
+    """MoreLikeThisQuery end-to-end (Queries/Mlt/MoreLikeThisQuery.cs →
+    MoreLikeThis.Like → OR query, ops/mlt.py more_like_this_query): doc 0's
+    top-2 tf·idf terms OR'd and BM25-searched. 2 clauses so the float32
+    clause-order sum is order-free and the SQL oracle (which re-derives
+    the MLT terms itself) matches bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.mlt import more_like_this_query
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "=", 0)])
+    q = more_like_this_query(r, t.column("text")[0].as_py(),
+                             max_query_terms=2)
+    td = search(r, q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
 def _q_events_sliding_window(sf_dir: str) -> pa.Table:
     """Sliding-window aggregate (streaming idiom; size = 2h, step = 1h —
     each event lands in exactly 2 overlapping windows): vectorized window
@@ -3851,6 +3872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_ord": _q_function_ord,
         "join_scored": _q_join_scored,
         "events_sliding_window": _q_events_sliding_window,
+        "mlt_search": _q_mlt_search,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -3997,6 +4019,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, win, CAST(count(*) AS BIGINT) AS n_events, "
             "  max(user_id) AS max_user "
             "FROM x GROUP BY event_type, win ORDER BY event_type, win"),
+        "mlt_search": so.mlt_search_sql(0, 2, TOPK),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

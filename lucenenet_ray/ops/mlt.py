@@ -37,9 +37,11 @@ def mlt_terms(tokens: list[str], df_of, num_docs: int,
     return out[:max_query_terms]
 
 
-def more_like_this_query(reader, text: str, analyzer=None):
+def more_like_this_query(reader, text: str, analyzer=None,
+                         max_query_terms: int = MAX_QUERY_TERMS):
     """doc text → OR query of its top tf·idf terms (executes as a normal
-    BM25 search). The Ray mapping of SURVEY §2.7 MoreLikeThis."""
+    BM25 search; ``MoreLikeThisQuery.cs`` Rewrite → MoreLikeThis.Like).
+    The Ray mapping of SURVEY §2.7 MoreLikeThis."""
     from lucenenet_ray.analysis.standard import StandardAnalyzer
     from lucenenet_ray.search.query import (
         BooleanClause,
@@ -55,7 +57,8 @@ def more_like_this_query(reader, text: str, analyzer=None):
     def df_of(t: str) -> int:
         return stats.get(t, (0, 0))[0]
 
-    ranked = mlt_terms(tokens, df_of, reader.num_docs)
+    ranked = mlt_terms(tokens, df_of, reader.num_docs,
+                       max_query_terms=max_query_terms)
     return BooleanQuery(
         clauses=tuple(
             BooleanClause(Occur.SHOULD, TermQuery(term=t)) for t, _f, _d, _s in ranked

@@ -1203,6 +1203,58 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank
 FROM scored ORDER BY score DESC, term ASC LIMIT {max_terms}"""
 
 
+def mlt_search_sql(doc_id: int = 0, n_terms: int = 2, k: int = 10,
+                   min_tf: int = 2, min_df: int = 5) -> str:
+    """MoreLikeThisQuery oracle (ops/mlt.py more_like_this_query): the
+    top-``n_terms`` MLT terms of ``doc_id`` are derived IN SQL, then a
+    data-driven BM25 OR runs over them. ``n_terms`` must be ≤ 2: the
+    engine sums clause scores in float32 clause order, and a two-value
+    DOUBLE SUM rounded once equals exactly one f32 add."""
+    assert n_terms <= 2
+    return f"""WITH {_toks_cte()},{_NORM_CTE},
+src AS (
+  SELECT term, count(*) AS tf
+  FROM (SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id = {doc_id})
+  WHERE term <> '' GROUP BY term
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term
+),
+mscored AS (
+  SELECT s.term,
+         s.tf * (1.0 + ln(CAST((SELECT N FROM coll) AS DOUBLE)
+                          / (d.df + 1.0))) AS mscore
+  FROM src s JOIN dfs d USING (term)
+  WHERE s.tf >= {min_tf} AND d.df >= {min_df}
+),
+mlt AS (
+  SELECT term FROM mscored ORDER BY mscore DESC, term ASC LIMIT {n_terms}
+),
+qweights AS (
+  SELECT d.term,
+    CAST(ln(1 + (CAST((SELECT N FROM coll) AS DOUBLE) - d.df + 0.5)
+            /(d.df + 0.5)) AS REAL) * {K1P1_R} AS wv
+  FROM dfs d WHERE d.term IN (SELECT term FROM mlt)
+),
+tf2 AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf2.doc_id, (w.wv * tf2.f) / (tf2.f + c.cache) AS s
+  FROM tf2
+  JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf2.doc_id
+),
+scored AS (
+  SELECT doc_id, CAST(SUM(s) AS REAL) AS score FROM persc GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def events_window_sql() -> str:
     return """SELECT event_type,
        CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win,
