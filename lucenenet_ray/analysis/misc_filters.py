@@ -210,6 +210,71 @@ def pattern_replace(terms: list[str], pattern: str, replacement: str,
     return [rx.sub(replacement, t, count=count) for t in terms]
 
 
+def pattern_capture_group(terms: list[str], positions: list[int],
+                          patterns: list[str],
+                          preserve_original: bool = False
+                          ) -> tuple[list[str], list[int]]:
+    """PatternCaptureGroupTokenFilter
+    (``Analysis/Pattern/PatternCaptureGroupTokenFilter.cs:108-207``): one
+    output token per capture group per match per pattern. Per input
+    token: with ``preserve_original`` the original is emitted first (its
+    posInc kept) and every capture follows at posInc 0; otherwise the
+    FIRST capture replaces the original (no match → original passes
+    through). Captures across patterns interleave by the CURRENT
+    candidate's start offset (ties → lower pattern index) — each
+    pattern's own stream stays in (match, group-index) order, exactly
+    the NextCapture min-offset merge, NOT a global sort. Empty captures
+    are skipped; with preserve_original a capture spanning the whole
+    token is skipped (it would duplicate the original)."""
+    import re as _re
+
+    rxs = [_re.compile(p) for p in patterns]
+    out_t: list[str] = []
+    out_p: list[int] = []
+    for term, pos in zip(terms, positions):
+        streams: list[list[tuple[int, int]]] = []
+        for rx in rxs:
+            caps: list[tuple[int, int]] = []
+            for m in rx.finditer(term):
+                for g in range(1, (m.re.groups or 0) + 1):
+                    s, e = m.span(g)
+                    if s == e or s < 0:
+                        continue
+                    if preserve_original and s == 0 and e == len(term):
+                        continue
+                    caps.append((s, e))
+            streams.append(caps)
+        heads = [0] * len(streams)
+        emitted: list[str] = []
+        while True:
+            best = -1
+            best_start = None
+            for i, st in enumerate(streams):
+                if heads[i] < len(st):
+                    s = st[heads[i]][0]
+                    if best_start is None or s < best_start:
+                        best_start, best = s, i
+            if best == -1:
+                break
+            s, e = streams[best][heads[best]]
+            heads[best] += 1
+            emitted.append(term[s:e])
+        if preserve_original:
+            out_t.append(term)
+            out_p.append(pos)
+            for t in emitted:
+                out_t.append(t)
+                out_p.append(pos)  # posInc 0 → same position
+        elif emitted:
+            for t in emitted:
+                out_t.append(t)
+                out_p.append(pos)
+        else:
+            out_t.append(term)
+            out_p.append(pos)
+    return out_t, out_p
+
+
 def remove_duplicates(terms: list[str], positions: list[int]
                       ) -> tuple[list[str], list[int]]:
     """RemoveDuplicatesTokenFilter

@@ -152,3 +152,78 @@ def test_remove_duplicates():
 
     t, p = remove_duplicates(["a", "a", "b", "a"], [0, 0, 1, 2])
     assert t == ["a", "b", "a"] and p == [0, 1, 2]
+
+
+# -- PatternCaptureGroupTokenFilter ------------------------------------------
+# vectors: Tests.Analysis.Common/Analysis/Pattern/
+# TestPatternCaptureGroupTokenFilter.cs (token arrays + posIncrements)
+
+
+def _pcg(text, patterns, preserve):
+    from lucenenet_ray.analysis.misc_filters import pattern_capture_group
+
+    terms = text.split(" ")
+    pos = list(range(len(terms)))
+    return pattern_capture_group(terms, pos, patterns, preserve)
+
+
+def test_pattern_capture_no_pattern_and_no_match():
+    assert _pcg("foobarbaz", [], False) == (["foobarbaz"], [0])
+    assert _pcg("foobarbaz", [], True) == (["foobarbaz"], [0])
+    assert _pcg("foo bar baz", ["xx"], False) == (
+        ["foo", "bar", "baz"], [0, 1, 2])
+    # no capture group in the pattern → nothing captured
+    assert _pcg("foobarbaz", [".."], True) == (["foobarbaz"], [0])
+    # empty-only captures skipped
+    assert _pcg("foobarbaz", [".(y*)"], False) == (["foobarbaz"], [0])
+
+
+def test_pattern_capture_whole_token():
+    # non-preserve: whole-token capture replaces the original (same text)
+    assert _pcg("foobarbaz", ["(.+)"], False) == (["foobarbaz"], [0])
+    # preserve: whole-token capture skipped, original kept once
+    assert _pcg("foobarbaz", ["(.+)"], True) == (["foobarbaz"], [0])
+
+
+def test_pattern_capture_single_group():
+    assert _pcg("foobarbaz", ["^(.)"], False) == (["f"], [0])
+    assert _pcg("foobarbaz", ["^(.)"], True) == (["foobarbaz", "f"], [0, 0])
+    assert _pcg("foo bar baz", ["^(.)"], False) == (
+        ["f", "b", "b"], [0, 1, 2])
+    assert _pcg("foo bar baz", ["^(.)"], True) == (
+        ["foo", "f", "bar", "b", "baz", "b"], [0, 0, 1, 1, 2, 2])
+    assert _pcg("foo bar baz", ["(.)$"], False) == (
+        ["o", "r", "z"], [0, 1, 2])
+
+
+def test_pattern_capture_multi_group_order():
+    assert _pcg("foobarbaz", ["^(.)(.)"], False) == (["f", "o"], [0, 0])
+    assert _pcg("foobarbaz", ["^(.)(.)"], True) == (
+        ["foobarbaz", "f", "o"], [0, 0, 0])
+    assert _pcg("foobarbaz", ["^(.).+(.)$"], False) == (["f", "z"], [0, 0])
+    # nested groups iterate by group INDEX within each match
+    assert _pcg("foobarbaz", ["(.(.(.)))"], False) == (
+        ["foo", "oo", "o", "bar", "ar", "r", "baz", "az", "z"],
+        [0] * 9)
+    assert _pcg("foobarbaz", ["(.(.(.)))"], True) == (
+        ["foobarbaz", "foo", "oo", "o", "bar", "ar", "r", "baz", "az", "z"],
+        [0] * 10)
+
+
+def test_pattern_capture_multiple_patterns_min_offset_merge():
+    # streams merge by current candidate start offset across patterns
+    assert _pcg("aaabbbaaa", ["(aaa)", "(bbb)", "(ccc)"], False) == (
+        ["aaa", "bbb", "aaa"], [0, 0, 0])
+    assert _pcg("aaabbbaaa", ["(aaa)", "(bbb)", "(ccc)"], True) == (
+        ["aaabbbaaa", "aaa", "bbb", "aaa"], [0, 0, 0, 0])
+
+
+def test_pattern_capture_camel_case():
+    pats = [
+        "([A-Z]{2,})",
+        "(?<![A-Z])([A-Z][a-z]+)",
+        "(?:^|\\b|(?<=[0-9_])|(?<=[A-Z]{2}))([a-z]+)",
+        "([0-9]+)",
+    ]
+    t, p = _pcg("letsPartyLIKEits1999_dude", pats, False)
+    assert t == ["lets", "Party", "LIKE", "its", "1999", "dude"]
