@@ -602,6 +602,51 @@ def _q_freetext_lookup(sf_dir: str) -> pa.Table:
     })
 
 
+_LM_MODEL_CACHE: dict[str, str] = {}
+
+
+def _q_lm_quality(sf_dir: str) -> pa.Table:
+    """CCNet-style LM quality scoring (ops/lm_quality.py): a stupid-backoff
+    bigram reference model built once from the deterministic doc_id%10==0
+    slice scores every doc's transitions with exact-rational integer
+    weights (the float-free form of per-token log-prob); worst-fluency 20
+    docs by avg_w — integer-exact vs the SQL oracle."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.lm_quality import (build_reference_model,
+                                              lm_score_dataset)
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    key = _sf_key(sf_dir)
+    path = f"/tmp/lucenenet_ray_lmq/{key}.parquet"
+    if key not in _LM_MODEL_CACHE:
+        if not os.path.exists(path):
+            def ref_slice(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(ids % 10 == 0))
+
+            ref = (rd.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"])
+                .map_batches(ref_slice, batch_format="pyarrow"))
+            build_reference_model(ref, path)
+        _LM_MODEL_CACHE[key] = path
+    scored = lm_score_dataset(_docs_ds(sf_dir), _LM_MODEL_CACHE[key])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        # per-batch partial bottom-k so the driver merge is k-scale
+        import pandas as pd
+        df = t.to_pandas().sort_values(["avg_w", "doc_id"]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    t = dataset_to_table(
+        scored.map_batches(partial_topk, batch_format="pyarrow"))
+    df = t.to_pandas().sort_values(["avg_w", "doc_id"]).head(20)
+    return pa.Table.from_pandas(
+        df[["doc_id", "lm_score", "n_trans", "avg_w"]],
+        preserve_index=False)
+
+
 def _q_term_vector(sf_dir: str) -> pa.Table:
     """Term-vector retrieval for doc 0 (TermVectorsReader / Fields.GetTerms
     analog): (term, freq) of the doc's body, term-sorted — reconstructed
@@ -3899,6 +3944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_combine": _q_word_combine,
         "pages_flagship": _q_pages_flagship,
         "fvh_highlight": _q_fvh_highlight,
+        "lm_quality": _q_lm_quality,
     })
     return out
 
@@ -4077,6 +4123,7 @@ def oracle_sql() -> dict[str, str]:
                                "WHERE n_chars >= 305 AND n_chars < 460 "
                                "ORDER BY doc_id"),
         "snowball_da_stats": so.snowball_da_stats_sql(),
+        "lm_quality": so.lm_quality_sql(10, 20),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -3749,3 +3749,54 @@ FROM toks t
 LEFT JOIN agg a USING (doc_id)
 LEFT JOIN cov c USING (doc_id)
 ORDER BY t.doc_id"""
+
+
+def lm_quality_sql(mod: int = 10, k: int = 20) -> str:
+    """CCNet-style LM quality oracle (ops/lm_quality.py LMDocScorer):
+    reference model = 1/2-gram counts of docs with doc_id % mod == 0;
+    every transition w1->w2 of every doc scores the exact-rational
+    stupid-backoff weight (SCALE=1e6, discount exactly 0.4), summed per
+    doc; worst-fluency k docs by avg_w asc, doc_id asc."""
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tok AS (SELECT * FROM toks WHERE term <> ''),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE doc_id % {mod} = 0 GROUP BY term
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS c FROM tok WHERE doc_id % {mod} = 0
+),
+pairs AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, term AS w1,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+  ) WHERE w2 IS NOT NULL
+),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM pairs WHERE doc_id % {mod} = 0 GROUP BY w1, w2
+),
+scored AS (
+  SELECT p.doc_id,
+         CASE
+           WHEN b.c IS NOT NULL THEN CAST((1000000 * b.c) // u1.c AS BIGINT)
+           WHEN u2.c IS NOT NULL THEN CAST((4000000 * u2.c)
+                // (10 * (SELECT c FROM tot)) AS BIGINT)
+           ELSE CAST(0 AS BIGINT)
+         END AS w
+  FROM pairs p
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u1 ON u1.term = p.w1
+  LEFT JOIN uni u2 ON u2.term = p.w2
+)
+SELECT doc_id, CAST(sum(w) AS BIGINT) AS lm_score,
+       CAST(count(*) AS BIGINT) AS n_trans,
+       CAST(sum(w) // count(*) AS BIGINT) AS avg_w
+FROM scored GROUP BY doc_id
+ORDER BY avg_w ASC, doc_id ASC LIMIT {k}"""
