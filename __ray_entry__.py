@@ -647,6 +647,35 @@ def _q_lm_quality(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def _q_dsir(sf_dir: str) -> pa.Table:
+    """DSIR importance weighting (ops/dsir.py, Xie et al. 2023): hashed
+    uni+bigram buckets, target = lang 'en' vs raw = everything,
+    exact-integer smoothed-probability-difference weights; top-20
+    most-target-like docs — integer-exact vs the SQL oracle."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.dsir import (DEFAULT_BUCKETS, build_dsir_weights,
+                                        dsir_score_dataset)
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    full = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    w = build_dsir_weights(full, DEFAULT_BUCKETS, "en")
+    scored = dsir_score_dataset(_docs_ds(sf_dir), w, DEFAULT_BUCKETS)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["dsir_score", "doc_id"], ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    t = dataset_to_table(
+        scored.map_batches(partial_topk, batch_format="pyarrow"))
+    df = t.to_pandas().sort_values(
+        ["dsir_score", "doc_id"], ascending=[False, True]).head(20)
+    return pa.Table.from_pandas(
+        df[["doc_id", "dsir_score", "n_feats"]], preserve_index=False)
+
+
 def _q_term_vector(sf_dir: str) -> pa.Table:
     """Term-vector retrieval for doc 0 (TermVectorsReader / Fields.GetTerms
     analog): (term, freq) of the doc's body, term-sorted — reconstructed
@@ -3945,6 +3974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_flagship": _q_pages_flagship,
         "fvh_highlight": _q_fvh_highlight,
         "lm_quality": _q_lm_quality,
+        "dsir_select": _q_dsir,
     })
     return out
 
@@ -4124,6 +4154,7 @@ def oracle_sql() -> dict[str, str]:
                                "ORDER BY doc_id"),
         "snowball_da_stats": so.snowball_da_stats_sql(),
         "lm_quality": so.lm_quality_sql(10, 20),
+        "dsir_select": so.dsir_sql(4096, "en", 20),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -140,9 +140,14 @@ class LMDocScorer:
 def lm_score_dataset(ds, model_path: str, concurrency: int = 4):
     """Score a documents Dataset; returns a Dataset of
     (doc_id, lm_score, n_trans, avg_w).  Zero shuffles: the model is
-    loaded once per actor, batches stream through."""
+    loaded once per actor, batches stream through.  The pool is capped at
+    cluster CPUs - 2 so upstream read tasks keep a slot."""
+    import ray
+
+    cap = max(1, int(ray.cluster_resources().get("CPU", 4)) - 2)
     return ds.map_batches(LMDocScorer, fn_constructor_args=(model_path,),
-                          batch_format="pyarrow", concurrency=concurrency)
+                          batch_format="pyarrow",
+                          concurrency=min(concurrency, cap))
 
 
 def lm_quality_filter(ds, model_path: str, min_avg_w: int,

@@ -3800,3 +3800,61 @@ SELECT doc_id, CAST(sum(w) AS BIGINT) AS lm_score,
        CAST(sum(w) // count(*) AS BIGINT) AS avg_w
 FROM scored GROUP BY doc_id
 ORDER BY avg_w ASC, doc_id ASC LIMIT {k}"""
+
+
+def dsir_sql(n_buckets: int = 4096, target_lang: str = "en",
+             k: int = 20) -> str:
+    """DSIR importance-weight oracle (ops/dsir.py): hashed uni+bigram
+    buckets (md5-prefix % B), exact-integer smoothed-probability
+    difference weights (SCALE=1e9, +1 smoothing), per-doc sparse dot
+    product; most-target-like k docs by score desc, doc_id asc."""
+    scale = 10 ** 9
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tok AS (SELECT * FROM toks WHERE term <> ''),
+pairs AS (
+  SELECT doc_id, w1 || ' ' || w2 AS g FROM (
+    SELECT doc_id, term AS w1,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+  ) WHERE w2 IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, term AS g FROM tok
+  UNION ALL
+  SELECT doc_id, g FROM pairs
+),
+feat AS (
+  SELECT doc_id,
+         CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) % {n_buckets} AS b
+  FROM grams
+),
+tgtdocs AS (SELECT doc_id FROM documents WHERE lang = '{target_lang}'),
+rawc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM feat GROUP BY b),
+tgtc AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c
+  FROM feat JOIN tgtdocs USING (doc_id) GROUP BY b
+),
+tots AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM feat) AS r_tot,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM feat JOIN tgtdocs USING (doc_id)) AS t_tot
+),
+wb AS (
+  SELECT r.b,
+         CAST(({scale} * (COALESCE(t.c, 0) + 1))
+                // ((SELECT t_tot FROM tots) + {n_buckets})
+            - ({scale} * (r.c + 1))
+                // ((SELECT r_tot FROM tots) + {n_buckets}) AS BIGINT) AS w
+  FROM rawc r LEFT JOIN tgtc t USING (b)
+)
+SELECT f.doc_id,
+       CAST(sum(w.w) AS BIGINT) AS dsir_score,
+       CAST(count(*) AS BIGINT) AS n_feats
+FROM feat f JOIN wb w USING (b)
+GROUP BY f.doc_id
+ORDER BY dsir_score DESC, doc_id ASC LIMIT {k}"""
