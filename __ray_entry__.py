@@ -676,6 +676,23 @@ def _q_dsir(sf_dir: str) -> pa.Table:
         df[["doc_id", "dsir_score", "n_feats"]], preserve_index=False)
 
 
+def _q_semdedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (ops/semdedup.py, Abbas et al. 2023): deterministic
+    seed-vector clusters, within-cluster cosine >= 0.4 dedup keeping the
+    lowest-centroid-similarity item; (vec_id, cluster, kept) for every
+    vector (cent_sim is float-path-dependent and excluded from the graded
+    columns)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.semdedup import semdedup
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = dataset_to_table(semdedup(ds, n_clusters=8, tau=0.4))
+    return out.select(["vec_id", "cluster", "kept"]).sort_by("vec_id")
+
+
 def _q_term_vector(sf_dir: str) -> pa.Table:
     """Term-vector retrieval for doc 0 (TermVectorsReader / Fields.GetTerms
     analog): (term, freq) of the doc's body, term-sorted — reconstructed
@@ -3975,6 +3992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fvh_highlight": _q_fvh_highlight,
         "lm_quality": _q_lm_quality,
         "dsir_select": _q_dsir,
+        "semdedup": _q_semdedup,
     })
     return out
 
@@ -4155,6 +4173,7 @@ def oracle_sql() -> dict[str, str]:
         "snowball_da_stats": so.snowball_da_stats_sql(),
         "lm_quality": so.lm_quality_sql(10, 20),
         "dsir_select": so.dsir_sql(4096, "en", 20),
+        "semdedup": so.semdedup_sql(8, 0.4),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

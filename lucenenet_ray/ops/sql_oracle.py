@@ -3858,3 +3858,41 @@ SELECT f.doc_id,
 FROM feat f JOIN wb w USING (b)
 GROUP BY f.doc_id
 ORDER BY dsir_score DESC, doc_id ASC LIMIT {k}"""
+
+
+def semdedup_sql(n_clusters: int = 8, tau: float = 0.4) -> str:
+    """SemDeDup oracle (ops/semdedup.py): clusters = nearest of the
+    n_clusters lowest-vec_id seed vectors (cosine argmax, ties to low
+    seed id); within a cluster a vector is dropped iff some same-cluster
+    vector with cosine >= tau has lower (cent_sim, vec_id).  Output
+    (vec_id, cluster, kept) for every vector, vec_id order."""
+    return f"""WITH seeds AS (
+  SELECT vec_id AS sid, embedding AS semb FROM embeddings
+  WHERE vec_id < {n_clusters}
+),
+sims AS (
+  SELECT v.vec_id, s.sid,
+         list_cosine_similarity(v.embedding, s.semb) AS cs
+  FROM embeddings v CROSS JOIN seeds s
+),
+asg AS (
+  SELECT vec_id, sid AS cluster, cs AS cent_sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM asg a
+  JOIN asg b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {tau}
+    AND (b.cent_sim < a.cent_sim
+         OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+)
+SELECT a.vec_id, a.cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id"""
