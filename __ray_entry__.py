@@ -1948,6 +1948,38 @@ def _q_mlt_search(sf_dir: str) -> pa.Table:
     return _topdocs_to_table(td)
 
 
+def _q_parallel_fields_bm25(sf_dir: str) -> pa.Table:
+    """ParallelCompositeReader analog (Index/ParallelCompositeReader.cs /
+    ParallelAtomicReader.cs fieldToReader routing,
+    search/parallel_reader.py): the body field and the keyword `source`
+    field live in two SEPARATE indexes over the same doc space; the
+    composed reader must score MUST(spark) + MUST(source:src7) identically
+    to a single combined index — so the oracle is the plain single-index
+    SQL semantics."""
+    from lucenenet_ray.pipelines.flagship import documents_parallel_indexes_for
+    from lucenenet_ray.search.parallel_reader import ParallelIndexReader
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+        field_term,
+    )
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    body, fields = documents_parallel_indexes_for(sf_dir)
+    par = ParallelIndexReader(
+        [IndexReader(body), IndexReader(fields)],
+        field_map={None: 0, "source": 1})
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.MUST, TermQuery(term="spark")),
+        BooleanClause(Occur.MUST,
+                      TermQuery(term=field_term("source", "src7")))))
+    td = search(par, q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
 def _q_events_sliding_window(sf_dir: str) -> pa.Table:
     """Sliding-window aggregate (streaming idiom; size = 2h, step = 1h —
     each event lands in exactly 2 overlapping windows): vectorized window
@@ -3964,6 +3996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_scored": _q_join_scored,
         "events_sliding_window": _q_events_sliding_window,
         "mlt_search": _q_mlt_search,
+        "parallel_fields_bm25": _q_parallel_fields_bm25,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4114,6 +4147,8 @@ def oracle_sql() -> dict[str, str]:
             "  max(user_id) AS max_user "
             "FROM x GROUP BY event_type, win ORDER BY event_type, win"),
         "mlt_search": so.mlt_search_sql(0, 2, TOPK),
+        "parallel_fields_bm25": so.parallel_fields_bm25_sql(
+            "spark", "source", "src7", TOPK),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

@@ -178,6 +178,43 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS ra
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 
+def parallel_fields_bm25_sql(term: str, field: str, value: str,
+                             k: int = 10) -> str:
+    """ParallelCompositeReader conjunction oracle: MUST body ``term`` +
+    MUST keyword ``{field}:{value}`` where each field lives in its OWN
+    index (parallel_reader.py). Composition must be score-invariant, so
+    the oracle is the plain single-index semantics: float32
+    bm25(term) + wv_field·1/(1+k1) (omit-norms keyword clause,
+    BM25Similarity.cs:265-270), clause-order f32 add."""
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte([term])},
+fw AS (
+  SELECT CAST(CAST(ln(1 + (CAST((SELECT count(*) FROM documents) AS DOUBLE)
+          - df + 0.5)/(df + 0.5)) AS REAL) * {K1P1_R} AS REAL) AS wv
+  FROM (SELECT count(*) AS df FROM documents WHERE {field} = '{value}') s
+),
+fscore AS (
+  SELECT ((SELECT wv FROM fw) * CAST(1.0 AS REAL))
+           / (CAST(1.0 AS REAL) + {K1_R}) AS fs
+),
+tf AS (
+  SELECT doc_id, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term = '{term}' GROUP BY doc_id
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(CAST((w.wv * tf.f) / (tf.f + c.cache) AS REAL)
+              + (SELECT fs FROM fscore) AS REAL) AS score
+  FROM tf
+  JOIN qweights w ON w.term = '{term}'
+  JOIN normcache c ON c.doc_id = tf.doc_id
+  JOIN documents d ON d.doc_id = tf.doc_id
+  WHERE d.{field} = '{value}'
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or",
                   boosts: dict[str, float] | None = None,
                   deleted_terms: list[str] | None = None,

@@ -428,6 +428,46 @@ def cjk_index_for(sf_dir: str,
     return path
 
 
+def documents_parallel_indexes_for(sf_dir: str,
+                                   cache_root: str = "/tmp/lucenenet_ray_idx"
+                                   ) -> tuple[str, str]:
+    """Field-partitioned index pair over the SAME doc space — the
+    ParallelCompositeReader layout (``Index/ParallelCompositeReader.cs``):
+    one index owns the scored body field, a second owns the keyword
+    ``source`` field (blank body, so its term dict holds only the
+    field-prefixed terms). Both share id range / bucketing, the reference's
+    same-maxDoc requirement (ParallelAtomicReader.cs:71-76)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.index.build import IndexConfig, build_index
+
+    key = sf_cache_key(sf_dir)
+    body = os.path.join(cache_root, f"documents_parbody_{key}")
+    fields = os.path.join(cache_root, f"documents_parfields_{key}")
+    src = os.path.join(sf_dir, "documents.parquet")
+    n = pq.read_metadata(src).num_rows
+    if not os.path.exists(os.path.join(body, "manifest.json")):
+        ds = rd.read_parquet(src, columns=["doc_id", "text"])
+        build_index(ds, IndexConfig(index_path=body, id_min=0,
+                                    id_max=max(n - 1, 1), n_buckets=8),
+                    text_col="text", id_col="doc_id")
+    if not os.path.exists(os.path.join(fields, "manifest.json")):
+        import pyarrow as pa
+
+        def _blank_body(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "text", pa.array([""] * b.num_rows, type=pa.string()))
+
+        ds = rd.read_parquet(src, columns=["doc_id", "source"]) \
+            .map_batches(_blank_body, batch_format="pyarrow")
+        build_index(ds, IndexConfig(
+            index_path=fields, id_min=0, id_max=max(n - 1, 1), n_buckets=8,
+            extra_fields=(("source", "source", False),)),
+            text_col="text", id_col="doc_id")
+    return body, fields
+
+
 def run_query(index_path: str, query_text: str, k: int = 10,
               prune: bool = False) -> TopDocs:
     reader = IndexReader(index_path)
