@@ -1980,6 +1980,24 @@ def _q_parallel_fields_bm25(sf_dir: str) -> pa.Table:
     return _topdocs_to_table(td)
 
 
+def _q_multi_reader_bm25(sf_dir: str) -> pa.Table:
+    """MultiReader analog (Index/MultiReader.cs / BaseCompositeReader.cs,
+    search/multi_reader.py): the corpus split into two shard indexes with
+    disjoint doc-id ranges, searched as ONE composite — global df/avgdl
+    federate across shards (IndexSearcher.cs:982-1007 over MultiFields),
+    so the oracle is the plain whole-corpus BM25 OR semantics."""
+    from lucenenet_ray.pipelines.flagship import documents_sharded_indexes_for
+    from lucenenet_ray.search.multi_reader import MultiIndexReader
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    a, b = documents_sharded_indexes_for(sf_dir)
+    multi = MultiIndexReader([IndexReader(a), IndexReader(b)])
+    td = search(multi, parse_query("spark window"), k=TOPK)
+    return _topdocs_to_table(td)
+
+
 def _q_events_sliding_window(sf_dir: str) -> pa.Table:
     """Sliding-window aggregate (streaming idiom; size = 2h, step = 1h —
     each event lands in exactly 2 overlapping windows): vectorized window
@@ -3997,6 +4015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": _q_events_sliding_window,
         "mlt_search": _q_mlt_search,
         "parallel_fields_bm25": _q_parallel_fields_bm25,
+        "multi_reader_bm25": _q_multi_reader_bm25,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4149,6 +4168,7 @@ def oracle_sql() -> dict[str, str]:
         "mlt_search": so.mlt_search_sql(0, 2, TOPK),
         "parallel_fields_bm25": so.parallel_fields_bm25_sql(
             "spark", "source", "src7", TOPK),
+        "multi_reader_bm25": so.bm25_topk_sql(["spark", "window"], TOPK, "or"),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

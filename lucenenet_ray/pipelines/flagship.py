@@ -468,6 +468,38 @@ def documents_parallel_indexes_for(sf_dir: str,
     return body, fields
 
 
+def documents_sharded_indexes_for(sf_dir: str,
+                                  cache_root: str = "/tmp/lucenenet_ray_idx"
+                                  ) -> tuple[str, str]:
+    """MultiReader layout (``Index/MultiReader.cs``): the documents table
+    split into two shard indexes with DISJOINT doc-id ranges (docBase
+    concatenation analog) that search/multi_reader.py federates at query
+    time — search shards in place instead of physically merging them."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.index.build import IndexConfig, build_index
+
+    key = sf_cache_key(sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    n = pq.read_metadata(src).num_rows
+    mid = n // 2
+    out = []
+    for name, lo, hi in (("a", 0, mid - 1), ("b", mid, n - 1)):
+        path = os.path.join(cache_root, f"documents_shard{name}_{key}")
+        out.append(path)
+        if os.path.exists(os.path.join(path, "manifest.json")):
+            continue
+        ds = rd.read_parquet(
+            src, columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") <= hi))
+        build_index(ds, IndexConfig(index_path=path, id_min=lo, id_max=hi,
+                                    n_buckets=4),
+                    text_col="text", id_col="doc_id")
+    return out[0], out[1]
+
+
 def run_query(index_path: str, query_text: str, k: int = 10,
               prune: bool = False) -> TopDocs:
     reader = IndexReader(index_path)
