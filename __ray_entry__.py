@@ -647,6 +647,43 @@ def _q_lm_quality(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def _q_lm_buckets(sf_dir: str) -> pa.Table:
+    """CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020 §4.3,
+    ops/lm_quality.py lm_perplexity_buckets): tercile avg_w cutoffs from
+    the reference slice (rank-selected off a histogram — the driver sees
+    only distinct fluency values, never rows), then the whole corpus
+    bucketed and aggregated; integer-exact vs the SQL oracle."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.lm_quality import (build_reference_model,
+                                              lm_perplexity_buckets)
+
+    key = _sf_key(sf_dir)
+    path = f"/tmp/lucenenet_ray_lmq/{key}.parquet"
+    if key not in _LM_MODEL_CACHE:
+        if not os.path.exists(path):
+            def ref_slice(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(ids % 10 == 0))
+
+            ref = (rd.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"])
+                .map_batches(ref_slice, batch_format="pyarrow"))
+            build_reference_model(ref, path)
+        _LM_MODEL_CACHE[key] = path
+
+    def ref_slice2(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    ds_ref = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+              .map_batches(ref_slice2, batch_format="pyarrow"))
+    return lm_perplexity_buckets(_docs_ds(sf_dir), ds_ref,
+                                 _LM_MODEL_CACHE[key])
+
+
 def _q_dsir(sf_dir: str) -> pa.Table:
     """DSIR importance weighting (ops/dsir.py, Xie et al. 2023): hashed
     uni+bigram buckets, target = lang 'en' vs raw = everything,
@@ -4016,6 +4053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_search": _q_mlt_search,
         "parallel_fields_bm25": _q_parallel_fields_bm25,
         "multi_reader_bm25": _q_multi_reader_bm25,
+        "lm_buckets": _q_lm_buckets,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4169,6 +4207,7 @@ def oracle_sql() -> dict[str, str]:
         "parallel_fields_bm25": so.parallel_fields_bm25_sql(
             "spark", "source", "src7", TOPK),
         "multi_reader_bm25": so.bm25_topk_sql(["spark", "window"], TOPK, "or"),
+        "lm_buckets": so.lm_buckets_sql(),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

@@ -150,6 +150,71 @@ def lm_score_dataset(ds, model_path: str, concurrency: int = 4):
                           concurrency=min(concurrency, cap))
 
 
+def lm_bucket_cutoffs(scored_ref) -> tuple[int, int]:
+    """CCNet tercile thresholds, computed ONCE on the reference slice
+    (Wenzek et al. 2020 §4.3 computes head/middle/tail perplexity
+    thresholds on a sample, then buckets the whole corpus against them).
+
+    Rank-select WITHOUT materializing the slice's rows on the driver: the
+    cutoff value at (desc) rank i is fully determined by the avg_w
+    HISTOGRAM, so one ``groupby(avg_w).count()`` (driver sees only the
+    distinct fluency values) + a cumulative scan gives the exact
+    boundaries.  Ranks are 1-based over (avg_w desc): i1 = ceil(n/3),
+    i2 = ceil(2n/3) in exact integer form.
+    """
+    hist = scored_ref.groupby("avg_w").count().to_pandas()
+    hist = hist.sort_values("avg_w", ascending=False)
+    vals = hist["avg_w"].to_numpy()
+    cum = np.cumsum(hist["count()"].to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        raise ValueError("empty reference slice — no cutoffs")
+    i1 = (n + 2) // 3
+    i2 = (2 * n + 2) // 3
+    c1 = int(vals[int(np.searchsorted(cum, i1))])
+    c2 = int(vals[int(np.searchsorted(cum, i2))])
+    return c1, c2
+
+
+def lm_perplexity_buckets(ds_all, ds_ref, model_path: str,
+                          concurrency: int = 4) -> "pa.Table":
+    """CCNet head/middle/tail split: score the reference slice, derive the
+    tercile cutoffs (c1, c2), then bucket EVERY doc of the corpus —
+    head: avg_w >= c1 (most fluent), middle: avg_w >= c2, tail: the rest.
+    Docs with < 2 tokens are unscored and excluded (CCNet drops empties).
+
+    Two streaming passes by construction (the cutoffs must exist before
+    bucketing, same as CCNet): pass 1 over the SLICE only, pass 2 over the
+    corpus with (c1, c2) broadcast as plain ints in the batch closure.
+    Returns the per-bucket aggregate (bucket, n_docs, sum_avg_w)."""
+    c1, c2 = lm_bucket_cutoffs(
+        lm_score_dataset(ds_ref, model_path, concurrency=concurrency))
+    scored = lm_score_dataset(ds_all, model_path, concurrency=concurrency)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        w = t.column("avg_w").to_numpy(zero_copy_only=False)
+        bucket = np.where(w >= c1, "head",
+                          np.where(w >= c2, "middle", "tail"))
+        return pa.table({"bucket": pa.array(bucket, type=pa.string()),
+                         "avg_w": pa.array(w, type=pa.int64())})
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (scored.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Count(), Sum("avg_w"))
+           .to_pandas())
+    agg = agg.rename(columns={"count()": "n_docs",
+                              "sum(avg_w)": "sum_avg_w"})
+    agg = agg.sort_values("bucket").reset_index(drop=True)
+    return pa.table({
+        "bucket": pa.array(agg["bucket"], type=pa.string()),
+        "n_docs": pa.array(agg["n_docs"].astype("int64"), type=pa.int64()),
+        "sum_avg_w": pa.array(agg["sum_avg_w"].astype("int64"),
+                              type=pa.int64()),
+    })
+
+
 def lm_quality_filter(ds, model_path: str, min_avg_w: int,
                       concurrency: int = 4):
     """CCNet-style keep filter: docs whose per-token fluency avg_w is >=

@@ -3839,6 +3839,75 @@ FROM scored GROUP BY doc_id
 ORDER BY avg_w ASC, doc_id ASC LIMIT {k}"""
 
 
+def lm_buckets_sql(mod: int = 10) -> str:
+    """CCNet head/middle/tail perplexity-bucket oracle
+    (ops/lm_quality.py lm_perplexity_buckets): per-doc exact-rational
+    stupid-backoff avg_w (same CTEs as lm_quality_sql), tercile cutoffs
+    from the reference slice's (avg_w desc) ranks i1=ceil(n/3),
+    i2=ceil(2n/3) — exact integer form (n+2)//3 — then every scored doc
+    bucketed head (avg_w >= c1) / middle (>= c2) / tail."""
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tok AS (SELECT * FROM toks WHERE term <> ''),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE doc_id % {mod} = 0 GROUP BY term
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS c FROM tok WHERE doc_id % {mod} = 0
+),
+pairs AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, term AS w1,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+  ) WHERE w2 IS NOT NULL
+),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM pairs WHERE doc_id % {mod} = 0 GROUP BY w1, w2
+),
+scored AS (
+  SELECT p.doc_id,
+         CASE
+           WHEN b.c IS NOT NULL THEN CAST((1000000 * b.c) // u1.c AS BIGINT)
+           WHEN u2.c IS NOT NULL THEN CAST((4000000 * u2.c)
+                // (10 * (SELECT c FROM tot)) AS BIGINT)
+           ELSE CAST(0 AS BIGINT)
+         END AS w
+  FROM pairs p
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u1 ON u1.term = p.w1
+  LEFT JOIN uni u2 ON u2.term = p.w2
+),
+docscore AS (
+  SELECT doc_id, CAST(sum(w) // count(*) AS BIGINT) AS avg_w
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT avg_w, row_number() OVER (ORDER BY avg_w DESC) AS rn
+  FROM docscore WHERE doc_id % {mod} = 0
+),
+nref AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+cuts AS (
+  SELECT
+    (SELECT avg_w FROM ranked
+      WHERE rn = ((SELECT n FROM nref) + 2) // 3) AS c1,
+    (SELECT avg_w FROM ranked
+      WHERE rn = (2 * (SELECT n FROM nref) + 2) // 3) AS c2
+)
+SELECT CASE WHEN avg_w >= (SELECT c1 FROM cuts) THEN 'head'
+            WHEN avg_w >= (SELECT c2 FROM cuts) THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(avg_w) AS BIGINT) AS sum_avg_w
+FROM docscore GROUP BY 1 ORDER BY bucket"""
+
+
 def dsir_sql(n_buckets: int = 4096, target_lang: str = "en",
              k: int = 20) -> str:
     """DSIR importance-weight oracle (ops/dsir.py): hashed uni+bigram

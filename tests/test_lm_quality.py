@@ -115,3 +115,55 @@ def test_short_docs_dropped_and_filter(tmp_path, ray_session):
     # doc 3: OOV transitions -> avg_w 0 (filtered)
     assert kept["doc_id"].tolist() == [1]
     assert kept["avg_w"].tolist() == [(SCALE * 4) // 5]
+
+
+def test_bucket_cutoffs_rank_select(ray_session):
+    """Histogram rank-select == sorting the rows and picking ranks
+    ceil(n/3), ceil(2n/3) (desc)."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucenenet_ray.ops.lm_quality import lm_bucket_cutoffs
+
+    rng = [9, 9, 7, 7, 7, 5, 4, 4, 2, 1, 1]  # n=11, ties on purpose
+    ds = rd.from_arrow(pa.table({"avg_w": pa.array(rng, type=pa.int64())}))
+    c1, c2 = lm_bucket_cutoffs(ds)
+    desc = sorted(rng, reverse=True)
+    n = len(rng)
+    assert c1 == desc[(n + 2) // 3 - 1]
+    assert c2 == desc[(2 * n + 2) // 3 - 1]
+    assert (c1, c2) == (7, 4)
+
+
+def test_perplexity_buckets_match_bruteforce(ray_session, model_path):
+    import ray.data as rd
+
+    from lucenenet_ray.ops.lm_quality import lm_perplexity_buckets
+
+    def ref_slice(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % 10 == 0))
+
+    ds_all = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                             columns=["doc_id", "text"])
+    ds_ref = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                             columns=["doc_id", "text"]) \
+        .map_batches(ref_slice, batch_format="pyarrow")
+    got = lm_perplexity_buckets(ds_all, ds_ref, model_path).to_pandas()
+
+    want = _brute_scores()
+    ref_avg = sorted((s // n for i, (s, n) in want.items() if i % 10 == 0),
+                     reverse=True)
+    nr = len(ref_avg)
+    c1 = ref_avg[(nr + 2) // 3 - 1]
+    c2 = ref_avg[(2 * nr + 2) // 3 - 1]
+    from collections import Counter
+    cnt: Counter = Counter()
+    tot: Counter = Counter()
+    for s, n in want.values():
+        a = s // n
+        b = "head" if a >= c1 else ("middle" if a >= c2 else "tail")
+        cnt[b] += 1
+        tot[b] += a
+    assert dict(zip(got["bucket"], got["n_docs"])) == dict(cnt)
+    assert dict(zip(got["bucket"], got["sum_avg_w"])) == dict(tot)
