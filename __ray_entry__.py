@@ -684,6 +684,44 @@ def _q_lm_buckets(sf_dir: str) -> pa.Table:
                                  _LM_MODEL_CACHE[key])
 
 
+def _q_curation_funnel(sf_dir: str) -> pa.Table:
+    """End-to-end curation funnel (ops/curation.py — RefinedWeb/FineWeb
+    practice): C4 page filter -> Gopher rules -> LM fluency (avg_w >= the
+    CCNet tail cutoff) fused into ONE streaming pass emitting per-batch
+    partial retention counters; the driver sees count rows only.
+    Integer-exact vs the composed SQL oracle."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.curation import curation_funnel
+    from lucenenet_ray.ops.lm_quality import build_reference_model
+
+    key = _sf_key(sf_dir)
+    path = f"/tmp/lucenenet_ray_lmq/{key}.parquet"
+    if key not in _LM_MODEL_CACHE:
+        if not os.path.exists(path):
+            def ref_slice(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(ids % 10 == 0))
+
+            ref = (rd.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"])
+                .map_batches(ref_slice, batch_format="pyarrow"))
+            build_reference_model(ref, path)
+        _LM_MODEL_CACHE[key] = path
+
+    def ref_slice3(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    # cutoffs come from the AUGMENTED reference slice — the same text form
+    # the corpus is scored on (model stays the raw-slice LM)
+    ds_ref = _webclean_aug_ds(sf_dir).map_batches(
+        ref_slice3, batch_format="pyarrow")
+    return curation_funnel(_webclean_aug_ds(sf_dir), ds_ref,
+                           _LM_MODEL_CACHE[key])
+
+
 def _q_dsir(sf_dir: str) -> pa.Table:
     """DSIR importance weighting (ops/dsir.py, Xie et al. 2023): hashed
     uni+bigram buckets, target = lang 'en' vs raw = everything,
@@ -4054,6 +4092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parallel_fields_bm25": _q_parallel_fields_bm25,
         "multi_reader_bm25": _q_multi_reader_bm25,
         "lm_buckets": _q_lm_buckets,
+        "curation_funnel": _q_curation_funnel,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4208,6 +4247,7 @@ def oracle_sql() -> dict[str, str]:
             "spark", "source", "src7", TOPK),
         "multi_reader_bm25": so.bm25_topk_sql(["spark", "window"], TOPK, "or"),
         "lm_buckets": so.lm_buckets_sql(),
+        "curation_funnel": so.curation_funnel_sql(),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

@@ -3908,6 +3908,172 @@ SELECT CASE WHEN avg_w >= (SELECT c1 FROM cuts) THEN 'head'
 FROM docscore GROUP BY 1 ORDER BY bucket"""
 
 
+def curation_funnel_sql(mod: int = 10, min_words: int = 50,
+                        max_words: int = 100000) -> str:
+    """Curation-funnel oracle (ops/curation.py): per-stage retention of
+    C4 page filter -> Gopher rules -> LM fluency (avg_w >= tail cutoff c2)
+    over the augmented corpus.  Reference LM counts come from the RAW
+    doc_id%mod==0 slice (the out-of-domain model, CCNet's Wikipedia
+    analog); the tercile cutoff c2 is rank-selected from the AUGMENTED
+    reference slice's scores — the same text form the corpus is scored
+    on, so the tail boundary has bite."""
+    from lucenenet_ray.ops.webclean import GOPHER_STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""WITH aug AS (
+  SELECT doc_id, {_webclean_aug_expr()} AS t FROM documents
+),
+-- C4 page keep over aug
+c4l AS (
+  SELECT doc_id, t,
+         list_filter(string_split(t, chr(10)),
+            x -> substr(x, len(x), 1) IN ('.', '!', '?', '"')
+                 AND len(list_filter(string_split(x, ' '), y -> y <> '')) >= 3
+                 AND NOT contains(x, 'javascript')) AS kept
+  FROM aug
+),
+c4 AS (
+  SELECT doc_id,
+    CASE WHEN len(clean) - len(replace(clean, '.', ''))
+              + len(clean) - len(replace(clean, '!', ''))
+              + len(clean) - len(replace(clean, '?', '')) >= 5
+          AND NOT contains(t, 'lorem ipsum')
+          AND NOT contains(t, chr(123))
+     THEN 1 ELSE 0 END AS c4_keep
+  FROM (SELECT doc_id, t,
+               COALESCE(array_to_string(kept, chr(10)), '') AS clean
+        FROM c4l)
+),
+-- Gopher keep over aug
+gw AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(t, '[ \\n]'), x -> x <> '') AS words,
+         string_split(t, chr(10)) AS lines
+  FROM aug
+),
+gfeat AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(words, x -> len(x))), 0) AS BIGINT)
+      AS chars,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+      AS BIGINT) AS alpha,
+    CAST(len(t) - len(replace(t, '#', ''))
+         + (len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT) AS symbols,
+    CAST(len(lines) AS BIGINT) AS nl,
+    CAST(len(list_filter(lines, x -> substr(x, 1, 2) = '- ')) AS BIGINT)
+      AS bullets,
+    CAST(len(list_filter(lines,
+         x -> len(x) >= 3 AND substr(x, len(x) - 2, 3) = '...')) AS BIGINT)
+      AS ell,
+    CAST(len(list_filter([{stop_list}], s -> list_contains(words, s)))
+      AS BIGINT) AS stops
+  FROM gw
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN n_words BETWEEN {min_words} AND {max_words}
+          AND 3 * n_words <= chars AND chars <= 10 * n_words
+          AND 10 * symbols <= n_words
+          AND 10 * bullets <= 9 * nl
+          AND 10 * ell <= 3 * nl
+          AND 5 * alpha >= 4 * n_words
+          AND stops >= 2
+     THEN 1 ELSE 0 END AS g_keep
+  FROM gfeat
+),
+-- reference LM (RAW slice) + cutoffs (lm_buckets_sql semantics)
+rtoks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+rtok AS (SELECT * FROM rtoks WHERE term <> ''),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM rtok WHERE doc_id % {mod} = 0 GROUP BY term
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS c FROM rtok WHERE doc_id % {mod} = 0
+),
+rpairs AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, term AS w1,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM rtok
+  ) WHERE w2 IS NOT NULL
+),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM rpairs WHERE doc_id % {mod} = 0 GROUP BY w1, w2
+),
+-- corpus fluency over AUG text against the raw-slice model
+atoks AS (
+  SELECT doc_id,
+         unnest(string_split(t, ' ')) AS term,
+         unnest(range(len(string_split(t, ' ')))) AS pos
+  FROM aug
+),
+atok AS (SELECT * FROM atoks WHERE term <> ''),
+apairs AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, term AS w1,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM atok
+  ) WHERE w2 IS NOT NULL
+),
+ascored AS (
+  SELECT p.doc_id,
+         CASE
+           WHEN b.c IS NOT NULL THEN CAST((1000000 * b.c) // u1.c AS BIGINT)
+           WHEN u2.c IS NOT NULL THEN CAST((4000000 * u2.c)
+                // (10 * (SELECT c FROM tot)) AS BIGINT)
+           ELSE CAST(0 AS BIGINT)
+         END AS w
+  FROM apairs p
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u1 ON u1.term = p.w1
+  LEFT JOIN uni u2 ON u2.term = p.w2
+),
+adoc AS (
+  SELECT doc_id, CAST(sum(w) // count(*) AS BIGINT) AS avg_w
+  FROM ascored GROUP BY doc_id
+),
+-- tercile cutoff on the AUGMENTED reference slice (the same text form
+-- the corpus is scored on; lm_bucket_cutoffs semantics)
+ranked AS (
+  SELECT avg_w, row_number() OVER (ORDER BY avg_w DESC) AS rn
+  FROM adoc WHERE doc_id % {mod} = 0
+),
+nref AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+cuts AS (
+  SELECT (SELECT avg_w FROM ranked
+           WHERE rn = (2 * (SELECT n FROM nref) + 2) // 3) AS c2
+),
+flags AS (
+  SELECT a.doc_id, c4.c4_keep, g.g_keep, d.avg_w
+  FROM aug a
+  JOIN c4 USING (doc_id)
+  JOIN g USING (doc_id)
+  LEFT JOIN adoc d USING (doc_id)
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage, 'total' AS name,
+         CAST(count(*) AS BIGINT) AS n_docs FROM flags
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'c4_page', CAST(count(*) AS BIGINT)
+  FROM flags WHERE c4_keep = 1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'gopher', CAST(count(*) AS BIGINT)
+  FROM flags WHERE c4_keep = 1 AND g_keep = 1
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'fluent', CAST(count(*) AS BIGINT)
+  FROM flags WHERE c4_keep = 1 AND g_keep = 1
+    AND avg_w IS NOT NULL AND avg_w >= (SELECT c2 FROM cuts)
+) ORDER BY stage"""
+
+
 def dsir_sql(n_buckets: int = 4096, target_lang: str = "en",
              k: int = 20) -> str:
     """DSIR importance-weight oracle (ops/dsir.py): hashed uni+bigram
