@@ -2073,6 +2073,27 @@ def _q_multi_reader_bm25(sf_dir: str) -> pa.Table:
     return _topdocs_to_table(td)
 
 
+def _q_tiered_compaction_bm25(sf_dir: str) -> pa.Table:
+    """TieredMergePolicy compaction (Index/TieredMergePolicy.cs:326-520
+    FindMerges re-expressed in index/merge_policy.py): the corpus as 6
+    shard indexes, compacted by the tier-budget/skew-score selection into
+    fewer merged indexes, survivors federated with MultiIndexReader —
+    compaction must be score-invariant, so the oracle is the plain
+    whole-corpus BM25 semantics."""
+    from lucenenet_ray.pipelines.flagship import (
+        documents_compacted_indexes_for,
+    )
+    from lucenenet_ray.search.multi_reader import MultiIndexReader
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    survivors = documents_compacted_indexes_for(sf_dir)
+    multi = MultiIndexReader([IndexReader(p) for p in survivors])
+    td = search(multi, parse_query("vector batch"), k=TOPK)
+    return _topdocs_to_table(td)
+
+
 def _q_events_sliding_window(sf_dir: str) -> pa.Table:
     """Sliding-window aggregate (streaming idiom; size = 2h, step = 1h —
     each event lands in exactly 2 overlapping windows): vectorized window
@@ -4093,6 +4114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_reader_bm25": _q_multi_reader_bm25,
         "lm_buckets": _q_lm_buckets,
         "curation_funnel": _q_curation_funnel,
+        "tiered_compaction_bm25": _q_tiered_compaction_bm25,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4248,6 +4270,8 @@ def oracle_sql() -> dict[str, str]:
         "multi_reader_bm25": so.bm25_topk_sql(["spark", "window"], TOPK, "or"),
         "lm_buckets": so.lm_buckets_sql(),
         "curation_funnel": so.curation_funnel_sql(),
+        "tiered_compaction_bm25": so.bm25_topk_sql(
+            ["vector", "batch"], TOPK, "or"),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

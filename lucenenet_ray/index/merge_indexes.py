@@ -162,6 +162,17 @@ def _remerge_group(group: pa.Table, codec: str = "vint") -> pa.Table:
     )
 
 
+def _merge_ranges(ranges: list[list[int]]) -> list[list[int]]:
+    """Coalesce [lo, hi] pairs: sort, merge overlapping/adjacent."""
+    out: list[list[int]] = []
+    for lo, hi in sorted([int(a), int(b)] for a, b in ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
 def merge_indexes(index_paths: list[str], out_path: str) -> dict:
     """Combine complete same-layout indexes into one (AddIndexes analog).
 
@@ -266,7 +277,24 @@ def merge_indexes(index_paths: list[str], out_path: str) -> dict:
     nt_by_bucket = {r["bucket"]: r["n_terms"] for r in bucket_rows}
     manifest = {
         "format_version": 1,
-        "config": manifests[0]["config"] | {"index_path": out_path},
+        # id range = the UNION of the sources' doc spaces (the honest
+        # description of what the merged index covers — MultiIndexReader's
+        # disjointness check and any range-based tooling read this). Note
+        # the merged index's buckets keep the sources' numbering, read
+        # from the postings/norms files, NOT recomputed from this range.
+        "config": manifests[0]["config"] | {
+            "index_path": out_path,
+            "id_min": min(m["config"]["id_min"] for m in manifests),
+            "id_max": max(m["config"]["id_max"] for m in manifests),
+        },
+        # the EXACT doc-space as a coalesced range list — merges of
+        # non-adjacent shards leave holes that a single [min,max] can't
+        # express (MultiIndexReader checks disjointness against this)
+        "id_ranges": _merge_ranges([
+            r for m in manifests
+            for r in m.get("id_ranges",
+                           [[m["config"]["id_min"], m["config"]["id_max"]]])
+        ]),
         "n_docs": int(n_docs),
         "sum_total_term_freq": int(sum_len),
         "merged_from": index_paths,

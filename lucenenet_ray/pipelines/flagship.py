@@ -500,6 +500,57 @@ def documents_sharded_indexes_for(sf_dir: str,
     return out[0], out[1]
 
 
+def documents_compacted_indexes_for(sf_dir: str, n_shards: int = 6,
+                                    cache_root: str = "/tmp/lucenenet_ray_idx"
+                                    ) -> list[str]:
+    """TieredMergePolicy compaction fixture: the documents table split
+    into ``n_shards`` shard indexes, then compacted by the policy
+    (index/merge_policy.py) — returns the surviving index paths, searched
+    in place via search/multi_reader.MultiIndexReader."""
+    import json
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.index.build import IndexConfig, build_index
+    from lucenenet_ray.index.merge_policy import (TieredMergePolicy,
+                                                  compact_indexes)
+
+    key = sf_cache_key(sf_dir)
+    root = os.path.join(cache_root, f"documents_tiered_{key}")
+    marker = os.path.join(root, "survivors.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    src = os.path.join(sf_dir, "documents.parquet")
+    n = pq.read_metadata(src).num_rows
+    per = (n + n_shards - 1) // n_shards
+    paths = []
+    for sh in range(n_shards):
+        lo, hi = sh * per, min((sh + 1) * per, n) - 1
+        if lo > hi:
+            continue
+        p = os.path.join(root, f"shard{sh}")
+        paths.append(p)
+        if os.path.exists(os.path.join(p, "manifest.json")):
+            continue
+        ds = rd.read_parquet(
+            src, columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") <= hi))
+        build_index(ds, IndexConfig(index_path=p, id_min=lo, id_max=hi,
+                                    n_buckets=4),
+                    text_col="text", id_col="doc_id")
+    policy = TieredMergePolicy(max_merge_at_once=3, segs_per_tier=2.0,
+                               floor_segment_bytes=1)
+    survivors = compact_indexes(paths, os.path.join(root, "merged"), policy)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(survivors, f)
+    os.replace(tmp, marker)
+    return survivors
+
+
 def run_query(index_path: str, query_text: str, k: int = 10,
               prune: bool = False) -> TopDocs:
     reader = IndexReader(index_path)

@@ -46,18 +46,23 @@ class MultiIndexReader:
             raise ValueError("MultiIndexReader needs at least one reader")
         self.readers = list(readers)
         # BaseCompositeReader.cs:60-78 — sub readers are concatenated;
-        # our global-docID layout requires the id ranges be disjoint.
+        # our global-docID layout requires the doc spaces be disjoint.
+        # An index's doc space is its manifest "id_ranges" list (merged
+        # indexes of non-adjacent shards leave holes) or the single
+        # config [id_min, id_max].
         ranges = []
         for r in self.readers:
             cfg = r.manifest["config"]
-            ranges.append((int(cfg["id_min"]), int(cfg["id_max"]), r))
-        ranges.sort()
+            for lo, hi in r.manifest.get(
+                    "id_ranges", [[cfg["id_min"], cfg["id_max"]]]):
+                ranges.append((int(lo), int(hi), r))
+        ranges.sort(key=lambda x: (x[0], x[1]))
         for (lo1, hi1, r1), (lo2, hi2, r2) in zip(ranges, ranges[1:]):
-            if lo2 <= hi1:
+            if lo2 <= hi1 and r1 is not r2:
                 raise ValueError(
                     f"doc-id ranges overlap: {r1.index_path} [{lo1},{hi1}] "
                     f"vs {r2.index_path} [{lo2},{hi2}]")
-        self._ranges = [(lo, hi, r) for lo, hi, r in ranges]
+        self._ranges = ranges
         self.num_docs = sum(r.num_docs for r in self.readers)
         self.sum_total_term_freq = sum(
             r.sum_total_term_freq for r in self.readers)
