@@ -55,12 +55,16 @@ class TieredMergePolicy:
                  segs_per_tier: float = 10.0,
                  floor_segment_bytes: int = 2 * 1024 * 1024,
                  max_merged_segment_bytes: int = 5 * 1024 ** 3,
-                 reclaim_deletes_weight: float = 2.0):
+                 reclaim_deletes_weight: float = 2.0,
+                 max_merge_at_once_explicit: int = 30):
         if max_merge_at_once <= 1:
             raise ValueError("max_merge_at_once must be > 1")
+        if max_merge_at_once_explicit <= 1:
+            raise ValueError("max_merge_at_once_explicit must be > 1")
         if segs_per_tier < 2.0:
             raise ValueError("segs_per_tier must be >= 2.0")
         self.max_merge_at_once = max_merge_at_once
+        self.max_merge_at_once_explicit = max_merge_at_once_explicit
         self.segs_per_tier = segs_per_tier
         self.floor_segment_bytes = floor_segment_bytes
         self.max_merged_segment_bytes = max_merged_segment_bytes
@@ -151,6 +155,35 @@ class TieredMergePolicy:
             spec.append(best)
             to_be_merged.update(s.name for s in best)
 
+    def find_forced_merges(self, segments: list[SegmentMeta],
+                           max_segment_count: int = 1,
+                           merging: frozenset[str] = frozenset()
+                           ) -> list[list[SegmentMeta]]:
+        """ForceMerge selection (TieredMergePolicy.cs:602-684
+        ``FindForcedMerges``): full ``maxMergeAtOnceExplicit``-way merges
+        of the SMALLEST segments first (backwards over the size-desc
+        order); the final merge down to ``max_segment_count`` only
+        happens on a call where no full merge was selected — the
+        IndexWriter re-invokes after merges land, so forcing is
+        iterative (see :func:`force_merge`)."""
+        eligible = [s for s in segments if s.name not in merging]
+        force_merge_running = len(eligible) != len(segments)
+        if not eligible:
+            return []
+        if ((max_segment_count > 1 and len(eligible) <= max_segment_count)
+                or (max_segment_count == 1 and len(eligible) == 1)):
+            return []  # already merged
+        eligible.sort(key=lambda s: (-self._size(s), s.name))
+        end = len(eligible)
+        spec: list[list[SegmentMeta]] = []
+        while end >= self.max_merge_at_once_explicit + max_segment_count - 1:
+            spec.append(eligible[end - self.max_merge_at_once_explicit:end])
+            end -= self.max_merge_at_once_explicit
+        if not spec and not force_merge_running:
+            num = end - max_segment_count + 1
+            spec.append(eligible[end - num:end])
+        return spec
+
     # TieredMergePolicy.Score (:520-566)
     def _score(self, candidate: list[SegmentMeta],
                hit_too_large: bool) -> float:
@@ -202,6 +235,37 @@ def compact_indexes(index_paths: list[str], out_root: str,
             break
         for group in spec:
             out = os.path.join(out_root, f"merged_{gen:04d}")
+            gen += 1
+            merge_indexes([s.path for s in group], out)
+            paths = [p for p in paths
+                     if p not in {s.path for s in group}]
+            paths.append(out)
+    return paths
+
+
+def force_merge(index_paths: list[str], out_root: str,
+                max_segment_count: int = 1,
+                policy: TieredMergePolicy | None = None,
+                max_rounds: int = 10) -> list[str]:
+    """IndexWriter.ForceMerge(maxNumSegments): iterate
+    ``find_forced_merges`` + apply until the index is at
+    ``max_segment_count`` segments (or the policy declines)."""
+    from lucenenet_ray.index.merge_indexes import merge_indexes
+
+    policy = policy or TieredMergePolicy()
+    os.makedirs(out_root, exist_ok=True)
+    paths = list(index_paths)
+    gen = 0
+    for _round in range(max_rounds):
+        metas = [SegmentMeta(name=p, bytes=_dir_bytes(p), path=p)
+                 for p in paths]
+        spec = [m for m in policy.find_forced_merges(
+                    metas, max_segment_count=max_segment_count)
+                if len(m) >= 2]
+        if not spec:
+            break
+        for group in spec:
+            out = os.path.join(out_root, f"forced_{gen:04d}")
             gen += 1
             merge_indexes([s.path for s in group], out)
             paths = [p for p in paths

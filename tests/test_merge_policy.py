@@ -157,3 +157,77 @@ def test_compaction_end_to_end(ray_session, tmp_path, n_shards):
         got = search(multi, TermQuery(term=w), k=50)
         assert got.docs.tolist() == want.docs.tolist()
         assert got.scores.tolist() == want.scores.tolist()
+
+
+def test_forced_merges_full_then_final():
+    """70 segments, explicit width 30, target 1: first call = two full
+    30-way merges of the SMALLEST segments (backwards), no final merge on
+    the same call; a later call (12 left) does the single final merge."""
+    p = TieredMergePolicy(max_merge_at_once_explicit=30)
+    segs = _segs([(i + 1) * MB for i in range(70)])
+    spec = p.find_forced_merges(segs, max_segment_count=1)
+    assert [len(m) for m in spec] == [30, 30]
+    # backwards over size-desc order = smallest segments first
+    merged = {s.name for m in spec for s in m}
+    smallest60 = {s.name for s in sorted(segs, key=lambda s: s.bytes)[:60]}
+    assert merged == smallest60
+
+    remaining = [s for s in segs if s.name not in merged]
+    spec2 = p.find_forced_merges(remaining, max_segment_count=1)
+    assert [len(m) for m in spec2] == [len(remaining)]
+
+
+def test_forced_merges_target_count_and_noop():
+    p = TieredMergePolicy(max_merge_at_once_explicit=30)
+    segs = _segs([1 * MB] * 7)
+    # down to 3: final merge of end - 3 + 1 = 5 smallest
+    spec = p.find_forced_merges(segs, max_segment_count=3)
+    assert [len(m) for m in spec] == [5]
+    # already at/below target -> no-op
+    assert p.find_forced_merges(_segs([1 * MB] * 3),
+                                max_segment_count=3) == []
+    # a running force-merge suppresses the final merge
+    spec3 = p.find_forced_merges(segs, max_segment_count=1,
+                                 merging=frozenset({"s000"}))
+    assert spec3 == []
+
+
+def test_force_merge_end_to_end(ray_session, tmp_path):
+    import ray.data as rd
+
+    from lucenenet_ray.index.build import IndexConfig, build_index
+    from lucenenet_ray.index.merge_indexes import merge_indexes
+    from lucenenet_ray.index.merge_policy import force_merge
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    words = ["alpha", "beta", "gamma"]
+    paths = []
+    for sh in range(5):
+        lo = sh * 4
+        t = pa.table({
+            "doc_id": pa.array(range(lo, lo + 4), type=pa.int64()),
+            "text": pa.array([words[(lo + i) % 3] + " " + words[i % 3]
+                              for i in range(4)]),
+        })
+        p = str(tmp_path / f"fshard{sh}")
+        build_index(rd.from_arrow(t),
+                    IndexConfig(index_path=p, id_min=lo, id_max=lo + 3,
+                                n_buckets=2, n_hparts=1))
+        paths.append(p)
+
+    out = force_merge(paths, str(tmp_path / "forced"), max_segment_count=1,
+                      policy=TieredMergePolicy(max_merge_at_once_explicit=3))
+    assert len(out) == 1
+
+    allp = str(tmp_path / "all")
+    merge_indexes(paths, allp)
+    ref = IndexReader(allp)
+    got = IndexReader(out[0])
+    assert got.num_docs == ref.num_docs
+    for w in words:
+        a = search(ref, TermQuery(term=w), k=50)
+        b = search(got, TermQuery(term=w), k=50)
+        assert b.docs.tolist() == a.docs.tolist()
+        assert b.scores.tolist() == a.scores.tolist()
