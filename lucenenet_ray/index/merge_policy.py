@@ -200,6 +200,78 @@ class TieredMergePolicy:
         return score * (non_del ** self.reclaim_deletes_weight)
 
 
+class LogMergePolicy:
+    """LogByteSize/LogDoc merge policy (``Index/LogMergePolicy.cs:562-723``
+    ``FindMerges``): segments stay in INDEX ORDER (never sorted — docID
+    order is preserved across merges, the pre-4.0 contract); each
+    segment's level = log_mergeFactor(size); starting from the left, the
+    max remaining level opens a window [maxLevel - 0.75, maxLevel]
+    (floored at log(minMergeSize)) extending to the RIGHTMOST segment
+    inside it, and every full run of ``merge_factor`` segments in the
+    window becomes one merge — skipped (not split) when it contains a
+    too-large or already-merging segment.
+
+    ``size_of`` picks the metric: bytes (LogByteSizeMergePolicy, default
+    min 1.6 MB / max 2 GB) or docs (LogDocMergePolicy, min 1000 docs) —
+    pass sizes in SegmentMeta.bytes in the chosen unit."""
+
+    LEVEL_LOG_SPAN = 0.75
+
+    def __init__(self, merge_factor: int = 10,
+                 min_merge_size: int = int(1.6 * 1024 * 1024),
+                 max_merge_size: int = 2048 * 1024 * 1024,
+                 calibrate_size_by_deletes: bool = True):
+        if merge_factor < 2:
+            raise ValueError("merge_factor cannot be less than 2")
+        self.merge_factor = merge_factor
+        self.min_merge_size = min_merge_size
+        self.max_merge_size = max_merge_size
+        self.calibrate_size_by_deletes = calibrate_size_by_deletes
+
+    def _size(self, s: SegmentMeta) -> int:
+        if self.calibrate_size_by_deletes:
+            return max(1, int(s.bytes * (1.0 - s.del_ratio)))
+        return max(1, s.bytes)
+
+    def find_merges(self, segments: list[SegmentMeta],
+                    merging: frozenset[str] = frozenset()
+                    ) -> list[list[SegmentMeta]]:
+        if not segments:
+            return []
+        norm = math.log(self.merge_factor)
+        levels = [math.log(self._size(s)) / norm for s in segments]
+        level_floor = (0.0 if self.min_merge_size <= 0
+                       else math.log(self.min_merge_size) / norm)
+
+        spec: list[list[SegmentMeta]] = []
+        n = len(segments)
+        start = 0
+        while start < n:
+            max_level = max(levels[start:])
+            if max_level <= level_floor:
+                level_bottom = -1.0
+            else:
+                level_bottom = max_level - self.LEVEL_LOG_SPAN
+                if level_bottom < level_floor <= max_level:
+                    level_bottom = level_floor
+            upto = n - 1
+            while upto >= start and levels[upto] < level_bottom:
+                upto -= 1
+            # full merge_factor runs inside [start, upto]
+            end = start + self.merge_factor
+            while end <= 1 + upto:
+                window = segments[start:end]
+                any_too_large = any(
+                    self._size(s) >= self.max_merge_size for s in window)
+                any_merging = any(s.name in merging for s in window)
+                if not any_merging and not any_too_large:
+                    spec.append(window)
+                start = end
+                end = start + self.merge_factor
+            start = 1 + upto
+        return spec
+
+
 def _dir_bytes(path: str) -> int:
     n = 0
     for root, _dirs, files in os.walk(path):

@@ -231,3 +231,62 @@ def test_force_merge_end_to_end(ray_session, tmp_path):
         b = search(got, TermQuery(term=w), k=50)
         assert b.docs.tolist() == a.docs.tolist()
         assert b.scores.tolist() == a.scores.tolist()
+
+
+def test_log_policy_level_runs_in_index_order():
+    """LogMergePolicy never reorders: 25 equal segments (one level) ->
+    two contiguous 10-way merges, the 5-segment tail left alone."""
+    from lucenenet_ray.index.merge_policy import LogMergePolicy
+
+    p = LogMergePolicy(min_merge_size=1000, max_merge_size=10**12)
+    segs = _segs([4000] * 25)
+    spec = p.find_merges(segs)
+    assert [[s.name for s in m] for m in spec] == [
+        [f"s{i:03d}" for i in range(10)],
+        [f"s{i:03d}" for i in range(10, 20)],
+    ]
+
+
+def test_log_policy_levels_quantize():
+    """A big head segment opens its own level; the small tail merges at
+    the floor level (maxLevel <= floor -> everything remaining)."""
+    from lucenenet_ray.index.merge_policy import LogMergePolicy
+
+    p = LogMergePolicy(merge_factor=3, min_merge_size=1000,
+                       max_merge_size=10**12)
+    # head: 1e9 (own level); tail: 11 tiny (all under floor)
+    segs = _segs([10**9] + [10] * 11)
+    spec = p.find_merges(segs)
+    # head alone can't fill a 3-run at its level; tail yields 3 full runs
+    assert [len(m) for m in spec] == [3, 3, 3]
+    assert spec[0][0].name == "s001"  # head segment never merged
+
+
+def test_log_policy_too_large_window_skipped():
+    from lucenenet_ray.index.merge_policy import LogMergePolicy
+
+    p = LogMergePolicy(merge_factor=2, min_merge_size=0,
+                       max_merge_size=500)
+    # window containing a >= max segment is SKIPPED whole, not split
+    segs = _segs([600, 400, 400, 400])
+    spec = p.find_merges(segs)
+    for m in spec:
+        assert all(s.bytes < 500 for s in m)
+
+
+def test_log_policy_calibrates_deletes():
+    from lucenenet_ray.index.merge_policy import LogMergePolicy
+
+    segs = [SegmentMeta(name="a", bytes=1000, del_ratio=0.9),
+            SegmentMeta(name="b", bytes=100)]
+    p = LogMergePolicy(merge_factor=2, min_merge_size=0,
+                       max_merge_size=10**12)
+    spec = p.find_merges(segs)
+    # calibrated sizes 100 and 100 -> same level -> one merge of both
+    assert [len(m) for m in spec] == [2]
+    p2 = LogMergePolicy(merge_factor=2, min_merge_size=0,
+                        max_merge_size=10**12,
+                        calibrate_size_by_deletes=False)
+    # uncalibrated: 1000 vs 100 -> levels 9.97 vs 6.6 (log2) -> window
+    # [maxLevel-0.75] excludes b -> no full run anywhere
+    assert p2.find_merges(segs) == []
