@@ -184,6 +184,25 @@ class TieredMergePolicy:
             spec.append(eligible[end - num:end])
         return spec
 
+    def find_forced_deletes_merges(self, segments: list[SegmentMeta],
+                                   pct_allowed: float = 10.0,
+                                   merging: frozenset[str] = frozenset()
+                                   ) -> list[list[SegmentMeta]]:
+        """ForceMergeDeletes selection (TieredMergePolicy.cs:688-740):
+        every segment whose delete percentage exceeds ``pct_allowed``
+        (default forceMergeDeletesPctAllowed = 10) merges, size-desc, in
+        runs of ``maxMergeAtOnceExplicit`` — the merged-size cap is NOT
+        enforced here (the caller explicitly asked to reclaim deletes)."""
+        eligible = [s for s in segments
+                    if s.del_ratio * 100.0 > pct_allowed
+                    and s.name not in merging]
+        if not eligible:
+            return []
+        eligible.sort(key=lambda s: (-self._size(s), s.name))
+        return [eligible[i:i + self.max_merge_at_once_explicit]
+                for i in range(0, len(eligible),
+                               self.max_merge_at_once_explicit)]
+
     # TieredMergePolicy.Score (:520-566)
     def _score(self, candidate: list[SegmentMeta],
                hit_too_large: bool) -> float:

@@ -290,3 +290,21 @@ def test_log_policy_calibrates_deletes():
     # uncalibrated: 1000 vs 100 -> levels 9.97 vs 6.6 (log2) -> window
     # [maxLevel-0.75] excludes b -> no full run anywhere
     assert p2.find_merges(segs) == []
+
+
+def test_forced_deletes_merges():
+    """Only segments over the delete-pct threshold merge, size-desc, in
+    explicit-width runs, size cap NOT enforced."""
+    p = TieredMergePolicy(max_merge_at_once_explicit=3,
+                          max_merged_segment_bytes=1)  # cap must be ignored
+    segs = [SegmentMeta(name=f"s{i}", bytes=(i + 1) * MB,
+                        del_ratio=0.2 if i % 2 == 0 else 0.05)
+            for i in range(8)]
+    spec = p.find_forced_deletes_merges(segs, pct_allowed=10.0)
+    names = [[s.name for s in m] for m in spec]
+    # deleted-heavy = even indices (sizes 1,3,5,7 MB) sorted size-desc
+    assert names == [["s6", "s4", "s2"], ["s0"]]
+    assert p.find_forced_deletes_merges(segs, pct_allowed=25.0) == []
+    spec2 = p.find_forced_deletes_merges(
+        segs, pct_allowed=10.0, merging=frozenset({"s6"}))
+    assert [[s.name for s in m] for m in spec2] == [["s4", "s2", "s0"]]
