@@ -2094,6 +2094,30 @@ def _q_tiered_compaction_bm25(sf_dir: str) -> pa.Table:
     return _topdocs_to_table(td)
 
 
+def _q_span_position_range(sf_dir: str) -> pa.Table:
+    """SpanPositionRange(SpanNear([merge, batch], slop=2), [2, 40])
+    (Search/Spans/SpanPositionRangeQuery.cs AcceptPosition composed over
+    NearSpansOrdered): per-doc counts of near spans whose positions fall
+    inside the window."""
+    from lucenenet_ray.search.spans import (
+        SpanNearQuery,
+        SpanPositionRangeQuery,
+        SpanTermQuery,
+        span_counts,
+    )
+
+    q = SpanPositionRangeQuery(
+        match=SpanNearQuery(clauses=(SpanTermQuery(term="merge"),
+                                     SpanTermQuery(term="batch")),
+                            slop=2, in_order=True),
+        start=2, end=40)
+    rows = span_counts(_reader(sf_dir), q)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_spans": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
 def _q_events_sliding_window(sf_dir: str) -> pa.Table:
     """Sliding-window aggregate (streaming idiom; size = 2h, step = 1h —
     each event lands in exactly 2 overlapping windows): vectorized window
@@ -4115,6 +4139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_buckets": _q_lm_buckets,
         "curation_funnel": _q_curation_funnel,
         "tiered_compaction_bm25": _q_tiered_compaction_bm25,
+        "span_position_range_count": _q_span_position_range,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4272,6 +4297,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": so.curation_funnel_sql(),
         "tiered_compaction_bm25": so.bm25_topk_sql(
             ["vector", "batch"], TOPK, "or"),
+        "span_position_range_count": so.span_position_range_count_sql(
+            "merge", "batch", 2, 2, 40),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

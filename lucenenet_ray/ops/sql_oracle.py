@@ -596,6 +596,27 @@ FROM m2 WHERE p2 - p1 - 1 <= {slop}
 GROUP BY doc_id ORDER BY doc_id"""
 
 
+def span_position_range_count_sql(t1: str, t2: str, slop: int,
+                                  pstart: int, pend: int) -> str:
+    """SpanPositionRange(SpanNear([t1, t2], slop), start, end) oracle
+    (SpanPositionRangeQuery.cs AcceptPosition over the NearSpansOrdered
+    minimal matches): the near pairs of span_near_count_sql additionally
+    filtered to span.start >= pstart AND span.end (= p2 + 1) <= pend."""
+    return f"""WITH {_toks_cte()},
+occ1 AS (SELECT doc_id, pos FROM kept WHERE term = '{t1}'),
+occ2 AS (SELECT doc_id, pos FROM kept WHERE term = '{t2}'),
+m1 AS (
+  SELECT o1.doc_id, o1.pos AS p1, min(o2.pos) AS p2
+  FROM occ1 o1 JOIN occ2 o2 ON o2.doc_id = o1.doc_id AND o2.pos >= o1.pos + 1
+  GROUP BY o1.doc_id, o1.pos
+),
+m2 AS (SELECT doc_id, max(p1) AS p1, p2 FROM m1 GROUP BY doc_id, p2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM m2 WHERE p2 - p1 - 1 <= {slop}
+  AND p1 >= {pstart} AND p2 + 1 <= {pend}
+GROUP BY doc_id ORDER BY doc_id"""
+
+
 def span_near_pred_count_sql(pred1: str, t2: str, slop: int) -> str:
     """span_near_count_sql generalized: the FIRST clause is any SQL term
     predicate (an OR-group ``term IN (...)`` per SrndOrQuery, or a

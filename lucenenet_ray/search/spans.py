@@ -78,6 +78,18 @@ class SpanFirstQuery(SpanQuery):
     end: int = 0
 
 
+@dataclass(frozen=True)
+class SpanPositionRangeQuery(SpanQuery):
+    """Spans whose positions fall inside [start, end]
+    (``Search/Spans/SpanPositionRangeQuery.cs:60-66`` AcceptPosition:
+    span.start >= self.start AND span.end <= self.end; SpanFirstQuery is
+    the start=0 special case)."""
+
+    match: SpanQuery = None
+    start: int = 0
+    end: int = 0
+
+
 def extract_terms(q: SpanQuery, out: list[str]) -> None:
     """Clause terms in extraction order (SpanWeight term extraction)."""
     if isinstance(q, SpanTermQuery):
@@ -88,7 +100,7 @@ def extract_terms(q: SpanQuery, out: list[str]) -> None:
     elif isinstance(q, SpanNotQuery):
         extract_terms(q.include, out)
         extract_terms(q.exclude, out)
-    elif isinstance(q, SpanFirstQuery):
+    elif isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         extract_terms(q.match, out)
 
 
@@ -173,6 +185,10 @@ def span_first(match: Spans, end: int) -> Spans:
     return [(s, e) for s, e in match if e <= end]
 
 
+def span_position_range(match: Spans, start: int, end: int) -> Spans:
+    return [(s, e) for s, e in match if s >= start and e <= end]
+
+
 def _spans_for(q: SpanQuery, positions_of) -> Spans:
     """Evaluate the span tree for ONE doc. ``positions_of(term)`` returns
     the doc's ascending position array for a term (empty if absent)."""
@@ -189,6 +205,9 @@ def _spans_for(q: SpanQuery, positions_of) -> Spans:
                         _spans_for(q.exclude, positions_of))
     if isinstance(q, SpanFirstQuery):
         return span_first(_spans_for(q.match, positions_of), q.end)
+    if isinstance(q, SpanPositionRangeQuery):
+        return span_position_range(_spans_for(q.match, positions_of),
+                                   q.start, q.end)
     raise TypeError(f"unsupported span node {type(q)}")
 
 
@@ -215,7 +234,7 @@ def _required_terms(q: SpanQuery) -> list[set[str]]:
         return [alts]
     if isinstance(q, SpanNotQuery):
         return _required_terms(q.include)
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return _required_terms(q.match)
     return []
 

@@ -170,3 +170,40 @@ def test_ngram_phrase_rewrite(documents_index):
     assert ngram_phrase_rewrite(sloppy, 2) is sloppy
     gap = PhraseQuery(terms=(("wi", 0), ("nd", 2), ("do", 3)))
     assert ngram_phrase_rewrite(gap, 2) is gap
+
+
+def test_span_position_range_algebra():
+    """SpanPositionRangeQuery semantics (SpanPositionRangeQuery.cs
+    AcceptPosition: start >= lo AND end <= hi); SpanFirst == start=0."""
+    from lucenenet_ray.search.spans import span_first, span_position_range
+
+    spans = [(0, 1), (2, 4), (5, 6), (7, 10)]
+    assert span_position_range(spans, 0, 10) == spans
+    assert span_position_range(spans, 2, 6) == [(2, 4), (5, 6)]
+    assert span_position_range(spans, 3, 6) == [(5, 6)]
+    assert span_position_range(spans, 0, 6) == span_first(spans, 6)
+    assert span_position_range(spans, 8, 9) == []
+
+
+def test_span_position_range_eval(documents_index):
+    """Composed over a SpanNear: only spans inside the window survive."""
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.spans import (
+        SpanNearQuery,
+        SpanPositionRangeQuery,
+        SpanTermQuery,
+        span_counts,
+    )
+
+    path, _m = documents_index
+    reader = IndexReader(path)
+    near = SpanNearQuery(clauses=(SpanTermQuery(term="merge"),
+                                  SpanTermQuery(term="batch")), slop=2,
+                         in_order=True)
+    base = dict(span_counts(reader, near))
+    windowed = dict(span_counts(
+        reader, SpanPositionRangeQuery(match=near, start=0, end=10**6)))
+    assert windowed == base
+    none = dict(span_counts(
+        reader, SpanPositionRangeQuery(match=near, start=10**5, end=10**6)))
+    assert none == {}
