@@ -2118,6 +2118,40 @@ def _q_span_position_range(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_writer_api_bm25(sf_dir: str) -> pa.Table:
+    """IndexWriter/IndexSearcher facade end-to-end (lucenenet_ray/api.py —
+    the IndexWriter.cs add/delete/commit surface): the corpus added through
+    the writer in THREE commits (three shards federated by the reader),
+    then DeleteDocuments("dup") tombstones every shard; the searcher must
+    match the plain whole-corpus BM25-with-tombstones oracle — stats stay
+    full-corpus (pre-merge liveDocs semantics)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.api import IndexSearcher, IndexWriter
+    from lucenenet_ray.pipelines.flagship import sf_cache_key
+
+    root = os.path.join("/tmp/lucenenet_ray_idx",
+                        f"writer_api_{sf_cache_key(sf_dir)}")
+    if not os.path.exists(os.path.join(root, "writer_manifest.json")):
+        shutil.rmtree(root, ignore_errors=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        t = t.take(pa.compute.sort_indices(t.column("doc_id")))
+        texts = t.column("text").to_pylist()  # writer ids == doc_id
+        n = len(texts)
+        w = IndexWriter(root, n_buckets=4)
+        for lo in range(0, n, (n + 2) // 3):
+            w.add_documents({"text": x}
+                            for x in texts[lo:lo + (n + 2) // 3])
+            w.commit()
+    w = IndexWriter(root, n_buckets=4)
+    w.delete_documents("dup")
+    td = IndexSearcher(w.reader()).search("vector merge", n=TOPK)
+    return _topdocs_to_table(td)
+
+
 def _q_events_sliding_window(sf_dir: str) -> pa.Table:
     """Sliding-window aggregate (streaming idiom; size = 2h, step = 1h —
     each event lands in exactly 2 overlapping windows): vectorized window
@@ -4140,6 +4174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": _q_curation_funnel,
         "tiered_compaction_bm25": _q_tiered_compaction_bm25,
         "span_position_range_count": _q_span_position_range,
+        "writer_api_bm25": _q_writer_api_bm25,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4299,6 +4334,8 @@ def oracle_sql() -> dict[str, str]:
             ["vector", "batch"], TOPK, "or"),
         "span_position_range_count": so.span_position_range_count_sql(
             "merge", "batch", 2, 2, 40),
+        "writer_api_bm25": so.bm25_topk_sql(
+            ["vector", "merge"], TOPK, "or", deleted_terms=["dup"]),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

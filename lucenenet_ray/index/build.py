@@ -626,9 +626,16 @@ def _merge_group(group: pa.Table, store_positions: bool,
                 f"position stream corrupt: {pos_ends.size} values, "
                 f"expected {int(vbound[-1] if vbound.size else 0)}"
             )
-        pair_byte_end = np.where(
-            vbound > 0, pos_ends[np.maximum(vbound, 1) - 1] + 1, 0
-        ).astype(np.int64)
+        if pos_ends.size:
+            pair_byte_end = np.where(
+                vbound > 0, pos_ends[np.maximum(vbound, 1) - 1] + 1, 0
+            ).astype(np.int64)
+        else:
+            # group holds only doclen-sentinel rows (possible whenever a
+            # hash partition draws no position-bearing term — small
+            # corpora, or an hpart hosting only the sentinel): np.where
+            # evaluates both branches, so guard the empty-stream indexing
+            pair_byte_end = np.zeros(vbound.size, dtype=np.int64)
         pair_byte_start = np.concatenate(([0], pair_byte_end[:-1]))
         if has_pay:
             # payload runs have the SAME per-pair value counts as positions
@@ -642,9 +649,12 @@ def _merge_group(group: pa.Table, store_positions: bool,
                     f"payload stream corrupt: {pay_ends.size} values, "
                     f"expected {int(vbound[-1] if vbound.size else 0)}"
                 )
-            pay_byte_end = np.where(
-                vbound > 0, pay_ends[np.maximum(vbound, 1) - 1] + 1, 0
-            ).astype(np.int64)
+            if pay_ends.size:
+                pay_byte_end = np.where(
+                    vbound > 0, pay_ends[np.maximum(vbound, 1) - 1] + 1, 0
+                ).astype(np.int64)
+            else:
+                pay_byte_end = np.zeros(vbound.size, dtype=np.int64)
             pay_byte_start = np.concatenate(([0], pay_byte_end[:-1]))
 
     out = {k: [] for k in (
@@ -1062,8 +1072,19 @@ def write_termstats(index_path: str, n_term_rows: int) -> None:
     ~1e9 rows → distributed)."""
     import ray.data
 
+    import glob as _glob
+
     ts_path = os.path.join(index_path, "termstats")
     postings_dir = os.path.join(index_path, "postings")
+    if not _glob.glob(os.path.join(postings_dir, "*.parquet")):
+        # an index whose every doc was dropped (expunge of a fully-deleted
+        # shard) legitimately has no postings files — write empty stats
+        os.makedirs(ts_path, exist_ok=True)
+        empty = pa.table({"term": pa.array([], type=pa.string()),
+                          "df": pa.array([], type=pa.int64()),
+                          "ttf": pa.array([], type=pa.int64())})
+        _atomic_write_parquet(empty, os.path.join(ts_path, "termstats.parquet"))
+        return
     if n_term_rows <= 2_000_000:
         stats_t = pq.read_table(postings_dir, columns=["term", "df", "ttf"])
         agg = pa.TableGroupBy(stats_t, "term").aggregate([("df", "sum"), ("ttf", "sum")])

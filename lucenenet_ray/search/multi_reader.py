@@ -36,6 +36,23 @@ import numpy as np
 from lucenenet_ray.search.reader import IndexReader
 
 
+class _ScopedBucket:
+    """Bucket view that resolves tombstones against ITS OWN sub-reader's
+    delete log only — per-segment liveDocs semantics (a delete logged on
+    one shard never affects docs another shard added later; the writer
+    facade logs a delete onto every shard existing at delete time)."""
+
+    def __init__(self, inner, deleted_terms: tuple[str, ...]):
+        self._inner = inner
+        self._deleted = deleted_terms
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def live_mask(self, deleted_terms):  # noqa: ARG002 — scoped override
+        return self._inner.live_mask(self._deleted)
+
+
 class MultiIndexReader:
     """Compose readers over disjoint doc-id ranges; the reader surface
     consumed by plan_query/search (term_stats, expansion, buckets,
@@ -85,7 +102,8 @@ class MultiIndexReader:
 
     def bucket(self, key: tuple[int, int]):
         i, b = key
-        return self.readers[i].bucket(b)
+        r = self.readers[i]
+        return _ScopedBucket(r.bucket(b), r.deleted_terms)
 
     def version(self) -> tuple:
         return tuple(r.version() for r in self.readers)

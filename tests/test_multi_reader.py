@@ -122,9 +122,11 @@ def test_multi_dv_sort_and_term_vector(indexes):
             == search_sorted_by_docvalue(combined, q, "stars", k=6))
 
 
-def test_multi_deletes_federate(indexes, tmp_path):
-    """A delete term logged on ONE shard tombstones matches everywhere the
-    plan applies it (delete-by-term is global, IndexWriter semantics)."""
+def test_multi_deletes_are_shard_scoped(indexes, tmp_path):
+    """A delete log belongs to its shard — per-segment liveDocs: it
+    tombstones ONLY that shard's matching docs (a writer deletes by
+    logging onto every shard existing at delete time, so docs another
+    shard adds later survive — IndexWriter delete-queue ordering)."""
     from lucenenet_ray.index.deletes import delete_documents
     from lucenenet_ray.search.multi_reader import MultiIndexReader
     from lucenenet_ray.search.reader import IndexReader
@@ -136,8 +138,16 @@ def test_multi_deletes_federate(indexes, tmp_path):
     multi = MultiIndexReader([IndexReader(a, deletes_path=ddir),
                               IndexReader(b)])
     td = search(multi, TermQuery(term="gamma"), k=10)
-    # epsilon docs: 2,4,5,7 — gamma matches {0,2,4,5,6} → {0,6} survive
-    assert sorted(td.docs.tolist()) == [0, 6]
+    # gamma matches {0,2,4,5,6}; epsilon docs in shard a (ids 0-4) are
+    # {2,4} → tombstoned; shard b's epsilon doc 5 SURVIVES (scoped)
+    assert sorted(td.docs.tolist()) == [0, 5, 6]
+    # logging the same delete on BOTH shards = the global effect
+    ddir_b = str(tmp_path / "del_b")
+    delete_documents(ddir_b, ["epsilon"])
+    multi2 = MultiIndexReader([IndexReader(a, deletes_path=ddir),
+                               IndexReader(b, deletes_path=ddir_b)])
+    td2 = search(multi2, TermQuery(term="gamma"), k=10)
+    assert sorted(td2.docs.tolist()) == [0, 6]
 
 
 def test_multi_rejects_overlapping_ranges(indexes):
