@@ -45,6 +45,7 @@ class IndexWriter:
 
     def __init__(self, root: str, n_buckets: int = 8,
                  extra_fields: tuple = (),
+                 stored_fields: tuple[str, ...] = (),
                  merge_policy=None,
                  max_buffered_docs: int = 100_000):
         from lucenenet_ray.index.merge_policy import TieredMergePolicy
@@ -52,6 +53,9 @@ class IndexWriter:
         self.root = root
         self.n_buckets = n_buckets
         self.extra_fields = tuple(extra_fields)
+        # Field.Store.YES columns: each commit also writes a doc_id-sorted
+        # docstore (store/docstore.py) so searcher.doc(id) works
+        self.stored_fields = tuple(stored_fields)
         self.merge_policy = merge_policy or TieredMergePolicy()
         self.max_buffered_docs = max_buffered_docs
         os.makedirs(root, exist_ok=True)
@@ -132,9 +136,23 @@ class IndexWriter:
         cfg = IndexConfig(index_path=path, id_min=lo, id_max=max(hi, lo),
                           n_buckets=self.n_buckets,
                           extra_fields=self.extra_fields)
-        build_index(rd.from_arrow(pa.Table.from_pylist(rows)), cfg)
-        self._m["shards"].append(
-            {"path": path, "deletes": os.path.join(self.root, "deletes", name)})
+        if self.stored_fields:
+            for r, d in zip(rows, self._buffer):
+                for c in self.stored_fields:
+                    r.setdefault(c, d.get(c))
+        t = pa.Table.from_pylist(rows)
+        index_cols = ["doc_id", "text"] + [c for c, _f, _a in self.extra_fields]
+        build_index(rd.from_arrow(t.select(index_cols)), cfg)
+        entry = {"path": path,
+                 "deletes": os.path.join(self.root, "deletes", name)}
+        if self.stored_fields:
+            from lucenenet_ray.store.docstore import build_docstore
+
+            dpath = os.path.join(self.root, "docstore", name)
+            build_docstore(rd.from_arrow(t), dpath,
+                           columns=list(self.stored_fields))
+            entry["docstore"] = dpath
+        self._m["shards"].append(entry)
         self._m["next_id"] = hi + 1
         self._m["gen"] += 1
         self._buffer = []
@@ -200,11 +218,29 @@ class IndexWriter:
             for t in temps:
                 shutil.rmtree(t, ignore_errors=True)
             merged_set = {s.path for s in group}
+            entry = {"path": out,
+                     "deletes": os.path.join(self.root, "deletes", name)}
+            # stored fields travel as a file-level union (disjoint id
+            # ranges; DocStore prunes by row-group stats regardless of
+            # cross-file order). Documented delta vs the reference: stored
+            # rows of RECLAIMED docs persist here until a docstore rebuild
+            # — unreachable through search either way.
+            src_stores = [sh.get("docstore") for sh in self._m["shards"]
+                          if sh["path"] in merged_set and sh.get("docstore")]
+            if src_stores:
+                dpath = os.path.join(self.root, "docstore", name)
+                os.makedirs(dpath, exist_ok=True)
+                k = 0
+                for sdir in src_stores:
+                    for f in sorted(os.listdir(sdir)):
+                        if f.endswith(".parquet"):
+                            shutil.copy(os.path.join(sdir, f),
+                                        os.path.join(dpath, f"{k:06d}.parquet"))
+                            k += 1
+                entry["docstore"] = dpath
             self._m["shards"] = [sh for sh in self._m["shards"]
                                  if sh["path"] not in merged_set]
-            self._m["shards"].append(
-                {"path": out,
-                 "deletes": os.path.join(self.root, "deletes", name)})
+            self._m["shards"].append(entry)
             applied += 1
         if applied:
             self._m["gen"] += 1
@@ -259,6 +295,27 @@ class IndexWriter:
             _R(sh["path"], deletes_path=sh["deletes"])
             for sh in self._m["shards"]])
 
+    def doc(self, doc_id: int, columns: list[str] | None = None
+            ) -> dict[str, Any] | None:
+        """IndexSearcher.Doc(docID): the stored fields of one document
+        (row-group-pruned docstore read). None when the id is unknown or
+        the writer stores no fields."""
+        from lucenenet_ray.store.docstore import DocStore
+
+        for sh in self._m["shards"]:
+            dpath = sh.get("docstore")
+            if not dpath:
+                continue
+            t = DocStore(dpath).get_ordered([int(doc_id)], columns=columns)
+            if t.num_rows:
+                return {k: v[0] for k, v in t.to_pydict().items()}
+        return None
+
+    def searcher(self) -> "IndexSearcher":
+        """IndexSearcher over the committed state, with Doc(docID) wired
+        to this writer's stored fields."""
+        return IndexSearcher(self.reader(), doc_fn=self.doc)
+
     def close(self) -> None:
         self.commit()
 
@@ -268,8 +325,9 @@ class IndexSearcher:
     produces (single, parallel, or federated). Accepts a query string
     (classic parser) or a query-tree node."""
 
-    def __init__(self, reader):
+    def __init__(self, reader, doc_fn=None):
         self.reader = reader
+        self._doc_fn = doc_fn
 
     def search(self, query, n: int = 10, **kw):
         from lucenenet_ray.search.query import Query, parse_query
@@ -277,3 +335,10 @@ class IndexSearcher:
 
         q = parse_query(query) if isinstance(query, str) else query
         return _search(self.reader, q, k=n, **kw)
+
+    def doc(self, doc_id: int, columns: list[str] | None = None):
+        """IndexSearcher.Doc(docID) — stored-fields fetch for a hit."""
+        if self._doc_fn is None:
+            raise ValueError("no stored fields: open via "
+                             "IndexWriter.searcher() with stored_fields set")
+        return self._doc_fn(doc_id, columns=columns)

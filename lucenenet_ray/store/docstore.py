@@ -53,19 +53,29 @@ class DocStore:
 
     def get(self, doc_ids, columns: list[str] | None = None) -> pa.Table:
         """Rows for the given docIDs, in ascending doc_id order. Missing ids
-        are simply absent (like a deleted doc in Doc())."""
+        are simply absent (like a deleted doc in Doc()). ``columns`` may
+        omit the id column — it's fetched internally for ordering and
+        dropped from the result."""
         ids = sorted(int(d) for d in doc_ids)
+        drop_id = columns is not None and self.id_col not in columns
+        cols = (list(dict.fromkeys([self.id_col, *columns]))
+                if columns is not None else None)
         t = self._ds.to_table(
             filter=pc.field(self.id_col).isin(pa.array(ids, type=pa.int64())),
-            columns=columns,
+            columns=cols,
         )
-        return t.take(pc.sort_indices(t.column(self.id_col)))
+        t = t.take(pc.sort_indices(t.column(self.id_col)))
+        return t.drop_columns([self.id_col]) if drop_id else t
 
     def get_ordered(self, doc_ids, columns: list[str] | None = None) -> pa.Table:
         """Rows in the CALLER's order (e.g. rank order of TopDocs hits)."""
         want = [int(d) for d in doc_ids]
-        t = self.get(want, columns=columns)
+        drop_id = columns is not None and self.id_col not in columns
+        cols = (list(dict.fromkeys([self.id_col, *columns]))
+                if columns is not None else None)
+        t = self.get(want, columns=cols)
         have = t.column(self.id_col).to_numpy()
         pos = {int(d): i for i, d in enumerate(have)}
         take = [pos[d] for d in want if d in pos]
-        return t.take(pa.array(take, type=pa.int64()))
+        t = t.take(pa.array(take, type=pa.int64()))
+        return t.drop_columns([self.id_col]) if drop_id else t

@@ -111,3 +111,34 @@ def test_writer_reopen_persists_state(ray_session, tmp_path):
     w2.commit()
     td = IndexSearcher(w2.reader()).search("gamma", n=10)
     assert td.docs.tolist() == [2]  # doc ids continue, no overlap
+
+
+def test_stored_fields_doc_retrieval(ray_session, tmp_path):
+    """IndexSearcher.Doc(docID): stored fields come back for hits, survive
+    merges, and unknown ids return None."""
+    from lucenenet_ray.api import IndexWriter
+    from lucenenet_ray.index.merge_policy import TieredMergePolicy
+
+    w = IndexWriter(str(tmp_path / "w"), n_buckets=2,
+                    stored_fields=("text", "title"),
+                    merge_policy=TieredMergePolicy(
+                        max_merge_at_once_explicit=3))
+    w.add_document({"text": "alpha beta", "title": "Doc Zero"})
+    w.add_document({"text": "beta gamma", "title": "Doc One"})
+    w.commit()
+    w.add_document({"text": "gamma delta", "title": "Doc Two"})
+    w.commit()
+
+    s = w.searcher()
+    hit = s.search("gamma", n=1).docs.tolist()[0]
+    d = s.doc(hit)
+    assert d["doc_id"] == hit and d["title"] in ("Doc One", "Doc Two")
+    assert s.doc(0)["title"] == "Doc Zero"
+    assert s.doc(999) is None
+    assert s.doc(1, columns=["title"]) == {"title": "Doc One"}
+
+    w.force_merge(1)
+    assert w.num_shards == 1
+    s2 = w.searcher()
+    assert s2.doc(2)["text"] == "gamma delta"
+    assert s2.doc(0)["title"] == "Doc Zero"
