@@ -207,3 +207,52 @@ def test_span_position_range_eval(documents_index):
     none = dict(span_counts(
         reader, SpanPositionRangeQuery(match=near, start=10**5, end=10**6)))
     assert none == {}
+
+
+def test_field_masking_span_cross_field(ray_session, tmp_path_factory):
+    """FieldMaskingSpanQuery analog (Search/Spans/FieldMaskingSpanQuery.cs:
+    lets spans from different fields join in one SpanNear when their
+    position spaces are congruent). This engine's span trees carry the
+    field IN the term (field_term prefix) and impose no same-field check,
+    so cross-field near works directly — the mask is implicit."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucenenet_ray.index.build import IndexConfig, build_index
+    from lucenenet_ray.search.query import field_term
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.spans import (
+        SpanNearQuery,
+        SpanTermQuery,
+        span_counts,
+    )
+
+    # teacher/student lists: congruent position spaces per doc (the
+    # reference's own FieldMaskingSpanQuery example)
+    t = pa.table({
+        "doc_id": pa.array(range(3), type=pa.int64()),
+        "text": pa.array(["x", "x", "x"]),
+        "teachers": pa.array(["james smith", "sally jones", "mary brown"]),
+        "students": pa.array(["susan kelly", "jake smith", "sally hart"]),
+    })
+    path = str(tmp_path_factory.mktemp("mask") / "idx")
+    build_index(rd.from_arrow(t),
+                IndexConfig(index_path=path, id_min=0, id_max=2, n_buckets=1,
+                            n_hparts=1,
+                            extra_fields=(("teachers", "teachers", True),
+                                          ("students", "students", True))))
+    r = IndexReader(path)
+    # first name from `teachers`, surname from `students`: doc 1 has
+    # teachers "sally jones" (sally @ 0) and students "jake smith"
+    # (smith @ 1) — congruent position spaces, cross-field near matches
+    q = SpanNearQuery(clauses=(
+        SpanTermQuery(term=field_term("teachers", "sally")),
+        SpanTermQuery(term=field_term("students", "smith"))),
+        slop=0, in_order=True)
+    assert dict(span_counts(r, q)) == {1: 1}
+    # same-field control: james smith is a teachers-only phrase in doc 0
+    q2 = SpanNearQuery(clauses=(
+        SpanTermQuery(term=field_term("teachers", "james")),
+        SpanTermQuery(term=field_term("teachers", "smith"))),
+        slop=0, in_order=True)
+    assert dict(span_counts(r, q2)) == {0: 1}
