@@ -684,6 +684,18 @@ def _q_lm_buckets(sf_dir: str) -> pa.Table:
                                  _LM_MODEL_CACHE[key])
 
 
+def _q_paragraph_dedup(sf_dir: str) -> Any:
+    """Corpus-wide paragraph dedup (Dolma/RefinedWeb practice,
+    ops/paradedup.py): every repeated non-empty paragraph occurrence
+    dropped corpus-wide, first (doc_id, idx) wins; two inherent shuffles
+    (groupby hash, groupby doc). Hash-exact vs the SQL oracle over the
+    augmented corpus (its boilerplate lines repeat across docs)."""
+    from lucenenet_ray.ops.paradedup import paragraph_dedup
+
+    out = paragraph_dedup(_webclean_aug_ds(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_curation_funnel(sf_dir: str) -> pa.Table:
     """End-to-end curation funnel (ops/curation.py — RefinedWeb/FineWeb
     practice): C4 page filter -> Gopher rules -> LM fluency (avg_w >= the
@@ -4175,6 +4187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_compaction_bm25": _q_tiered_compaction_bm25,
         "span_position_range_count": _q_span_position_range,
         "writer_api_bm25": _q_writer_api_bm25,
+        "paragraph_dedup": _q_paragraph_dedup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4336,6 +4349,7 @@ def oracle_sql() -> dict[str, str]:
             "merge", "batch", 2, 2, 40),
         "writer_api_bm25": so.bm25_topk_sql(
             ["vector", "merge"], TOPK, "or", deleted_terms=["dup"]),
+        "paragraph_dedup": so.paragraph_dedup_sql(),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

@@ -3929,6 +3929,43 @@ SELECT CASE WHEN avg_w >= (SELECT c1 FROM cuts) THEN 'head'
 FROM docscore GROUP BY 1 ORDER BY bucket"""
 
 
+def paragraph_dedup_sql() -> str:
+    """Corpus-wide paragraph-dedup oracle (ops/paradedup.py over
+    webclean_augmented_text): a non-empty newline-segment survives only
+    at its first (doc_id, idx) occurrence corpus-wide; empties are
+    structural and always kept. Per doc: counts + md5 of the rejoined
+    kept text."""
+    return f"""WITH aug AS (
+  SELECT doc_id, {_webclean_aug_expr()} AS t FROM documents
+),
+paras AS (
+  SELECT doc_id, i - 1 AS idx, seg
+  FROM (SELECT doc_id,
+               unnest(string_split(t, chr(10))) AS seg,
+               unnest(range(1, len(string_split(t, chr(10))) + 1)) AS i
+        FROM aug)
+),
+ranked AS (
+  SELECT doc_id, idx, seg,
+         CASE WHEN seg = '' THEN 1
+              WHEN row_number() OVER (PARTITION BY seg
+                    ORDER BY doc_id, idx) = 1 THEN 1 ELSE 0 END AS keep
+  FROM paras
+),
+agg AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_paras,
+    CAST(sum(keep) AS BIGINT) AS n_kept,
+    COALESCE(string_agg(CASE WHEN keep = 1 THEN seg END, chr(10)
+                        ORDER BY idx), '') AS clean
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id, n_paras, n_kept,
+  CAST(len(clean) AS BIGINT) AS clean_len,
+  md5(clean) AS clean_md5
+FROM agg ORDER BY doc_id"""
+
+
 def curation_funnel_sql(mod: int = 10, min_words: int = 50,
                         max_words: int = 100000) -> str:
     """Curation-funnel oracle (ops/curation.py): per-stage retention of
