@@ -696,6 +696,29 @@ def _q_paragraph_dedup(sf_dir: str) -> Any:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_suggest_doc_dict(sf_dir: str) -> pa.Table:
+    """DocumentDictionary suggester source (Suggest/DocumentDictionary.cs,
+    ops/suggest.py document_dictionary): one entry per doc — key =
+    `source`, weight = `n_chars`, payload = doc_id; prefix completion
+    ranked (weight desc, key asc, payload asc)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.suggest import _suggest_scan, document_dictionary
+    from lucenenet_ray.pipelines.flagship import sf_cache_key
+
+    path = f"/tmp/lucenenet_ray_idx/docdict_{sf_cache_key(sf_dir)}.parquet"
+    if not os.path.exists(path):
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "source", "n_chars"])
+        document_dictionary(ds, path, term_col="source",
+                            weight_col="n_chars", payload_col="doc_id")
+    t, _r, _n = _suggest_scan(path, "src")
+    idx = pa.compute.sort_indices(t, sort_keys=[
+        ("weight", "descending"), ("key", "ascending"),
+        ("payload", "ascending")])
+    return t.take(idx[:TOPK])
+
+
 def _q_curation_funnel(sf_dir: str) -> pa.Table:
     """End-to-end curation funnel (ops/curation.py — RefinedWeb/FineWeb
     practice): C4 page filter -> Gopher rules -> LM fluency (avg_w >= the
@@ -4188,6 +4211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_position_range_count": _q_span_position_range,
         "writer_api_bm25": _q_writer_api_bm25,
         "paragraph_dedup": _q_paragraph_dedup,
+        "suggest_doc_dict": _q_suggest_doc_dict,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4350,6 +4374,10 @@ def oracle_sql() -> dict[str, str]:
         "writer_api_bm25": so.bm25_topk_sql(
             ["vector", "merge"], TOPK, "or", deleted_terms=["dup"]),
         "paragraph_dedup": so.paragraph_dedup_sql(),
+        "suggest_doc_dict": (
+            "SELECT source AS key, CAST(n_chars AS BIGINT) AS weight, "
+            "doc_id AS payload FROM documents WHERE source LIKE 'src%' "
+            "ORDER BY weight DESC, key ASC, payload ASC LIMIT 10"),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

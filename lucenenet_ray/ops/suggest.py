@@ -82,6 +82,50 @@ def build_suggester(ds, out_path: str, text_col: str = "text",
 _SHINGLE_SINGLETON: dict[int, object] = {}
 
 
+def document_dictionary(ds, out_path: str, term_col: str,
+                        weight_col: str | None = None,
+                        payload_col: str | None = None,
+                        row_group_size: int = ROW_GROUP_KEYS) -> str:
+    """DocumentDictionary (``Suggest/DocumentDictionary.cs``): ONE
+    suggestion entry per document — key = a stored field's value, weight
+    = a numeric field (0 when absent, :118-124), optional payload.
+    Documents with a null/missing key field are skipped (:104-109).
+    Output: the same key-sorted parquet the suggest_* readers consume
+    (duplicate keys legal — each doc keeps its own entry)."""
+    import pyarrow.compute as pc
+
+    cols = [term_col] + ([weight_col] if weight_col else []) \
+        + ([payload_col] if payload_col else [])
+
+    def project(t: pa.Table) -> pa.Table:
+        keys = t.column(term_col)
+        mask = pc.is_valid(keys)
+        t = t.filter(mask)
+        out = {"key": t.column(term_col).cast(pa.string())}
+        if weight_col:
+            w = t.column(weight_col).cast(pa.int64())
+            out["weight"] = pc.fill_null(w, 0)
+        else:
+            out["weight"] = pa.array([0] * t.num_rows, type=pa.int64())
+        if payload_col:
+            out["payload"] = t.column(payload_col)
+        return pa.table(out)
+
+    agg = (ds.select_columns(cols)
+           .map_batches(project, batch_format="pyarrow")
+           .sort(key="key"))
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    schema = [("key", pa.string()), ("weight", pa.int64())]
+    t = dataset_to_table(agg) if payload_col else \
+        dataset_to_table(agg, schema=pa.schema(schema))
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    tmp = out_path + ".tmp"
+    pq.write_table(t, tmp, row_group_size=row_group_size)
+    os.replace(tmp, out_path)
+    return out_path
+
+
 def _prefix_upper_bound(prefix: str) -> str:
     """Smallest string > every string with this prefix (for a range filter)."""
     b = prefix.encode("utf-8")
