@@ -719,6 +719,34 @@ def _q_suggest_doc_dict(sf_dir: str) -> pa.Table:
     return t.take(idx[:TOPK])
 
 
+def _q_equalized_mix(sf_dir: str) -> pa.Table:
+    """Equal-per-group data mixing (temperature→0 multilingual sampling,
+    ops/sampling.py equalized_sample): ≈30 docs kept per language via an
+    exact integer keep rule; per-group (lang, n_docs, n_kept)."""
+    from ray.data.aggregate import Count
+
+    from lucenenet_ray.ops.sampling import equalized_sample
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+    kept = (equalized_sample(ds, per_group=30)
+            .groupby("lang").count().to_pandas()
+            .rename(columns={"count()": "n_kept"}))
+    totals = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["lang"])
+              .groupby("lang").count().to_pandas()
+              .rename(columns={"count()": "n_docs"}))
+    out = totals.merge(kept, on="lang", how="left").fillna(0)
+    out = out.sort_values("lang").reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "n_docs": pa.array(out["n_docs"].astype("int64"), type=pa.int64()),
+        "n_kept": pa.array(out["n_kept"].astype("int64"), type=pa.int64()),
+    })
+
+
 def _q_curation_funnel(sf_dir: str) -> pa.Table:
     """End-to-end curation funnel (ops/curation.py — RefinedWeb/FineWeb
     practice): C4 page filter -> Gopher rules -> LM fluency (avg_w >= the
@@ -4212,6 +4240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "writer_api_bm25": _q_writer_api_bm25,
         "paragraph_dedup": _q_paragraph_dedup,
         "suggest_doc_dict": _q_suggest_doc_dict,
+        "equalized_mix": _q_equalized_mix,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4378,6 +4407,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source AS key, CAST(n_chars AS BIGINT) AS weight, "
             "doc_id AS payload FROM documents WHERE source LIKE 'src%' "
             "ORDER BY weight DESC, key ASC, payload ASC LIMIT 10"),
+        "equalized_mix": so.equalized_sample_sql(30),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

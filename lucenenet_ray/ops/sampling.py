@@ -37,6 +37,35 @@ def stratified_sample(ds, fractions: dict[str, float],
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def equalized_sample(ds, per_group: int, strata_col: str = "lang",
+                     key_col: str = "doc_id", salt: str = "eqmix"):
+    """Data-mixing with CORPUS-DERIVED quotas: keep ≈``per_group`` docs
+    from every stratum regardless of its size (the temperature→0 limit of
+    multilingual temperature sampling, Conneau & Lample 2019 practice —
+    head languages down-sampled hard, tail languages kept whole).
+
+    Keep rule is an exact integer cross-multiplication so the oracle
+    compares bit-for-bit: keep iff ``md5_int31(salt:key) * n_g <
+    per_group * 2^31`` (i.e. hash-fraction < per_group/n_g; groups with
+    n_g <= per_group keep everything).
+
+    Two passes: ONE low-cardinality ``groupby(strata)`` count (driver sees
+    group-count rows), then a zero-shuffle streaming filter with the
+    counts dict in the batch closure. Returns the filtered Dataset."""
+    counts = {r[strata_col]: int(r["count()"])
+              for r in ds.groupby(strata_col).count().take_all()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        strata = t.column(strata_col).to_pylist()
+        mask = [md5_int31(f"{salt}:{k}") * counts.get(s, 1)
+                < per_group * HASH_DOMAIN
+                for k, s in zip(keys, strata)]
+        return t.filter(pa.array(mask, type=pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def epoch_shuffle(ds, seed: int = 1, key_col: str = "doc_id",
                   salt: str = "epoch"):
     """Deterministic global training-epoch shuffle: reorder the corpus by

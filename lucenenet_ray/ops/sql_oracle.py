@@ -3618,6 +3618,25 @@ def stratified_sample_sql(fr_en: float = 0.4, fr_de: float = 0.8) -> str:
 SELECT lang, count(*) AS kept FROM kept GROUP BY lang ORDER BY lang"""
 
 
+def equalized_sample_sql(per_group: int = 30) -> str:
+    """Equal-per-group mixing oracle (ops/sampling.py equalized_sample):
+    keep iff md5_int31('eqmix:'||doc_id) * n_lang < per_group * 2^31 —
+    exact integer cross-multiplication."""
+    h = _MD5_INT31.format(s="'eqmix:'||CAST(doc_id AS VARCHAR)")
+    return f"""WITH n AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+k AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN n USING (lang)
+  WHERE ({h}) * n.n_docs < {per_group} * 2147483648
+  GROUP BY d.lang
+)
+SELECT n.lang, n.n_docs, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM n LEFT JOIN k USING (lang) ORDER BY n.lang"""
+
+
 def simhash_pairs_sql(hamming_k: int = 3, max_bucket: int = 256) -> str:
     """SimHash near-dup oracle: pairs sharing >= 1 of the 4 signature
     chunks, modelling the star-edge cap EXACTLY like simhash_pairs —
