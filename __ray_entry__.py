@@ -747,6 +747,43 @@ def _q_equalized_mix(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_image_stats(sf_dir: str) -> pa.Table:
+    """REAL image decode (ops/multimodal.py decode_ppm — dependency-free
+    P6 parser) through the actor-pool stage: integer per-image stats over
+    md5-pixel PPM payloads; the SQL oracle re-derives every pixel byte
+    from the md5 formulas, so the compare is exact."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.multimodal import (ImageStats,
+                                              synthesize_real_media_table)
+
+    t = synthesize_real_media_table(n=64)
+    ds = (rd.from_arrow(t)
+          .filter(lambda r: r["kind"] == "image")
+          .map_batches(ImageStats, batch_format="pyarrow", batch_size=16,
+                       concurrency=2))
+    out = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return out.take(pa.compute.sort_indices(out.column("item_id")))
+
+
+def _q_audio_stats(sf_dir: str) -> pa.Table:
+    """REAL WAV decode (ops/multimodal.py decode_wav_pcm16 — stdlib wave)
+    through the actor-pool stage: integer per-clip stats over md5-sample
+    PCM16 payloads; SQL re-derives each signed sample exactly."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.multimodal import (AudioStats,
+                                              synthesize_real_media_table)
+
+    t = synthesize_real_media_table(n=64)
+    ds = (rd.from_arrow(t)
+          .filter(lambda r: r["kind"] == "audio")
+          .map_batches(AudioStats, batch_format="pyarrow", batch_size=16,
+                       concurrency=2))
+    out = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return out.take(pa.compute.sort_indices(out.column("item_id")))
+
+
 def _q_curation_funnel(sf_dir: str) -> pa.Table:
     """End-to-end curation funnel (ops/curation.py — RefinedWeb/FineWeb
     practice): C4 page filter -> Gopher rules -> LM fluency (avg_w >= the
@@ -4241,6 +4278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "suggest_doc_dict": _q_suggest_doc_dict,
         "equalized_mix": _q_equalized_mix,
+        "image_stats": _q_image_stats,
+        "audio_stats": _q_audio_stats,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4408,6 +4447,8 @@ def oracle_sql() -> dict[str, str]:
             "doc_id AS payload FROM documents WHERE source LIKE 'src%' "
             "ORDER BY weight DESC, key ASC, payload ASC LIMIT 10"),
         "equalized_mix": so.equalized_sample_sql(30),
+        "image_stats": so.image_stats_sql(64, 4),
+        "audio_stats": so.audio_stats_sql(64, 128),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

@@ -2,10 +2,16 @@
 actor-pool map_batches stages.
 
 The Ray-side plumbing (schema, batch sizing, actor signature, output layout)
-is real and tested; the actual media decoding is STUBBED behind
-``NotImplementedError`` / a deterministic fake because image/audio libraries
-are not available in this container — swap ``_decode_image_real`` /
-``_decode_audio_real`` for Pillow/torchaudio implementations in production.
+is real and tested. Decoding comes in two tiers:
+
+* REAL, dependency-free decoders for containers that need none: binary
+  PPM/PGM and uncompressed 24-bit BMP (pure numpy), PCM16 WAV (stdlib
+  ``wave``) — see :func:`decode_image` / :func:`decode_wav_pcm16` and the
+  oracle-checked :class:`ImageStats` / :class:`AudioStats` stages;
+* compressed codecs (JPEG/MP3/H.264) STUBBED behind
+  ``NotImplementedError`` / a deterministic fake — those libraries are not
+  in this container; swap ``_decode_image_real`` for Pillow/pyav in
+  production.
 
 Batch-size guidance (SURVEY §4 memory-aware): binary payloads dominate block
 size — these stages use small ``batch_size`` (64) and ``batch_format=
@@ -196,6 +202,222 @@ class VideoFrameSample:
             "frame": pa.array(out_fr, type=pa.int32()),
             "luma_mean": pa.array(out_mean, type=pa.float64()),
         })
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders — dependency-free formats (no Pillow/torchaudio needed):
+# P6/P5 PPM and 24-bit BMP decode with numpy alone; WAV with stdlib `wave`.
+# These make the decode step genuinely real for those containers; exotic
+# codecs (JPEG/MP3/H.264) remain the documented swap-in.
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM/PGM (P6 RGB / P5 gray) → HxWx3 uint8. Pure parsing:
+    whitespace-separated header tokens (comments allowed), then raw bytes."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header = magic, width, height, maxval; '#' comments legal between
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8,
+                         count=w * h * ch, offset=i).reshape(h, w, ch)
+    return np.repeat(data, 3, axis=2) if ch == 1 else data.copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → HxWx3 uint8 (RGB). Handles the 4-byte row
+    padding and bottom-up row order of the BITMAPINFOHEADER format."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=off).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1].copy() if bottom_up else img.copy()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    header = (b"BM" + (54 + len(data)).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return header + data
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-dispatched REAL decode (PPM/PGM/BMP)."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError("unsupported image container (real decoders: PPM/BMP)")
+
+
+def decode_wav_pcm16(payload: bytes) -> np.ndarray:
+    """WAV container → mono int32 samples (stdlib `wave`; stereo averaged
+    with exact integer floor-division so oracles stay integral)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        nch = f.getnchannels()
+        raw = f.readframes(f.getnframes())
+    pcm = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    if nch > 1:
+        pcm = pcm[: len(pcm) // nch * nch].reshape(-1, nch).sum(axis=1) // nch
+    return pcm
+
+
+def encode_wav_pcm16(samples: np.ndarray, framerate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(framerate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+class ImageStats:
+    """Actor-pool stage with the REAL decoder: (id, PPM/BMP binary) →
+    integer per-image statistics — exact-oracle-friendly (no float math):
+    height, width, per-channel byte sums, total sum, max byte, and the
+    2x2-quadrant luma sums (sum of r+g+b per quadrant)."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "item_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.decode = decode_image  # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        cols: dict[str, list[int]] = {k: [] for k in (
+            "height", "width", "sum_r", "sum_g", "sum_b", "sum_all",
+            "max_byte", "q00", "q01", "q10", "q11")}
+        for v in batch.column(self.payload_col):
+            img = self.decode(v.as_py() or b"").astype(np.int64)
+            hh, ww, _ = img.shape
+            luma = img.sum(axis=2)
+            cols["height"].append(hh)
+            cols["width"].append(ww)
+            for i, c in enumerate("rgb"):
+                cols[f"sum_{c}"].append(int(img[:, :, i].sum()))
+            cols["sum_all"].append(int(img.sum()))
+            cols["max_byte"].append(int(img.max()))
+            for qi in range(2):
+                for qj in range(2):
+                    cols[f"q{qi}{qj}"].append(int(
+                        luma[qi * hh // 2:(qi + 1) * hh // 2,
+                             qj * ww // 2:(qj + 1) * ww // 2].sum()))
+        out = {"item_id": ids}
+        out.update({k: pa.array(v, type=pa.int64()) for k, v in cols.items()})
+        return pa.table(out)
+
+
+class AudioStats:
+    """Actor-pool stage with the REAL WAV decoder: (id, WAV binary) →
+    integer per-clip statistics: n_samples, sum of |sample|, max, min."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "item_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.decode = decode_wav_pcm16
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        ns, sa, mx, mn = [], [], [], []
+        for v in batch.column(self.payload_col):
+            pcm = self.decode(v.as_py() or b"").astype(np.int64)
+            ns.append(int(pcm.size))
+            sa.append(int(np.abs(pcm).sum()))
+            mx.append(int(pcm.max()) if pcm.size else 0)
+            mn.append(int(pcm.min()) if pcm.size else 0)
+        return pa.table({
+            "item_id": ids,
+            "n_samples": pa.array(ns, type=pa.int64()),
+            "sum_abs": pa.array(sa, type=pa.int64()),
+            "max_sample": pa.array(mx, type=pa.int64()),
+            "min_sample": pa.array(mn, type=pa.int64()),
+        })
+
+
+def _md5_bytes(seed: str, n: int) -> np.ndarray:
+    """n deterministic bytes: concat of md5(f"{seed}:{m}") digests —
+    byte-reproducible in SQL (substr of the hex digest)."""
+    out = b"".join(
+        hashlib.md5(f"{seed}:{m}".encode()).digest()
+        for m in range((n + 15) // 16))
+    return np.frombuffer(out[:n], dtype=np.uint8)
+
+
+def synthesize_real_media_table(n: int = 64, side: int = 4,
+                                n_samples: int = 128) -> pa.Table:
+    """REAL media payloads with SQL-re-derivable content: item 2i = a P6
+    PPM whose pixel bytes are md5(f"{id}:img:{m}") digests; item 2i+1 = a
+    PCM16 WAV whose little-endian sample bytes are md5(f"{id}:aud:{m}")
+    digests."""
+    ids, kinds, payloads = [], [], []
+    for i in range(n):
+        if i % 2 == 0:
+            px = _md5_bytes(f"{i}:img", side * side * 3) \
+                .reshape(side, side, 3)
+            payloads.append(encode_ppm(px))
+            kinds.append("image")
+        else:
+            raw = _md5_bytes(f"{i}:aud", n_samples * 2)
+            pcm = raw.view("<i2").astype(np.int16)
+            payloads.append(encode_wav_pcm16(pcm))
+            kinds.append("audio")
+        ids.append(i)
+    return pa.table({
+        "item_id": pa.array(ids, type=pa.int64()),
+        "kind": pa.array(kinds, type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
 
 
 def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:

@@ -3618,6 +3618,74 @@ def stratified_sample_sql(fr_en: float = 0.4, fr_de: float = 0.8) -> str:
 SELECT lang, count(*) AS kept FROM kept GROUP BY lang ORDER BY lang"""
 
 
+def image_stats_sql(n_items: int = 64, side: int = 4) -> str:
+    """REAL-image-decode oracle (ops/multimodal.py ImageStats over
+    synthesize_real_media_table): the P6 pixel bytes are md5-digest bytes,
+    so SQL re-derives every pixel (byte k of item = hex pair r=k%16 of
+    md5('{id}:img:{k//16}')) and the integer stats compare exactly."""
+    npix = side * side * 3
+    byte_v = ("CAST(('0x'||substr(md5(CAST(item_id AS VARCHAR)||':img:'"
+              "||CAST(k // 16 AS VARCHAR)), (k % 16) * 2 + 1, 2)) "
+              "AS BIGINT)")
+    half = side // 2
+    return f"""WITH items AS (
+  SELECT unnest(range(0, {n_items}, 2)) AS item_id
+),
+b AS (
+  SELECT item_id, k, {byte_v} AS v
+  FROM items, LATERAL (SELECT unnest(range({npix})) AS k) r
+),
+px AS (
+  SELECT item_id, v,
+    (k // 3) // {side} AS y, (k // 3) % {side} AS x, k % 3 AS c
+  FROM b
+)
+SELECT item_id,
+  CAST({side} AS BIGINT) AS height, CAST({side} AS BIGINT) AS width,
+  CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+  CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+  CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+  CAST(sum(v) AS BIGINT) AS sum_all,
+  CAST(max(v) AS BIGINT) AS max_byte,
+  CAST(sum(CASE WHEN y < {half} AND x < {half} THEN v ELSE 0 END)
+       AS BIGINT) AS q00,
+  CAST(sum(CASE WHEN y < {half} AND x >= {half} THEN v ELSE 0 END)
+       AS BIGINT) AS q01,
+  CAST(sum(CASE WHEN y >= {half} AND x < {half} THEN v ELSE 0 END)
+       AS BIGINT) AS q10,
+  CAST(sum(CASE WHEN y >= {half} AND x >= {half} THEN v ELSE 0 END)
+       AS BIGINT) AS q11
+FROM px GROUP BY item_id ORDER BY item_id"""
+
+
+def audio_stats_sql(n_items: int = 64, n_samples: int = 128) -> str:
+    """REAL-WAV-decode oracle (ops/multimodal.py AudioStats): PCM16
+    little-endian sample bytes are md5-digest bytes — SQL re-derives each
+    signed sample (lo + 256*hi, minus 65536 when >= 32768) exactly."""
+    nbytes = n_samples * 2
+    byte_v = ("CAST(('0x'||substr(md5(CAST(item_id AS VARCHAR)||':aud:'"
+              "||CAST({k} // 16 AS VARCHAR)), ({k} % 16) * 2 + 1, 2)) "
+              "AS BIGINT)")
+    lo = byte_v.format(k="(2 * s)")
+    hi = byte_v.format(k="(2 * s + 1)")
+    return f"""WITH items AS (
+  SELECT unnest(range(1, {n_items}, 2)) AS item_id
+),
+smp AS (
+  SELECT item_id,
+    CASE WHEN ({lo}) + 256 * ({hi}) >= 32768
+         THEN ({lo}) + 256 * ({hi}) - 65536
+         ELSE ({lo}) + 256 * ({hi}) END AS v
+  FROM items, LATERAL (SELECT unnest(range({n_samples})) AS s) r
+)
+SELECT item_id,
+  CAST({n_samples} AS BIGINT) AS n_samples,
+  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+  CAST(max(v) AS BIGINT) AS max_sample,
+  CAST(min(v) AS BIGINT) AS min_sample
+FROM smp GROUP BY item_id ORDER BY item_id"""
+
+
 def equalized_sample_sql(per_group: int = 30) -> str:
     """Equal-per-group mixing oracle (ops/sampling.py equalized_sample):
     keep iff md5_int31('eqmix:'||doc_id) * n_lang < per_group * 2^31 —

@@ -98,3 +98,73 @@ def test_video_frame_sample_stage(ray_session):
     for i, frames in by_id.items():
         n_frames = payloads[i] // VideoFrameSample.FRAME_BYTES
         assert len(frames) == len(range(0, n_frames, 3))
+
+
+def test_real_ppm_bmp_roundtrip():
+    """Dependency-free REAL decoders: encode->decode is the identity."""
+    import numpy as np
+
+    from lucenenet_ray.ops.multimodal import (decode_bmp, decode_image,
+                                              decode_ppm, encode_bmp,
+                                              encode_ppm)
+
+    rng = np.random.default_rng(3)
+    for h, w in [(4, 4), (3, 5), (1, 7)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+        np.testing.assert_array_equal(decode_image(encode_ppm(img)), img)
+        np.testing.assert_array_equal(decode_image(encode_bmp(img)), img)
+    # PPM comments + P5 grayscale expansion
+    gray = rng.integers(0, 256, size=(2, 3, 1), dtype=np.uint8)
+    p5 = b"P5\n# a comment\n3 2\n255\n" + gray.tobytes()
+    out = decode_ppm(p5)
+    np.testing.assert_array_equal(out, np.repeat(gray, 3, axis=2))
+
+
+def test_real_wav_roundtrip_and_stereo():
+    import numpy as np
+
+    from lucenenet_ray.ops.multimodal import (decode_wav_pcm16,
+                                              encode_wav_pcm16)
+
+    pcm = (np.sin(np.linspace(0, 20, 200)) * 20000).astype(np.int16)
+    got = decode_wav_pcm16(encode_wav_pcm16(pcm))
+    np.testing.assert_array_equal(got, pcm.astype(np.int32))
+    # stereo averages exactly (integer floor division)
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        inter = np.empty(10, dtype=np.int16)
+        inter[0::2] = [100, -100, 7, 0, 32000]
+        inter[1::2] = [200, -300, 8, 1, 31000]
+        f.writeframes(inter.tobytes())
+    got2 = decode_wav_pcm16(buf.getvalue())
+    np.testing.assert_array_equal(got2, [150, -200, 7, 0, 31500])
+
+
+def test_image_audio_stats_stages(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from lucenenet_ray.ops.multimodal import (AudioStats, ImageStats,
+                                              synthesize_real_media_table)
+
+    t = synthesize_real_media_table(n=8)
+    imgs = rd.from_arrow(t).filter(lambda r: r["kind"] == "image") \
+        .map_batches(ImageStats, batch_format="pyarrow", concurrency=1) \
+        .to_pandas()
+    assert (imgs["sum_all"] == imgs[["sum_r", "sum_g", "sum_b"]]
+            .sum(axis=1)).all()
+    assert (imgs["sum_all"] == imgs[["q00", "q01", "q10", "q11"]]
+            .sum(axis=1)).all()
+    auds = rd.from_arrow(t).filter(lambda r: r["kind"] == "audio") \
+        .map_batches(AudioStats, batch_format="pyarrow", concurrency=1) \
+        .to_pandas()
+    assert (auds["n_samples"] == 128).all()
+    assert (auds["max_sample"] >= auds["min_sample"]).all()
