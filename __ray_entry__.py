@@ -784,6 +784,52 @@ def _q_audio_stats(sf_dir: str) -> pa.Table:
     return out.take(pa.compute.sort_indices(out.column("item_id")))
 
 
+def _q_image_resize(sf_dir: str) -> pa.Table:
+    """REAL-decode nearest-neighbor resize (ops/multimodal.py ImageResize
+    over decode_ppm): per-image integer sum of the resized pixel bytes —
+    index math the SQL oracle reproduces exactly."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucenenet_ray.ops.multimodal import (ImageResize,
+                                              synthesize_real_media_table)
+
+    t = synthesize_real_media_table(n=64)
+    ds = (rd.from_arrow(t)
+          .filter(lambda r: r["kind"] == "image")
+          .map_batches(ImageResize, fn_constructor_kwargs={
+              "side": 2, "use_fake_decoder": False},
+              batch_format="pyarrow", batch_size=16, concurrency=2))
+    out = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    sums = [int(np.frombuffer(b.as_py(), dtype=np.uint8).astype(np.int64)
+                .sum()) for b in out.column("pixels")]
+    res = pa.table({
+        "item_id": out.column("item_id"),
+        "side": pa.array(out.column("side").to_numpy().astype("int64"),
+                         type=pa.int64()),
+        "resize_sum": pa.array(sums, type=pa.int64()),
+    })
+    return res.take(pa.compute.sort_indices(res.column("item_id")))
+
+
+def _q_video_luma_sample(sf_dir: str) -> pa.Table:
+    """REAL frame decode over concatenated-PPM clips (ops/multimodal.py
+    VideoLumaSample): every 5th frame's integer luma sum; SQL re-derives
+    each sampled frame's md5 pixel bytes exactly."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.multimodal import (VideoLumaSample,
+                                              synthesize_video_table)
+
+    t = synthesize_video_table(n=16)
+    ds = rd.from_arrow(t).map_batches(
+        VideoLumaSample, batch_format="pyarrow", batch_size=8,
+        concurrency=2)
+    out = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return out.take(pa.compute.sort_indices(
+        out, sort_keys=[("item_id", "ascending"), ("frame", "ascending")]))
+
+
 def _q_curation_funnel(sf_dir: str) -> pa.Table:
     """End-to-end curation funnel (ops/curation.py — RefinedWeb/FineWeb
     practice): C4 page filter -> Gopher rules -> LM fluency (avg_w >= the
@@ -4280,6 +4326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equalized_mix": _q_equalized_mix,
         "image_stats": _q_image_stats,
         "audio_stats": _q_audio_stats,
+        "image_resize": _q_image_resize,
+        "video_luma_sample": _q_video_luma_sample,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4449,6 +4497,8 @@ def oracle_sql() -> dict[str, str]:
         "equalized_mix": so.equalized_sample_sql(30),
         "image_stats": so.image_stats_sql(64, 4),
         "audio_stats": so.audio_stats_sql(64, 128),
+        "image_resize": so.image_resize_sql(64, 4, 2),
+        "video_luma_sample": so.video_luma_sample_sql(16, 12, 5, 4),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

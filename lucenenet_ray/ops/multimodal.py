@@ -145,11 +145,11 @@ class ImageResize:
     production; the resample math is library-free numpy."""
 
     def __init__(self, side: int = 2, payload_col: str = "payload",
-                 id_col: str = "item_id"):
+                 id_col: str = "item_id", use_fake_decoder: bool = True):
         self.side = side
         self.payload_col = payload_col
         self.id_col = id_col
-        self.decode = _decode_image_fake
+        self.decode = _decode_image_fake if use_fake_decoder else decode_image
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
@@ -383,6 +383,77 @@ class AudioStats:
             "max_sample": pa.array(mx, type=pa.int64()),
             "min_sample": pa.array(mn, type=pa.int64()),
         })
+
+
+def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
+    """Concatenated-P6 'video' container (MJPEG-in-spirit: one raw PPM per
+    frame, back to back): parse frames until the buffer is exhausted."""
+    frames = []
+    off = 0
+    while off < len(payload):
+        if payload[off:off + 2] != b"P6":
+            raise ValueError(f"bad frame magic at byte {off}")
+        # reuse the single-image parser on the remaining buffer, then
+        # advance by the exact bytes it consumed: re-scan the 3 header
+        # tokens (width, height, maxval) + the single whitespace after
+        rest = payload[off:]
+        img = decode_ppm(rest)
+        h, w, _ = img.shape
+        j = off + 2
+        for _tok in range(3):
+            while payload[j:j + 1].isspace():
+                j += 1
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+        off = j + 1 + w * h * 3
+        frames.append(img)
+    return frames
+
+
+class VideoLumaSample:
+    """Actor-pool stage with REAL frame decode: (id, concatenated-PPM
+    clip) → every ``stride``-th frame's integer luma sum (one output row
+    per sampled frame — the flat_map/keyframe-sampling dataflow)."""
+
+    def __init__(self, stride: int = 5, payload_col: str = "payload",
+                 id_col: str = "item_id"):
+        self.stride = stride
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.decode = decode_ppm_stream
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_fr, out_sum = [], [], []
+        ids = batch.column(self.id_col).to_pylist()
+        for did, v in zip(ids, batch.column(self.payload_col)):
+            frames = self.decode(v.as_py() or b"")
+            for f in range(0, len(frames), self.stride):
+                out_id.append(did)
+                out_fr.append(f)
+                out_sum.append(int(frames[f].astype(np.int64).sum()))
+        return pa.table({
+            "item_id": pa.array(out_id, type=pa.int64()),
+            "frame": pa.array(out_fr, type=pa.int32()),
+            "luma_sum": pa.array(out_sum, type=pa.int64()),
+        })
+
+
+def synthesize_video_table(n: int = 16, n_frames: int = 12,
+                           side: int = 4) -> pa.Table:
+    """REAL video clips with SQL-re-derivable frames: clip i's frame f has
+    pixel bytes md5(f"{i}:vid:{f}:{m}") — concatenated P6 frames."""
+    ids, payloads = [], []
+    for i in range(n):
+        clip = b"".join(
+            encode_ppm(_md5_bytes(f"{i}:vid:{f}", side * side * 3)
+                       .reshape(side, side, 3))
+            for f in range(n_frames))
+        ids.append(i)
+        payloads.append(clip)
+    return pa.table({
+        "item_id": pa.array(ids, type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
 
 
 def _md5_bytes(seed: str, n: int) -> np.ndarray:

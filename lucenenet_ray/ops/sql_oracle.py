@@ -3686,6 +3686,61 @@ SELECT item_id,
 FROM smp GROUP BY item_id ORDER BY item_id"""
 
 
+def image_resize_sql(n_items: int = 64, side: int = 4,
+                     out_side: int = 2) -> str:
+    """REAL-decode nearest-neighbor resize oracle (ops/multimodal.py
+    ImageResize(use_fake_decoder=False)): resized pixel (i,j) = source
+    (i*side//out, j*side//out), so the resized byte sum is the sum over
+    the selected source indices — all integer."""
+    npix = side * side * 3
+    byte_v = ("CAST(('0x'||substr(md5(CAST(item_id AS VARCHAR)||':img:'"
+              "||CAST(k // 16 AS VARCHAR)), (k % 16) * 2 + 1, 2)) "
+              "AS BIGINT)")
+    ys = ", ".join(str(i * side // out_side) for i in range(out_side))
+    xs = ", ".join(str(j * side // out_side) for j in range(out_side))
+    return f"""WITH items AS (
+  SELECT unnest(range(0, {n_items}, 2)) AS item_id
+),
+b AS (
+  SELECT item_id, k, {byte_v} AS v
+  FROM items, LATERAL (SELECT unnest(range({npix})) AS k) r
+),
+px AS (
+  SELECT item_id, v, (k // 3) // {side} AS y, (k // 3) % {side} AS x
+  FROM b
+)
+SELECT item_id, CAST({out_side} AS BIGINT) AS side,
+  CAST(sum(CASE WHEN y IN ({ys}) AND x IN ({xs}) THEN v ELSE 0 END)
+       AS BIGINT) AS resize_sum
+FROM px GROUP BY item_id ORDER BY item_id"""
+
+
+def video_luma_sample_sql(n_clips: int = 16, n_frames: int = 12,
+                          stride: int = 5, side: int = 4) -> str:
+    """REAL concatenated-PPM frame-sampling oracle (ops/multimodal.py
+    VideoLumaSample): sampled frame f's luma sum = sum of its 48
+    md5-derived pixel bytes."""
+    npix = side * side * 3
+    frames = ", ".join(str(f) for f in range(0, n_frames, stride))
+    byte_v = ("CAST(('0x'||substr(md5(CAST(item_id AS VARCHAR)||':vid:'"
+              "||CAST(f AS VARCHAR)||':'||CAST(k // 16 AS VARCHAR)), "
+              "(k % 16) * 2 + 1, 2)) AS BIGINT)")
+    return f"""WITH items AS (
+  SELECT unnest(range({n_clips})) AS item_id
+),
+fr AS (
+  SELECT item_id, f
+  FROM items, LATERAL (SELECT unnest([{frames}]) AS f) s
+),
+b AS (
+  SELECT item_id, f, {byte_v} AS v
+  FROM fr, LATERAL (SELECT unnest(range({npix})) AS k) r
+)
+SELECT item_id, CAST(f AS INT) AS frame,
+       CAST(sum(v) AS BIGINT) AS luma_sum
+FROM b GROUP BY item_id, f ORDER BY item_id, frame"""
+
+
 def equalized_sample_sql(per_group: int = 30) -> str:
     """Equal-per-group mixing oracle (ops/sampling.py equalized_sample):
     keep iff md5_int31('eqmix:'||doc_id) * n_lang < per_group * 2^31 —

@@ -168,3 +168,18 @@ def test_image_audio_stats_stages(ray_session):
         .to_pandas()
     assert (auds["n_samples"] == 128).all()
     assert (auds["max_sample"] >= auds["min_sample"]).all()
+
+
+def test_ppm_stream_roundtrip():
+    import numpy as np
+
+    from lucenenet_ray.ops.multimodal import decode_ppm_stream, encode_ppm
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+              for _ in range(7)]
+    clip = b"".join(encode_ppm(f) for f in frames)
+    got = decode_ppm_stream(clip)
+    assert len(got) == 7
+    for a, b in zip(got, frames):
+        np.testing.assert_array_equal(a, b)
