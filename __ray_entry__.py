@@ -830,6 +830,50 @@ def _q_video_luma_sample(sf_dir: str) -> pa.Table:
         out, sort_keys=[("item_id", "ascending"), ("frame", "ascending")]))
 
 
+def _q_url_dedup(sf_dir: str) -> Any:
+    """URL canonicalization + canonical dedup (ops/urlnorm.py): md5-spliced
+    scheme/www/case/fragment/tracking/param-order variants per doc; the
+    canonicalizer must collapse them per the spec (the oracle re-derives
+    the canonical straight from the generative formulas)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.neardup import md5_int31
+    from lucenenet_ray.ops.urlnorm import url_dedup
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        urls = []
+        for d in ids:
+            h1 = md5_int31(f"{d}:u1")
+            h2 = md5_int31(f"{d}:u2")
+            h3 = md5_int31(f"{d}:u3")
+            u = "https://" if h3 % 2 == 0 else "http://"
+            if h3 % 3 == 0:
+                u += "WWW."
+            u += f"Example{h1 % 5}.COM/Path{h2 % 7}"
+            if h3 % 5 == 0:
+                u += "/"
+            params = []
+            if h3 % 2 == 0:
+                params.append(f"utm_source=s{h1 % 3}")
+            if h3 % 3 == 1:
+                params.extend(["b=2", "a=1"] if h3 % 7 < 3
+                              else ["a=1", "b=2"])
+            if params:
+                u += "?" + "&".join(params)
+            if h3 % 11 == 0:
+                u += "#frag"
+            urls.append(u)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "url": pa.array(urls, type=pa.string())})
+
+    ds = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id"])
+          .map_batches(synth, batch_format="pyarrow"))
+    out = url_dedup(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_curation_funnel(sf_dir: str) -> pa.Table:
     """End-to-end curation funnel (ops/curation.py — RefinedWeb/FineWeb
     practice): C4 page filter -> Gopher rules -> LM fluency (avg_w >= the
@@ -4328,6 +4372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_stats": _q_audio_stats,
         "image_resize": _q_image_resize,
         "video_luma_sample": _q_video_luma_sample,
+        "url_dedup": _q_url_dedup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4499,6 +4544,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_stats": so.audio_stats_sql(64, 128),
         "image_resize": so.image_resize_sql(64, 4, 2),
         "video_luma_sample": so.video_luma_sample_sql(16, 12, 5, 4),
+        "url_dedup": so.url_dedup_sql(),
         "en_minimal_stats": so.en_minimal_stats_sql(),
         "term_stats_cz_stemmed": so.term_stats_cz_stemmed_sql(),
         "common_grams_stats": so.common_grams_stats_sql(),

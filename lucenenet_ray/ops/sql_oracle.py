@@ -3741,6 +3741,45 @@ SELECT item_id, CAST(f AS INT) AS frame,
 FROM b GROUP BY item_id, f ORDER BY item_id, frame"""
 
 
+def url_dedup_sql() -> str:
+    """URL-canonicalization dedup oracle (ops/urlnorm.py over the
+    md5-synthesized URL variants in __ray_entry__._q_url_dedup): the
+    oracle re-derives BOTH the raw url and the canonical form straight
+    from the generative hash formulas — i.e. it checks the canonicalizer
+    implements the spec (scheme/www/fragment/trailing-slash/tracking
+    stripping + param sort), not merely that SQL string munging agrees."""
+    h1 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':u1'")
+    h2 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':u2'")
+    h3 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':u3'")
+    return f"""WITH h AS (
+  SELECT doc_id, ({h1}) AS h1, ({h2}) AS h2, ({h3}) AS h3 FROM documents
+),
+u AS (
+  SELECT doc_id,
+    (CASE WHEN h3 % 2 = 0 THEN 'https://' ELSE 'http://' END)
+    || (CASE WHEN h3 % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || 'Example' || (h1 % 5) || '.COM/Path' || (h2 % 7)
+    || (CASE WHEN h3 % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE
+          WHEN h3 % 2 = 0 AND h3 % 3 = 1 THEN
+            CASE WHEN h3 % 7 < 3
+                 THEN '?utm_source=s' || (h1 % 3) || '&b=2&a=1'
+                 ELSE '?utm_source=s' || (h1 % 3) || '&a=1&b=2' END
+          WHEN h3 % 2 = 0 THEN '?utm_source=s' || (h1 % 3)
+          WHEN h3 % 3 = 1 THEN
+            CASE WHEN h3 % 7 < 3 THEN '?b=2&a=1' ELSE '?a=1&b=2' END
+          ELSE '' END)
+    || (CASE WHEN h3 % 11 = 0 THEN '#frag' ELSE '' END) AS url,
+    'example' || (h1 % 5) || '.com/Path' || (h2 % 7)
+    || (CASE WHEN h3 % 3 = 1 THEN '?a=1&b=2' ELSE '' END) AS canonical
+  FROM h
+)
+SELECT doc_id, url, canonical,
+  CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical)
+        THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM u ORDER BY doc_id"""
+
+
 def equalized_sample_sql(per_group: int = 30) -> str:
     """Equal-per-group mixing oracle (ops/sampling.py equalized_sample):
     keep iff md5_int31('eqmix:'||doc_id) * n_lang < per_group * 2^31 —
