@@ -332,6 +332,67 @@ def _q_dv_sort_updated(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_binary_dv_updated(sf_dir: str) -> pa.Table:
+    """Binary doc-values base column + update resolution
+    (BinaryDocValuesField / IndexWriter.UpdateBinaryDocValues,
+    Index/IndexWriter.cs:1723-1753, BinaryDocValuesFieldUpdates.cs;
+    index/docvalues.py update_binary_docvalue +
+    search/reader.py IndexReader.binary_docvalues): the view's docvalues
+    carry text_head = first-12-bytes of each doc as a BINARY column; one
+    dvb update generation rewrites every 'dup' doc's bytes to b"<<DUP>>";
+    the resolved per-doc values (hex) for doc_id < 300 must match the SQL
+    CASE oracle (missing docs would read b"", the empty-BytesRef default)."""
+    import json
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from lucenenet_ray.index.build import IndexConfig
+    from lucenenet_ray.index.docvalues import (
+        build_docvalues,
+        update_binary_docvalue,
+    )
+    from lucenenet_ray.search.reader import IndexReader
+
+    src = _index_path(sf_dir)
+    view = os.path.join("/tmp/lucenenet_ray_dvb", _sf_key(sf_dir))
+    shutil.rmtree(view, ignore_errors=True)
+    os.makedirs(view)
+    # private symlink view with its own docvalues + update log — the shared
+    # per-sf index is never mutated
+    for name in os.listdir(src):
+        if name not in ("commits", "deletes", "dv_updates", "docvalues"):
+            os.symlink(os.path.join(src, name), os.path.join(view, name))
+    with open(os.path.join(src, "manifest.json")) as f:
+        mc = json.load(f)["config"]
+    cfg = IndexConfig(index_path=view, id_min=mc["id_min"],
+                      id_max=mc["id_max"], n_buckets=mc["n_buckets"])
+
+    def head(batch: pa.Table) -> pa.Table:
+        h = pc.binary_slice(batch.column("text").cast(pa.binary()), 0, 12)
+        return pa.table({"doc_id": batch.column("doc_id"), "text_head": h})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    build_docvalues(ds.map_batches(head, batch_format="pyarrow"), cfg,
+                    ["text_head"])
+    update_binary_docvalue(os.path.join(view, "dv_updates"), "dup",
+                           "text_head", b"<<DUP>>")
+    r = IndexReader(view)
+    rows: list[tuple[int, str]] = []
+    for b in r.bucket_ids:
+        bd = r.bucket(b)
+        for d, v in zip(bd.norms()[0], r.binary_docvalues(b, "text_head")):
+            if int(d) < 300:
+                rows.append((int(d), bytes(v).hex().upper()))
+    rows.sort()
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+        "head_hex": pa.array([h for _, h in rows], type=pa.string()),
+    })
+
+
 def _q_expr_sort(sf_dir: str) -> pa.Table:
     """Expression sort (Lucene.Net.Expressions JavascriptCompiler +
     SimpleBindings, search/expressions.py): matches of "spark window" (OR)
@@ -4373,6 +4434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": _q_image_resize,
         "video_luma_sample": _q_video_luma_sample,
         "url_dedup": _q_url_dedup,
+        "binary_dv_updated": _q_binary_dv_updated,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4605,6 +4667,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_quality": so.lm_quality_sql(10, 20),
         "dsir_select": so.dsir_sql(4096, "en", 20),
         "semdedup": so.semdedup_sql(8, 0.4),
+        "binary_dv_updated": so.binary_dv_sql("dup", "<<DUP>>", 12, 300),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

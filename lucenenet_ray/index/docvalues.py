@@ -102,6 +102,48 @@ def update_numeric_docvalue(updates_dir: str, term: str, field: str,
     return gen
 
 
+def update_binary_docvalue(updates_dir: str, term: str, field: str,
+                           value: bytes) -> int:
+    """Binary twin of :func:`update_numeric_docvalue` —
+    ``IndexWriter.UpdateBinaryDocValues(term, field, value)``
+    (``Index/IndexWriter.cs:1723-1753``, ``BinaryDocValuesFieldUpdates.cs``):
+    every doc matching ``term`` gets ``field := value`` (a byte payload) when
+    a reader resolves the log. Binary updates live in their own ``dvb-*``
+    generation sequence — a field is either numeric or binary (the reference
+    rejects mixed types per field, ``DocValuesType`` check), so the two logs
+    never interact."""
+    os.makedirs(updates_dir, exist_ok=True)
+    gens = [
+        int(os.path.basename(f)[4:-8])
+        for f in glob.glob(os.path.join(updates_dir, "dvb-*.parquet"))
+    ]
+    gen = (max(gens) + 1) if gens else 0
+    t = pa.table({
+        "term": pa.array([term], type=pa.string()),
+        "field": pa.array([field], type=pa.string()),
+        "value": pa.array([value], type=pa.binary()),
+    })
+    tmp = os.path.join(updates_dir, f".dvb-{gen:06d}.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(updates_dir, f"dvb-{gen:06d}.parquet"))
+    return gen
+
+
+def load_dvb_updates(
+        updates_dir: str | None) -> tuple[tuple[str, str, bytes], ...]:
+    """All binary (term, field, value) updates in generation order."""
+    if not updates_dir or not os.path.isdir(updates_dir):
+        return ()
+    out: list[tuple[str, str, bytes]] = []
+    for f in sorted(glob.glob(os.path.join(updates_dir, "dvb-*.parquet"))):
+        t = pq.read_table(f)
+        for i in range(t.num_rows):
+            out.append((t.column("term")[i].as_py(),
+                        t.column("field")[i].as_py(),
+                        t.column("value")[i].as_py()))
+    return tuple(out)
+
+
 def load_dv_updates(updates_dir: str | None) -> tuple[tuple[str, str, int], ...]:
     """All (term, field, value) updates in generation order (later wins)."""
     if not updates_dir or not os.path.isdir(updates_dir):

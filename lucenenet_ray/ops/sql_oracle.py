@@ -316,6 +316,25 @@ LEFT JOIN upd u ON u.doc_id = m.doc_id
 ORDER BY n_chars DESC, m.doc_id ASC LIMIT {k}"""
 
 
+def binary_dv_sql(update_term: str = "dup", new_value: str = "<<DUP>>",
+                  head_len: int = 12, max_doc: int = 300) -> str:
+    """Binary doc-values oracle (BinaryDocValuesField +
+    UpdateBinaryDocValues): per-doc hex of the resolved bytes — the
+    first-``head_len``-bytes base column unless the doc contains
+    ``update_term``, in which case the update generation's payload. The
+    corpus is ASCII (module docstring), so substr's character slice equals
+    the engine's byte slice."""
+    return f"""WITH {_toks_cte()}
+SELECT d.doc_id,
+       CASE WHEN d.doc_id IN
+                 (SELECT DISTINCT doc_id FROM kept WHERE term = '{update_term}')
+            THEN hex(encode('{new_value}'))
+            ELSE hex(encode(substr(d.text, 1, {head_len}))) END AS head_hex
+FROM documents d
+WHERE d.doc_id < {max_doc}
+ORDER BY d.doc_id"""
+
+
 def expr_sort_sql(terms: list[str], k: int = 20) -> str:
     """Expression-sort oracle for `_score + sqrt(n_chars) / 100` over an OR
     BooleanQuery: the BM25 float32 score CTE (bit-exact, see bm25_topk_sql)

@@ -193,7 +193,8 @@ class BucketData:
         if dv is None:
             doc_ids = self.norms()[0]
             dv = np.zeros(len(doc_ids), dtype=np.int64)
-            if self.docvalues_path and os.path.exists(self.docvalues_path):
+            if (self.docvalues_path and os.path.exists(self.docvalues_path)
+                    and field in pq.read_schema(self.docvalues_path).names):
                 t = pq.read_table(self.docvalues_path,
                                   columns=["doc_id", field])
                 ids = t.column("doc_id").to_numpy().astype(np.int64)
@@ -203,6 +204,33 @@ class BucketData:
                 ok[ok] = doc_ids[idx[ok]] == ids[ok]
                 dv[idx[ok]] = vals[ok]
             self._dv_cache[field] = dv
+        return dv
+
+    def binary_docvalues(self, field: str) -> np.ndarray:
+        """Base BINARY doc-values column aligned to norms() doc order
+        (object array of ``bytes``; ``BinaryDocValues.Get`` analog). Docs
+        absent from the docvalues file read ``b""`` — the reference's
+        missing-value default (an empty ``BytesRef``). Loaded once per
+        (bucket, field) like the numeric path; the values live in the SAME
+        per-bucket docvalues parquet, just as a binary-typed column
+        (Lucene42DocValuesConsumer writes BINARY and NUMERIC entries into
+        one .dvd file, ``Codecs/Lucene42/Lucene42DocValuesConsumer.cs``)."""
+        key = "\x00bin:" + field  # cache namespace apart from numeric
+        dv = self._dv_cache.get(key)
+        if dv is None:
+            doc_ids = self.norms()[0]
+            dv = np.full(len(doc_ids), b"", dtype=object)
+            if (self.docvalues_path and os.path.exists(self.docvalues_path)
+                    and field in pq.read_schema(self.docvalues_path).names):
+                t = pq.read_table(self.docvalues_path,
+                                  columns=["doc_id", field])
+                ids = t.column("doc_id").to_numpy().astype(np.int64)
+                vals = np.asarray(t.column(field).to_pylist(), dtype=object)
+                idx = np.searchsorted(doc_ids, ids)
+                ok = (idx < len(doc_ids))
+                ok[ok] = doc_ids[idx[ok]] == ids[ok]
+                dv[idx[ok]] = vals[ok]
+            self._dv_cache[key] = dv
         return dv
 
     def norm_of_docs(self, docs: np.ndarray) -> np.ndarray:
@@ -366,7 +394,12 @@ class IndexReader:
         )
         self.dv_updates: tuple[tuple[str, str, int], ...] = load_dv_updates(
             self.dv_updates_path)
+        from lucenenet_ray.index.docvalues import load_dvb_updates
+
+        self.dvb_updates: tuple[tuple[str, str, bytes], ...] = (
+            load_dvb_updates(self.dv_updates_path))
         self._dv_resolved: dict[tuple[int, str], tuple] = {}
+        self._dvb_resolved: dict[tuple[int, str], tuple] = {}
         self._version = self._stamp()
 
     def _stamp(self) -> tuple:
@@ -383,6 +416,8 @@ class IndexReader:
         dvus = tuple(sorted(
             os.path.basename(f) for f in _glob.glob(
                 os.path.join(self.dv_updates_path, "dvu-*.parquet"))
+            + [os.path.basename(f) for f in _glob.glob(
+                os.path.join(self.dv_updates_path, "dvb-*.parquet"))]
         )) if os.path.isdir(self.dv_updates_path) else ()
         return (st.st_mtime_ns, st.st_size, dels, dvus)
 
@@ -465,6 +500,30 @@ class IndexReader:
                 if c is not None:
                     vals[c.local_ids(bd)] = value
         self._dv_resolved[(bucket_id, field)] = (key, vals)
+        return vals
+
+    def binary_docvalues(self, bucket_id: int, field: str) -> np.ndarray:
+        """Per-bucket BINARY doc-values WITH the dvb update log applied —
+        ``IndexWriter.UpdateBinaryDocValues`` resolution
+        (``BinaryDocValuesFieldUpdates.cs``; same stacking model as the
+        numeric path above): each (term, field, value) generation overrides
+        the matching docs' bytes, later generations win. Returns an object
+        array of ``bytes`` aligned to the bucket's norms doc order."""
+        bd = self.bucket(bucket_id)
+        key = self.dvb_updates
+        cached = self._dvb_resolved.get((bucket_id, field))
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        vals = bd.binary_docvalues(field)
+        relevant = [(t, v) for (t, f, v) in self.dvb_updates if f == field]
+        if relevant:
+            vals = vals.copy()
+            chunks = bd.chunks_for_terms([t for t, _ in relevant], full=False)
+            for term, value in relevant:
+                c = chunks.get(term)
+                if c is not None:
+                    vals[c.local_ids(bd)] = value
+        self._dvb_resolved[(bucket_id, field)] = (key, vals)
         return vals
 
     # -- global term statistics (IndexSearcher.cs:982-1007) ------------------
