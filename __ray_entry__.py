@@ -393,6 +393,45 @@ def _q_binary_dv_updated(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_incremental_dedup(sf_dir: str) -> pa.Table:
+    """Cross-snapshot incremental dedup (ops/incdedup.py dedup_against):
+    bloom prefilter over the OLD corpus (tree-OR'd partials, one broadcast
+    bitmap) + exact md5 confirm pass, so the result is EXACT. The "new
+    snapshot" is synthesized deterministically per-row from the documents
+    table (doc_id % 3 == 0 keeps the old text verbatim → a true cross-
+    snapshot duplicate; others get a per-doc unique suffix), identically
+    re-derivable in SQL. Kept = new docs whose text is absent from old."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from lucenenet_ray.ops.incdedup import dedup_against
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    n = pq.read_metadata(src).num_rows
+    old_ds = rd.read_parquet(src, columns=["doc_id", "text", "lang"])
+
+    def synth_new(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        dup = pa.array(ids.to_numpy(zero_copy_only=False) % 3 == 0)
+        uniq = pc.binary_join_element_wise(
+            batch.column("text"), pc.cast(ids, pa.string()), " uniq")
+        return pa.table({
+            "doc_id": pc.add(ids, n),
+            "text": pc.if_else(dup, batch.column("text"), uniq),
+            "lang": batch.column("lang"),
+        })
+
+    new_ds = (rd.read_parquet(src, columns=["doc_id", "text", "lang"])
+              .map_batches(synth_new, batch_format="pyarrow"))
+    kept, _ = dedup_against(new_ds, old_ds)
+    out = kept.select_columns(["doc_id", "lang"]).sort("doc_id")
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows],
+        promote_options="permissive")
+    return t.select(["doc_id", "lang"]).cast(
+        pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]))
+
+
 def _q_expr_sort(sf_dir: str) -> pa.Table:
     """Expression sort (Lucene.Net.Expressions JavascriptCompiler +
     SimpleBindings, search/expressions.py): matches of "spark window" (OR)
@@ -4435,6 +4474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_luma_sample": _q_video_luma_sample,
         "url_dedup": _q_url_dedup,
         "binary_dv_updated": _q_binary_dv_updated,
+        "incremental_dedup": _q_incremental_dedup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4668,6 +4708,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": so.dsir_sql(4096, "en", 20),
         "semdedup": so.semdedup_sql(8, 0.4),
         "binary_dv_updated": so.binary_dv_sql("dup", "<<DUP>>", 12, 300),
+        "incremental_dedup": so.incremental_dedup_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

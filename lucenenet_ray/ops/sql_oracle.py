@@ -335,6 +335,24 @@ WHERE d.doc_id < {max_doc}
 ORDER BY d.doc_id"""
 
 
+def incremental_dedup_sql() -> str:
+    """Cross-snapshot dedup oracle: the synthesized new snapshot keeps only
+    rows whose text is NOT in the old corpus — exactly the doc_id % 3 <> 0
+    rows (their ' uniq'||id suffix is globally unique), re-derived here
+    without assuming the modulus shortcut (the anti-join IS the spec)."""
+    return """WITH new_snap AS (
+  SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || ' uniq' || CAST(doc_id AS VARCHAR) END AS text,
+         lang
+  FROM documents
+)
+SELECT n.doc_id, n.lang
+FROM new_snap n
+WHERE NOT EXISTS (SELECT 1 FROM documents o WHERE o.text = n.text)
+ORDER BY n.doc_id"""
+
+
 def expr_sort_sql(terms: list[str], k: int = 20) -> str:
     """Expression-sort oracle for `_score + sqrt(n_chars) / 100` over an OR
     BooleanQuery: the BM25 float32 score CTE (bit-exact, see bm25_topk_sql)
