@@ -393,6 +393,61 @@ def _q_binary_dv_updated(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_multi_field_sort(sf_dir: str) -> pa.Table:
+    """Compound-sort collector — Sort(new SortField[]{bucket DESC, rem ASC})
+    with the chained per-field comparators (Search/Sort.cs:37-58,
+    FieldValueHitQueue multi-comparator path; search/searcher.py
+    search_sorted_by_fields): matches of 'spark' order by coarse
+    nc_bucket = n_chars // 100 (primary, desc — deliberately tie-heavy),
+    ties by nc_rem = n_chars % 10 (asc), final tie doc asc. The two fields
+    are a view-local docvalues build derived from n_chars."""
+    import shutil
+
+    import ray.data as rd
+
+    from lucenenet_ray.index.build import IndexConfig
+    from lucenenet_ray.index.docvalues import build_docvalues
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search_sorted_by_fields
+
+    src = _index_path(sf_dir)
+    view = os.path.join("/tmp/lucenenet_ray_mfs", _sf_key(sf_dir))
+    shutil.rmtree(view, ignore_errors=True)
+    os.makedirs(view)
+    for name in os.listdir(src):
+        if name not in ("commits", "deletes", "dv_updates", "docvalues"):
+            os.symlink(os.path.join(src, name), os.path.join(view, name))
+    import json as _json
+
+    with open(os.path.join(src, "manifest.json")) as f:
+        mc = _json.load(f)["config"]
+    cfg = IndexConfig(index_path=view, id_min=mc["id_min"],
+                      id_max=mc["id_max"], n_buckets=mc["n_buckets"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "nc_bucket": pa.array(nc // 100, type=pa.int64()),
+            "nc_rem": pa.array(nc % 10, type=pa.int64()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    build_docvalues(ds.map_batches(derive, batch_format="pyarrow"), cfg,
+                    ["nc_bucket", "nc_rem"])
+    r = IndexReader(view)
+    rows = search_sorted_by_fields(
+        r, TermQuery(term="spark"),
+        [("nc_bucket", True), ("nc_rem", False)], k=25)
+    return pa.table({
+        "doc_id": pa.array([d for d, _, _ in rows], type=pa.int64()),
+        "nc_bucket": pa.array([b for _, b, _ in rows], type=pa.int64()),
+        "nc_rem": pa.array([m for _, _, m in rows], type=pa.int64()),
+    })
+
+
 def _q_incremental_dedup(sf_dir: str) -> pa.Table:
     """Cross-snapshot incremental dedup (ops/incdedup.py dedup_against):
     bloom prefilter over the OLD corpus (tree-OR'd partials, one broadcast
@@ -4475,6 +4530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "binary_dv_updated": _q_binary_dv_updated,
         "incremental_dedup": _q_incremental_dedup,
+        "multi_field_sort": _q_multi_field_sort,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4709,6 +4765,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": so.semdedup_sql(8, 0.4),
         "binary_dv_updated": so.binary_dv_sql("dup", "<<DUP>>", 12, 300),
         "incremental_dedup": so.incremental_dedup_sql(),
+        "multi_field_sort": so.multi_field_sort_sql("spark", 25),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -335,6 +335,20 @@ WHERE d.doc_id < {max_doc}
 ORDER BY d.doc_id"""
 
 
+def multi_field_sort_sql(match_term: str = "spark", k: int = 25) -> str:
+    """Compound Sort(SortField[]) oracle: matches order by
+    (n_chars // 100 DESC, n_chars % 10 ASC, doc ASC)."""
+    return f"""WITH {_toks_cte()},
+matches AS (
+  SELECT DISTINCT doc_id FROM kept WHERE term = '{match_term}'
+)
+SELECT m.doc_id,
+       CAST(d.n_chars // 100 AS BIGINT) AS nc_bucket,
+       CAST(d.n_chars % 10 AS BIGINT) AS nc_rem
+FROM matches m JOIN documents d USING (doc_id)
+ORDER BY nc_bucket DESC, nc_rem ASC, m.doc_id ASC LIMIT {k}"""
+
+
 def incremental_dedup_sql() -> str:
     """Cross-snapshot dedup oracle: the synthesized new snapshot keeps only
     rows whose text is NOT in the old corpus — exactly the doc_id % 3 <> 0

@@ -1033,6 +1033,50 @@ def search_sorted_by_docvalue(
     return [(int(docs[i]), int(vals[i])) for i in order]
 
 
+def search_sorted_by_fields(
+    reader: IndexReader, query: Query, fields: list[tuple[str, bool]],
+    k: int = 10,
+) -> list[tuple]:
+    """Compound-sort TopFieldCollector — ``Sort(new SortField[]{...})``
+    with a chained comparator per field (``Search/Sort.cs:37-58``,
+    ``FieldValueHitQueue.MultiComparersFieldValueHitQueue``): docs order by
+    field[0], ties break to field[1], …, final tie-break doc asc (the
+    implicit docID comparator, TopDocs.cs). ``fields`` is
+    [(dv_field, reverse), ...] over numeric doc-values (update log
+    applied). Returns [(doc_id, v0, v1, ...)]. Same per-bucket partial
+    top-k + TopDocs.Merge shape as the single-field collector above."""
+    plan = plan_query(reader, query)
+
+    def order(docs: np.ndarray, cols: list[np.ndarray], kk: int) -> np.ndarray:
+        # np.lexsort: LAST key is primary → (doc, field_n, ..., field_0)
+        keys = [docs] + [(-v if rev else v)
+                         for (_f, rev), v in reversed(list(zip(fields, cols)))]
+        return np.lexsort(tuple(keys))[:kk]
+
+    all_d: list[np.ndarray] = []
+    all_c: list[list[np.ndarray]] = []
+    for b in reader.bucket_ids:
+        bd = reader.bucket(b)
+        chunks = bd.chunks_for_terms(list(plan.all_terms), full=False)
+        lidx, _scores = _eval_query(plan.query, chunks, plan, bd)
+        live = bd.live_mask(plan.deleted_terms)
+        if live is not None and lidx.size:
+            lidx = lidx[live[lidx]]
+        if lidx.size == 0:
+            continue
+        cols = [reader.numeric_docvalues(b, f)[lidx] for f, _ in fields]
+        docs = bd.norms()[0][lidx]
+        sel = order(docs, cols, min(k, docs.size))
+        all_d.append(docs[sel])
+        all_c.append([c[sel] for c in cols])
+    if not all_d:
+        return []
+    docs = np.concatenate(all_d)
+    cols = [np.concatenate([c[i] for c in all_c]) for i in range(len(fields))]
+    sel = order(docs, cols, k)
+    return [(int(docs[i]), *(int(c[i]) for c in cols)) for i in sel]
+
+
 def count_matches(reader: IndexReader, query: Query) -> int:
     """TotalHitCountCollector analog (Search/TotalHitCountCollector.cs)."""
     return search(reader, query, k=1, prune=False).total_hits

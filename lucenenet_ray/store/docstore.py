@@ -67,6 +67,12 @@ class DocStore:
         t = t.take(pc.sort_indices(t.column(self.id_col)))
         return t.drop_columns([self.id_col]) if drop_id else t
 
+    def lazy(self, doc_id: int) -> "LazyDocument":
+        """A ``LazyDocument`` handle — nothing is read until a field is
+        asked for (``Lucene.Net.Misc/Document/LazyDocument.cs``: fields are
+        realized on first access, then cached)."""
+        return LazyDocument(self, int(doc_id))
+
     def get_ordered(self, doc_ids, columns: list[str] | None = None) -> pa.Table:
         """Rows in the CALLER's order (e.g. rank order of TopDocs hits)."""
         want = [int(d) for d in doc_ids]
@@ -79,3 +85,33 @@ class DocStore:
         take = [pos[d] for d in want if d in pos]
         t = t.take(pa.array(take, type=pa.int64()))
         return t.drop_columns([self.id_col]) if drop_id else t
+
+
+class LazyDocument:
+    """Deferred stored-field access for ONE doc
+    (``Misc/Document/LazyDocument.cs:33-56``): constructing the handle does
+    no I/O; ``get(field)`` reads exactly that column's row groups on first
+    access and caches the value (LazyDocument.GetField realizes the shared
+    inner Document once per field there; here per field-column, since
+    Parquet is column-striped — reading only the asked-for column IS the
+    point of laziness). Missing doc or field → None, like a StoredDocument
+    without that field."""
+
+    def __init__(self, store: DocStore, doc_id: int):
+        self._store = store
+        self.doc_id = doc_id
+        self._fields: dict[str, object] = {}
+
+    def get(self, field: str):
+        if field not in self._fields:
+            if field not in self._store._ds.schema.names:
+                self._fields[field] = None
+            else:
+                t = self._store.get([self.doc_id], columns=[field])
+                self._fields[field] = (
+                    t.column(field)[0].as_py() if t.num_rows else None)
+        return self._fields[field]
+
+    def loaded_fields(self) -> tuple[str, ...]:
+        """Which fields have been realized (test/observability hook)."""
+        return tuple(sorted(self._fields))
