@@ -393,6 +393,31 @@ def _q_binary_dv_updated(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_bm25_index_boost(sf_dir: str) -> pa.Table:
+    """Index-time field boost baked into the norm byte — Document.Field
+    .Boost / FieldInvertState.Boost (Index/FieldInvertState.cs:180-196;
+    BM25Similarity.EncodeNormValue(state.Boost, numTerms),
+    BM25Similarity.cs:110-113): a per-doc boost 1 + doc_id % 3 multiplies
+    the norm numerator at ENCODE time, shifting the effective length the
+    scorer sees. BM25 top-10 for 'spark window' (OR) over the boosted
+    index must be float32-bit-exact vs the boosted-norm SQL oracle."""
+    from lucenenet_ray.pipelines.flagship import documents_boosted_index_for
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    r = IndexReader(documents_boosted_index_for(sf_dir))
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t))
+        for t in ["spark", "window"]))
+    return _topdocs_to_table(search(r, q, k=TOPK))
+
+
 def _q_multi_field_sort(sf_dir: str) -> pa.Table:
     """Compound-sort collector — Sort(new SortField[]{bucket DESC, rem ASC})
     with the chained per-field comparators (Search/Sort.cs:37-58,
@@ -4531,6 +4556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "binary_dv_updated": _q_binary_dv_updated,
         "incremental_dedup": _q_incremental_dedup,
         "multi_field_sort": _q_multi_field_sort,
+        "bm25_index_boost": _q_bm25_index_boost,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4766,6 +4792,9 @@ def oracle_sql() -> dict[str, str]:
         "binary_dv_updated": so.binary_dv_sql("dup", "<<DUP>>", 12, 300),
         "incremental_dedup": so.incremental_dedup_sql(),
         "multi_field_sort": so.multi_field_sort_sql("spark", 25),
+        "bm25_index_boost": so.bm25_topk_sql(
+            ["spark", "window"], TOPK, "or",
+            norm_boost_expr="1.0 + CAST(doc_id % 3 AS DOUBLE)"),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

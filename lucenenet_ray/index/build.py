@@ -65,6 +65,12 @@ class IndexConfig:
     # fields omit norms and don't contribute to body doc length / sumttf
     # (per-field stats, CollectionStatistics).
     extra_fields: tuple[tuple[str, str, bool], ...] = ()
+    # index-time field boost column (Document.Field.Boost /
+    # FieldInvertState.Boost, Index/FieldInvertState.cs:180-196): per-doc
+    # float multiplied into the norm byte at encode time —
+    # SingleToByte315(boost / sqrt(len)). None = boost 1.0 (byte-identical
+    # to an unboosted build).
+    boost_col: str | None = None
     concurrency: int | None = None  # inverter actor pool size; None = tasks
     k1: float = 1.2
     b: float = 0.75
@@ -249,7 +255,12 @@ class Inverter:
         out_pos: list[bytes] = []
         out_pay: list[bytes] = []
 
-        norms_all = encode_norm(doc_lens)
+        if self.cfg.boost_col and self.cfg.boost_col in batch.column_names:
+            boosts = batch.column(self.cfg.boost_col).to_numpy(
+                zero_copy_only=False).astype(np.float32)[border]
+            norms_all = encode_norm(doc_lens, boosts)
+        else:
+            norms_all = encode_norm(doc_lens)
         buckets_all = self.cfg.bucket_of(doc_ids)
         store_pos = self.cfg.store_positions
 
@@ -659,8 +670,8 @@ def _merge_group(group: pa.Table, store_positions: bool,
 
     out = {k: [] for k in (
         "bucket", "term", "df", "ttf", "max_freq", "max_norm", "doc_bytes",
-        "freq_bytes", "pos_bytes", "block_last_doc", "block_doc_off",
-        "block_freq_off", "block_max_freq", "block_max_norm",
+        "freq_bytes", "pos_bytes", "doclen_norm_bytes", "block_last_doc",
+        "block_doc_off", "block_freq_off", "block_max_freq", "block_max_norm",
         "skip1_last_doc", "skip1_max_freq", "skip1_max_norm")}
     if has_pay:
         out["pay_bytes"] = []
@@ -700,6 +711,12 @@ def _merge_group(group: pa.Table, store_positions: bool,
         out["pos_bytes"].append(pos_stream)
         if has_pay:
             out["pay_bytes"].append(pay_stream)
+        # the sentinel row keeps its per-doc norm BYTES (merged doc order):
+        # norms can't be re-derived from doc_len when an index-time boost is
+        # baked in (encode_norm(boost/sqrt(L))); dropped before the postings
+        # write so on-disk bytes are unchanged
+        out["doclen_norm_bytes"].append(
+            norms.tobytes() if term == DOCLEN_TERM else b"")
         out["block_last_doc"].append(enc["block_last_doc"].tolist())
         out["block_doc_off"].append(enc["block_doc_off"].tolist())
         out["block_freq_off"].append(enc["block_freq_off"].tolist())
@@ -720,6 +737,8 @@ def _merge_group(group: pa.Table, store_positions: bool,
             "doc_bytes": pa.array(out["doc_bytes"], type=pa.large_binary()),
             "freq_bytes": pa.array(out["freq_bytes"], type=pa.large_binary()),
             "pos_bytes": pa.array(out["pos_bytes"], type=pa.large_binary()),
+            "doclen_norm_bytes": pa.array(out["doclen_norm_bytes"],
+                                          type=pa.large_binary()),
             **({"pay_bytes": pa.array(out["pay_bytes"], type=pa.large_binary())}
                if has_pay else {}),
             "block_last_doc": pa.array(out["block_last_doc"], type=pa.list_(pa.int64())),
@@ -734,6 +753,18 @@ def _merge_group(group: pa.Table, store_positions: bool,
             "skip1_max_norm": pa.array(out["skip1_max_norm"], type=pa.list_(pa.int32())),
         }
     )
+
+
+def _doclen_norms(row: pa.Table, nd: int, doc_lens: np.ndarray) -> np.ndarray:
+    """Per-doc norm bytes for the merged doclen sentinel row: the carried
+    inverter-encoded bytes when present (they embed any index-time boost,
+    FieldInvertState.Boost), else re-derived from doc lengths (older
+    partials / shard-merge paths where boost is always 1)."""
+    if "doclen_norm_bytes" in row.column_names:
+        nb = row.column("doclen_norm_bytes")[0].as_py()
+        if nb is not None and len(nb) == nd:
+            return np.frombuffer(nb, dtype=np.uint8)
+    return encode_norm(doc_lens)
 
 
 def _merge_write_group(group: pa.Table, store_positions: bool,
@@ -764,7 +795,7 @@ def _merge_write_group(group: pa.Table, store_positions: bool,
         doc_ids = decode_docs(db, nd, codec=codec)
         doc_lens = decode_freqs(row.column("freq_bytes")[0].as_py(), nd,
                                 codec=codec, doc_bytes=db)
-        norms = encode_norm(doc_lens)
+        norms = _doclen_norms(row, nd, doc_lens)
         n_docs = nd
         sum_len = int(doc_lens.sum())
         norm_table = pa.table(
@@ -779,7 +810,10 @@ def _merge_write_group(group: pa.Table, store_positions: bool,
         )
 
     if postings.num_rows:
-        # rows are already term-sorted by _merge_group
+        # rows are already term-sorted by _merge_group; the sentinel-only
+        # norm-bytes column never reaches disk (on-disk bytes unchanged)
+        if "doclen_norm_bytes" in postings.column_names:
+            postings = postings.drop_columns(["doclen_norm_bytes"])
         _atomic_write_parquet(
             postings,
             os.path.join(index_path, "postings",
@@ -833,7 +867,7 @@ def _write_bucket(group: pa.Table, index_path: str,
         doc_ids = decode_docs(db, nd, codec=codec)
         doc_lens = decode_freqs(row.column("freq_bytes")[0].as_py(), nd,
                                 codec=codec, doc_bytes=db)
-        norms = encode_norm(doc_lens)
+        norms = _doclen_norms(row, nd, doc_lens)
         n_docs = nd
         sum_len = int(doc_lens.sum())
         norm_table = pa.table(
@@ -848,6 +882,8 @@ def _write_bucket(group: pa.Table, index_path: str,
         )
 
     if postings.num_rows:
+        if "doclen_norm_bytes" in postings.column_names:
+            postings = postings.drop_columns(["doclen_norm_bytes"])
         _atomic_write_parquet(
             postings,
             os.path.join(index_path, "postings", f"bucket={bucket:05d}.parquet"),

@@ -60,11 +60,17 @@ coll AS (
 )"""
 
 
-_NORM_CTE = f"""
+def _norm_cte(boost_expr: str = "1.0") -> str:
+    """Norm CTE with an index-time boost numerator
+    (FieldInvertState.Boost baked into the byte:
+    SingleToByte315(float32(boost) / float32(sqrt(L)))); the default 1.0
+    is the plain unboosted norm used everywhere else."""
+    return f"""
 normf AS (
   SELECT doc_id, L,
          CASE WHEN L = 0 THEN NULL
-              ELSE CAST(1.0 AS REAL) / CAST(sqrt(CAST(L AS DOUBLE)) AS REAL)
+              ELSE CAST({boost_expr} AS REAL)
+                   / CAST(sqrt(CAST(L AS DOUBLE)) AS REAL)
          END AS f
   FROM doclen
 ),
@@ -91,6 +97,9 @@ normcache AS (
       / (SELECT CAST(CAST(sumttf AS DOUBLE)/N AS REAL) FROM coll)) AS cache
   FROM normb n
 )"""
+
+
+_NORM_CTE = _norm_cte()
 
 
 def term_stats_sql() -> str:
@@ -220,7 +229,8 @@ def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or",
                   deleted_terms: list[str] | None = None,
                   stored_cols: list[str] | None = None,
                   offset: int = 0,
-                  restrict_docs_sql: str | None = None) -> str:
+                  restrict_docs_sql: str | None = None,
+                  norm_boost_expr: str | None = None) -> str:
     """Full BM25 top-k oracle — float32-bit-identical to the engine.
 
     mode 'or'  → BooleanQuery of SHOULD TermQuery clauses
@@ -268,7 +278,8 @@ def bm25_topk_sql(terms: list[str], k: int = 10, mode: str = "or",
     else:
         stored_sel = ""
         stored_join = ""
-    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms, boosts)},
+    norm_cte = (_norm_cte(norm_boost_expr) if norm_boost_expr else _NORM_CTE)
+    return f"""WITH {_toks_cte()},{norm_cte},{_weights_cte(terms, boosts)},
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS REAL) AS f
   FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term

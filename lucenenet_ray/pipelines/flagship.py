@@ -346,6 +346,37 @@ def documents_index_for(sf_dir: str, cache_root: str = "/tmp/lucenenet_ray_idx")
     return _INDEX_CACHE[key]
 
 
+def documents_boosted_index_for(sf_dir: str,
+                                cache_root: str = "/tmp/lucenenet_ray_idx"
+                                ) -> str:
+    """documents index with a per-doc index-time boost 1 + doc_id % 3 baked
+    into the norm bytes (IndexConfig.boost_col — Document.Field.Boost /
+    FieldInvertState.Boost semantics, Index/FieldInvertState.cs:180-196)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    key = sf_cache_key(sf_dir)
+    path = os.path.join(cache_root, f"documents_boost_{key}")
+    if not os.path.exists(os.path.join(path, "manifest.json")):
+        src = os.path.join(sf_dir, "documents.parquet")
+        n = pq.read_metadata(src).num_rows
+
+        def add_boost(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "boost",
+                pa.array((1.0 + (ids % 3)).astype(np.float32)))
+
+        ds = (rd.read_parquet(src, columns=["doc_id", "text"])
+              .map_batches(add_boost, batch_format="pyarrow"))
+        build_index(ds, IndexConfig(index_path=path, id_min=0,
+                                    id_max=max(n - 1, 1), n_buckets=8,
+                                    boost_col="boost"),
+                    text_col="text", id_col="doc_id")
+    return path
+
+
 def documents_sorted_index_for(sf_dir: str, sort_col: str = "n_chars",
                                cache_root: str = "/tmp/lucenenet_ray_idx"
                                ) -> str:

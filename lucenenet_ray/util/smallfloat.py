@@ -58,15 +58,20 @@ NORM_TABLE: np.ndarray = _load_norm_table()
 CLASSIC_NORM_TABLE: np.ndarray = byte315_to_float(np.arange(256, dtype=np.uint8))
 
 
-def encode_norm(field_lengths: np.ndarray, boost: float = 1.0) -> np.ndarray:
+def encode_norm(field_lengths: np.ndarray,
+                boost: "float | np.ndarray" = 1.0) -> np.ndarray:
     """Norm byte per document: SingleToByte315(boost / sqrt(fieldLength)).
 
     Matches ``BM25Similarity.EncodeNormValue`` (BM25Similarity.cs:110-113):
-    the sqrt is computed in double then the division in float32.
+    the sqrt is computed in double then the division in float32. ``boost``
+    is the index-time field boost — ``FieldInvertState.Boost``, i.e.
+    ``Document.Field.Boost`` baked into the norm byte at index time
+    (Index/FieldInvertState.cs:180-196); a scalar or a per-doc array.
     Documents with length 0 get norm byte of boost/0 -> +inf -> 255
     (Lucene never indexes a 0-length field norm this way, but be total).
     """
     lens = np.asarray(field_lengths, dtype=np.float64)
+    b32 = np.asarray(boost, dtype=np.float32)
     with np.errstate(divide="ignore"):
-        f = (np.float32(boost) / np.sqrt(lens).astype(np.float32)).astype(np.float32)
+        f = (b32 / np.sqrt(lens).astype(np.float32)).astype(np.float32)
     return float_to_byte315(f)
