@@ -3841,6 +3841,60 @@ def _q_knn_ivf(sf_dir: str) -> Any:
     return res.to_pandas()
 
 
+def _q_knn_lsh_full(sf_dir: str) -> Any:
+    """Hyperplane-LSH with multiprobe = n_bits (every bucket allowed): the
+    bucket-partitioned plumbing must reproduce brute-force cosine EXACTLY
+    — hash-exact oracle for the LSH path (same SQL as knn_exact), while
+    `knn_lsh` keeps exercising the pruned path."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.knn import knn_lsh_pruned
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    id2vec = {}
+    for i in range(t.num_rows):
+        vid = t.column("vec_id")[i].as_py()
+        if vid in KNN_QUERY_IDS:
+            id2vec[vid] = t.column("embedding")[i].as_py()
+    qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+    _q_knn_lsh(sf_dir)  # ensure the cached LSH index exists
+    res, nread, ntotal = knn_lsh_pruned(
+        _LSH_INDEX_CACHE[_sf_key(sf_dir)], qv, k=10, n_bits=5, multiprobe=5)
+    assert nread == ntotal
+    out = res.to_pandas()
+    out["query_id"] = out["query_id"].map(lambda i: KNN_QUERY_IDS[i])
+    return out[["query_id", "rank", "vec_id"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
+def _q_knn_ivf_full(sf_dir: str) -> Any:
+    """IVF-Flat with nprobe = n_lists (probe everything): the list routing,
+    hive-partitioned reads, per-batch partial top-k and merge must then
+    reproduce brute-force cosine EXACTLY — so the approximate engine's
+    plumbing gets a hash-exact oracle (same SQL as knn_exact), while
+    `knn_ivf` keeps exercising the pruned path."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.ivf import knn_ivf_pruned
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    id2vec = {}
+    for i in range(t.num_rows):
+        vid = t.column("vec_id")[i].as_py()
+        if vid in KNN_QUERY_IDS:
+            id2vec[vid] = t.column("embedding")[i].as_py()
+    qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+    _q_knn_ivf(sf_dir)  # ensure the cached IVF index exists
+    path, cent = _IVF_INDEX_CACHE[_sf_key(sf_dir)]
+    res, nread, ntotal = knn_ivf_pruned(path, cent, qv, k=10,
+                                        nprobe=len(cent))
+    assert nread == ntotal  # full probe by construction
+    out = res.to_pandas()
+    out["query_id"] = out["query_id"].map(lambda i: KNN_QUERY_IDS[i])
+    return out[["query_id", "rank", "vec_id"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_term_stats_cjk(sf_dir: str) -> pa.Table:
     """CJK token classes through the full index pipeline
     (StandardTokenizer.cs:85-104: Han/Hiragana singles, Katakana/Hangul
@@ -4557,6 +4611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "multi_field_sort": _q_multi_field_sort,
         "bm25_index_boost": _q_bm25_index_boost,
+        "knn_ivf_full": _q_knn_ivf_full,
+        "knn_lsh_full": _q_knn_lsh_full,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4795,6 +4851,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_boost": so.bm25_topk_sql(
             ["spark", "window"], TOPK, "or",
             norm_boost_expr="1.0 + CAST(doc_id % 3 AS DOUBLE)"),
+        "knn_ivf_full": so.knn_exact_sql(KNN_QUERY_IDS, 10),
+        "knn_lsh_full": so.knn_exact_sql(KNN_QUERY_IDS, 10),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -227,6 +227,11 @@ def knn_lsh_pruned(index_path: str, query_vectors: np.ndarray, k: int = 10,
     qbuckets = lsh_bucket_of(qv, planes)
     allowed: list[set[int]] = []
     for qb in qbuckets:
+        if multiprobe >= n_bits:
+            # full-probe degenerate case: every bucket allowed — the result
+            # must then equal brute-force exactly (oracle-checkable path)
+            allowed.append(set(range(1 << n_bits)))
+            continue
         s = {int(qb)}
         if multiprobe >= 1:
             for b in range(n_bits):
@@ -322,6 +327,11 @@ def knn_lsh(ds, query_vectors: np.ndarray, k: int = 10, n_bits: int = 6,
     # buckets within Hamming distance `multiprobe`
     allowed: list[set[int]] = []
     for qb in qbuckets:
+        if multiprobe >= n_bits:
+            # full-probe degenerate case: every bucket allowed — the result
+            # must then equal brute-force exactly (oracle-checkable path)
+            allowed.append(set(range(1 << n_bits)))
+            continue
         s = {int(qb)}
         if multiprobe >= 1:
             for b in range(n_bits):
