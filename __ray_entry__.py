@@ -2006,6 +2006,94 @@ def _q_drill_sideways(sf_dir: str) -> Any:
     return out.take(idx)
 
 
+def _sortedset_labels(doc_ids: "np.ndarray") -> tuple[list, list, list]:
+    """Per-doc SORTED_SET facet labels (md5-derived, SQL-re-derivable):
+    dim 'tag' = {t(h_a%8), t(h_b%8)} with SET dedup (SORTED_SET semantics —
+    a doc contributes each distinct label once), dim 'grp' = {g(h_c%5)}.
+    Returns parallel (doc_id, dim, label) lists with within-doc dedup applied.
+    At 100 TB these would be real materialized label columns; the md5
+    derivation exists so the DuckDB oracle re-derives the identical corpus."""
+    import hashlib
+
+    out_doc: list[int] = []
+    out_dim: list[str] = []
+    out_lab: list[str] = []
+    for d in doc_ids.tolist():
+        ha = int(hashlib.md5(f"ss-a-{d}".encode()).hexdigest()[:15], 16) % 8
+        hb = int(hashlib.md5(f"ss-b-{d}".encode()).hexdigest()[:15], 16) % 8
+        tags = {f"t{ha}", f"t{hb}"}
+        for lab in tags:
+            out_doc.append(d)
+            out_dim.append("tag")
+            out_lab.append(lab)
+        hc = int(hashlib.md5(f"ss-c-{d}".encode()).hexdigest()[:15], 16) % 5
+        out_doc.append(d)
+        out_dim.append("grp")
+        out_lab.append(f"g{hc}")
+    return out_doc, out_dim, out_lab
+
+
+def _q_facet_sortedset(sf_dir: str) -> Any:
+    """SortedSetDocValuesFacetCounts (Facet/SortedSet/
+    SortedSetDocValuesFacetCounts.cs:75-149): flat dim$label facet counts
+    over the hits of 'spark'. Distributed shape: hit ids broadcast once
+    (ray.put), each batch emits its partial (dim, label) counts, ONE
+    low-cardinality groupby sums them; dim totals / child counts / top-3
+    per dim (count desc, label asc — the unicode tie-break at :49) are
+    computed on the driver over the tiny label table."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    td = search(r, TermQuery(term="spark"), k=r.num_docs)
+    ids_ref = ray.put(np.asarray(sorted(int(d) for d in td.docs),
+                                 dtype=np.int64))
+
+    def part(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = d[np.isin(d, wanted)]
+        _, dims, labs = _sortedset_labels(hit)
+        sub = pa.table({"dim": pa.array(dims, type=pa.string()),
+                        "label": pa.array(labs, type=pa.string())})
+        g = sub.group_by(["dim", "label"]).aggregate([([], "count_all")])
+        return pa.table({
+            "dim": g.column("dim"),
+            "label": g.column("label"),
+            "n_docs": g.column("count_all").cast(pa.int64()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    cnt = dataset_to_table(
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["dim", "label"]).aggregate(Sum("n_docs", alias_name="n_docs")),
+        schema=pa.schema([("dim", pa.string()), ("label", pa.string()),
+                          ("n_docs", pa.int64())]))
+    # driver-side finish over the tiny (dim,label) table: totals + top-3
+    import pandas as pd
+
+    df = cnt.to_pandas()
+    df["dim_total"] = df.groupby("dim")["n_docs"].transform("sum")
+    df["child_count"] = df.groupby("dim")["n_docs"].transform("count")
+    df = df.sort_values(["dim", "n_docs", "label"],
+                        ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("dim", sort=True).head(3).reset_index(drop=True)
+    return pa.table({
+        "dim": pa.array(df["dim"], type=pa.string()),
+        "label": pa.array(df["label"], type=pa.string()),
+        "n_docs": pa.array(df["n_docs"], type=pa.int64()),
+        "dim_total": pa.array(df["dim_total"], type=pa.int64()),
+        "child_count": pa.array(df["child_count"], type=pa.int64()),
+    })
+
+
 def _q_facet_lang_sampled(sf_dir: str) -> Any:
     """RandomSamplingFacetsCollector analog (Facet/RandomSamplingFacetsCollector.cs):
     facet counts over a DETERMINISTIC doc sample — here md5(doc_id) bucketed
@@ -4502,6 +4590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- 50-entry driver window ends here (assert in tests) ----
         # redundant-variant oracle queries (graded r1/r2; gate_check replays)
         "drill_sideways": _q_drill_sideways,
+        "facet_sortedset": _q_facet_sortedset,
         "shingle_stats": _q_shingle_stats,
         "sort_by_field": _q_sort_by_field,
         "search_after": _q_search_after,
@@ -4659,6 +4748,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_range": so.facet_range_sql("spark", FACET_RANGE_EDGES, FACET_RANGE_LABELS),
         "grouping_distinct": so.grouping_distinct_sql("spark"),
         "drill_sideways": so.drill_sideways_sql("spark", "en", "src3"),
+        "facet_sortedset": so.sortedset_facets_sql("spark"),
         "near_dup_candidates": so.minhash_candidates_sql(),
         "near_dup_jaccard": so.jaccard_pairs_sql(),
         "simhash": so.simhash_sql(),

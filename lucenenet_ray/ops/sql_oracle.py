@@ -1028,6 +1028,42 @@ side AS (
 SELECT dim, value, n_docs FROM side ORDER BY dim, value"""
 
 
+def sortedset_facets_sql(term: str, top_n: int = 3) -> str:
+    """SortedSetDocValuesFacetCounts oracle (Facet/SortedSet/
+    SortedSetDocValuesFacetCounts.cs:75-149): flat dim$label facets over the
+    hits of ``term``. Each hit doc carries a SORTED_SET of labels — dim 'tag'
+    gets two md5-derived labels (the set DEDUPS equal pairs, mirroring
+    SORTED_SET semantics), dim 'grp' one. Per dim: label counts, dim total
+    (sum over labels with count>0), child count (labels with count>0), and
+    the top-N labels by (count desc, label asc) — the unicode-ord tie-break
+    the reference documents at SortedSetDocValuesFacetCounts.cs:49."""
+    ha = _MD5_INT60.format(s="'ss-a-'||CAST(doc_id AS VARCHAR)")
+    hb = _MD5_INT60.format(s="'ss-b-'||CAST(doc_id AS VARCHAR)")
+    hc = _MD5_INT60.format(s="'ss-c-'||CAST(doc_id AS VARCHAR)")
+    return f"""WITH {_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM kept WHERE term = '{term}'),
+lab AS (
+  SELECT doc_id, 'tag' AS dim, 't'||CAST({ha} % 8 AS VARCHAR) AS label FROM m
+  UNION
+  SELECT doc_id, 'tag', 't'||CAST({hb} % 8 AS VARCHAR) FROM m
+  UNION
+  SELECT doc_id, 'grp', 'g'||CAST({hc} % 5 AS VARCHAR) FROM m
+),
+cnt AS (SELECT dim, label, count(*) AS n_docs FROM lab GROUP BY dim, label),
+win AS (
+  SELECT dim, label, n_docs,
+         SUM(n_docs) OVER (PARTITION BY dim) AS dim_total,
+         COUNT(*) OVER (PARTITION BY dim) AS child_count,
+         row_number() OVER (PARTITION BY dim
+                            ORDER BY n_docs DESC, label ASC) AS rk
+  FROM cnt)
+SELECT dim, label, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(dim_total AS BIGINT) AS dim_total,
+       CAST(child_count AS BIGINT) AS child_count
+FROM win WHERE rk <= {top_n}
+ORDER BY dim, n_docs DESC, label"""
+
+
 def facet_lang_sampled_sql(pct_buckets: int = 10, keep_lt: int = 3) -> str:
     """RandomSamplingFacetsCollector oracle: identical deterministic
     md5(doc_id) 30% sample, exact counts within it."""
