@@ -28,6 +28,18 @@ manifest — the per-segment codec-name header of SegmentInfos):
   VInt runs in BOTH codecs — that is what lets the segment merge and the
   expunge rewrite move position bytes without decoding them (build.py
   _merge_group; a deliberate departure from Lucene's packed .pos).
+
+A third registry entry, ``simpletext``, mirrors the SimpleText debug codec
+(ASCII decimal, one value per line). The reference's other extra formats
+(``src/Lucene.Net.Codecs/{Memory,Direct,Sep,IntBlock,Appending,DiskDV}``)
+are n/a by design: they are alternate PHYSICAL layouts of the same postings
+contract motivated by JVM heap / filesystem constraints — here the
+per-bucket Arrow tables actor-cached by ``search/reader.py`` ARE the
+RAM-resident (Direct/Memory) form, Parquet files are already append-only
+immutable (Appending), and doc values already live as Parquet columns
+(DiskDV). The format CONTRACT those codecs share — round-trip, skip
+metadata, query identity — is what this registry tests across its three
+implementations.
 """
 
 from __future__ import annotations
