@@ -3852,6 +3852,55 @@ def _q_knn_exact(sf_dir: str) -> Any:
         ["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_pq_codes(sf_dir: str) -> Any:
+    """Product-quantization encode (ops/pq.py — Jégou et al. 2011 §II):
+    m=4 subspaces × 16 codewords over the 64-dim embeddings, deterministic
+    seed codebooks (the k lowest-id vectors' slices) so the oracle
+    re-derives every code. One stateless map_batches; output is the flat
+    (vec_id, c0..c3) code table — the 64×-smaller artifact a 100 TB encode
+    would write."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.pq import pq_encode, seed_codebooks
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    books = seed_codebooks(ds, m=4, k=16)
+    t = dataset_to_table(
+        pq_encode(ds, books),
+        schema=pa.schema([("vec_id", pa.int64())] +
+                         [(f"c{s}", pa.int64()) for s in range(4)]))
+    return t.take(pa.compute.sort_indices(t.column("vec_id")))
+
+
+def _q_knn_pq_adc(sf_dir: str) -> Any:
+    """ADC top-10 over the PQ codes (ops/pq.py adc_topk — Jégou et al.
+    2011 §IV): queries stay un-quantized, per-query (m, k) distance tables
+    broadcast once, the scan is fancy-indexed table-lookup sums over the
+    code columns (zero vector math per candidate). Oracle-graded — the
+    approximate path itself, not a degenerate configuration."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.pq import adc_topk, pq_encode, seed_codebooks
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    id2vec = {}
+    for i in range(t.num_rows):
+        vid = t.column("vec_id")[i].as_py()
+        if vid in KNN_QUERY_IDS:
+            id2vec[vid] = t.column("embedding")[i].as_py()
+    qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    books = seed_codebooks(ds, m=4, k=16)
+    out = adc_topk(pq_encode(ds, books), books, qv, k=10).to_pandas()
+    out["query_id"] = out["query_id"].map(lambda i: KNN_QUERY_IDS[i])
+    return out[["query_id", "rank", "vec_id"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
 _LSH_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -4702,6 +4751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_index_boost": _q_bm25_index_boost,
         "knn_ivf_full": _q_knn_ivf_full,
         "knn_lsh_full": _q_knn_lsh_full,
+        "pq_codes": _q_pq_codes,
+        "knn_pq_adc": _q_knn_pq_adc,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4943,6 +4994,9 @@ def oracle_sql() -> dict[str, str]:
             norm_boost_expr="1.0 + CAST(doc_id % 3 AS DOUBLE)"),
         "knn_ivf_full": so.knn_exact_sql(KNN_QUERY_IDS, 10),
         "knn_lsh_full": so.knn_exact_sql(KNN_QUERY_IDS, 10),
+        "pq_codes": so.pq_codes_sql(m=4, k=16, dim=64),
+        "knn_pq_adc": so.knn_pq_adc_sql(KNN_QUERY_IDS, m=4,
+                                        k_codewords=16, dim=64, k=10),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

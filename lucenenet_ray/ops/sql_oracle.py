@@ -1331,6 +1331,75 @@ QUALIFY rank <= {k}
 ORDER BY query_id, rank"""
 
 
+def _pq_codes_cte(m: int = 4, k: int = 16, dim: int = 64) -> str:
+    """Shared CTEs re-deriving PQ codes from the deterministic seed
+    codebooks (ops/pq.py seed_codebooks + pq_encode): codeword j of
+    subspace s = subspace-s slice of the j-th lowest-vec_id vector; a
+    vector's code for subspace s = argmin squared L2 over the k codewords
+    (ties → lowest code). DOUBLE[] casts keep the accumulation in float64,
+    matching the engine's numpy math."""
+    dsub = dim // m
+    return f"""seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code,
+         embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+subs AS (SELECT unnest(range({m})) AS s),
+pq_d AS (
+  SELECT e.vec_id, subs.s, seeds.code,
+         list_distance(
+           list_slice(e.embedding::DOUBLE[], subs.s*{dsub}+1, subs.s*{dsub}+{dsub}),
+           list_slice(seeds.embedding::DOUBLE[], subs.s*{dsub}+1, subs.s*{dsub}+{dsub})
+         ) AS dist
+  FROM embeddings e CROSS JOIN seeds CROSS JOIN subs
+),
+pq_codes AS (
+  SELECT vec_id, s, code FROM pq_d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                             ORDER BY dist ASC, code ASC) = 1
+)"""
+
+
+def pq_codes_sql(m: int = 4, k: int = 16, dim: int = 64) -> str:
+    """Product-quantization codes (ops/pq.py pq_encode with seed
+    codebooks), pivoted to flat c0..c{m-1} columns."""
+    cases = ",\n  ".join(
+        f"MAX(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(m))
+    return f"""WITH {_pq_codes_cte(m, k, dim)}
+SELECT vec_id,
+  {cases}
+FROM pq_codes GROUP BY vec_id ORDER BY vec_id"""
+
+
+def knn_pq_adc_sql(query_vec_ids: list[int], m: int = 4, k_codewords: int = 16,
+                   dim: int = 64, k: int = 10) -> str:
+    """ADC top-k (ops/pq.py adc_topk): distance(q, x) = sum over subspaces
+    of squared L2 between q's subspace slice and x's ASSIGNED codeword —
+    the query stays un-quantized (Jégou et al. 2011 §IV). Rank output only
+    (count desc analog of knn_exact_sql): (query_id, rank, vec_id)."""
+    dsub = dim // m
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    return f"""WITH {_pq_codes_cte(m, k_codewords, dim)},
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id IN ({ids})),
+adc AS (
+  SELECT q.query_id, c.vec_id,
+         SUM(POWER(list_distance(
+           list_slice(q.embedding::DOUBLE[], c.s*{dsub}+1, c.s*{dsub}+{dsub}),
+           list_slice(s2.embedding::DOUBLE[], c.s*{dsub}+1, c.s*{dsub}+{dsub})
+         ), 2)) AS dist
+  FROM pq_codes c
+  JOIN seeds s2 ON s2.code = c.code
+  CROSS JOIN q
+  GROUP BY q.query_id, c.vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id
+FROM adc QUALIFY rank <= {k} ORDER BY query_id, rank"""
+
+
 def mlt_terms_sql(doc_id: int = 0, max_terms: int = 25, min_tf: int = 2,
                   min_df: int = 5) -> str:
     """MoreLikeThis term ranking for one doc: score = tf * (1 + ln(N/(df+1)))
