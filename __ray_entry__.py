@@ -3901,6 +3901,54 @@ def _q_knn_pq_adc(sf_dir: str) -> Any:
         ["query_id", "rank"]).reset_index(drop=True)
 
 
+_IVFPQ_INDEX_CACHE: dict[str, tuple[str, Any, Any]] = {}
+
+
+def _q_knn_ivfpq(sf_dir: str) -> Any:
+    """IVFADC (ops/pq.py build_ivfpq_index/knn_ivfpq — Jégou et al. 2011
+    §V, non-residual): vectors PQ-encoded and hive-partitioned by their
+    L2-nearest coarse list in ONE pass; each query reads only its nprobe=2
+    of 8 lists' CODE fragments (the raw vectors never reach the index) and
+    ADC-scans them. Oracle re-derives assignment, routing, codes and ADC —
+    the whole approximate pipeline is hash-graded."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.pq import (build_ivfpq_index, coarse_seeds,
+                                      knn_ivfpq, seed_codebooks)
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    id2vec = {}
+    for i in range(t.num_rows):
+        vid = t.column("vec_id")[i].as_py()
+        if vid in KNN_QUERY_IDS:
+            id2vec[vid] = t.column("embedding")[i].as_py()
+    qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+    key = _sf_key(sf_dir)
+    if key not in _IVFPQ_INDEX_CACHE:
+        out = f"/tmp/lucenenet_ray_ivfpqidx/{key}"
+        src = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+        coarse = coarse_seeds(src, n_lists=8)
+        books = seed_codebooks(
+            rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"]), m=4, k=16)
+        if not os.path.exists(os.path.join(out, "_BUILT")):
+            build_ivfpq_index(
+                rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"]),
+                out, coarse, books)
+            with open(os.path.join(out, "_BUILT"), "w") as f:
+                f.write("ok")
+        _IVFPQ_INDEX_CACHE[key] = (out, coarse, books)
+    path, coarse, books = _IVFPQ_INDEX_CACHE[key]
+    res, _nread, _ntotal = knn_ivfpq(path, coarse, books, qv, k=10, nprobe=2)
+    out_df = res.to_pandas()
+    out_df["query_id"] = out_df["query_id"].map(lambda i: KNN_QUERY_IDS[i])
+    return out_df[["query_id", "rank", "vec_id"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
 _LSH_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -4753,6 +4801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_full": _q_knn_lsh_full,
         "pq_codes": _q_pq_codes,
         "knn_pq_adc": _q_knn_pq_adc,
+        "knn_ivfpq": _q_knn_ivfpq,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -4997,6 +5046,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": so.pq_codes_sql(m=4, k=16, dim=64),
         "knn_pq_adc": so.knn_pq_adc_sql(KNN_QUERY_IDS, m=4,
                                         k_codewords=16, dim=64, k=10),
+        "knn_ivfpq": so.knn_ivfpq_sql(KNN_QUERY_IDS, n_lists=8, nprobe=2,
+                                      m=4, k_codewords=16, dim=64, k=10),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

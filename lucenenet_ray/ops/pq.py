@@ -170,6 +170,149 @@ def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def coarse_seeds(ds, n_lists: int = 8, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic (n_lists, dim) float64 coarse centroids for the gate
+    path: the n_lists lowest-id vectors, UN-normalized (the PQ family is
+    L2 end-to-end, unlike ops/ivf.py's cosine IVF). ivf.train_centroids
+    remains the pluggable trained path."""
+    books = seed_codebooks(ds, m=1, k=n_lists, vec_col=vec_col,
+                           id_col=id_col)
+    return books[0]
+
+
+def build_ivfpq_index(ds, out_path: str, coarse: np.ndarray,
+                      codebooks: np.ndarray, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> str:
+    """IVFADC build (Jégou et al. 2011 §V, non-residual variant — codes
+    quantize the raw vector, not the residual; documented delta): ONE
+    map_batches assigns each vector to its L2-nearest coarse list AND
+    PQ-encodes it, then hive-partitions the (id, codes) table by list.
+    The raw vector column never reaches the index — the on-disk artifact
+    is the ~64×-compressed code table, pruned at query time by list."""
+    import ray
+
+    cref = ray.put(np.asarray(coarse, dtype=np.float64))
+    bref = ray.put(np.asarray(codebooks, dtype=np.float64))
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        b = ray.get(bref)
+        m, _, dsub = b.shape
+        x = _to_matrix(batch, vec_col)
+        d2 = -2.0 * (x @ c.T) + (c * c).sum(axis=1)
+        lid = np.argmin(d2, axis=1).astype(np.int64)
+        cols = {id_col: batch.column(id_col)}
+        for s in range(m):
+            xs = x[:, s * dsub:(s + 1) * dsub]
+            cw = b[s]
+            ds2 = -2.0 * (xs @ cw.T) + (cw * cw).sum(axis=1)
+            cols[f"c{s}"] = pa.array(
+                np.argmin(ds2, axis=1).astype(np.int64), type=pa.int64())
+        cols["list"] = pa.array(lid, type=pa.int64())
+        cols["list_val"] = pa.array(lid, type=pa.int64())
+        return pa.table(cols)
+
+    ds.map_batches(assign_encode, batch_format="pyarrow").write_parquet(
+        out_path, partition_cols=["list"])
+    return out_path
+
+
+def knn_ivfpq(index_path: str, coarse: np.ndarray, codebooks: np.ndarray,
+              query_vectors: np.ndarray, k: int = 10, nprobe: int = 2,
+              id_col: str = "vec_id"):
+    """IVFADC query: route each query to its nprobe L2-closest coarse
+    lists (ties → lower list id), read ONLY those lists' code fragments
+    (genuine partition pruning — the knn_ivf_pruned contract), ADC-scan
+    the codes with per-query list masks, tie-aware partial top-k, tiny
+    driver merge. Returns (table(query_id, rank, vec_id), n_lists_read,
+    n_lists_total)."""
+    import glob as _glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    c = np.asarray(coarse, dtype=np.float64)
+    b = np.asarray(codebooks, dtype=np.float64)
+    m, kcw, dsub = b.shape
+    q = np.asarray(query_vectors, dtype=np.float64)
+    qd2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)  # (Q, L)
+    probe = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+    allowed = [np.sort(p.astype(np.int64)) for p in probe]
+    union_allowed = sorted({int(x) for p in allowed for x in p})
+    all_dirs = sorted(_glob.glob(os.path.join(index_path, "list=*")))
+    present = {int(os.path.basename(d).split("=")[1]): d for d in all_dirs}
+    read_dirs = [present[x] for x in union_allowed if x in present]
+    empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64()),
+                      "vec_id": pa.array([], type=pa.int64())})
+    if not read_dirs:
+        return empty, 0, len(all_dirs)
+    files = [f for d in read_dirs
+             for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
+    tables = np.empty((q.shape[0], m, kcw), dtype=np.float64)
+    for s in range(m):
+        qs = q[:, s * dsub:(s + 1) * dsub]
+        diff = qs[:, None, :] - b[s][None, :, :]
+        tables[:, s, :] = (diff * diff).sum(axis=2)
+    tref = ray.put(tables)
+    aref = ray.put(allowed)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tabs = ray.get(tref)
+        allowed_ = ray.get(aref)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lst = batch.column("list_val").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        codes = np.stack([
+            batch.column(f"c{s}").to_numpy(zero_copy_only=False)
+            for s in range(m)], axis=1)
+        out_q, out_id, out_d = [], [], []
+        srange = np.arange(m)
+        for qi in range(tabs.shape[0]):
+            msk = np.isin(lst, allowed_[qi])
+            if not msk.any():
+                continue
+            d = tabs[qi][srange[None, :], codes[msk]].sum(axis=1)
+            sub_ids = ids[msk]
+            kk = min(k, len(sub_ids))
+            order = np.lexsort((sub_ids, d))[:kk]  # structural-tie-aware
+            out_q.extend([qi] * len(order))
+            out_id.extend(sub_ids[order].tolist())
+            out_d.extend(d[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "dist": pa.array(out_d, type=pa.float64()),
+        })
+
+    ds = rd.read_parquet(files, columns=[id_col, "list_val"] +
+                         [f"c{s}" for s in range(m)])
+    t = dataset_to_table(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        schema=pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()),
+                          ("dist", pa.float64())]))
+    qv = t.column("query_id").to_numpy()
+    vv = t.column("vec_id").to_numpy()
+    dd = t.column("dist").to_numpy()
+    rows = []
+    for qi in np.unique(qv):
+        msk = qv == qi
+        order = np.lexsort((vv[msk], dd[msk]))[:k]
+        for r, j in enumerate(order, 1):
+            rows.append((int(qi), r, int(vv[msk][j])))
+    out = pa.table({
+        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+        "vec_id": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+    return out, len(read_dirs), len(all_dirs)
+
+
 def adc_topk(codes_ds, codebooks: np.ndarray, query_vectors: np.ndarray,
              k: int = 10, id_col: str = "vec_id") -> pa.Table:
     """ADC top-k over an encoded dataset → pa.Table (query_id, rank,

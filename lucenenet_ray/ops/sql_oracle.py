@@ -1400,6 +1400,67 @@ SELECT query_id,
 FROM adc QUALIFY rank <= {k} ORDER BY query_id, rank"""
 
 
+def knn_ivfpq_sql(query_vec_ids: list[int], n_lists: int = 8,
+                  nprobe: int = 2, m: int = 4, k_codewords: int = 16,
+                  dim: int = 64, k: int = 10) -> str:
+    """IVFADC oracle (ops/pq.py knn_ivfpq, non-residual variant): coarse
+    centroids = the n_lists lowest-id vectors (L2, un-normalized); every
+    vector assigned to its L2-nearest list (ties → lower list); each query
+    probes its nprobe closest lists; candidates ranked by ADC distance
+    over the PQ codes, ties → lower vec_id. The oracle re-derives the
+    ENTIRE approximate pipeline — assignment, probe routing, codes, ADC."""
+    dsub = dim // m
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    return f"""WITH {_pq_codes_cte(m, k_codewords, dim)},
+coarse AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS list,
+         embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+        LIMIT {n_lists})
+),
+vlist AS (
+  SELECT vec_id, list FROM (
+    SELECT e.vec_id, c.list,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             ASC, c.list ASC) AS rk
+    FROM embeddings e CROSS JOIN coarse c)
+  WHERE rk = 1
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id IN ({ids})),
+allowed AS (
+  SELECT query_id, list FROM (
+    SELECT q.query_id, c.list,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             ASC, c.list ASC) AS rk
+    FROM q CROSS JOIN coarse c)
+  WHERE rk <= {nprobe}
+),
+cand AS (
+  SELECT a.query_id, v.vec_id
+  FROM allowed a JOIN vlist v ON v.list = a.list
+),
+adc AS (
+  SELECT cand.query_id, cand.vec_id,
+         SUM(POWER(list_distance(
+           list_slice(q.embedding::DOUBLE[], pc2.s*{dsub}+1, pc2.s*{dsub}+{dsub}),
+           list_slice(s2.embedding::DOUBLE[], pc2.s*{dsub}+1, pc2.s*{dsub}+{dsub})
+         ), 2)) AS dist
+  FROM cand
+  JOIN q ON q.query_id = cand.query_id
+  JOIN pq_codes pc2 ON pc2.vec_id = cand.vec_id
+  JOIN seeds s2 ON s2.code = pc2.code
+  GROUP BY cand.query_id, cand.vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id
+FROM adc QUALIFY rank <= {k} ORDER BY query_id, rank"""
+
+
 def mlt_terms_sql(doc_id: int = 0, max_terms: int = 25, min_tf: int = 2,
                   min_df: int = 5) -> str:
     """MoreLikeThis term ranking for one doc: score = tf * (1 + ln(N/(df+1)))

@@ -80,6 +80,41 @@ def test_adc_matches_naive_model(ray_session):
     assert got[(got.query_id == 0) & (got["rank"] == 1)].vec_id.item() == 0
 
 
+def test_ivfpq_prunes_and_matches_naive(ray_session, tmp_path):
+    import ray.data as rd
+
+    from lucenenet_ray.ops.pq import (build_ivfpq_index, coarse_seeds,
+                                      knn_ivfpq, seed_codebooks)
+
+    t = _vecs(200, dim=8, seed=23)
+    mat = np.array([r.as_py() for r in t.column("embedding")],
+                   dtype=np.float64)
+    ds = rd.from_arrow(t)
+    coarse = coarse_seeds(ds, n_lists=4)
+    books = seed_codebooks(rd.from_arrow(t), m=2, k=4)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(rd.from_arrow(t), path, coarse, books)
+    q = mat[[3, 17]]
+    got, n_read, n_total = knn_ivfpq(path, coarse, books, q, k=5, nprobe=1)
+    assert n_total == 4 and 1 <= n_read <= 2  # genuine partition pruning
+    # naive model: assign -> probe -> ADC within probed lists
+    assign = np.array([
+        int(np.argmin(((coarse - x) ** 2).sum(axis=1))) for x in mat])
+    codes = _naive_codes(mat, books)
+    m, k, dsub = books.shape
+    gdf = got.to_pandas()
+    for qi, qv in enumerate(q):
+        probe = int(np.argmin(((coarse - qv) ** 2).sum(axis=1)))
+        cand = np.where(assign == probe)[0]
+        d = np.zeros(len(cand))
+        for s in range(m):
+            tab = ((books[s] - qv[s * dsub:(s + 1) * dsub]) ** 2).sum(axis=1)
+            d += tab[codes[cand, s]]
+        order = cand[np.lexsort((cand, d))][:5]
+        sub = gdf[gdf.query_id == qi].sort_values("rank")
+        assert sub.vec_id.tolist() == [int(i) for i in order]
+
+
 def test_train_pq_deterministic_and_improves(ray_session):
     import ray.data as rd
 
