@@ -2460,6 +2460,53 @@ def _q_events_window(sf_dir: str) -> Any:
     return out[["event_type", "win", "n_events", "min_user", "max_user"]]
 
 
+def _q_events_topk_users(sf_dir: str) -> Any:
+    """Continuous top-k over the event stream (the continuous-top-k shape
+    from the streaming literature, e.g. "SAP: Improving Continuous Top-K
+    Queries over Streaming Data", ICDE 2018 — PAPERS.md): per 1-hour
+    tumbling window, the top-3 heaviest users by event count (ties →
+    lower user_id), emitted as one row per (window, rank). Distributed:
+    per-batch partial (win, user) counts (the combiner), ONE groupby sum,
+    per-window rank over the already-tiny aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        epoch_us = pc.cast(t.column("ts"), pa.int64())
+        win = pc.cast(pc.divide(epoch_us, 3_600_000_000), pa.int64())
+        sub = pa.table({"win": win, "user_id": t.column("user_id")})
+        g = sub.group_by(["win", "user_id"]).aggregate([([], "count_all")])
+        return pa.table({
+            "win": g.column("win"),
+            "user_id": g.column("user_id"),
+            "n": g.column("count_all").cast(pa.int64()),
+        })
+
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    t = dataset_to_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["win", "user_id"]).aggregate(Sum("n", alias_name="n")),
+        schema=pa.schema([("win", pa.int64()), ("user_id", pa.int64()),
+                          ("n", pa.int64())]))
+    df = t.to_pandas()
+    df = df.sort_values(["win", "n", "user_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rank"] = df.groupby("win").cumcount() + 1
+    df = df[df["rank"] <= 3].reset_index(drop=True)
+    return pa.table({
+        "win": pa.array(df["win"], type=pa.int64()),
+        "rank": pa.array(df["rank"], type=pa.int64()),
+        "user_id": pa.array(df["user_id"], type=pa.int64()),
+        "n": pa.array(df["n"], type=pa.int64()),
+    })
+
+
 def _q_mlt_search(sf_dir: str) -> pa.Table:
     """MoreLikeThisQuery end-to-end (Queries/Mlt/MoreLikeThisQuery.cs →
     MoreLikeThis.Like → OR query, ops/mlt.py more_like_this_query): doc 0's
@@ -4665,6 +4712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- joins / windows / lookups
         "mlt_terms": _q_mlt_terms,
         "events_window": _q_events_window,
+        "events_topk_users": _q_events_topk_users,
         "semi_join": _q_semi_join,
         "block_join": _q_block_join,
         "field_term_lookup": _q_field_term_lookup,
@@ -4858,6 +4906,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_exact": so.knn_exact_sql(KNN_QUERY_IDS, 10),
         "mlt_terms": so.mlt_terms_sql(0),
         "events_window": so.events_window_sql(),
+        "events_topk_users": so.events_topk_users_sql(3),
         "semi_join": so.semi_join_sql(),
         "spell_suggest": so.spell_suggest_sql("spqrk", 2, 5),
         "term_stats_cjk": so.term_stats_cjk_sql(),

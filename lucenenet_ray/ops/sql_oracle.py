@@ -1552,6 +1552,21 @@ GROUP BY event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)
 ORDER BY event_type, win"""
 
 
+def events_topk_users_sql(top_n: int = 3) -> str:
+    """Continuous top-k oracle: per 1h tumbling window the top-N users by
+    event count, ties → lower user_id."""
+    return f"""WITH w AS (
+  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win, user_id
+  FROM events
+),
+cnt AS (SELECT win, user_id, count(*) AS n FROM w GROUP BY win, user_id)
+SELECT win,
+       CAST(row_number() OVER (PARTITION BY win
+                               ORDER BY n DESC, user_id ASC) AS BIGINT) AS rank,
+       user_id, CAST(n AS BIGINT) AS n
+FROM cnt QUALIFY rank <= {top_n} ORDER BY win, rank"""
+
+
 def events_sessionize_sql(gap_us: int = 30 * 60 * 1_000_000) -> str:
     """Sessionization oracle: window-function gap split, ties broken by
     event_id like ops/sessions.py sessionize_group."""
