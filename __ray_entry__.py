@@ -3948,6 +3948,76 @@ def _q_knn_pq_adc(sf_dir: str) -> Any:
         ["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_sq8_codes(sf_dir: str) -> Any:
+    """Scalar quantization SQ8 (ops/sq.py — per-dim min/max affine int8,
+    the faiss-ScalarQuantizer layout): train = ONE combiner pass emitting
+    per-batch (2, dim) min/max partials; encode = ONE stateless
+    map_batches with half-up rounding (floor(v+0.5) — identical in numpy
+    and SQL). Gate emits every 16th dimension flat (vec_id, ord, code);
+    the full per-dim stats back every code."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.sq import sq_encode, train_sq
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    mins, maxs = train_sq(ds)
+    enc = dataset_to_table(
+        sq_encode(rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                  columns=["vec_id", "embedding"]),
+                  mins, maxs),
+        schema=None)
+    ids = enc.column("vec_id").to_numpy().astype(np.int64)
+    import pyarrow.compute as pc
+
+    dim = len(mins)
+    codes = pc.list_flatten(enc.column("codes")).to_numpy().reshape(
+        len(ids), dim)
+    sel = [j for j in range(dim) if (j + 1) % 16 == 1]
+    out_vid, out_ord, out_code = [], [], []
+    order = np.argsort(ids, kind="stable")
+    for i in order:
+        for j in sel:
+            out_vid.append(int(ids[i]))
+            out_ord.append(j + 1)
+            out_code.append(int(codes[i, j]))
+    return pa.table({
+        "vec_id": pa.array(out_vid, type=pa.int64()),
+        "ord": pa.array(out_ord, type=pa.int64()),
+        "code": pa.array(out_code, type=pa.int64()),
+    })
+
+
+def _q_knn_sq8(sf_dir: str) -> Any:
+    """Asymmetric SQ8 top-10 (ops/sq.py knn_sq8): raw query vs affine-
+    reconstructed candidates, squared L2, (dist, id) tie-break — the
+    compressed-scan ranking is itself oracle-graded."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.sq import knn_sq8, sq_encode, train_sq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    id2vec = {}
+    for i in range(t.num_rows):
+        vid = t.column("vec_id")[i].as_py()
+        if vid in KNN_QUERY_IDS:
+            id2vec[vid] = t.column("embedding")[i].as_py()
+    qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    mins, maxs = train_sq(ds)
+    enc = sq_encode(rd.read_parquet(os.path.join(sf_dir,
+                                                 "embeddings.parquet"),
+                                    columns=["vec_id", "embedding"]),
+                    mins, maxs)
+    out = knn_sq8(enc, mins, maxs, qv, k=10).to_pandas()
+    out["query_id"] = out["query_id"].map(lambda i: KNN_QUERY_IDS[i])
+    return out[["query_id", "rank", "vec_id"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
 _IVFPQ_INDEX_CACHE: dict[str, tuple[str, Any, Any]] = {}
 
 
@@ -4850,6 +4920,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": _q_pq_codes,
         "knn_pq_adc": _q_knn_pq_adc,
         "knn_ivfpq": _q_knn_ivfpq,
+        "sq8_codes": _q_sq8_codes,
+        "knn_sq8": _q_knn_sq8,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -5097,6 +5169,8 @@ def oracle_sql() -> dict[str, str]:
                                         k_codewords=16, dim=64, k=10),
         "knn_ivfpq": so.knn_ivfpq_sql(KNN_QUERY_IDS, n_lists=8, nprobe=2,
                                       m=4, k_codewords=16, dim=64, k=10),
+        "sq8_codes": so.sq8_codes_sql(dim=64, sample_mod=16),
+        "knn_sq8": so.knn_sq8_sql(KNN_QUERY_IDS, dim=64, k=10),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -1,0 +1,146 @@
+"""Scalar quantization (SQ8) — per-dimension int8 compression for embedding
+search (no reference analog: LLM-ops item; the design is the standard
+per-dim min/max affine quantizer, e.g. the faiss ScalarQuantizer layout).
+
+4× compression vs float32 (64-dim → 64 bytes): lighter than PQ's 64× but
+reconstruction is per-dimension exact-affine, so recall loss is tiny — the
+usual first step before IVF/PQ at 100 TB.
+
+Ray-Data-first shapes:
+
+- :func:`train_sq` — per-dimension (min, max) over the corpus: ONE
+  map_batches pass emitting per-batch elementwise min/max rows (a
+  fixed-size (2, dim) combiner partial), tiny driver reduce. No RNG, no
+  iteration — deterministic and SQL-re-derivable.
+
+- :func:`sq_encode` — ONE stateless map_batches:
+  ``code = clip(floor((x - min) * 255 / (max - min) + 0.5), 0, 255)``
+  (HALF-UP rounding, chosen over numpy's default banker's rounding
+  because ``floor(v + 0.5)`` computes identically in numpy and SQL).
+  Constant dimensions (max == min) encode to 0.
+
+- :func:`knn_sq8` — asymmetric search: the query stays un-quantized,
+  candidates are reconstructed per batch as ``min + code * scale`` (a
+  vectorized affine, no per-row Python) and ranked by squared L2;
+  (dist, id)-ordered tie-aware partials + tiny driver merge.
+
+All three steps are exactly re-derivable in SQL, so the gate queries are
+oracle-graded end to end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(batch.column(vec_col)).to_numpy().astype(np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def train_sq(ds, vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) float64 vectors via one combiner pass."""
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch, vec_col)
+        return pa.table({
+            "kind": pa.array(["min", "max"], type=pa.string()),
+            "v": pa.array([m.min(axis=0).tolist(), m.max(axis=0).tolist()],
+                          type=pa.list_(pa.float64())),
+        })
+
+    t = dataset_to_table(
+        ds.map_batches(partial, batch_format="pyarrow"), schema=None)
+    import pyarrow.compute as pc
+
+    kinds = t.column("kind").to_pylist()
+    dim = len(t.column("v")[0])
+    vals = pc.list_flatten(t.column("v")).to_numpy().reshape(t.num_rows, dim)
+    mins = vals[[i for i, k in enumerate(kinds) if k == "min"]].min(axis=0)
+    maxs = vals[[i for i, k in enumerate(kinds) if k == "max"]].max(axis=0)
+    return mins, maxs
+
+
+def sq_encode(ds, mins: np.ndarray, maxs: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Encode → Dataset (id_col, codes: list<int64> of length dim),
+    half-up rounding, constant dims → 0."""
+    import ray
+
+    rng = np.asarray(maxs, dtype=np.float64) - np.asarray(mins, dtype=np.float64)
+    scale = np.where(rng > 0, rng / 255.0, 1.0)
+    state = ray.put((np.asarray(mins, dtype=np.float64), scale, rng > 0))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mn, sc, live = ray.get(state)
+        x = _to_matrix(batch, vec_col)
+        q = np.floor((x - mn) / sc + 0.5)
+        q = np.clip(q, 0, 255).astype(np.int64)
+        q[:, ~live] = 0
+        return pa.table({
+            id_col: batch.column(id_col),
+            "codes": pa.array(list(q), type=pa.list_(pa.int64())),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def knn_sq8(codes_ds, mins: np.ndarray, maxs: np.ndarray,
+            query_vectors: np.ndarray, k: int = 10,
+            id_col: str = "vec_id") -> pa.Table:
+    """Asymmetric top-k over SQ8 codes → pa.Table (query_id, rank, vec_id).
+    Candidates reconstructed as ``min + code * scale``; ties (dist, id)."""
+    import ray
+
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    rng = np.asarray(maxs, dtype=np.float64) - np.asarray(mins, dtype=np.float64)
+    scale = np.where(rng > 0, rng / 255.0, 0.0)
+    q = np.asarray(query_vectors, dtype=np.float64)
+    state = ray.put((np.asarray(mins, dtype=np.float64), scale, q))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mn, sc, qs = ray.get(state)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        codes = pc.list_flatten(batch.column("codes")).to_numpy().reshape(
+            len(ids), -1).astype(np.float64)
+        rec = mn + codes * sc  # (n, dim) reconstructed
+        out_q, out_id, out_d = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(qs.shape[0]):
+            d = ((rec - qs[qi]) ** 2).sum(axis=1)
+            order = np.lexsort((ids, d))[:kk]  # tie-aware selection
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_d.extend(d[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "dist": pa.array(out_d, type=pa.float64()),
+        })
+
+    t = dataset_to_table(
+        codes_ds.map_batches(partial, batch_format="pyarrow"),
+        schema=pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()),
+                          ("dist", pa.float64())]))
+    qv = t.column("query_id").to_numpy()
+    vv = t.column("vec_id").to_numpy()
+    dd = t.column("dist").to_numpy()
+    rows = []
+    for qi in np.unique(qv):
+        msk = qv == qi
+        order = np.lexsort((vv[msk], dd[msk]))[:k]
+        for r, j in enumerate(order, 1):
+            rows.append((int(qi), r, int(vv[msk][j])))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+        "vec_id": pa.array([r[2] for r in rows], type=pa.int64()),
+    })

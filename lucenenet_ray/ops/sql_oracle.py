@@ -1400,6 +1400,68 @@ SELECT query_id,
 FROM adc QUALIFY rank <= {k} ORDER BY query_id, rank"""
 
 
+def _sq8_cte(dim: int = 64) -> str:
+    """Shared CTEs re-deriving SQ8 codes (ops/sq.py train_sq + sq_encode):
+    per-dimension corpus min/max, then
+    ``floor((x - mn) / ((mx - mn)/255) + 0.5)`` clipped to [0, 255] —
+    the SQL divides by the PRE-DIVIDED scale exactly as the engine does,
+    so the float64 expression trees are identical."""
+    return f"""vals AS (
+  SELECT e.vec_id, t.g AS ord, CAST(e.embedding[t.g] AS DOUBLE) AS val
+  FROM embeddings e, generate_series(1, {dim}) AS t(g)
+),
+stats AS (SELECT ord, min(val) AS mn, max(val) AS mx FROM vals GROUP BY ord),
+sq_codes AS (
+  SELECT v.vec_id, v.ord,
+         CASE WHEN s.mx > s.mn THEN CAST(LEAST(255, GREATEST(0,
+           FLOOR((v.val - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5)))
+           AS BIGINT)
+         ELSE 0 END AS code
+  FROM vals v JOIN stats s USING (ord)
+)"""
+
+
+def sq8_codes_sql(dim: int = 64, sample_mod: int = 16) -> str:
+    """SQ8 code table, flat (vec_id, ord, code) rows (flat avoids Arrow
+    list-child-name schema mismatches in the gate compare). ``sample_mod``
+    keeps every vector but every ``sample_mod``-th dimension — the full
+    per-dim stats still back every emitted code."""
+    return f"""WITH {_sq8_cte(dim)}
+SELECT vec_id, ord, code FROM sq_codes
+WHERE ord % {sample_mod} = 1 ORDER BY vec_id, ord"""
+
+
+def knn_sq8_sql(query_vec_ids: list[int], dim: int = 64, k: int = 10) -> str:
+    """Asymmetric SQ8 top-k (ops/sq.py knn_sq8): candidates reconstructed
+    as mn + code * ((mx-mn)/255), squared-L2 to the raw query, ties →
+    lower vec_id. Rank-only output like knn_exact_sql."""
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    return f"""WITH {_sq8_cte(dim)},
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id IN ({ids})),
+qvals AS (
+  SELECT q.query_id, t.g AS ord, CAST(q.embedding[t.g] AS DOUBLE) AS qval
+  FROM q, generate_series(1, {dim}) AS t(g)
+),
+rec AS (
+  SELECT c.vec_id, c.ord,
+         CASE WHEN s.mx > s.mn
+              THEN s.mn + c.code * ((s.mx - s.mn) / 255.0)
+              ELSE s.mn END AS rv
+  FROM sq_codes c JOIN stats s USING (ord)
+),
+dist AS (
+  SELECT qv.query_id, r.vec_id, SUM(POWER(r.rv - qv.qval, 2)) AS d
+  FROM rec r JOIN qvals qv USING (ord)
+  GROUP BY qv.query_id, r.vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY d ASC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id
+FROM dist QUALIFY rank <= {k} ORDER BY query_id, rank"""
+
+
 def knn_ivfpq_sql(query_vec_ids: list[int], n_lists: int = 8,
                   nprobe: int = 2, m: int = 4, k_codewords: int = 16,
                   dim: int = 64, k: int = 10) -> str:
