@@ -2058,6 +2058,14 @@ def _q_facet_sortedset(sf_dir: str) -> Any:
         d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         hit = d[np.isin(d, wanted)]
         _, dims, labs = _sortedset_labels(hit)
+        if not dims:
+            # a hit-free batch must still emit the full schema: an empty
+            # groupby output block degenerates to ZERO columns, the exact
+            # concat_tables schema-mismatch class behind r2's
+            # near_dup_jaccard failure
+            return pa.table({"dim": pa.array([], type=pa.string()),
+                             "label": pa.array([], type=pa.string()),
+                             "n_docs": pa.array([], type=pa.int64())})
         sub = pa.table({"dim": pa.array(dims, type=pa.string()),
                         "label": pa.array(labs, type=pa.string())})
         g = sub.group_by(["dim", "label"]).aggregate([([], "count_all")])
@@ -2477,6 +2485,10 @@ def _q_events_topk_users(sf_dir: str) -> Any:
     def partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if t.num_rows == 0:  # empty groupby blocks degenerate to 0 columns
+            return pa.table({"win": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
         epoch_us = pc.cast(t.column("ts"), pa.int64())
         win = pc.cast(pc.divide(epoch_us, 3_600_000_000), pa.int64())
         sub = pa.table({"win": win, "user_id": t.column("user_id")})
