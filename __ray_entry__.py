@@ -4613,6 +4613,16 @@ def _q_stratified_sample(sf_dir: str) -> Any:
 
 
 
+def _q_chunk_stats(sf_dir: str) -> pa.Table:
+    """RAG/retrieval chunking (ops/chunk.py chunk_documents): 32-token
+    sliding windows with 8-token overlap; per doc the chunk count, summed
+    chunk tokens, and md5-16 of the concatenated chunk texts — proves
+    boundary arithmetic AND chunk bytes vs a SQL list-slicing oracle."""
+    from lucenenet_ray.ops.chunk import chunk_stats
+
+    return chunk_stats(_docs_ds(sf_dir), window=32, overlap=8)
+
+
 def _q_pack_sequences(sf_dir: str) -> pa.Table:
     """Training-sequence packing (ops/packing.py pack_sequences):
     concat-and-chunk in doc_id order, BPE-pre-tokenizer counts, 1 EOS
@@ -4898,6 +4908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": _q_c4_clean,
         "substring_dedup": _q_substring_dedup,
         "pack_sequences": _q_pack_sequences,
+        "chunk_stats": _q_chunk_stats,
         "epoch_shuffle": _q_epoch_shuffle,
         "domain_stats": _q_domain_stats,
         "classic_highlight": _q_classic_highlight,
@@ -5063,6 +5074,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": so.c4_clean_sql(),
         "substring_dedup": so.substring_dedup_sql(5),
         "pack_sequences": so.pack_sequences_sql(128, 1),
+        "chunk_stats": so.chunk_stats_sql(32, 8),
         "epoch_shuffle": so.epoch_shuffle_sql(1, 100),
         "domain_stats": so.domain_stats_sql(("d3.example.com",), 1, 20),
         "classic_highlight": so.classic_highlight_sql(

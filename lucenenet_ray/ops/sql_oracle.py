@@ -4712,3 +4712,32 @@ SELECT a.vec_id, a.cluster,
        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
 FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id
 ORDER BY a.vec_id"""
+
+
+def chunk_stats_sql(window: int = 32, overlap: int = 8) -> str:
+    """Sliding-window chunking report (ops/chunk.py): per doc the chunk
+    count, summed chunk tokens, and md5-16 of the concatenated chunk texts
+    — re-derives the exact chunk boundaries (stride = window - overlap,
+    emitted while i*stride < n) and byte content via list slicing."""
+    stride = window - overlap
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tl
+  FROM documents WHERE length(text) > 0
+),
+ex AS (
+  SELECT doc_id, tl,
+         unnest(generate_series(0, (len(tl)-1)//{stride})) AS i
+  FROM toks
+),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(tl[i*{stride}+1 : i*{stride}+{window}], ' ')
+           AS chunk_text,
+         least({window}, len(tl) - i*{stride}) AS n_tok
+  FROM ex
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+       substr(md5(string_agg(chunk_text, '' ORDER BY chunk_idx)), 1, 16)
+         AS chunks_md5
+FROM c GROUP BY doc_id ORDER BY doc_id"""
