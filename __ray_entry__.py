@@ -3911,6 +3911,77 @@ def _q_knn_exact(sf_dir: str) -> Any:
         ["query_id", "rank"]).reset_index(drop=True)
 
 
+HYBRID_TERMS = ["spark", "window"]
+HYBRID_VEC_ID = 7
+KNN_FILTER_LABEL = 3
+
+
+def _q_hybrid_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval (ops/hybrid.py): BM25 top-20 over the inverted
+    index fused with cosine top-20 over the embeddings (vec_id == doc_id
+    by construction) via reciprocal-rank fusion, K=60. Both legs are the
+    distributed engines; the fuse is the k-scale final reduce."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.hybrid import rrf_fuse
+    from lucenenet_ray.ops.knn import knn_bruteforce
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+    from lucenenet_ray.search.searcher import search
+
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t)) for t in HYBRID_TERMS))
+    td = search(_reader(sf_dir), q, k=20)
+    lex_ids = [int(d) for d, _ in td.to_list()]
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = None
+    for i in range(emb.num_rows):
+        if emb.column("vec_id")[i].as_py() == HYBRID_VEC_ID:
+            qv = np.array([emb.column("embedding")[i].as_py()],
+                          dtype=np.float64)
+            break
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    kt = knn_bruteforce(ds, qv, k=20)
+    vec_ids = kt.column("vec_id").to_pylist()  # already rank-ordered
+    return rrf_fuse([lex_ids, vec_ids], k=10, K=60)
+
+
+def _q_knn_filtered(sf_dir: str) -> Any:
+    """Filtered vector search: pre-filter on the metadata label (vectorized
+    Arrow mask inside map_batches, pushed ahead of the ranking so the
+    candidate pool shrinks before any matmul), then exact cosine top-10 —
+    the metadata-filtered ANN shape every vector store exposes."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.knn import knn_bruteforce
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    id2vec = {}
+    for i in range(t.num_rows):
+        vid = t.column("vec_id")[i].as_py()
+        if vid in KNN_QUERY_IDS:
+            id2vec[vid] = t.column("embedding")[i].as_py()
+    qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding", "label"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("label"), KNN_FILTER_LABEL)),
+        batch_format="pyarrow")
+    out = knn_bruteforce(ds, qv, k=10).to_pandas()
+    out["query_id"] = out["query_id"].map(lambda i: KNN_QUERY_IDS[i])
+    return out[["query_id", "rank", "vec_id"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_pq_codes(sf_dir: str) -> Any:
     """Product-quantization encode (ops/pq.py — Jégou et al. 2011 §II):
     m=4 subspaces × 16 codewords over the 64-dim embeddings, deterministic
@@ -4938,6 +5009,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "multi_field_sort": _q_multi_field_sort,
         "bm25_index_boost": _q_bm25_index_boost,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "knn_filtered": _q_knn_filtered,
         "knn_ivf_full": _q_knn_ivf_full,
         "knn_lsh_full": _q_knn_lsh_full,
         "pq_codes": _q_pq_codes,
@@ -5075,6 +5148,10 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": so.substring_dedup_sql(5),
         "pack_sequences": so.pack_sequences_sql(128, 1),
         "chunk_stats": so.chunk_stats_sql(32, 8),
+        "hybrid_rrf": so.hybrid_rrf_sql(HYBRID_TERMS, HYBRID_VEC_ID,
+                                        leg_k=20, k=10, K=60),
+        "knn_filtered": so.knn_filtered_sql(KNN_QUERY_IDS, KNN_FILTER_LABEL,
+                                            k=10),
         "epoch_shuffle": so.epoch_shuffle_sql(1, 100),
         "domain_stats": so.domain_stats_sql(("d3.example.com",), 1, 20),
         "classic_highlight": so.classic_highlight_sql(

@@ -4741,3 +4741,47 @@ SELECT doc_id, COUNT(*) AS n_chunks,
        substr(md5(string_agg(chunk_text, '' ORDER BY chunk_idx)), 1, 16)
          AS chunks_md5
 FROM c GROUP BY doc_id ORDER BY doc_id"""
+
+
+def hybrid_rrf_sql(terms: list[str], vec_id: int, leg_k: int = 20,
+                   k: int = 10, K: int = 60) -> str:
+    """Hybrid retrieval via reciprocal-rank fusion (ops/hybrid.py): BM25
+    top-leg_k (the bit-exact bm25_topk_sql leg) full-outer-joined with
+    cosine top-leg_k (knn_exact_sql leg, embeddings vec_id == documents
+    doc_id by construction); RRF(d) = Σ 1/(K + rank). Integer ranks feed
+    float64 division + one addition — bit-identical to the engine."""
+    lex = bm25_topk_sql(terms, k=leg_k)
+    vec = knn_exact_sql([vec_id], k=leg_k)
+    return f"""SELECT doc_id, rrf_score FROM (
+  SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+         (CASE WHEN l.rank IS NULL THEN CAST(0.0 AS DOUBLE)
+               ELSE 1.0/({K}+l.rank) END
+          + CASE WHEN v.rank IS NULL THEN CAST(0.0 AS DOUBLE)
+                 ELSE 1.0/({K}+v.rank) END) AS rrf_score
+  FROM ({lex}) l
+  FULL OUTER JOIN ({vec}) v ON v.vec_id = l.doc_id
+) ORDER BY rrf_score DESC, doc_id ASC LIMIT {k}"""
+
+
+def knn_filtered_sql(query_vec_ids: list[int], label: int,
+                     k: int = 10) -> str:
+    """Filtered vector search: exact cosine top-k restricted to vectors
+    whose metadata label matches — PRE-filter semantics (the candidate set
+    is filtered before ranking, so every query returns k matches from the
+    filtered pool, never fewer because of the filter)."""
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    return f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN ({ids})
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.embedding) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = {label}
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id
+FROM sims
+QUALIFY rank <= {k}
+ORDER BY query_id, rank"""
