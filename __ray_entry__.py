@@ -4342,6 +4342,68 @@ def _q_term_stats_cjk_bigram(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_smartcn_term_stats(sf_dir: str) -> pa.Table:
+    """SmartCn analog (Analysis.SmartCn/Hhmm/HHMMSegmenter.cs +
+    BiSegGraph.cs:52-118): learn word+bigram dictionaries from the
+    space-segmented train split with one small groupby (Ray pipeline),
+    broadcast them once (ray.put), then Viterbi-segment the raw
+    (unsegmented) split in an actor-pool map_batches and aggregate
+    (term, df, ttf). The oracle re-derives the TRUE segmentation from the
+    md5 corpus formulas (sources/smartcn.py constructs a prefix-free
+    vocabulary, so truth is unique and SQL-expressible) — matching it
+    proves the shortest-path segmenter recovers the generating words."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lucenenet_ray.analysis.smartcn import SegmentTokens, learn_dicts
+    from lucenenet_ray.sources.smartcn import smartcn_corpus_table
+
+    t = smartcn_corpus_table(sf_dir)
+    ds = rd.from_arrow(t)
+    wf, bf = learn_dicts(ds.filter(expr="split == 'train'"))
+    wref, bref = ray.put(wf), ray.put(bf)
+    raw = ds.filter(expr="split == 'raw'")
+
+    class Partial:
+        def __init__(self):
+            self.seg = SegmentTokens(wref, bref)  # dict ray.get once/actor
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            toks = self.seg(b)
+            df: Counter = Counter()
+            ttf: Counter = Counter()
+            per_doc: dict[int, Counter] = {}
+            for d, term in zip(toks.column("doc_id").to_pylist(),
+                               toks.column("term").to_pylist()):
+                per_doc.setdefault(d, Counter())[term] += 1
+            for c in per_doc.values():
+                ttf.update(c)
+                df.update(c.keys())
+            keys = sorted(ttf)
+            return pa.table({
+                "term": pa.array(keys, type=pa.string()),
+                "df": pa.array([df[k] for k in keys], type=pa.int64()),
+                "ttf": pa.array([ttf[k] for k in keys], type=pa.int64()),
+            })
+
+    out = (
+        raw.map_batches(Partial, batch_format="pyarrow", batch_size=64,
+                        concurrency=2)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .sort("term")
+        .take_all()
+    )
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], type=pa.string()),
+        "df": pa.array([r["df"] for r in out], type=pa.int64()),
+        "ttf": pa.array([r["ttf"] for r in out], type=pa.int64()),
+    })
+
+
 def _q_term_stats_multilang(sf_dir: str) -> pa.Table:
     """Index build with per-language analyzer dispatch on the lang column
     (SURVEY §2.2 per-language analyzers) → global term stats."""
@@ -4917,6 +4979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vector_stored": _q_term_vector_stored,
         "replica_bm25": _q_replica_bm25,
         "term_stats_cjk_bigram": _q_term_stats_cjk_bigram,
+        "smartcn_term_stats": _q_smartcn_term_stats,
         "xml_query_bm25": _q_xml_query_bm25,
         "events_sessionize": _q_events_sessionize,
         "nb_classify": _q_nb_classify,
@@ -5099,6 +5162,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vector_stored": so.term_vector_sql(7),
         "replica_bm25": so.bm25_topk_sql(["data", "merge"], TOPK, "or"),
         "term_stats_cjk_bigram": so.term_stats_cjk_bigram_sql(),
+        "smartcn_term_stats": so.smartcn_term_stats_sql(),
         "xml_query_bm25": so.bm25_topk_sql(["spark", "merge"], TOPK, "or"),
         "events_sessionize": so.events_sessionize_sql(),
         "nb_classify": so.nb_classify_sql([3, 7, 11]),
