@@ -4404,6 +4404,64 @@ def _q_smartcn_term_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_kuromoji_term_stats(sf_dir: str) -> pa.Table:
+    """Kuromoji analog (Analysis.Kuromoji/JapaneseTokenizer.cs:312-339):
+    mecab-style lattice Viterbi over (position, rightID) states — path
+    cost = prev + connection(prevRight, left) + wordCost — with a
+    synthesized dictionary (sources/kuromoji.py; the reference's compiled
+    mecab packs are out of copy scope). Dictionary broadcast once via
+    ray.put; per-doc DP in an actor-pool map_batches; (term, df, ttf)
+    aggregate. Oracle re-derives the TRUE segmentation from the md5
+    formulas (prefix-free vocabulary => unique, SQL-expressible)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lucenenet_ray.analysis.kuromoji import KuromojiTokens
+    from lucenenet_ray.sources.kuromoji import build_dict, kuromoji_corpus_table
+
+    ds = rd.from_arrow(kuromoji_corpus_table(sf_dir))
+    dref = ray.put(build_dict())
+
+    class Partial:
+        def __init__(self):
+            self.tok = KuromojiTokens(dref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            toks = self.tok(b)
+            df: Counter = Counter()
+            ttf: Counter = Counter()
+            per_doc: dict[int, Counter] = {}
+            for d, term in zip(toks.column("doc_id").to_pylist(),
+                               toks.column("term").to_pylist()):
+                per_doc.setdefault(d, Counter())[term] += 1
+            for c in per_doc.values():
+                ttf.update(c)
+                df.update(c.keys())
+            keys = sorted(ttf)
+            return pa.table({
+                "term": pa.array(keys, type=pa.string()),
+                "df": pa.array([df[k] for k in keys], type=pa.int64()),
+                "ttf": pa.array([ttf[k] for k in keys], type=pa.int64()),
+            })
+
+    out = (
+        ds.map_batches(Partial, batch_format="pyarrow", batch_size=64,
+                       concurrency=2)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .sort("term")
+        .take_all()
+    )
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], type=pa.string()),
+        "df": pa.array([r["df"] for r in out], type=pa.int64()),
+        "ttf": pa.array([r["ttf"] for r in out], type=pa.int64()),
+    })
+
+
 def _q_term_stats_multilang(sf_dir: str) -> pa.Table:
     """Index build with per-language analyzer dispatch on the lang column
     (SURVEY §2.2 per-language analyzers) → global term stats."""
@@ -4980,6 +5038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "replica_bm25": _q_replica_bm25,
         "term_stats_cjk_bigram": _q_term_stats_cjk_bigram,
         "smartcn_term_stats": _q_smartcn_term_stats,
+        "kuromoji_term_stats": _q_kuromoji_term_stats,
         "xml_query_bm25": _q_xml_query_bm25,
         "events_sessionize": _q_events_sessionize,
         "nb_classify": _q_nb_classify,
@@ -5163,6 +5222,7 @@ def oracle_sql() -> dict[str, str]:
         "replica_bm25": so.bm25_topk_sql(["data", "merge"], TOPK, "or"),
         "term_stats_cjk_bigram": so.term_stats_cjk_bigram_sql(),
         "smartcn_term_stats": so.smartcn_term_stats_sql(),
+        "kuromoji_term_stats": so.kuromoji_term_stats_sql(),
         "xml_query_bm25": so.bm25_topk_sql(["spark", "merge"], TOPK, "or"),
         "events_sessionize": so.events_sessionize_sql(),
         "nb_classify": so.nb_classify_sql([3, 7, 11]),

@@ -1753,6 +1753,44 @@ FROM rawpos JOIN vwords ON vwords.i = rawpos.widx
 GROUP BY word ORDER BY term"""
 
 
+def kuromoji_term_stats_sql() -> str:
+    """(term, df, ttf) over the deterministic Kuromoji corpus
+    (sources/kuromoji.py): true segmentation re-derived from the md5
+    generator formulas (prefix-free katakana vocabulary => unique)."""
+    from lucenenet_ray.sources.kuromoji import (
+        C_BASE, C_RANGE, N_DOCS, S_BASE, S_RANGE, V,
+    )
+
+    def md5i(expr: str) -> str:
+        return _MD5_INT31.format(s=expr)
+
+    return f"""WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {N_DOCS}
+),
+rawpos AS (
+  SELECT doc_id, j,
+    {md5i("'kj-d-'||doc_id||'-'||j")} % {V} AS widx
+  FROM ids, generate_series(0, 14) AS t(j)
+  WHERE j < 6 + ({md5i("'kj-n-'||doc_id")} % 10)
+),
+vocab AS (
+  SELECT i, (i % {S_RANGE}) AS s_idx
+  FROM generate_series(0, {V - 1}) AS t(i)
+),
+vwords AS (
+  SELECT i,
+    chr(CAST({S_BASE} + s_idx AS INTEGER)) || COALESCE(string_agg(
+      chr(CAST({C_BASE} + ({md5i("'kj-w-'||i||'-'||k")} % {C_RANGE})
+          AS INTEGER)), '' ORDER BY k), '') AS word
+  FROM vocab LEFT JOIN LATERAL
+    (SELECT unnest(range(1, 1 + s_idx % 3)) AS k) ON TRUE
+  GROUP BY i, s_idx
+)
+SELECT word AS term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM rawpos JOIN vwords ON vwords.i = rawpos.widx
+GROUP BY word ORDER BY term"""
+
+
 def term_stats_cjk_bigram_sql() -> str:
     """(term, df, ttf) after the CJKBigramFilter chain (HAN|HIRAGANA
     flags) over the deterministic CJK corpus: Han/Hiragana segments of
