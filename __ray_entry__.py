@@ -4462,6 +4462,120 @@ def _q_kuromoji_term_stats(sf_dir: str) -> pa.Table:
     })
 
 
+_SNAP_EPOCH_US = 1704067200000000  # 2024-01-01 UTC in epoch microseconds
+_DAY_US = 86400000000
+
+
+def _order_snapshots_ds(sf_dir: str, salt: str, span_days: int):
+    """Synthesized right-side stream for the temporal joins: each order
+    emits one row keyed user_id = o_custkey % 15 at a deterministic 2024
+    timestamp (md5 formula, re-derivable in SQL) so the streams
+    interleave with events' time range."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.neardup import md5_int31
+
+    def synth(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_pylist()
+        ts = [(_SNAP_EPOCH_US
+               + (md5_int31(f"{salt}-{k}") % (span_days * 86400)) * 1000000)
+              for k in ok]
+        import numpy as np
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(np.mod(cust, 15), pa.int64()),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_totalprice": t.column("o_totalprice"),
+            "snap_us": pa.array(ts, pa.int64()),
+        })
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(synth, batch_format="pyarrow")
+
+
+def _q_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join (custom distributed operator, ops/temporal_join.py):
+    every event joins the latest order snapshot (snap_us <= event ts,
+    ties by greatest o_orderkey) of the same user. One key shuffle +
+    per-group vectorized searchsorted; LEFT semantics (events before any
+    snapshot keep null order columns)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.temporal_join import asof_join
+
+    def ev_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": t.column("ts").cast(pa.int64()),
+        })
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    ).map_batches(ev_prep, batch_format="pyarrow")
+    snaps = _order_snapshots_ds(sf_dir, "snap", 30)
+    out = asof_join(events, snaps, key="user_id", left_on="ts_us",
+                    right_on="snap_us", tie="o_orderkey",
+                    right_cols=["o_orderkey", "o_totalprice"])
+    res = out.sort("event_id").take_all()
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in res], pa.int64()),
+        "o_orderkey": pa.array([r["o_orderkey"] for r in res], pa.int64()),
+        "o_totalprice": pa.array([r["o_totalprice"] for r in res],
+                                 pa.float64()),
+    })
+
+
+def _q_range_join_events(sf_dir: str) -> pa.Table:
+    """Interval join (custom distributed operator, ops/temporal_join.py):
+    per synthesized 3-day order window, count and exact milli-scaled sum
+    of same-user event values inside [start, end). Windows replicate to
+    the <=2 time buckets they overlap (bucket = window length), events
+    hash to one bucket, join per (user, bucket), re-sum per window."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from lucenenet_ray.ops.temporal_join import interval_join_agg
+
+    def ev_prep(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64())
+        milli = pc.round(pc.multiply(t.column("value"), 1000.0))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_us": ts,
+            "value_milli": milli.cast(pa.float64()),
+        })
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    ).map_batches(ev_prep, batch_format="pyarrow")
+
+    def win_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "o_orderkey": t.column("o_orderkey"),
+            "ws": t.column("snap_us"),
+            "we": pc.add(t.column("snap_us"), 3 * _DAY_US),
+        })
+
+    wins = _order_snapshots_ds(sf_dir, "win", 27).map_batches(
+        win_prep, batch_format="pyarrow")
+    out = interval_join_agg(events, wins, key="user_id", left_on="ts_us",
+                            win_id="o_orderkey", win_start="ws",
+                            win_end="we", value="value_milli",
+                            bucket_len_us=3 * _DAY_US)
+    res = out.sort("o_orderkey").take_all()
+    return pa.table({
+        "o_orderkey": pa.array([r["o_orderkey"] for r in res], pa.int64()),
+        "n": pa.array([int(r["n"]) for r in res], pa.int64()),
+        "total_milli": pa.array([int(r["total"]) for r in res], pa.int64()),
+    })
+
+
 def _q_term_stats_multilang(sf_dir: str) -> pa.Table:
     """Index build with per-language analyzer dispatch on the lang column
     (SURVEY §2.2 per-language analyzers) → global term stats."""
@@ -5039,6 +5153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_cjk_bigram": _q_term_stats_cjk_bigram,
         "smartcn_term_stats": _q_smartcn_term_stats,
         "kuromoji_term_stats": _q_kuromoji_term_stats,
+        "asof_join": _q_asof_join,
+        "range_join_events": _q_range_join_events,
         "xml_query_bm25": _q_xml_query_bm25,
         "events_sessionize": _q_events_sessionize,
         "nb_classify": _q_nb_classify,
@@ -5223,6 +5339,8 @@ def oracle_sql() -> dict[str, str]:
         "term_stats_cjk_bigram": so.term_stats_cjk_bigram_sql(),
         "smartcn_term_stats": so.smartcn_term_stats_sql(),
         "kuromoji_term_stats": so.kuromoji_term_stats_sql(),
+        "asof_join": so.asof_join_sql(),
+        "range_join_events": so.range_join_events_sql(),
         "xml_query_bm25": so.bm25_topk_sql(["spark", "merge"], TOPK, "or"),
         "events_sessionize": so.events_sessionize_sql(),
         "nb_classify": so.nb_classify_sql([3, 7, 11]),

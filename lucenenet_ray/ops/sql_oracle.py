@@ -1791,6 +1791,57 @@ FROM rawpos JOIN vwords ON vwords.i = rawpos.widx
 GROUP BY word ORDER BY term"""
 
 
+_SNAP_EPOCH_US = 1704067200000000  # 2024-01-01 UTC, microseconds
+
+
+def _snaps_cte(salt: str, span_days: int) -> str:
+    md5i = _MD5_INT31.format(s=f"'{salt}-'||o_orderkey")
+    return f"""SELECT o_custkey % 15 AS user_id, o_orderkey, o_totalprice,
+    {_SNAP_EPOCH_US} + ({md5i} % {span_days * 86400}) * 1000000 AS snap_us
+  FROM orders"""
+
+
+def asof_join_sql() -> str:
+    """Latest snapshot (snap_us <= event ts, ties by greatest o_orderkey)
+    per event of the same user; LEFT semantics."""
+    return f"""WITH snaps AS (
+  {_snaps_cte("snap", 30)}
+),
+ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+),
+j AS (
+  SELECT e.event_id, s.o_orderkey, s.o_totalprice,
+    row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY s.snap_us DESC, s.o_orderkey DESC) AS rn
+  FROM ev e LEFT JOIN snaps s
+    ON s.user_id = e.user_id AND s.snap_us <= e.ts_us
+)
+SELECT event_id, o_orderkey, o_totalprice FROM j
+WHERE rn = 1 ORDER BY event_id"""
+
+
+def range_join_events_sql() -> str:
+    """Per 3-day synthesized order window: count + exact milli-scaled sum
+    of same-user event values in [start, end)."""
+    return f"""WITH wins AS (
+  SELECT user_id, o_orderkey, snap_us AS ws,
+         snap_us + {3 * 86400000000} AS we
+  FROM ({_snaps_cte("win", 27)})
+),
+ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 1000, 0) AS BIGINT) AS vm
+  FROM events
+)
+SELECT w.o_orderkey,
+       count(e.ts_us) AS n,
+       COALESCE(sum(e.vm), 0) AS total_milli
+FROM wins w LEFT JOIN ev e
+  ON e.user_id = w.user_id AND e.ts_us >= w.ws AND e.ts_us < w.we
+GROUP BY w.o_orderkey ORDER BY w.o_orderkey"""
+
+
 def term_stats_cjk_bigram_sql() -> str:
     """(term, df, ttf) after the CJKBigramFilter chain (HAN|HIRAGANA
     flags) over the deterministic CJK corpus: Han/Hiragana segments of
