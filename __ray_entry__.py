@@ -4462,6 +4462,63 @@ def _q_kuromoji_term_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_stempel_term_stats(sf_dir: str) -> pa.Table:
+    """Stempel analog (Analysis.Stempel + Egothor.Stemmer): train the
+    Egothor patch-command trie from the synthetic (word, stem) lexicon
+    with a Ray map_batches (one Diff DP per pair), broadcast it, stem the
+    md5-synthesized corpus in an actor-pool map_batches, aggregate
+    (term, df, ttf) over stems. Oracle re-derives each word's true stem
+    from the generator formulas; every corpus word is a training key so
+    the trained trie must resolve it exactly (Trie.cs:298-325)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lucenenet_ray.analysis.stempel import StempelStemmer, Trie, train_trie
+    from lucenenet_ray.sources.stempel import (
+        stempel_corpus_table, stempel_pairs_table,
+    )
+
+    trie = train_trie(rd.from_arrow(stempel_pairs_table()))
+    tref = ray.put(trie)
+    ds = rd.from_arrow(stempel_corpus_table(sf_dir))
+
+    class Partial:
+        def __init__(self):
+            t = ray.get(tref) if not isinstance(tref, Trie) else tref
+            self.stemmer = StempelStemmer(t)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            df: Counter = Counter()
+            ttf: Counter = Counter()
+            for text in b.column("text").to_pylist():
+                c = Counter(self.stemmer.stem(w) or w for w in text.split())
+                ttf.update(c)
+                df.update(c.keys())
+            keys = sorted(ttf)
+            return pa.table({
+                "term": pa.array(keys, pa.string()),
+                "df": pa.array([df[k] for k in keys], pa.int64()),
+                "ttf": pa.array([ttf[k] for k in keys], pa.int64()),
+            })
+
+    out = (
+        ds.map_batches(Partial, batch_format="pyarrow", batch_size=64,
+                       concurrency=2)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .sort("term")
+        .take_all()
+    )
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], pa.string()),
+        "df": pa.array([r["df"] for r in out], pa.int64()),
+        "ttf": pa.array([r["ttf"] for r in out], pa.int64()),
+    })
+
+
 _SNAP_EPOCH_US = 1704067200000000  # 2024-01-01 UTC in epoch microseconds
 _DAY_US = 86400000000
 
@@ -5155,6 +5212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kuromoji_term_stats": _q_kuromoji_term_stats,
         "asof_join": _q_asof_join,
         "range_join_events": _q_range_join_events,
+        "stempel_term_stats": _q_stempel_term_stats,
         "xml_query_bm25": _q_xml_query_bm25,
         "events_sessionize": _q_events_sessionize,
         "nb_classify": _q_nb_classify,
@@ -5341,6 +5399,7 @@ def oracle_sql() -> dict[str, str]:
         "kuromoji_term_stats": so.kuromoji_term_stats_sql(),
         "asof_join": so.asof_join_sql(),
         "range_join_events": so.range_join_events_sql(),
+        "stempel_term_stats": so.stempel_term_stats_sql(),
         "xml_query_bm25": so.bm25_topk_sql(["spark", "merge"], TOPK, "or"),
         "events_sessionize": so.events_sessionize_sql(),
         "nb_classify": so.nb_classify_sql([3, 7, 11]),

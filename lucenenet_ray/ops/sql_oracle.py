@@ -1791,6 +1791,39 @@ FROM rawpos JOIN vwords ON vwords.i = rawpos.widx
 GROUP BY word ORDER BY term"""
 
 
+def stempel_term_stats_sql() -> str:
+    """(term, df, ttf) over the md5-synthesized Stempel corpus
+    (sources/stempel.py): the true stem of every corpus word is
+    re-derived from the generator formulas (word position p of doc d
+    uses stem index md5('st-i-d-p') % N_STEMS)."""
+    from lucenenet_ray.sources.stempel import N_DOCS, N_STEMS
+
+    def md5i(expr: str) -> str:
+        return _MD5_INT31.format(s=expr)
+
+    return f"""WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {N_DOCS}
+),
+pos AS (
+  SELECT doc_id, p,
+    {md5i("'st-i-'||doc_id||'-'||p")} % {N_STEMS} AS si
+  FROM ids, generate_series(0, 14) AS t(p)
+  WHERE p < 8 + ({md5i("'st-n-'||doc_id")} % 8)
+),
+stems AS (
+  SELECT i, string_agg(
+    chr(CAST(97 + ({md5i("'st-s-'||i||'-'||k")} % 13) AS INTEGER)),
+    '' ORDER BY k) AS stem
+  FROM generate_series(0, {N_STEMS - 1}) AS t(i),
+       LATERAL (SELECT unnest(range(0,
+         3 + {md5i("'st-l-'||i")} % 3)) AS k)
+  GROUP BY i
+)
+SELECT stem AS term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM pos JOIN stems ON stems.i = pos.si
+GROUP BY stem ORDER BY term"""
+
+
 _SNAP_EPOCH_US = 1704067200000000  # 2024-01-01 UTC, microseconds
 
 
