@@ -4519,6 +4519,87 @@ def _q_stempel_term_stats(sf_dir: str) -> pa.Table:
     })
 
 
+QUALITY_TERMS = ("batch", "data", "dup", "fast",
+                 "line", "merge", "spark", "window")
+QUALITY_K = 20
+QUALITY_MOD = 7
+_AVP_LCM = 232792560  # lcm(1..20): exact integer scaling for AvP fractions
+
+
+def _q_quality_eval(sf_dir: str) -> pa.Table:
+    """Benchmark Quality package analog (Quality/QualityBenchmark.cs +
+    QualityStats.cs:84-146 + Trec/TrecJudge.cs): run 8 single-term BM25
+    searches (k=20) and score them against md5-synthesized relevance
+    judgments (doc relevant to term iff md5('qrel-term-doc') % 7 == 0).
+    Per query: num_ret, num_rel (Judge.MaxRecall), first-relevant rank
+    within top-5 (the MRR numerator, QualityStats.cs:102-105), cumulative
+    relevant counts at 5/10 (the P@5/P@10 numerators incl. the
+    GetPrecisionAt n>numPoints scaling, :127-137), relevant found in
+    top-k (recall numerator), and AvP scaled by lcm(1..20) so the
+    sum-of-fractions is an exact integer regardless of distribution
+    order (GetAvp :143-146). maxRecall counting is distributed (per-batch
+    judgment counts -> groupby sum)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lucenenet_ray.ops.neardup import md5_int31
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    # distributed Judge.MaxRecall: count relevant docs per query term
+    def count_rel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        rows_q, rows_n = [], []
+        for qt in QUALITY_TERMS:
+            rows_q.append(qt)
+            rows_n.append(sum(
+                1 for d in ids
+                if md5_int31(f"qrel-{qt}-{d}") % QUALITY_MOD == 0))
+        return pa.table({"qt": pa.array(rows_q, pa.string()),
+                         "n": pa.array(rows_n, pa.int64())})
+
+    mg_rows = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+               .map_batches(count_rel, batch_format="pyarrow")
+               .groupby("qt").sum("n").take_all())
+    max_good = {r["qt"]: int(r["sum(n)"]) for r in mg_rows}
+
+    reader = _reader(sf_dir)
+    out = {c: [] for c in ("query_term", "num_ret", "num_rel", "mrr_rank",
+                           "p5_num", "p10_num", "good_total", "avp_scaled")}
+    for qt in QUALITY_TERMS:
+        td = search(reader, TermQuery(term=qt), k=QUALITY_K)
+        good = 0
+        mrr_rank = 0
+        p5 = p10 = 0
+        avp = 0
+        for n, doc in enumerate(td.docs.tolist(), start=1):
+            rel = md5_int31(f"qrel-{qt}-{doc}") % QUALITY_MOD == 0
+            if rel:
+                good += 1
+                if mrr_rank == 0 and n <= 5:
+                    mrr_rank = n
+                avp += good * (_AVP_LCM // n)
+            if n <= 5:
+                p5 = good
+            if n <= 10:
+                p10 = good
+        out["query_term"].append(qt)
+        out["num_ret"].append(len(td.docs))
+        out["num_rel"].append(max_good.get(qt, 0))
+        out["mrr_rank"].append(mrr_rank)
+        out["p5_num"].append(p5)
+        out["p10_num"].append(p10)
+        out["good_total"].append(good)
+        out["avp_scaled"].append(avp)
+    return pa.table({
+        "query_term": pa.array(out["query_term"], pa.string()),
+        **{c: pa.array(out[c], pa.int64()) for c in
+           ("num_ret", "num_rel", "mrr_rank", "p5_num", "p10_num",
+            "good_total", "avp_scaled")},
+    })
+
+
 _SNAP_EPOCH_US = 1704067200000000  # 2024-01-01 UTC in epoch microseconds
 _DAY_US = 86400000000
 
@@ -5213,6 +5294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "range_join_events": _q_range_join_events,
         "stempel_term_stats": _q_stempel_term_stats,
+        "quality_eval": _q_quality_eval,
         "xml_query_bm25": _q_xml_query_bm25,
         "events_sessionize": _q_events_sessionize,
         "nb_classify": _q_nb_classify,
@@ -5400,6 +5482,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": so.asof_join_sql(),
         "range_join_events": so.range_join_events_sql(),
         "stempel_term_stats": so.stempel_term_stats_sql(),
+        "quality_eval": so.quality_eval_sql(QUALITY_TERMS, QUALITY_K, QUALITY_MOD, _AVP_LCM),
         "xml_query_bm25": so.bm25_topk_sql(["spark", "merge"], TOPK, "or"),
         "events_sessionize": so.events_sessionize_sql(),
         "nb_classify": so.nb_classify_sql([3, 7, 11]),

@@ -1824,6 +1824,60 @@ FROM pos JOIN stems ON stems.i = pos.si
 GROUP BY stem ORDER BY term"""
 
 
+def quality_eval_sql(terms: tuple[str, ...], k: int, mod: int,
+                     avp_lcm: int) -> str:
+    """Quality-benchmark oracle: re-rank each single-term query with the
+    full BM25 SQL (bit-identical to the engine), join the md5 relevance
+    judgments, and emit the same exact-integer metric numerators."""
+
+    def md5i(expr: str) -> str:
+        return _MD5_INT31.format(s=expr)
+
+    ranked = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS qt, rank, doc_id FROM ({bm25_topk_sql([t], k)})"
+        for t in terms)
+    values = ", ".join(f"('{t}')" for t in terms)
+    rel_expr_r = md5i("'qrel-'||qt||'-'||doc_id")
+    rel_expr_d = md5i("'qrel-'||t.qt||'-'||d.doc_id")
+    return f"""WITH ranked AS (
+{ranked}
+),
+cum AS (
+  SELECT qt, rank,
+    CASE WHEN {rel_expr_r} % {mod} = 0 THEN 1 ELSE 0 END AS rel,
+    sum(CASE WHEN {rel_expr_r} % {mod} = 0 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY qt ORDER BY rank) AS good
+  FROM ranked
+),
+mg AS (
+  SELECT t.qt, count(*) AS max_good
+  FROM (VALUES {values}) AS t(qt), documents d
+  WHERE {rel_expr_d} % {mod} = 0
+  GROUP BY t.qt
+),
+agg AS (
+  SELECT qt,
+    max(rank) AS num_ret,
+    COALESCE(min(rank) FILTER (WHERE rel = 1 AND rank <= 5), 0) AS mrr_rank,
+    COALESCE(max(good) FILTER (WHERE rank <= 5), 0) AS p5_num,
+    COALESCE(max(good) FILTER (WHERE rank <= 10), 0) AS p10_num,
+    max(good) AS good_total,
+    COALESCE(sum(good * ({avp_lcm} // rank)) FILTER (WHERE rel = 1), 0)
+      AS avp_scaled
+  FROM cum GROUP BY qt
+)
+SELECT a.qt AS query_term,
+       CAST(a.num_ret AS BIGINT) AS num_ret,
+       CAST(COALESCE(m.max_good, 0) AS BIGINT) AS num_rel,
+       CAST(a.mrr_rank AS BIGINT) AS mrr_rank,
+       CAST(a.p5_num AS BIGINT) AS p5_num,
+       CAST(a.p10_num AS BIGINT) AS p10_num,
+       CAST(a.good_total AS BIGINT) AS good_total,
+       CAST(a.avp_scaled AS BIGINT) AS avp_scaled
+FROM agg a LEFT JOIN mg m ON m.qt = a.qt
+ORDER BY query_term"""
+
+
 _SNAP_EPOCH_US = 1704067200000000  # 2024-01-01 UTC, microseconds
 
 
