@@ -4519,6 +4519,65 @@ def _q_stempel_term_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_hyphen_compound_stats(sf_dir: str) -> pa.Table:
+    """Liang hyphenation + HyphenationCompoundWordTokenFilter analog
+    (HyphenationTree.cs:302-537, HyphenationCompoundWordTokenFilter.cs:
+    197-287, CompoundWordTokenFilterBase.cs:108-142): whitespace tokens
+    pass through and, when >= minWordSize(5), decompose at the odd-valued
+    Liang pattern points into dictionary-checked subwords. Patterns and
+    dictionary are md5-synthesized (sources/hyphen.py) and broadcast; the
+    oracle re-derives compounds AND constituents from the formulas."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lucenenet_ray.analysis.hyphenation import (
+        HyphenationCompoundFilter, HyphenationTree,
+    )
+    from lucenenet_ray.sources.hyphen import (
+        N_WORDS, dict_word, hyphen_corpus_table, patterns,
+    )
+
+    ds = rd.from_arrow(hyphen_corpus_table(sf_dir))
+    tree = HyphenationTree(patterns())
+    dic = {dict_word(i) for i in range(N_WORDS)}
+    fref = ray.put(HyphenationCompoundFilter(tree, dic))
+
+    class Partial:
+        def __init__(self):
+            self.filt = ray.get(fref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            df: Counter = Counter()
+            ttf: Counter = Counter()
+            for text in b.column("text").to_pylist():
+                c = Counter(self.filt(text.split()))
+                ttf.update(c)
+                df.update(c.keys())
+            keys = sorted(ttf)
+            return pa.table({
+                "term": pa.array(keys, pa.string()),
+                "df": pa.array([df[k] for k in keys], pa.int64()),
+                "ttf": pa.array([ttf[k] for k in keys], pa.int64()),
+            })
+
+    out = (
+        ds.map_batches(Partial, batch_format="pyarrow", batch_size=64,
+                       concurrency=2)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .sort("term")
+        .take_all()
+    )
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], pa.string()),
+        "df": pa.array([r["df"] for r in out], pa.int64()),
+        "ttf": pa.array([r["ttf"] for r in out], pa.int64()),
+    })
+
+
 QUALITY_TERMS = ("batch", "data", "dup", "fast",
                  "line", "merge", "spark", "window")
 QUALITY_K = 20
@@ -5295,6 +5354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": _q_range_join_events,
         "stempel_term_stats": _q_stempel_term_stats,
         "quality_eval": _q_quality_eval,
+        "hyphen_compound_stats": _q_hyphen_compound_stats,
         "xml_query_bm25": _q_xml_query_bm25,
         "events_sessionize": _q_events_sessionize,
         "nb_classify": _q_nb_classify,
@@ -5483,6 +5543,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": so.range_join_events_sql(),
         "stempel_term_stats": so.stempel_term_stats_sql(),
         "quality_eval": so.quality_eval_sql(QUALITY_TERMS, QUALITY_K, QUALITY_MOD, _AVP_LCM),
+        "hyphen_compound_stats": so.hyphen_compound_stats_sql(),
         "xml_query_bm25": so.bm25_topk_sql(["spark", "merge"], TOPK, "or"),
         "events_sessionize": so.events_sessionize_sql(),
         "nb_classify": so.nb_classify_sql([3, 7, 11]),

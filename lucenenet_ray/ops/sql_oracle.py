@@ -1824,6 +1824,58 @@ FROM pos JOIN stems ON stems.i = pos.si
 GROUP BY stem ORDER BY term"""
 
 
+def hyphen_compound_stats_sql() -> str:
+    """(term, df, ttf) over the compound corpus (sources/hyphen.py):
+    every compound token passes through; constituents are emitted only
+    when the compound reaches minWordSize=5
+    (CompoundWordTokenFilterBase.cs:44,126)."""
+    from lucenenet_ray.sources.hyphen import N_DOCS, N_WORDS
+
+    def md5i(expr: str) -> str:
+        return _MD5_INT31.format(s=expr)
+
+    return f"""WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {N_DOCS}
+),
+vocab AS (
+  SELECT i,
+    chr(CAST(97 + (i % 20) AS INTEGER)) || COALESCE(string_agg(
+      chr(CAST(117 + ({md5i("'hy-w-'||i||'-'||k")} % 6) AS INTEGER)),
+      '' ORDER BY k), '') AS word,
+    2 + (i % 20) % 3 AS wlen
+  FROM generate_series(0, {N_WORDS - 1}) AS t(i)
+  LEFT JOIN LATERAL (SELECT unnest(range(1, 2 + (i % 20) % 3)) AS k) ON TRUE
+  GROUP BY i
+),
+slots AS (
+  SELECT doc_id, c, j,
+    {md5i("'hy-d-'||doc_id||'-'||c||'-'||j")} % {N_WORDS} AS widx
+  FROM ids,
+    generate_series(0, 8) AS tc(c),
+    generate_series(0, 2) AS tj(j)
+  WHERE c < 4 + ({md5i("'hy-m-'||doc_id")} % 5)
+    AND j < 2 + ({md5i("'hy-k-'||doc_id||'-'||c")} % 2)
+),
+comps AS (
+  SELECT doc_id, c,
+    string_agg(word, '' ORDER BY j) AS comp,
+    sum(wlen) AS total
+  FROM slots JOIN vocab ON vocab.i = slots.widx
+  GROUP BY doc_id, c
+),
+tokens AS (
+  SELECT doc_id, comp AS term FROM comps
+  UNION ALL
+  SELECT s.doc_id, v.word AS term
+  FROM slots s
+  JOIN vocab v ON v.i = s.widx
+  JOIN comps cp ON cp.doc_id = s.doc_id AND cp.c = s.c
+  WHERE cp.total >= 5
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM tokens GROUP BY term ORDER BY term"""
+
+
 def quality_eval_sql(terms: tuple[str, ...], k: int, mod: int,
                      avp_lcm: int) -> str:
     """Quality-benchmark oracle: re-rank each single-term query with the
@@ -1923,7 +1975,7 @@ ev AS (
 )
 SELECT w.o_orderkey,
        count(e.ts_us) AS n,
-       COALESCE(sum(e.vm), 0) AS total_milli
+       CAST(COALESCE(sum(e.vm), 0) AS BIGINT) AS total_milli
 FROM wins w LEFT JOIN ev e
   ON e.user_id = w.user_id AND e.ts_us >= w.ws AND e.ts_us < w.we
 GROUP BY w.o_orderkey ORDER BY w.o_orderkey"""
