@@ -4578,6 +4578,61 @@ def _q_hyphen_compound_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_bm_phonetic_stats(sf_dir: str) -> pa.Table:
+    """Beider-Morse PhoneticEngine analog (Language/Bm/PhoneticEngine.cs:
+    247-274 scan, Rule.cs:843-870 context matching, ApplyFinalRules
+    :378-417): encode every corpus word with a synthesized rule pack
+    (context rule + fallback per unit, single-char final rewrites) in an
+    actor-pool map_batches, aggregate (term, df, ttf) over encodings.
+    Oracle re-derives the true encodings from the md5 formulas (greedy
+    scan consumes the prefix-free units one by one; context = next
+    unit's first char via LEAD; final pass = translate())."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lucenenet_ray.analysis.beidermorse import PhoneticEngine
+    from lucenenet_ray.sources.bm import bm_corpus_table, build_rules
+
+    ds = rd.from_arrow(bm_corpus_table(sf_dir))
+    rules, finals = build_rules()
+    eref = ray.put(PhoneticEngine(rules, finals))
+
+    class Partial:
+        def __init__(self):
+            self.eng = ray.get(eref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            df: Counter = Counter()
+            ttf: Counter = Counter()
+            for text in b.column("text").to_pylist():
+                c = Counter(self.eng.encode(w) for w in text.split())
+                ttf.update(c)
+                df.update(c.keys())
+            keys = sorted(ttf)
+            return pa.table({
+                "term": pa.array(keys, pa.string()),
+                "df": pa.array([df[k] for k in keys], pa.int64()),
+                "ttf": pa.array([ttf[k] for k in keys], pa.int64()),
+            })
+
+    out = (
+        ds.map_batches(Partial, batch_format="pyarrow", batch_size=64,
+                       concurrency=2)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        .sort("term")
+        .take_all()
+    )
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], pa.string()),
+        "df": pa.array([r["df"] for r in out], pa.int64()),
+        "ttf": pa.array([r["ttf"] for r in out], pa.int64()),
+    })
+
+
 QUALITY_TERMS = ("batch", "data", "dup", "fast",
                  "line", "merge", "spark", "window")
 QUALITY_K = 20
@@ -5355,6 +5410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stempel_term_stats": _q_stempel_term_stats,
         "quality_eval": _q_quality_eval,
         "hyphen_compound_stats": _q_hyphen_compound_stats,
+        "bm_phonetic_stats": _q_bm_phonetic_stats,
         "xml_query_bm25": _q_xml_query_bm25,
         "events_sessionize": _q_events_sessionize,
         "nb_classify": _q_nb_classify,
@@ -5544,6 +5600,7 @@ def oracle_sql() -> dict[str, str]:
         "stempel_term_stats": so.stempel_term_stats_sql(),
         "quality_eval": so.quality_eval_sql(QUALITY_TERMS, QUALITY_K, QUALITY_MOD, _AVP_LCM),
         "hyphen_compound_stats": so.hyphen_compound_stats_sql(),
+        "bm_phonetic_stats": so.bm_phonetic_stats_sql(),
         "xml_query_bm25": so.bm25_topk_sql(["spark", "merge"], TOPK, "or"),
         "events_sessionize": so.events_sessionize_sql(),
         "nb_classify": so.nb_classify_sql([3, 7, 11]),

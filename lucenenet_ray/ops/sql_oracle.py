@@ -1876,6 +1876,71 @@ SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM tokens GROUP BY term ORDER BY term"""
 
 
+def bm_phonetic_stats_sql() -> str:
+    """(term, df, ttf) over Beider-Morse encodings of the synthesized
+    corpus (sources/bm.py): unit sequence, next-unit context (LEAD) and
+    the final translate() re-derived from the md5 formulas."""
+    from lucenenet_ray.sources.bm import (
+        FINAL_SRC, N_DOCS, N_UNITS, RCTX_SET, final_map,
+    )
+
+    def md5i(expr: str) -> str:
+        return _MD5_INT31.format(s=expr)
+
+    rctx = ", ".join(f"'{c}'" for c in RCTX_SET)
+
+    def ph(var: int) -> str:
+        e0 = md5i(f"'bm-p{var}-'||i0||'-0'")
+        e1 = md5i(f"'bm-p{var}-'||i0||'-1'")
+        return (f"chr(CAST(117 + ({e0} % 6) AS INTEGER)) || "
+                f"chr(CAST(117 + ({e1} % 6) AS INTEGER))")
+
+    return f"""WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {N_DOCS}
+),
+units AS (
+  SELECT i,
+    chr(CAST(97 + (i % 10) AS INTEGER)) || COALESCE(string_agg(
+      chr(CAST(107 + ({md5i("'bm-u-'||i||'-'||k")} % 10) AS INTEGER)),
+      '' ORDER BY k), '') AS word
+  FROM generate_series(0, {N_UNITS - 1}) AS t(i)
+  LEFT JOIN LATERAL (SELECT unnest(range(1, 1 + (i % 10) % 2)) AS k) ON TRUE
+  GROUP BY i
+),
+vocab AS (
+  SELECT word, min(i) AS i0 FROM units GROUP BY word
+),
+ph AS (
+  SELECT word, {ph(1)} AS ph1, {ph(2)} AS ph2 FROM vocab
+),
+slots AS (
+  SELECT doc_id, w, j,
+    {md5i("'bm-d-'||doc_id||'-'||w||'-'||j")} % {N_UNITS} AS uidx
+  FROM ids,
+    generate_series(0, 13) AS tw(w),
+    generate_series(0, 4) AS tj(j)
+  WHERE w < 6 + ({md5i("'bm-n-'||doc_id")} % 8)
+    AND j < 2 + ({md5i("'bm-k-'||doc_id||'-'||w")} % 3)
+),
+seq AS (
+  SELECT s.doc_id, s.w, s.j, u.word, p.ph1, p.ph2,
+    lead(substr(u.word, 1, 1)) OVER
+      (PARTITION BY s.doc_id, s.w ORDER BY s.j) AS nxt
+  FROM slots s
+  JOIN units u ON u.i = s.uidx
+  JOIN ph p ON p.word = u.word
+),
+enc AS (
+  SELECT doc_id, w,
+    translate(string_agg(
+      CASE WHEN nxt IN ({rctx}) THEN ph1 ELSE ph2 END, '' ORDER BY j),
+      '{FINAL_SRC}', '{final_map()}') AS term
+  FROM seq GROUP BY doc_id, w
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM enc GROUP BY term ORDER BY term"""
+
+
 def quality_eval_sql(terms: tuple[str, ...], k: int, mod: int,
                      avp_lcm: int) -> str:
     """Quality-benchmark oracle: re-rank each single-term query with the
