@@ -4633,6 +4633,60 @@ def _q_bm_phonetic_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_pos_tag_stats(sf_dir: str) -> pa.Table:
+    """OpenNLP POS analog (OpenNLPPOSFilter.cs:29-100 contract, tagger =
+    bigram HMM Viterbi, analysis/pos_hmm.py): learn transitions/emissions
+    from the word/TAG split with one small groupby, broadcast, tag the
+    raw split in an actor-pool map_batches, aggregate (tag, df, n).
+    Oracle re-derives each raw word's true tag from the md5 formulas
+    (tags own disjoint word-initial char ranges)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lucenenet_ray.analysis.pos_hmm import learn_hmm
+    from lucenenet_ray.sources.pos import pos_corpus_table
+
+    ds = rd.from_arrow(pos_corpus_table(sf_dir))
+    tagger = learn_hmm(ds.filter(expr="split == 'train'"))
+    tref = ray.put(tagger)
+    raw = ds.filter(expr="split == 'raw'")
+
+    class Partial:
+        def __init__(self):
+            self.tagger = ray.get(tref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            df: Counter = Counter()
+            n: Counter = Counter()
+            for text in b.column("text").to_pylist():
+                c = Counter(self.tagger.tag(text.split()))
+                n.update(c)
+                df.update(c.keys())
+            keys = sorted(n)
+            return pa.table({
+                "tag": pa.array(keys, pa.string()),
+                "df": pa.array([df[k] for k in keys], pa.int64()),
+                "n": pa.array([n[k] for k in keys], pa.int64()),
+            })
+
+    out = (
+        raw.map_batches(Partial, batch_format="pyarrow", batch_size=64,
+                        concurrency=2)
+        .groupby("tag")
+        .aggregate(Sum("df", alias_name="df"), Sum("n", alias_name="n"))
+        .sort("tag")
+        .take_all()
+    )
+    return pa.table({
+        "tag": pa.array([r["tag"] for r in out], pa.string()),
+        "df": pa.array([r["df"] for r in out], pa.int64()),
+        "n": pa.array([r["n"] for r in out], pa.int64()),
+    })
+
+
 QUALITY_TERMS = ("batch", "data", "dup", "fast",
                  "line", "merge", "spark", "window")
 QUALITY_K = 20
@@ -5411,6 +5465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_eval": _q_quality_eval,
         "hyphen_compound_stats": _q_hyphen_compound_stats,
         "bm_phonetic_stats": _q_bm_phonetic_stats,
+        "pos_tag_stats": _q_pos_tag_stats,
         "xml_query_bm25": _q_xml_query_bm25,
         "events_sessionize": _q_events_sessionize,
         "nb_classify": _q_nb_classify,
@@ -5601,6 +5656,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_eval": so.quality_eval_sql(QUALITY_TERMS, QUALITY_K, QUALITY_MOD, _AVP_LCM),
         "hyphen_compound_stats": so.hyphen_compound_stats_sql(),
         "bm_phonetic_stats": so.bm_phonetic_stats_sql(),
+        "pos_tag_stats": so.pos_tag_stats_sql(),
         "xml_query_bm25": so.bm25_topk_sql(["spark", "merge"], TOPK, "or"),
         "events_sessionize": so.events_sessionize_sql(),
         "nb_classify": so.nb_classify_sql([3, 7, 11]),

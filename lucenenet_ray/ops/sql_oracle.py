@@ -1941,6 +1941,31 @@ SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM enc GROUP BY term ORDER BY term"""
 
 
+def pos_tag_stats_sql() -> str:
+    """(tag, df, n) over the RAW split of the POS corpus
+    (sources/pos.py): true tag = pure function of the word id's initial
+    range, re-derived from the md5 formulas."""
+    from lucenenet_ray.sources.pos import N_DOCS, N_TRAIN, S_RANGE, TAGS, V
+
+    def md5i(expr: str) -> str:
+        return _MD5_INT31.format(s=expr)
+
+    tags_arr = ", ".join(f"'{t}'" for t in TAGS)
+    return f"""WITH ids AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id >= {N_TRAIN} AND doc_id < {N_DOCS}
+),
+pos AS (
+  SELECT doc_id, j,
+    ([{tags_arr}])[1 + (({md5i("'pos-d-'||doc_id||'-'||j")} % {V})
+                        % {S_RANGE}) // 3] AS tag
+  FROM ids, generate_series(0, 14) AS t(j)
+  WHERE j < 6 + ({md5i("'pos-n-'||doc_id")} % 10)
+)
+SELECT tag, count(DISTINCT doc_id) AS df, count(*) AS n
+FROM pos GROUP BY tag ORDER BY tag"""
+
+
 def quality_eval_sql(terms: tuple[str, ...], k: int, mod: int,
                      avp_lcm: int) -> str:
     """Quality-benchmark oracle: re-rank each single-term query with the

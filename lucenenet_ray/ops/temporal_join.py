@@ -175,7 +175,12 @@ def interval_join_agg(left_ds, windows_ds, *, key: str, left_on: str,
         wm = g["__side"].to_numpy() == 1
         wins = g[wm]
         if not len(wins):
-            return pd.DataFrame({win_id: [], "n": [], "total": []})
+            # dtypes must match the non-empty branch (block-schema unity)
+            return pd.DataFrame({
+                win_id: pd.Series([], dtype=g[win_id].dtype),
+                "n": pd.Series([], dtype="int64"),
+                "total": pd.Series([], dtype="float64"),
+            })
         rows = g[~wm]
         ts = rows["__t"].to_numpy(dtype=np.int64, na_value=0)
         vs = rows["__v"].to_numpy(dtype=np.float64, na_value=0.0)
