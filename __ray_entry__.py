@@ -3026,6 +3026,58 @@ def _q_join_scored(sf_dir: str) -> pa.Table:
     return top_parents(scores, "l_orderkey", 20)
 
 
+def _q_join_scored_none(sf_dir: str) -> pa.Table:
+    """JoinUtil ScoreMode.None (Join/JoinUtil.cs + TermsQuery semantics:
+    to-side ranked by child-match COUNT here to keep the mode graded
+    exactly): R-flag lineitems counted per order, top-20 (count desc,
+    key asc)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.joins import block_join_parent_scores, top_parents
+
+    def only_r(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.equal(t.column("l_returnflag"), "R"))
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_returnflag"],
+    ).map_batches(only_r, batch_format="pyarrow")
+    scores = block_join_parent_scores(li, "l_orderkey", "l_extendedprice",
+                                      score_mode="none")
+    t = top_parents(scores, "l_orderkey", 20)
+    return pa.table({"l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                     "score": t.column("score").cast(pa.int64())})
+
+
+def _q_join_scored_total(sf_dir: str) -> pa.Table:
+    """JoinUtil ScoreMode.Total (TermsIncludingScoreQuery.cs SumScore):
+    per-order SUM of child scores — scores cents-scaled to integers
+    before the groupby so the distributed sum is exact in any order;
+    top-20 (sum desc, key asc)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.joins import block_join_parent_scores, top_parents
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(t.column("l_returnflag"), "R"))
+        cents = pa.compute.round(
+            pa.compute.multiply(t.column("l_extendedprice"), 100.0))
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "cents": cents.cast(pa.int64()),
+        })
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_returnflag"],
+    ).map_batches(prep, batch_format="pyarrow")
+    scores = block_join_parent_scores(li, "l_orderkey", "cents",
+                                      score_mode="total")
+    t = top_parents(scores, "l_orderkey", 20)
+    return pa.table({"l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                     "score": t.column("score").cast(pa.int64())})
+
+
 def _q_grouping_by_function(sf_dir: str) -> pa.Table:
     """GroupingSearch(ValueSource) two-pass grouping
     (Grouping/Function/FunctionFirstPassGroupingCollector.cs /
@@ -5466,6 +5518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyphen_compound_stats": _q_hyphen_compound_stats,
         "bm_phonetic_stats": _q_bm_phonetic_stats,
         "pos_tag_stats": _q_pos_tag_stats,
+        "join_scored_none": _q_join_scored_none,
+        "join_scored_total": _q_join_scored_total,
         "xml_query_bm25": _q_xml_query_bm25,
         "events_sessionize": _q_events_sessionize,
         "nb_classify": _q_nb_classify,
@@ -5657,6 +5711,8 @@ def oracle_sql() -> dict[str, str]:
         "hyphen_compound_stats": so.hyphen_compound_stats_sql(),
         "bm_phonetic_stats": so.bm_phonetic_stats_sql(),
         "pos_tag_stats": so.pos_tag_stats_sql(),
+        "join_scored_none": so.join_scored_none_sql(),
+        "join_scored_total": so.join_scored_total_sql(),
         "xml_query_bm25": so.bm25_topk_sql(["spark", "merge"], TOPK, "or"),
         "events_sessionize": so.events_sessionize_sql(),
         "nb_classify": so.nb_classify_sql([3, 7, 11]),

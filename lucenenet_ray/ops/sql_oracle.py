@@ -1941,6 +1941,22 @@ SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM enc GROUP BY term ORDER BY term"""
 
 
+def join_scored_none_sql() -> str:
+    return """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS score
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY l_orderkey
+ORDER BY score DESC, l_orderkey ASC LIMIT 20"""
+
+
+def join_scored_total_sql() -> str:
+    return """SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS score
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY l_orderkey
+ORDER BY score DESC, l_orderkey ASC LIMIT 20"""
+
+
 def pos_tag_stats_sql() -> str:
     """(tag, df, n) over the RAW split of the POS corpus
     (sources/pos.py): true tag = pure function of the word id's initial
