@@ -1121,6 +1121,22 @@ def _q_dsir(sf_dir: str) -> pa.Table:
         df[["doc_id", "dsir_score", "n_feats"]], preserve_index=False)
 
 
+def _q_auto_stop_terms(sf_dir: str) -> pa.Table:
+    """QueryAutoStopWordAnalyzer stop-set derivation
+    (Analysis/Query/QueryAutoStopWordAnalyzer.cs:119-145): body terms with
+    df > (int)(NumDocs * 0.765625f) — a pushed-down columnar scan of the
+    termstats parquet (df filter, term/df pruning), never a postings read.
+    (term, df) sorted by term."""
+    from lucenenet_ray.analysis.auto_stop import auto_stop_words
+
+    sw = auto_stop_words(_index_path(sf_dir), max_percent_docs=0.765625,
+                         num_docs=_reader(sf_dir).num_docs)
+    terms = sorted(sw)
+    return pa.table({"term": pa.array(terms, type=pa.string()),
+                     "df": pa.array([sw[t] for t in terms],
+                                    type=pa.int64())})
+
+
 def _q_semdedup(sf_dir: str) -> pa.Table:
     """SemDeDup (ops/semdedup.py, Abbas et al. 2023): deterministic
     seed-vector clusters, within-cluster cosine >= 0.4 dedup keeping the
@@ -5650,6 +5666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality": _q_lm_quality,
         "dsir_select": _q_dsir,
         "semdedup": _q_semdedup,
+        "auto_stop_terms": _q_auto_stop_terms,
     })
     return out
 
@@ -5871,6 +5888,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_quality": so.lm_quality_sql(10, 20),
         "dsir_select": so.dsir_sql(4096, "en", 20),
         "semdedup": so.semdedup_sql(8, 0.4),
+        "auto_stop_terms": so.auto_stop_terms_sql(0.765625),
         "binary_dv_updated": so.binary_dv_sql("dup", "<<DUP>>", 12, 300),
         "incremental_dedup": so.incremental_dedup_sql(),
         "multi_field_sort": so.multi_field_sort_sql("spark", 25),

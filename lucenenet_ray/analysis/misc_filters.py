@@ -385,6 +385,19 @@ def limit_token_position(terms: list[str], positions: list[int],
             if p <= max_token_position]
 
 
+def position_filter(increments: list[int], position_increment: int = 0
+                    ) -> list[int]:
+    """PositionFilter.cs:103-118 — the first token keeps its incoming
+    position increment; every later token's increment is overwritten with
+    ``position_increment`` (default 0, stacking all tokens on the first
+    position — the pre-4.4 QueryParser boolean-isation trick). Negative
+    ``position_increment`` raises, matching the ctor guard (:94-97)."""
+    if position_increment < 0:
+        raise ValueError("positionIncrement may not be negative")
+    return [inc if i == 0 else position_increment
+            for i, inc in enumerate(increments)]
+
+
 def tee_sink(tokens: list[tuple], sinks: dict[str, object]
              ) -> dict[str, list[tuple]]:
     """TeeSinkTokenFilter analog (``Analysis/Sinks/TeeSinkTokenFilter.cs``):

@@ -3931,6 +3931,24 @@ SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
 FROM folded GROUP BY term ORDER BY term"""
 
 
+def auto_stop_terms_sql(max_percent_docs: float = 0.765625) -> str:
+    """QueryAutoStopWordAnalyzer oracle
+    (Analysis/Query/QueryAutoStopWordAnalyzer.cs:119-145): body terms with
+    df strictly greater than (int)(NumDocs * maxPercentDocs). The engine
+    truncates a float32 product (the reference's C# cast); this SQL floors
+    a double product — the gate pct 0.765625 (= 49/64) is exactly
+    representable in BOTH widths, so the truncated thresholds are
+    identical at every N."""
+    return f"""WITH {_toks_cte()},
+g AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term
+)
+SELECT g.term, CAST(g.df AS BIGINT) AS df
+FROM g, coll
+WHERE g.df > CAST(floor(coll.N * {max_percent_docs}) AS BIGINT)
+ORDER BY g.term"""
+
+
 def freq_mass_sql() -> str:
     """FreqMass oracle (ops/textstats.FreqMass): per doc, the sum of
     GLOBAL ttf/df over its kept-token occurrences — exact integers."""
