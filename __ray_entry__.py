@@ -1137,6 +1137,39 @@ def _q_auto_stop_terms(sf_dir: str) -> pa.Table:
                                     type=pa.int64())})
 
 
+def _q_hll_distinct(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct-count sketch over lineitem.l_orderkey
+    (ops/sketch.py, Flajolet et al. 2007): ONE streaming pass, 1 KB
+    register state tree-max-aggregated (AggregateFnV2) — zero shuffles.
+    Gate grades the exact integer invariants (register zero count,
+    scaled harmonic denominator, rational-alpha raw estimate)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.sketch import hll_invariants, hll_sketch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey"])
+    inv = hll_invariants(hll_sketch(ds, "l_orderkey"))
+    return pa.table({k: pa.array([inv[k]], type=pa.int64())
+                     for k in ("m", "n_zero", "harmonic_s", "est_raw")})
+
+
+def _q_cms_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Count-Min heavy hitters over the analyzed body-token stream
+    (ops/sketch.py, Cormode & Muthukrishnan 2005): 4x1024 counter sketch
+    in ONE streaming tree-sum pass; candidates come from the index term
+    dictionary (vocabulary-sized), threshold = total_tokens // 32."""
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.sketch import cms_heavy_hitters, cms_sketch_tokens
+
+    sketch = cms_sketch_tokens(_docs_ds(sf_dir))
+    cand = _body_terms(pq.read_table(
+        os.path.join(_index_path(sf_dir), "termstats"),
+        columns=["term"])).column("term").to_pylist()
+    return cms_heavy_hitters(sketch, cand, int(sketch[0].sum()) // 32)
+
+
 def _q_semdedup(sf_dir: str) -> pa.Table:
     """SemDeDup (ops/semdedup.py, Abbas et al. 2023): deterministic
     seed-vector clusters, within-cluster cosine >= 0.4 dedup keeping the
@@ -5667,6 +5700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir,
         "semdedup": _q_semdedup,
         "auto_stop_terms": _q_auto_stop_terms,
+        "hll_distinct": _q_hll_distinct,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
     })
     return out
 
@@ -5889,6 +5924,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": so.dsir_sql(4096, "en", 20),
         "semdedup": so.semdedup_sql(8, 0.4),
         "auto_stop_terms": so.auto_stop_terms_sql(0.765625),
+        "hll_distinct": so.hll_distinct_sql(),
+        "cms_heavy_hitters": so.cms_heavy_hitters_sql(32),
         "binary_dv_updated": so.binary_dv_sql("dup", "<<DUP>>", 12, 300),
         "incremental_dedup": so.incremental_dedup_sql(),
         "multi_field_sort": so.multi_field_sort_sql("spark", 25),

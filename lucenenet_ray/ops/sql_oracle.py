@@ -3949,6 +3949,71 @@ WHERE g.df > CAST(floor(coll.N * {max_percent_docs}) AS BIGINT)
 ORDER BY g.term"""
 
 
+def hll_distinct_sql() -> str:
+    """HyperLogLog oracle (ops/sketch.py): re-derives every register from
+    the md5 formulas — idx = low 10 bits of the first 4 hex chars, rho =
+    41 - bit_length(40-bit suffix) + 1 via length(bin(v)) (string-exact
+    bit length, no float log2) — then the exact integer invariants. The
+    alpha constant is the exact rational 7213·m/(10000·m+10790), so
+    est_raw floor-divides in HUGEINT."""
+    m = 1024
+    kmax = 41
+    num = 7213 * m * m * m * (1 << kmax)
+    den_c = 10000 * m + 10790
+    return f"""WITH d AS (
+  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS s FROM lineitem
+),
+hr AS (
+  SELECT CAST(('0x'||substr(md5(s),1,4)) AS BIGINT) % {m} AS idx,
+         CAST(('0x'||substr(md5(s),5,10)) AS BIGINT) AS v
+  FROM d
+),
+rr AS (
+  SELECT idx,
+         max(CASE WHEN v = 0 THEN {kmax}
+                  ELSE 40 - length(bin(v)) + 1 END) AS rho
+  FROM hr GROUP BY idx
+),
+reg AS (
+  SELECT COALESCE(rr.rho, 0) AS rho
+  FROM range({m}) r(i) LEFT JOIN rr ON rr.idx = r.i
+),
+agg AS (
+  SELECT CAST(count(*) FILTER (rho = 0) AS BIGINT) AS n_zero,
+         CAST(sum(1::BIGINT << ({kmax} - rho)) AS BIGINT) AS harmonic_s
+  FROM reg
+)
+SELECT CAST({m} AS BIGINT) AS m, n_zero, harmonic_s,
+       CAST(CAST('{num}' AS HUGEINT) //
+            (CAST('{den_c}' AS HUGEINT) * harmonic_s) AS BIGINT) AS est_raw
+FROM agg"""
+
+
+def cms_heavy_hitters_sql(threshold_div: int = 32) -> str:
+    """Count-Min oracle (ops/sketch.py): bucket per (row r, term) from
+    md5("{{r}}:{{term}}") first 8 hex chars mod 1024; bucket counts sum
+    ALL colliding terms' occurrences; estimate = min over the 4 rows;
+    heavy hitters = estimate >= total_tokens // div."""
+    bucket = ("CAST(('0x'||substr(md5(CAST(r.r AS VARCHAR)||':'||term),1,8))"
+              " AS BIGINT) % 1024")
+    return f"""WITH {_toks_cte()},
+tt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM kept GROUP BY term
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tt),
+buck AS (
+  SELECT r.r AS r, term, c, {bucket} AS b
+  FROM tt, range(4) r(r)
+),
+bc AS (SELECT r, b, CAST(sum(c) AS BIGINT) AS bcount FROM buck GROUP BY r, b),
+est AS (
+  SELECT term, CAST(min(bc.bcount) AS BIGINT) AS est
+  FROM buck JOIN bc USING (r, b) GROUP BY term
+)
+SELECT term, est FROM est, tot
+WHERE est >= n // {threshold_div} ORDER BY term"""
+
+
 def freq_mass_sql() -> str:
     """FreqMass oracle (ops/textstats.FreqMass): per doc, the sum of
     GLOBAL ttf/df over its kept-token occurrences — exact integers."""
