@@ -1137,6 +1137,41 @@ def _q_auto_stop_terms(sf_dir: str) -> pa.Table:
                                     type=pa.int64())})
 
 
+def _q_query_scorer_highlight(sf_dir: str) -> pa.Table:
+    """QueryScorer position-sensitive phrase highlighting
+    (ops/highlight.query_scorer_best_fragment — WeightedSpanTermExtractor
+    span collection + CheckPosition gating): every doc where the phrase
+    "batch merge" actually matches, with the best fragment's index,
+    unique marked terms in it, and the doc's marked-occurrence count.
+    Stateless map_batches over the stored text; phrase terms broadcast in
+    the closure."""
+    from lucenenet_ray.analysis.standard import StandardAnalyzer
+    from lucenenet_ray.ops.highlight import query_scorer_best_fragment
+
+    phrase = ["batch", "merge"]
+
+    def part(batch: pa.Table) -> pa.Table:
+        ana = StandardAnalyzer()
+        rows = []
+        for d, tx in zip(batch.column("doc_id").to_pylist(),
+                         batch.column("text").to_pylist()):
+            r = query_scorer_best_fragment(tx, phrase, analyzer=ana)
+            if r is not None:
+                rows.append((d, *r))
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "frag": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_unique": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_marked": pa.array([r[3] for r in rows], type=pa.int64()),
+        })
+
+    out = (_docs_ds(sf_dir)
+           .map_batches(part, batch_format="pyarrow")
+           .to_pandas())
+    return pa.Table.from_pandas(out.sort_values("doc_id")
+                                .reset_index(drop=True))
+
+
 def _q_hll_distinct(sf_dir: str) -> pa.Table:
     """HyperLogLog distinct-count sketch over lineitem.l_orderkey
     (ops/sketch.py, Flajolet et al. 2007): ONE streaming pass, 1 KB
@@ -5702,6 +5737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auto_stop_terms": _q_auto_stop_terms,
         "hll_distinct": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "query_scorer_highlight": _q_query_scorer_highlight,
     })
     return out
 
@@ -5926,6 +5962,8 @@ def oracle_sql() -> dict[str, str]:
         "auto_stop_terms": so.auto_stop_terms_sql(0.765625),
         "hll_distinct": so.hll_distinct_sql(),
         "cms_heavy_hitters": so.cms_heavy_hitters_sql(32),
+        "query_scorer_highlight": so.query_scorer_highlight_sql(
+            ["batch", "merge"]),
         "binary_dv_updated": so.binary_dv_sql("dup", "<<DUP>>", 12, 300),
         "incremental_dedup": so.incremental_dedup_sql(),
         "multi_field_sort": so.multi_field_sort_sql("spark", 25),

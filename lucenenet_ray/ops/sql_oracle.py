@@ -3363,6 +3363,71 @@ FROM top t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
 ORDER BY t.rank"""
 
 
+def query_scorer_highlight_sql(phrase: list[str],
+                               frag_size: int = 100) -> str:
+    """QueryScorer oracle (ops/highlight.query_scorer_best_fragment):
+    spans = exact in-order adjacency of the phrase terms over kept
+    positions (stop holes break adjacency, as in SpanNear slop 0); a
+    phrase term's occurrence is marked ONLY inside a span; fragments via
+    the shared SimpleFragmenter running-min closed form; best fragment by
+    (unique marked terms desc, fragment asc)."""
+    assert len(phrase) >= 2
+    t_sql = ", ".join(f"'{t}'" for t in phrase)
+    join_steps = " AND ".join(
+        f"EXISTS (SELECT 1 FROM kept k{i} WHERE k{i}.doc_id = p0.doc_id "
+        f"AND k{i}.term = '{phrase[i]}' AND k{i}.pos = p0.pos + {i})"
+        for i in range(1, len(phrase)))
+    return f"""WITH {_toks_cte()},
+spans AS (
+  SELECT p0.doc_id, p0.pos AS s, p0.pos + {len(phrase) - 1} AS e
+  FROM kept p0
+  WHERE p0.term = '{phrase[0]}' AND {join_steps}
+),
+marked AS (
+  SELECT DISTINCT k.doc_id, k.pos, k.term
+  FROM kept k JOIN spans ON spans.doc_id = k.doc_id
+   AND k.pos BETWEEN spans.s AND spans.e
+  WHERE k.term IN ({t_sql})
+),
+offs AS (
+  SELECT doc_id, pos,
+         CAST(SUM(length(term) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS end_off
+  FROM toks
+),
+seq AS (
+  SELECT k.doc_id, k.pos, k.term, o.end_off,
+         row_number() OVER (PARTITION BY k.doc_id ORDER BY k.pos) AS i
+  FROM kept k JOIN offs o ON o.doc_id = k.doc_id AND o.pos = k.pos
+  WHERE k.doc_id IN (SELECT DISTINCT doc_id FROM spans)
+),
+frag AS (
+  SELECT doc_id, pos,
+         CAST(i + LEAST(0, MIN(end_off // {frag_size} - i) OVER (
+           PARTITION BY doc_id ORDER BY i)) AS BIGINT) AS frag
+  FROM seq
+),
+fs AS (
+  SELECT m.doc_id, f.frag,
+         CAST(count(DISTINCT m.term) AS BIGINT) AS n_unique
+  FROM marked m JOIN frag f ON f.doc_id = m.doc_id AND f.pos = m.pos
+  GROUP BY m.doc_id, f.frag
+),
+best AS (
+  SELECT doc_id, frag, n_unique,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_unique DESC, frag ASC) AS rn
+  FROM fs
+),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_marked
+  FROM marked GROUP BY doc_id
+)
+SELECT b.doc_id, b.frag, b.n_unique, t.n_marked
+FROM best b JOIN tot t USING (doc_id)
+WHERE b.rn = 1 ORDER BY b.doc_id"""
+
+
 def pack_sequences_sql(seq_len: int = 128, sep: int = 1) -> str:
     """Sequence-packing oracle (ops/packing.py pack_sequences): BPE
     pre-tokenizer counts, docs concatenated in doc_id order with ``sep``
