@@ -1137,6 +1137,42 @@ def _q_auto_stop_terms(sf_dir: str) -> pa.Table:
                                     type=pa.int64())})
 
 
+def _q_block_grouping(sf_dir: str) -> pa.Table:
+    """BlockGroupingCollector (search/block_grouping.py): one-pass
+    grouping of the 'spark window' OR hit stream by `source` blocks — top
+    5 groups by best doc, 2 docs each, with the collector's
+    totalGroupCount filled inline. Key resolution is a query-sized map
+    (the doc→source column pruned read), never a corpus shuffle."""
+    from lucenenet_ray.search.block_grouping import block_grouping_search
+    from lucenenet_ray.search.query import (BooleanClause, BooleanQuery,
+                                            Occur, TermQuery)
+
+    r = _reader(sf_dir)
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="spark")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="window"))))
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "source"])
+    src_of = dict(zip(t.column("doc_id").to_pylist(),
+                      t.column("source").to_pylist()))
+
+    res = block_grouping_search(
+        r, q, lambda docs: np.asarray([src_of[int(d)] for d in docs]),
+        n_groups=5, max_docs_per_group=2)
+    rows = [(g.group_rank, w + 1, d, s, g.group_count)
+            for g in res.groups
+            for w, (d, s) in enumerate(zip(g.docs, g.scores))]
+    return pa.table({
+        "group_rank": pa.array([x[0] for x in rows], type=pa.int64()),
+        "within_rank": pa.array([x[1] for x in rows], type=pa.int64()),
+        "doc_id": pa.array([x[2] for x in rows], type=pa.int64()),
+        "score": pa.array([x[3] for x in rows], type=pa.float64()),
+        "group_count": pa.array([x[4] for x in rows], type=pa.int64()),
+        "total_groups": pa.array([res.total_group_count] * len(rows),
+                                 type=pa.int64()),
+    })
+
+
 def _q_query_scorer_highlight(sf_dir: str) -> pa.Table:
     """QueryScorer position-sensitive phrase highlighting
     (ops/highlight.query_scorer_best_fragment — WeightedSpanTermExtractor
@@ -5738,6 +5774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "query_scorer_highlight": _q_query_scorer_highlight,
+        "block_grouping": _q_block_grouping,
     })
     return out
 
@@ -5964,6 +6001,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": so.cms_heavy_hitters_sql(32),
         "query_scorer_highlight": so.query_scorer_highlight_sql(
             ["batch", "merge"]),
+        "block_grouping": so.block_grouping_sql(
+            ["spark", "window"], n_groups=5, max_docs_per_group=2),
         "binary_dv_updated": so.binary_dv_sql("dup", "<<DUP>>", 12, 300),
         "incremental_dedup": so.incremental_dedup_sql(),
         "multi_field_sort": so.multi_field_sort_sql("spark", 25),

@@ -3428,6 +3428,39 @@ FROM best b JOIN tot t USING (doc_id)
 WHERE b.rn = 1 ORDER BY b.doc_id"""
 
 
+def block_grouping_sql(terms: list[str], n_groups: int = 5,
+                       max_docs_per_group: int = 2) -> str:
+    """BlockGroupingCollector oracle (search/block_grouping.py): the full
+    BM25 hit relation ranked (score desc, doc asc); a group's best doc is
+    its min rank, group order = best-rank order, within-group docs by
+    rank; totalGroupCount = distinct groups over ALL hits."""
+    base = bm25_topk_sql(terms, k=1 << 40)
+    return f"""WITH base AS ({base}),
+g AS (
+  SELECT b.rank, b.doc_id, b.score, d.source AS grp
+  FROM base b JOIN documents d USING (doc_id)
+),
+best AS (SELECT grp, min(rank) AS best_rank FROM g GROUP BY grp),
+granks AS (
+  SELECT grp,
+         CAST(row_number() OVER (ORDER BY best_rank) AS BIGINT) AS group_rank
+  FROM best
+),
+gc AS (SELECT grp, CAST(count(*) AS BIGINT) AS group_count FROM g GROUP BY grp),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total_groups FROM best),
+wr AS (
+  SELECT g.*,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY rank) AS BIGINT)
+           AS within_rank
+  FROM g
+)
+SELECT gr.group_rank, wr.within_rank, wr.doc_id, wr.score,
+       gc.group_count, tot.total_groups
+FROM wr JOIN granks gr USING (grp) JOIN gc USING (grp), tot
+WHERE gr.group_rank <= {n_groups} AND wr.within_rank <= {max_docs_per_group}
+ORDER BY gr.group_rank, wr.within_rank"""
+
+
 def pack_sequences_sql(seq_len: int = 128, sep: int = 1) -> str:
     """Sequence-packing oracle (ops/packing.py pack_sequences): BPE
     pre-tokenizer counts, docs concatenated in doc_id order with ``sep``
