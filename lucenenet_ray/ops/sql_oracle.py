@@ -5343,3 +5343,169 @@ SELECT query_id,
 FROM sims
 QUALIFY rank <= {k}
 ORDER BY query_id, rank"""
+
+
+# ---------------------------------------------------------------------------
+# SimilarityBase family oracles (DFR / IB / LM) — search/simbase.py
+
+
+def _r(expr: str) -> str:
+    return f"CAST({expr} AS REAL)"
+
+
+def _d(expr: str) -> str:
+    return f"CAST({expr} AS DOUBLE)"
+
+
+_SIMLEN_CTE = """
+simlen AS (
+  -- SimilarityBase NORM_TABLE[b] = 1f/(dec*dec): the decoded docLen
+  SELECT doc_id,
+    CAST(1.0 AS REAL) /
+      (CAST((1.0 + CAST((nb + 384) % 4 AS DOUBLE)/4.0)
+            * power(2.0, CAST(floor((nb + 384)/4) AS BIGINT) - 127) AS REAL)
+       * CAST((1.0 + CAST((nb + 384) % 4 AS DOUBLE)/4.0)
+            * power(2.0, CAST(floor((nb + 384)/4) AS BIGINT) - 127) AS REAL))
+      AS dl
+  FROM normb
+)"""
+
+# float32 avgFieldLength = (float)nft / (float)N (SimilarityBase.cs:138 —
+# unlike BM25's double division)
+_SIM_AVG = ("CAST(CAST((SELECT sumttf FROM coll) AS REAL)"
+            " / CAST((SELECT N FROM coll) AS REAL) AS REAL)")
+_N_SQL = "(SELECT N FROM coll)"
+_NFT_SQL = "(SELECT sumttf FROM coll)"
+_LN2 = "ln(2.0)"
+
+
+def _simbase_score_expr(kind: str, f: str, dl: str, df: str, ttf: str,
+                        basic_model: str = "", after_effect: str = "",
+                        normalization: str = "H2", distribution: str = "",
+                        lambda_kind: str = "DF", c: float = 1.0,
+                        mu: float = 2000.0, lam: float = 0.1,
+                        boost: float = 1.0) -> str:
+    """Per-(doc,term) float32 score expression mirroring
+    simbase.score_freqs stage for stage (REAL = one C# float op;
+    ln/power on DOUBLE = Math.Log/Math.Pow)."""
+    one = "CAST(1.0 AS REAL)"
+    boost_r = _R.format(v=repr(float(boost)))
+    cp = _r(f"({_r(ttf)} + {one}) / ({_r(_NFT_SQL)} + {one})")
+    if kind == "lm_dirichlet":
+        mu_r = _R.format(v=repr(float(mu)))
+        mucp = _r(f"{mu_r} * {cp}")
+        a1 = _r(f"{one} + {_r(f'{f} / {mucp}')}")
+        dlmu = _r(f"{dl} + {mu_r}")
+        a2 = _r(f"{mu_r} / {dlmu}")
+        logs = _r(f"ln({_d(a1)}) + ln({_d(a2)})")
+        s = _r(f"{boost_r} * {logs}")
+        return f"CASE WHEN {s} > {ZERO_R} THEN {s} ELSE {ZERO_R} END"
+    if kind == "lm_jm":
+        lam_r = _R.format(v=repr(float(lam)))
+        om = _r(f"{one} - {lam_r}")
+        omf = _r(f"{om} * {f}")
+        inner = _r(f"{omf} / {dl}")
+        lamcp = _r(f"{lam_r} * {cp}")
+        x = _r(f"{one} + {_r(f'{inner} / {lamcp}')}")
+        lnx = _r(f"ln({_d(x)})")
+        return _r(f"{boost_r} * {lnx}")
+    # tfn (Normalization*.cs)
+    c_r = _R.format(v=repr(float(c)))
+    if normalization == "H1":
+        tfn = _r(f"{_r(f'{f} * {_SIM_AVG}')} / {dl}")
+    elif normalization == "H2":
+        cavg = _r(f"{c_r} * {_SIM_AVG}")
+        inner = _r(f"{one} + {_r(f'{cavg} / {dl}')}")
+        tfn = _r(f"{_d(f)} * (ln({_d(inner)})/{_LN2})")
+    elif normalization == "H3":
+        a = _r(f"{f} + {_r(f'{c_r} * {cp}')}")
+        b = _r(f"{dl} + {c_r}")
+        tfn = _r(f"{_r(f'{a} / {b}')} * {c_r}")
+    elif normalization == "Z":
+        rr = _r(f"{_SIM_AVG} / {dl}")
+        tfn = _r(f"{_d(f)} * power({_d(rr)}, {_d(c_r)})")
+    else:
+        tfn = f
+    if kind == "ib":
+        base = "df" if lambda_kind == "DF" else "ttf"
+        src = df if lambda_kind == "DF" else ttf
+        lam_e = _r(f"({_r(src)} + {one}) / ({_r(_N_SQL)} + {one})")
+        if distribution == "LL":
+            x = _r(f"{lam_e} / {_r(f'{tfn} + {lam_e}')}")
+            dist = _r(f"-ln({_d(x)})")
+        else:  # SPL
+            e = _r(f"{tfn} / {_r(f'{tfn} + {one}')}")
+            num = f"(power({_d(lam_e)}, {_d(e)}) - {_d(lam_e)})"
+            den = _d(_r(f"{one} - {lam_e}"))
+            dist = _r(f"-ln({num} / {den})")
+        return _r(f"{boost_r} * {dist}")
+    # kind == "dfr"
+    if basic_model == "In":
+        v = _r(f"ln({_d(f'{_N_SQL} + 1')} / ({df} + 0.5))/{_LN2}")
+        basic = _r(f"{tfn} * {v}")
+    elif basic_model == "G":
+        fd = f"CAST({ttf} + 1 AS DOUBLE)"
+        lam_d = f"({fd} / ({_d(_N_SQL)} + {fd}))"
+        basic = _r(f"ln({lam_d} + 1.0)/{_LN2}"
+                   f" + {_d(tfn)} * (ln((1.0 + {lam_d})/{lam_d})/{_LN2})")
+    elif basic_model == "IF":
+        v = _r(f"ln(1.0 + {_d(f'{_N_SQL} + 1')} / ({ttf} + 0.5))/{_LN2}")
+        basic = _r(f"{tfn} * {v}")
+    elif basic_model == "Ine":
+        ne = (f"({_d(_N_SQL)} * (1.0 - power(({_d(_N_SQL)} - 1.0)"
+              f"/{_d(_N_SQL)}, {_d(ttf)})))")
+        v = _r(f"ln({_d(f'{_N_SQL} + 1')} / ({ne} + 0.5))/{_LN2}")
+        basic = _r(f"{tfn} * {v}")
+    else:
+        raise ValueError(f"oracle basic model {basic_model} not generated")
+    if after_effect == "L":
+        after = _r(f"{one} / {_r(f'{tfn} + {one}')}")
+    elif after_effect == "B":
+        num = _r(f"{ttf} + 2")
+        den = _r(f"{_r(f'{df} + 1')} * {_r(f'{tfn} + {one}')}")
+        after = _r(f"{num} / {den}")
+    else:
+        after = one
+    return _r(f"{_r(f'{boost_r} * {basic}')} * {after}")
+
+
+def simbase_topk_sql(kind: str, terms: list[str], k: int = 10,
+                     **params) -> str:
+    """SHOULD-Boolean top-k under a SimilarityBase similarity — float32
+    bit-identical to search(similarity=SimBaseSpec(...)).  Per-term scores
+    (docLen-dependent, unlike BM25's 256-entry cache) pivot per doc and sum
+    left-assoc in clause order; (score desc, doc_id asc) tie-break."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    score_expr = f"COALESCE(s0, {ZERO_R})"
+    for i in range(1, len(terms)):
+        score_expr = f"({score_expr} + COALESCE(s{i}, {ZERO_R}))"
+    pivot_cols = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms))
+    per = _simbase_score_expr(kind, "tf.f", "sl.dl", "q.df", "q.ttf",
+                              **params)
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_SIMLEN_CTE},
+sstats AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term, {per} AS s
+  FROM tf
+  JOIN sstats q USING (term)
+  JOIN simlen sl ON sl.doc_id = tf.doc_id
+),
+agg AS (
+  SELECT doc_id, {pivot_cols}
+  FROM persc GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, {score_expr} AS score FROM agg
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""

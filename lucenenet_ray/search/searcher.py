@@ -100,6 +100,12 @@ class QueryPlan:
     # sqrt-tf · idf² · queryNorm · decoded norm, with Boolean coord).
     similarity: str = "bm25"
     classic_table: np.ndarray = None
+    # SimilarityBase family (simbase.py): a SimBaseSpec when similarity ==
+    # "simbase" — DFR / IB / LM Dirichlet / LM Jelinek-Mercer scoring over
+    # the SAME norm bytes (SimilarityBase.EncodeNormValue == BM25's).
+    simbase: object = None
+    sim_nft: int = 0  # BasicStats.NumberOfFieldTokens (= sumTotalTermFreq)
+    sim_avg: np.float32 = None  # float32 avgFieldLength (SimilarityBase.cs:138)
 
     def cache_for(self, term: str) -> np.ndarray:
         from lucenenet_ray.search.query import FIELD_SEP
@@ -161,6 +167,9 @@ def plan_query(reader: IndexReader, query: Query,
     cache = norm_cache(avgdl, k1, b)
     if similarity == "classic":
         return _plan_classic(reader, query, stats, n, k1, cache, terms)
+    if not isinstance(similarity, str):
+        return _plan_simbase(reader, query, stats, n, k1, cache, terms,
+                             similarity)
     weights = {
         (t, bo): TermWeight.build(t, stats[t][0], stats[t][1], n, boost=bo, k1=k1)
         for (t, bo) in wkeys
@@ -264,6 +273,46 @@ def _plan_classic(reader: IndexReader, query: Query, stats: dict, n: int,
     )
 
 
+def _plan_simbase(reader: IndexReader, query: Query, stats: dict, n: int,
+                  k1: float, cache: np.ndarray, terms: set[str],
+                  spec) -> QueryPlan:
+    """SimilarityBase weight computation (SimilarityBase.ComputeWeight +
+    FillBasicStats, SimilarityBase.cs:70-148): per-term BasicStats only —
+    no precomputed weightValue; the docLen-dependent Score runs per posting
+    chunk in _eval_term.  Supports Term/Boolean trees (the shapes the
+    reference's BasicSimScorer covers without positions)."""
+    from lucenenet_ray.search import simbase as sb
+
+    leaves: list[tuple[str, float]] = []
+
+    def walk(q: Query) -> None:
+        if isinstance(q, TermQuery):
+            leaves.append((q.term, float(q.boost)))
+        elif isinstance(q, BooleanQuery):
+            for c in q.clauses:
+                walk(c.query)
+        else:
+            raise NotImplementedError(
+                "SimilarityBase family supports Term/Boolean queries")
+
+    walk(query)
+    weights = {
+        (t, bo): TermWeight(term=t, df=stats[t][0], ttf=stats[t][1],
+                            idf=np.float32(0.0), weight_value=np.float32(0.0))
+        for t, bo in leaves if t in stats
+    }
+    nft = reader.sum_total_term_freq
+    return QueryPlan(
+        query=query, k1=k1, b=0.0, num_docs=n,
+        avgdl=np.float32(1.0), cache=cache, weights=weights,
+        phrase_weights={}, expansions={}, all_terms=tuple(sorted(terms)),
+        cache_k1=np.full(256, np.float32(k1), dtype=np.float32),
+        deleted_terms=getattr(reader, "deleted_terms", ()),
+        similarity="simbase", simbase=spec, sim_nft=nft,
+        sim_avg=sb.avg_field_length(nft, n),
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-bucket evaluation
 
@@ -300,6 +349,14 @@ def _eval_term(term: str, boost: float, chunks: dict[str, PostingsChunk],
 
         return lidx, classic_score_freqs(c.freqs(), norms, w.weight_value,
                                          plan.classic_table)
+    if plan.similarity == "simbase":
+        from lucenenet_ray.search import simbase as sb
+        from lucenenet_ray.util.smallfloat import NORM_TABLE
+
+        return lidx, sb.score_freqs(
+            plan.simbase, plan.num_docs, plan.sim_nft, plan.sim_avg,
+            w.df, w.ttf, boost, c.freqs(),
+            NORM_TABLE[np.asarray(norms, dtype=np.int64)])
     scores = score_freqs(c.freqs(), norms, w.weight_value, plan.cache_for(term))
     return lidx, scores
 
