@@ -5542,6 +5542,27 @@ def _q_simhash_pairs(sf_dir: str) -> Any:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_group_facets(sf_dir: str) -> pa.Table:
+    """Grouped facets (Grouping/Term/TermGroupFacetCollector.cs via
+    search/group_facets.py): per `lang` facet value, the number of DISTINCT
+    `source` groups with a doc matching 'spark' — count desc then value asc
+    (AbstractGroupFacetCollector.cs:130-141), plus totalCount /
+    totalMissingCount columns. Global (group,facet) dedup = the
+    force-merged single-segment reference answer (module docstring delta)."""
+    from lucenenet_ray.search.group_facets import group_facets
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    td = search(r, TermQuery(term="spark"), k=r.num_docs)
+    res = group_facets(
+        (int(d) for d in td.docs),
+        os.path.join(sf_dir, "documents.parquet"),
+        group_field="source", facet_field="lang",
+        size=10, min_count=1, order_by_count=True)
+    return res.to_table()
+
+
 _SIMBASE_GATE: dict[str, tuple] = {
     # name → (SimBaseSpec kwargs, oracle params) — terms shared below
     "lm_dirichlet": (dict(kind="lm_dirichlet", mu=2000.0),
@@ -5824,6 +5845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "query_scorer_highlight": _q_query_scorer_highlight,
         "block_grouping": _q_block_grouping,
+        "group_facets": _q_group_facets,
     })
     for name in _SIMBASE_GATE:
         out[name] = _make_simbase_query(name)
@@ -5926,6 +5948,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_bloom": so.bm25_topk_sql(["spark", "zzzneverseen"], TOPK, "or"),
         "facet_sum_value": so.facet_sum_value_sql("spark"),
         "all_groups": so.all_groups_sql("spark"),
+        "group_facets": so.group_facets_sql("spark"),
         "group_heads": so.group_heads_sql("spark"),
         "decontaminate": so.decontaminate_sql(31, 5),
         "slow_fuzzy": so.slow_fuzzy_sql("sort", 0.2),

@@ -3637,6 +3637,30 @@ SELECT DISTINCT source AS grp FROM documents JOIN m USING (doc_id)
 ORDER BY grp"""
 
 
+def group_facets_sql(term: str = "spark", group_field: str = "source",
+                     facet_field: str = "lang", size: int = 10,
+                     min_count: int = 1) -> str:
+    """Grouped-facets oracle (search/group_facets.group_facets — the
+    TermGroupFacetCollector contract with global pair dedup): per facet
+    value, COUNT(DISTINCT group) among docs matching ``term``; entries
+    count desc then value asc, capped at ``size`` after the ``min_count``
+    filter; totalCount/totalMissingCount as repeated columns."""
+    return f"""WITH {_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM kept WHERE term = '{term}'),
+pairs AS (SELECT DISTINCT d.{group_field} AS grp, d.{facet_field} AS facet
+          FROM documents d JOIN m USING (doc_id)),
+cnt AS (SELECT facet, count(*) AS group_count FROM pairs
+        WHERE facet IS NOT NULL AND facet <> '' GROUP BY facet),
+tot AS (SELECT CAST(COALESCE(sum(group_count), 0) AS BIGINT) AS t FROM cnt),
+miss AS (SELECT count(*) AS mc FROM pairs
+         WHERE facet IS NULL OR facet = '')
+SELECT facet, group_count,
+       (SELECT t FROM tot) AS total_count,
+       (SELECT CAST(mc AS BIGINT) FROM miss) AS missing_count
+FROM cnt WHERE group_count >= {min_count}
+ORDER BY group_count DESC, facet ASC LIMIT {size}"""
+
+
 def group_heads_sql(term: str = "spark") -> str:
     """AllGroupHeadsCollector oracle: per `source` group, the top-scoring
     doc for the single-term BM25 query (score desc, doc asc tie) — the
