@@ -5542,6 +5542,33 @@ def _q_simhash_pairs(sf_dir: str) -> Any:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_block_join_groups(sf_dir: str) -> pa.Table:
+    """ToParentBlockJoinCollector (Join/ToParentBlockJoinCollector.cs
+    GetTopGroups via ops/joins.to_parent_block_join_groups): top-10 orders
+    by max matched-lineitem extendedprice (children: returnflag 'R',
+    quantity > 30), each with its child hit count and top-3 children by
+    (price desc, linenumber asc) — the TopGroups/GroupDocs shape."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from lucenenet_ray.ops.joins import to_parent_block_join_groups
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+                 "l_extendedprice"])
+
+    def child_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column("l_returnflag"), "R"),
+                    pc.greater(t.column("l_quantity"), 30))
+        return t.filter(m)
+
+    matched = li.map_batches(child_filter, batch_format="pyarrow")
+    return to_parent_block_join_groups(
+        matched, "l_orderkey", "l_linenumber", "l_extendedprice",
+        score_mode="max", n_groups=10, docs_per_group=3)
+
+
 def _q_group_facets(sf_dir: str) -> pa.Table:
     """Grouped facets (Grouping/Term/TermGroupFacetCollector.cs via
     search/group_facets.py): per `lang` facet value, the number of DISTINCT
@@ -5846,6 +5873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_scorer_highlight": _q_query_scorer_highlight,
         "block_grouping": _q_block_grouping,
         "group_facets": _q_group_facets,
+        "block_join_groups": _q_block_join_groups,
     })
     for name in _SIMBASE_GATE:
         out[name] = _make_simbase_query(name)
@@ -5949,6 +5977,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_sum_value": so.facet_sum_value_sql("spark"),
         "all_groups": so.all_groups_sql("spark"),
         "group_facets": so.group_facets_sql("spark"),
+        "block_join_groups": so.block_join_groups_sql(),
         "group_heads": so.group_heads_sql("spark"),
         "decontaminate": so.decontaminate_sql(31, 5),
         "slow_fuzzy": so.slow_fuzzy_sql("sort", 0.2),

@@ -3637,6 +3637,38 @@ SELECT DISTINCT source AS grp FROM documents JOIN m USING (doc_id)
 ORDER BY grp"""
 
 
+def block_join_groups_sql(n_groups: int = 10, docs_per_group: int = 3) -> str:
+    """ToParentBlockJoinCollector.GetTopGroups oracle
+    (ops/joins.to_parent_block_join_groups): top parents by max matched-child
+    extendedprice with per-group hit counts and top children per parent by
+    (score desc, linenumber asc)."""
+    return f"""WITH c AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(l_extendedprice AS DOUBLE) AS s
+  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
+),
+p AS (
+  SELECT l_orderkey, max(s) AS parent_score,
+         CAST(count(*) AS BIGINT) AS group_hits
+  FROM c GROUP BY l_orderkey
+),
+topp AS (
+  SELECT * FROM p ORDER BY parent_score DESC, l_orderkey ASC LIMIT {n_groups}
+),
+ranked AS (
+  SELECT c.l_orderkey, t.parent_score, t.group_hits, c.l_linenumber,
+         c.s AS child_score,
+         CAST(row_number() OVER (PARTITION BY c.l_orderkey
+                                 ORDER BY c.s DESC, c.l_linenumber ASC)
+              AS BIGINT) AS child_rank
+  FROM c JOIN topp t USING (l_orderkey)
+)
+SELECT l_orderkey, parent_score, group_hits, child_rank, l_linenumber,
+       child_score
+FROM ranked WHERE child_rank <= {docs_per_group}
+ORDER BY parent_score DESC, l_orderkey ASC, child_rank ASC"""
+
+
 def group_facets_sql(term: str = "spark", group_field: str = "source",
                      facet_field: str = "lang", size: int = 10,
                      min_count: int = 1) -> str:
