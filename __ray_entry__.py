@@ -5542,6 +5542,65 @@ def _q_simhash_pairs(sf_dir: str) -> Any:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_span_payload_check(sf_dir: str) -> pa.Table:
+    """SpanPayloadCheckQuery (Search/Spans/SpanPayloadCheckQuery.cs via
+    spans.py payload-carrying span algebra): spans of 'merge' whose offset
+    payload == 0 — i.e. docs whose text STARTS with the token — per-doc
+    span counts vs the offset-rederiving SQL oracle."""
+    from lucenenet_ray.search.spans import (
+        SpanPayloadCheckQuery,
+        SpanTermQuery,
+        span_counts,
+    )
+
+    q = SpanPayloadCheckQuery(match=SpanTermQuery(term="merge"),
+                              payloads=(0,))
+    rows = span_counts(_reader(sf_dir), q)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_spans": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+_NEAR_PL_PAIRS: tuple[tuple[str, str, tuple[int, ...]], ...] = (
+    # (t1, t2, target offsets): doc starts exactly "t1 t2" — offsets 0 and
+    # len(t1)+1. Two pairs so the query is non-empty at every tested sf.
+    ("hash", "row", (0, 5)),
+    ("merge", "group", (0, 6)),
+)
+
+
+def _q_span_near_payload_check(sf_dir: str) -> pa.Table:
+    """SpanNearPayloadCheckQuery (Search/Spans/SpanNearPayloadCheckQuery.cs):
+    adjacent ordered (t1, t2) spans whose two offset payloads both fall in
+    the target set (count-equal + unordered first-match membership, the
+    :47-85 loop) — docs beginning exactly 't1 t2'; two pairs unioned."""
+    from lucenenet_ray.search.spans import (
+        SpanNearPayloadCheckQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+        span_counts,
+    )
+
+    r = _reader(sf_dir)
+    pair_col, doc_col, n_col = [], [], []
+    for t1, t2, targets in _NEAR_PL_PAIRS:
+        q = SpanNearPayloadCheckQuery(
+            match=SpanNearQuery(clauses=(SpanTermQuery(term=t1),
+                                         SpanTermQuery(term=t2)),
+                                slop=0, in_order=True),
+            payloads=targets)
+        for doc, n in span_counts(r, q):
+            pair_col.append(f"{t1} {t2}")
+            doc_col.append(doc)
+            n_col.append(n)
+    return pa.table({
+        "pair": pa.array(pair_col, type=pa.string()),
+        "doc_id": pa.array(doc_col, type=pa.int64()),
+        "n_spans": pa.array(n_col, type=pa.int64()),
+    })
+
+
 def _q_block_join_groups(sf_dir: str) -> pa.Table:
     """ToParentBlockJoinCollector (Join/ToParentBlockJoinCollector.cs
     GetTopGroups via ops/joins.to_parent_block_join_groups): top-10 orders
@@ -5874,6 +5933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_grouping": _q_block_grouping,
         "group_facets": _q_group_facets,
         "block_join_groups": _q_block_join_groups,
+        "span_payload_check": _q_span_payload_check,
+        "span_near_payload_check": _q_span_near_payload_check,
     })
     for name in _SIMBASE_GATE:
         out[name] = _make_simbase_query(name)
@@ -5978,6 +6039,9 @@ def oracle_sql() -> dict[str, str]:
         "all_groups": so.all_groups_sql("spark"),
         "group_facets": so.group_facets_sql("spark"),
         "block_join_groups": so.block_join_groups_sql(),
+        "span_payload_check": so.span_payload_check_sql("merge", 0),
+        "span_near_payload_check": so.span_near_payload_check_sql(
+            _NEAR_PL_PAIRS, 0),
         "group_heads": so.group_heads_sql("spark"),
         "decontaminate": so.decontaminate_sql(31, 5),
         "slow_fuzzy": so.slow_fuzzy_sql("sort", 0.2),

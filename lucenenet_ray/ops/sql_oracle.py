@@ -3637,6 +3637,50 @@ SELECT DISTINCT source AS grp FROM documents JOIN m USING (doc_id)
 ORDER BY grp"""
 
 
+def span_payload_check_sql(term: str = "merge", start_off: int = 0) -> str:
+    """SpanPayloadCheckQuery oracle (spans.SpanPayloadCheckQuery): per-doc
+    count of ``term`` occurrences whose start char offset equals
+    ``start_off``."""
+    return f"""WITH {_toks_cte()},{_OFFS_CTE}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM offs WHERE term = '{term}' AND start = {start_off}
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+def span_near_payload_check_sql(
+        pairs: tuple[tuple[str, str, tuple[int, ...]], ...],
+        slop: int = 0) -> str:
+    """SpanNearPayloadCheckQuery oracle: for each (t1, t2, targets) pair,
+    the ordered minimal near spans (span_near_count_sql's m2 rule) whose
+    BOTH start offsets fall in ``targets`` — count-equality (2 == 2) plus
+    per-candidate membership, the reference's first-match loop semantics."""
+    legs = []
+    for t1, t2, targets in pairs:
+        tl = ", ".join(str(t) for t in targets)
+        legs.append(f"""
+SELECT '{t1} {t2}' AS pair, doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM (
+  SELECT m2.doc_id
+  FROM (SELECT doc_id, max(p1) AS p1, p2
+        FROM (SELECT o1.doc_id, o1.pos AS p1, min(o2.pos) AS p2
+              FROM kept o1 JOIN kept o2
+                ON o2.doc_id = o1.doc_id AND o2.pos >= o1.pos + 1
+               AND o1.term = '{t1}' AND o2.term = '{t2}'
+              WHERE o1.term = '{t1}'
+              GROUP BY o1.doc_id, o1.pos) m1
+        GROUP BY doc_id, p2) m2
+  JOIN offs o1 ON o1.doc_id = m2.doc_id AND o1.pos = m2.p1
+  JOIN offs o2 ON o2.doc_id = m2.doc_id AND o2.pos = m2.p2
+  WHERE m2.p2 - m2.p1 - 1 <= {slop}
+    AND o1.start IN ({tl}) AND o2.start IN ({tl})
+) GROUP BY doc_id"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""WITH {_toks_cte()},{_OFFS_CTE}
+SELECT * FROM ({union})
+ORDER BY pair, doc_id"""
+
+
 def block_join_groups_sql(n_groups: int = 10, docs_per_group: int = 3) -> str:
     """ToParentBlockJoinCollector.GetTopGroups oracle
     (ops/joins.to_parent_block_join_groups): top parents by max matched-child

@@ -90,6 +90,38 @@ class SpanPositionRangeQuery(SpanQuery):
     end: int = 0
 
 
+@dataclass(frozen=True)
+class SpanPayloadCheckQuery(SpanQuery):
+    """Spans of ``match`` whose per-position payload sequence equals
+    ``payloads`` exactly, in order (``Search/Spans/SpanPayloadCheckQuery.cs``
+    AcceptPosition :57-88: count equal + element-wise Arrays.Equals; a span
+    with NO payload is accepted — the ``result == false → YES`` arm :87).
+    SpanNearQuery is rejected as the match, like the reference ctor :50-53
+    — use SpanNearPayloadCheckQuery. Payloads here are the index's
+    per-position integers (offset payloads; see search/payloads.py)."""
+
+    match: SpanQuery = None
+    payloads: tuple[int, ...] = ()
+
+    def __post_init__(self):
+        if isinstance(self.match, SpanNearQuery):
+            raise ValueError("SpanNearQuery not allowed — use "
+                             "SpanNearPayloadCheckQuery")
+
+
+@dataclass(frozen=True)
+class SpanNearPayloadCheckQuery(SpanQuery):
+    """Payload check over a SpanNearQuery
+    (``Search/Spans/SpanNearPayloadCheckQuery.cs`` AcceptPosition :47-85):
+    near payloads are not order-stable, so the check is count-equality plus
+    every candidate payload equalling SOME target payload (first-match,
+    per-candidate ``break`` — duplicates in the target are not consumed);
+    a span with no payload is REJECTED (the trailing ``return NO`` :85)."""
+
+    match: SpanQuery = None
+    payloads: tuple[int, ...] = ()
+
+
 def extract_terms(q: SpanQuery, out: list[str]) -> None:
     """Clause terms in extraction order (SpanWeight term extraction)."""
     if isinstance(q, SpanTermQuery):
@@ -100,7 +132,8 @@ def extract_terms(q: SpanQuery, out: list[str]) -> None:
     elif isinstance(q, SpanNotQuery):
         extract_terms(q.include, out)
         extract_terms(q.exclude, out)
-    elif isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+    elif isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery,
+                        SpanPayloadCheckQuery, SpanNearPayloadCheckQuery)):
         extract_terms(q.match, out)
 
 
@@ -108,6 +141,20 @@ def extract_terms(q: SpanQuery, out: list[str]) -> None:
 # span algebra on per-doc (start, end) lists (position-sorted)
 
 Spans = list[tuple[int, int]]
+
+
+def _emit(lists, idx, start: int, end: int):
+    """Near-span emit: plain (start, end), or (start, end, payloads) when
+    any constituent carries payloads — concatenated in clause order, the
+    NearSpans.GetPayload collection order."""
+    pl: tuple[int, ...] = ()
+    has = False
+    for i in range(len(lists)):
+        sp = lists[i][idx[i]]
+        if len(sp) > 2:
+            has = True
+            pl = pl + sp[2]
+    return (start, end, pl) if has else (start, end)
 
 
 def near_ordered(lists: list[Spans], slop: int) -> Spans:
@@ -142,7 +189,7 @@ def near_ordered(lists: list[Spans], slop: int) -> Spans:
         end = lists[n - 1][idx[n - 1]][1]
         length = sum(lists[i][idx[i]][1] - lists[i][idx[i]][0] for i in range(n))
         if end - start - length <= slop:
-            out.append((start, end))
+            out.append(_emit(lists, idx, start, end))
         idx[0] += 1
         if idx[0] >= len(lists[0]):
             return out
@@ -160,8 +207,8 @@ def near_unordered(lists: list[Spans], slop: int) -> Spans:
         start, end = min(starts), max(ends)
         length = sum(e - s for s, e in zip(starts, ends))
         if end - start - length <= slop:
-            if not out or out[-1] != (start, end):
-                out.append((start, end))
+            if not out or (out[-1][0], out[-1][1]) != (start, end):
+                out.append(_emit(lists, idx, start, end))
         i_min = int(np.argmin(starts))
         idx[i_min] += 1
         if idx[i_min] >= len(lists[i_min]):
@@ -175,39 +222,78 @@ def span_or(lists: list[Spans]) -> Spans:
 
 def span_not(include: Spans, exclude: Spans) -> Spans:
     out = []
-    for s, e in include:
-        if not any(xs < e and s < xe for xs, xe in exclude):
-            out.append((s, e))
+    for sp in include:
+        s, e = sp[0], sp[1]
+        if not any(x[0] < e and s < x[1] for x in exclude):
+            out.append(sp)
     return out
 
 
 def span_first(match: Spans, end: int) -> Spans:
-    return [(s, e) for s, e in match if e <= end]
+    return [sp for sp in match if sp[1] <= end]
 
 
 def span_position_range(match: Spans, start: int, end: int) -> Spans:
-    return [(s, e) for s, e in match if s >= start and e <= end]
+    return [sp for sp in match if sp[0] >= start and sp[1] <= end]
 
 
-def _spans_for(q: SpanQuery, positions_of) -> Spans:
+def _spans_for(q: SpanQuery, positions_of, payloads_of=None,
+               with_pl: bool = False) -> Spans:
     """Evaluate the span tree for ONE doc. ``positions_of(term)`` returns
-    the doc's ascending position array for a term (empty if absent)."""
+    the doc's ascending position array for a term (empty if absent);
+    ``payloads_of(term)`` the parallel payload array (or None when the
+    index carries no payload stream). ``with_pl`` makes term spans carry
+    their payloads as a 3rd tuple element (payload-check subtrees)."""
     if isinstance(q, SpanTermQuery):
-        return [(int(p), int(p) + 1) for p in positions_of(q.term)]
+        pos = positions_of(q.term)
+        if with_pl and payloads_of is not None:
+            pl = payloads_of(q.term)
+            if pl is not None and len(pl) == len(pos):
+                return [(int(p), int(p) + 1, (int(v),))
+                        for p, v in zip(pos, pl)]
+        return [(int(p), int(p) + 1) for p in pos]
     if isinstance(q, SpanNearQuery):
-        lists = [_spans_for(c, positions_of) for c in q.clauses]
+        lists = [_spans_for(c, positions_of, payloads_of, with_pl)
+                 for c in q.clauses]
         return (near_ordered(lists, q.slop) if q.in_order
                 else near_unordered(lists, q.slop))
     if isinstance(q, SpanOrQuery):
-        return span_or([_spans_for(c, positions_of) for c in q.clauses])
+        return span_or([_spans_for(c, positions_of, payloads_of, with_pl)
+                        for c in q.clauses])
     if isinstance(q, SpanNotQuery):
-        return span_not(_spans_for(q.include, positions_of),
-                        _spans_for(q.exclude, positions_of))
+        return span_not(
+            _spans_for(q.include, positions_of, payloads_of, with_pl),
+            _spans_for(q.exclude, positions_of, payloads_of, with_pl))
     if isinstance(q, SpanFirstQuery):
-        return span_first(_spans_for(q.match, positions_of), q.end)
+        return span_first(
+            _spans_for(q.match, positions_of, payloads_of, with_pl), q.end)
     if isinstance(q, SpanPositionRangeQuery):
-        return span_position_range(_spans_for(q.match, positions_of),
-                                   q.start, q.end)
+        return span_position_range(
+            _spans_for(q.match, positions_of, payloads_of, with_pl),
+            q.start, q.end)
+    if isinstance(q, SpanPayloadCheckQuery):
+        subs = _spans_for(q.match, positions_of, payloads_of, with_pl=True)
+        out: Spans = []
+        for sp in subs:
+            if len(sp) < 3:
+                # no payload available → YES (SpanPayloadCheckQuery.cs:87)
+                out.append(sp if with_pl else (sp[0], sp[1]))
+                continue
+            cand = sp[2]
+            if cand == q.payloads:
+                out.append(sp if with_pl else (sp[0], sp[1]))
+        return out
+    if isinstance(q, SpanNearPayloadCheckQuery):
+        subs = _spans_for(q.match, positions_of, payloads_of, with_pl=True)
+        out = []
+        for sp in subs:
+            if len(sp) < 3:
+                continue  # no payload → NO (SpanNearPayloadCheckQuery.cs:85)
+            cand = sp[2]
+            if (len(cand) == len(q.payloads)
+                    and all(c in q.payloads for c in cand)):
+                out.append(sp if with_pl else (sp[0], sp[1]))
+        return out
     raise TypeError(f"unsupported span node {type(q)}")
 
 
@@ -234,9 +320,22 @@ def _required_terms(q: SpanQuery) -> list[set[str]]:
         return [alts]
     if isinstance(q, SpanNotQuery):
         return _required_terms(q.include)
-    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery,
+                      SpanPayloadCheckQuery, SpanNearPayloadCheckQuery)):
         return _required_terms(q.match)
     return []
+
+
+def _has_payload_check(q: SpanQuery) -> bool:
+    if isinstance(q, (SpanPayloadCheckQuery, SpanNearPayloadCheckQuery)):
+        return True
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        return any(_has_payload_check(c) for c in q.clauses)
+    if isinstance(q, SpanNotQuery):
+        return _has_payload_check(q.include) or _has_payload_check(q.exclude)
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+        return _has_payload_check(q.match)
+    return False
 
 
 def span_eval_bucket(q: SpanQuery, bucket: BucketData,
@@ -263,13 +362,20 @@ def span_eval_bucket(q: SpanQuery, bucket: BucketData,
 
     terms: list[str] = []
     extract_terms(q, terms)
+    need_pl = _has_payload_check(q)
     per_term = {}
+    pl_of_term = {}
     for t in set(terms):
         c = chunks.get(t)
         if c is None:
             per_term[t] = None
         else:
             per_term[t] = (c.row_of_local(bucket)[cand_l],) + c.positions_flat()
+            if need_pl:
+                try:
+                    pl_of_term[t] = c.payloads_flat()[0]
+                except ValueError:
+                    pl_of_term[t] = None  # no payload stream in this index
 
     freqs = np.zeros(cand_l.size, dtype=np.float32)
     empty = np.empty(0, dtype=np.int64)
@@ -284,7 +390,22 @@ def span_eval_bucket(q: SpanQuery, bucket: BucketData,
                 return empty
             return flat[offs[r]:offs[r + 1]]
 
-        spans = _spans_for(q, positions_of)
+        payloads_of = None
+        if need_pl:
+            def payloads_of(t: str, _k=k):  # noqa: F811
+                e = per_term.get(t)
+                plf = pl_of_term.get(t)
+                if plf is None:
+                    return None  # no payload stream → payload-less spans
+                if e is None:
+                    return empty
+                rows, _flat, offs = e
+                r = rows[_k]
+                if r < 0:
+                    return empty
+                return plf[offs[r]:offs[r + 1]]
+
+        spans = _spans_for(q, positions_of, payloads_of)
         if spans:
             # SpanScorer: freq += SloppyFreq(matchLength) per span, where
             # matchLength = end - start - 1 (single-span slop consumed)
@@ -352,11 +473,18 @@ def span_counts(reader: IndexReader, q: SpanQuery) -> list[tuple[int, int]]:
         if lidx.size == 0:
             continue
         # recount integer span counts (freqs are sloppy-weighted)
+        need_pl = _has_payload_check(q)
         per_term = {}
+        pl_of_term = {}
         for t in set(terms):
             c = chunks.get(t)
             per_term[t] = None if c is None else (
                 (c.row_of_local(bd)[lidx],) + c.positions_flat())
+            if need_pl and c is not None:
+                try:
+                    pl_of_term[t] = c.payloads_flat()[0]
+                except ValueError:
+                    pl_of_term[t] = None
         empty = np.empty(0, dtype=np.int64)
         doc_ids = bd.norms()[0]
         for k in range(lidx.size):
@@ -370,7 +498,22 @@ def span_counts(reader: IndexReader, q: SpanQuery) -> list[tuple[int, int]]:
                     return empty
                 return flat[offs[r]:offs[r + 1]]
 
-            spans = _spans_for(q, positions_of)
+            payloads_of = None
+            if need_pl:
+                def payloads_of(t: str, _k=k):  # noqa: F811
+                    e = per_term.get(t)
+                    plf = pl_of_term.get(t)
+                    if plf is None:
+                        return None
+                    if e is None:
+                        return empty
+                    rows, _flat, offs = e
+                    r = rows[_k]
+                    if r < 0:
+                        return empty
+                    return plf[offs[r]:offs[r + 1]]
+
+            spans = _spans_for(q, positions_of, payloads_of)
             if spans:
                 out.append((int(doc_ids[lidx[k]]), len(spans)))
     out.sort()
