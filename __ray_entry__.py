@@ -5542,6 +5542,52 @@ def _q_simhash_pairs(sf_dir: str) -> Any:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+_SYN_FILE = "spark, flare\nmerge => unify"
+_SYN_TERMS = ("flare", "merge", "spark", "unify")
+
+
+def _q_synonym_expand_stats(sf_dir: str) -> pa.Table:
+    """Solr-format synonym parsing feeding index-time expansion
+    (Analysis/Synonym/SolrSynonymParser.cs via analysis/synparse.py +
+    the single-token SynonymFilter): per expanded term, the df over the
+    documents corpus after injecting equivalents — expand line makes
+    spark/flare share df, explicit 'merge => unify' is one-directional.
+    One stateless map_batches pass with per-batch partial dfs."""
+    import ray.data as rd
+
+    from lucenenet_ray.analysis.standard import analyze
+    from lucenenet_ray.analysis.synparse import parse_solr_synonyms
+    from lucenenet_ray.analysis.filters import synonym_filter
+
+    sm = parse_solr_synonyms(_SYN_FILE).build_map()
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    want = set(_SYN_TERMS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = dict.fromkeys(_SYN_TERMS, 0)
+        for txt in t.column("text").to_pylist():
+            terms, pos = analyze(txt)
+            ex_terms, _ = synonym_filter(terms, pos, sm)
+            for x in set(ex_terms) & want:
+                counts[x] += 1
+        return pa.table({
+            "term": pa.array(list(_SYN_TERMS), type=pa.string()),
+            "df": pa.array([counts[x] for x in _SYN_TERMS],
+                           type=pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=512).take_all()
+    tot = dict.fromkeys(_SYN_TERMS, 0)
+    for r in parts:
+        tot[r["term"]] += int(r["df"])
+    return pa.table({
+        "term": pa.array(list(_SYN_TERMS), type=pa.string()),
+        "df": pa.array([tot[x] for x in _SYN_TERMS], type=pa.int64()),
+    })
+
+
 def _q_span_payload_check(sf_dir: str) -> pa.Table:
     """SpanPayloadCheckQuery (Search/Spans/SpanPayloadCheckQuery.cs via
     spans.py payload-carrying span algebra): spans of 'merge' whose offset
@@ -5935,6 +5981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_join_groups": _q_block_join_groups,
         "span_payload_check": _q_span_payload_check,
         "span_near_payload_check": _q_span_near_payload_check,
+        "synonym_expand_stats": _q_synonym_expand_stats,
     })
     for name in _SIMBASE_GATE:
         out[name] = _make_simbase_query(name)
@@ -6042,6 +6089,7 @@ def oracle_sql() -> dict[str, str]:
         "span_payload_check": so.span_payload_check_sql("merge", 0),
         "span_near_payload_check": so.span_near_payload_check_sql(
             _NEAR_PL_PAIRS, 0),
+        "synonym_expand_stats": so.synonym_expand_stats_sql(),
         "group_heads": so.group_heads_sql("spark"),
         "decontaminate": so.decontaminate_sql(31, 5),
         "slow_fuzzy": so.slow_fuzzy_sql("sort", 0.2),

@@ -3637,6 +3637,31 @@ SELECT DISTINCT source AS grp FROM documents JOIN m USING (doc_id)
 ORDER BY grp"""
 
 
+def synonym_expand_stats_sql() -> str:
+    """Solr-synonym expansion df oracle (analysis/synparse + SynonymFilter):
+    'spark, flare' equivalence class shares df (docs containing either);
+    'merge => unify' adds merge docs to unify's df only."""
+    return f"""WITH {_toks_cte()},
+d AS (SELECT DISTINCT doc_id, term FROM kept
+      WHERE term IN ('spark', 'flare', 'merge', 'unify'))
+SELECT term, CAST(df AS BIGINT) AS df FROM (
+  SELECT 'flare' AS term,
+         (SELECT count(DISTINCT doc_id) FROM d
+          WHERE term IN ('spark', 'flare')) AS df
+  UNION ALL
+  SELECT 'merge',
+         (SELECT count(DISTINCT doc_id) FROM d WHERE term = 'merge')
+  UNION ALL
+  SELECT 'spark',
+         (SELECT count(DISTINCT doc_id) FROM d
+          WHERE term IN ('spark', 'flare'))
+  UNION ALL
+  SELECT 'unify',
+         (SELECT count(DISTINCT doc_id) FROM d
+          WHERE term IN ('merge', 'unify'))
+) ORDER BY term"""
+
+
 def span_payload_check_sql(term: str = "merge", start_off: int = 0) -> str:
     """SpanPayloadCheckQuery oracle (spans.SpanPayloadCheckQuery): per-doc
     count of ``term`` occurrences whose start char offset equals
