@@ -5542,6 +5542,71 @@ def _q_simhash_pairs(sf_dir: str) -> Any:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_facet_sum_float(sf_dir: str) -> pa.Table:
+    """Float association facets
+    (Facet/Taxonomy/TaxonomyFacetSumFloatAssociations.cs — the float32
+    sibling of the int rollup in _q_facet_sum_value): over docs matching
+    'merge', SUM a float32 per-doc association (n_chars % 16, exactly
+    representable, totals < 2^24 so the float32 sum is order-invariant and
+    the SQL oracle is bit-exact) at every taxonomy path prefix. Same
+    distributed shape: broadcast hits, per-batch float32 partials, ONE
+    small groupby."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    td = search(r, TermQuery(term="merge"), k=r.num_docs)
+    hits_ref = ray.put(np.asarray(sorted(int(d) for d in td.docs),
+                                  dtype=np.int64))
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        hits = _ray.get(hits_ref)
+        ids = t.column("doc_id").to_numpy()
+        pos = np.searchsorted(hits, ids)
+        inh = pos < hits.size
+        inh[inh] = hits[pos[inh]] == ids[inh]
+        if not inh.any():
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "sum_assoc": pa.array([], type=pa.float64())})
+        sums: dict[str, np.float32] = {}
+        assoc = (t.column("n_chars").to_numpy()[inh] % 16).astype(np.float32)
+        for lang, src, v in zip(
+                np.asarray(t.column("lang"))[inh].tolist(),
+                np.asarray(t.column("source"))[inh].tolist(),
+                assoc.tolist()):
+            v32 = np.float32(v)
+            sums[lang] = np.float32(sums.get(lang, np.float32(0.0)) + v32)
+            leaf = f"{lang}/{src}"
+            sums[leaf] = np.float32(sums.get(leaf, np.float32(0.0)) + v32)
+        keys = sorted(sums)
+        return pa.table({
+            "path": pa.array(keys, type=pa.string()),
+            "sum_assoc": pa.array([float(sums[k]) for k in keys],
+                                  type=pa.float64()),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=512)
+        .groupby("path")
+        .aggregate(Sum("sum_assoc", alias_name="sum_assoc"))
+        .sort("path")
+        .take_all()
+    )
+    return pa.table({
+        "path": pa.array([r_["path"] for r_ in out], type=pa.string()),
+        "sum_assoc": pa.array([float(np.float32(r_["sum_assoc"]))
+                               for r_ in out], type=pa.float64()),
+    })
+
+
 _SYN_FILE = "spark, flare\nmerge => unify"
 _SYN_TERMS = ("flare", "merge", "spark", "unify")
 
@@ -5982,6 +6047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_payload_check": _q_span_payload_check,
         "span_near_payload_check": _q_span_near_payload_check,
         "synonym_expand_stats": _q_synonym_expand_stats,
+        "facet_sum_float": _q_facet_sum_float,
     })
     for name in _SIMBASE_GATE:
         out[name] = _make_simbase_query(name)
@@ -6090,6 +6156,7 @@ def oracle_sql() -> dict[str, str]:
         "span_near_payload_check": so.span_near_payload_check_sql(
             _NEAR_PL_PAIRS, 0),
         "synonym_expand_stats": so.synonym_expand_stats_sql(),
+        "facet_sum_float": so.facet_sum_float_sql("merge"),
         "group_heads": so.group_heads_sql("spark"),
         "decontaminate": so.decontaminate_sql(31, 5),
         "slow_fuzzy": so.slow_fuzzy_sql("sort", 0.2),

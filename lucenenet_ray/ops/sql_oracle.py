@@ -3637,6 +3637,22 @@ SELECT DISTINCT source AS grp FROM documents JOIN m USING (doc_id)
 ORDER BY grp"""
 
 
+def facet_sum_float_sql(term: str = "merge") -> str:
+    """Float association facet oracle (TaxonomyFacetSumFloatAssociations):
+    assoc = n_chars % 16 — small exact-in-float32 integers whose sums stay
+    < 2^24, so the integer SQL sum cast through REAL equals the engine's
+    float32 accumulation bit-for-bit."""
+    return f"""WITH {_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM kept WHERE term = '{term}'),
+hits AS (SELECT d.lang, d.source, d.n_chars % 16 AS v
+         FROM documents d JOIN m USING (doc_id))
+SELECT path, CAST(CAST(s AS REAL) AS DOUBLE) AS sum_assoc FROM (
+  SELECT lang AS path, sum(v) AS s FROM hits GROUP BY lang
+  UNION ALL
+  SELECT lang || '/' || source, sum(v) FROM hits GROUP BY lang, source
+) ORDER BY path"""
+
+
 def synonym_expand_stats_sql() -> str:
     """Solr-synonym expansion df oracle (analysis/synparse + SynonymFilter):
     'spark, flare' equivalence class shares df (docs containing either);
