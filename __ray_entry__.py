@@ -5542,6 +5542,21 @@ def _q_simhash_pairs(sf_dir: str) -> Any:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_substr_dedup(sf_dir: str) -> pa.Table:
+    """ExactSubstr deduplication (Lee et al. 2022, arXiv:2107.06499 — the
+    suffix-array method's fixed-window form; ops/substrdedup.py): per doc,
+    duplicated 10-token-window counts, covered-token counts, and the md5
+    of the text with every duplicated span removed. One window-hash
+    explode + ONE groupby, dup set broadcast once."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.substrdedup import dedup_substrings
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return dedup_substrings(ds, L=10)
+
+
 def _q_facet_sum_float(sf_dir: str) -> pa.Table:
     """Float association facets
     (Facet/Taxonomy/TaxonomyFacetSumFloatAssociations.cs — the float32
@@ -6048,6 +6063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near_payload_check": _q_span_near_payload_check,
         "synonym_expand_stats": _q_synonym_expand_stats,
         "facet_sum_float": _q_facet_sum_float,
+        "substr_dedup": _q_substr_dedup,
     })
     for name in _SIMBASE_GATE:
         out[name] = _make_simbase_query(name)
@@ -6157,6 +6173,7 @@ def oracle_sql() -> dict[str, str]:
             _NEAR_PL_PAIRS, 0),
         "synonym_expand_stats": so.synonym_expand_stats_sql(),
         "facet_sum_float": so.facet_sum_float_sql("merge"),
+        "substr_dedup": so.substr_dedup_sql(10),
         "group_heads": so.group_heads_sql("spark"),
         "decontaminate": so.decontaminate_sql(31, 5),
         "slow_fuzzy": so.slow_fuzzy_sql("sort", 0.2),

