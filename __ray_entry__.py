@@ -5542,6 +5542,31 @@ def _q_simhash_pairs(sf_dir: str) -> Any:
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_span_multiterm_near(sf_dir: str) -> pa.Table:
+    """SpanMultiTermQueryWrapper (Search/Spans/SpanMultiTermQueryWrapper.cs
+    via spans.span_multi_term_wrapper): SpanNear([SpanOr(sp*), merge],
+    slop=3, ordered) — the prefix query rewritten to a SpanOr against the
+    term dictionary, composed under the ordered-near rule; per-doc span
+    counts."""
+    from lucenenet_ray.search.query import PrefixQuery
+    from lucenenet_ray.search.spans import (
+        SpanNearQuery,
+        SpanTermQuery,
+        span_counts,
+        span_multi_term_wrapper,
+    )
+
+    r = _reader(sf_dir)
+    wrapped = span_multi_term_wrapper(r, PrefixQuery(prefix="sp"))
+    q = SpanNearQuery(clauses=(wrapped, SpanTermQuery(term="merge")),
+                      slop=3, in_order=True)
+    rows = span_counts(r, q)
+    return pa.table({
+        "doc_id": pa.array([x[0] for x in rows], type=pa.int64()),
+        "n_spans": pa.array([x[1] for x in rows], type=pa.int64()),
+    })
+
+
 def _q_substr_dedup(sf_dir: str) -> pa.Table:
     """ExactSubstr deduplication (Lee et al. 2022, arXiv:2107.06499 — the
     suffix-array method's fixed-window form; ops/substrdedup.py): per doc,
@@ -6064,6 +6089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_expand_stats": _q_synonym_expand_stats,
         "facet_sum_float": _q_facet_sum_float,
         "substr_dedup": _q_substr_dedup,
+        "span_multiterm_near": _q_span_multiterm_near,
     })
     for name in _SIMBASE_GATE:
         out[name] = _make_simbase_query(name)
@@ -6174,6 +6200,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_expand_stats": so.synonym_expand_stats_sql(),
         "facet_sum_float": so.facet_sum_float_sql("merge"),
         "substr_dedup": so.substr_dedup_sql(10),
+        "span_multiterm_near": so.span_multiterm_near_sql("sp", "merge", 3),
         "group_heads": so.group_heads_sql("spark"),
         "decontaminate": so.decontaminate_sql(31, 5),
         "slow_fuzzy": so.slow_fuzzy_sql("sort", 0.2),

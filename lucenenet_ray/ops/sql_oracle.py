@@ -3637,6 +3637,26 @@ SELECT DISTINCT source AS grp FROM documents JOIN m USING (doc_id)
 ORDER BY grp"""
 
 
+def span_multiterm_near_sql(prefix: str = "sp", t2: str = "merge",
+                            slop: int = 3) -> str:
+    """SpanMultiTermQueryWrapper oracle: ordered minimal near spans where
+    clause 1 is ANY term with the prefix (the SpanOr rewrite — positions of
+    all matching terms merged) and clause 2 is ``t2``; span_near_count_sql's
+    m1/m2 shrink rule."""
+    return f"""WITH {_toks_cte()},
+occ1 AS (SELECT doc_id, pos FROM kept WHERE term LIKE '{prefix}%'),
+occ2 AS (SELECT doc_id, pos FROM kept WHERE term = '{t2}'),
+m1 AS (
+  SELECT o1.doc_id, o1.pos AS p1, min(o2.pos) AS p2
+  FROM occ1 o1 JOIN occ2 o2 ON o2.doc_id = o1.doc_id AND o2.pos >= o1.pos + 1
+  GROUP BY o1.doc_id, o1.pos
+),
+m2 AS (SELECT doc_id, max(p1) AS p1, p2 FROM m1 GROUP BY doc_id, p2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM m2 WHERE p2 - p1 - 1 <= {slop}
+GROUP BY doc_id ORDER BY doc_id"""
+
+
 def substr_dedup_sql(L: int = 10) -> str:
     """ExactSubstr dedup oracle (ops/substrdedup.dedup_substrings — Lee et
     al. 2022 fixed-window form): duplicated L-token windows (count >= 2

@@ -122,6 +122,20 @@ class SpanNearPayloadCheckQuery(SpanQuery):
     payloads: tuple[int, ...] = ()
 
 
+def span_multi_term_wrapper(reader: "IndexReader", mtq) -> SpanOrQuery:
+    """SpanMultiTermQueryWrapper
+    (``Search/Spans/SpanMultiTermQueryWrapper.cs`` with
+    SpanOrTermsQuery/SpanRewriteMethod — the wrapper rewrites the
+    multi-term query against the term dictionary into a SpanOr over
+    matching SpanTermQueries, which then composes with any span operator).
+    Uses the reader's type-aware ``expand_query`` pushdown (range-scan for
+    prefix/term-range, literal-prefix restriction for wildcard/regexp), so
+    the rewrite never scans the whole vocabulary for pushdown-able types."""
+    terms = reader.expand_query(mtq)
+    return SpanOrQuery(
+        clauses=tuple(SpanTermQuery(term=t) for t in sorted(terms)))
+
+
 def extract_terms(q: SpanQuery, out: list[str]) -> None:
     """Clause terms in extraction order (SpanWeight term extraction)."""
     if isinstance(q, SpanTermQuery):
