@@ -5647,6 +5647,24 @@ def _q_facet_sum_float(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_bpe_learn_merges(sf_dir: str) -> pa.Table:
+    """Distributed BPE merge learning (Sennrich et al. 2016;
+    ops/bpe_train.py — the trainer side of bpe_token_count): ONE
+    corpus-scale groupby builds the (word,count) aggregate, then the
+    iterative merge loop runs over sharded word-table actors with
+    delta-only pair-count exchange. The sources/bpetrain.py corpus is
+    engineered so the full 96-merge sequence is SQL-closed-form while the
+    engine must run the real count→argmax→apply rounds."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.bpe_train import learn_bpe, word_counts
+    from lucenenet_ray.sources.bpetrain import NUM_MERGES, bpe_corpus_table
+
+    ds = rd.from_arrow(bpe_corpus_table(sf_dir)).repartition(8)
+    return learn_bpe(word_counts(ds, "text"), num_merges=NUM_MERGES,
+                     num_shards=4)
+
+
 _SYN_FILE = "spark, flare\nmerge => unify"
 _SYN_TERMS = ("flare", "merge", "spark", "unify")
 
@@ -6090,6 +6108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_sum_float": _q_facet_sum_float,
         "substr_dedup": _q_substr_dedup,
         "span_multiterm_near": _q_span_multiterm_near,
+        "bpe_learn_merges": _q_bpe_learn_merges,
     })
     for name in _SIMBASE_GATE:
         out[name] = _make_simbase_query(name)
@@ -6201,6 +6220,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_sum_float": so.facet_sum_float_sql("merge"),
         "substr_dedup": so.substr_dedup_sql(10),
         "span_multiterm_near": so.span_multiterm_near_sql("sp", "merge", 3),
+        "bpe_learn_merges": so.bpe_learn_merges_sql(),
         "group_heads": so.group_heads_sql("spark"),
         "decontaminate": so.decontaminate_sql(31, 5),
         "slow_fuzzy": so.slow_fuzzy_sql("sort", 0.2),

@@ -5718,3 +5718,34 @@ scored AS (
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, CAST(score AS DOUBLE) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def bpe_learn_merges_sql() -> str:
+    """BPE trainer oracle (ops/bpe_train.learn_bpe over the engineered
+    sources/bpetrain corpus): the merge sequence has a CLOSED FORM by
+    construction — disjoint letter classes and distinct per-word counts
+    make the global (count desc, left asc, right asc) selection order
+    derivable without simulating the loop (see sources/bpetrain.py for
+    the proof sketch). Phase 1: 64 (x,y) merges by count 300+i desc;
+    phase 2: 16 (z,w) at 200+4j; phase 3: 16 (zw,zw) at 100+2j."""
+    return """WITH l1 AS (
+  SELECT CAST(64 - i AS BIGINT) AS merge_rank,
+         chr(97 + CAST(i // 8 AS INTEGER)) AS left_tok,
+         chr(105 + CAST(i % 8 AS INTEGER)) AS right_tok,
+         CAST(300 + i AS BIGINT) AS cnt
+  FROM generate_series(0, 63) t(i)
+), l2 AS (
+  SELECT CAST(80 - j AS BIGINT),
+         chr(113 + CAST(j // 4 AS INTEGER)),
+         chr(117 + CAST(j % 4 AS INTEGER)),
+         CAST(200 + 4 * j AS BIGINT)
+  FROM generate_series(0, 15) t(j)
+), l3 AS (
+  SELECT CAST(96 - j AS BIGINT),
+         chr(113 + CAST(j // 4 AS INTEGER)) || chr(117 + CAST(j % 4 AS INTEGER)),
+         chr(113 + CAST(j // 4 AS INTEGER)) || chr(117 + CAST(j % 4 AS INTEGER)),
+         CAST(100 + 2 * j AS BIGINT)
+  FROM generate_series(0, 15) t(j)
+)
+SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+ORDER BY merge_rank"""
