@@ -4452,6 +4452,46 @@ def _q_knn_ivf_full(sf_dir: str) -> Any:
         ["query_id", "rank"]).reset_index(drop=True)
 
 
+HNSW_SUBSET = 256
+
+
+def _q_knn_hnsw_full(sf_dir: str) -> Any:
+    """Sharded HNSW (ops/hnsw.py, Malkov & Yashunin 2016) run degenerately
+    exact: corpus = the 256 lowest vec_ids, 2 shard actors hash-partitioned
+    by vec_id, M = ef_construction = 256 >= shard size so no neighbor list
+    is ever pruned and layer 0 is the complete graph — the graph build,
+    layer descent, best-first search and shard merge must then reproduce
+    brute-force cosine EXACTLY (same trick as knn_lsh_full/knn_ivf_full);
+    real approximate configs are recall-asserted in tests/test_hnsw.py."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from lucenenet_ray.ops.hnsw import build_hnsw_shards, knn_hnsw
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    idx = pa.compute.sort_indices(t.column("vec_id"))
+    sub = t.take(idx[:HNSW_SUBSET])
+    id2vec = {}
+    for i in range(t.num_rows):
+        vid = t.column("vec_id")[i].as_py()
+        if vid in KNN_QUERY_IDS:
+            id2vec[vid] = t.column("embedding")[i].as_py()
+    qv = np.array([id2vec[i] for i in KNN_QUERY_IDS], dtype=np.float64)
+    shards = build_hnsw_shards(rd.from_arrow(sub), num_shards=2,
+                               M=HNSW_SUBSET, ef_construction=HNSW_SUBSET)
+    try:
+        res = knn_hnsw(shards, qv, k=10, ef=HNSW_SUBSET)
+    finally:
+        for s in shards:
+            ray.kill(s)
+    out = res.to_pandas()
+    out["query_id"] = out["query_id"].map(lambda i: KNN_QUERY_IDS[i])
+    return out[["query_id", "rank", "vec_id"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_term_stats_cjk(sf_dir: str) -> pa.Table:
     """CJK token classes through the full index pipeline
     (StandardTokenizer.cs:85-104: Han/Hiragana singles, Katakana/Hangul
@@ -5396,6 +5436,28 @@ def _q_stratified_sample(sf_dir: str) -> Any:
 
 
 
+def _q_weighted_sample(sf_dir: str) -> Any:
+    """Weighted random sampling without replacement (ops/sampling.py
+    weighted_sample, Efraimidis & Spirakis 2006 A-ES): weight =
+    n_chars % 9 (zeros excluded per the paper's positive-weight rule),
+    k=32; per-batch partial top-k by ln(u)/w, no shuffle. The md5-keyed
+    uniform makes the sample deterministic, so the oracle re-ranks the
+    identical key in SQL."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.sampling import weighted_sample
+
+    def add_weight(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        w = pa.array(nc % 9, type=pa.int64())
+        return t.select(["doc_id"]).append_column("weight", w)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"]).map_batches(
+        add_weight, batch_format="pyarrow")
+    return weighted_sample(ds, k=32, weight_col="weight")
+
+
 def _q_chunk_stats(sf_dir: str) -> pa.Table:
     """RAG/retrieval chunking (ops/chunk.py chunk_documents): 32-token
     sliding windows with 8-token overlap; per doc the chunk count, summed
@@ -6066,6 +6128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq": _q_knn_ivfpq,
         "sq8_codes": _q_sq8_codes,
         "knn_sq8": _q_knn_sq8,
+        "knn_hnsw_full": _q_knn_hnsw_full,
+        "weighted_sample": _q_weighted_sample,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -6364,6 +6428,9 @@ def oracle_sql() -> dict[str, str]:
                                       m=4, k_codewords=16, dim=64, k=10),
         "sq8_codes": so.sq8_codes_sql(dim=64, sample_mod=16),
         "knn_sq8": so.knn_sq8_sql(KNN_QUERY_IDS, dim=64, k=10),
+        "knn_hnsw_full": so.knn_subset_exact_sql(KNN_QUERY_IDS, 10,
+                                                 HNSW_SUBSET),
+        "weighted_sample": so.weighted_sample_sql(k=32, weight_mod=9),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

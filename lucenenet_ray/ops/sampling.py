@@ -90,3 +90,65 @@ def epoch_shuffle(ds, seed: int = 1, key_col: str = "doc_id",
 
     return ds.map_batches(add_key, batch_format="pyarrow").sort(
         ["shuffle_key", key_col])
+
+
+def weighted_sample(ds, k: int, weight_col: str, key_col: str = "doc_id",
+                    salt: str = "wsamp") -> pa.Table:
+    """Weighted random sampling without replacement (Efraimidis & Spirakis
+    2006, the A-ES one-pass scheme): each row draws the md5 uniform
+    ``u = (md5_int60(salt:key)+1) / 2^60`` and the k rows with the largest
+    ``u^(1/w)`` form the sample — exactly the WRS-N-P distribution, but
+    fully deterministic and order/partition-independent here because u is
+    content-keyed, so the "random" sample is reproducible corpus-wide.
+
+    Distributed shape: one streaming ``map_batches`` computes per-batch
+    partial top-k (ranked by ``ln(u)/w``, monotone in the key, float64),
+    the driver merges the tiny partials — no shuffle, no corpus
+    materialization, driver state = O(k · blocks) rows.
+
+    Rows with weight <= 0 are excluded (u^(1/w) undefined — the paper's
+    items must have positive weight). Returns (rank, key, weight) —
+    the selection only; float keys stay internal."""
+    import hashlib
+
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.schema.names:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "weight": pa.array([], type=pa.int64()),
+                             "lnkey": pa.array([], type=pa.float64())})
+        keys = t.column(key_col).to_pylist()
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        m = np.array(
+            [int(hashlib.md5(f"{salt}:{kk}".encode()).hexdigest()[:15], 16)
+             for kk in keys], dtype=np.float64)
+        pos = w > 0
+        # rank key: ln(u)/w  (monotone transform of u^(1/w); closer to 0
+        # is better since ln(u) < 0)
+        lnu = np.log((m + 1.0) / 1152921504606846976.0)
+        score = np.where(pos, lnu / np.where(pos, w, 1.0), -np.inf)
+        idx = np.flatnonzero(pos)
+        if len(idx) > k:
+            part = idx[np.argpartition(-score[idx], k - 1)[:k]]
+        else:
+            part = idx
+        karr = np.asarray(keys, dtype=np.int64)[part]
+        order = np.lexsort((karr, -score[part]))
+        part = part[order]
+        return pa.table({
+            key_col: pa.array(karr[order], type=pa.int64()),
+            "weight": pa.array(
+                w[part].astype(np.int64), type=pa.int64()),
+            "lnkey": pa.array(score[part], type=pa.float64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["lnkey"], r[key_col]))
+    top = rows[:k]
+    return pa.table({
+        "rank": pa.array(range(1, len(top) + 1), type=pa.int64()),
+        key_col: pa.array([r[key_col] for r in top], type=pa.int64()),
+        "weight": pa.array([r["weight"] for r in top], type=pa.int64()),
+    })

@@ -5749,3 +5749,53 @@ def bpe_learn_merges_sql() -> str:
 )
 SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
 ORDER BY merge_rank"""
+
+
+def knn_subset_exact_sql(query_vec_ids: list[int], k: int = 10,
+                         n_subset: int = 256) -> str:
+    """Brute-force cosine top-k over the ``n_subset`` lowest vec_ids —
+    the exactness oracle for ``knn_hnsw_full`` (ops/hnsw.py): with
+    M >= shard size and ef_construction >= shard size no HNSW neighbor
+    list is ever pruned, so the sharded graph search must equal brute
+    force on the same subset."""
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    return f"""WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_subset}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN ({ids})
+),
+sims AS (
+  SELECT q.query_id, c.vec_id,
+         list_cosine_similarity(c.embedding, q.embedding) AS sim
+  FROM corpus c CROSS JOIN q
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank,
+       vec_id
+FROM sims
+QUALIFY rank <= {k}
+ORDER BY query_id, rank"""
+
+
+def weighted_sample_sql(k: int = 32, weight_mod: int = 9,
+                        salt: str = "wsamp") -> str:
+    """Efraimidis-Spirakis A-ES weighted-sampling oracle
+    (ops/sampling.py weighted_sample): rank key ln(u)/w with the md5-60
+    uniform u = (float64(m)+1)/2^60 — the CAST-then-+1.0 order mirrors the
+    engine's numpy float64 staging exactly. weight = n_chars % mod; rows
+    with weight 0 are excluded (the paper requires positive weights)."""
+    m = _MD5_INT60.format(s=f"'{salt}:'||CAST(doc_id AS VARCHAR)")
+    return f"""WITH w AS (
+  SELECT doc_id,
+         CAST(n_chars % {weight_mod} AS BIGINT) AS weight,
+         ln((CAST({m} AS DOUBLE) + 1.0) / 1152921504606846976.0)
+           / CAST(n_chars % {weight_mod} AS DOUBLE) AS lnkey
+  FROM documents
+  WHERE n_chars % {weight_mod} > 0
+)
+SELECT CAST(row_number() OVER (ORDER BY lnkey DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, weight
+FROM w
+ORDER BY lnkey DESC, doc_id ASC
+LIMIT {k}"""

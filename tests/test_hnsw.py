@@ -1,0 +1,110 @@
+"""HNSW (ops/hnsw.py): exactness in the degenerate config, recall of real
+approximate configs, shard-arrival-order determinism, and the sharded
+actor path vs the single-graph build."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucenenet_ray.ops.hnsw import HnswIndex
+from lucenenet_ray.ops.neardup import md5_int31
+
+
+def _vectors(n: int, dim: int = 16) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic md5-derived unit vectors (no RNG in tests)."""
+    ids = np.arange(n, dtype=np.int64) * 3 + 1  # non-contiguous ids
+    vecs = np.empty((n, dim))
+    for i, vid in enumerate(ids):
+        vecs[i] = [md5_int31(f"hv-{vid}-{d}") / 2**31 - 0.5
+                   for d in range(dim)]
+    return ids, vecs
+
+
+def _brute_topk(ids, vecs, q, k):
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = v @ qn
+    order = np.lexsort((ids, -sims))[:k]
+    return [(int(ids[i]), float(sims[i])) for i in order]
+
+
+def test_degenerate_config_is_exact():
+    ids, vecs = _vectors(80)
+    idx = HnswIndex(M=80, ef_construction=80).build(ids, vecs)
+    for qi in (0, 7, 33):
+        got = idx.search(vecs[qi], k=10, ef=80)
+        want = _brute_topk(ids, vecs, vecs[qi], 10)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], abs=1e-12)
+
+
+def test_approximate_recall():
+    ids, vecs = _vectors(400)
+    idx = HnswIndex(M=12, ef_construction=64).build(ids, vecs)
+    hits = total = 0
+    for qi in range(0, 400, 40):
+        got = {g[0] for g in idx.search(vecs[qi], k=10, ef=64)}
+        want = {w[0] for w in _brute_topk(ids, vecs, vecs[qi], 10)}
+        hits += len(got & want)
+        total += len(want)
+    assert hits / total >= 0.9, f"recall {hits/total:.2f}"
+
+
+def test_build_order_independent():
+    """The graph is sorted by id before build, so any arrival order gives
+    the identical structure and identical search results."""
+    ids, vecs = _vectors(120)
+    perm = np.argsort([md5_int31(f"perm-{i}") for i in range(120)])
+    a = HnswIndex(M=8, ef_construction=32).build(ids, vecs)
+    b = HnswIndex(M=8, ef_construction=32).build(ids[perm], vecs[perm])
+    for qi in (3, 50, 99):
+        assert a.search(vecs[qi], 10) == b.search(vecs[qi], 10)
+    assert a.entry == b.entry and a.max_level == b.max_level
+    for lv in range(len(a.neighbors)):
+        for n in range(len(a.ids)):
+            assert np.array_equal(a.neighbors[lv][n], b.neighbors[lv][n])
+
+
+def test_sharded_exact_matches_brute(ray_session):
+    import ray.data as rd
+
+    from lucenenet_ray.ops.hnsw import build_hnsw_shards, knn_hnsw
+
+    ids, vecs = _vectors(96, dim=8)
+    t = pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    shards = build_hnsw_shards(rd.from_arrow(t), num_shards=3,
+                               M=96, ef_construction=96)
+    q = vecs[:2]
+    res = knn_hnsw(shards, q, k=5, ef=96)
+    # float32 storage in the table → brute force over the same float32 vecs
+    v32 = np.array([list(map(np.float32, v)) for v in vecs],
+                   dtype=np.float64)
+    for qi in range(2):
+        want = [w[0] for w in _brute_topk(ids, v32, np.asarray(
+            q[qi], dtype=np.float64), 5)]
+        got = res.filter(pa.compute.equal(res.column("query_id"), qi))
+        assert got.column("vec_id").to_pylist() == want
+    import ray
+    for s in shards:
+        ray.kill(s)
+
+
+def test_level_assignment_distribution():
+    """Levels follow floor(-ln(u)·mL): level 0 dominates, higher levels
+    exponentially rarer."""
+    idx = HnswIndex(M=8)
+    levels = [  # noqa: F841
+        int(-np.log((md5_int31(f"hnsw-l-{i}") + 1.0) / 2147483649.0)
+            * idx.m_l) for i in range(1000)]
+    from lucenenet_ray.ops.hnsw import _level_of
+    got = [_level_of(i, idx.m_l) for i in range(1000)]
+    assert got == levels
+    # P(level 0) = 1 - 1/M = 0.875 for M=8
+    frac0 = sum(1 for g in got if g == 0) / 1000
+    assert 0.84 <= frac0 <= 0.91
+    assert max(got) <= 8
