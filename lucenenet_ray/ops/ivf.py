@@ -83,12 +83,21 @@ def train_centroids(ds, n_lists: int = 16, n_iters: int = 5,
 
         def partials(batch: pa.Table) -> pa.Table:
             c = ray.get(cref)
+            ids = batch.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
             m = _normalize(_to_matrix(batch, vec_col))
+            # within a batch, accumulate in ascending-id order so the
+            # partial itself never depends on row order
+            o = np.argsort(ids, kind="stable")
+            m = m[o]
             assign = np.argmax(m @ c.T, axis=1)
             sums = np.zeros_like(c)
             np.add.at(sums, assign, m)
             counts = np.bincount(assign, minlength=c.shape[0])
+            bkey = int(ids.min()) if len(ids) else -1
             return pa.table({
+                "bkey": pa.array(
+                    np.full(c.shape[0], bkey), type=pa.int64()),
                 "list_id": pa.array(np.arange(c.shape[0]), type=pa.int64()),
                 "count": pa.array(counts, type=pa.int64()),
                 "sum": pa.array(list(sums), type=pa.list_(pa.float64())),
@@ -100,8 +109,13 @@ def train_centroids(ds, n_lists: int = 16, n_iters: int = 5,
 
         lids = t.column("list_id").to_numpy()
         cnts = t.column("count").to_numpy()
+        bkeys = t.column("bkey").to_numpy()
         flat = pc.list_flatten(t.column("sum")).to_numpy()
         sums = flat.reshape(len(lids), cent.shape[1])
+        # canonical accumulation order (list_id, block-min-id): float64
+        # sums must not depend on which block finished first
+        o = np.lexsort((bkeys, lids))
+        lids, cnts, sums = lids[o], cnts[o], sums[o]
         new = np.zeros_like(cent)
         tot = np.zeros(cent.shape[0], dtype=np.int64)
         np.add.at(new, lids, sums)

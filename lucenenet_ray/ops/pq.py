@@ -103,7 +103,14 @@ def train_pq(ds, m: int = 4, k: int = 16, n_iters: int = 5,
 
         def partials(batch: pa.Table) -> pa.Table:
             b = ray.get(bref)  # (m, k, dsub)
+            ids = batch.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
             x = _to_matrix(batch, vec_col)
+            # ascending-id accumulation: the partial must not depend on
+            # row order within the block
+            o = np.argsort(ids, kind="stable")
+            x = x[o]
+            bkey = int(ids.min()) if len(ids) else -1
             rows_s, rows_c, rows_n, rows_sum = [], [], [], []
             for s in range(b.shape[0]):
                 xs = x[:, s * dsub:(s + 1) * dsub]
@@ -118,6 +125,8 @@ def train_pq(ds, m: int = 4, k: int = 16, n_iters: int = 5,
                 rows_n.extend(counts.tolist())
                 rows_sum.extend(list(sums))
             return pa.table({
+                "bkey": pa.array(
+                    np.full(len(rows_s), bkey), type=pa.int64()),
                 "s": pa.array(rows_s, type=pa.int64()),
                 "code": pa.array(rows_c, type=pa.int64()),
                 "count": pa.array(rows_n, type=pa.int64()),
@@ -131,8 +140,13 @@ def train_pq(ds, m: int = 4, k: int = 16, n_iters: int = 5,
         ss = t.column("s").to_numpy()
         cc = t.column("code").to_numpy()
         nn = t.column("count").to_numpy()
+        bkeys = t.column("bkey").to_numpy()
         sums = pc.list_flatten(t.column("sum")).to_numpy().reshape(
             len(ss), dsub)
+        # canonical accumulation order (s, code, block-min-id): float64
+        # sums must not depend on which block finished first
+        o = np.lexsort((bkeys, cc, ss))
+        ss, cc, nn, sums = ss[o], cc[o], nn[o], sums[o]
         new = np.zeros_like(books)
         tot = np.zeros((books.shape[0], books.shape[1]), dtype=np.int64)
         np.add.at(new, (ss, cc), sums)

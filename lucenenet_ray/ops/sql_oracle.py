@@ -1383,11 +1383,14 @@ def knn_pq_adc_sql(query_vec_ids: list[int], m: int = 4, k_codewords: int = 16,
 q AS (SELECT vec_id AS query_id, embedding FROM embeddings
       WHERE vec_id IN ({ids})),
 adc AS (
+  -- list_sum over an ORDER BY s list: fixed-order summation — a bare
+  -- SUM() is an unordered float aggregate and flaps at near-ties under
+  -- DuckDB's parallel hash aggregate
   SELECT q.query_id, c.vec_id,
-         SUM(POWER(list_distance(
+         list_sum(list(POWER(list_distance(
            list_slice(q.embedding::DOUBLE[], c.s*{dsub}+1, c.s*{dsub}+{dsub}),
            list_slice(s2.embedding::DOUBLE[], c.s*{dsub}+1, c.s*{dsub}+{dsub})
-         ), 2)) AS dist
+         ), 2) ORDER BY c.s)) AS dist
   FROM pq_codes c
   JOIN seeds s2 ON s2.code = c.code
   CROSS JOIN q
@@ -1451,7 +1454,10 @@ rec AS (
   FROM sq_codes c JOIN stats s USING (ord)
 ),
 dist AS (
-  SELECT qv.query_id, r.vec_id, SUM(POWER(r.rv - qv.qval, 2)) AS d
+  -- fixed-order summation (see knn_pq_adc_sql): unordered SUM flaps at
+  -- near-ties under the parallel hash aggregate
+  SELECT qv.query_id, r.vec_id,
+         list_sum(list(POWER(r.rv - qv.qval, 2) ORDER BY qv.ord)) AS d
   FROM rec r JOIN qvals qv USING (ord)
   GROUP BY qv.query_id, r.vec_id
 )
@@ -1505,11 +1511,13 @@ cand AS (
   FROM allowed a JOIN vlist v ON v.list = a.list
 ),
 adc AS (
+  -- fixed-order summation (see knn_pq_adc_sql): unordered SUM flaps at
+  -- near-ties under the parallel hash aggregate
   SELECT cand.query_id, cand.vec_id,
-         SUM(POWER(list_distance(
+         list_sum(list(POWER(list_distance(
            list_slice(q.embedding::DOUBLE[], pc2.s*{dsub}+1, pc2.s*{dsub}+{dsub}),
            list_slice(s2.embedding::DOUBLE[], pc2.s*{dsub}+1, pc2.s*{dsub}+{dsub})
-         ), 2)) AS dist
+         ), 2) ORDER BY pc2.s)) AS dist
   FROM cand
   JOIN q ON q.query_id = cand.query_id
   JOIN pq_codes pc2 ON pc2.vec_id = cand.vec_id
