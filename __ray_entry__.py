@@ -5436,6 +5436,25 @@ def _q_stratified_sample(sf_dir: str) -> Any:
 
 
 
+def _q_pagerank(sf_dir: str) -> Any:
+    """Link-graph PageRank (ops/graphrank.py, Page et al. 1999): 3 damped
+    iterations over the md5-synthesized crawl graph in exact int64
+    fixed-point (SCALE 10^12, damping 85/100 as integer ops) — one
+    combiner-style groupby per iteration, edges synthesized per batch and
+    never globally materialized. Top-20 nodes; oracle unrolls the same
+    integer arithmetic in SQL."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.graphrank import pagerank_topk
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return pagerank_topk(ds, n_nodes=n, n_iters=3, k=20)
+
+
 def _q_weighted_sample(sf_dir: str) -> Any:
     """Weighted random sampling without replacement (ops/sampling.py
     weighted_sample, Efraimidis & Spirakis 2006 A-ES): weight =
@@ -6130,6 +6149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_sq8": _q_knn_sq8,
         "knn_hnsw_full": _q_knn_hnsw_full,
         "weighted_sample": _q_weighted_sample,
+        "pagerank": _q_pagerank,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -6431,6 +6451,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_hnsw_full": so.knn_subset_exact_sql(KNN_QUERY_IDS, 10,
                                                  HNSW_SUBSET),
         "weighted_sample": so.weighted_sample_sql(k=32, weight_mod=9),
+        "pagerank": so.pagerank_topk_sql(n_iters=3, k=20),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -5807,3 +5807,43 @@ SELECT CAST(row_number() OVER (ORDER BY lnkey DESC, doc_id ASC) AS BIGINT) AS ra
 FROM w
 ORDER BY lnkey DESC, doc_id ASC
 LIMIT {k}"""
+
+
+def pagerank_topk_sql(n_iters: int = 3, k: int = 20) -> str:
+    """Integer PageRank oracle (ops/graphrank.py): re-derives the md5 link
+    graph and unrolls ``n_iters`` damped iterations as chained CTEs with
+    the IDENTICAL int64 arithmetic (// everywhere; sums cast back from
+    DuckDB's HUGEINT widening). Size-general: N, base = 10^12 // N and the
+    teleport term are computed IN SQL so one string is exact at every sf."""
+    md5 = _MD5_INT31.format(s="'link:'||CAST(u AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    ctes = [f"""c AS (
+  SELECT count(*) AS n,
+         1000000000000 // count(*) AS base,
+         (15 * (1000000000000 // count(*))) // 100 AS t15
+  FROM documents),
+nodes AS (SELECT doc_id AS u FROM documents),
+edges AS (
+  SELECT u, CASE WHEN t = u THEN (t + 1) % c.n ELSE t END AS v, d
+  FROM (
+    SELECT u, j, 1 + (u % 3) AS d, {md5} AS h
+    FROM nodes, LATERAL (SELECT unnest(range(3)) AS j) r
+    WHERE j < 1 + (u % 3)) e
+  CROSS JOIN c, LATERAL (SELECT e.h % c.n AS t) tt
+),
+r0 AS (SELECT doc_id AS node, CAST(c.base AS BIGINT) AS r
+       FROM documents CROSS JOIN c)"""]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT n.doc_id AS node,
+         CAST(c.t15 + 85 * COALESCE(s.S, 0) // 100 AS BIGINT) AS r
+  FROM documents n CROSS JOIN c LEFT JOIN (
+    SELECT e.v AS node, CAST(SUM(p.r // e.d) AS BIGINT) AS S
+    FROM edges e JOIN r{i-1} p ON p.node = e.u GROUP BY e.v) s
+  ON s.node = n.doc_id
+)""")
+    return f"""WITH {", ".join(ctes)}
+SELECT CAST(row_number() OVER (ORDER BY r DESC, node ASC) AS BIGINT) AS rank_pos,
+       node, r AS pagerank
+FROM r{n_iters}
+ORDER BY r DESC, node ASC
+LIMIT {k}"""
