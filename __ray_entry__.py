@@ -5436,6 +5436,19 @@ def _q_stratified_sample(sf_dir: str) -> Any:
 
 
 
+def _q_cooccur(sf_dir: str) -> Any:
+    """Skip-gram co-occurrence counts (ops/cooccur.py, window=2): the
+    word2vec/GloVe training-prep matrix — per-batch combined partials, ONE
+    (center, context) groupby, exact partial-topk merge; top-30 pairs."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.cooccur import cooccur_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return cooccur_topk(ds, window=2, k=30)
+
+
 def _q_pagerank(sf_dir: str) -> Any:
     """Link-graph PageRank (ops/graphrank.py, Page et al. 1999): 3 damped
     iterations over the md5-synthesized crawl graph in exact int64
@@ -6150,6 +6163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hnsw_full": _q_knn_hnsw_full,
         "weighted_sample": _q_weighted_sample,
         "pagerank": _q_pagerank,
+        "cooccur_topk": _q_cooccur,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -6452,6 +6466,7 @@ def oracle_sql() -> dict[str, str]:
                                                  HNSW_SUBSET),
         "weighted_sample": so.weighted_sample_sql(k=32, weight_mod=9),
         "pagerank": so.pagerank_topk_sql(n_iters=3, k=20),
+        "cooccur_topk": so.cooccur_topk_sql(window=2, k=30),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

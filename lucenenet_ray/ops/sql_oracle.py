@@ -5847,3 +5847,29 @@ SELECT CAST(row_number() OVER (ORDER BY r DESC, node ASC) AS BIGINT) AS rank_pos
 FROM r{n_iters}
 ORDER BY r DESC, node ASC
 LIMIT {k}"""
+
+
+def cooccur_topk_sql(window: int = 2, k: int = 30) -> str:
+    """Skip-gram co-occurrence oracle (ops/cooccur.py): ordered pairs over
+    RAW split positions, 0 < |d| <= window, empty tokens excluded, NO stop
+    removal (embedding corpora keep function words); (cnt desc, center asc,
+    context asc) top-k."""
+    return f"""WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+t AS (SELECT doc_id, term, pos FROM raw WHERE term <> ''),
+pairs AS (
+  SELECT a.term AS center, b.term AS context
+  FROM t a JOIN t b
+    ON a.doc_id = b.doc_id
+   AND b.pos BETWEEN a.pos - {window} AND a.pos + {window}
+   AND a.pos <> b.pos
+)
+SELECT center, context, count(*) AS cnt
+FROM pairs
+GROUP BY center, context
+ORDER BY cnt DESC, center ASC, context ASC
+LIMIT {k}"""
