@@ -5436,6 +5436,16 @@ def _q_stratified_sample(sf_dir: str) -> Any:
 
 
 
+def _q_gopher_repetition(sf_dir: str) -> Any:
+    """Gopher repetition rules (ops/gopher_rep.py, Rae et al. 2021 Table
+    A1): per-doc modal n-gram char mass (n=2,3,4) and duplicated-5-gram
+    word-position cover — one stateless map_batches pass, no shuffle,
+    integer-exact vs the SQL window/self-join oracle."""
+    from lucenenet_ray.ops.gopher_rep import gopher_repetition_stats
+
+    return gopher_repetition_stats(_docs_ds(sf_dir))
+
+
 def _q_cooccur(sf_dir: str) -> Any:
     """Skip-gram co-occurrence counts (ops/cooccur.py, window=2): the
     word2vec/GloVe training-prep matrix — per-batch combined partials, ONE
@@ -6164,6 +6174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "pagerank": _q_pagerank,
         "cooccur_topk": _q_cooccur,
+        "gopher_repetition": _q_gopher_repetition,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -6467,6 +6478,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": so.weighted_sample_sql(k=32, weight_mod=9),
         "pagerank": so.pagerank_topk_sql(n_iters=3, k=20),
         "cooccur_topk": so.cooccur_topk_sql(window=2, k=30),
+        "gopher_repetition": so.gopher_repetition_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -5873,3 +5873,66 @@ FROM pairs
 GROUP BY center, context
 ORDER BY cnt DESC, center ASC, context ASC
 LIMIT {k}"""
+
+
+def _ngram_cte(n: int, name: str) -> str:
+    """Word n-grams over the raw split stream: joined string + start pos."""
+    joins = " || ' ' || ".join(
+        "term" if j == 0 else f"lead(term, {j}) OVER w" for j in range(n))
+    guard = f"lead(term, {n - 1}) OVER w IS NOT NULL" if n > 1 else "TRUE"
+    return f"""{name} AS (
+  SELECT doc_id, pos, ng FROM (
+    SELECT doc_id, pos, {joins} AS ng,
+           CASE WHEN {guard} THEN 1 ELSE 0 END AS ok
+    FROM rawtoks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE ok = 1
+)"""
+
+
+def gopher_repetition_sql() -> str:
+    """Gopher repetition-rule oracle (ops/gopher_rep.py): per doc the
+    modal-n-gram char mass for n=2,3,4 ((cnt desc, ngram asc) tie-break,
+    numerator = cnt * len(ngram)) and the overlap-uncounted word-position
+    cover of duplicated 5-grams — all integers, hash-exact."""
+    tops = []
+    for n in (2, 3, 4):
+        tops.append(f"""top{n} AS (
+  SELECT doc_id, CAST(cnt * len(ng) AS BIGINT) AS v FROM (
+    SELECT doc_id, ng, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, ng ASC) AS rk
+    FROM ng{n} GROUP BY doc_id, ng
+  ) WHERE rk = 1
+)""")
+    return f"""WITH rawtoks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+{_ngram_cte(2, "ng2")},
+{_ngram_cte(3, "ng3")},
+{_ngram_cte(4, "ng4")},
+{_ngram_cte(5, "ng5")},
+{", ".join(tops)},
+dup5 AS (
+  SELECT doc_id, ng FROM ng5 GROUP BY doc_id, ng HAVING count(*) >= 2
+),
+cover AS (
+  SELECT s.doc_id, count(DISTINCT s.pos + j.j) AS v
+  FROM ng5 s JOIN dup5 USING (doc_id, ng),
+       LATERAL (SELECT unnest(range(5)) AS j) j
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(t2.v, 0) AS top2_chars,
+       COALESCE(t3.v, 0) AS top3_chars,
+       COALESCE(t4.v, 0) AS top4_chars,
+       COALESCE(c.v, 0) AS dup5_cover_words
+FROM documents d
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN top3 t3 USING (doc_id)
+LEFT JOIN top4 t4 USING (doc_id)
+LEFT JOIN cover c USING (doc_id)
+ORDER BY d.doc_id"""
