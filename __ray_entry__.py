@@ -5436,6 +5436,128 @@ def _q_stratified_sample(sf_dir: str) -> Any:
 
 
 
+COLOGNE_ALPHA = "aeioubpfvwgklmnrsz"  # every letter context-FREE in Cologne
+
+
+def _q_cologne_gate(sf_dir: str) -> Any:
+    """Cologne phonetics oracle gate (analysis/cologne.py): a synthesized
+    word table restricted to context-free letters (no C/D/T/H/X, so the
+    full streaming encoder reduces to map → lag-dedup → drop-0-except-
+    start, which SQL re-derives exactly); the engine runs the REAL
+    cologne_phonetic through a distributed map_batches. Context-dependent
+    arms (C rules, X expansion, H separator) stay pytest-golden-covered;
+    this gates the dispatch + streaming emission contract. 400 words,
+    count scaled by sf via the documents row count."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.analysis.cologne import cologne_phonetic
+    from lucenenet_ray.ops.neardup import md5_int31
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    n = min(400, pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows)
+    words = []
+    for i in range(n):
+        L = 3 + md5_int31(f"colw:{i}") % 5
+        words.append("".join(
+            COLOGNE_ALPHA[md5_int31(f"colc:{i}:{j}") % len(COLOGNE_ALPHA)]
+            for j in range(L)))
+    t = pa.table({"word_id": pa.array(range(n), type=pa.int64()),
+                  "word": pa.array(words, type=pa.string())})
+
+    def encode(b: pa.Table) -> pa.Table:
+        codes = [cologne_phonetic(w) for w in b.column("word").to_pylist()]
+        return b.append_column("code", pa.array(codes, type=pa.string()))
+
+    out = dataset_to_table(
+        rd.from_arrow(t).map_batches(encode, batch_format="pyarrow"),
+        schema=pa.schema([("word_id", pa.int64()), ("word", pa.string()),
+                          ("code", pa.string())]))
+    return out.take(pa.compute.sort_indices(out.column("word_id")))
+
+
+NYSIIS_ALPHA = "aioubcfgjlnsxy"  # context-free in NYSIIS (no E/V/Q/Z/M/K/
+# P/W/H/D/T/R, so no first/last rewrites or multi-char transcodes fire)
+
+
+def _q_nysiis_gate(sf_dir: str) -> Any:
+    """NYSIIS oracle gate (analysis/nysiis.py): synthesized words over a
+    context-free letter subset reduce the encoder to vowel→A + in-place
+    dedup + the trailing S / AY / A tail rules + 6-truncation — all
+    SQL-expressible; the engine runs the REAL nysiis() distributed. The
+    rewrite/multi-char arms stay pytest-golden-covered."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.analysis.nysiis import nysiis
+    from lucenenet_ray.ops.neardup import md5_int31
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    n = min(400, pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows)
+    words = []
+    for i in range(n):
+        L = 3 + md5_int31(f"nysw:{i}") % 6
+        words.append("".join(
+            NYSIIS_ALPHA[md5_int31(f"nysc:{i}:{j}") % len(NYSIIS_ALPHA)]
+            for j in range(L)))
+    t = pa.table({"word_id": pa.array(range(n), type=pa.int64()),
+                  "word": pa.array(words, type=pa.string())})
+
+    def encode(b: pa.Table) -> pa.Table:
+        codes = [nysiis(w) for w in b.column("word").to_pylist()]
+        return b.append_column("code", pa.array(codes, type=pa.string()))
+
+    out = dataset_to_table(
+        rd.from_arrow(t).map_batches(encode, batch_format="pyarrow"),
+        schema=pa.schema([("word_id", pa.int64()), ("word", pa.string()),
+                          ("code", pa.string())]))
+    return out.take(pa.compute.sort_indices(out.column("word_id")))
+
+
+METAPHONE_ALPHA = "aoubdfjlnrstqvz"  # context-free in Metaphone (no
+# E/I/Y/C/G/H/K/M/P/W/X, so no initial rewrite, softening, silencing or
+# multi-char rule fires; adjacent-dup collapse + per-letter map remain)
+
+
+def _q_metaphone_gate(sf_dir: str) -> Any:
+    """Metaphone oracle gate (analysis/metaphone.py): synthesized words
+    over a context-free subset reduce the encoder to adjacent-duplicate
+    collapse + vowel-kept-only-at-start + a per-letter map + 4-truncation
+    — SQL-exact; the engine runs the REAL metaphone() distributed. The
+    context arms (soft C, GH/GN, TH, X→KS, ...) stay pinned by the
+    reference test vectors in tests/test_metaphone.py."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.analysis.metaphone import metaphone
+    from lucenenet_ray.ops.neardup import md5_int31
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    n = min(400, pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows)
+    words = []
+    for i in range(n):
+        L = 3 + md5_int31(f"metw:{i}") % 6
+        words.append("".join(
+            METAPHONE_ALPHA[md5_int31(f"metc:{i}:{j}")
+                            % len(METAPHONE_ALPHA)]
+            for j in range(L)))
+    t = pa.table({"word_id": pa.array(range(n), type=pa.int64()),
+                  "word": pa.array(words, type=pa.string())})
+
+    def encode(b: pa.Table) -> pa.Table:
+        codes = [metaphone(w) for w in b.column("word").to_pylist()]
+        return b.append_column("code", pa.array(codes, type=pa.string()))
+
+    out = dataset_to_table(
+        rd.from_arrow(t).map_batches(encode, batch_format="pyarrow"),
+        schema=pa.schema([("word_id", pa.int64()), ("word", pa.string()),
+                          ("code", pa.string())]))
+    return out.take(pa.compute.sort_indices(out.column("word_id")))
+
+
 def _q_gopher_repetition(sf_dir: str) -> Any:
     """Gopher repetition rules (ops/gopher_rep.py, Rae et al. 2021 Table
     A1): per-doc modal n-gram char mass (n=2,3,4) and duplicated-5-gram
@@ -6175,6 +6297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "cooccur_topk": _q_cooccur,
         "gopher_repetition": _q_gopher_repetition,
+        "cologne_gate": _q_cologne_gate,
+        "nysiis_gate": _q_nysiis_gate,
+        "metaphone_gate": _q_metaphone_gate,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -6479,6 +6604,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": so.pagerank_topk_sql(n_iters=3, k=20),
         "cooccur_topk": so.cooccur_topk_sql(window=2, k=30),
         "gopher_repetition": so.gopher_repetition_sql(),
+        "cologne_gate": so.cologne_gate_sql(400),
+        "nysiis_gate": so.nysiis_gate_sql(400),
+        "metaphone_gate": so.metaphone_gate_sql(400),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

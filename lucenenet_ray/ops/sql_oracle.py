@@ -5936,3 +5936,158 @@ LEFT JOIN top3 t3 USING (doc_id)
 LEFT JOIN top4 t4 USING (doc_id)
 LEFT JOIN cover c USING (doc_id)
 ORDER BY d.doc_id"""
+
+
+def cologne_gate_sql(n_words: int = 400) -> str:
+    """Cologne-phonetics gate oracle (__ray_entry__._q_cologne_gate): words
+    synthesized from md5 over a context-FREE letter subset, so the code is
+    translate → lag-dedup (raw code runs collapse even unemitted) →
+    drop '0' except word start. Size-capped by the documents row count
+    exactly like the engine side."""
+    alpha = "aeioubpfvwgklmnrsz"
+    digits = "000001133344566788"
+    hl = _MD5_INT31.format(s="'colw:'||CAST(word_id AS VARCHAR)")
+    hc = _MD5_INT31.format(
+        s="'colc:'||CAST(word_id AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    return f"""WITH ids AS (
+  SELECT unnest(range(LEAST({n_words},
+    (SELECT count(*) FROM documents)))) AS word_id
+),
+lens AS (SELECT word_id, 3 + {hl} % 5 AS L FROM ids),
+chars AS (
+  SELECT word_id, j,
+         substr('{alpha}', CAST(({hc}) % {len(alpha)} AS INTEGER) + 1, 1) AS ch
+  FROM lens, LATERAL (SELECT unnest(range(7)) AS j) r
+  WHERE j < L
+),
+words AS (
+  SELECT word_id, string_agg(ch, '' ORDER BY j) AS word
+  FROM chars GROUP BY word_id
+),
+codes AS (
+  SELECT word_id, j,
+         translate(ch, '{alpha}', '{digits}') AS code,
+         lag(translate(ch, '{alpha}', '{digits}'))
+           OVER (PARTITION BY word_id ORDER BY j) AS prev
+  FROM chars
+),
+kept AS (
+  SELECT word_id, j, code FROM codes
+  WHERE (prev IS NULL OR code <> prev) AND (code <> '0' OR j = 0)
+),
+phon AS (
+  SELECT word_id, string_agg(code, '' ORDER BY j) AS code
+  FROM kept GROUP BY word_id
+)
+SELECT w.word_id, w.word, p.code
+FROM words w JOIN phon p USING (word_id)
+ORDER BY w.word_id"""
+
+
+def nysiis_gate_sql(n_words: int = 400) -> str:
+    """NYSIIS gate oracle (__ray_entry__._q_nysiis_gate): over the
+    context-free subset the scan is vowel→A (first char RAW) + lag-dedup;
+    tail rules (inside one len>1 guard, sequentially on the mutated key):
+    pop trailing S; AY→Y only when the current key is longer than 2;
+    pop trailing A; strict truncate to 6."""
+    hl = _MD5_INT31.format(s="'nysw:'||CAST(word_id AS VARCHAR)")
+    hc = _MD5_INT31.format(
+        s="'nysc:'||CAST(word_id AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    return f"""WITH ids AS (
+  SELECT unnest(range(LEAST({n_words},
+    (SELECT count(*) FROM documents)))) AS word_id
+),
+lens AS (SELECT word_id, 3 + {hl} % 6 AS L FROM ids),
+chars AS (
+  SELECT word_id, j,
+         substr('aioubcfgjlnsxy', CAST(({hc}) % 14 AS INTEGER) + 1, 1) AS ch
+  FROM lens, LATERAL (SELECT unnest(range(8)) AS j) r
+  WHERE j < L
+),
+words AS (
+  SELECT word_id, string_agg(ch, '' ORDER BY j) AS word
+  FROM chars GROUP BY word_id
+),
+tc AS (
+  SELECT word_id, j,
+         CASE WHEN j = 0 THEN upper(ch)
+              WHEN ch IN ('a','i','o','u') THEN 'A'
+              ELSE upper(ch) END AS c
+  FROM chars
+),
+dedup AS (
+  SELECT word_id, j, c,
+         lag(c) OVER (PARTITION BY word_id ORDER BY j) AS prev
+  FROM tc
+),
+key0 AS (
+  SELECT word_id, string_agg(c, '' ORDER BY j) AS k
+  FROM dedup WHERE prev IS NULL OR c <> prev
+  GROUP BY word_id
+),
+s1 AS (
+  SELECT word_id, k AS k0,
+         CASE WHEN len(k) > 1 AND k LIKE '%S'
+              THEN substr(k, 1, len(k) - 1) ELSE k END AS k
+  FROM key0
+),
+s2 AS (
+  SELECT word_id, k0,
+         CASE WHEN len(k0) > 1 AND len(k) > 2
+                   AND substr(k, len(k) - 1, 2) = 'AY'
+              THEN substr(k, 1, len(k) - 2) || 'Y' ELSE k END AS k
+  FROM s1
+),
+s3 AS (
+  SELECT word_id,
+         CASE WHEN len(k0) > 1 AND k LIKE '%A'
+              THEN substr(k, 1, len(k) - 1) ELSE k END AS k
+  FROM s2
+)
+SELECT w.word_id, w.word, substr(s3.k, 1, 6) AS code
+FROM words w JOIN s3 USING (word_id)
+ORDER BY w.word_id"""
+
+
+def metaphone_gate_sql(n_words: int = 400) -> str:
+    """Metaphone gate oracle (__ray_entry__._q_metaphone_gate): over the
+    context-free subset the encoder is RAW adjacent-dup collapse, vowels
+    kept only at original position 0, per-letter map
+    (d→T, q→K, v→F, z→S, rest identity-uppercased), truncate to 4."""
+    hl = _MD5_INT31.format(s="'metw:'||CAST(word_id AS VARCHAR)")
+    hc = _MD5_INT31.format(
+        s="'metc:'||CAST(word_id AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    return f"""WITH ids AS (
+  SELECT unnest(range(LEAST({n_words},
+    (SELECT count(*) FROM documents)))) AS word_id
+),
+lens AS (SELECT word_id, 3 + {hl} % 6 AS L FROM ids),
+chars AS (
+  SELECT word_id, j,
+         substr('aoubdfjlnrstqvz', CAST(({hc}) % 15 AS INTEGER) + 1, 1) AS ch
+  FROM lens, LATERAL (SELECT unnest(range(8)) AS j) r
+  WHERE j < L
+),
+words AS (
+  SELECT word_id, string_agg(ch, '' ORDER BY j) AS word
+  FROM chars GROUP BY word_id
+),
+dedup AS (
+  SELECT word_id, j, ch,
+         lag(ch) OVER (PARTITION BY word_id ORDER BY j) AS prev
+  FROM chars
+),
+coded AS (
+  SELECT word_id, j,
+         CASE WHEN ch IN ('a','o','u') THEN
+                CASE WHEN j = 0 THEN upper(ch) ELSE NULL END
+              ELSE translate(upper(ch), 'DQVZ', 'TKFS') END AS c
+  FROM dedup WHERE prev IS NULL OR ch <> prev
+),
+keys AS (
+  SELECT word_id, string_agg(c, '' ORDER BY j) AS k
+  FROM coded WHERE c IS NOT NULL GROUP BY word_id
+)
+SELECT w.word_id, w.word, substr(k.k, 1, 4) AS code
+FROM words w JOIN keys k USING (word_id)
+ORDER BY w.word_id"""
