@@ -5558,6 +5558,94 @@ def _q_metaphone_gate(sf_dir: str) -> Any:
     return out.take(pa.compute.sort_indices(out.column("word_id")))
 
 
+DMS_ALPHA = "abgklnpqvw"  # context-limited D-M subset: no multi-char
+# pattern or branching rule can form; 'a' keeps its 3-context arms
+
+
+def _q_dm_soundex_gate(sf_dir: str) -> Any:
+    """Daitch-Mokotoff Soundex oracle gate (analysis/dmsoundex.py):
+    synthesized words over a subset where every rule is single-char and
+    branch-free, so the matcher reduces to context-coded chars (word
+    start / before-vowel / default for 'a') + last-replacement dedup +
+    6-digit zero-pad — SQL-exact; the engine runs the REAL dm_soundex
+    (branching path, degenerately single-branch). Multi-char patterns,
+    branching alternatives and the m/n force-append stay pytest-covered."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.analysis.dmsoundex import dm_soundex
+    from lucenenet_ray.ops.neardup import md5_int31
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    n = min(400, pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows)
+    words = []
+    for i in range(n):
+        L = 3 + md5_int31(f"dmsw:{i}") % 6
+        words.append("".join(
+            DMS_ALPHA[md5_int31(f"dmsc:{i}:{j}") % len(DMS_ALPHA)]
+            for j in range(L)))
+    t = pa.table({"word_id": pa.array(range(n), type=pa.int64()),
+                  "word": pa.array(words, type=pa.string())})
+
+    def encode(b: pa.Table) -> pa.Table:
+        codes = [dm_soundex(w) for w in b.column("word").to_pylist()]
+        return b.append_column("code", pa.array(codes, type=pa.string()))
+
+    out = dataset_to_table(
+        rd.from_arrow(t).map_batches(encode, batch_format="pyarrow"),
+        schema=pa.schema([("word_id", pa.int64()), ("word", pa.string()),
+                          ("code", pa.string())]))
+    return out.take(pa.compute.sort_indices(out.column("word_id")))
+
+
+DMETA_ALPHA = "aoubfknqr"  # Double-Metaphone subset: every handler is a
+# plain map with skip-next-on-double; only the initial KN cluster fires
+
+
+def _q_dmetaphone_gate(sf_dir: str) -> Any:
+    """Double Metaphone oracle gate (analysis/dmetaphone.py): over this
+    subset the walk is — drop a word-initial K before N, vowels emit 'A'
+    at position 0 only, consonant runs emit every OTHER occurrence
+    (doubles consume two, so 'bbb' → 'PP'), map b→P f→F k/q→K n→N r→R,
+    truncate to 4. Primary and alternate are provably equal here, so the
+    gate also pins the dual-code tracking degenerately; the conditional
+    handlers (C/G/J/S/T/X, slavo-germanic arms) stay covered by the
+    reference vectors in tests/test_dmetaphone.py."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.analysis.dmetaphone import double_metaphone
+    from lucenenet_ray.ops.neardup import md5_int31
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    n = min(400, pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows)
+    words = []
+    for i in range(n):
+        L = 3 + md5_int31(f"dmew:{i}") % 6
+        words.append("".join(
+            DMETA_ALPHA[md5_int31(f"dmec:{i}:{j}") % len(DMETA_ALPHA)]
+            for j in range(L)))
+    t = pa.table({"word_id": pa.array(range(n), type=pa.int64()),
+                  "word": pa.array(words, type=pa.string())})
+
+    def encode(b: pa.Table) -> pa.Table:
+        ws = b.column("word").to_pylist()
+        prim = [double_metaphone(w) for w in ws]
+        alt = [double_metaphone(w, alternate=True) for w in ws]
+        return b.append_column(
+            "code", pa.array(prim, type=pa.string())).append_column(
+            "alt_code", pa.array(alt, type=pa.string()))
+
+    out = dataset_to_table(
+        rd.from_arrow(t).map_batches(encode, batch_format="pyarrow"),
+        schema=pa.schema([("word_id", pa.int64()), ("word", pa.string()),
+                          ("code", pa.string()),
+                          ("alt_code", pa.string())]))
+    return out.take(pa.compute.sort_indices(out.column("word_id")))
+
+
 def _q_gopher_repetition(sf_dir: str) -> Any:
     """Gopher repetition rules (ops/gopher_rep.py, Rae et al. 2021 Table
     A1): per-doc modal n-gram char mass (n=2,3,4) and duplicated-5-gram
@@ -6300,6 +6388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cologne_gate": _q_cologne_gate,
         "nysiis_gate": _q_nysiis_gate,
         "metaphone_gate": _q_metaphone_gate,
+        "dm_soundex_gate": _q_dm_soundex_gate,
+        "dmetaphone_gate": _q_dmetaphone_gate,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -6607,6 +6697,8 @@ def oracle_sql() -> dict[str, str]:
         "cologne_gate": so.cologne_gate_sql(400),
         "nysiis_gate": so.nysiis_gate_sql(400),
         "metaphone_gate": so.metaphone_gate_sql(400),
+        "dm_soundex_gate": so.dm_soundex_gate_sql(400),
+        "dmetaphone_gate": so.dmetaphone_gate_sql(400),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

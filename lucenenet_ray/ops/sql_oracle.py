@@ -6091,3 +6091,112 @@ keys AS (
 SELECT w.word_id, w.word, substr(k.k, 1, 4) AS code
 FROM words w JOIN keys k USING (word_id)
 ORDER BY w.word_id"""
+
+
+def dm_soundex_gate_sql(n_words: int = 400) -> str:
+    """D-M Soundex gate oracle (__ray_entry__._q_dm_soundex_gate): per-char
+    replacement ('a': '0' at start / '' otherwise; consonant map
+    b7 g5 k5 l8 n6 p7 q5 v7 w7), keep where replacement non-empty and
+    differs from the previous char's replacement (vowels reset the run),
+    first 6 digits zero-padded."""
+    hl = _MD5_INT31.format(s="'dmsw:'||CAST(word_id AS VARCHAR)")
+    hc = _MD5_INT31.format(
+        s="'dmsc:'||CAST(word_id AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    return f"""WITH ids AS (
+  SELECT unnest(range(LEAST({n_words},
+    (SELECT count(*) FROM documents)))) AS word_id
+),
+lens AS (SELECT word_id, 3 + {hl} % 6 AS L FROM ids),
+chars AS (
+  SELECT word_id, j,
+         substr('abgklnpqvw', CAST(({hc}) % 10 AS INTEGER) + 1, 1) AS ch
+  FROM lens, LATERAL (SELECT unnest(range(8)) AS j) r
+  WHERE j < L
+),
+words AS (
+  SELECT word_id, string_agg(ch, '' ORDER BY j) AS word
+  FROM chars GROUP BY word_id
+),
+reps AS (
+  SELECT word_id, j,
+         CASE WHEN ch = 'a' THEN CASE WHEN j = 0 THEN '0' ELSE '' END
+              ELSE translate(ch, 'bgklnpqvw', '755867577') END AS rep
+  FROM chars
+),
+kept AS (
+  SELECT word_id, j, rep,
+         lag(rep) OVER (PARTITION BY word_id ORDER BY j) AS prev
+  FROM reps
+),
+codes AS (
+  SELECT word_id, string_agg(rep, '' ORDER BY j) AS k
+  FROM kept WHERE rep <> '' AND (prev IS NULL OR rep <> prev)
+  GROUP BY word_id
+)
+SELECT w.word_id, w.word,
+       substr(COALESCE(c.k, '') || '000000', 1, 6) AS code
+FROM words w LEFT JOIN codes c USING (word_id)
+ORDER BY w.word_id"""
+
+
+def dmetaphone_gate_sql(n_words: int = 400) -> str:
+    """Double-Metaphone gate oracle (__ray_entry__._q_dmetaphone_gate):
+    drop initial 'k' of 'kn'-starting words; consonant runs keep the
+    0th, 2nd, ... occurrence (skip-next-on-double); vowels kept at
+    position 0 as 'A'; map b→P f→F k→K n→N q→K r→R; truncate to 4;
+    alternate == primary in this subset."""
+    hl = _MD5_INT31.format(s="'dmew:'||CAST(word_id AS VARCHAR)")
+    hc = _MD5_INT31.format(
+        s="'dmec:'||CAST(word_id AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    return f"""WITH ids AS (
+  SELECT unnest(range(LEAST({n_words},
+    (SELECT count(*) FROM documents)))) AS word_id
+),
+lens AS (SELECT word_id, 3 + {hl} % 6 AS L FROM ids),
+chars AS (
+  SELECT word_id, j,
+         substr('aoubfknqr', CAST(({hc}) % 9 AS INTEGER) + 1, 1) AS ch
+  FROM lens, LATERAL (SELECT unnest(range(8)) AS j) r
+  WHERE j < L
+),
+words AS (
+  SELECT word_id, string_agg(ch, '' ORDER BY j) AS word
+  FROM chars GROUP BY word_id
+),
+live AS (  -- drop the k of a word-initial kn
+  SELECT c.word_id, c.j, c.ch FROM chars c JOIN words w USING (word_id)
+  WHERE NOT (c.j = 0 AND substr(w.word, 1, 2) = 'kn')
+),
+runs AS (
+  SELECT word_id, j, ch,
+         CASE WHEN lag(ch) OVER w IS DISTINCT FROM ch
+              THEN 1 ELSE 0 END AS brk
+  FROM live WINDOW w AS (PARTITION BY word_id ORDER BY j)
+),
+runpos AS (
+  SELECT word_id, j, ch,
+         sum(brk) OVER (PARTITION BY word_id ORDER BY j) AS run_id
+  FROM runs
+),
+emit AS (
+  SELECT word_id, j, ch,
+         row_number() OVER (PARTITION BY word_id, run_id ORDER BY j) - 1
+           AS rn
+  FROM runpos
+),
+coded AS (
+  SELECT word_id, j,
+         CASE WHEN ch IN ('a','o','u') THEN
+                CASE WHEN j = 0 THEN 'A' ELSE NULL END
+              ELSE translate(ch, 'bfknqr', 'PFKNKR') END AS c
+  FROM emit
+  WHERE rn % 2 = 0 OR ch IN ('a','o','u')
+),
+keys AS (
+  SELECT word_id, COALESCE(string_agg(c, '' ORDER BY j), '') AS k
+  FROM coded WHERE c IS NOT NULL GROUP BY word_id
+)
+SELECT w.word_id, w.word, substr(k.k, 1, 4) AS code,
+       substr(k.k, 1, 4) AS alt_code
+FROM words w LEFT JOIN keys k USING (word_id)
+ORDER BY w.word_id"""
