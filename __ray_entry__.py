@@ -5646,6 +5646,65 @@ def _q_dmetaphone_gate(sf_dir: str) -> Any:
     return out.take(pa.compute.sort_indices(out.column("word_id")))
 
 
+SNOW_C = "bfkmp"
+SNOW_V = "aou"
+
+
+def _snowball_gate_word(i: int) -> str:
+    """(cv)+ cc' base, distinct final consonant pair (never short, never
+    double-final, no Porter2 step-2/3/4 suffix can form), md5-derived;
+    half the words get '-ing' appended (step 1b strips it exactly)."""
+    from lucenenet_ray.ops.neardup import md5_int31
+
+    ns = 1 + md5_int31(f"sbn:{i}") % 2
+    parts = []
+    for j in range(ns):
+        parts.append(SNOW_C[md5_int31(f"sbc:{i}:{j}") % 5])
+        parts.append(SNOW_V[md5_int31(f"sbv:{i}:{j}") % 3])
+    ca = md5_int31(f"sba:{i}") % 5
+    cb = md5_int31(f"sbb:{i}") % 5
+    if cb == ca:
+        cb = (ca + 1) % 5
+    word = "".join(parts) + SNOW_C[ca] + SNOW_C[cb]
+    if md5_int31(f"sbi:{i}") % 2:
+        word += "ing"
+    return word
+
+
+def _q_snowball_en_gate(sf_dir: str) -> Any:
+    """Porter2 / Snowball-English oracle gate (analysis/snowball.py
+    porter2_stem): constrained (cv)+cc' bases where the full 5-step
+    stemmer provably reduces to 'strip a trailing -ing' (bases contain a
+    vowel, end in distinct consonants, and can't form any step-2/3/4
+    suffix or the short-word 'e' restoration) — so the gate hash-grades
+    the REAL stemmer through the distributed map against a
+    3-char-strip SQL oracle. The full grammar stays pinned by the
+    29,417-word reference vocabulary fixture in tests/test_snowball.py."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.analysis.snowball import porter2_stem
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    n = min(400, pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows)
+    t = pa.table({
+        "word_id": pa.array(range(n), type=pa.int64()),
+        "word": pa.array([_snowball_gate_word(i) for i in range(n)],
+                         type=pa.string()),
+    })
+
+    def encode(b: pa.Table) -> pa.Table:
+        stems = [porter2_stem(w) for w in b.column("word").to_pylist()]
+        return b.append_column("stem", pa.array(stems, type=pa.string()))
+
+    out = dataset_to_table(
+        rd.from_arrow(t).map_batches(encode, batch_format="pyarrow"),
+        schema=pa.schema([("word_id", pa.int64()), ("word", pa.string()),
+                          ("stem", pa.string())]))
+    return out.take(pa.compute.sort_indices(out.column("word_id")))
+
+
 def _q_gopher_repetition(sf_dir: str) -> Any:
     """Gopher repetition rules (ops/gopher_rep.py, Rae et al. 2021 Table
     A1): per-doc modal n-gram char mass (n=2,3,4) and duplicated-5-gram
@@ -6390,6 +6449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metaphone_gate": _q_metaphone_gate,
         "dm_soundex_gate": _q_dm_soundex_gate,
         "dmetaphone_gate": _q_dmetaphone_gate,
+        "snowball_en_gate": _q_snowball_en_gate,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -6699,6 +6759,7 @@ def oracle_sql() -> dict[str, str]:
         "metaphone_gate": so.metaphone_gate_sql(400),
         "dm_soundex_gate": so.dm_soundex_gate_sql(400),
         "dmetaphone_gate": so.dmetaphone_gate_sql(400),
+        "snowball_en_gate": so.snowball_en_gate_sql(400),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

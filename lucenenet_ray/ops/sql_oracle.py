@@ -6200,3 +6200,57 @@ SELECT w.word_id, w.word, substr(k.k, 1, 4) AS code,
        substr(k.k, 1, 4) AS alt_code
 FROM words w LEFT JOIN keys k USING (word_id)
 ORDER BY w.word_id"""
+
+
+def snowball_en_gate_sql(n_words: int = 400) -> str:
+    """Porter2 gate oracle (__ray_entry__._q_snowball_en_gate): re-derive
+    the constrained (cv)+cc'(+ing) words from the md5 formulas; expected
+    stem = strip the trailing 'ing' when present (the only rule the
+    constrained shape lets fire)."""
+    hn = _MD5_INT31.format(s="'sbn:'||CAST(word_id AS VARCHAR)")
+    hc = _MD5_INT31.format(
+        s="'sbc:'||CAST(word_id AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    hv = _MD5_INT31.format(
+        s="'sbv:'||CAST(word_id AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    ha = _MD5_INT31.format(s="'sba:'||CAST(word_id AS VARCHAR)")
+    hb = _MD5_INT31.format(s="'sbb:'||CAST(word_id AS VARCHAR)")
+    hi = _MD5_INT31.format(s="'sbi:'||CAST(word_id AS VARCHAR)")
+    return f"""WITH ids AS (
+  SELECT unnest(range(LEAST({n_words},
+    (SELECT count(*) FROM documents)))) AS word_id
+),
+lens AS (SELECT word_id, 1 + {hn} % 2 AS ns FROM ids),
+sylls AS (
+  SELECT word_id, j,
+         substr('bfkmp', CAST(({hc}) % 5 AS INTEGER) + 1, 1)
+           || substr('aou', CAST(({hv}) % 3 AS INTEGER) + 1, 1) AS cv
+  FROM lens, LATERAL (SELECT unnest(range(2)) AS j) r
+  WHERE j < ns
+),
+body AS (
+  SELECT word_id, string_agg(cv, '' ORDER BY j) AS b
+  FROM sylls GROUP BY word_id
+),
+tails AS (
+  SELECT word_id,
+         {ha} % 5 AS ca0,
+         {hb} % 5 AS cb0,
+         {hi} % 2 AS ing
+  FROM ids
+),
+full_w AS (
+  SELECT t.word_id,
+         b.b
+         || substr('bfkmp', CAST(ca0 AS INTEGER) + 1, 1)
+         || substr('bfkmp',
+              CAST(CASE WHEN cb0 = ca0 THEN (ca0 + 1) % 5
+                        ELSE cb0 END AS INTEGER) + 1, 1)
+         || CASE WHEN ing = 1 THEN 'ing' ELSE '' END AS word,
+         ing
+  FROM tails t JOIN body b USING (word_id)
+)
+SELECT word_id, word,
+       CASE WHEN ing = 1 THEN substr(word, 1, len(word) - 3)
+            ELSE word END AS stem
+FROM full_w
+ORDER BY word_id"""
