@@ -61,25 +61,32 @@ def main():
         qs = {k: v for k, v in qs.items() if k in only}
     osql = E.oracle_sql()
     bad = []
+    results = {}
     for name, fn in qs.items():
         try:
             t = canon(fn(sf))
         except Exception as e:  # noqa: BLE001
             print(f"{name:24s} ENGINE-ERROR {type(e).__name__}: {e}")
             bad.append(name)
+            results[name] = {"err": f"{type(e).__name__}: {e}"[:300]}
             continue
         if name not in osql:
             print(f"{name:24s} rows={t.num_rows} (no oracle)")
+            results[name] = {"rows": t.num_rows, "no_oracle": True}
             continue
         try:
             o = canon(con.execute(osql[name]).arrow())
         except Exception as e:  # noqa: BLE001
             print(f"{name:24s} ORACLE-ERROR {type(e).__name__}: {e}")
             bad.append(name)
+            results[name] = {"err": f"oracle {type(e).__name__}: {e}"[:300]}
             continue
         rows_ok = t.num_rows == o.num_rows
         schema_ok = [str(f) for f in t.schema] == [str(f) for f in o.schema]
         hash_ok = value_hash(t) == value_hash(o)
+        results[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                         "hash_match": hash_ok, "rows": t.num_rows,
+                         "oracle_rows": o.num_rows}
         status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
         if status == "FAIL":
             bad.append(name)
@@ -91,6 +98,15 @@ def main():
         else:
             print(f"{name:24s} OK ({t.num_rows} rows)")
     print(f"\n{'ALL GREEN' if not bad else 'FAILURES: ' + ', '.join(bad)}")
+    out_path = os.environ.get("GATE_REPLAY_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf, "n_queries": len(results),
+                       "n_failures": len(bad), "failures": bad,
+                       "results": results}, f, indent=1, sort_keys=True)
+        print(f"replay written to {out_path}")
     ray.shutdown()
     return 1 if bad else 0
 
