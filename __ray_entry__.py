@@ -5705,6 +5705,39 @@ def _q_snowball_en_gate(sf_dir: str) -> Any:
     return out.take(pa.compute.sort_indices(out.column("word_id")))
 
 
+def _q_porter1_gate(sf_dir: str) -> Any:
+    """Porter-1 (PorterStemFilter, analysis/filters.py porter_stem) gate:
+    the SAME constrained (cv)+cc'(+ing) corpus trick as snowball_en_gate —
+    Porter1's step 1b strips the -ing (vowel present), the cc' ending
+    defeats the at/bl/iz, double-consonant and m()==1 cvc→e restorations,
+    and no step-2..5 suffix can form, so the full grammar reduces to a
+    3-char strip the SQL re-derives. Full grammar: reference vectors in
+    tests/test_filters.py."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.analysis.filters import porter_stem
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    n = min(400, pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows)
+    t = pa.table({
+        "word_id": pa.array(range(n), type=pa.int64()),
+        "word": pa.array([_snowball_gate_word(i) for i in range(n)],
+                         type=pa.string()),
+    })
+
+    def encode(b: pa.Table) -> pa.Table:
+        stems = [porter_stem(w) for w in b.column("word").to_pylist()]
+        return b.append_column("stem", pa.array(stems, type=pa.string()))
+
+    out = dataset_to_table(
+        rd.from_arrow(t).map_batches(encode, batch_format="pyarrow"),
+        schema=pa.schema([("word_id", pa.int64()), ("word", pa.string()),
+                          ("stem", pa.string())]))
+    return out.take(pa.compute.sort_indices(out.column("word_id")))
+
+
 def _q_gopher_repetition(sf_dir: str) -> Any:
     """Gopher repetition rules (ops/gopher_rep.py, Rae et al. 2021 Table
     A1): per-doc modal n-gram char mass (n=2,3,4) and duplicated-5-gram
@@ -6450,6 +6483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dm_soundex_gate": _q_dm_soundex_gate,
         "dmetaphone_gate": _q_dmetaphone_gate,
         "snowball_en_gate": _q_snowball_en_gate,
+        "porter1_gate": _q_porter1_gate,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -6760,6 +6794,7 @@ def oracle_sql() -> dict[str, str]:
         "dm_soundex_gate": so.dm_soundex_gate_sql(400),
         "dmetaphone_gate": so.dmetaphone_gate_sql(400),
         "snowball_en_gate": so.snowball_en_gate_sql(400),
+        "porter1_gate": so.snowball_en_gate_sql(400),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)
