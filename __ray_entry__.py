@@ -5738,6 +5738,41 @@ def _q_porter1_gate(sf_dir: str) -> Any:
     return out.take(pa.compute.sort_indices(out.column("word_id")))
 
 
+SETQ_BBOX = (-4500, 4500, -9000, 9000)
+
+
+def _set_query_tokens(sf_dir: str) -> list[str]:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "=", 0)])
+    return (t.column("text")[0].as_py() or "").split(" ")
+
+
+def _q_set_overlap_topk(sf_dir: str) -> Any:
+    """Top-k set-overlap search (ops/setsearch.py, the Koios ICDE 2023
+    shape from PAPERS.md): query set = doc 0's distinct tokens, integer
+    overlap scores, broadcast-query zero-shuffle partial top-k."""
+    from lucenenet_ray.ops.setsearch import set_overlap_topk
+
+    return set_overlap_topk(_docs_ds(sf_dir),
+                            _set_query_tokens(sf_dir), k=10)
+
+
+def _q_spatiotextual_topk(sf_dir: str) -> Any:
+    """Spatio-textual top-k (ops/setsearch.py; ICDE 2023 massive
+    spatio-textual streams shape from PAPERS.md): the same overlap scorer
+    with a bounding-box pre-filter over the synthesized coordinates —
+    spatial pruning happens per batch BEFORE any text work."""
+    from lucenenet_ray.ops.setsearch import set_overlap_topk
+
+    return set_overlap_topk(_docs_ds(sf_dir),
+                            _set_query_tokens(sf_dir), k=10,
+                            bbox=SETQ_BBOX)
+
+
 def _q_gopher_repetition(sf_dir: str) -> Any:
     """Gopher repetition rules (ops/gopher_rep.py, Rae et al. 2021 Table
     A1): per-doc modal n-gram char mass (n=2,3,4) and duplicated-5-gram
@@ -6484,6 +6519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dmetaphone_gate": _q_dmetaphone_gate,
         "snowball_en_gate": _q_snowball_en_gate,
         "porter1_gate": _q_porter1_gate,
+        "set_overlap_topk": _q_set_overlap_topk,
+        "spatiotextual_topk": _q_spatiotextual_topk,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -6795,6 +6832,8 @@ def oracle_sql() -> dict[str, str]:
         "dmetaphone_gate": so.dmetaphone_gate_sql(400),
         "snowball_en_gate": so.snowball_en_gate_sql(400),
         "porter1_gate": so.snowball_en_gate_sql(400),
+        "set_overlap_topk": so.set_overlap_topk_sql(0, 10),
+        "spatiotextual_topk": so.set_overlap_topk_sql(0, 10, bbox=(-4500, 4500, -9000, 9000)),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -6254,3 +6254,53 @@ SELECT word_id, word,
             ELSE word END AS stem
 FROM full_w
 ORDER BY word_id"""
+
+
+def set_overlap_topk_sql(query_doc: int = 0, k: int = 10,
+                         bbox: tuple | None = None) -> str:
+    """Set-overlap top-k oracle (ops/setsearch.py): overlap = count of the
+    query doc's DISTINCT tokens present in each doc's distinct-token set;
+    (overlap desc, doc_id asc) top-k over ALL docs (zero-overlap docs
+    rank too). With ``bbox`` (centi-degrees, half-open hi edges) docs are
+    spatially pre-filtered over the md5-synthesized coords — the
+    spatio-textual top-k shape."""
+    if bbox is not None:
+        geo = (f""",
+geo AS (
+  SELECT doc_id,
+         CAST((doc_id * 7919) % 18000 - 9000 AS BIGINT) AS lat_c,
+         CAST((doc_id * 104729) % 36000 - 18000 AS BIGINT) AS lon_c
+  FROM documents
+),
+pool AS (
+  SELECT doc_id FROM geo
+  WHERE lat_c >= {bbox[0]} AND lat_c < {bbox[1]}
+    AND lon_c >= {bbox[2]} AND lon_c < {bbox[3]}
+)""")
+    else:
+        geo = ",\npool AS (SELECT doc_id FROM documents)"
+    return f"""WITH q AS (
+  SELECT DISTINCT term FROM (
+    SELECT unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE doc_id = {query_doc})
+  WHERE term <> ''
+),
+dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+){geo},
+ov AS (
+  SELECT dt.doc_id, count(*) AS overlap
+  FROM dt JOIN q USING (term) GROUP BY dt.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY overlap DESC, doc_id ASC) AS BIGINT)
+         AS rank,
+       doc_id,
+       CAST(overlap AS BIGINT) AS overlap
+FROM (
+  SELECT p.doc_id, COALESCE(o.overlap, 0) AS overlap
+  FROM pool p LEFT JOIN ov o USING (doc_id)
+)
+ORDER BY overlap DESC, doc_id ASC
+LIMIT {k}"""

@@ -1,0 +1,64 @@
+"""Set-overlap top-k (ops/setsearch.py) vs a naive model."""
+
+import numpy as np
+import pyarrow as pa
+
+from lucenenet_ray.ops.setsearch import set_overlap_topk
+
+
+def _mk(texts):
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+
+
+def _naive(texts, q, k, bbox=None):
+    from lucenenet_ray.ops.spatial import synth_latlon_centi
+
+    qs = {t for t in q if t}
+    rows = []
+    ids = np.arange(len(texts), dtype=np.int64)
+    lat, lon = synth_latlon_centi(ids)
+    for i, txt in enumerate(texts):
+        if bbox is not None and not (bbox[0] <= lat[i] < bbox[1]
+                                     and bbox[2] <= lon[i] < bbox[3]):
+            continue
+        rows.append((len(set(txt.split(" ")) & qs), i))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    return rows[:k]
+
+
+def test_matches_naive_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    texts = [f"w{i % 7} w{(i * 3) % 11} common tail{i % 4}"
+             for i in range(300)]
+    q = texts[0].split(" ")
+    want = _naive(texts, q, 10)
+    for parts in (1, 5):
+        out = set_overlap_topk(rd.from_arrow(_mk(texts)).repartition(parts),
+                               q, k=10)
+        got = list(zip(out.column("overlap").to_pylist(),
+                       out.column("doc_id").to_pylist()))
+        assert got == want, f"parts={parts}"
+
+
+def test_bbox_prefilter(ray_session):
+    import ray.data as rd
+
+    texts = [f"tok{i % 5} shared" for i in range(200)]
+    q = ["shared", "tok1"]
+    bbox = (-4500, 4500, -9000, 9000)
+    want = _naive(texts, q, 8, bbox)
+    out = set_overlap_topk(rd.from_arrow(_mk(texts)), q, k=8, bbox=bbox)
+    got = list(zip(out.column("overlap").to_pylist(),
+                   out.column("doc_id").to_pylist()))
+    assert got == want
+    # pruned: every returned doc is inside the box
+    from lucenenet_ray.ops.spatial import synth_latlon_centi
+
+    ids = np.asarray(out.column("doc_id").to_pylist(), dtype=np.int64)
+    lat, lon = synth_latlon_centi(ids)
+    assert ((lat >= bbox[0]) & (lat < bbox[1])
+            & (lon >= bbox[2]) & (lon < bbox[3])).all()
