@@ -5773,6 +5773,17 @@ def _q_spatiotextual_topk(sf_dir: str) -> Any:
                             bbox=SETQ_BBOX)
 
 
+def _q_greedy_cover(sf_dir: str) -> Any:
+    """Greedy max-coverage corpus selection (ops/setsearch.py
+    greedy_cover): 3 rounds of argmax-marginal-overlap against doc 0's
+    vocabulary — each round one shuffle-free broadcast pass; integer
+    gains so selection is exact at any parallelism."""
+    from lucenenet_ray.ops.setsearch import greedy_cover
+
+    return greedy_cover(_docs_ds(sf_dir), _set_query_tokens(sf_dir),
+                        rounds=3)
+
+
 def _q_gopher_repetition(sf_dir: str) -> Any:
     """Gopher repetition rules (ops/gopher_rep.py, Rae et al. 2021 Table
     A1): per-doc modal n-gram char mass (n=2,3,4) and duplicated-5-gram
@@ -6521,6 +6532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "porter1_gate": _q_porter1_gate,
         "set_overlap_topk": _q_set_overlap_topk,
         "spatiotextual_topk": _q_spatiotextual_topk,
+        "greedy_cover": _q_greedy_cover,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -6834,6 +6846,7 @@ def oracle_sql() -> dict[str, str]:
         "porter1_gate": so.snowball_en_gate_sql(400),
         "set_overlap_topk": so.set_overlap_topk_sql(0, 10),
         "spatiotextual_topk": so.set_overlap_topk_sql(0, 10, bbox=(-4500, 4500, -9000, 9000)),
+        "greedy_cover": so.greedy_cover_sql(0, 3),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

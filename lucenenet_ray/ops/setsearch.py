@@ -81,3 +81,78 @@ def set_overlap_topk(ds, query_tokens: list[str], k: int = 10,
         id_col: pa.array(ids[sel], type=pa.int64()),
         "overlap": pa.array(ov[sel], type=pa.int64()),
     })
+
+
+def greedy_cover(ds, query_tokens: list[str], rounds: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id"
+                 ) -> pa.Table:
+    """Greedy max-coverage document selection (the classic 1-1/e greedy
+    over sets — the corpus-subset-selection shape used to cover a target
+    vocabulary/benchmark with few documents): each round picks the doc
+    with the largest MARGINAL overlap against the still-uncovered query
+    tokens (ties → lowest doc_id; already-selected docs excluded), then
+    marks its matched tokens covered.
+
+    Output: (round, doc_id, gain, covered_total) — all integers, exact at
+    any parallelism. Each round is one shuffle-free streaming pass with
+    the shrinking uncovered set broadcast; the winner's matched tokens
+    come from a filtered single-row parquet-scale read, never a corpus
+    materialization."""
+    import ray
+
+    uncovered = set(q for q in query_tokens if q)
+    selected: set[int] = set()
+    out_r, out_id, out_g, out_c = [], [], [], []
+    covered_total = 0
+    for r in range(1, rounds + 1):
+        qset = np.unique(np.asarray(sorted(uncovered), dtype=object)
+                         ).astype(str)
+        qref = ray.put(qset)
+        sel_ref = ray.put(np.asarray(sorted(selected), dtype=np.int64))
+
+        def part(t: pa.Table) -> pa.Table:
+            q = ray.get(qref)
+            sel = ray.get(sel_ref)
+            ids = t.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            keep = ~np.isin(ids, sel)
+            sub = t.filter(pa.array(keep))
+            if sub.num_rows == 0:
+                return pa.table({id_col: pa.array([], type=pa.int64()),
+                                 "overlap": pa.array([], type=pa.int64())})
+            return _batch_overlap(sub, q, 1, None, text_col, id_col)
+
+        best_id, best_g = None, -1
+        winner_tokens: set[str] = set()
+        for ref in ds.map_batches(
+                part, batch_format="pyarrow").to_arrow_refs():
+            tab = ray.get(ref)
+            if tab.num_rows == 0 or id_col not in tab.schema.names:
+                continue
+            for i in range(tab.num_rows):
+                g = tab.column("overlap")[i].as_py()
+                d = tab.column(id_col)[i].as_py()
+                if g > best_g or (g == best_g and d < best_id):
+                    best_g, best_id = g, d
+        if best_id is None:
+            break
+        # winner's matched tokens: one filtered, projected read
+        import pyarrow.parquet  # noqa: F401  (ds may be parquet-backed)
+        win = ds.filter(
+            lambda row: row[id_col] == best_id).take(1)
+        wtoks = set((win[0][text_col] or "").split(" "))
+        winner_tokens = wtoks & uncovered
+        assert len(winner_tokens) == best_g
+        uncovered -= winner_tokens
+        selected.add(best_id)
+        covered_total += best_g
+        out_r.append(r)
+        out_id.append(best_id)
+        out_g.append(best_g)
+        out_c.append(covered_total)
+    return pa.table({
+        "round": pa.array(out_r, type=pa.int64()),
+        "doc_id": pa.array(out_id, type=pa.int64()),
+        "gain": pa.array(out_g, type=pa.int64()),
+        "covered_total": pa.array(out_c, type=pa.int64()),
+    })

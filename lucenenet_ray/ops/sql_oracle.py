@@ -6304,3 +6304,52 @@ FROM (
 )
 ORDER BY overlap DESC, doc_id ASC
 LIMIT {k}"""
+
+
+def greedy_cover_sql(query_doc: int = 0, rounds: int = 3) -> str:
+    """Greedy max-coverage oracle (ops/setsearch.py greedy_cover):
+    unrolls each selection round as argmax-of-marginal-gain CTEs with the
+    identical (gain desc, doc_id asc) tie-break and selected-doc
+    exclusion — integer-exact."""
+    ctes = [f"""q AS (
+  SELECT DISTINCT term FROM (
+    SELECT unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE doc_id = {query_doc})
+  WHERE term <> ''
+),
+dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+),
+m AS (SELECT dt.doc_id, dt.term FROM dt JOIN q USING (term)),
+cov0 AS (SELECT term FROM q WHERE FALSE)"""]
+    for r in range(1, rounds + 1):
+        excl = " AND ".join(
+            f"d.doc_id <> (SELECT doc_id FROM w{j})" for j in range(1, r))
+        where = f"WHERE {excl}" if excl else ""
+        ctes.append(f"""g{r} AS (
+  SELECT d.doc_id, COALESCE(c.g, 0) AS gain
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS g FROM m
+    WHERE term NOT IN (SELECT term FROM cov{r-1})
+    GROUP BY doc_id) c USING (doc_id)
+  {where}
+),
+w{r} AS (SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1),
+cov{r} AS (
+  SELECT term FROM cov{r-1}
+  UNION
+  SELECT term FROM m
+  WHERE doc_id = (SELECT doc_id FROM w{r})
+    AND term NOT IN (SELECT term FROM cov{r-1})
+)""")
+    arms = []
+    for r in range(1, rounds + 1):
+        tot = " + ".join(f"(SELECT gain FROM w{j})" for j in range(1, r + 1))
+        arms.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, doc_id, "
+            f"CAST(gain AS BIGINT) AS gain, "
+            f"CAST({tot} AS BIGINT) AS covered_total FROM w{r}")
+    return (f"WITH {', '.join(ctes)}\n"
+            + "\nUNION ALL\n".join(arms) + "\nORDER BY round")

@@ -62,3 +62,36 @@ def test_bbox_prefilter(ray_session):
     lat, lon = synth_latlon_centi(ids)
     assert ((lat >= bbox[0]) & (lat < bbox[1])
             & (lon >= bbox[2]) & (lon < bbox[3])).all()
+
+
+def test_greedy_cover_matches_naive(ray_session):
+    import ray.data as rd
+
+    from lucenenet_ray.ops.setsearch import greedy_cover
+
+    texts = [f"a{i % 4} b{i % 6} c{i % 9} common" for i in range(150)]
+    q = list(set("a0 a1 a2 b0 b1 c0 c1 c2 common".split(" ")))
+    out = greedy_cover(rd.from_arrow(_mk(texts)), q, rounds=3)
+
+    # naive greedy
+    uncovered = set(q)
+    selected = set()
+    want = []
+    tot = 0
+    for r in range(1, 4):
+        best = None
+        for i, txt in enumerate(texts):
+            if i in selected:
+                continue
+            g = len(set(txt.split(" ")) & uncovered)
+            if best is None or g > best[0] or (g == best[0] and i < best[1]):
+                best = (g, i)
+        uncovered -= set(texts[best[1]].split(" ")) & uncovered
+        selected.add(best[1])
+        tot += best[0]
+        want.append((r, best[1], best[0], tot))
+    got = list(zip(out.column("round").to_pylist(),
+                   out.column("doc_id").to_pylist(),
+                   out.column("gain").to_pylist(),
+                   out.column("covered_total").to_pylist()))
+    assert got == want
