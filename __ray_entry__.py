@@ -5784,6 +5784,34 @@ def _q_greedy_cover(sf_dir: str) -> Any:
                         rounds=3)
 
 
+_INC_ND_CACHE: dict[str, str] = {}
+
+
+def _q_incremental_near_dup(sf_dir: str) -> Any:
+    """Incremental MinHash near-dup (ops/incneardup.py): OLD corpus =
+    even doc_ids, band table built+hive-partitioned ONCE; NEW snapshot =
+    odd doc_ids streamed against it — one groupby co-locates both sides,
+    groups emit cross pairs only. The fuzzy sibling of
+    `incremental_dedup` (exact-hash)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.incneardup import (build_band_index,
+                                              incremental_minhash_candidates)
+
+    key = _sf_key(sf_dir)
+    if key not in _INC_ND_CACHE:
+        out = f"/tmp/lucenenet_ray_incnd/{key}"
+        if not os.path.exists(os.path.join(out, "_BUILT")):
+            old = _docs_ds(sf_dir).filter(
+                lambda row: row["doc_id"] % 2 == 0)
+            build_band_index(old, out)
+            with open(os.path.join(out, "_BUILT"), "w") as f:
+                f.write("ok")
+        _INC_ND_CACHE[key] = out
+    new = _docs_ds(sf_dir).filter(lambda row: row["doc_id"] % 2 == 1)
+    return incremental_minhash_candidates(new, _INC_ND_CACHE[key])
+
+
 def _q_gopher_repetition(sf_dir: str) -> Any:
     """Gopher repetition rules (ops/gopher_rep.py, Rae et al. 2021 Table
     A1): per-doc modal n-gram char mass (n=2,3,4) and duplicated-5-gram
@@ -6533,6 +6561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_overlap_topk": _q_set_overlap_topk,
         "spatiotextual_topk": _q_spatiotextual_topk,
         "greedy_cover": _q_greedy_cover,
+        "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -6847,6 +6876,7 @@ def oracle_sql() -> dict[str, str]:
         "set_overlap_topk": so.set_overlap_topk_sql(0, 10),
         "spatiotextual_topk": so.set_overlap_topk_sql(0, 10, bbox=(-4500, 4500, -9000, 9000)),
         "greedy_cover": so.greedy_cover_sql(0, 3),
+        "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -6353,3 +6353,35 @@ cov{r} AS (
             f"CAST({tot} AS BIGINT) AS covered_total FROM w{r}")
     return (f"WITH {', '.join(ctes)}\n"
             + "\nUNION ALL\n".join(arms) + "\nORDER BY round")
+
+
+def incremental_minhash_sql(num_perm: int = 16, num_bands: int = 4,
+                            k: int = 3) -> str:
+    """Incremental MinHash oracle (ops/incneardup.py): cross-corpus band
+    join — new (odd doc_ids) x old (even doc_ids) sharing >= 1 band key."""
+    from lucenenet_ray.ops.neardup import MERSENNE61, _perm_params
+
+    a, b = _perm_params(num_perm)
+    r = num_perm // num_bands
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm))
+    return f"""WITH {_shingles_cte(k)},
+perms(perm, a, b) AS (VALUES {perm_rows}),
+hashes AS (
+  SELECT doc_id, {_MD5_INT31.format(s='gram')} AS h FROM sh
+),
+minh AS (
+  SELECT doc_id, perm, min((a * h + b) % {MERSENNE61}) AS mh
+  FROM hashes CROSS JOIN perms GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm // {r} AS band,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY perm) AS band_key
+  FROM minh GROUP BY doc_id, perm // {r}
+)
+SELECT n.doc_id AS doc_new, o.doc_id AS doc_old, count(*) AS n_bands
+FROM bands n JOIN bands o
+  ON n.band = o.band AND n.band_key = o.band_key
+WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+GROUP BY n.doc_id, o.doc_id
+ORDER BY doc_new, doc_old"""
