@@ -5854,6 +5854,25 @@ def _q_pagerank(sf_dir: str) -> Any:
     return pagerank_topk(ds, n_nodes=n, n_iters=3, k=20)
 
 
+def _q_hits(sf_dir: str) -> Any:
+    """HITS hubs/authorities (ops/graphrank.py hits, Kleinberg 1999) over
+    the SAME md5-synthesized crawl graph as `pagerank`: 3 iterations in
+    exact int64 fixed-point with MAX (L-inf) normalization instead of L2
+    so every step is order-independent — authority half = one combiner
+    groupby shuffle, hub half = shuffle-free batch-local dot product.
+    Top-20 by authority; oracle unrolls the identical arithmetic."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.graphrank import hits_topk
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return hits_topk(ds, n_nodes=n, n_iters=3, k=20)
+
+
 def _q_weighted_sample(sf_dir: str) -> Any:
     """Weighted random sampling without replacement (ops/sampling.py
     weighted_sample, Efraimidis & Spirakis 2006 A-ES): weight =
@@ -5922,6 +5941,33 @@ def _q_epoch_shuffle(sf_dir: str) -> pa.Table:
         "doc_id": t.column("doc_id"),
         "shuffle_key": t.column("shuffle_key"),
     })
+
+
+def _q_kneser_ney(sf_dir: str) -> Any:
+    """Interpolated Kneser-Ney bigram LM (ops/kn_lm.py; Kneser & Ney
+    1995, Chen & Goodman 1998 §2.7 — the CCNet-family LM smoothing):
+    top-20 continuations of the highest-count context by EXACT rational
+    score (D=3/4, integer numerator over a row-constant denominator).
+    One bigram groupby; all LM stats derive from the vocab-bounded
+    bigram-type table, never the corpus stream."""
+    from lucenenet_ray.ops.kn_lm import kneser_ney_topk
+
+    return kneser_ney_topk(_docs_ds(sf_dir), k=20)
+
+
+def _q_temperature_mix(sf_dir: str) -> pa.Table:
+    """Temperature-scaled domain mixing (ops/domains.py
+    temperature_mix_stats — Raffel et al. 2020 §3.4.2 / UniMax, alpha=1/2):
+    per-domain kept counts under the exact-integer keep rule
+    key^2 * n_d < c^2 (P(keep|d) ~ n_d^(-1/2), capped at 1). One narrow
+    domain-count groupby, then a shuffle-free broadcast-threshold pass."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.domains import temperature_mix_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return temperature_mix_stats(ds)
 
 
 def _q_domain_stats(sf_dir: str) -> pa.Table:
@@ -6510,6 +6556,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_stats": _q_chunk_stats,
         "epoch_shuffle": _q_epoch_shuffle,
         "domain_stats": _q_domain_stats,
+        "temperature_mix": _q_temperature_mix,
+        "kneser_ney_bigrams": _q_kneser_ney,
         "classic_highlight": _q_classic_highlight,
         "grouping_by_function": _q_grouping_by_function,
         "spatial_intersects": _q_spatial_intersects,
@@ -6549,6 +6597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hnsw_full": _q_knn_hnsw_full,
         "weighted_sample": _q_weighted_sample,
         "pagerank": _q_pagerank,
+        "hits": _q_hits,
         "cooccur_topk": _q_cooccur,
         "gopher_repetition": _q_gopher_repetition,
         "cologne_gate": _q_cologne_gate,
@@ -6735,6 +6784,8 @@ def oracle_sql() -> dict[str, str]:
                                             k=10),
         "epoch_shuffle": so.epoch_shuffle_sql(1, 100),
         "domain_stats": so.domain_stats_sql(("d3.example.com",), 1, 20),
+        "temperature_mix": so.temperature_mix_sql(6),
+        "kneser_ney_bigrams": so.kneser_ney_topk_sql(20),
         "classic_highlight": so.classic_highlight_sql(
             ["spark", "merge"], 100, TOPK),
         "grouping_by_function": so.grouping_by_function_sql(
@@ -6864,6 +6915,7 @@ def oracle_sql() -> dict[str, str]:
                                                  HNSW_SUBSET),
         "weighted_sample": so.weighted_sample_sql(k=32, weight_mod=9),
         "pagerank": so.pagerank_topk_sql(n_iters=3, k=20),
+        "hits": so.hits_topk_sql(n_iters=3, k=20),
         "cooccur_topk": so.cooccur_topk_sql(window=2, k=30),
         "gopher_repetition": so.gopher_repetition_sql(),
         "cologne_gate": so.cologne_gate_sql(400),

@@ -95,3 +95,73 @@ def domain_filter(ds, blocklist: tuple[str, ...] = ("d3.example.com",),
         return t.filter(pa.array(mask, type=pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --- Temperature-scaled domain mixing (the UniMax / T5 mixing-rate family:
+# Raffel et al. 2020 §3.4.2 "temperature-scaled mixing", Chung et al. 2023
+# UniMax): sample domain d at a rate proportional to n_d^alpha with
+# alpha = 1/temperature < 1, so giant domains are down-weighted and small
+# ones survive. alpha is FIXED at 1/2 (temperature 2) so the keep rule has
+# an exact integer form:
+#
+#     keep doc  <=>  key^2 * n_d < c^2,   key = md5_int31("tmix:{doc_id}")
+#
+# i.e. P(keep | d) = min(1, c / (2^31 * sqrt(n_d))), hence the expected
+# kept count n_d * P ~ (c / 2^31) * sqrt(n_d) = n_d^(1/2) up to the cap —
+# exactly the alpha=1/2 mixing rate. Both sides of the rule are integers
+# (DuckDB compares them in HUGEINT; the engine precomputes the per-domain
+# threshold T_d = isqrt((c^2 - 1) // n_d) with Python bigints so workers
+# run a pure int64 `key <= T_d` compare — the two forms are equivalent:
+# key^2 * n_d < c^2  <=>  key <= isqrt((c^2 - 1) // n_d)).
+TMIX_C_MULT = 6  # c = TMIX_C_MULT * 2^31: ~50% keep at n_d ~ 144 docs
+
+
+def temperature_mix_stats(ds, c_mult: int = TMIX_C_MULT,
+                          id_col: str = "doc_id") -> pa.Table:
+    """(domain, n_docs, n_kept) per synthesized domain, domain-sorted —
+    the alpha=1/2 temperature-mix keep rule applied corpus-wide.
+
+    Scale shape: stage 1 is the same narrow one-groupby domain count as
+    :func:`domain_stats`; the driver turns the |domains|-row aggregate
+    into exact integer thresholds; stage 2 is a shuffle-FREE map_batches
+    that compares each row's md5 key against its domain's broadcast
+    threshold and emits per-batch (domain, kept-partial) rows reduced by
+    one tiny groupby. The corpus stream is never materialized."""
+    import ray
+
+    c = c_mult << 31
+    agg = _domain_ds(ds, id_col).groupby("domain").count().to_pandas()
+    agg = agg.sort_values("domain")
+    domains = agg["domain"].tolist()
+    counts = [int(x) for x in agg["count()"].tolist()]
+    from math import isqrt
+    thresh = {d: min(isqrt((c * c - 1) // n), (1 << 31) - 1)
+              for d, n in zip(domains, counts)}
+    tref = ray.put(thresh)
+
+    def kept_partial(t: pa.Table) -> pa.Table:
+        th = ray.get(tref)
+        ids = t.column(id_col).to_pylist()
+        doms = synth_domains(ids)
+        keys = [md5_int31(f"tmix:{k}") for k in ids]
+        cnt: dict = {}
+        for d, k in zip(doms, keys):
+            if k <= th[d]:
+                cnt[d] = cnt.get(d, 0) + 1
+        ks = sorted(cnt)
+        return pa.table({
+            "domain": pa.array(ks, type=pa.string()),
+            "kept": pa.array([cnt[d] for d in ks], type=pa.int64()),
+        })
+
+    kept = {d: 0 for d in domains}
+    agg2 = ds.map_batches(
+        kept_partial, batch_format="pyarrow").groupby("domain").sum("kept")
+    for d, s in zip(*[agg2.to_pandas()[c_].tolist()
+                      for c_ in ("domain", "sum(kept)")]):
+        kept[d] = int(s)
+    return pa.table({
+        "domain": pa.array(domains, type=pa.string()),
+        "n_docs": pa.array(counts, type=pa.int64()),
+        "n_kept": pa.array([kept[d] for d in domains], type=pa.int64()),
+    })

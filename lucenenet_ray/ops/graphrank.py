@@ -122,3 +122,108 @@ def pagerank_topk(ds, n_nodes: int, n_iters: int = 3, k: int = 20,
         "node": pa.array(order.astype(np.int64), type=pa.int64()),
         "pagerank": pa.array(r[order], type=pa.int64()),
     })
+
+
+# --- HITS (Kleinberg 1999, "Authoritative Sources in a Hyperlinked
+# Environment") over the SAME synthesized link graph as pagerank().
+#
+# Exact-integer formulation: instead of the paper's L2 normalization
+# (irrational, summation-order-sensitive), each half-step renormalizes by
+# the vector MAX in fixed point —
+#
+#     a_raw(v) = sum_{u->v} h_k(u)         a_{k+1}(v) = (S * a_raw(v)) // max(a_raw)
+#     h_raw(u) = sum_{u->v} a_{k+1}(v)     h_{k+1}(u) = (S * h_raw(u)) // max(h_raw)
+#
+# with S = 10^6. Max and integer floor-division are order-independent, so
+# the result is bit-identical at any parallelism and the SQL oracle can
+# unroll the iterations. S is sized so S * a_raw <= 10^6 * (10^6 * max
+# in-degree) stays far inside int64 even at 10^6-degree hubs.
+HITS_SCALE = 10**6
+
+
+def hits(ds, n_nodes: int, n_iters: int = 3,
+         id_col: str = "doc_id") -> tuple[np.ndarray, np.ndarray]:
+    """(authority, hub) int64 vectors indexed by node id.
+
+    Distributed shape per iteration: the authority half is ONE
+    groupby(dst).sum shuffle of batch-combined partials (hub vector
+    broadcast via ``ray.put``, same pattern as :func:`pagerank`); the hub
+    half is shuffle-FREE — a node's out-edges are synthesized inside its
+    own batch, so ``h_raw(u)`` is a batch-local dot product against the
+    broadcast authority vector. Driver state is the two N-row rank
+    vectors (broadcast-scale by definition; above ~10^9 nodes the same
+    iteration becomes the hash-partitioned exchange noted in pagerank)."""
+    import ray
+
+    h = np.full(n_nodes, HITS_SCALE, dtype=np.int64)
+    a = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(n_iters):
+        href = ray.put(h)
+
+        def auth_partial(t: pa.Table) -> pa.Table:
+            hv = ray.get(href)
+            ids = t.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            src, dst, _deg = _out_edges(ids, n_nodes)
+            uniq, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, hv[src])
+            return pa.table({
+                "dst": pa.array(uniq, type=pa.int64()),
+                "s": pa.array(sums, type=pa.int64()),
+            })
+
+        a_raw = np.zeros(n_nodes, dtype=np.int64)
+        agg = ds.map_batches(
+            auth_partial, batch_format="pyarrow").groupby("dst").sum("s")
+        for ref in agg.to_arrow_refs():
+            tab = ray.get(ref)
+            if tab.num_rows == 0 or "dst" not in tab.schema.names:
+                continue
+            d = tab.column("dst").to_numpy(zero_copy_only=False)
+            s = tab.column("sum(s)").to_numpy(zero_copy_only=False)
+            a_raw[d] += s
+        mx = int(a_raw.max())
+        a = (HITS_SCALE * a_raw) // mx if mx > 0 else a_raw
+
+        aref = ray.put(a)
+
+        def hub_partial(t: pa.Table) -> pa.Table:
+            av = ray.get(aref)
+            ids = t.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            src, dst, _deg = _out_edges(ids, n_nodes)
+            uniq, inv = np.unique(src, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, av[dst])
+            return pa.table({
+                "u": pa.array(uniq, type=pa.int64()),
+                "s": pa.array(sums, type=pa.int64()),
+            })
+
+        h_raw = np.zeros(n_nodes, dtype=np.int64)
+        for ref in ds.map_batches(
+                hub_partial, batch_format="pyarrow").to_arrow_refs():
+            tab = ray.get(ref)
+            if tab.num_rows == 0 or "u" not in tab.schema.names:
+                continue
+            u = tab.column("u").to_numpy(zero_copy_only=False)
+            s = tab.column("s").to_numpy(zero_copy_only=False)
+            h_raw[u] += s
+        mx = int(h_raw.max())
+        h = (HITS_SCALE * h_raw) // mx if mx > 0 else h_raw
+    return a, h
+
+
+def hits_topk(ds, n_nodes: int, n_iters: int = 3, k: int = 20,
+              id_col: str = "doc_id") -> pa.Table:
+    """(rank_pos, node, authority, hub) for the k highest-authority nodes,
+    (authority desc, node asc) order — integer-exact at any parallelism."""
+    a, h = hits(ds, n_nodes, n_iters=n_iters, id_col=id_col)
+    order = np.lexsort((np.arange(n_nodes), -a))[:k]
+    return pa.table({
+        "rank_pos": pa.array(range(1, len(order) + 1), type=pa.int64()),
+        "node": pa.array(order.astype(np.int64), type=pa.int64()),
+        "authority": pa.array(a[order], type=pa.int64()),
+        "hub": pa.array(h[order], type=pa.int64()),
+    })

@@ -6385,3 +6385,117 @@ FROM bands n JOIN bands o
 WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
 GROUP BY n.doc_id, o.doc_id
 ORDER BY doc_new, doc_old"""
+
+
+def hits_topk_sql(n_iters: int = 3, k: int = 20) -> str:
+    """Integer HITS oracle (ops/graphrank.py hits): same md5 link graph as
+    pagerank_topk_sql, unrolled authority/hub half-steps with the engine's
+    exact max-normalized fixed-point arithmetic (S=10^6, // floor
+    division; DuckDB's HUGEINT sum widening cast back to BIGINT)."""
+    md5 = _MD5_INT31.format(s="'link:'||CAST(u AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    ctes = [f"""c AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS u FROM documents),
+edges AS (
+  SELECT u, CASE WHEN t = u THEN (t + 1) % c.n ELSE t END AS v
+  FROM (
+    SELECT u, j, {md5} AS h
+    FROM nodes, LATERAL (SELECT unnest(range(3)) AS j) r
+    WHERE j < 1 + (u % 3)) e
+  CROSS JOIN c, LATERAL (SELECT e.h % c.n AS t) tt
+),
+h0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM documents)"""]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""araw{i} AS (
+  SELECT n.doc_id AS node, CAST(COALESCE(s.S, 0) AS BIGINT) AS r
+  FROM documents n LEFT JOIN (
+    SELECT e.v AS node, CAST(SUM(p.r) AS BIGINT) AS S
+    FROM edges e JOIN h{i-1} p ON p.node = e.u GROUP BY e.v) s
+  ON s.node = n.doc_id
+),
+a{i} AS (
+  SELECT node, CAST((1000000 * r) // (SELECT max(r) FROM araw{i}) AS BIGINT) AS r
+  FROM araw{i}
+),
+hraw{i} AS (
+  SELECT n.doc_id AS node, CAST(COALESCE(s.S, 0) AS BIGINT) AS r
+  FROM documents n LEFT JOIN (
+    SELECT e.u AS node, CAST(SUM(p.r) AS BIGINT) AS S
+    FROM edges e JOIN a{i} p ON p.node = e.v GROUP BY e.u) s
+  ON s.node = n.doc_id
+),
+h{i} AS (
+  SELECT node, CAST((1000000 * r) // (SELECT max(r) FROM hraw{i}) AS BIGINT) AS r
+  FROM hraw{i}
+)""")
+    n = n_iters
+    return f"""WITH {", ".join(ctes)}
+SELECT CAST(row_number() OVER (ORDER BY a.r DESC, a.node ASC) AS BIGINT) AS rank_pos,
+       a.node AS node, a.r AS authority, h.r AS hub
+FROM a{n} a JOIN h{n} h ON h.node = a.node
+ORDER BY a.r DESC, a.node ASC
+LIMIT {k}"""
+
+
+def temperature_mix_sql(c_mult: int = 6) -> str:
+    """Temperature-mix oracle (ops/domains.py temperature_mix_stats,
+    alpha=1/2): same md5 domain map + md5 keep key; the keep rule
+    key^2 * n_d < c^2 is evaluated directly in HUGEINT (the engine's
+    isqrt-threshold form is provably equivalent)."""
+    h = _MD5_INT31.format(s="'dom:' || CAST(doc_id AS VARCHAR)")
+    key = _MD5_INT31.format(s="'tmix:' || CAST(doc_id AS VARCHAR)")
+    c = c_mult << 31
+    return f"""WITH dom AS (
+  SELECT doc_id,
+         'd' || CAST(((h % 40) * (h % 40)) // 40 AS VARCHAR)
+             || '.example.com' AS domain,
+         k
+  FROM (SELECT doc_id, {h} AS h, {key} AS k FROM documents)
+),
+agg AS (SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain)
+SELECT agg.domain, CAST(agg.n_docs AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (
+         WHERE CAST(dom.k AS HUGEINT) * dom.k * agg.n_docs
+               < CAST({c} AS HUGEINT) * {c}) AS BIGINT) AS n_kept
+FROM dom JOIN agg USING (domain)
+GROUP BY agg.domain, agg.n_docs
+ORDER BY agg.domain"""
+
+
+def kneser_ney_topk_sql(k: int = 20) -> str:
+    """Interpolated Kneser-Ney bigram oracle (ops/kn_lm.py, D = 3/4):
+    raw-adjacent non-empty token bigrams, context u0 = argmax c(u) (term
+    asc ties), exact integer score
+    p_num = (4*c(u0,w) - 3)*N1pp + 3*N1u0*N1w over the common denominator
+    p_den = 4*c(u0)*N1pp."""
+    return f"""WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+adj AS (
+  SELECT term AS u, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w
+  FROM raw
+),
+bg AS (
+  SELECT u, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM adj WHERE u <> '' AND w IS NOT NULL AND w <> ''
+  GROUP BY u, w
+),
+n1pp AS (SELECT count(*) AS v FROM bg),
+ctx AS (
+  SELECT u, CAST(SUM(cnt) AS BIGINT) AS cu, count(*) AS n1u
+  FROM bg GROUP BY u
+),
+u0 AS (SELECT u, cu, n1u FROM ctx ORDER BY cu DESC, u ASC LIMIT 1),
+n1w AS (SELECT w, CAST(count(*) AS BIGINT) AS v FROM bg GROUP BY w)
+SELECT bg.w, bg.cnt AS c_bigram, n1w.v AS n1w,
+       CAST((4 * bg.cnt - 3) * n1pp.v + 3 * u0.n1u * n1w.v AS BIGINT)
+         AS p_num,
+       CAST(4 * u0.cu * n1pp.v AS BIGINT) AS p_den
+FROM bg
+JOIN u0 ON bg.u = u0.u
+JOIN n1w ON n1w.w = bg.w
+CROSS JOIN n1pp
+ORDER BY p_num DESC, bg.w ASC
+LIMIT {k}"""
