@@ -1703,6 +1703,28 @@ def _q_classic_tfidf(sf_dir: str) -> pa.Table:
     return _topdocs_to_table(td)
 
 
+def _q_field_masked_span(sf_dir: str) -> pa.Table:
+    """FieldMaskingSpanQuery (Search/Spans/FieldMaskingSpanQuery.cs,
+    search/spans.py SpanFieldMaskingQuery): the keyword `source` field's
+    (0,1) span, masked into the body field, composed in an ordered
+    SpanNear with body term 'spark' (slop 50) — matches docs from source
+    src7 whose first 'spark' sits in positions 1..51. Per-doc span counts
+    vs the closed-form SQL oracle."""
+    from lucenenet_ray.search.query import field_term
+    from lucenenet_ray.search.spans import (
+        SpanFieldMaskingQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+    )
+
+    q = SpanNearQuery(clauses=(
+        SpanFieldMaskingQuery(
+            match=SpanTermQuery(term=field_term("source", "src7")),
+            field="body"),
+        SpanTermQuery(term="spark")), slop=50, in_order=True)
+    return _spans_count_table(sf_dir, q)
+
+
 def _q_span_near(sf_dir: str) -> pa.Table:
     """Ordered SpanNear([merge, batch], slop=2) span enumeration
     (Search/Spans/NearSpansOrdered.cs minimal matches): per-doc span counts,
@@ -3233,6 +3255,24 @@ def _q_grouping_by_function(sf_dir: str) -> pa.Table:
         "doc_id": pa.array([r_[3] for r_ in rows], type=pa.int64()),
         "score": pa.array([r_[4] for r_ in rows], type=pa.float64()),
     })
+
+
+def _q_terms_filter(sf_dir: str) -> pa.Table:
+    """TermsFilter (Queries/TermsFilter.cs, search/filters.py
+    terms_filter): docs matching ANY of a fixed multi-field term list —
+    keyword source:src3 / source:src11 plus analyzed body term 'quorum'
+    — deduped once, per-bucket postings union, exact vs a SQL UNION
+    oracle."""
+    from lucenenet_ray.search.filters import terms_filter
+    from lucenenet_ray.search.query import field_term
+
+    docs = terms_filter(_reader(sf_dir), [
+        field_term("source", "src3"),
+        field_term("source", "src11"),
+        "quorum",
+        field_term("source", "src3"),   # duplicate: deduped like the ctor
+    ])
+    return pa.table({"doc_id": pa.array(np.sort(docs), type=pa.int64())})
 
 
 def _q_chained_filter(sf_dir: str) -> pa.Table:
@@ -6449,6 +6489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_after_delete": _q_bm25_after_delete,
         "bm25_multiphrase": _q_bm25_multiphrase,
         "span_near_count": _q_span_near,
+        "field_masked_span": _q_field_masked_span,
         "classic_tfidf": _q_classic_tfidf,
         "stored_fields": _q_stored_fields,
         "spell_suggest": _q_spell_suggest,
@@ -6509,6 +6550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freetext_lookup": _q_freetext_lookup,
         "child_block_join": _q_child_block_join,
         "chained_filter": _q_chained_filter,
+        "terms_filter": _q_terms_filter,
         "spatial_bbox": _q_spatial_bbox,
         "spatial_knn": _q_spatial_knn,
         "spatial_cells": _q_spatial_cells,
@@ -6701,6 +6743,7 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "window"], TOPK, "or",
             stored_cols=["source", "n_chars"]),
         "span_near_count": so.span_near_count_sql("merge", "batch", 2),
+        "field_masked_span": so.field_masked_span_sql("src7", "spark", 50),
         "surround_span_count": so.span_near_count_sql("fast", "key", 3),
         "surround_trunc": so.surround_trunc_count_sql("mer", "batch", 1),
         "complex_phrase": so.complex_phrase_count_sql(
@@ -6737,6 +6780,7 @@ def oracle_sql() -> dict[str, str]:
         "freetext_lookup": so.freetext_lookup_sql("spark", 10),
         "child_block_join": so.child_block_join_sql(50),
         "chained_filter": so.chained_filter_sql(),
+        "terms_filter": so.terms_filter_sql(("src3", "src11"), "quorum"),
         "spatial_bbox": so.spatial_bbox_sql(10.0, 50.0, -20.0, 60.0),
         "spatial_knn": so.spatial_knn_sql(SPATIAL_QUERY_POINTS, 10),
         "spatial_cells": so.spatial_cells_sql(3),

@@ -6499,3 +6499,37 @@ JOIN n1w ON n1w.w = bg.w
 CROSS JOIN n1pp
 ORDER BY p_num DESC, bg.w ASC
 LIMIT {k}"""
+
+
+def field_masked_span_sql(source_val: str, t2: str, slop: int) -> str:
+    """FieldMaskingSpanQuery oracle (search/spans.py SpanFieldMaskingQuery):
+    the masked clause is the keyword `source` field term — one (0, 1) span
+    per doc whose source equals ``source_val`` (un-analyzed extra fields
+    index at position 0) — composed in an ordered SpanNear with a body
+    term; the same minimal-match closed form as span_near_count_sql
+    applies with occ1 fixed at position 0."""
+    return f"""WITH {_toks_cte()},
+occ1 AS (SELECT doc_id, 0 AS pos FROM documents WHERE source = '{source_val}'),
+occ2 AS (SELECT doc_id, pos FROM kept WHERE term = '{t2}'),
+m1 AS (
+  SELECT o1.doc_id, o1.pos AS p1, min(o2.pos) AS p2
+  FROM occ1 o1 JOIN occ2 o2 ON o2.doc_id = o1.doc_id AND o2.pos >= o1.pos + 1
+  GROUP BY o1.doc_id, o1.pos
+),
+m2 AS (SELECT doc_id, max(p1) AS p1, p2 FROM m1 GROUP BY doc_id, p2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM m2 WHERE p2 - p1 - 1 <= {slop}
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+def terms_filter_sql(sources: tuple[str, ...], body_term: str) -> str:
+    """TermsFilter oracle (search/filters.py terms_filter): union of the
+    keyword `source` field terms and one analyzed body term — distinct
+    doc ids, ascending."""
+    src_in = ", ".join(f"'{s}'" for s in sources)
+    return f"""WITH {_toks_cte()}
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id FROM documents WHERE source IN ({src_in})
+  UNION ALL
+  SELECT doc_id FROM kept WHERE term = '{body_term}'
+) ORDER BY doc_id"""

@@ -91,3 +91,24 @@ def boolean_filter(reader, clauses: list[tuple[Occur, Query]]) -> np.ndarray:
             acc = np.setdiff1d(acc, nd)
         out.append(acc)
     return np.concatenate(out) if out else np.empty(0, np.int64)
+
+
+def terms_filter(reader, terms: list[str]) -> np.ndarray:
+    """TermsFilter (``Queries/TermsFilter.cs``): docs containing ANY of a
+    fixed term list — the classic PK-batch / ACL filter. Like the
+    reference ctor (:104-141), the list is sorted and deduplicated once;
+    per bucket the doc sets come straight off the postings matcher and
+    fold into one union (the reference's single DocIdSet per segment,
+    :188-228). Terms may span fields (field-prefixed term space)."""
+    from lucenenet_ray.index.sorter import _bucket_matches
+    from lucenenet_ray.search.query import TermQuery
+
+    uniq = sorted(set(terms))
+    out: list[np.ndarray] = []
+    for b in reader.bucket_ids:
+        bucket = reader.bucket(b)
+        sets = [_bucket_matches(bucket, TermQuery(term=t)) for t in uniq]
+        nonempty = [s for s in sets if s.size]
+        if nonempty:
+            out.append(np.unique(np.concatenate(nonempty)))
+    return np.concatenate(out) if out else np.empty(0, np.int64)

@@ -122,6 +122,22 @@ class SpanNearPayloadCheckQuery(SpanQuery):
     payloads: tuple[int, ...] = ()
 
 
+@dataclass(frozen=True)
+class SpanFieldMaskingQuery(SpanQuery):
+    """Lie about a span clause's field so it can compose with clauses of
+    another field (``Search/Spans/FieldMaskingSpanQuery.cs`` — GetField()
+    returns ``field`` while GetSpans/Rewrite/Extract fully delegate to
+    ``match``, :102-117; scoring keeps the WRAPPED field's statistics,
+    the documented :62-66 caveat). Here fields are prefixed terms in one
+    position space, and span algebra never re-checks fields — so, exactly
+    like the reference's GetSpans, evaluation is the identity on ``match``;
+    the wrapper's value is composing aligned-position fields (the
+    reference's parallel-array pattern) inside one SpanNear."""
+
+    match: SpanQuery = None
+    field: str = ""
+
+
 def span_multi_term_wrapper(reader: "IndexReader", mtq) -> SpanOrQuery:
     """SpanMultiTermQueryWrapper
     (``Search/Spans/SpanMultiTermQueryWrapper.cs`` with
@@ -147,7 +163,8 @@ def extract_terms(q: SpanQuery, out: list[str]) -> None:
         extract_terms(q.include, out)
         extract_terms(q.exclude, out)
     elif isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery,
-                        SpanPayloadCheckQuery, SpanNearPayloadCheckQuery)):
+                        SpanPayloadCheckQuery, SpanNearPayloadCheckQuery,
+                        SpanFieldMaskingQuery)):
         extract_terms(q.match, out)
 
 
@@ -308,6 +325,9 @@ def _spans_for(q: SpanQuery, positions_of, payloads_of=None,
                     and all(c in q.payloads for c in cand)):
                 out.append(sp if with_pl else (sp[0], sp[1]))
         return out
+    if isinstance(q, SpanFieldMaskingQuery):
+        # FieldMaskingSpanQuery.GetSpans delegates untouched (:102-104)
+        return _spans_for(q.match, positions_of, payloads_of, with_pl)
     raise TypeError(f"unsupported span node {type(q)}")
 
 
@@ -335,7 +355,8 @@ def _required_terms(q: SpanQuery) -> list[set[str]]:
     if isinstance(q, SpanNotQuery):
         return _required_terms(q.include)
     if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery,
-                      SpanPayloadCheckQuery, SpanNearPayloadCheckQuery)):
+                      SpanPayloadCheckQuery, SpanNearPayloadCheckQuery,
+                      SpanFieldMaskingQuery)):
         return _required_terms(q.match)
     return []
 
@@ -347,7 +368,8 @@ def _has_payload_check(q: SpanQuery) -> bool:
         return any(_has_payload_check(c) for c in q.clauses)
     if isinstance(q, SpanNotQuery):
         return _has_payload_check(q.include) or _has_payload_check(q.exclude)
-    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery,
+                      SpanFieldMaskingQuery)):
         return _has_payload_check(q.match)
     return False
 

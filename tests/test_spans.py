@@ -256,3 +256,61 @@ def test_field_masking_span_cross_field(ray_session, tmp_path_factory):
         SpanTermQuery(term=field_term("teachers", "smith"))),
         slop=0, in_order=True)
     assert dict(span_counts(r, q2)) == {0: 1}
+
+
+def test_field_masking_is_identity_on_eval():
+    """GetSpans delegates untouched (FieldMaskingSpanQuery.cs:102-104)."""
+    from lucenenet_ray.search.spans import SpanFieldMaskingQuery, _spans_for
+
+    pos = {"x": [2, 5], "f\x1fk": [0]}
+    get = lambda t: pos.get(t, [])
+    inner = SpanTermQuery(term="x")
+    masked = SpanFieldMaskingQuery(match=inner, field="other")
+    assert _spans_for(masked, get) == _spans_for(inner, get)
+
+
+def test_field_masking_composes_in_near():
+    from lucenenet_ray.search.spans import (SpanFieldMaskingQuery,
+                                            _required_terms, _spans_for,
+                                            extract_terms)
+
+    pos = {"body": [3], "f\x1fk": [0]}
+    get = lambda t: pos.get(t, [])
+    q = SpanNearQuery(clauses=(
+        SpanFieldMaskingQuery(match=SpanTermQuery(term="f\x1fk"),
+                              field="body"),
+        SpanTermQuery(term="body")), slop=5, in_order=True)
+    # keyword span (0,1) then body occurrence at 3: gap 2 <= 5
+    assert _spans_for(q, get) == [(0, 4)]
+    out = []
+    extract_terms(q, out)
+    assert out == ["f\x1fk", "body"]
+    assert _required_terms(q) == [{"f\x1fk"}, {"body"}]
+
+
+def test_terms_filter_union_and_dedup(documents_index, corpus):
+    from lucenenet_ray.search.filters import terms_filter
+    from lucenenet_ray.search.query import field_term
+    from lucenenet_ray.search.reader import IndexReader
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_DIR
+
+    r = IndexReader(documents_index[0])
+    docs, _texts, toks = corpus
+    src = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "source"])
+    by_src = dict(zip(src.column("doc_id").to_pylist(),
+                      src.column("source").to_pylist()))
+    terms = [field_term("source", "src3"), "merge",
+             field_term("source", "src3")]
+    got = np.sort(terms_filter(r, terms)).tolist()
+    want = sorted(d for d in docs
+                  if by_src[d] == "src3" or "merge" in toks[d])
+    assert got == want
+    # unknown terms contribute nothing; empty list matches nothing
+    assert terms_filter(r, ["zzz_nonexistent_term"]).size == 0
+    assert terms_filter(r, []).size == 0
