@@ -3977,6 +3977,39 @@ def _q_substring_dedup(sf_dir: str) -> Any:
     return out.sort_values("doc_id")[cols].reset_index(drop=True)
 
 
+def _q_suffix_sorted_dedup(sf_dir: str) -> Any:
+    """Sort-based exact-substring dedup (ops/suffixsort.py — the Lee et
+    al. 2022 suffix-array practice, k-truncated: global ds.sort over the
+    window strings, interior-singleton prune per sorted batch, one
+    groupby finalize). Same per-doc contract as `substring_dedup` but a
+    different distributed shape; oracle decides by exact window-string
+    equality."""
+    from lucenenet_ray.ops.neardup import DUPWIN_K
+    from lucenenet_ray.ops.suffixsort import duplicated_window_spans_sorted
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    spans = dataset_to_table(
+        duplicated_window_spans_sorted(_docs_ds(sf_dir), k=DUPWIN_K),
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("n_dup_windows", pa.int64()),
+                          ("n_covered", pa.int64())])).to_pandas()
+
+    def ntok(t: pa.Table) -> pa.Table:
+        counts = [len((x or "").split())
+                  for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(counts, type=pa.int64())})
+
+    toks = (_docs_ds(sf_dir).map_batches(ntok, batch_format="pyarrow")
+            .to_pandas())
+    out = toks.merge(spans, on="doc_id", how="left").fillna(0)
+    for c in ("n_dup_windows", "n_covered"):
+        out[c] = out[c].astype("int64")
+    out["n_kept"] = out["n_tokens"] - out["n_covered"]
+    cols = ["doc_id", "n_tokens", "n_dup_windows", "n_covered", "n_kept"]
+    return out.sort_values("doc_id")[cols].reset_index(drop=True)
+
+
 def _q_spatial_bbox(sf_dir: str) -> pa.Table:
     """Rectangle spatial filter (Spatial/Vector/PointVectorStrategy two
     NumericRangeQuery form, ops/spatial.py bbox_filter) over the
@@ -6594,6 +6627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
         "substring_dedup": _q_substring_dedup,
+        "suffix_sorted_dedup": _q_suffix_sorted_dedup,
         "pack_sequences": _q_pack_sequences,
         "chunk_stats": _q_chunk_stats,
         "epoch_shuffle": _q_epoch_shuffle,
@@ -6820,6 +6854,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": so.gopher_quality_sql(),
         "c4_clean": so.c4_clean_sql(),
         "substring_dedup": so.substring_dedup_sql(5),
+        "suffix_sorted_dedup": so.substring_dedup_sorted_sql(5),
         "pack_sequences": so.pack_sequences_sql(128, 1),
         "chunk_stats": so.chunk_stats_sql(32, 8),
         "hybrid_rrf": so.hybrid_rrf_sql(HYBRID_TERMS, HYBRID_VEC_ID,

@@ -6533,3 +6533,38 @@ SELECT DISTINCT doc_id FROM (
   UNION ALL
   SELECT doc_id FROM kept WHERE term = '{body_term}'
 ) ORDER BY doc_id"""
+
+
+def substring_dedup_sorted_sql(k: int = 5) -> str:
+    """Sort-based substring-dedup oracle (ops/suffixsort.py
+    duplicated_window_spans_sorted): duplication decided by EXACT k-token
+    window string equality (the sorted path never hashes), otherwise the
+    substring_dedup_sql contract verbatim."""
+    key = f"array_to_string(arr[i:i+{k - 1}], ' ')"
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i, {key} AS w
+  FROM toks, LATERAL (SELECT unnest(range(1, len(arr) - {k} + 2)) AS i) r
+  WHERE len(arr) >= {k}
+),
+dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+marked AS (SELECT ws.doc_id, ws.i FROM wins ws JOIN dup USING (w)),
+cover AS (
+  SELECT DISTINCT doc_id, p
+  FROM marked, LATERAL (SELECT unnest(range(i, i + {k})) AS p) q
+),
+agg AS (SELECT doc_id, count(*) AS n_dup_windows FROM marked GROUP BY doc_id),
+cov AS (SELECT doc_id, count(*) AS n_covered FROM cover GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.arr) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(len(t.arr) - COALESCE(c.n_covered, 0) AS BIGINT) AS n_kept
+FROM toks t
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+ORDER BY t.doc_id"""
