@@ -3977,6 +3977,29 @@ def _q_substring_dedup(sf_dir: str) -> Any:
     return out.sort_values("doc_id")[cols].reset_index(drop=True)
 
 
+def _q_blocklist_scan(sf_dir: str) -> pa.Table:
+    """Aho-Corasick multi-pattern blocklist scan (ops/ahocorasick.py;
+    Aho & Corasick 1975): ONE automaton pass per doc vs the whole
+    pattern list (overlap-heavy set incl. suffix patterns and common
+    substrings), per-pattern doc and occurrence counts. Automaton built
+    once per actor in __init__; per-batch partials + one tiny groupby."""
+    from lucenenet_ray.ops.ahocorasick import DEFAULT_PATTERNS, blocklist_scan
+
+    return blocklist_scan(_docs_ds(sf_dir), DEFAULT_PATTERNS)
+
+
+def _q_winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """Winnowing fingerprints (ops/winnow.py; Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS overlap detector): k-gram hash stream, window
+    min with rightmost tie rule, distinct (pos, hash) fingerprints;
+    n_shared_fp counts fingerprints whose hash >= 2 distinct docs hold.
+    Selection is a stateless vectorized map (winnowing IS the combiner:
+    ~1/w of grams survive); sharing = ONE groupby(h)."""
+    from lucenenet_ray.ops.winnow import winnow_stats
+
+    return winnow_stats(_docs_ds(sf_dir))
+
+
 def _q_suffix_sorted_dedup(sf_dir: str) -> Any:
     """Sort-based exact-substring dedup (ops/suffixsort.py — the Lee et
     al. 2022 suffix-array practice, k-truncated: global ds.sort over the
@@ -6628,6 +6651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": _q_c4_clean,
         "substring_dedup": _q_substring_dedup,
         "suffix_sorted_dedup": _q_suffix_sorted_dedup,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "blocklist_scan": _q_blocklist_scan,
         "pack_sequences": _q_pack_sequences,
         "chunk_stats": _q_chunk_stats,
         "epoch_shuffle": _q_epoch_shuffle,
@@ -6734,6 +6759,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for name in _SIMBASE_GATE:
         out[name] = _make_simbase_query(name)
     return out
+
+
+def _blocklist_oracle() -> str:
+    from lucenenet_ray.ops.ahocorasick import DEFAULT_PATTERNS
+
+    return so.blocklist_scan_sql(DEFAULT_PATTERNS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6855,6 +6886,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": so.c4_clean_sql(),
         "substring_dedup": so.substring_dedup_sql(5),
         "suffix_sorted_dedup": so.substring_dedup_sorted_sql(5),
+        "winnow_fingerprints": so.winnow_stats_sql(3, 4),
+        "blocklist_scan": _blocklist_oracle(),
         "pack_sequences": so.pack_sequences_sql(128, 1),
         "chunk_stats": so.chunk_stats_sql(32, 8),
         "hybrid_rrf": so.hybrid_rrf_sql(HYBRID_TERMS, HYBRID_VEC_ID,

@@ -6568,3 +6568,78 @@ FROM toks t
 LEFT JOIN agg a USING (doc_id)
 LEFT JOIN cov c USING (doc_id)
 ORDER BY t.doc_id"""
+
+
+def winnow_stats_sql(k: int = 3, w: int = 4) -> str:
+    """Winnowing fingerprint oracle (ops/winnow.py, Schleimer et al.
+    2003): token k-gram md5_int31 hashes, window-of-w min with the
+    RIGHTMOST-position tie rule, distinct (doc, pos, hash) fingerprints,
+    shared = hash held by >= 2 distinct docs. Zeros via LEFT JOIN."""
+    h = _MD5_INT31.format(s=f"array_to_string(arr[i:i+{k - 1}], ' ')")
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i, {h} AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, len(arr) - {k} + 2)) AS i) r
+  WHERE len(arr) >= {k}
+),
+wins AS (
+  SELECT doc_id, i AS j,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+           AS wmin,
+         count(*) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+           AS wlen
+  FROM grams
+),
+sel AS (
+  SELECT ws.doc_id, max(g.i) AS p, ws.wmin AS h
+  FROM wins ws JOIN grams g
+    ON g.doc_id = ws.doc_id AND g.i BETWEEN ws.j AND ws.j + {w - 1}
+   AND g.h = ws.wmin
+  WHERE ws.wlen = {w}
+  GROUP BY ws.doc_id, ws.j, ws.wmin
+),
+fp AS (SELECT DISTINCT doc_id, p, h FROM sel),
+shr AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM fp GROUP BY h)
+  WHERE c >= 2
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         CAST(count(*) FILTER (WHERE h IN (SELECT h FROM shr)) AS BIGINT)
+           AS n_shared_fp
+  FROM fp GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_fp, 0) AS n_fp,
+       COALESCE(a.n_shared_fp, 0) AS n_shared_fp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+def blocklist_scan_sql(patterns: tuple[str, ...]) -> str:
+    """Aho-Corasick blocklist oracle (ops/ahocorasick.py blocklist_scan):
+    per pattern, ALL substring occurrence positions (overlapping included
+    — substr probe at every start, which is what the automaton's output
+    links emit) over the raw text; n_docs = docs with >= 1 hit. Patterns
+    are literals; zero-count patterns still report a row."""
+    arms = []
+    for p in sorted(set(patterns)):
+        esc = p.replace("'", "''")
+        arms.append(f"""SELECT '{esc}' AS pattern, doc_id,
+       CAST(count(*) FILTER (
+         WHERE substr(text, i, {len(p)}) = '{esc}') AS BIGINT) AS occ
+FROM documents, LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i) r
+GROUP BY doc_id""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""WITH hits AS (
+{body}
+)
+SELECT pattern,
+       CAST(count(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_docs,
+       CAST(SUM(occ) AS BIGINT) AS n_occurrences
+FROM hits GROUP BY pattern ORDER BY pattern"""
