@@ -3977,6 +3977,35 @@ def _q_substring_dedup(sf_dir: str) -> Any:
     return out.sort_values("doc_id")[cols].reset_index(drop=True)
 
 
+def _q_cohort_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention table (ops/cohort.py): cohort = first-event day
+    per user (one groupby over users), broadcast user→cohort map, one
+    distinct-(cell,user) groupby over the event stream — the standard
+    product-analytics cohort matrix, exact at any parallelism."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.cohort import cohort_retention
+
+    return cohort_retention(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "ts"]))
+
+
+def _q_events_quantiles(sf_dir: str) -> pa.Table:
+    """Exact discrete p50/p90/p99 of `value` per event_type
+    (ops/cohort.py value_quantiles): distinct-value histogram groupby
+    bounds driver state by |distinct values|; rank-select k =
+    (n-1)*q//100 + 1 — the scale-safe exact-quantile shape (no sketch,
+    no approximation)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.cohort import value_quantiles
+
+    return value_quantiles(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_type", "value"]))
+
+
 def _q_blocklist_scan(sf_dir: str) -> pa.Table:
     """Aho-Corasick multi-pattern blocklist scan (ops/ahocorasick.py;
     Aho & Corasick 1975): ONE automaton pass per doc vs the whole
@@ -6653,6 +6682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suffix_sorted_dedup": _q_suffix_sorted_dedup,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "blocklist_scan": _q_blocklist_scan,
+        "cohort_retention": _q_cohort_retention,
+        "events_quantiles": _q_events_quantiles,
         "pack_sequences": _q_pack_sequences,
         "chunk_stats": _q_chunk_stats,
         "epoch_shuffle": _q_epoch_shuffle,
@@ -6888,6 +6919,8 @@ def oracle_sql() -> dict[str, str]:
         "suffix_sorted_dedup": so.substring_dedup_sorted_sql(5),
         "winnow_fingerprints": so.winnow_stats_sql(3, 4),
         "blocklist_scan": _blocklist_oracle(),
+        "cohort_retention": so.cohort_retention_sql(),
+        "events_quantiles": so.value_quantiles_sql((50, 90, 99)),
         "pack_sequences": so.pack_sequences_sql(128, 1),
         "chunk_stats": so.chunk_stats_sql(32, 8),
         "hybrid_rrf": so.hybrid_rrf_sql(HYBRID_TERMS, HYBRID_VEC_ID,

@@ -1,0 +1,104 @@
+"""Cohort retention + exact distributed quantiles over the events table —
+the product-analytics pair every event pipeline ships (cohort tables:
+Kohavi et al., "Trustworthy Online Controlled Experiments" §21; exact
+rank-select quantiles instead of approximate sketches when the value
+domain is bounded).
+
+Both ops are exact at any parallelism:
+
+- :func:`cohort_retention` — cohort(u) = day index of u's first event;
+  a (cohort_day, day_offset) cell counts DISTINCT users active
+  day_offset days after their cohort day. Shape: one
+  ``groupby(user_id).min(ts)`` (users ≪ events), broadcast the
+  user→cohort map via ``ray.put``, then one distinct-pair groupby —
+  the events stream is read once, never collected.
+
+- :func:`value_quantiles` — exact discrete quantiles per event_type via
+  the distinct-value histogram: ONE ``groupby(event_type, value).count``
+  bounds driver state by |distinct values| (the corpus stream never
+  lands on the driver), then the driver rank-selects the k-th smallest
+  with k = floor((n-1) * q) + 1 — the same scale-safe exact-quantile
+  shape as ops/lm_quality.lm_perplexity_buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_EPOCH = np.datetime64("2024-01-01", "D")
+
+
+def _day_idx(ts: np.ndarray) -> np.ndarray:
+    """timestamp[us] array → int64 day index since the corpus epoch."""
+    return (ts.astype("datetime64[D]") - _EPOCH).astype(np.int64)
+
+
+def cohort_retention(ds) -> pa.Table:
+    """(cohort_day, day_offset, n_users) — distinct users per cell,
+    (cohort_day, day_offset)-sorted."""
+    import ray
+
+    first = (ds.map_batches(
+        lambda t: pa.table({"user_id": t.column("user_id"),
+                            "ts": t.column("ts")}),
+        batch_format="pyarrow")
+        .groupby("user_id").min("ts").to_pandas())
+    cohort = dict(zip(
+        first["user_id"].tolist(),
+        _day_idx(first["min(ts)"].to_numpy()).tolist()))
+    cref = ray.put(cohort)
+
+    def cells(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        days = _day_idx(t.column("ts").to_numpy(zero_copy_only=False))
+        coh = np.asarray([cm[int(u)] for u in users], dtype=np.int64)
+        return pa.table({
+            "cohort_day": pa.array(coh, type=pa.int64()),
+            "day_offset": pa.array(days - coh, type=pa.int64()),
+            "user_id": pa.array(users.astype(np.int64), type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(cells, batch_format="pyarrow")
+             .groupby(["cohort_day", "day_offset", "user_id"]).count()
+             .groupby(["cohort_day", "day_offset"]).count().to_pandas())
+    agg = agg.sort_values(["cohort_day", "day_offset"])
+    return pa.table({
+        "cohort_day": pa.array(agg["cohort_day"].to_numpy(dtype=np.int64)),
+        "day_offset": pa.array(agg["day_offset"].to_numpy(dtype=np.int64)),
+        "n_users": pa.array(agg["count()"].to_numpy(dtype=np.int64)),
+    })
+
+
+QUANTILES = (50, 90, 99)
+
+
+def value_quantiles(ds, qs: tuple[int, ...] = QUANTILES) -> pa.Table:
+    """(event_type, q, value) exact discrete quantiles of `value` per
+    event_type: the k-th smallest with k = floor((n-1) * q/100) + 1
+    (1-based) — selected from the distinct-value histogram."""
+    hist = (ds.map_batches(
+        lambda t: pa.table({"event_type": t.column("event_type"),
+                            "value": t.column("value")}),
+        batch_format="pyarrow")
+        .groupby(["event_type", "value"]).count().to_pandas())
+    out_t, out_q, out_v = [], [], []
+    for et, grp in hist.groupby("event_type"):
+        g = grp.sort_values("value")
+        vals = g["value"].to_numpy()
+        cnt = g["count()"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        for q in qs:
+            k = (n - 1) * q // 100 + 1
+            v = vals[int(np.searchsorted(cum, k))]
+            out_t.append(et)
+            out_q.append(q)
+            out_v.append(float(v))
+    order = sorted(range(len(out_t)), key=lambda i: (out_t[i], out_q[i]))
+    return pa.table({
+        "event_type": pa.array([out_t[i] for i in order], type=pa.string()),
+        "q": pa.array([out_q[i] for i in order], type=pa.int64()),
+        "value": pa.array([out_v[i] for i in order], type=pa.float64()),
+    })

@@ -6643,3 +6643,42 @@ SELECT pattern,
        CAST(count(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_docs,
        CAST(SUM(occ) AS BIGINT) AS n_occurrences
 FROM hits GROUP BY pattern ORDER BY pattern"""
+
+
+def cohort_retention_sql() -> str:
+    """Cohort retention oracle (ops/cohort.py cohort_retention): cohort =
+    day index of the user's first event (epoch 2024-01-01, calendar-day
+    truncation), cells count DISTINCT users per (cohort_day, offset)."""
+    return """WITH f AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) AS coh
+  FROM events GROUP BY user_id
+),
+e AS (
+  SELECT ev.user_id, f.coh AS cohort_day,
+         date_diff('day', DATE '2024-01-01', CAST(ev.ts AS DATE)) - f.coh
+           AS day_offset
+  FROM events ev JOIN f USING (user_id)
+)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset"""
+
+
+def value_quantiles_sql(qs: tuple[int, ...] = (50, 90, 99)) -> str:
+    """Exact discrete quantile oracle (ops/cohort.py value_quantiles):
+    k-th smallest per event_type with k = (n-1)*q//100 + 1 (1-based) —
+    row_number over the value order; equal-rank ties share the value."""
+    vals = ", ".join(f"({q})" for q in qs)
+    return f"""WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+qs(q) AS (VALUES {vals})
+SELECT event_type, CAST(q AS BIGINT) AS q, value
+FROM ranked JOIN qs ON rn = (n - 1) * q // 100 + 1
+ORDER BY event_type, q"""
