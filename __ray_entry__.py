@@ -3977,6 +3977,24 @@ def _q_substring_dedup(sf_dir: str) -> Any:
     return out.sort_values("doc_id")[cols].reset_index(drop=True)
 
 
+def _q_triangle_counts(sf_dir: str) -> pa.Table:
+    """Distributed triangle counting (ops/triangles.py; Suri &
+    Vassilvitskii WWW'11 node-iterator) over the same md5 link graph as
+    `pagerank`/`hits`: edge dedup groupby -> per-node wedge explode ->
+    wedge∪edge close groupby -> per-node fold. Per-node triangle
+    memberships, exact at any parallelism."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.triangles import triangle_counts
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return triangle_counts(ds, n_nodes=n)
+
+
 def _q_cohort_retention(sf_dir: str) -> pa.Table:
     """Cohort retention table (ops/cohort.py): cohort = first-event day
     per user (one groupby over users), broadcast user→cohort map, one
@@ -6682,6 +6700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suffix_sorted_dedup": _q_suffix_sorted_dedup,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "blocklist_scan": _q_blocklist_scan,
+        "triangle_counts": _q_triangle_counts,
         "cohort_retention": _q_cohort_retention,
         "events_quantiles": _q_events_quantiles,
         "pack_sequences": _q_pack_sequences,
@@ -6919,6 +6938,7 @@ def oracle_sql() -> dict[str, str]:
         "suffix_sorted_dedup": so.substring_dedup_sorted_sql(5),
         "winnow_fingerprints": so.winnow_stats_sql(3, 4),
         "blocklist_scan": _blocklist_oracle(),
+        "triangle_counts": so.triangle_counts_sql(),
         "cohort_retention": so.cohort_retention_sql(),
         "events_quantiles": so.value_quantiles_sql((50, 90, 99)),
         "pack_sequences": so.pack_sequences_sql(128, 1),

@@ -6682,3 +6682,35 @@ qs(q) AS (VALUES {vals})
 SELECT event_type, CAST(q AS BIGINT) AS q, value
 FROM ranked JOIN qs ON rn = (n - 1) * q // 100 + 1
 ORDER BY event_type, q"""
+
+
+def triangle_counts_sql() -> str:
+    """Triangle-count oracle (ops/triangles.py): same md5 link graph as
+    pagerank_topk_sql, symmetrized + deduped to a < b edges; triangles
+    enumerated once via the x<y<z three-way join; per-node membership
+    counts by unnesting the triangle's vertices."""
+    md5 = _MD5_INT31.format(s="'link:'||CAST(u AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    return f"""WITH c AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS u FROM documents),
+dir_edges AS (
+  SELECT u, CASE WHEN t = u THEN (t + 1) % c.n ELSE t END AS v
+  FROM (
+    SELECT u, j, {md5} AS h
+    FROM nodes, LATERAL (SELECT unnest(range(3)) AS j) r
+    WHERE j < 1 + (u % 3)) e
+  CROSS JOIN c, LATERAL (SELECT e.h % c.n AS t) tt
+),
+und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM dir_edges
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+mem AS (
+  SELECT unnest([x, y, z]) AS node FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM mem GROUP BY node ORDER BY node"""
