@@ -5916,6 +5916,18 @@ def _q_spatiotextual_topk(sf_dir: str) -> Any:
                             bbox=SETQ_BBOX)
 
 
+def _q_containment_topk(sf_dir: str) -> Any:
+    """Containment top-k (ops/setsearch.py containment_topk; Zhu et al.
+    VLDB 2016 LSH Ensemble measure): |Q∩d|·10^9 // |distinct(d)| exact
+    integer fixed-point, query = doc 0's vocabulary — favors small
+    focused docs over large overlapping ones, the skew case containment
+    exists for. Broadcast-query zero-shuffle partial top-k."""
+    from lucenenet_ray.ops.setsearch import containment_topk
+
+    return containment_topk(_docs_ds(sf_dir),
+                            _set_query_tokens(sf_dir), k=10)
+
+
 def _q_greedy_cover(sf_dir: str) -> Any:
     """Greedy max-coverage corpus selection (ops/setsearch.py
     greedy_cover): 3 rounds of argmax-marginal-overlap against doc 0's
@@ -6761,6 +6773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_overlap_topk": _q_set_overlap_topk,
         "spatiotextual_topk": _q_spatiotextual_topk,
         "greedy_cover": _q_greedy_cover,
+        "containment_topk": _q_containment_topk,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7093,6 +7106,7 @@ def oracle_sql() -> dict[str, str]:
         "set_overlap_topk": so.set_overlap_topk_sql(0, 10),
         "spatiotextual_topk": so.set_overlap_topk_sql(0, 10, bbox=(-4500, 4500, -9000, 9000)),
         "greedy_cover": so.greedy_cover_sql(0, 3),
+        "containment_topk": so.containment_topk_sql(0, 10),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -156,3 +156,64 @@ def greedy_cover(ds, query_tokens: list[str], rounds: int = 3,
         "gain": pa.array(out_g, type=pa.int64()),
         "covered_total": pa.array(out_c, type=pa.int64()),
     })
+
+
+CONTAIN_SCALE = 10**9
+
+
+def containment_topk(ds, query_tokens: list[str], k: int = 10,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Top-k docs by CONTAINMENT of the doc in the query set — the LSH
+    Ensemble measure (Zhu, Nargesian, Pu & Miller, VLDB 2016: containment
+    |Q ∩ d| / |d| replaces Jaccard when set sizes are skewed). Scored in
+    exact integer fixed-point, score = (|Q ∩ d| * 10^9) // |distinct(d)|
+    (empty docs score 0), tie-break (score desc, doc_id asc) — bit-equal
+    at any parallelism and re-derivable in SQL.
+
+    Same shuffle-free shape as :func:`set_overlap_topk`: broadcast query
+    set, per-batch vectorized distinct-overlap + partial top-k, k·blocks
+    driver merge."""
+    import ray
+
+    qset = np.unique(np.asarray(
+        [q for q in query_tokens if q], dtype=object)).astype(str)
+    qref = ray.put(qset)
+
+    def part(t: pa.Table) -> pa.Table:
+        qs = ray.get(qref)
+        ids = t.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        texts = t.column(text_col).to_pylist()
+        sc = np.empty(len(ids), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            toks = np.unique([x for x in (txt or "").split(" ") if x])
+            if len(toks) == 0:
+                sc[i] = 0
+                continue
+            ov = int(np.isin(toks, qs, assume_unique=True).sum())
+            sc[i] = (ov * CONTAIN_SCALE) // len(toks)
+        sel = np.lexsort((ids, -sc))[:min(k, len(ids))]
+        return pa.table({
+            id_col: pa.array(ids[sel], type=pa.int64()),
+            "score": pa.array(sc[sel], type=pa.int64()),
+        })
+
+    parts = []
+    for ref in ds.map_batches(part, batch_format="pyarrow").to_arrow_refs():
+        tab = ray.get(ref)
+        if tab.num_rows and id_col in tab.schema.names:
+            parts.append(tab)
+    if not parts:
+        return pa.table({"rank": pa.array([], type=pa.int64()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.int64())})
+    t = pa.concat_tables(parts)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    sc = t.column("score").to_numpy(zero_copy_only=False)
+    sel = np.lexsort((ids, -sc))[:k]
+    return pa.table({
+        "rank": pa.array(range(1, len(sel) + 1), type=pa.int64()),
+        id_col: pa.array(ids[sel], type=pa.int64()),
+        "score": pa.array(sc[sel], type=pa.int64()),
+    })

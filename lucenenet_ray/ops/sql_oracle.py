@@ -6714,3 +6714,38 @@ mem AS (
 )
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM mem GROUP BY node ORDER BY node"""
+
+
+def containment_topk_sql(query_doc: int = 0, k: int = 10) -> str:
+    """Containment top-k oracle (ops/setsearch.py containment_topk, the
+    LSH Ensemble measure): score = (|Q ∩ d| * 10^9) // |distinct(d)|
+    in exact integer fixed-point (empty docs score 0), (score desc,
+    doc_id asc) top-k over ALL docs."""
+    return f"""WITH q AS (
+  SELECT DISTINCT term FROM (
+    SELECT unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE doc_id = {query_doc})
+  WHERE term <> ''
+),
+dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+),
+st AS (
+  SELECT d.doc_id,
+         count(*) AS nd,
+         count(*) FILTER (WHERE dt.term IN (SELECT term FROM q)) AS ov
+  FROM documents d LEFT JOIN dt ON dt.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS BIGINT)
+         AS rank,
+       doc_id, sc AS score
+FROM (
+  SELECT doc_id,
+         CASE WHEN ov IS NULL OR nd = 0 OR ov = 0 THEN 0
+              ELSE CAST((ov * 1000000000) // nd AS BIGINT) END AS sc
+  FROM st)
+ORDER BY sc DESC, doc_id ASC
+LIMIT {k}"""

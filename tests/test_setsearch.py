@@ -95,3 +95,25 @@ def test_greedy_cover_matches_naive(ray_session):
                    out.column("gain").to_pylist(),
                    out.column("covered_total").to_pylist()))
     assert got == want
+
+
+def test_containment_prefers_small_docs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucenenet_ray.ops.setsearch import CONTAIN_SCALE, containment_topk
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b",                      # fully contained, small
+                 "a b c d e f g h",          # same overlap, diluted
+                 "a a b b",                  # distinct = {a,b}: full
+                 "x y z"],                   # zero overlap
+    })).repartition(3)
+    t = containment_topk(ds, ["a", "b"], k=4)
+    rows = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("score").to_pylist()))
+    full = CONTAIN_SCALE
+    assert rows[0] == (0, full) and rows[1] == (2, full)  # ties: id asc
+    assert rows[2] == (1, (2 * CONTAIN_SCALE) // 8)
+    assert rows[3] == (3, 0)
