@@ -5916,6 +5916,31 @@ def _q_spatiotextual_topk(sf_dir: str) -> Any:
                             bbox=SETQ_BBOX)
 
 
+def _q_props_extract(sf_dir: str) -> pa.Table:
+    """Schema-on-read JSON extraction over events.props (ops/cohort.py
+    props_extract_stats): parse-per-row inside one map_batches emitting
+    per-batch partial (event_type, k//10) cells with exact centi-scaled
+    integer value sums; one tiny groupby finalize vs the DuckDB
+    json_extract oracle."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.cohort import props_extract_stats
+
+    return props_extract_stats(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_type", "value", "props"]))
+
+
+def _q_snapshot_diff(sf_dir: str) -> pa.Table:
+    """Snapshot diff / CDC (ops/snapshot_diff.py): two md5-synthesized
+    crawl snapshots classified added/changed/removed/unchanged — each
+    side streams (key, digest) rows (16 bytes/doc over the wire, text
+    never shipped), ONE groupby(key) classifies, tiny status fold."""
+    from lucenenet_ray.ops.snapshot_diff import snapshot_diff_counts
+
+    return snapshot_diff_counts(_docs_ds(sf_dir))
+
+
 def _q_containment_topk(sf_dir: str) -> Any:
     """Containment top-k (ops/setsearch.py containment_topk; Zhu et al.
     VLDB 2016 LSH Ensemble measure): |Q∩d|·10^9 // |distinct(d)| exact
@@ -6774,6 +6799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatiotextual_topk": _q_spatiotextual_topk,
         "greedy_cover": _q_greedy_cover,
         "containment_topk": _q_containment_topk,
+        "snapshot_diff": _q_snapshot_diff,
+        "props_extract": _q_props_extract,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7107,6 +7134,8 @@ def oracle_sql() -> dict[str, str]:
         "spatiotextual_topk": so.set_overlap_topk_sql(0, 10, bbox=(-4500, 4500, -9000, 9000)),
         "greedy_cover": so.greedy_cover_sql(0, 3),
         "containment_topk": so.containment_topk_sql(0, 10),
+        "snapshot_diff": so.snapshot_diff_sql(),
+        "props_extract": so.props_extract_sql(),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -102,3 +102,53 @@ def value_quantiles(ds, qs: tuple[int, ...] = QUANTILES) -> pa.Table:
         "q": pa.array([out_q[i] for i in order], type=pa.int64()),
         "value": pa.array([out_v[i] for i in order], type=pa.float64()),
     })
+
+
+def props_extract_stats(ds) -> pa.Table:
+    """Semi-structured (JSON) column extraction + rollup — the
+    schema-on-read pass event pipelines run before any typed analytics:
+    parse ``props`` JSON per row, bucket the numeric field (k // 10), and
+    aggregate (event_type, k_bucket) cells with exact integer sums
+    (value centi-scaled via round(value*100) — both engine and SQL
+    compute it from the SAME stored double, so distribution order can't
+    move a bit).
+
+    Shape: stateless vectorized-ish parse inside ONE ``map_batches``
+    emitting per-batch partial cells (the combiner: cells ≪ rows), one
+    tiny groupby finalize. Returns (event_type, k_bucket, n_events,
+    value_centi_sum) sorted."""
+    import json
+
+    def cells(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        props = t.column("props").to_pylist()
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        centi = np.rint(vals * 100).astype(np.int64)
+        agg: dict = {}
+        for e, p, c in zip(et, props, centi.tolist()):
+            k = int(json.loads(p or "{}").get("k", 0))
+            key = (e, k // 10)
+            n, s = agg.get(key, (0, 0))
+            agg[key] = (n + 1, s + c)
+        ks = sorted(agg)
+        return pa.table({
+            "event_type": pa.array([k[0] for k in ks], type=pa.string()),
+            "k_bucket": pa.array([k[1] for k in ks], type=pa.int64()),
+            "n_events": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+            "value_centi_sum": pa.array([agg[k][1] for k in ks],
+                                        type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(cells, batch_format="pyarrow")
+           .groupby(["event_type", "k_bucket"])
+           .sum(["n_events", "value_centi_sum"]).to_pandas())
+    agg = agg.sort_values(["event_type", "k_bucket"])
+    return pa.table({
+        "event_type": pa.array(agg["event_type"].tolist(),
+                               type=pa.string()),
+        "k_bucket": pa.array(agg["k_bucket"].to_numpy(dtype=np.int64)),
+        "n_events": pa.array(
+            agg["sum(n_events)"].to_numpy(dtype=np.int64)),
+        "value_centi_sum": pa.array(
+            agg["sum(value_centi_sum)"].to_numpy(dtype=np.int64)),
+    })

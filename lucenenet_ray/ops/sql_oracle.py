@@ -6749,3 +6749,52 @@ FROM (
   FROM st)
 ORDER BY sc DESC, doc_id ASC
 LIMIT {k}"""
+
+
+def snapshot_diff_sql() -> str:
+    """Snapshot-diff oracle (ops/snapshot_diff.py): same md5 membership +
+    mutation rules; changed <=> both sides present and the chg rule fired
+    (appending ' v2' always changes the digest); all four statuses
+    reported with zeros."""
+    ho = _MD5_INT31.format(s="'old:' || CAST(doc_id AS VARCHAR)")
+    hn = _MD5_INT31.format(s="'new:' || CAST(doc_id AS VARCHAR)")
+    hc = _MD5_INT31.format(s="'chg:' || CAST(doc_id AS VARCHAR)")
+    return f"""WITH m AS (
+  SELECT doc_id,
+         ({ho}) % 4 <> 0 AS in_old,
+         ({hn}) % 4 <> 0 AS in_new,
+         ({hc}) % 5 = 0 AS chg
+  FROM documents
+),
+st AS (
+  SELECT CASE
+           WHEN in_old AND in_new AND chg THEN 'changed'
+           WHEN in_old AND in_new THEN 'unchanged'
+           WHEN in_new THEN 'added'
+           ELSE 'removed'
+         END AS status
+  FROM m WHERE in_old OR in_new
+),
+names(status) AS (VALUES ('added'), ('changed'), ('removed'), ('unchanged'))
+SELECT names.status,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_docs
+FROM names LEFT JOIN (
+  SELECT status, count(*) AS n FROM st GROUP BY status) c USING (status)
+ORDER BY names.status"""
+
+
+def props_extract_sql() -> str:
+    """JSON props rollup oracle (ops/cohort.py props_extract_stats):
+    json_extract the k field, bucket k // 10, exact integer centi-sums
+    from round(value * 100) over the same stored doubles."""
+    return """WITH x AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS k_bucket,
+         CAST(round(value * 100) AS BIGINT) AS centi
+  FROM events
+)
+SELECT event_type, CAST(k_bucket AS BIGINT) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(centi) AS BIGINT) AS value_centi_sum
+FROM x GROUP BY event_type, k_bucket
+ORDER BY event_type, k_bucket"""
