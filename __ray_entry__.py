@@ -6629,7 +6629,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_after_delete": _q_bm25_after_delete,
         "bm25_multiphrase": _q_bm25_multiphrase,
         "span_near_count": _q_span_near,
-        "field_masked_span": _q_field_masked_span,
         "classic_tfidf": _q_classic_tfidf,
         "stored_fields": _q_stored_fields,
         "spell_suggest": _q_spell_suggest,
@@ -6760,6 +6759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": _q_curation_funnel,
         "tiered_compaction_bm25": _q_tiered_compaction_bm25,
         "span_position_range_count": _q_span_position_range,
+        "field_masked_span": _q_field_masked_span,
         "writer_api_bm25": _q_writer_api_bm25,
         "paragraph_dedup": _q_paragraph_dedup,
         "suggest_doc_dict": _q_suggest_doc_dict,
