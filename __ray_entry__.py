@@ -5931,6 +5931,32 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+_CONT_IDX_CACHE: dict[str, str] = {}
+
+
+def _q_containment_topk_pruned(sf_dir: str) -> Any:
+    """Size-bucketed containment index (ops/containment_idx.py — the LSH
+    Ensemble partition-by-size idea as an EXACT index): corpus token sets
+    hive-partitioned by |distinct| bucket once; the query visits buckets
+    in descending provable-upper-bound order and SKIPS fragments that
+    cannot beat the running k-th score — genuine partition pruning.
+    Same oracle as `containment_topk` (exactness is the point)."""
+    from lucenenet_ray.ops.containment_idx import (
+        build_containment_index, containment_topk_indexed)
+
+    key = _sf_key(sf_dir)
+    if key not in _CONT_IDX_CACHE:
+        out = f"/tmp/lucenenet_ray_contidx/{key}"
+        if not os.path.exists(os.path.join(out, "_BUILT")):
+            build_containment_index(_docs_ds(sf_dir), out)
+            with open(os.path.join(out, "_BUILT"), "w") as f:
+                f.write("ok")
+        _CONT_IDX_CACHE[key] = out
+    t, _read, _pruned = containment_topk_indexed(
+        _CONT_IDX_CACHE[key], _set_query_tokens(sf_dir), k=10)
+    return t
+
+
 def _q_snapshot_diff(sf_dir: str) -> pa.Table:
     """Snapshot diff / CDC (ops/snapshot_diff.py): two md5-synthesized
     crawl snapshots classified added/changed/removed/unchanged — each
@@ -6799,6 +6825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatiotextual_topk": _q_spatiotextual_topk,
         "greedy_cover": _q_greedy_cover,
         "containment_topk": _q_containment_topk,
+        "containment_topk_pruned": _q_containment_topk_pruned,
         "snapshot_diff": _q_snapshot_diff,
         "props_extract": _q_props_extract,
         "incremental_near_dup": _q_incremental_near_dup,
@@ -7134,6 +7161,7 @@ def oracle_sql() -> dict[str, str]:
         "spatiotextual_topk": so.set_overlap_topk_sql(0, 10, bbox=(-4500, 4500, -9000, 9000)),
         "greedy_cover": so.greedy_cover_sql(0, 3),
         "containment_topk": so.containment_topk_sql(0, 10),
+        "containment_topk_pruned": so.containment_topk_sql(0, 10),
         "snapshot_diff": so.snapshot_diff_sql(),
         "props_extract": so.props_extract_sql(),
         "incremental_near_dup": so.incremental_minhash_sql(),

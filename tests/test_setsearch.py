@@ -117,3 +117,31 @@ def test_containment_prefers_small_docs(ray_session):
     assert rows[0] == (0, full) and rows[1] == (2, full)  # ties: id asc
     assert rows[2] == (1, (2 * CONTAIN_SCALE) // 8)
     assert rows[3] == (3, 0)
+
+
+def test_containment_index_prunes_and_matches(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucenenet_ray.ops.containment_idx import (
+        build_containment_index, containment_topk_indexed)
+    from lucenenet_ray.ops.setsearch import containment_topk
+
+    # wide size spread -> many buckets; small docs fully contained
+    texts = (["a b"] * 3
+             + ["a b c d"] * 3
+             + [" ".join(f"w{i}_{j}" for j in range(40)) + " a"
+                for i in range(6)]
+             + [" ".join(f"x{i}_{j}" for j in range(300))
+                for i in range(4)])
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))), "text": texts})).repartition(4)
+    out = str(tmp_path / "cidx")
+    build_containment_index(ds, out)
+    got, read, pruned = containment_topk_indexed(out, ["a", "b"], k=5)
+    want = containment_topk(ds, ["a", "b"], k=5)
+    assert got.equals(want)
+    # the giant-doc bucket (nd ~ 300 -> ub = 2*S//256) can never beat the
+    # full-containment small docs -> it must have been pruned
+    assert pruned, (read, pruned)
+    assert max(pruned) >= 9  # the 256..511 size bucket
