@@ -5931,6 +5931,21 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_session_pairs(sf_dir: str) -> pa.Table:
+    """Session co-click pair mining (ops/clickpairs.py; item2vec-style
+    positive-pair extraction): 30-min-gap sessions, DISTINCT props.k
+    items, unordered pairs counted once per session — one user groupby
+    (bounded pair explode) + one pair groupby. Top-25."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.clickpairs import session_pairs_topk
+
+    return session_pairs_topk(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_id", "ts", "user_id", "props"]),
+        k=25)
+
+
 _CONT_IDX_CACHE: dict[str, str] = {}
 
 
@@ -6828,6 +6843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_topk_pruned": _q_containment_topk_pruned,
         "snapshot_diff": _q_snapshot_diff,
         "props_extract": _q_props_extract,
+        "session_pairs": _q_session_pairs,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7164,6 +7180,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_topk_pruned": so.containment_topk_sql(0, 10),
         "snapshot_diff": so.snapshot_diff_sql(),
         "props_extract": so.props_extract_sql(),
+        "session_pairs": so.session_pairs_sql(25),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -6798,3 +6798,35 @@ SELECT event_type, CAST(k_bucket AS BIGINT) AS k_bucket,
        CAST(SUM(centi) AS BIGINT) AS value_centi_sum
 FROM x GROUP BY event_type, k_bucket
 ORDER BY event_type, k_bucket"""
+
+
+def session_pairs_sql(k: int = 25, gap_us: int = 30 * 60 * 1_000_000) -> str:
+    """Co-click pair oracle (ops/clickpairs.py session_pairs_topk): same
+    30-min-gap sessionization (ts, event_id order), items = props.k,
+    DISTINCT items per session, unordered pairs counted once per
+    session, (n_sessions desc, a, b) top-k."""
+    return f"""WITH x AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS item,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, item,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x
+),
+si AS (SELECT DISTINCT user_id, sess, item FROM s),
+p AS (
+  SELECT a.item AS ia, b.item AS ib
+  FROM si a JOIN si b
+    ON a.user_id = b.user_id AND a.sess = b.sess AND a.item < b.item
+)
+SELECT CAST(ia AS BIGINT) AS item_a, CAST(ib AS BIGINT) AS item_b,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY ia, ib
+ORDER BY n_sessions DESC, item_a ASC, item_b ASC
+LIMIT {k}"""
