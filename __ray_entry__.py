@@ -5931,6 +5931,16 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_cdc_chunk_dedup(sf_dir: str) -> pa.Table:
+    """Content-defined chunking dedup (ops/cdc_chunks.py; LBFS SOSP'01 /
+    FastCDC ATC'16 family): window-fingerprint cut rule, chunk-digest
+    corpus dedup — only 60-bit digests cross the wire, chunk text never
+    ships. Per-doc (n_chunks, n_dup_chunks, dup_bytes) with zeros."""
+    from lucenenet_ray.ops.cdc_chunks import cdc_dedup_stats
+
+    return cdc_dedup_stats(_docs_ds(sf_dir))
+
+
 def _q_session_pairs(sf_dir: str) -> pa.Table:
     """Session co-click pair mining (ops/clickpairs.py; item2vec-style
     positive-pair extraction): 30-min-gap sessions, DISTINCT props.k
@@ -6844,6 +6854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "props_extract": _q_props_extract,
         "session_pairs": _q_session_pairs,
+        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7181,6 +7192,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": so.snapshot_diff_sql(),
         "props_extract": so.props_extract_sql(),
         "session_pairs": so.session_pairs_sql(25),
+        "cdc_chunk_dedup": so.cdc_dedup_sql(8, 64),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -6830,3 +6830,49 @@ SELECT CAST(ia AS BIGINT) AS item_a, CAST(ib AS BIGINT) AS item_b,
 FROM p GROUP BY ia, ib
 ORDER BY n_sessions DESC, item_a ASC, item_b ASC
 LIMIT {k}"""
+
+
+def cdc_dedup_sql(w: int = 8, d: int = 64) -> str:
+    """CDC chunk-dedup oracle (ops/cdc_chunks.py): positional probe of the
+    window fingerprint cut rule, chunk spans via lag over the cut set
+    (doc end unioned in), 60-bit chunk digests, corpus dup decision by
+    digest count >= 2; zeros via LEFT JOIN."""
+    cut = _MD5_INT31.format(s=f"substr(text, i - {w} + 1, {w})")
+    return f"""WITH t AS (SELECT doc_id, text, len(text) AS n FROM documents),
+cuts AS (
+  SELECT doc_id, i
+  FROM t, LATERAL (SELECT unnest(range({w}, n + 1)) AS i) r
+  WHERE ({cut}) % {d} = 0
+),
+ends AS (
+  SELECT doc_id, i AS e FROM cuts
+  UNION
+  SELECT doc_id, n AS e FROM t WHERE n > 0
+),
+spans AS (
+  SELECT doc_id,
+         COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS a,
+         e AS b
+  FROM ends
+),
+ch AS (
+  SELECT s.doc_id, s.b - s.a + 1 AS nb,
+         CAST(('0x' || substr(md5(substr(t.text, s.a, s.b - s.a + 1)), 1, 15))
+              AS BIGINT) AS h
+  FROM spans s JOIN t USING (doc_id)
+),
+dup AS (SELECT h FROM ch GROUP BY h HAVING count(*) >= 2),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(count(*) FILTER (WHERE h IN (SELECT h FROM dup)) AS BIGINT)
+           AS n_dup_chunks,
+         CAST(COALESCE(SUM(nb) FILTER (WHERE h IN (SELECT h FROM dup)), 0)
+              AS BIGINT) AS dup_bytes
+  FROM ch GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       COALESCE(a.n_chunks, 0) AS n_chunks,
+       COALESCE(a.n_dup_chunks, 0) AS n_dup_chunks,
+       COALESCE(a.dup_bytes, 0) AS dup_bytes
+FROM documents doc LEFT JOIN agg a USING (doc_id)
+ORDER BY doc.doc_id"""

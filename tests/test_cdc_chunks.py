@@ -1,0 +1,60 @@
+"""Content-defined chunking dedup (ops/cdc_chunks.py)."""
+
+import pyarrow as pa
+import pytest
+
+from lucenenet_ray.ops.cdc_chunks import (CDC_D, CDC_W, cdc_dedup_stats,
+                                          doc_chunks)
+from lucenenet_ray.ops.neardup import md5_int31
+
+
+def _ds(texts, parallelism=3):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))), "text": texts})) \
+        .repartition(parallelism)
+
+
+def test_chunks_partition_text():
+    txt = "x" * 500
+    spans = doc_chunks(txt)
+    # spans tile [1, len] exactly
+    assert spans[0][0] == 1 and spans[-1][1] == 500
+    for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+        assert a2 == b1 + 1
+    # every internal boundary satisfies the cut rule
+    for a, b in spans[:-1]:
+        assert md5_int31(txt[b - CDC_W:b]) % CDC_D == 0
+
+
+def test_offset_invariance():
+    """The CDC property: shifting content does not change interior
+    chunks — identical suffixes chunk identically past the first cut."""
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    shifted = "PREFIX-123 " + base
+    c1 = {base[a - 1:b] for a, b in doc_chunks(base)}
+    c2 = {shifted[a - 1:b] for a, b in doc_chunks(shifted)}
+    assert len(c1 & c2) >= len(c1) - 2  # all but the head chunk survive
+
+
+def test_short_and_empty_docs():
+    assert doc_chunks("") == []
+    assert doc_chunks("abc") == [(1, 3)]  # shorter than w: one chunk
+
+
+def test_dedup_stats(ray_session):
+    a = "alpha beta gamma delta " * 20
+    b = "totally different content here " * 20
+    t = cdc_dedup_stats(_ds([a, a, b, ""], parallelism=4))
+    rows = {d: (n, nd, db) for d, n, nd, db in zip(
+        t.column("doc_id").to_pylist(),
+        t.column("n_chunks").to_pylist(),
+        t.column("n_dup_chunks").to_pylist(),
+        t.column("dup_bytes").to_pylist())}
+    # exact dup docs: every chunk duplicated, full byte coverage
+    assert rows[0][1] == rows[0][0] and rows[0][2] == len(a)
+    assert rows[1] == rows[0]
+    # repeated phrase inside doc 2 may self-dup, but doc 3 is empty
+    assert rows[3] == (0, 0, 0)
+    assert t.column("doc_id").to_pylist() == [0, 1, 2, 3]
