@@ -5931,6 +5931,16 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_vocab_growth(sf_dir: str) -> pa.Table:
+    """Heaps-law vocabulary growth (ops/textstats.py vocab_growth):
+    distinct-token counts after the first n//10, n//4, n//2, n docs —
+    per-batch (term, min doc) combine, ONE groupby(term).min, driver
+    folds the vocab-bounded result into 4 checkpoints."""
+    from lucenenet_ray.ops.textstats import vocab_growth
+
+    return vocab_growth(_docs_ds(sf_dir))
+
+
 def _q_cdc_chunk_dedup(sf_dir: str) -> pa.Table:
     """Content-defined chunking dedup (ops/cdc_chunks.py; LBFS SOSP'01 /
     FastCDC ATC'16 family): window-fingerprint cut rule, chunk-digest
@@ -6855,6 +6865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": _q_props_extract,
         "session_pairs": _q_session_pairs,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
+        "vocab_growth": _q_vocab_growth,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7193,6 +7204,7 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": so.props_extract_sql(),
         "session_pairs": so.session_pairs_sql(25),
         "cdc_chunk_dedup": so.cdc_dedup_sql(8, 64),
+        "vocab_growth": so.vocab_growth_sql(),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -6876,3 +6876,27 @@ SELECT doc.doc_id,
        COALESCE(a.dup_bytes, 0) AS dup_bytes
 FROM documents doc LEFT JOIN agg a USING (doc_id)
 ORDER BY doc.doc_id"""
+
+
+def vocab_growth_sql() -> str:
+    """Heaps-law vocab-growth oracle (ops/textstats.py vocab_growth):
+    distinct raw tokens whose first-occurrence doc_id < checkpoint, at
+    N = n//10, n//4, n//2, n (computed in SQL so one string is exact at
+    every sf)."""
+    return """WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+firsts AS (
+  SELECT term, min(doc_id) AS m FROM raw WHERE term <> '' GROUP BY term
+),
+c AS (SELECT count(*) AS n FROM documents),
+cps AS (
+  SELECT n // 10 AS cp FROM c UNION ALL
+  SELECT n // 4 FROM c UNION ALL
+  SELECT n // 2 FROM c UNION ALL
+  SELECT n FROM c
+)
+SELECT CAST(cps.cp AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM firsts WHERE m < cps.cp) AS BIGINT)
+         AS vocab
+FROM cps ORDER BY n_docs"""

@@ -202,3 +202,43 @@ class FreqMass:
             "df_mass": pa.array(df_mass, type=pa.int64()),
             "n_kept": pa.array(n_kept, type=pa.int64()),
         })
+
+
+def vocab_growth(ds, text_col: str = "text",
+                 id_col: str = "doc_id") -> "pa.Table":
+    """Vocabulary-growth (Heaps' law) checkpoints — the corpus-curation
+    curve that answers "how fast does new data stop adding new words"
+    (Heaps 1978; used to size tokenizer vocabularies and detect corpus
+    saturation): vocab(N) = distinct raw tokens appearing in the first N
+    docs (doc_id order), at N = n//10, n//4, n//2, n.
+
+    Exact distributed shape: one ``map_batches`` emits per-batch
+    (term, min doc_id) partials (batch-local min — the combiner), ONE
+    ``groupby(term).min`` finalizes first-occurrence docs, and the
+    driver folds the vocab-bounded result into 4 checkpoint counts.
+    Returns (n_docs, vocab) rows, n_docs ascending."""
+    import numpy as np
+
+    def firsts(t: pa.Table) -> pa.Table:
+        best: dict = {}
+        for did, txt in zip(t.column(id_col).to_pylist(),
+                            t.column(text_col).to_pylist()):
+            for tok in set((txt or "").split(" ")):
+                if tok and (tok not in best or did < best[tok]):
+                    best[tok] = did
+        ks = sorted(best)
+        return pa.table({
+            "term": pa.array(ks, type=pa.string()),
+            "m": pa.array([best[k] for k in ks], type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(firsts, batch_format="pyarrow")
+           .groupby("term").min("m").to_pandas())
+    mins = np.sort(agg["min(m)"].to_numpy(dtype=np.int64))
+    n = ds.count()
+    cps = [n // 10, n // 4, n // 2, n]
+    return pa.table({
+        "n_docs": pa.array(cps, type=pa.int64()),
+        "vocab": pa.array([int(np.searchsorted(mins, cp, side="left"))
+                           for cp in cps], type=pa.int64()),
+    })

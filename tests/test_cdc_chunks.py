@@ -58,3 +58,17 @@ def test_dedup_stats(ray_session):
     # repeated phrase inside doc 2 may self-dup, but doc 3 is empty
     assert rows[3] == (0, 0, 0)
     assert t.column("doc_id").to_pylist() == [0, 1, 2, 3]
+
+
+def test_vocab_growth(ray_session):
+    from lucenenet_ray.ops.textstats import vocab_growth
+
+    texts = ["a b", "a c", "d", "a", "e f g", "a", "a", "h", "", "i"]
+    t = vocab_growth(_ds(texts, parallelism=4))
+    rows = dict(zip(t.column("n_docs").to_pylist(),
+                    t.column("vocab").to_pylist()))
+    # n=10: checkpoints 1, 2, 5, 10
+    assert rows == {1: 2,          # doc0: {a,b}
+                    2: 3,          # + doc1's c
+                    5: 7,          # + d, e, f, g
+                    10: 9}         # + h, i ('' never counts)
