@@ -5931,6 +5931,20 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_group_split(sf_dir: str) -> pa.Table:
+    """Leakage-free group-aware split (ops/domains.py group_split_counts;
+    GroupShuffleSplit contract / Kandpal et al. 2022 leakage): split
+    keyed on the DOMAIN md5, never the doc — one (split, domain)
+    distinct-pair groupby; domains structurally never straddle splits."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.domains import group_split_counts
+
+    return group_split_counts(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"]))
+
+
 def _q_vocab_growth(sf_dir: str) -> pa.Table:
     """Heaps-law vocabulary growth (ops/textstats.py vocab_growth):
     distinct-token counts after the first n//10, n//4, n//2, n docs —
@@ -6866,6 +6880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_pairs": _q_session_pairs,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "vocab_growth": _q_vocab_growth,
+        "group_split": _q_group_split,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7205,6 +7220,7 @@ def oracle_sql() -> dict[str, str]:
         "session_pairs": so.session_pairs_sql(25),
         "cdc_chunk_dedup": so.cdc_dedup_sql(8, 64),
         "vocab_growth": so.vocab_growth_sql(),
+        "group_split": so.group_split_sql(),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

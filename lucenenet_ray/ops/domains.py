@@ -165,3 +165,42 @@ def temperature_mix_stats(ds, c_mult: int = TMIX_C_MULT,
         "n_docs": pa.array(counts, type=pa.int64()),
         "n_kept": pa.array([kept[d] for d in domains], type=pa.int64()),
     })
+
+
+# --- Group-aware (leakage-free) dataset split: the sklearn GroupShuffleSplit
+# contract at corpus scale — the split is keyed on the GROUP (web domain),
+# never the document, so near-duplicate pages from one site can never
+# straddle train/validation/test (the leakage mode document-level random
+# splits suffer; Kandpal et al. 2022 measure exactly this effect for LMs).
+GSPLIT_NAMES = ("train", "val", "test")
+
+
+def group_split_counts(ds, id_col: str = "doc_id") -> pa.Table:
+    """(split, n_domains, n_docs) under split(domain) =
+    md5_int31("gsplit:" + domain) % 10 → 0-7 train / 8 val / 9 test.
+    Shape: one narrow (domain, split) distinct-pair groupby — the doc
+    stream is read once; by construction a domain appears in exactly one
+    split, so the contract is structural, not statistical."""
+    def cells(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        doms = synth_domains(ids)
+        splits = []
+        for dm in doms:
+            b = md5_int31(f"gsplit:{dm}") % 10
+            splits.append("train" if b < 8 else ("val" if b == 8 else "test"))
+        return pa.table({
+            "split": pa.array(splits, type=pa.string()),
+            "domain": pa.array(doms, type=pa.string()),
+        })
+
+    agg = (ds.map_batches(cells, batch_format="pyarrow")
+           .groupby(["split", "domain"]).count().to_pandas())
+    out = []
+    for s in GSPLIT_NAMES:
+        g = agg[agg["split"] == s]
+        out.append((s, len(g), int(g["count()"].sum())))
+    return pa.table({
+        "split": pa.array([r[0] for r in out], type=pa.string()),
+        "n_domains": pa.array([r[1] for r in out], type=pa.int64()),
+        "n_docs": pa.array([r[2] for r in out], type=pa.int64()),
+    })

@@ -6900,3 +6900,31 @@ SELECT CAST(cps.cp AS BIGINT) AS n_docs,
        CAST((SELECT count(*) FROM firsts WHERE m < cps.cp) AS BIGINT)
          AS vocab
 FROM cps ORDER BY n_docs"""
+
+
+def group_split_sql() -> str:
+    """Group-aware split oracle (ops/domains.py group_split_counts): same
+    md5 domain map + md5 group-split rule; counts per split."""
+    h = _MD5_INT31.format(s="'dom:' || CAST(doc_id AS VARCHAR)")
+    g = _MD5_INT31.format(s="'gsplit:' || domain")
+    return f"""WITH dom AS (
+  SELECT doc_id,
+         'd' || CAST(((h % 40) * (h % 40)) // 40 AS VARCHAR)
+             || '.example.com' AS domain
+  FROM (SELECT doc_id, {h} AS h FROM documents)
+),
+sp AS (
+  SELECT doc_id, domain,
+         CASE WHEN ({g}) % 10 < 8 THEN 'train'
+              WHEN ({g}) % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM dom
+),
+names(split, ord) AS (VALUES ('train', 0), ('val', 1), ('test', 2))
+SELECT names.split,
+       CAST(COALESCE(c.nd, 0) AS BIGINT) AS n_domains,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_docs
+FROM names LEFT JOIN (
+  SELECT split, count(DISTINCT domain) AS nd, count(*) AS n
+  FROM sp GROUP BY split) c USING (split)
+ORDER BY names.ord"""

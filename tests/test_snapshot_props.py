@@ -108,3 +108,30 @@ def test_session_pairs_hand_worked(ray_session):
                         got.column("item_b").to_pylist(),
                         got.column("n_sessions").to_pylist()))
     assert rows_out == [(5, 7, 3), (5, 9, 1), (7, 9, 1)]
+
+
+def test_group_split_no_leakage(ray_session):
+    import ray.data as rd
+
+    from lucenenet_ray.ops.domains import (group_split_counts,
+                                           synth_domains)
+    from lucenenet_ray.ops.neardup import md5_int31
+
+    n = 400
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n))})).repartition(5)
+    t = group_split_counts(ds)
+    rows = {s: (d, c) for s, d, c in zip(
+        t.column("split").to_pylist(),
+        t.column("n_domains").to_pylist(),
+        t.column("n_docs").to_pylist())}
+    # totals conserved
+    assert sum(c for _d, c in rows.values()) == n
+    # structural no-leakage: each domain maps to exactly one split
+    doms = set(synth_domains(list(range(n))))
+    per_split = {"train": set(), "val": set(), "test": set()}
+    for dm in doms:
+        b = md5_int31(f"gsplit:{dm}") % 10
+        per_split["train" if b < 8 else ("val" if b == 8 else "test")].add(dm)
+    assert {s: len(v) for s, v in per_split.items()} == {
+        s: d for s, (d, _c) in rows.items()}
+    assert t.column("split").to_pylist() == ["train", "val", "test"]
