@@ -5931,6 +5931,28 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Warehouse join rollup (ops/tpch_join.py): lineitem ⋈ orders via
+    hash co-location (per-batch revenue combiner + ONE groupby(key) —
+    neither big side broadcast) then broadcast customer→nation map +
+    driver nation names; money exact via per-row centi rounding."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.tpch_join import revenue_by_nation
+
+    return revenue_by_nation(
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_orderkey", "l_extendedprice",
+                                 "l_discount"]),
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_orderkey", "o_custkey"]),
+        pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey", "c_nationkey"]),
+        pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                      columns=["n_nationkey", "n_name"]))
+
+
 def _q_group_split(sf_dir: str) -> pa.Table:
     """Leakage-free group-aware split (ops/domains.py group_split_counts;
     GroupShuffleSplit contract / Kandpal et al. 2022 leakage): split
@@ -6881,6 +6903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "vocab_growth": _q_vocab_growth,
         "group_split": _q_group_split,
+        "revenue_by_nation": _q_revenue_by_nation,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7221,6 +7244,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_dedup": so.cdc_dedup_sql(8, 64),
         "vocab_growth": so.vocab_growth_sql(),
         "group_split": so.group_split_sql(),
+        "revenue_by_nation": so.revenue_by_nation_sql(),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -6928,3 +6928,17 @@ FROM names LEFT JOIN (
   SELECT split, count(DISTINCT domain) AS nd, count(*) AS n
   FROM sp GROUP BY split) c USING (split)
 ORDER BY names.ord"""
+
+
+def revenue_by_nation_sql() -> str:
+    """Revenue-per-nation oracle (ops/tpch_join.py): per-ROW centi
+    rounding in float64 (same stored doubles), then pure int64 sums."""
+    return """SELECT n.n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS rev_centi
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name"""

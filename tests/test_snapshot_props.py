@@ -135,3 +135,30 @@ def test_group_split_no_leakage(ray_session):
     assert {s: len(v) for s, v in per_split.items()} == {
         s: d for s, (d, _c) in rows.items()}
     assert t.column("split").to_pylist() == ["train", "val", "test"]
+
+
+def test_revenue_by_nation_hand_worked(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from lucenenet_ray.ops.tpch_join import revenue_by_nation
+
+    li = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 10.0, 7.0]),
+        "l_discount": pa.array([0.1, 0.0, 0.5, 0.0]),
+    })).repartition(3)
+    orders = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "o_custkey": pa.array([10, 11, 10, 11], type=pa.int64()),
+    })).repartition(2)
+    cust = pa.table({"c_custkey": pa.array([10, 11], type=pa.int64()),
+                     "c_nationkey": pa.array([0, 1], type=pa.int64())})
+    nat = pa.table({"n_nationkey": pa.array([0, 1], type=pa.int64()),
+                    "n_name": pa.array(["ALPHA", "BETA"])})
+    t = revenue_by_nation(li, orders, cust, nat)
+    rows = dict(zip(t.column("n_name").to_pylist(),
+                    t.column("rev_centi").to_pylist()))
+    # order 1 -> cust10 (ALPHA): 90.00 + 50.00; order 3 -> ALPHA: 7.00
+    # order 2 -> cust11 (BETA): 5.00; order 4: no lineitems
+    assert rows == {"ALPHA": 14700, "BETA": 500}
