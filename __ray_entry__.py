@@ -5931,6 +5931,23 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_record_linkage(sf_dir: str) -> pa.Table:
+    """Record linkage / entity resolution (ops/linkage.py; Fellegi &
+    Sunter 1969 blocking + integer agreement weights): two md5-perturbed
+    record sources over customers, (bucket, nation) blocking, area/seg
+    scoring vs threshold, precision AND blocking-recall loss measured
+    against ground truth — one block groupby, vectorized outer compare
+    per block, counter fold."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.linkage import link_records
+
+    return link_records(
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_nationkey",
+                                 "c_mktsegment", "c_acctbal"]))
+
+
 def _q_revenue_by_nation(sf_dir: str) -> pa.Table:
     """Warehouse join rollup (ops/tpch_join.py): lineitem ⋈ orders via
     hash co-location (per-batch revenue combiner + ONE groupby(key) —
@@ -6904,6 +6921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "group_split": _q_group_split,
         "revenue_by_nation": _q_revenue_by_nation,
+        "record_linkage": _q_record_linkage,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7245,6 +7263,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": so.vocab_growth_sql(),
         "group_split": so.group_split_sql(),
         "revenue_by_nation": so.revenue_by_nation_sql(),
+        "record_linkage": so.link_records_sql(),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

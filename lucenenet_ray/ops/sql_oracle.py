@@ -6942,3 +6942,51 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name
 ORDER BY n.n_name"""
+
+
+def link_records_sql() -> str:
+    """Record-linkage oracle (ops/linkage.py link_records): same md5
+    membership/perturbation rules, (bucket, nation) block join, integer
+    Fellegi-Sunter weights (+25/-15 area, +10/-10 segment, thresh 15)."""
+    ina = _MD5_INT31.format(s="'inA:' || CAST(c_custkey AS VARCHAR)")
+    inb = _MD5_INT31.format(s="'inB:' || CAST(c_custkey AS VARCHAR)")
+    ar = _MD5_INT31.format(s="'area:' || CAST(c_custkey AS VARCHAR)")
+    pn = _MD5_INT31.format(s="'pnat:' || CAST(c_custkey AS VARCHAR)")
+    pra = _MD5_INT31.format(s="'parea:' || CAST(c_custkey AS VARCHAR)")
+    ps = _MD5_INT31.format(s="'pseg:' || CAST(c_custkey AS VARCHAR)")
+    segs = ("VALUES (0,'AUTOMOBILE'), (1,'BUILDING'), (2,'FURNITURE'), "
+            "(3,'HOUSEHOLD'), (4,'MACHINERY')")
+    return f"""WITH segs(seg, sname) AS ({segs}),
+base AS (
+  SELECT c_custkey AS key,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+         c_nationkey AS nation,
+         (SELECT seg FROM segs WHERE sname = c_mktsegment) AS seg,
+         ({ar}) % 100 AS area,
+         ({ina}) % 4 AS gin_a, ({inb}) % 4 AS gin_b,
+         ({pn}) % 3 AS g_pn, ({pra}) % 6 AS g_pa, ({ps}) % 5 AS g_ps
+  FROM customer
+),
+a AS (SELECT key, bucket, nation, seg, area FROM base WHERE gin_a <> 0),
+b AS (
+  SELECT key, bucket,
+         CASE WHEN g_pn = 0 THEN (nation + 1) % 25 ELSE nation END
+           AS nation,
+         CASE WHEN g_ps = 0 THEN (seg + 1) % 5 ELSE seg END AS seg,
+         CASE WHEN g_pa = 0 THEN (area + 1) % 100 ELSE area END AS area
+  FROM base WHERE gin_b <> 0
+),
+cand AS (
+  SELECT a.key AS ka, b.key AS kb,
+         (CASE WHEN a.area = b.area THEN 25 ELSE -15 END
+          + CASE WHEN a.seg = b.seg THEN 10 ELSE -10 END) AS sc
+  FROM a JOIN b ON a.bucket = b.bucket AND a.nation = b.nation
+)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(count(*) FILTER (WHERE sc >= 15) AS BIGINT) AS n_matches,
+       CAST(count(*) FILTER (WHERE sc >= 15 AND ka = kb) AS BIGINT)
+         AS n_true_found,
+       CAST(count(*) FILTER (WHERE ka = kb) AS BIGINT) AS n_true_in_blocks,
+       (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b ON a.key = b.key)
+         AS n_true_total
+FROM cand"""

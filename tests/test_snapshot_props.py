@@ -162,3 +162,52 @@ def test_revenue_by_nation_hand_worked(ray_session):
     # order 1 -> cust10 (ALPHA): 90.00 + 50.00; order 3 -> ALPHA: 7.00
     # order 2 -> cust11 (BETA): 5.00; order 4: no lineitems
     assert rows == {"ALPHA": 14700, "BETA": 500}
+
+
+def test_record_linkage_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from lucenenet_ray.ops.linkage import (SEGS, THRESH, W_AREA_A,
+                                           W_AREA_D, W_SEG_A, W_SEG_D,
+                                           _records, link_records)
+
+    n = 200
+    tbl = pa.table({
+        "c_custkey": pa.array(list(range(n)), type=pa.int64()),
+        "c_nationkey": pa.array([i % 25 for i in range(n)],
+                                type=pa.int64()),
+        "c_mktsegment": pa.array([SEGS[i % 5] for i in range(n)]),
+        "c_acctbal": pa.array([float((i * 37) % 9000) for i in range(n)]),
+    })
+    got = link_records(rd.from_arrow(tbl).repartition(5))
+
+    A = _records(tbl, "A")
+    B = _records(tbl, "B")
+
+    def rows(t):
+        return list(zip(*[t.column(c).to_pylist()
+                          for c in ("key", "bucket", "nation", "seg",
+                                    "area")]))
+
+    ra, rb = rows(A), rows(B)
+    cand = match = tf = tb = 0
+    for ka, ba_, na, sa, aa in ra:
+        for kb, bb, nb, sb, ab in rb:
+            if ba_ != bb or na != nb:
+                continue
+            cand += 1
+            sc = ((W_AREA_A if aa == ab else W_AREA_D)
+                  + (W_SEG_A if sa == sb else W_SEG_D))
+            if sc >= THRESH:
+                match += 1
+                if ka == kb:
+                    tf += 1
+            if ka == kb:
+                tb += 1
+    total = len({k for k, *_ in ra} & {k for k, *_ in rb})
+    want = (cand, match, tf, tb, total)
+    assert tuple(got.column(c)[0].as_py() for c in (
+        "n_candidates", "n_matches", "n_true_found",
+        "n_true_in_blocks", "n_true_total")) == want
+    assert total > tb > 0  # blocking recall loss is real and measured
