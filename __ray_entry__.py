@@ -5931,6 +5931,23 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_kcore(sf_dir: str) -> pa.Table:
+    """Bounded-round k-core peel (ops/triangles.py kcore_peel; Seidman
+    1983 / Montresor et al. 2013 distributed peel) over the same md5
+    link graph: 6 unrolled rounds of induced-degree groupby + broadcast
+    survivor bitmap; 3-core survivors with final induced degrees."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.triangles import kcore_peel
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return kcore_peel(ds, n_nodes=n, k=3, rounds=6)
+
+
 def _q_record_linkage(sf_dir: str) -> pa.Table:
     """Record linkage / entity resolution (ops/linkage.py; Fellegi &
     Sunter 1969 blocking + integer agreement weights): two md5-perturbed
@@ -6922,6 +6939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_split": _q_group_split,
         "revenue_by_nation": _q_revenue_by_nation,
         "record_linkage": _q_record_linkage,
+        "kcore_3": _q_kcore,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7264,6 +7282,7 @@ def oracle_sql() -> dict[str, str]:
         "group_split": so.group_split_sql(),
         "revenue_by_nation": so.revenue_by_nation_sql(),
         "record_linkage": so.link_records_sql(),
+        "kcore_3": so.kcore_sql(3, 6),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -6990,3 +6990,39 @@ SELECT CAST(count(*) AS BIGINT) AS n_candidates,
        (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b ON a.key = b.key)
          AS n_true_total
 FROM cand"""
+
+
+def kcore_sql(k: int = 3, rounds: int = 6) -> str:
+    """Bounded-round k-core oracle (ops/triangles.py kcore_peel): same
+    und edge set as triangle_counts_sql; unrolled peel rounds — deg_r
+    over the s_{r-1}-induced subgraph, s_r = deg_r >= k; output round-R
+    survivors with their round-R degree."""
+    md5 = _MD5_INT31.format(s="'link:'||CAST(u AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    ctes = [f"""c AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS u FROM documents),
+dir_edges AS (
+  SELECT u, CASE WHEN t = u THEN (t + 1) % c.n ELSE t END AS v
+  FROM (
+    SELECT u, j, {md5} AS h
+    FROM nodes, LATERAL (SELECT unnest(range(3)) AS j) r
+    WHERE j < 1 + (u % 3)) e
+  CROSS JOIN c, LATERAL (SELECT e.h % c.n AS t) tt
+),
+und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM dir_edges
+),
+bi AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+s0 AS (SELECT doc_id AS node FROM documents)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""deg{r} AS (
+  SELECT bi.x AS node, CAST(count(*) AS BIGINT) AS d
+  FROM bi
+  WHERE bi.x IN (SELECT node FROM s{r-1})
+    AND bi.y IN (SELECT node FROM s{r-1})
+  GROUP BY bi.x
+),
+s{r} AS (SELECT node FROM deg{r} WHERE d >= {k})""")
+    return f"""WITH {", ".join(ctes)}
+SELECT node, d AS deg FROM deg{rounds}
+WHERE node IN (SELECT node FROM s{rounds})
+ORDER BY node"""

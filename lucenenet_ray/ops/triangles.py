@@ -109,3 +109,58 @@ def triangle_counts(ds, n_nodes: int, id_col: str = "doc_id") -> pa.Table:
         "node": pa.array(agg["center"].to_numpy(dtype=np.int64)),
         "n_triangles": pa.array(agg["count()"].to_numpy(dtype=np.int64)),
     })
+
+
+def kcore_peel(ds, n_nodes: int, k: int = 3, rounds: int = 6,
+               id_col: str = "doc_id") -> pa.Table:
+    """Bounded-round k-core peeling (Seidman 1983 coreness; the
+    distributed formulation is Montresor et al. 2013's iterative peel):
+    round r computes every surviving node's degree in the subgraph
+    induced by the round-(r-1) survivor set and drops nodes below k —
+    after enough rounds the fixpoint IS the k-core; the gate runs a
+    FIXED ``rounds`` so the SQL oracle can unroll the identical CTE
+    chain (bounded-round semantics, documented rather than hidden).
+
+    Returns (node, deg) for round-``rounds`` survivors with their final
+    induced degree, node-sorted. Shape per round: ONE combiner-style
+    groupby over the (deduped, materialized-once) edge set filtered by
+    the broadcast survivor bitmap (n_nodes bits; the documented
+    hash-partitioned alternative applies past broadcast scale)."""
+    import ray
+
+    edges = (ds.map_batches(
+        _undirected_rows, fn_kwargs={"n_nodes": n_nodes, "id_col": id_col},
+        batch_format="pyarrow")
+        .groupby(["a", "b"]).count().materialize())
+
+    alive = np.ones(n_nodes, dtype=bool)
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(rounds):
+        aref = ray.put(alive)
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            al = ray.get(aref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            keep = al[a] & al[b]
+            ends = np.concatenate([a[keep], b[keep]])
+            uniq, cnt = np.unique(ends, return_counts=True)
+            return pa.table({
+                "node": pa.array(uniq, type=pa.int64()),
+                "d": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            })
+
+        deg = np.zeros(n_nodes, dtype=np.int64)
+        for ref in (edges.map_batches(deg_partial, batch_format="pyarrow")
+                    .groupby("node").sum("d").to_arrow_refs()):
+            t = ray.get(ref)
+            if t.num_rows and "node" in t.schema.names:
+                nd = t.column("node").to_numpy(zero_copy_only=False)
+                dv = t.column("sum(d)").to_numpy(zero_copy_only=False)
+                deg[nd] += dv
+        alive = alive & (deg >= k)
+    nodes = np.flatnonzero(alive)
+    return pa.table({
+        "node": pa.array(nodes.astype(np.int64), type=pa.int64()),
+        "deg": pa.array(deg[nodes], type=pa.int64()),
+    })

@@ -46,3 +46,36 @@ def test_parallelism_invariant(ray_session):
     t1 = triangle_counts(_ids_ds(n, parallelism=1), n)
     t7 = triangle_counts(_ids_ds(n, parallelism=7), n)
     assert t1.equals(t7)
+
+
+def test_kcore_matches_bruteforce(ray_session):
+    from lucenenet_ray.ops.triangles import kcore_peel
+
+    n, k, rounds = 70, 3, 6
+    src, dst, _ = _out_edges(np.arange(n, dtype=np.int64), n)
+    edges = {(min(a, b), max(a, b)) for a, b in zip(src.tolist(),
+                                                    dst.tolist())}
+    alive = set(range(n))
+    deg = {}
+    for _ in range(rounds):
+        deg = {v: 0 for v in range(n)}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        alive = {v for v in alive if deg[v] >= k}
+    want = sorted((v, deg[v]) for v in alive)
+    t = kcore_peel(_ids_ds(n, parallelism=5), n, k=k, rounds=rounds)
+    got = list(zip(t.column("node").to_pylist(),
+                   t.column("deg").to_pylist()))
+    assert got == want
+    # every survivor's induced degree meets the bar
+    assert all(d >= k for _v, d in got)
+
+
+def test_kcore_parallelism_invariant(ray_session):
+    from lucenenet_ray.ops.triangles import kcore_peel
+
+    t1 = kcore_peel(_ids_ds(40, parallelism=1), 40, k=2, rounds=4)
+    t7 = kcore_peel(_ids_ds(40, parallelism=7), 40, k=2, rounds=4)
+    assert t1.equals(t7)
