@@ -5931,6 +5931,20 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_butterflies(sf_dir: str) -> pa.Table:
+    """Bipartite butterfly counting (ops/clickpairs.py butterfly_counts;
+    Sanei-Mehri et al. KDD'18) over the user×props.k engagement graph:
+    exact wedge formulation — edge dedup groupby, per-user pair explode,
+    pair-support groupby, integer fold."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.clickpairs import butterfly_counts
+
+    return butterfly_counts(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "props"]))
+
+
 def _q_kcore(sf_dir: str) -> pa.Table:
     """Bounded-round k-core peel (ops/triangles.py kcore_peel; Seidman
     1983 / Montresor et al. 2013 distributed peel) over the same md5
@@ -6940,6 +6954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "record_linkage": _q_record_linkage,
         "kcore_3": _q_kcore,
+        "butterflies": _q_butterflies,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7283,6 +7298,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": so.revenue_by_nation_sql(),
         "record_linkage": so.link_records_sql(),
         "kcore_3": so.kcore_sql(3, 6),
+        "butterflies": so.butterfly_sql(),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -70,3 +70,61 @@ def session_pairs_topk(ds, k: int = 25,
         "item_b": pa.array(agg["b"].to_numpy(dtype=np.int64)),
         "n_sessions": pa.array(agg["sum(cnt)"].to_numpy(dtype=np.int64)),
     })
+
+
+def butterfly_counts(ds) -> pa.Table:
+    """Bipartite butterfly ((2,2)-biclique) counting over the user-item
+    engagement graph (Sanei-Mehri, Sariyüce & Tirthapura, KDD'18: the
+    bipartite clustering motif behind co-engagement spam/community
+    signals): one row (n_edges, n_item_pairs, n_butterflies) with
+
+        butterflies = Σ_pairs C(c_p, 2)
+
+    where c_p = common users of an unordered item pair. Exact-integer
+    wedge formulation: distinct (user, item) edges via ONE groupby, item
+    pairs per user via ONE groupby(user) (explode bounded by a user's
+    distinct-item degree squared), pair-support counts via ONE
+    groupby(pair), then an integer fold — each stage pre-combined."""
+    import json
+
+    import ray
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        users = t.column("user_id").to_pylist()
+        items = [int(json.loads(p or "{}").get("k", 0))
+                 for p in t.column("props").to_pylist()]
+        seen = sorted(set(zip(users, items)))
+        return pa.table({
+            "u": pa.array([a for a, _b in seen], type=pa.int64()),
+            "it": pa.array([b for _a, b in seen], type=pa.int64()),
+        })
+
+    edges = (ds.map_batches(edge_rows, batch_format="pyarrow")
+             .groupby(["u", "it"]).count().materialize())
+    n_edges = edges.count()
+
+    def wedge_rows(group: pa.Table) -> pa.Table:
+        its = np.unique(group.column("it").to_numpy(zero_copy_only=False))
+        if len(its) < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        ii, jj = np.triu_indices(len(its), 1)
+        return pa.table({"a": pa.array(its[ii], type=pa.int64()),
+                         "b": pa.array(its[jj], type=pa.int64())})
+
+    pair_counts = (edges.groupby("u")
+                   .map_groups(wedge_rows, batch_format="pyarrow")
+                   .groupby(["a", "b"]).count())
+    n_pairs = 0
+    n_bf = 0
+    for ref in pair_counts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and "count()" in t.schema.names:
+            c = t.column("count()").to_numpy(zero_copy_only=False)
+            n_pairs += len(c)
+            n_bf += int((c * (c - 1) // 2).sum())
+    return pa.table({
+        "n_edges": pa.array([n_edges], type=pa.int64()),
+        "n_item_pairs": pa.array([n_pairs], type=pa.int64()),
+        "n_butterflies": pa.array([n_bf], type=pa.int64()),
+    })

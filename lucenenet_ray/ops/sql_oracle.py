@@ -7026,3 +7026,23 @@ s{r} AS (SELECT node FROM deg{r} WHERE d >= {k})""")
 SELECT node, d AS deg FROM deg{rounds}
 WHERE node IN (SELECT node FROM s{rounds})
 ORDER BY node"""
+
+
+def butterfly_sql() -> str:
+    """Butterfly-count oracle (ops/clickpairs.py butterfly_counts):
+    distinct (user, item) edges with item = props.k; pair support via
+    per-user self-join; butterflies = sum c*(c-1)//2."""
+    return """WITH e AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS it
+  FROM events
+),
+p AS (
+  SELECT a.it AS ia, b.it AS ib, count(*) AS c
+  FROM e a JOIN e b ON a.u = b.u AND a.it < b.it
+  GROUP BY a.it, b.it
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_item_pairs,
+       CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_butterflies
+FROM p"""

@@ -211,3 +211,25 @@ def test_record_linkage_bruteforce(ray_session):
         "n_candidates", "n_matches", "n_true_found",
         "n_true_in_blocks", "n_true_total")) == want
     assert total > tb > 0  # blocking recall loss is real and measured
+
+
+def test_butterflies_hand_worked(ray_session):
+    import ray.data as rd
+
+    from lucenenet_ray.ops.clickpairs import butterfly_counts
+
+    # users 1,2 both touch items {5,7} -> pair (5,7) c=2 -> 1 butterfly;
+    # user 3 adds (5,9),(7,9) pairs with c=1 each -> no butterflies;
+    # duplicate (1,5) events collapse to one edge
+    rows = [(1, 5), (1, 5), (1, 7), (2, 5), (2, 7), (3, 5), (3, 7),
+            (3, 9)]
+    uid, it = zip(*rows)
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(uid, type=pa.int64()),
+        "props": pa.array(['{"k": %d}' % k for k in it]),
+    })).repartition(3)
+    t = butterfly_counts(ds)
+    assert t.column("n_edges").to_pylist() == [7]
+    # pairs: u1:{(5,7)} u2:{(5,7)} u3:{(5,7),(5,9),(7,9)} -> c(5,7)=3
+    assert t.column("n_item_pairs").to_pylist() == [3]
+    assert t.column("n_butterflies").to_pylist() == [3]  # C(3,2)
