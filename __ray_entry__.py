@@ -5931,6 +5931,17 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_spell_variant_pairs(sf_dir: str) -> pa.Table:
+    """SymSpell deletion-neighborhood variant mining (ops/symspell.py;
+    Garbe 2012): distance-1 term pairs via deletion-key groupby over the
+    VOCABULARY (never a quadratic scan), exact Levenshtein-1 verify,
+    (freq_sum desc) top-20; md5-derived typos injected so the gate has
+    guaranteed neighbors (augmented-pathology pattern)."""
+    from lucenenet_ray.ops.symspell import augment_typos, spell_variant_pairs
+
+    return spell_variant_pairs(augment_typos(_docs_ds(sf_dir)), k=20)
+
+
 def _q_butterflies(sf_dir: str) -> pa.Table:
     """Bipartite butterfly counting (ops/clickpairs.py butterfly_counts;
     Sanei-Mehri et al. KDD'18) over the user×props.k engagement graph:
@@ -6955,6 +6966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "record_linkage": _q_record_linkage,
         "kcore_3": _q_kcore,
         "butterflies": _q_butterflies,
+        "spell_variant_pairs": _q_spell_variant_pairs,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7299,6 +7311,7 @@ def oracle_sql() -> dict[str, str]:
         "record_linkage": so.link_records_sql(),
         "kcore_3": so.kcore_sql(3, 6),
         "butterflies": so.butterfly_sql(),
+        "spell_variant_pairs": so.spell_variant_pairs_sql(20),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -7046,3 +7046,72 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
        CAST(count(*) AS BIGINT) AS n_item_pairs,
        CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_butterflies
 FROM p"""
+
+
+def spell_variant_pairs_sql(k: int = 20) -> str:
+    """SymSpell oracle (ops/symspell.py spell_variant_pairs): same
+    deletion-key join over the vocabulary, exact distance-1 verification
+    (one mismatched position, or a deletion match), (freq_sum desc, a, b)
+    top-k."""
+    return f"""WITH {_typo_aug_cte()},
+raw AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM aug
+),
+vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM raw WHERE term <> '' GROUP BY term
+),
+keys AS (
+  SELECT term, term AS v FROM vocab
+  UNION ALL
+  SELECT term, substr(term, 1, i - 1) || substr(term, i + 1) AS v
+  FROM vocab, LATERAL (SELECT unnest(range(1, len(term) + 1)) AS i) r
+),
+cand AS (
+  SELECT DISTINCT x.term AS a, y.term AS b
+  FROM keys x JOIN keys y ON x.v = y.v AND x.term < y.term
+),
+ver AS (
+  SELECT a, b FROM cand
+  WHERE (len(a) = len(b) AND 1 = (
+          SELECT count(*)
+          FROM (SELECT unnest(range(1, len(a) + 1)) AS i) p
+          WHERE substr(a, i, 1) <> substr(b, i, 1)))
+     OR (len(a) = len(b) + 1 AND EXISTS (
+          SELECT 1 FROM (SELECT unnest(range(1, len(a) + 1)) AS i) p
+          WHERE substr(a, 1, i - 1) || substr(a, i + 1) = b))
+     OR (len(b) = len(a) + 1 AND EXISTS (
+          SELECT 1 FROM (SELECT unnest(range(1, len(b) + 1)) AS i) p
+          WHERE substr(b, 1, i - 1) || substr(b, i + 1) = a))
+)
+SELECT v.a AS term_a, v.b AS term_b,
+       CAST(ca.c + cb.c AS BIGINT) AS freq_sum
+FROM ver v
+JOIN vocab ca ON ca.term = v.a
+JOIN vocab cb ON cb.term = v.b
+ORDER BY freq_sum DESC, term_a ASC, term_b ASC
+LIMIT {k}"""
+
+
+def _typo_aug_cte() -> str:
+    """Augmented-text CTE mirroring ops/symspell.augment_typos."""
+    g = _MD5_INT31.format(s="'typo:' || CAST(doc_id AS VARCHAR)")
+    gp = _MD5_INT31.format(s="'typopos:' || CAST(doc_id AS VARCHAR)")
+    return f"""aug AS (
+  SELECT doc_id,
+         CASE WHEN ({g}) % 10 = 0 AND len(string_split(text, ' ')) >= 4
+                   AND len(string_split(text, ' ')[4]) >= 3
+              THEN text || ' ' ||
+                   substr(string_split(text, ' ')[4], 1, p) ||
+                   substr(string_split(text, ' ')[4], p + 2)
+              ELSE text END AS text
+  FROM (
+    SELECT doc_id, text,
+           ({gp}) % len(string_split(text, ' ')[4]) AS p
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 4
+    UNION ALL
+    SELECT doc_id, text, 0 AS p FROM documents
+    WHERE len(string_split(text, ' ')) < 4
+  )
+)"""

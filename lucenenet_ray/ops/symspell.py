@@ -1,0 +1,141 @@
+"""Deletion-neighborhood spelling-variant mining — the SymSpell candidate
+scheme (Garbe 2012; the same deletion-key trick powers FAISS-free fuzzy
+term joins in spell correction and query-log canonicalization): two terms
+within Levenshtein distance 1 necessarily share a single-deletion variant
+(or one IS the other's deletion), so the candidate join is ONE groupby on
+deletion keys over the VOCABULARY — never a quadratic scan, never the
+corpus stream.
+
+Pipeline (all vocab-bounded after the first groupby):
+1. vocabulary: distinct raw tokens + counts — ONE corpus groupby;
+2. key explode: every term emits itself + its |term| single-deletion
+   variants (Σ|term| rows over the vocab);
+3. candidates: ONE ``groupby(variant)``; each group emits its distinct
+   (a < b) pairs (per-group cap documented for pathological keys);
+4. verify: exact Levenshtein-distance-1 check per candidate (equal
+   length → exactly one mismatched position; length diff 1 → deletion
+   match) — candidates-scale, like ops/neardup.jaccard_verify;
+5. rank: top-k pairs by (freq_sum desc, a asc, b asc).
+
+The SQL oracle re-derives the same keys, join and verification, so the
+gate covers candidate generation AND the exact-distance filter."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _dist1(a: str, b: str) -> bool:
+    """Exact Levenshtein-distance-==-1 (lengths differ by at most 1)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la < lb:
+        a, b, la, lb = b, a, lb, la
+    if la != lb + 1:
+        return False
+    i = 0
+    while i < lb and a[i] == b[i]:
+        i += 1
+    return a[i + 1:] == b[i:]
+
+
+def spell_variant_pairs(ds, k: int = 20, max_group: int = 64,
+                        text_col: str = "text") -> pa.Table:
+    """(term_a, term_b, freq_sum) top-k verified distance-1 pairs."""
+    import ray
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for txt in t.column(text_col).to_pylist():
+            for tok in (txt or "").split(" "):
+                if tok:
+                    cnt[tok] = cnt.get(tok, 0) + 1
+        ks = sorted(cnt)
+        return pa.table({
+            "term": pa.array(ks, type=pa.string()),
+            "c": pa.array([cnt[x] for x in ks], type=pa.int64()),
+        })
+
+    vocab = (ds.map_batches(vocab_partial, batch_format="pyarrow")
+             .groupby("term").sum("c").materialize())
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        terms = t.column("term").to_pylist()
+        out_v, out_t = [], []
+        for term in terms:
+            out_v.append(term)
+            out_t.append(term)
+            for i in range(len(term)):
+                out_v.append(term[:i] + term[i + 1:])
+                out_t.append(term)
+        return pa.table({
+            "v": pa.array(out_v, type=pa.string()),
+            "term": pa.array(out_t, type=pa.string()),
+        })
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        terms = sorted(set(g.column("term").to_pylist()))[:max_group]
+        if len(terms) < 2:
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string())})
+        out_a, out_b = [], []
+        for i in range(len(terms)):
+            for j in range(i + 1, len(terms)):
+                out_a.append(terms[i])
+                out_b.append(terms[j])
+        return pa.table({"a": pa.array(out_a, type=pa.string()),
+                         "b": pa.array(out_b, type=pa.string())})
+
+    cand = (vocab.map_batches(key_rows, batch_format="pyarrow")
+            .groupby("v").map_groups(group_pairs, batch_format="pyarrow")
+            .groupby(["a", "b"]).count())
+
+    counts = {t: int(c) for t, c in zip(
+        *[vocab.to_pandas()[col].tolist() for col in ("term", "sum(c)")])}
+    pairs: list[tuple[int, str, str]] = []
+    for ref in cand.to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows or "a" not in t.schema.names:
+            continue
+        for a, b in zip(t.column("a").to_pylist(),
+                        t.column("b").to_pylist()):
+            if _dist1(a, b):
+                pairs.append((counts[a] + counts[b], a, b))
+    pairs.sort(key=lambda r: (-r[0], r[1], r[2]))
+    pairs = pairs[:k]
+    return pa.table({
+        "term_a": pa.array([p[1] for p in pairs], type=pa.string()),
+        "term_b": pa.array([p[2] for p in pairs], type=pa.string()),
+        "freq_sum": pa.array([p[0] for p in pairs], type=pa.int64()),
+    })
+
+
+def augment_typos(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Deterministic typo injection (the gate-corpus pattern of
+    ops/scrub.py: splice md5-derived pathologies so the gate exercises
+    the matcher, not the synthesizer): for docs with
+    md5_int31("typo:{id}") % 10 == 0 whose 4th raw token has >= 3 chars,
+    append that token with character (md5_int31("typopos:{id}") % len)
+    deleted — guaranteeing distance-1 vocabulary neighbors."""
+    from lucenenet_ray.ops.neardup import md5_int31
+
+    def aug(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out = []
+        for did, txt in zip(ids, texts):
+            s = txt or ""
+            toks = s.split(" ")
+            if md5_int31(f"typo:{did}") % 10 == 0 and len(toks) >= 4 \
+                    and len(toks[3]) >= 3:
+                w = toks[3]
+                p = md5_int31(f"typopos:{did}") % len(w)
+                out.append(s + " " + w[:p] + w[p + 1:])
+            else:
+                out.append(s)
+        return pa.table({id_col: t.column(id_col),
+                         text_col: pa.array(out, type=pa.string())})
+
+    return ds.map_batches(aug, batch_format="pyarrow")

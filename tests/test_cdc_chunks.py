@@ -72,3 +72,32 @@ def test_vocab_growth(ray_session):
                     2: 3,          # + doc1's c
                     5: 7,          # + d, e, f, g
                     10: 9}         # + h, i ('' never counts)
+
+
+def test_dist1_cases():
+    from lucenenet_ray.ops.symspell import _dist1
+
+    assert _dist1("cat", "cut")            # substitution
+    assert _dist1("cat", "cart")           # insertion
+    assert _dist1("cart", "cat")           # deletion
+    assert not _dist1("cat", "cat")        # identical
+    assert not _dist1("cat", "dog")        # distance 3
+    assert not _dist1("abc", "bca")        # rotation = distance 2
+    assert not _dist1("ab", "abcd")        # length diff 2
+
+
+def test_spell_variant_pairs(ray_session):
+    from lucenenet_ray.ops.symspell import spell_variant_pairs
+
+    texts = ["merge merge merg table",     # deletion neighbor
+             "batch bxtch window",         # substitution neighbor
+             "alpha beta gamma"]           # no neighbors
+    t = spell_variant_pairs(_ds(texts, parallelism=3), k=10)
+    pairs = {(a, b): f for a, b, f in zip(
+        t.column("term_a").to_pylist(),
+        t.column("term_b").to_pylist(),
+        t.column("freq_sum").to_pylist())}
+    assert pairs[("merg", "merge")] == 3   # 1 + 2 occurrences
+    assert pairs[("batch", "bxtch")] == 2
+    assert all({"alpha", "beta", "gamma"}.isdisjoint({a, b})
+               for a, b in pairs)
