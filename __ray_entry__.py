@@ -5931,6 +5931,21 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_kcenter_coreset(sf_dir: str) -> pa.Table:
+    """K-center greedy coreset (ops/coreset.py; Sener & Savarese ICLR
+    2018 farthest-point data pruning): 8 rounds of
+    argmin-of-max-cosine-to-selected over the embeddings — broadcast
+    selected matrix, per-batch vectorized partial argmin, zero shuffles.
+    Rank-only output (the knn_exact float-parity precedent)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.coreset import kcenter_greedy
+
+    return kcenter_greedy(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]), rounds=8)
+
+
 def _q_spell_variant_pairs(sf_dir: str) -> pa.Table:
     """SymSpell deletion-neighborhood variant mining (ops/symspell.py;
     Garbe 2012): distance-1 term pairs via deletion-key groupby over the
@@ -6967,6 +6982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_3": _q_kcore,
         "butterflies": _q_butterflies,
         "spell_variant_pairs": _q_spell_variant_pairs,
+        "kcenter_coreset": _q_kcenter_coreset,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7312,6 +7328,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_3": so.kcore_sql(3, 6),
         "butterflies": so.butterfly_sql(),
         "spell_variant_pairs": so.spell_variant_pairs_sql(20),
+        "kcenter_coreset": so.kcenter_greedy_sql(8, 0),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -7115,3 +7115,25 @@ def _typo_aug_cte() -> str:
     WHERE len(string_split(text, ' ')) < 4
   )
 )"""
+
+
+def kcenter_greedy_sql(rounds: int = 8, seed_id: int = 0) -> str:
+    """K-center greedy oracle (ops/coreset.py): unrolled rounds — pick_r
+    minimizes max cosine similarity to the selected set (vec_id ties
+    ascending); rank output (round, vec_id)."""
+    ctes = [f"sel1(r, vec_id) AS (VALUES (1, CAST({seed_id} AS BIGINT)))"]
+    for r in range(2, rounds + 1):
+        ctes.append(f"""pick{r}(r, vec_id) AS (
+  SELECT {r}, e.vec_id
+  FROM embeddings e
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM sel{r-1})
+  GROUP BY e.vec_id, e.embedding
+  ORDER BY (
+    SELECT max(list_cosine_similarity(e.embedding, s_emb.embedding))
+    FROM sel{r-1} s JOIN embeddings s_emb ON s_emb.vec_id = s.vec_id
+  ) ASC, e.vec_id ASC
+  LIMIT 1
+),
+sel{r} AS (SELECT * FROM sel{r-1} UNION ALL SELECT * FROM pick{r})""")
+    return f"""WITH {", ".join(ctes)}
+SELECT CAST(r AS BIGINT) AS round, vec_id FROM sel{rounds} ORDER BY r"""

@@ -101,3 +101,30 @@ def test_spell_variant_pairs(ray_session):
     assert pairs[("batch", "bxtch")] == 2
     assert all({"alpha", "beta", "gamma"}.isdisjoint({a, b})
                for a, b in pairs)
+
+
+def test_kcenter_greedy_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from lucenenet_ray.ops.coreset import kcenter_greedy
+
+    rng = [(i, [float((i * 7 + j * 13) % 29) - 14.0 for j in range(8)])
+           for i in range(30)]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([r[0] for r in rng], type=pa.int64()),
+        "embedding": pa.array([r[1] for r in rng],
+                              type=pa.list_(pa.float64())),
+    })).repartition(4)
+    got = kcenter_greedy(ds, rounds=5)
+
+    m = np.asarray([r[1] for r in rng], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sel = [0]
+    for _ in range(4):
+        ms = (mn @ mn[sel].T).max(axis=1)
+        cand = [(ms[i], i) for i in range(30) if i not in sel]
+        cand.sort()
+        sel.append(cand[0][1])
+    assert got.column("vec_id").to_pylist() == sel
+    assert got.column("round").to_pylist() == [1, 2, 3, 4, 5]
