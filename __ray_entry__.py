@@ -5931,6 +5931,24 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_mmr_rerank(sf_dir: str) -> pa.Table:
+    """MMR diversity re-ranking (ops/mmr.py; Carbonell & Goldstein SIGIR
+    1998): BM25(spark OR window) top-20 candidates re-ranked by
+    0.5*rel - 0.5*max-cosine-to-selected over the doc embeddings —
+    composes the float32-bit-exact BM25 engine with the gate-proven
+    cosine parity; k-scale final reduce by definition."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.mmr import mmr_rerank
+    from lucenenet_ray.search.query import parse_query
+
+    return mmr_rerank(
+        _reader(sf_dir), parse_query("spark window"),
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]),
+        n_cand=20, rounds=10)
+
+
 def _q_kcenter_coreset(sf_dir: str) -> pa.Table:
     """K-center greedy coreset (ops/coreset.py; Sener & Savarese ICLR
     2018 farthest-point data pruning): 8 rounds of
@@ -6983,6 +7001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterflies": _q_butterflies,
         "spell_variant_pairs": _q_spell_variant_pairs,
         "kcenter_coreset": _q_kcenter_coreset,
+        "mmr_rerank": _q_mmr_rerank,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7329,6 +7348,7 @@ def oracle_sql() -> dict[str, str]:
         "butterflies": so.butterfly_sql(),
         "spell_variant_pairs": so.spell_variant_pairs_sql(20),
         "kcenter_coreset": so.kcenter_greedy_sql(8, 0),
+        "mmr_rerank": so.mmr_rerank_sql(["spark", "window"], 20, 10),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -1,0 +1,58 @@
+"""Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+1998) — the classic diversity re-ranker over a retrieval candidate list:
+
+    next = argmax_{d in C \\ S}  λ·rel(d) − (1−λ)·max_{s in S} sim(d, s)
+
+with rel = the engine's float32-bit-exact BM25 score (widened to f64),
+sim = cosine over the doc embeddings (the gate-proven
+``list_cosine_similarity`` parity), λ = 1/2, ties → doc_id asc; the seed
+is the BM25 rank-1 doc.
+
+Altitude note: MMR is by definition a k-scale FINAL REDUCE (TopDocs.Merge
+altitude) — the distributed work is the two engines it composes (the
+partitioned inverted index for rel, the embedding table read pruned to
+the k candidate ids); the greedy loop itself touches k items on the
+driver."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def mmr_rerank(reader, query, emb_ds, n_cand: int = 20, rounds: int = 10,
+               lam: float = 0.5) -> pa.Table:
+    """(round, doc_id) MMR selections from the BM25 top-``n_cand``."""
+    import pyarrow.compute as pc
+
+    from lucenenet_ray.search.searcher import search
+
+    td = search(reader, query, k=n_cand)
+    hits = td.to_list()
+    ids = [int(d) for d, _s in hits]
+    rel = {int(d): float(s) for d, s in hits}
+
+    idset = set(ids)
+    t = emb_ds.filter(lambda row: row["vec_id"] in idset) \
+              .select_columns(["vec_id", "embedding"]).take_all()
+    vecs = {}
+    for row in t:
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        vecs[int(row["vec_id"])] = v / np.linalg.norm(v)
+
+    sel = [ids[0]]  # BM25 rank-1 seed (tie-break already applied)
+    for _ in range(min(rounds, len(ids)) - 1):
+        best = None
+        for d in ids:
+            if d in sel:
+                continue
+            ms = max(float(vecs[d] @ vecs[s]) for s in sel)
+            score = lam * rel[d] - (1.0 - lam) * ms
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d)
+        sel.append(best[1])
+    return pa.table({
+        "round": pa.array(range(1, len(sel) + 1), type=pa.int64()),
+        "doc_id": pa.array(sel, type=pa.int64()),
+    })

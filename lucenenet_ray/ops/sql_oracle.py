@@ -7120,20 +7120,61 @@ def _typo_aug_cte() -> str:
 def kcenter_greedy_sql(rounds: int = 8, seed_id: int = 0) -> str:
     """K-center greedy oracle (ops/coreset.py): unrolled rounds — pick_r
     minimizes max cosine similarity to the selected set (vec_id ties
-    ascending); rank output (round, vec_id)."""
-    ctes = [f"sel1(r, vec_id) AS (VALUES (1, CAST({seed_id} AS BIGINT)))"]
+    ascending); set-based joins over a MATERIALIZED embedding CTE (a
+    correlated-subquery form re-scans the parquet view per candidate)."""
+    ctes = ["emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)",
+            f"sel1(r, vec_id) AS MATERIALIZED (SELECT 1, CAST({seed_id} AS BIGINT))"]
     for r in range(2, rounds + 1):
-        ctes.append(f"""pick{r}(r, vec_id) AS (
-  SELECT {r}, e.vec_id
-  FROM embeddings e
-  WHERE e.vec_id NOT IN (SELECT vec_id FROM sel{r-1})
-  GROUP BY e.vec_id, e.embedding
-  ORDER BY (
-    SELECT max(list_cosine_similarity(e.embedding, s_emb.embedding))
-    FROM sel{r-1} s JOIN embeddings s_emb ON s_emb.vec_id = s.vec_id
-  ) ASC, e.vec_id ASC
-  LIMIT 1
+        ctes.append(f"""pick{r}(r, vec_id) AS MATERIALIZED (
+  SELECT {r}, vec_id FROM (
+    SELECT e.vec_id,
+           max(list_cosine_similarity(e.embedding, se.embedding)) AS m
+    FROM emb e
+    CROSS JOIN sel{r-1} s
+    JOIN emb se ON se.vec_id = s.vec_id
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM sel{r-1})
+    GROUP BY e.vec_id
+  ) ORDER BY m ASC, vec_id ASC LIMIT 1
 ),
-sel{r} AS (SELECT * FROM sel{r-1} UNION ALL SELECT * FROM pick{r})""")
+sel{r} AS MATERIALIZED (
+  SELECT * FROM sel{r-1} UNION ALL SELECT * FROM pick{r})""")
     return f"""WITH {", ".join(ctes)}
 SELECT CAST(r AS BIGINT) AS round, vec_id FROM sel{rounds} ORDER BY r"""
+
+
+def mmr_rerank_sql(terms: list[str], n_cand: int = 20, rounds: int = 10
+                   ) -> str:
+    """MMR oracle (ops/mmr.py): candidates = the float32-bit-exact BM25
+    top-n (bm25_topk_sql, MATERIALIZED once), unrolled greedy rounds of
+    0.5*rel - 0.5*max-cosine-to-selected (doc_id ties asc) via set-based
+    joins over a MATERIALIZED embedding CTE; seed = BM25 rank 1. Rank
+    output (round, doc_id)."""
+    cands = bm25_topk_sql(terms, k=n_cand).replace("\n", "\n  ")
+    ctes = [f"""cands AS MATERIALIZED (
+  SELECT doc_id, score FROM ({cands})
+),
+emb AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM cands)
+),
+sel1(r, doc_id) AS MATERIALIZED (
+  SELECT 1, doc_id FROM cands ORDER BY score DESC, doc_id ASC LIMIT 1
+)"""]
+    for r in range(2, rounds + 1):
+        ctes.append(f"""pick{r}(r, doc_id) AS MATERIALIZED (
+  SELECT {r}, doc_id FROM (
+    SELECT c.doc_id, c.score,
+           max(list_cosine_similarity(e1.embedding, e2.embedding)) AS ms
+    FROM cands c
+    JOIN emb e1 ON e1.vec_id = c.doc_id
+    CROSS JOIN sel{r-1} s
+    JOIN emb e2 ON e2.vec_id = s.doc_id
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{r-1})
+    GROUP BY c.doc_id, c.score
+  ) ORDER BY 0.5 * score - 0.5 * ms DESC, doc_id ASC
+  LIMIT 1
+),
+sel{r} AS MATERIALIZED (
+  SELECT * FROM sel{r-1} UNION ALL SELECT * FROM pick{r})""")
+    return f"""WITH {", ".join(ctes)}
+SELECT CAST(r AS BIGINT) AS round, doc_id FROM sel{rounds} ORDER BY r"""

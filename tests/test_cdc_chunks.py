@@ -128,3 +128,30 @@ def test_kcenter_greedy_bruteforce(ray_session):
         sel.append(cand[0][1])
     assert got.column("vec_id").to_pylist() == sel
     assert got.column("round").to_pylist() == [1, 2, 3, 4, 5]
+
+
+def test_mmr_diversifies(ray_session, documents_index):
+    import ray.data as rd
+
+    from lucenenet_ray.ops.mmr import mmr_rerank
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.reader import IndexReader
+    from lucenenet_ray.search.searcher import search
+
+    from tests.conftest import SF_DIR
+    import os
+
+    r = IndexReader(documents_index[0])
+    emb = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    q = parse_query("spark window")
+    t = mmr_rerank(r, q, emb, n_cand=15, rounds=8)
+    sel = t.column("doc_id").to_pylist()
+    assert len(sel) == 8 and len(set(sel)) == 8
+    # seed = BM25 rank 1; every selection is from the candidate set
+    td = search(r, q, k=15)
+    cand = [d for d, _s in td.to_list()]
+    assert sel[0] == cand[0]
+    assert set(sel) <= set(cand)
+    # diversity: MMR must deviate from pure BM25 order beyond the seed
+    assert sel != cand[:8]
