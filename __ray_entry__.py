@@ -4268,6 +4268,43 @@ def _q_hybrid_rrf(sf_dir: str) -> pa.Table:
     return rrf_fuse([lex_ids, vec_ids], k=10, K=60)
 
 
+def _q_hybrid_borda(sf_dir: str) -> pa.Table:
+    """Borda-count metasearch fusion (ops/hybrid.py borda_fuse; Aslam &
+    Montague SIGIR 2001): the same BM25 + cosine legs as `hybrid_rrf`,
+    fused with pure-integer Borda points (leg_k - rank + 1) — zero
+    float arithmetic in the fuse."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.hybrid import borda_fuse
+    from lucenenet_ray.ops.knn import knn_bruteforce
+    from lucenenet_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+    from lucenenet_ray.search.searcher import search
+
+    q = BooleanQuery(clauses=tuple(
+        BooleanClause(Occur.SHOULD, TermQuery(term=t)) for t in HYBRID_TERMS))
+    td = search(_reader(sf_dir), q, k=20)
+    lex_ids = [int(d) for d, _ in td.to_list()]
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = None
+    for i in range(emb.num_rows):
+        if emb.column("vec_id")[i].as_py() == HYBRID_VEC_ID:
+            qv = np.array([emb.column("embedding")[i].as_py()],
+                          dtype=np.float64)
+            break
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    kt = knn_bruteforce(ds, qv, k=20)
+    vec_ids = kt.column("vec_id").to_pylist()
+    return borda_fuse([lex_ids, vec_ids], k=10, leg_k=20)
+
+
 def _q_knn_filtered(sf_dir: str) -> Any:
     """Filtered vector search: pre-filter on the metadata label (vectorized
     Arrow mask inside map_batches, pushed ahead of the ranking so the
@@ -6963,6 +7000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_field_sort": _q_multi_field_sort,
         "bm25_index_boost": _q_bm25_index_boost,
         "hybrid_rrf": _q_hybrid_rrf,
+        "hybrid_borda": _q_hybrid_borda,
         "knn_filtered": _q_knn_filtered,
         "knn_ivf_full": _q_knn_ivf_full,
         "knn_lsh_full": _q_knn_lsh_full,
@@ -7186,6 +7224,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_stats": so.chunk_stats_sql(32, 8),
         "hybrid_rrf": so.hybrid_rrf_sql(HYBRID_TERMS, HYBRID_VEC_ID,
                                         leg_k=20, k=10, K=60),
+        "hybrid_borda": so.hybrid_borda_sql(HYBRID_TERMS, HYBRID_VEC_ID, 20, 10),
         "knn_filtered": so.knn_filtered_sql(KNN_QUERY_IDS, KNN_FILTER_LABEL,
                                             k=10),
         "epoch_shuffle": so.epoch_shuffle_sql(1, 100),

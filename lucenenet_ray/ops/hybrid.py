@@ -40,3 +40,23 @@ def rrf_fuse(rank_lists: Sequence[Sequence[int]], k: int = 10,
         "doc_id": pa.array([d for d, _ in top], type=pa.int64()),
         "rrf_score": pa.array([s for _, s in top], type=pa.float64()),
     })
+
+
+def borda_fuse(rank_lists, k: int = 10, leg_k: int = 20):
+    """Borda-count metasearch fusion (Aslam & Montague, SIGIR 2001
+    "Models for Metasearch" §3: each system awards leg_k - rank + 1
+    points to its ranked docs, unranked docs score 0) — the pure-integer
+    voting-theory sibling of :func:`rrf_fuse`, so the fused order is
+    exact at any parallelism with no float division at all. Ties break
+    doc_id-ascending. Returns (doc_id, borda) top-k."""
+    import pyarrow as pa
+
+    pts: dict[int, int] = {}
+    for lst in rank_lists:
+        for r, d in enumerate(lst, start=1):
+            pts[int(d)] = pts.get(int(d), 0) + (leg_k - r + 1)
+    rows = sorted(pts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({
+        "doc_id": pa.array([d for d, _p in rows], type=pa.int64()),
+        "borda": pa.array([p for _d, p in rows], type=pa.int64()),
+    })

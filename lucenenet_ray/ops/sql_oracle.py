@@ -7178,3 +7178,18 @@ sel{r} AS MATERIALIZED (
   SELECT * FROM sel{r-1} UNION ALL SELECT * FROM pick{r})""")
     return f"""WITH {", ".join(ctes)}
 SELECT CAST(r AS BIGINT) AS round, doc_id FROM sel{rounds} ORDER BY r"""
+
+
+def hybrid_borda_sql(terms: list[str], vec_id: int, leg_k: int = 20,
+                     k: int = 10) -> str:
+    """Borda fusion oracle (ops/hybrid.py borda_fuse): same two legs as
+    hybrid_rrf_sql, points = leg_k - rank + 1 per leg, pure BIGINT."""
+    lex = bm25_topk_sql(terms, k=leg_k)
+    vec = knn_exact_sql([vec_id], k=leg_k)
+    return f"""SELECT doc_id, borda FROM (
+  SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+         CAST(COALESCE({leg_k} - l.rank + 1, 0)
+              + COALESCE({leg_k} - v.rank + 1, 0) AS BIGINT) AS borda
+  FROM ({lex}) l
+  FULL OUTER JOIN ({vec}) v ON v.vec_id = l.doc_id
+) ORDER BY borda DESC, doc_id ASC LIMIT {k}"""

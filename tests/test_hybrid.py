@@ -71,3 +71,13 @@ def test_knn_filtered_pool_only():
         qv[0] / np.linalg.norm(qv[0]))
     order = np.lexsort((i, -sims))[:5]
     assert got == i[order].tolist()
+
+
+def test_borda_fuse_points():
+    from lucenenet_ray.ops.hybrid import borda_fuse
+
+    t = borda_fuse([[5, 7, 9], [7, 5, 11]], k=4, leg_k=3)
+    rows = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("borda").to_pylist()))
+    # 5: 3+2=5; 7: 2+3=5 (tie -> id asc); 9: 1; 11: 1 (tie -> id asc)
+    assert rows == [(5, 5), (7, 5), (9, 1), (11, 1)]
