@@ -5968,6 +5968,16 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_weak_labels(sf_dir: str) -> pa.Table:
+    """Weak supervision by labeling functions (ops/weaklabel.py; Ratner
+    et al. VLDB 2017 Snorkel majority-vote baseline): 4 keyword LFs vote
+    per doc in ONE map pass; ties/all-abstain excluded. Per-doc labels
+    vs the token-set-membership SQL oracle."""
+    from lucenenet_ray.ops.weaklabel import label_docs
+
+    return label_docs(_docs_ds(sf_dir))
+
+
 def _q_mmr_rerank(sf_dir: str) -> pa.Table:
     """MMR diversity re-ranking (ops/mmr.py; Carbonell & Goldstein SIGIR
     1998): BM25(spark OR window) top-20 candidates re-ranked by
@@ -7040,6 +7050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_variant_pairs": _q_spell_variant_pairs,
         "kcenter_coreset": _q_kcenter_coreset,
         "mmr_rerank": _q_mmr_rerank,
+        "weak_labels": _q_weak_labels,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7388,6 +7399,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_variant_pairs": so.spell_variant_pairs_sql(20),
         "kcenter_coreset": so.kcenter_greedy_sql(8, 0),
         "mmr_rerank": so.mmr_rerank_sql(["spark", "window"], 20, 10),
+        "weak_labels": so.label_docs_sql(),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -7193,3 +7193,29 @@ def hybrid_borda_sql(terms: list[str], vec_id: int, leg_k: int = 20,
   FROM ({lex}) l
   FULL OUTER JOIN ({vec}) v ON v.vec_id = l.doc_id
 ) ORDER BY borda DESC, doc_id ASC LIMIT {k}"""
+
+
+def label_docs_sql() -> str:
+    """Weak-label oracle (ops/weaklabel.py label_docs): raw-token-SET
+    membership votes (spark/merge → 1, window/sort → 2), majority with
+    tie/abstain exclusion."""
+    return """WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+),
+v AS (
+  SELECT d.doc_id,
+         CAST(count(*) FILTER (WHERE dt.term IN ('spark', 'merge'))
+              AS BIGINT) AS v1,
+         CAST(count(*) FILTER (WHERE dt.term IN ('window', 'sort'))
+              AS BIGINT) AS v2
+  FROM documents d LEFT JOIN dt USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN v1 > v2 THEN 1 ELSE 2 END AS BIGINT) AS label,
+       CAST(greatest(v1, v2) AS BIGINT) AS n_votes
+FROM v
+WHERE v1 <> v2 AND greatest(v1, v2) > 0
+ORDER BY doc_id"""

@@ -155,3 +155,18 @@ def test_mmr_diversifies(ray_session, documents_index):
     assert set(sel) <= set(cand)
     # diversity: MMR must deviate from pure BM25 order beyond the seed
     assert sel != cand[:8]
+
+
+def test_weak_labels(ray_session):
+    from lucenenet_ray.ops.weaklabel import label_docs
+
+    texts = ["spark merge stuff",        # 2 votes class 1
+             "window things",            # 1 vote class 2
+             "spark window",             # 1-1 tie -> abstain
+             "nothing relevant here",    # all abstain
+             "spark merge window"]       # 2 vs 1 -> class 1
+    t = label_docs(_ds(texts, parallelism=3))
+    rows = list(zip(t.column("doc_id").to_pylist(),
+                    t.column("label").to_pylist(),
+                    t.column("n_votes").to_pylist()))
+    assert rows == [(0, 1, 2), (1, 2, 1), (4, 1, 2)]
