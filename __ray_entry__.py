@@ -5968,6 +5968,22 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_bitext_align(sf_dir: str) -> pa.Table:
+    """Cross-lingual mutual-top-1 alignment (ops/bitext.py; Artetxe &
+    Schwenk ACL 2019 / LASER mining): fr→de cosine top-1 both
+    directions, mutual pairs only — smaller side broadcast once, one
+    streaming pass over the larger, rank-only outputs."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.bitext import mutual_align
+
+    return mutual_align(
+        _docs_ds(sf_dir, columns=("doc_id", "lang")),
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]),
+        lang_a="fr", lang_b="de")
+
+
 def _q_weak_labels(sf_dir: str) -> pa.Table:
     """Weak supervision by labeling functions (ops/weaklabel.py; Ratner
     et al. VLDB 2017 Snorkel majority-vote baseline): 4 keyword LFs vote
@@ -7051,6 +7067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset": _q_kcenter_coreset,
         "mmr_rerank": _q_mmr_rerank,
         "weak_labels": _q_weak_labels,
+        "bitext_align": _q_bitext_align,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7400,6 +7417,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_coreset": so.kcenter_greedy_sql(8, 0),
         "mmr_rerank": so.mmr_rerank_sql(["spark", "window"], 20, 10),
         "weak_labels": so.label_docs_sql(),
+        "bitext_align": so.mutual_align_sql("fr", "de"),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

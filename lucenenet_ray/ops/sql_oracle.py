@@ -7219,3 +7219,32 @@ SELECT doc_id,
 FROM v
 WHERE v1 <> v2 AND greatest(v1, v2) > 0
 ORDER BY doc_id"""
+
+
+def mutual_align_sql(lang_a: str = "fr", lang_b: str = "de") -> str:
+    """Bitext mutual-top-1 oracle (ops/bitext.py mutual_align): cosine
+    sims across the two language partitions, top-1 each direction
+    (sim desc, id asc), mutual join."""
+    return f"""WITH sims AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         list_cosine_similarity(ea.embedding, eb.embedding) AS s
+  FROM (SELECT doc_id FROM documents WHERE lang = '{lang_a}') a
+  JOIN embeddings ea ON ea.vec_id = a.doc_id
+  CROSS JOIN (SELECT doc_id FROM documents WHERE lang = '{lang_b}') b
+  JOIN embeddings eb ON eb.vec_id = b.doc_id
+),
+t1 AS (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (PARTITION BY a
+                                    ORDER BY s DESC, b ASC) AS rn
+    FROM sims) WHERE rn = 1
+),
+t2 AS (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (PARTITION BY b
+                                    ORDER BY s DESC, a ASC) AS rn
+    FROM sims) WHERE rn = 1
+)
+SELECT t1.a AS doc_a, t1.b AS doc_b
+FROM t1 JOIN t2 ON t2.b = t1.b AND t2.a = t1.a
+ORDER BY doc_a"""
