@@ -5968,6 +5968,37 @@ def _q_props_extract(sf_dir: str) -> pa.Table:
                         columns=["event_type", "value", "props"]))
 
 
+def _q_random_walks(sf_dir: str) -> pa.Table:
+    """Random-walk corpus generation (ops/randwalk.py; Perozzi et al.
+    KDD'14 DeepWalk §4.1) over the md5 link graph: deterministic
+    out-edge choice per (node, step) — walks compute entirely inside one
+    stateless map_batches (zero shuffles/broadcasts); 5-step walks from
+    every 37th node."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucenenet_ray.ops.randwalk import random_walks
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return random_walks(ds, n_nodes=n)
+
+
+def _q_rocchio_expand(sf_dir: str) -> pa.Table:
+    """Rocchio pseudo-relevance feedback (ops/rocchio.py; Rocchio 1971,
+    IIR §9.1.1): BM25(spark window) top-10 as pseudo-relevant; expansion
+    terms ranked by idf * Σtf (integer tf sum — order-free; one f64
+    multiply matches SQL); query terms excluded, top-10."""
+    from lucenenet_ray.ops.rocchio import rocchio_expand
+    from lucenenet_ray.search.query import parse_query
+
+    return rocchio_expand(_docs_ds(sf_dir), _reader(sf_dir),
+                          parse_query("spark window"),
+                          ["spark", "window"], k=10, m=10)
+
+
 def _q_bitext_align(sf_dir: str) -> pa.Table:
     """Cross-lingual mutual-top-1 alignment (ops/bitext.py; Artetxe &
     Schwenk ACL 2019 / LASER mining): fr→de cosine top-1 both
@@ -7068,6 +7099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": _q_mmr_rerank,
         "weak_labels": _q_weak_labels,
         "bitext_align": _q_bitext_align,
+        "random_walks": _q_random_walks,
+        "rocchio_expand": _q_rocchio_expand,
         "incremental_near_dup": _q_incremental_near_dup,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
@@ -7418,6 +7451,8 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": so.mmr_rerank_sql(["spark", "window"], 20, 10),
         "weak_labels": so.label_docs_sql(),
         "bitext_align": so.mutual_align_sql("fr", "de"),
+        "random_walks": so.random_walks_sql(5, 37),
+        "rocchio_expand": so.rocchio_expand_sql(["spark", "window"], 10, 10),
         "incremental_near_dup": so.incremental_minhash_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)

@@ -7248,3 +7248,60 @@ t2 AS (
 SELECT t1.a AS doc_a, t1.b AS doc_b
 FROM t1 JOIN t2 ON t2.b = t1.b AND t2.a = t1.a
 ORDER BY doc_a"""
+
+
+def random_walks_sql(walk_len: int = 5, start_mod: int = 37) -> str:
+    """Random-walk oracle (ops/randwalk.py): unrolled hops — step t from
+    u takes out-edge j = md5('walk:u:t') % outdeg(u) of the same md5
+    link graph (self-loop bump included)."""
+    ctes = ["""c AS (SELECT count(*) AS n FROM documents),
+w0 AS (
+  SELECT doc_id AS start, 0 AS step, doc_id AS node
+  FROM documents WHERE doc_id % {sm} = 0
+)""".replace("{sm}", str(start_mod))]
+    for t in range(1, walk_len + 1):
+        jmd5 = _MD5_INT31.format(
+            s=f"'walk:' || CAST(w.node AS VARCHAR) || ':{t}'")
+        lmd5 = _MD5_INT31.format(
+            s="'link:' || CAST(w.node AS VARCHAR) || ':' || CAST(jj.j AS VARCHAR)")
+        ctes.append(f"""w{t} AS (
+  SELECT w.start, {t} AS step,
+         CASE WHEN tt.tgt = w.node THEN (tt.tgt + 1) % c.n
+              ELSE tt.tgt END AS node
+  FROM w{t-1} w CROSS JOIN c,
+  LATERAL (SELECT ({jmd5}) % (1 + (w.node % 3)) AS j) jj,
+  LATERAL (SELECT ({lmd5}) % c.n AS tgt) tt
+)""")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT start, CAST(step AS BIGINT) AS step, node FROM w{t}"
+        for t in range(walk_len + 1))
+    return f"""WITH {", ".join(ctes)}
+{arms}
+ORDER BY start, step"""
+
+
+def rocchio_expand_sql(terms: list[str], k: int = 10, m: int = 10) -> str:
+    """Rocchio PRF oracle (ops/rocchio.py): pseudo-relevant = the
+    float32-bit-exact BM25 top-k; w(t) = (ln(N/(df+1)) + 1) * Σtf with an
+    integer tf sum; query terms excluded; (w desc, term asc) top-m."""
+    topk = bm25_topk_sql(terms, k=k).replace("\n", "\n  ")
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH topk AS MATERIALIZED (
+  SELECT doc_id FROM ({topk})
+),
+{_toks_cte()},
+tfs AS (
+  SELECT k.term, CAST(count(*) AS BIGINT) AS sum_tf
+  FROM kept k JOIN topk USING (doc_id)
+  GROUP BY k.term
+),
+dfs AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM kept GROUP BY term
+)
+SELECT t.term, t.sum_tf, d.df
+FROM tfs t JOIN dfs d USING (term) CROSS JOIN coll
+WHERE t.term NOT IN ({tlist})
+ORDER BY (ln(CAST(coll.N AS DOUBLE) / (d.df + 1)) + 1.0) * t.sum_tf DESC,
+         t.term ASC
+LIMIT {m}"""

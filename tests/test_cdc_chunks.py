@@ -199,3 +199,28 @@ def test_bitext_mutual_align(ray_session):
     pairs = list(zip(t.column("doc_a").to_pylist(),
                      t.column("doc_b").to_pylist()))
     assert pairs == [(0, 2), (1, 3)]   # 4 correctly unmatched
+
+
+def test_rocchio_expansion(ray_session, documents_index):
+    from lucenenet_ray.ops.rocchio import rocchio_expand
+    from lucenenet_ray.search.query import parse_query
+    from lucenenet_ray.search.reader import IndexReader
+
+    import os
+
+    import ray.data as rd
+
+    from tests.conftest import SF_DIR
+
+    r = IndexReader(documents_index[0])
+    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    t = rocchio_expand(docs, r, parse_query("spark window"),
+                       ["spark", "window"], k=10, m=10)
+    terms = t.column("term").to_pylist()
+    assert len(terms) == 10 and len(set(terms)) == 10
+    # original query terms never expand
+    assert "spark" not in terms and "window" not in terms
+    # every expansion term really occurs in the feedback docs
+    assert all(tf > 0 for tf in t.column("sum_tf").to_pylist())
+    assert all(df > 0 for df in t.column("df").to_pylist())

@@ -127,3 +127,32 @@ def test_kneser_ney_parallelism_invariant(ray_session):
     t1 = kneser_ney_topk(_docs(texts, parallelism=1), k=15)
     t9 = kneser_ney_topk(_docs(texts, parallelism=9), k=15)
     assert t1.equals(t9)
+
+
+def test_random_walks(ray_session):
+    import ray.data as rd
+
+    from lucenenet_ray.ops.randwalk import _hop, random_walks
+
+    n = 80
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n))})).repartition(5)
+    t = random_walks(ds, n, walk_len=4, start_mod=20)
+    rows = list(zip(t.column("start").to_pylist(),
+                    t.column("step").to_pylist(),
+                    t.column("node").to_pylist()))
+    # starts 0, 20, 40, 60, each with steps 0..4
+    assert [r[0] for r in rows] == sorted([s for s in (0, 20, 40, 60)
+                                           for _ in range(5)])
+    # walk reconstruction matches the hop rule
+    for s in (0, 20, 40, 60):
+        path = [node for st, step, node in rows if st == s]
+        assert path[0] == s
+        u = s
+        for step in range(1, 5):
+            u = _hop(u, step, n)
+            assert path[step] == u
+    # parallelism invariance
+    t1 = random_walks(rd.from_arrow(pa.table(
+        {"doc_id": list(range(n))})).repartition(1), n,
+        walk_len=4, start_mod=20)
+    assert t.equals(t1)
