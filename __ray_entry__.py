@@ -6856,6 +6856,110 @@ def _make_simbase_query(name: str) -> Callable[[str], pa.Table]:
     return run
 
 
+def _q_dismax_topk(sf_dir: str) -> pa.Table:
+    """DisjunctionMaxQuery top-10 (``Search/DisjunctionMaxQuery.cs:58`` /
+    DisjunctionMaxScorer; searcher._eval_dismax): score = max(clause
+    scores) + 0.3f*(sum - max), every op float32; clauses are the two
+    head-term TermQueries, ties doc_id asc (HitQueue)."""
+    from lucenenet_ray.search.query import DisjunctionMaxQuery, TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    q = DisjunctionMaxQuery(
+        disjuncts=(TermQuery(term="spark"), TermQuery(term="window")),
+        tie_breaker=0.3)
+    td = search(_reader(sf_dir), q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
+def _q_common_terms(sf_dir: str) -> pa.Table:
+    """CommonTermsQuery (``Queries/CommonTermsQuery.cs``): terms with
+    df > maxTermFrequency*N are demoted to one optional SHOULD sub-query;
+    rare terms keep low_freq_occur=MUST.  Query terms (dup, scan, window)
+    with cutoff 0.1 classify as low=[dup] / high=[scan, window] — the
+    classification is df-driven from the engine's own global termstats
+    (asserted, so a corpus change can't silently flip the rewrite under
+    the fixed oracle) — then docs MUST hold 'dup', scored
+    f32(s_dup + f32(s_scan + s_window)) in clause order."""
+    from lucenenet_ray.search.query import Occur, common_terms_query
+    from lucenenet_ray.search.searcher import search
+
+    r = _reader(sf_dir)
+    stats = r.term_stats(["dup", "scan", "window"])
+    df_of = lambda t: stats.get(t, (0, 0))[0]  # noqa: E731
+    q = common_terms_query(["dup", "scan", "window"], df_of, r.num_docs,
+                           max_term_frequency=0.1,
+                           low_freq_occur=Occur.MUST)
+    # the oracle hardcodes the low/high split; assert the engine derived
+    # the same one from its own df stats
+    assert df_of("dup") <= 0.1 * r.num_docs < min(df_of("scan"),
+                                                  df_of("window"))
+    td = search(r, q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
+def _q_wildcard_constant(sf_dir: str) -> pa.Table:
+    """WildcardQuery 's?a*' with the default constant-score rewrite
+    (``Search/WildcardQuery.cs:45``, CONSTANT_SCORE_AUTO): the pattern is
+    expanded against the engine's sorted term dictionary (matches scan,
+    small, spark on this corpus at every sf), matches score exactly the
+    1.5 boost, ties doc_id asc."""
+    from lucenenet_ray.search.query import WildcardQuery
+    from lucenenet_ray.search.searcher import search
+
+    q = WildcardQuery(pattern="s?a*", boost=1.5, constant_score=True)
+    td = search(_reader(sf_dir), q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
+def _q_regexp_scoring(sf_dir: str) -> pa.Table:
+    """RegexpQuery 's(can|ort|low)' with the SCORING_BOOLEAN rewrite
+    (``Search/RegexpQuery.cs`` + ScoringRewrite.cs): the term dictionary
+    expands the regex to {scan, slow, sort} (term-sorted), which score as
+    an OR of TermQueries — f32 clause-order BM25 sum in term order, so
+    the oracle is exactly the 3-term OR oracle over the sorted
+    expansion."""
+    from lucenenet_ray.search.query import RegexpQuery
+    from lucenenet_ray.search.searcher import search
+
+    q = RegexpQuery(pattern="s(can|ort|low)", constant_score=False)
+    td = search(_reader(sf_dir), q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
+def _q_neighborhood_2hop(sf_dir: str) -> pa.Table:
+    """Exact 2-hop neighborhood function (ops/linkpredict.py
+    neighborhood_sizes; exact small-radius ANF, Palmer et al. KDD'02)
+    over the md5 link graph: per node, distinct nodes within distance
+    <=1 and <=2.  HyperBall sketches are the 100TB path; this exact
+    wedge-explode form is the oracle-checkable baseline."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.linkpredict import neighborhood_sizes
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return neighborhood_sizes(ds, n_nodes=n)
+
+
+def _q_resource_allocation(sf_dir: str) -> pa.Table:
+    """Resource-allocation link prediction (ops/linkpredict.py
+    resource_allocation_topk; Zhou-Lü-Zhang 2009): top-20 non-adjacent
+    pairs by sum over common neighbors of 10^9 // deg(z) — integer fixed
+    point, exact at any parallelism; existing-edge exclusion is done
+    inside the candidate groupby via marker rows (no broadcast)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.linkpredict import resource_allocation_topk
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return resource_allocation_topk(ds, n_nodes=n, k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7102,6 +7206,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "rocchio_expand": _q_rocchio_expand,
         "incremental_near_dup": _q_incremental_near_dup,
+        "dismax_topk": _q_dismax_topk,
+        "common_terms_topk": _q_common_terms,
+        "wildcard_constant": _q_wildcard_constant,
+        "regexp_scoring": _q_regexp_scoring,
+        "neighborhood_2hop": _q_neighborhood_2hop,
+        "resource_allocation": _q_resource_allocation,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -7454,6 +7564,16 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": so.random_walks_sql(5, 37),
         "rocchio_expand": so.rocchio_expand_sql(["spark", "window"], 10, 10),
         "incremental_near_dup": so.incremental_minhash_sql(),
+        "dismax_topk": so.bm25_dismax_sql(["spark", "window"], 0.3, TOPK),
+        "common_terms_topk": so.common_terms_sql(
+            ["dup"], ["scan", "window"], TOPK),
+        "wildcard_constant": so.constant_score_like_sql("s_a%", 1.5, TOPK),
+        # regexp 's(can|ort|low)' expands to the term-sorted OR over
+        # {scan, slow, sort} — exactly the 3-term OR oracle
+        "regexp_scoring": so.bm25_topk_sql(["scan", "slow", "sort"],
+                                           TOPK, "or"),
+        "neighborhood_2hop": so.neighborhood_sql(),
+        "resource_allocation": so.resource_allocation_sql(20),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -1,0 +1,166 @@
+"""Link-prediction and neighborhood analytics over the synthesized crawl
+link graph (the SAME md5 edge synthesis as ops/graphrank.py / pagerank /
+HITS / triangles — see `_out_edges`).
+
+Two classic web-graph ops next to PageRank/triangles:
+
+- ``neighborhood_sizes``: the exact small-radius neighborhood function
+  N(u, r) — distinct nodes within distance <= r (r=1, 2), per node.  This
+  is the exact variant of ANF (Palmer, Gibbons & Faloutsos, KDD'02); at
+  100 TB graph scale the sketch path is HyperBall (Boldi & Vigna, 2013)
+  with a HyperLogLog register per node, but the exact 2-hop form below is
+  the oracle-checkable baseline and is itself distributed (wedge explode
+  bounded by the hub cap, like triangle counting's step 2).
+
+- ``resource_allocation_topk``: the Resource Allocation link-prediction
+  index of Zhou, Lü & Zhang (Eur. Phys. J. B 71, 2009):
+  RA(u, w) = sum over common neighbors z of 1/deg(z), ranked over
+  NON-adjacent pairs.  Scores use integer fixed point
+  ``SCALE // deg(z)`` summed as int64, so distribution order cannot move
+  a bit and DuckDB re-derives the exact ranking (the same fixed-point
+  discipline as ops/graphrank.py pagerank).
+
+Shuffle budget: one ``groupby(a, b)`` edge dedup (shared), one
+``groupby(center)`` wedge explode, one ``groupby(a, b)`` candidate fold.
+The existing-edge exclusion reuses the triangle-counting "close" trick —
+edge rows are union'd into the candidate groupby as marker rows, so no
+driver-held edge set and no broadcast is needed at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lucenenet_ray.ops.triangles import _undirected_rows
+
+SCALE = 1_000_000_000
+
+
+def _und_edges(ds, n_nodes: int, id_col: str = "doc_id"):
+    """Deduped undirected edge Dataset (a < b), materialized once (edge
+    scale, not corpus scale) so wedge and marker paths share it."""
+    return (ds.map_batches(
+        _undirected_rows, fn_kwargs={"n_nodes": n_nodes, "id_col": id_col},
+        batch_format="pyarrow")
+        .groupby(["a", "b"]).count().materialize())
+
+
+def _both_dirs(t: pa.Table) -> pa.Table:
+    a = t.column("a").to_numpy(zero_copy_only=False)
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "u": pa.array(np.concatenate([a, b]), type=pa.int64()),
+        "nbr": pa.array(np.concatenate([b, a]), type=pa.int64()),
+    })
+
+
+def neighborhood_sizes(ds, n_nodes: int, id_col: str = "doc_id") -> pa.Table:
+    """(node, n1, n2): distinct nodes at distance exactly <= 1 and <= 2
+    (self excluded), for every node with >= 1 edge; node-sorted."""
+    edges = _und_edges(ds, n_nodes, id_col)
+
+    def hop2_pairs(group: pa.Table) -> pa.Table:
+        # wedge center z: every ordered pair of distinct neighbors is at
+        # distance <= 2 through z
+        nb = np.unique(group.column("nbr").to_numpy(zero_copy_only=False))
+        k = len(nb)
+        if k < 2:
+            return pa.table({"src": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64()),
+                             "direct": pa.array([], type=pa.int64())})
+        src = np.repeat(nb, k - 1)
+        w = np.concatenate([np.delete(nb, i) for i in range(k)])
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "w": pa.array(w, type=pa.int64()),
+                         "direct": pa.array(np.zeros(src.size, dtype=np.int64))})
+
+    def hop1_pairs(t: pa.Table) -> pa.Table:
+        bd = _both_dirs(t)
+        return pa.table({"src": bd.column("u"), "w": bd.column("nbr"),
+                         "direct": pa.array(
+                             np.ones(bd.num_rows, dtype=np.int64))})
+
+    wedge_ds = (edges.map_batches(_both_dirs, batch_format="pyarrow")
+                .groupby("u").map_groups(hop2_pairs, batch_format="pyarrow"))
+    direct_ds = edges.map_batches(hop1_pairs, batch_format="pyarrow")
+
+    def fold(group: pa.Table) -> pa.Table:
+        src = int(group.column("src")[0].as_py())
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        direct = group.column("direct").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array([src], type=pa.int64()),
+            "n1": pa.array([len(np.unique(w[direct == 1]))], type=pa.int64()),
+            "n2": pa.array([len(np.unique(w))], type=pa.int64()),
+        })
+
+    out = (wedge_ds.union(direct_ds)
+           .groupby("src").map_groups(fold, batch_format="pyarrow")
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def resource_allocation_topk(ds, n_nodes: int, k: int = 20,
+                             id_col: str = "doc_id") -> pa.Table:
+    """Top-k non-adjacent pairs by the RA index in int64 fixed point:
+    (rank, a, b, score) with score = sum_z SCALE // deg(z), ordered
+    (score desc, a asc, b asc)."""
+    edges = _und_edges(ds, n_nodes, id_col)
+
+    def ra_wedges(group: pa.Table) -> pa.Table:
+        nb = np.unique(group.column("nbr").to_numpy(zero_copy_only=False))
+        kk = len(nb)
+        if kk < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "wt": pa.array([], type=pa.int64())})
+        wt = SCALE // kk  # deg(center) = kk distinct neighbors
+        ii, jj = np.triu_indices(kk, 1)
+        return pa.table({
+            "a": pa.array(nb[ii], type=pa.int64()),
+            "b": pa.array(nb[jj], type=pa.int64()),
+            "wt": pa.array(np.full(ii.size, wt, dtype=np.int64)),
+        })
+
+    wedge_ds = (edges.map_batches(_both_dirs, batch_format="pyarrow")
+                .groupby("u").map_groups(ra_wedges, batch_format="pyarrow"))
+    # existing edges become poison markers (wt = -1): any candidate pair
+    # that IS an edge is dropped inside the same groupby — no broadcast
+    marker_ds = edges.map_batches(
+        lambda t: pa.table({
+            "a": t.column("a"), "b": t.column("b"),
+            "wt": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+        }), batch_format="pyarrow")
+
+    def fold(group: pa.Table) -> pa.Table:
+        wt = group.column("wt").to_numpy(zero_copy_only=False)
+        if (wt < 0).any():
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.int64())})
+        return pa.table({
+            "a": group.column("a").slice(0, 1),
+            "b": group.column("b").slice(0, 1),
+            "score": pa.array([int(wt.sum())], type=pa.int64()),
+        })
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        import pandas as pd  # noqa: F401  (lexsort below is numpy)
+        sc = t.column("score").to_numpy(zero_copy_only=False)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -sc))[:k]
+        return t.take(order)
+
+    cand = (wedge_ds.union(marker_ds)
+            .groupby(["a", "b"]).map_groups(fold, batch_format="pyarrow")
+            .map_batches(partial_topk, batch_format="pyarrow")
+            .to_pandas())
+    cand = cand.sort_values(["score", "a", "b"],
+                            ascending=[False, True, True]).head(k)
+    cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(cand.reset_index(drop=True),
+                                preserve_index=False)

@@ -7305,3 +7305,185 @@ WHERE t.term NOT IN ({tlist})
 ORDER BY (ln(CAST(coll.N AS DOUBLE) / (d.df + 1)) + 1.0) * t.sum_tf DESC,
          t.term ASC
 LIMIT {m}"""
+
+
+def bm25_dismax_sql(terms: list[str], tie: float = 0.0, k: int = 10) -> str:
+    """DisjunctionMaxQuery oracle (searcher._eval_dismax;
+    ``Search/DisjunctionMaxQuery.cs:58`` DisjunctionMaxScorer):
+    score = max + tie*(sum - max), every op staged float32.  Two clauses:
+    sum is the f32 clause-order sum, max is exact at any order."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    pivot_cols = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(terms))
+    # DuckDB GREATEST promotes REAL args to DOUBLE; the true max of f32s
+    # IS an f32, so the cast back is a lossless identity
+    smax = "CAST(GREATEST(" + ", ".join(
+        f"COALESCE(s{i}, {ZERO_R})" for i in range(len(terms))) + ") AS REAL)"
+    ssum = f"COALESCE(s0, {ZERO_R})"
+    for i in range(1, len(terms)):
+        ssum = f"({ssum} + COALESCE(s{i}, {ZERO_R}))"
+    tie_r = _R.format(v=repr(float(tie)))
+    score = f"(smax + ({tie_r} * (ssum - smax)))"
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(terms, None)},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         (w.wv * tf.f) / (tf.f + c.cache) AS s
+  FROM tf
+  JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf.doc_id
+),
+agg AS (
+  SELECT doc_id, {pivot_cols}
+  FROM persc GROUP BY doc_id
+),
+staged AS (
+  SELECT doc_id, {smax} AS smax, {ssum} AS ssum FROM agg
+),
+scored AS (
+  SELECT doc_id, {score} AS score FROM staged
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def common_terms_sql(low_terms: list[str], high_terms: list[str],
+                     k: int = 10) -> str:
+    """CommonTermsQuery oracle (query.common_terms_query;
+    ``Queries/CommonTermsQuery.cs``) with low_freq_occur=MUST: a doc MUST
+    contain every low-freq term; high-freq terms are demoted to one
+    optional SHOULD sub-query.  Clause-order f32 staging: low clauses in
+    order, then the sub-query's own f32 clause-order sum added once —
+    (..(low0 + low1..) + (high0 + high1..)) with every + a binary32 add.
+    The low/high split is fixed by construction: the synthesized corpus
+    keeps term-frequency RATIOS scale-invariant, so the classification
+    (df <= cutoff) is identical at every sf (asserted engine-side)."""
+    all_terms = list(low_terms) + list(high_terms)
+    terms_sql = ", ".join(f"'{t}'" for t in all_terms)
+    pivot_cols = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(all_terms))
+    nlow = len(low_terms)
+    low_sum = f"COALESCE(s_0, {ZERO_R})"
+    for i in range(1, nlow):
+        low_sum = f"({low_sum} + COALESCE(s_{i}, {ZERO_R}))"
+    high_sum = f"COALESCE(s_{nlow}, {ZERO_R})"
+    for i in range(nlow + 1, len(all_terms)):
+        high_sum = f"({high_sum} + COALESCE(s_{i}, {ZERO_R}))"
+    score = f"({low_sum} + {high_sum})" if high_terms else low_sum
+    must = "HAVING count(DISTINCT CASE WHEN term IN (" + ", ".join(
+        f"'{t}'" for t in low_terms) + f") THEN term END) = {nlow}"
+    return f"""WITH {_toks_cte()},{_NORM_CTE},{_weights_cte(all_terms, None)},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS REAL) AS f
+  FROM kept WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+persc AS (
+  SELECT tf.doc_id, tf.term,
+         (w.wv * tf.f) / (tf.f + c.cache) AS s
+  FROM tf
+  JOIN qweights w USING (term)
+  JOIN normcache c ON c.doc_id = tf.doc_id
+),
+agg AS (
+  SELECT doc_id, {pivot_cols}
+  FROM persc GROUP BY doc_id {must}
+),
+scored AS (
+  SELECT doc_id, {score} AS score FROM agg
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def constant_score_like_sql(like_pattern: str, boost: float,
+                            k: int = 10) -> str:
+    """Constant-score multi-term rewrite oracle (WildcardQuery with the
+    default CONSTANT_SCORE rewrite, ``Search/WildcardQuery.cs:45``): docs
+    holding ANY term matching the SQL LIKE translation of the wildcard
+    pattern score exactly boost, ties doc_id asc."""
+    esc = like_pattern.replace("'", "''")
+    return f"""WITH {_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM kept WHERE term LIKE '{esc}')
+SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST({boost!r} AS DOUBLE) AS score
+FROM m ORDER BY doc_id ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# link graph: shared und-edge CTE + neighborhood / link-prediction oracles
+
+
+def _und_graph_ctes() -> str:
+    """Shared md5 link-graph CTEs (same synthesis as ops/graphrank.py
+    _out_edges): c, nodes, dir_edges, und (a<b dedup), bi (both dirs)."""
+    md5 = _MD5_INT31.format(
+        s="'link:'||CAST(u AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    return f"""c AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS u FROM documents),
+dir_edges AS (
+  SELECT u, CASE WHEN t = u THEN (t + 1) % c.n ELSE t END AS v
+  FROM (
+    SELECT u, j, {md5} AS h
+    FROM nodes, LATERAL (SELECT unnest(range(3)) AS j) r
+    WHERE j < 1 + (u % 3)) e
+  CROSS JOIN c, LATERAL (SELECT e.h % c.n AS t) tt
+),
+und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM dir_edges
+),
+bi AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und)"""
+
+
+def neighborhood_sql() -> str:
+    """Exact 2-hop neighborhood-function oracle (ops/linkpredict.py
+    neighborhood_sizes): n1 = distinct direct neighbors, n2 = distinct
+    nodes within distance <= 2 (self excluded), per node with >= 1 edge."""
+    return f"""WITH {_und_graph_ctes()},
+two AS (
+  SELECT p.y AS src, q.y AS w
+  FROM bi p JOIN bi q ON p.x = q.x AND p.y <> q.y
+),
+reach AS (
+  SELECT x AS src, y AS w, 1 AS direct FROM bi
+  UNION ALL
+  SELECT src, w, 0 AS direct FROM two
+)
+SELECT src AS node,
+       CAST(count(DISTINCT w) FILTER (WHERE direct = 1) AS BIGINT) AS n1,
+       CAST(count(DISTINCT w) AS BIGINT) AS n2
+FROM reach GROUP BY src ORDER BY src"""
+
+
+def resource_allocation_sql(k: int = 20) -> str:
+    """Resource-allocation link-prediction oracle (ops/linkpredict.py
+    resource_allocation_topk; Zhou-Lü-Zhang 2009): per common neighbor z
+    the weight is the int fixed point 10^9 // deg(z); candidate = summed
+    weight over non-adjacent pairs; (score desc, a, b) top-k."""
+    return f"""WITH {_und_graph_ctes()},
+deg AS (SELECT x, CAST(count(DISTINCT y) AS BIGINT) AS d FROM bi GROUP BY x),
+wedge AS (
+  SELECT p.y AS a, q.y AS b, 1000000000 // deg.d AS wt
+  FROM bi p
+  JOIN bi q ON p.x = q.x AND p.y < q.y
+  JOIN deg ON deg.x = p.x
+),
+cand AS (
+  SELECT a, b, CAST(sum(wt) AS BIGINT) AS score
+  FROM wedge GROUP BY a, b
+),
+nonadj AS (
+  SELECT cand.* FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM und
+                    WHERE und.a = cand.a AND und.b = cand.b)
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, a ASC, b ASC) AS BIGINT)
+         AS rank,
+       a, b, score
+FROM nonadj ORDER BY score DESC, a ASC, b ASC LIMIT {k}"""

@@ -1,0 +1,91 @@
+"""Neighborhood function + resource-allocation link prediction
+(ops/linkpredict.py) vs plain-Python brute force."""
+
+import numpy as np
+import pyarrow as pa
+
+from lucenenet_ray.ops.graphrank import _out_edges
+from lucenenet_ray.ops.linkpredict import (
+    SCALE,
+    neighborhood_sizes,
+    resource_allocation_topk,
+)
+
+
+def _ids_ds(n, parallelism=3):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"doc_id": list(range(n))})) \
+             .repartition(parallelism)
+
+
+def _adj(n):
+    src, dst, _ = _out_edges(np.arange(n, dtype=np.int64), n)
+    edges = {(min(a, b), max(a, b)) for a, b in zip(src.tolist(),
+                                                    dst.tolist())}
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return edges, adj
+
+
+def test_neighborhood_matches_bruteforce(ray_session):
+    n = 80
+    edges, adj = _adj(n)
+    t = neighborhood_sizes(_ids_ds(n, parallelism=5), n)
+    got = {r["node"]: (r["n1"], r["n2"])
+           for r in t.to_pylist()}
+    for u, nb in adj.items():
+        ball2 = set(nb)
+        for z in nb:
+            ball2 |= adj[z]
+        ball2.discard(u)
+        assert got[u] == (len(nb), len(ball2)), u
+    assert set(got) == set(adj)
+
+
+def test_neighborhood_parallelism_invariant(ray_session):
+    n = 50
+    t1 = neighborhood_sizes(_ids_ds(n, parallelism=1), n)
+    t7 = neighborhood_sizes(_ids_ds(n, parallelism=7), n)
+    assert t1.equals(t7)
+
+
+def _ra_brute(n, k):
+    edges, adj = _adj(n)
+    scores: dict[tuple, int] = {}
+    for z, nb in adj.items():
+        wt = SCALE // len(nb)
+        snb = sorted(nb)
+        for i in range(len(snb)):
+            for j in range(i + 1, len(snb)):
+                p = (snb[i], snb[j])
+                scores[p] = scores.get(p, 0) + wt
+    cand = [(s, a, b) for (a, b), s in scores.items()
+            if (a, b) not in edges]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    return [(a, b, s) for s, a, b in cand[:k]]
+
+
+def test_ra_matches_bruteforce(ray_session):
+    n, k = 80, 15
+    t = resource_allocation_topk(_ids_ds(n, parallelism=5), n, k=k)
+    got = [(r["a"], r["b"], r["score"]) for r in t.to_pylist()]
+    assert got == _ra_brute(n, k)
+    assert t.column("rank").to_pylist() == list(range(1, len(got) + 1))
+
+
+def test_ra_excludes_existing_edges(ray_session):
+    n = 60
+    edges, _ = _adj(n)
+    t = resource_allocation_topk(_ids_ds(n, parallelism=4), n, k=50)
+    pairs = {(r["a"], r["b"]) for r in t.to_pylist()}
+    assert not (pairs & edges)
+
+
+def test_ra_parallelism_invariant(ray_session):
+    n = 50
+    t1 = resource_allocation_topk(_ids_ds(n, parallelism=1), n, k=10)
+    t7 = resource_allocation_topk(_ids_ds(n, parallelism=7), n, k=10)
+    assert t1.equals(t7)
