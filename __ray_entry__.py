@@ -6960,6 +6960,65 @@ def _q_resource_allocation(sf_dir: str) -> pa.Table:
     return resource_allocation_topk(ds, n_nodes=n, k=20)
 
 
+def _q_term_range_constant(sf_dir: str) -> pa.Table:
+    """TermRangeQuery ['scan','sort'] inclusive with the constant-score
+    rewrite (``Search/TermRangeQuery.cs`` bounds semantics): the sorted
+    term dictionary yields the in-range terms (scan, slow, small, sort on
+    this corpus), matches score exactly 1.0, ties doc_id asc."""
+    from lucenenet_ray.search.query import TermRangeQuery
+    from lucenenet_ray.search.searcher import search
+
+    q = TermRangeQuery(lower="scan", upper="sort", include_lower=True,
+                       include_upper=True, constant_score=True)
+    td = search(_reader(sf_dir), q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
+def _q_cocitation(sf_dir: str) -> pa.Table:
+    """Co-citation pair counts (ops/linkpredict.py cocitation_topk; Small
+    JASIS 1973) over the md5 link graph: top-20 doc pairs by distinct
+    citing docs.  Out-sets are batch-local by construction, so the only
+    exchange is ONE groupby over pre-combined pair partials."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.linkpredict import cocitation_topk
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return cocitation_topk(ds, n_nodes=n, k=20)
+
+
+def _q_pmi_bigrams(sf_dir: str) -> pa.Table:
+    """PMI collocation extraction (ops/collocations.py pmi_bigrams;
+    Church & Hanks 1990) over the raw token stream: top-20 adjacent
+    bigrams (count >= 5) by integer fixed-point lift — a monotone
+    transform of PMI, so the ranking IS the PMI ranking with zero float
+    risk."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.collocations import pmi_bigrams
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return pmi_bigrams(ds, k=20, min_count=5)
+
+
+def _q_ngram_diversity(sf_dir: str) -> pa.Table:
+    """Distinct-2 corpus diversity per source slice (ops/collocations.py
+    ngram_diversity; Zhu et al. 2018 Texygen §4.2): distinct/total
+    adjacent bigrams in integer fixed point — the boilerplate/templating
+    detector a curation pipeline runs per domain."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.collocations import ngram_diversity
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text", "source"])
+    return ngram_diversity(ds, n=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7212,6 +7271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_scoring": _q_regexp_scoring,
         "neighborhood_2hop": _q_neighborhood_2hop,
         "resource_allocation": _q_resource_allocation,
+        "term_range_constant": _q_term_range_constant,
+        "cocitation_topk": _q_cocitation,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "ngram_diversity": _q_ngram_diversity,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -7574,6 +7637,11 @@ def oracle_sql() -> dict[str, str]:
                                            TOPK, "or"),
         "neighborhood_2hop": so.neighborhood_sql(),
         "resource_allocation": so.resource_allocation_sql(20),
+        "term_range_constant": so.constant_score_range_sql(
+            "scan", "sort", 1.0, TOPK),
+        "cocitation_topk": so.cocitation_sql(20),
+        "pmi_bigrams": so.pmi_bigrams_sql(20, 5),
+        "ngram_diversity": so.ngram_diversity_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

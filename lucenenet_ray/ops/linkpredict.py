@@ -101,6 +101,77 @@ def neighborhood_sizes(ds, n_nodes: int, id_col: str = "doc_id") -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def cocitation_topk(ds, n_nodes: int, k: int = 20,
+                    id_col: str = "doc_id") -> pa.Table:
+    """Top-k doc pairs by co-citation count (Small, JASIS 1973): the
+    number of distinct docs whose out-links contain BOTH — the classic
+    relatedness signal over a citation/web graph.
+
+    Shape: a doc's out-links are synthesized from its own id, so each
+    src's full distinct out-set is batch-local — pair emission needs NO
+    adjacency shuffle; ONE ``groupby(a, b).sum`` over per-batch partial
+    pair counts is the only exchange (out-degree is bounded — <= 3 here,
+    <= page-link caps on a real crawl — so the per-src pair fan-out is
+    O(deg²) bounded).
+
+    Returns (rank, a, b, n_cociting) ordered (count desc, a, b)."""
+    from lucenenet_ray.ops.graphrank import _out_edges
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src, dst, _ = _out_edges(ids, n_nodes)
+        # per-src distinct out-sets (batch-local by construction)
+        key = src * np.int64(n_nodes) + dst
+        key = np.unique(key)
+        s = key // n_nodes
+        d = key % n_nodes
+        aa, bb = [], []
+        # out-degree <= 3: bounded pair fan-out per src
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        ends = np.r_[starts[1:], s.size]
+        for lo, hi in zip(starts.tolist(), ends.tolist()):
+            if hi - lo >= 2:
+                nb = d[lo:hi]
+                ii, jj = np.triu_indices(hi - lo, 1)
+                aa.append(nb[ii])
+                bb.append(nb[jj])
+        if not aa:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        av = np.concatenate(aa)
+        bv = np.concatenate(bb)
+        pk = av * np.int64(n_nodes) + bv
+        uniq, cnt = np.unique(pk, return_counts=True)
+        return pa.table({
+            "a": pa.array(uniq // n_nodes, type=pa.int64()),
+            "b": pa.array(uniq % n_nodes, type=pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        c = t.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -c))[:k]
+        return t.take(order)
+
+    agg = (ds.map_batches(pair_partials, batch_format="pyarrow")
+           .groupby(["a", "b"]).sum("cnt")
+           .map_batches(partial_topk, batch_format="pyarrow")
+           .to_pandas())
+    agg = agg.rename(columns={"sum(cnt)": "n_cociting"})
+    agg = agg.sort_values(["n_cociting", "a", "b"],
+                          ascending=[False, True, True]).head(k)
+    agg["n_cociting"] = agg["n_cociting"].astype(np.int64)
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(agg.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def resource_allocation_topk(ds, n_nodes: int, k: int = 20,
                              id_col: str = "doc_id") -> pa.Table:
     """Top-k non-adjacent pairs by the RA index in int64 fixed point:

@@ -7487,3 +7487,102 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, a ASC, b ASC) AS BIGINT)
          AS rank,
        a, b, score
 FROM nonadj ORDER BY score DESC, a ASC, b ASC LIMIT {k}"""
+
+
+def constant_score_range_sql(lower: str, upper: str, boost: float,
+                             k: int = 10) -> str:
+    """TermRangeQuery constant-score oracle (``Search/TermRangeQuery.cs``
+    inclusive bounds): docs holding ANY body term in [lower, upper] score
+    exactly boost, ties doc_id asc."""
+    lo = lower.replace("'", "''")
+    hi = upper.replace("'", "''")
+    return f"""WITH {_toks_cte()},
+m AS (SELECT DISTINCT doc_id FROM kept
+      WHERE term >= '{lo}' AND term <= '{hi}')
+SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS BIGINT) AS rank,
+       doc_id, CAST({boost!r} AS DOUBLE) AS score
+FROM m ORDER BY doc_id ASC LIMIT {k}"""
+
+
+def cocitation_sql(k: int = 20) -> str:
+    """Co-citation oracle (ops/linkpredict.py cocitation_topk; Small
+    1973): pairs (a < b) by the count of distinct docs linking to both,
+    (count desc, a, b) top-k."""
+    return f"""WITH {_und_graph_ctes()},
+d AS (SELECT DISTINCT u, v FROM dir_edges),
+p AS (
+  SELECT e1.v AS a, e2.v AS b, count(*) AS c
+  FROM d e1 JOIN d e2 ON e1.u = e2.u AND e1.v < e2.v
+  GROUP BY e1.v, e2.v
+)
+SELECT CAST(row_number() OVER (ORDER BY c DESC, a ASC, b ASC) AS BIGINT)
+         AS rank,
+       a, b, CAST(c AS BIGINT) AS n_cociting
+FROM p ORDER BY c DESC, a ASC, b ASC LIMIT {k}"""
+
+
+def _raw_adjacent_cte(table: str = "documents") -> str:
+    """Raw whitespace tokens, empties dropped, positions re-ranked AFTER
+    the drop so bigrams are adjacency of the FILTERED stream (the
+    ops/collocations.py contract)."""
+    return f"""rawtok AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM {table}
+),
+ftok AS (
+  SELECT doc_id, source, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM rawtok WHERE w <> ''
+),
+bigr AS (
+  SELECT x.doc_id, x.source, x.w AS a, y.w AS b
+  FROM ftok x JOIN ftok y ON x.doc_id = y.doc_id AND y.p = x.p + 1
+)"""
+
+
+def pmi_bigrams_sql(k: int = 20, min_count: int = 5) -> str:
+    """PMI collocation oracle (ops/collocations.py pmi_bigrams; Church &
+    Hanks 1990): lift = (c_ab*N*10^9) // (c_a*c_b) in exact integer
+    arithmetic (HUGEINT intermediate — the product overflows BIGINT at
+    bench scale), c_ab >= min_count, (lift desc, a, b) top-k."""
+    return f"""WITH {_raw_adjacent_cte()},
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ftok GROUP BY w),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+ab AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM bigr GROUP BY a, b HAVING count(*) >= {min_count}
+),
+scored AS (
+  SELECT ab.a, ab.b, ab.c_ab,
+         CAST((CAST(ab.c_ab AS HUGEINT) * n.total * 1000000000)
+              // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS lift
+  FROM ab
+  JOIN uni ua ON ua.w = ab.a
+  JOIN uni ub ON ub.w = ab.b
+  CROSS JOIN n
+)
+SELECT CAST(row_number() OVER (ORDER BY lift DESC, a ASC, b ASC) AS BIGINT)
+         AS rank,
+       a, b, c_ab, lift
+FROM scored ORDER BY lift DESC, a ASC, b ASC LIMIT {k}"""
+
+
+def ngram_diversity_sql() -> str:
+    """Distinct-2 diversity oracle (ops/collocations.py ngram_diversity;
+    Zhu et al. 2018 §4.2): per source, total and distinct adjacent
+    bigrams over the filtered raw token stream; diversity =
+    (distinct*10^9) // total."""
+    return f"""WITH {_raw_adjacent_cte()},
+per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS total_ngrams,
+         CAST(count(DISTINCT a || chr(31) || b) AS BIGINT)
+           AS distinct_ngrams
+  FROM bigr GROUP BY source
+)
+SELECT source, total_ngrams, distinct_ngrams,
+       CAST((CAST(distinct_ngrams AS HUGEINT) * 1000000000)
+            // total_ngrams AS BIGINT) AS diversity
+FROM per ORDER BY source"""
