@@ -7019,6 +7019,56 @@ def _q_ngram_diversity(sf_dir: str) -> pa.Table:
     return ngram_diversity(ds, n=2)
 
 
+def _q_trustrank(sf_dir: str) -> pa.Table:
+    """Integer TrustRank (ops/graphrank.py trustrank; Gyöngyi et al.
+    VLDB 2004) over the md5 link graph: teleport mass concentrated on
+    the deterministic seed set doc_id % 50 == 0, 3 damped iterations in
+    int64 fixed point — the web-spam-demotion companion to pagerank."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.graphrank import trustrank_topk
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return trustrank_topk(ds, n_nodes=n, n_iters=3, k=20, seed_mod=50)
+
+
+def _q_anchor_terms(sf_dir: str) -> pa.Table:
+    """Anchor-text aggregation (ops/linkpredict.py anchor_terms_topk;
+    Brin & Page 1998 §2.2 / Craswell et al. CIKM 2001): each out-link
+    carries the source's first-two-token anchor snippet, aggregated per
+    TARGET doc — the classic web-index enrichment where a page is
+    described by the pages linking TO it.  One groupby over per-batch
+    partial counts."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.linkpredict import anchor_terms_topk
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return anchor_terms_topk(ds, n_nodes=n, k=20)
+
+
+def _q_degree_dist(sf_dir: str) -> pa.Table:
+    """Directed degree histograms (ops/linkpredict.py
+    degree_distribution; the Broder et al. WWW 2000 §3 web-graph sanity
+    stat): in/out degree → node-count rows, zero-in-degree nodes
+    included."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.linkpredict import degree_distribution
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return degree_distribution(ds, n_nodes=n)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7275,6 +7325,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation_topk": _q_cocitation,
         "pmi_bigrams": _q_pmi_bigrams,
         "ngram_diversity": _q_ngram_diversity,
+        "trustrank": _q_trustrank,
+        "anchor_terms": _q_anchor_terms,
+        "degree_dist": _q_degree_dist,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -7642,6 +7695,9 @@ def oracle_sql() -> dict[str, str]:
         "cocitation_topk": so.cocitation_sql(20),
         "pmi_bigrams": so.pmi_bigrams_sql(20, 5),
         "ngram_diversity": so.ngram_diversity_sql(),
+        "trustrank": so.trustrank_topk_sql(3, 20, 50),
+        "anchor_terms": so.anchor_terms_sql(20),
+        "degree_dist": so.degree_dist_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

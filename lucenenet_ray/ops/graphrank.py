@@ -227,3 +227,66 @@ def hits_topk(ds, n_nodes: int, n_iters: int = 3, k: int = 20,
         "authority": pa.array(a[order], type=pa.int64()),
         "hub": pa.array(h[order], type=pa.int64()),
     })
+
+
+def trustrank(ds, n_nodes: int, n_iters: int = 3, seed_mod: int = 50,
+              id_col: str = "doc_id") -> np.ndarray:
+    """Integer TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004
+    "Combating Web Spam with TrustRank"): PageRank with the teleport
+    vector concentrated on a trusted seed set — here the deterministic
+    seed rule ``node % seed_mod == 0`` (SQL-re-derivable; a real
+    deployment plugs in its curated seed list the same way).
+
+    Same int64 fixed-point discipline and per-iteration shape as
+    ``pagerank``: per-batch partial (dst, sum) rows, ONE groupby, driver
+    applies damping + seed-only teleport to the N-row vector."""
+    import ray
+
+    seed_mask = (np.arange(n_nodes, dtype=np.int64) % seed_mod) == 0
+    n_seeds = int(seed_mask.sum())
+    base = SCALE // n_seeds
+    t15 = (15 * base) // 100
+    ranks = np.where(seed_mask, base, np.int64(0)).astype(np.int64)
+    for _ in range(n_iters):
+        rref = ray.put(ranks)
+
+        def partial(t: pa.Table) -> pa.Table:
+            r = ray.get(rref)
+            ids = t.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            src, dst, deg = _out_edges(ids, n_nodes)
+            contrib = r[src] // deg
+            uniq, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, contrib)
+            return pa.table({
+                "dst": pa.array(uniq, type=pa.int64()),
+                "s": pa.array(sums, type=pa.int64()),
+            })
+
+        agg = ds.map_batches(
+            partial, batch_format="pyarrow").groupby("dst").sum("s")
+        new = np.where(seed_mask, np.int64(t15), np.int64(0)).astype(np.int64)
+        for t in agg.to_arrow_refs():
+            tab = ray.get(t)
+            if tab.num_rows == 0 or "dst" not in tab.schema.names:
+                continue
+            d = tab.column("dst").to_numpy(zero_copy_only=False)
+            s = tab.column("sum(s)").to_numpy(zero_copy_only=False)
+            new[d] += (85 * s) // 100
+        ranks = new
+    return ranks
+
+
+def trustrank_topk(ds, n_nodes: int, n_iters: int = 3, k: int = 20,
+                   seed_mod: int = 50, id_col: str = "doc_id") -> pa.Table:
+    """(rank_pos, node, trust) for the k most-trusted nodes,
+    (trust desc, node asc) — integer-exact at any parallelism."""
+    r = trustrank(ds, n_nodes, n_iters=n_iters, seed_mod=seed_mod,
+                  id_col=id_col)
+    order = np.lexsort((np.arange(n_nodes), -r))[:k]
+    return pa.table({
+        "rank_pos": pa.array(range(1, len(order) + 1), type=pa.int64()),
+        "node": pa.array(order.astype(np.int64), type=pa.int64()),
+        "trust": pa.array(r[order], type=pa.int64()),
+    })

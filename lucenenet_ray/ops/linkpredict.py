@@ -235,3 +235,124 @@ def resource_allocation_topk(ds, n_nodes: int, k: int = 20,
     cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
     return pa.Table.from_pandas(cand.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def anchor_terms_topk(ds, n_nodes: int, k: int = 20) -> pa.Table:
+    """Anchor-text aggregation (the classic web-indexing enrichment —
+    Brin & Page 1998 §2.2 index anchor words with the page they point
+    AT; Craswell, Hawking & Robertson CIKM 2001 measure its ranking
+    value): every out-link (u, v) of the md5 graph carries u's anchor
+    snippet (its first two non-empty tokens), aggregated per TARGET v.
+
+    Shape: anchors are derived from the batch's own rows, so the only
+    exchange is ONE ``groupby(node, term).sum`` over per-batch partial
+    counts; multi-edges count once per link like a real crawl.  Returns
+    the global top-k (node, term) pairs by (cnt desc, node, term)."""
+    from lucenenet_ray.ops.graphrank import _out_edges
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        texts = t.column("text").to_pylist()
+        anchors = [[w for w in (x or "").split(" ") if w][:2]
+                   for x in texts]
+        pos_of = {int(u): i for i, u in enumerate(ids)}
+        src, dst, _ = _out_edges(ids, n_nodes)
+        nodes, terms = [], []
+        for u, v in zip(src.tolist(), dst.tolist()):
+            for w in anchors[pos_of[u]]:
+                nodes.append(v)
+                terms.append(w)
+        if not nodes:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        nv = np.asarray(nodes, dtype=np.int64)
+        tv = np.asarray(terms, dtype=object).astype(str)
+        joined = np.char.add(np.char.mod("%019d", nv), tv)
+        uniq, cnt = np.unique(joined, return_counts=True)
+        return pa.table({
+            "node": pa.array([int(s[:19]) for s in uniq], type=pa.int64()),
+            "term": pa.array([s[19:] for s in uniq], type=pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        import pandas as pd
+
+        df = t.to_pandas()
+        df = df.sort_values(["sum(cnt)", "node", "term"],
+                            ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["node", "term"]).sum("cnt")
+           .map_batches(partial_topk, batch_format="pyarrow")
+           .to_pandas())
+    agg = agg.rename(columns={"sum(cnt)": "cnt"})
+    agg = agg.sort_values(["cnt", "node", "term"],
+                          ascending=[False, True, True]).head(k)
+    agg["cnt"] = agg["cnt"].astype(np.int64)
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(agg.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def degree_distribution(ds, n_nodes: int,
+                        id_col: str = "doc_id") -> pa.Table:
+    """Directed degree histograms over the md5 link graph — the first
+    sanity plot of any web-graph study (Broder et al. WWW 2000 §3 fit
+    power laws to exactly these): rows (kind, deg, n_nodes) for kind in
+    ('in', 'out'), (kind, deg)-sorted.  In-degrees need ONE
+    corpus-scale groupby(dst) then a tiny histogram groupby; out-degrees
+    are derived per batch and need only the tiny one."""
+    from lucenenet_ray.ops.graphrank import _out_edges
+
+    def in_partials(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        _, dst, _ = _out_edges(ids, n_nodes)
+        uniq, cnt = np.unique(dst, return_counts=True)
+        return pa.table({"dst": pa.array(uniq, type=pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table({"deg": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    indeg = (ds.map_batches(in_partials, batch_format="pyarrow")
+             .groupby("dst").sum("c")
+             .map_batches(hist_partial, batch_format="pyarrow")
+             .groupby("deg").sum("n").to_pandas())
+    # zero-in-degree nodes never appear as a dst — fold them in
+    n_with_in = int(indeg["sum(n)"].sum())
+
+    def out_partials(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        deg = 1 + (ids % 3)
+        uniq, cnt = np.unique(deg, return_counts=True)
+        return pa.table({"deg": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    outdeg = (ds.map_batches(out_partials, batch_format="pyarrow")
+              .groupby("deg").sum("n").to_pandas())
+
+    import pandas as pd
+
+    rows = []
+    if n_nodes > n_with_in:
+        rows.append(("in", 0, n_nodes - n_with_in))
+    rows += [("in", int(d), int(n)) for d, n in
+             zip(indeg["deg"], indeg["sum(n)"])]
+    rows += [("out", int(d), int(n)) for d, n in
+             zip(outdeg["deg"], outdeg["sum(n)"])]
+    df = pd.DataFrame(rows, columns=["kind", "deg", "n_nodes"])
+    df = df.sort_values(["kind", "deg"]).reset_index(drop=True)
+    df["deg"] = df["deg"].astype(np.int64)
+    df["n_nodes"] = df["n_nodes"].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -7586,3 +7586,128 @@ SELECT source, total_ngrams, distinct_ngrams,
        CAST((CAST(distinct_ngrams AS HUGEINT) * 1000000000)
             // total_ngrams AS BIGINT) AS diversity
 FROM per ORDER BY source"""
+
+
+def trustrank_topk_sql(n_iters: int = 3, k: int = 20,
+                       seed_mod: int = 50) -> str:
+    """Integer TrustRank oracle (ops/graphrank.py trustrank; Gyöngyi et
+    al. VLDB 2004): pagerank_topk_sql's unrolled iterations with the
+    teleport mass concentrated on the seed set doc_id % seed_mod = 0 —
+    identical int64 // arithmetic, size-general (seed count computed in
+    SQL)."""
+    md5 = _MD5_INT31.format(
+        s="'link:'||CAST(u AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    ctes = [f"""c AS (
+  SELECT count(*) AS n,
+         1000000000000 // count(*) FILTER (WHERE doc_id % {seed_mod} = 0)
+           AS base,
+         (15 * (1000000000000 //
+            count(*) FILTER (WHERE doc_id % {seed_mod} = 0))) // 100 AS t15
+  FROM documents),
+nodes AS (SELECT doc_id AS u FROM documents),
+edges AS (
+  SELECT u, CASE WHEN t = u THEN (t + 1) % c.n ELSE t END AS v, d
+  FROM (
+    SELECT u, j, 1 + (u % 3) AS d, {md5} AS h
+    FROM nodes, LATERAL (SELECT unnest(range(3)) AS j) r
+    WHERE j < 1 + (u % 3)) e
+  CROSS JOIN c, LATERAL (SELECT e.h % c.n AS t) tt
+),
+r0 AS (SELECT doc_id AS node,
+              CAST(CASE WHEN doc_id % {seed_mod} = 0 THEN c.base
+                        ELSE 0 END AS BIGINT) AS r
+       FROM documents CROSS JOIN c)"""]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT n.doc_id AS node,
+         CAST(CASE WHEN n.doc_id % {seed_mod} = 0 THEN c.t15 ELSE 0 END
+              + 85 * COALESCE(s.S, 0) // 100 AS BIGINT) AS r
+  FROM documents n CROSS JOIN c LEFT JOIN (
+    SELECT e.v AS node, CAST(SUM(p.r // e.d) AS BIGINT) AS S
+    FROM edges e JOIN r{i-1} p ON p.node = e.u GROUP BY e.v) s
+  ON s.node = n.doc_id
+)""")
+    return f"""WITH {", ".join(ctes)}
+SELECT CAST(row_number() OVER (ORDER BY r DESC, node ASC) AS BIGINT)
+         AS rank_pos,
+       node, r AS trust
+FROM r{n_iters}
+ORDER BY r DESC, node ASC
+LIMIT {k}"""
+
+
+def anchor_terms_sql(k: int = 20) -> str:
+    """Anchor-text aggregation oracle (ops/linkpredict.py
+    anchor_terms_topk): every directed link (multi-edges counted per
+    link) carries the source doc's first two non-empty tokens; counts
+    aggregate per TARGET; (cnt desc, node, term) top-k."""
+    md5 = _MD5_INT31.format(
+        s="'link:'||CAST(u AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    return f"""WITH c AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS u FROM documents),
+links AS (
+  SELECT u, CASE WHEN t = u THEN (t + 1) % c.n ELSE t END AS v
+  FROM (
+    SELECT u, j, {md5} AS h
+    FROM nodes, LATERAL (SELECT unnest(range(3)) AS j) r
+    WHERE j < 1 + (u % 3)) e
+  CROSS JOIN c, LATERAL (SELECT e.h % c.n AS t) tt
+),
+rawtok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+anchor AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM rawtok WHERE w <> ''
+),
+pairs AS (
+  SELECT l.v AS node, a.w AS term
+  FROM links l JOIN anchor a ON a.doc_id = l.u AND a.p <= 2
+),
+agg AS (
+  SELECT node, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY node, term
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, node ASC, term ASC)
+            AS BIGINT) AS rank,
+       node, term, cnt
+FROM agg ORDER BY cnt DESC, node ASC, term ASC LIMIT {k}"""
+
+
+def degree_dist_sql() -> str:
+    """Degree-histogram oracle (ops/linkpredict.py degree_distribution):
+    directed in/out degree histograms over the md5 graph, multi-edges
+    counted, zero-in-degree nodes included; (kind, deg)-sorted."""
+    md5 = _MD5_INT31.format(
+        s="'link:'||CAST(u AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    return f"""WITH c AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS u FROM documents),
+links AS (
+  SELECT u, CASE WHEN t = u THEN (t + 1) % c.n ELSE t END AS v
+  FROM (
+    SELECT u, j, {md5} AS h
+    FROM nodes, LATERAL (SELECT unnest(range(3)) AS j) r
+    WHERE j < 1 + (u % 3)) e
+  CROSS JOIN c, LATERAL (SELECT e.h % c.n AS t) tt
+),
+ind AS (
+  SELECT d.doc_id AS node, CAST(count(l.v) AS BIGINT) AS deg
+  FROM documents d LEFT JOIN links l ON l.v = d.doc_id
+  GROUP BY d.doc_id
+),
+outd AS (
+  SELECT doc_id AS node, CAST(1 + (doc_id % 3) AS BIGINT) AS deg
+  FROM documents
+),
+hist AS (
+  SELECT 'in' AS kind, deg, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM ind GROUP BY deg
+  UNION ALL
+  SELECT 'out' AS kind, deg, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM outd GROUP BY deg
+)
+SELECT kind, deg, n_nodes FROM hist ORDER BY kind, deg"""

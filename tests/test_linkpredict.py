@@ -89,3 +89,69 @@ def test_ra_parallelism_invariant(ray_session):
     t1 = resource_allocation_topk(_ids_ds(n, parallelism=1), n, k=10)
     t7 = resource_allocation_topk(_ids_ds(n, parallelism=7), n, k=10)
     assert t1.equals(t7)
+
+
+def test_trustrank_matches_bruteforce(ray_session):
+    from lucenenet_ray.ops.graphrank import SCALE, trustrank
+
+    n, seed_mod, iters = 90, 10, 3
+    src, dst, deg = _out_edges(np.arange(n, dtype=np.int64), n)
+    seeds = [u for u in range(n) if u % seed_mod == 0]
+    base = SCALE // len(seeds)
+    r = {u: (base if u % seed_mod == 0 else 0) for u in range(n)}
+    for _ in range(iters):
+        new = {u: ((15 * base) // 100 if u % seed_mod == 0 else 0)
+               for u in range(n)}
+        incoming: dict[int, int] = {}
+        for s, d, dg in zip(src.tolist(), dst.tolist(), deg.tolist()):
+            incoming[d] = incoming.get(d, 0) + r[s] // dg
+        for d, s in incoming.items():
+            new[d] += (85 * s) // 100
+        r = new
+    got = trustrank(_ids_ds(n, parallelism=5), n, n_iters=iters,
+                    seed_mod=seed_mod)
+    assert got.tolist() == [r[u] for u in range(n)]
+
+
+def test_anchor_terms_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from lucenenet_ray.ops.linkpredict import anchor_terms_topk
+
+    n, k = 60, 12
+    texts = [f"w{u % 7} x{u % 3} extra tail" for u in range(n)]
+    src, dst, _ = _out_edges(np.arange(n, dtype=np.int64), n)
+    counts: dict[tuple, int] = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        for w in texts[u].split(" ")[:2]:
+            counts[(v, w)] = counts.get((v, w), 0) + 1
+    exp = sorted(((c, v, w) for (v, w), c in counts.items()),
+                 key=lambda t: (-t[0], t[1], t[2]))[:k]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n)),
+                                 "text": texts})).repartition(4)
+    t = anchor_terms_topk(ds, n_nodes=n, k=k)
+    got = [(r["cnt"], r["node"], r["term"]) for r in t.to_pylist()]
+    assert got == exp
+
+
+def test_degree_dist_matches_bruteforce(ray_session):
+    from lucenenet_ray.ops.linkpredict import degree_distribution
+
+    n = 70
+    src, dst, _ = _out_edges(np.arange(n, dtype=np.int64), n)
+    ind = {u: 0 for u in range(n)}
+    for d in dst.tolist():
+        ind[d] += 1
+    ih: dict[int, int] = {}
+    for d in ind.values():
+        ih[d] = ih.get(d, 0) + 1
+    oh: dict[int, int] = {}
+    for u in range(n):
+        dg = 1 + (u % 3)
+        oh[dg] = oh.get(dg, 0) + 1
+    exp = ([("in", d, c) for d, c in sorted(ih.items())]
+           + [("out", d, c) for d, c in sorted(oh.items())])
+    t = degree_distribution(_ids_ds(n, parallelism=4), n)
+    got = [(r["kind"], r["deg"], r["n_nodes"]) for r in t.to_pylist()]
+    assert got == exp
+    assert sum(c for k_, d, c in got if k_ == "in") == n
