@@ -7069,6 +7069,114 @@ def _q_degree_dist(sf_dir: str) -> pa.Table:
     return degree_distribution(ds, n_nodes=n)
 
 
+def _q_colbert_maxsim(sf_dir: str) -> pa.Table:
+    """ColBERT-style late-interaction retrieval (ops/multivector.py
+    maxsim_topk; Khattab & Zaharia SIGIR 2020): docs = groups of 4
+    consecutive embedding rows, query = doc 0's token vectors, score =
+    per-token max-cosine summed in fixed token order.  Rank-only gate
+    (knn float-parity precedent)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq2
+    import ray.data as rd
+
+    from lucenenet_ray.ops.multivector import maxsim_topk
+
+    qt = pq2.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        filters=[("vec_id", "<", 4)])
+    qm = pc.list_flatten(qt.column("embedding")).to_numpy() \
+        .astype(np.float64).reshape(qt.num_rows, -1)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return maxsim_topk(ds, qm, group_size=4, k=10)
+
+
+def _q_ndcg_eval(sf_dir: str) -> pa.Table:
+    """nDCG@10 over the quality-benchmark judgments (ops/ndcg.py;
+    Järvelin & Kekäläinen TOIS 2002): same 8 single-term BM25 rankings
+    and md5 qrels as `quality_eval`, scored with the SHARED quantized
+    integer discount table — DCG, ideal DCG, and the fixed-point ratio
+    are all exact integers."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.ndcg import dcg_scaled, idcg_scaled
+    from lucenenet_ray.ops.ndcg import SCALE as NDCG_SCALE
+    from lucenenet_ray.ops.ndcg import NDCG_K
+    from lucenenet_ray.ops.neardup import md5_int31
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    def count_rel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        rows_q, rows_n = [], []
+        for qt in QUALITY_TERMS:
+            rows_q.append(qt)
+            rows_n.append(sum(
+                1 for d in ids
+                if md5_int31(f"qrel-{qt}-{d}") % QUALITY_MOD == 0))
+        return pa.table({"qt": pa.array(rows_q, pa.string()),
+                         "n": pa.array(rows_n, pa.int64())})
+
+    mg_rows = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+               .map_batches(count_rel, batch_format="pyarrow")
+               .groupby("qt").sum("n").take_all())
+    max_good = {r["qt"]: int(r["sum(n)"]) for r in mg_rows}
+
+    reader = _reader(sf_dir)
+    out = {c: [] for c in ("query_term", "dcg_scaled", "idcg_scaled",
+                           "ndcg_fp")}
+    for qt in QUALITY_TERMS:
+        td = search(reader, TermQuery(term=qt), k=NDCG_K)
+        rels = [md5_int31(f"qrel-{qt}-{doc}") % QUALITY_MOD == 0
+                for doc in td.docs.tolist()]
+        dcg = dcg_scaled(rels)
+        idcg = idcg_scaled(max_good.get(qt, 0))
+        out["query_term"].append(qt)
+        out["dcg_scaled"].append(dcg)
+        out["idcg_scaled"].append(idcg)
+        out["ndcg_fp"].append(0 if idcg == 0 else dcg * NDCG_SCALE // idcg)
+    idx = np.argsort(np.asarray(out["query_term"], dtype=object))
+    return pa.table({
+        "query_term": pa.array(
+            [out["query_term"][i] for i in idx], type=pa.string()),
+        "dcg_scaled": pa.array(
+            [out["dcg_scaled"][i] for i in idx], type=pa.int64()),
+        "idcg_scaled": pa.array(
+            [out["idcg_scaled"][i] for i in idx], type=pa.int64()),
+        "ndcg_fp": pa.array(
+            [out["ndcg_fp"][i] for i in idx], type=pa.int64()),
+    })
+
+
+def _q_export_partitioned(sf_dir: str) -> pa.Table:
+    """Resumable partitioned export: write the corpus hive-partitioned by
+    lang (`write_parquet(partition_cols=...)` — one directory per
+    partition, the layout a failed 100TB run resumes by skipping finished
+    partitions), then read each partition directory back independently
+    and report per-lang row counts.  The gate round-trips the write."""
+    import shutil
+
+    import ray.data as rd
+
+    out_dir = os.path.join("/tmp/lucenenet_ray_cache",
+                           f"export_{_sf_key(sf_dir)}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang"])
+    ds.write_parquet(out_dir, partition_cols=["lang"])
+    langs = sorted(d.split("=", 1)[1] for d in os.listdir(out_dir)
+                   if d.startswith("lang="))
+    rows = []
+    for lg in langs:
+        part = rd.read_parquet(os.path.join(out_dir, f"lang={lg}"))
+        rows.append((lg, part.count()))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7328,6 +7436,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trustrank": _q_trustrank,
         "anchor_terms": _q_anchor_terms,
         "degree_dist": _q_degree_dist,
+        "colbert_maxsim": _q_colbert_maxsim,
+        "ndcg_eval": _q_ndcg_eval,
+        "export_partitioned": _q_export_partitioned,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -7698,6 +7809,9 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": so.trustrank_topk_sql(3, 20, 50),
         "anchor_terms": so.anchor_terms_sql(20),
         "degree_dist": so.degree_dist_sql(),
+        "colbert_maxsim": so.maxsim_topk_sql(4, 4, 10),
+        "ndcg_eval": so.ndcg_eval_sql(QUALITY_TERMS, QUALITY_MOD),
+        "export_partitioned": so.export_partitioned_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

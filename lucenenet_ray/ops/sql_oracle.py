@@ -7711,3 +7711,89 @@ hist AS (
   FROM outd GROUP BY deg
 )
 SELECT kind, deg, n_nodes FROM hist ORDER BY kind, deg"""
+
+
+def maxsim_topk_sql(n_query_vecs: int = 4, group_size: int = 4,
+                    k: int = 10) -> str:
+    """ColBERT MaxSim oracle (ops/multivector.py maxsim_topk; Khattab &
+    Zaharia SIGIR 2020 §3.2): docs are vec_id // group_size groups; the
+    query tokens are the first ``n_query_vecs`` vectors; score = sum over
+    query tokens (in qi order via list_sum — the float-aggregate ORDER BY
+    rule) of the max cosine.  Rank-only output (knn float-parity
+    precedent)."""
+    return f"""WITH q AS (
+  SELECT vec_id AS qi, embedding FROM embeddings
+  WHERE vec_id < {n_query_vecs}
+),
+sims AS (
+  SELECT e.vec_id // {group_size} AS doc, q.qi,
+         max(list_cosine_similarity(e.embedding, q.embedding)) AS s
+  FROM embeddings e CROSS JOIN q
+  GROUP BY e.vec_id // {group_size}, q.qi
+),
+scored AS (
+  SELECT doc, list_sum(list(s ORDER BY qi)) AS score
+  FROM sims GROUP BY doc
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc ASC) AS BIGINT)
+         AS rank,
+       doc
+FROM scored ORDER BY score DESC, doc ASC LIMIT {k}"""
+
+
+def ndcg_eval_sql(terms: tuple[str, ...], mod: int) -> str:
+    """nDCG@10 oracle (ops/ndcg.py + __ray_entry__._q_ndcg_eval): re-rank
+    each single-term query with the full BM25 SQL, join the md5 relevance
+    judgments, and compute integer DCG/IDCG with the SHARED quantized
+    discount table (literals embedded from ops/ndcg.py — single source,
+    no libm divergence possible)."""
+    from lucenenet_ray.ops.ndcg import DISCOUNTS, NDCG_K, SCALE
+
+    def md5i(expr: str) -> str:
+        return _MD5_INT31.format(s=expr)
+
+    ranked = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS qt, rank, doc_id FROM ({bm25_topk_sql([t], NDCG_K)})"
+        for t in terms)
+    values = ", ".join(f"('{t}')" for t in terms)
+    disc_rows = ", ".join(f"({i + 1}, {d})" for i, d in enumerate(DISCOUNTS))
+    rel_r = md5i("'qrel-'||qt||'-'||doc_id")
+    rel_d = md5i("'qrel-'||t.qt||'-'||d.doc_id")
+    return f"""WITH ranked AS (
+{ranked}
+),
+disc AS (SELECT * FROM (VALUES {disc_rows}) AS d(rnk, w)),
+dcg AS (
+  SELECT qt,
+         CAST(COALESCE(sum(disc.w) FILTER (
+           WHERE {rel_r} % {mod} = 0), 0) AS BIGINT) AS dcg_scaled
+  FROM ranked JOIN disc ON disc.rnk = ranked.rank
+  GROUP BY qt
+),
+mg AS (
+  SELECT t.qt, count(*) AS max_good
+  FROM (VALUES {values}) AS t(qt), documents d
+  WHERE {rel_d} % {mod} = 0
+  GROUP BY t.qt
+),
+idcg AS (
+  SELECT t.qt,
+         CAST(COALESCE((SELECT sum(w) FROM disc
+            WHERE rnk <= least(COALESCE(m.max_good, 0), {NDCG_K})), 0)
+           AS BIGINT) AS idcg_scaled
+  FROM (VALUES {values}) AS t(qt) LEFT JOIN mg m ON m.qt = t.qt
+)
+SELECT d.qt AS query_term, d.dcg_scaled, i.idcg_scaled,
+       CAST(CASE WHEN i.idcg_scaled = 0 THEN 0
+            ELSE (CAST(d.dcg_scaled AS HUGEINT) * {SCALE})
+                 // i.idcg_scaled END AS BIGINT) AS ndcg_fp
+FROM dcg d JOIN idcg i ON i.qt = d.qt
+ORDER BY query_term"""
+
+
+def export_partitioned_sql() -> str:
+    """Partitioned-export oracle (__ray_entry__._q_export_partitioned):
+    per-lang row counts — the engine must round-trip them through a
+    hive-partitioned parquet write + per-partition read-back."""
+    return """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY lang ORDER BY lang"""
