@@ -7177,6 +7177,51 @@ def _q_export_partitioned(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_shard_plan(sf_dir: str) -> pa.Table:
+    """Byte-balanced shard planner (ops/shardplan.py shard_plan): the
+    exact-prefix-sum partitioning step that sizes the resumable
+    `ray job submit` shard ranges (job.py / docs/CLUSTER.md) — driver
+    exchange is bucket-count rows, never corpus rows."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    from lucenenet_ray.ops.shardplan import shard_plan
+
+    return shard_plan(ds, n_shards=8)
+
+
+def _q_systematic_resample(sf_dir: str) -> pa.Table:
+    """Systematic resampling with replacement (ops/shardplan.py;
+    Kitagawa 1996, the lowest-variance standard resampler per Douc &
+    Cappé 2005): 1000 weight-proportional samples (weight = n_chars) on
+    the deterministic half-offset grid — the epoch up/down-sampling op
+    of a data-mixing pipeline, exact in integers at any parallelism."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    from lucenenet_ray.ops.shardplan import systematic_resample
+
+    return systematic_resample(ds, m=1000)
+
+
+def _q_split_leakage(sf_dir: str) -> pa.Table:
+    """Train/val exact-dup leakage audit (ops/shardplan.py
+    split_leakage; the dedup-before-split hygiene check of Lee et al.
+    2022 §6.2): a synthesized val overlay (some rows copy their source
+    doc's text, the rest carry fresh md5 bodies — the incremental_dedup
+    precedent) audited against the train corpus via ONE groupby over
+    16-byte digests; the engine discovers which val rows leaked."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    from lucenenet_ray.ops.shardplan import split_leakage
+
+    return split_leakage(ds, pick_mod=20, copy_mod=3, k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7439,6 +7484,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "colbert_maxsim": _q_colbert_maxsim,
         "ndcg_eval": _q_ndcg_eval,
         "export_partitioned": _q_export_partitioned,
+        "shard_plan": _q_shard_plan,
+        "systematic_resample": _q_systematic_resample,
+        "split_leakage": _q_split_leakage,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -7812,6 +7860,9 @@ def oracle_sql() -> dict[str, str]:
         "colbert_maxsim": so.maxsim_topk_sql(4, 4, 10),
         "ndcg_eval": so.ndcg_eval_sql(QUALITY_TERMS, QUALITY_MOD),
         "export_partitioned": so.export_partitioned_sql(),
+        "shard_plan": so.shard_plan_sql(8),
+        "systematic_resample": so.systematic_resample_sql(1000),
+        "split_leakage": so.split_leakage_sql(20, 3, 50),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -7797,3 +7797,89 @@ def export_partitioned_sql() -> str:
     hive-partitioned parquet write + per-partition read-back."""
     return """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
 FROM documents GROUP BY lang ORDER BY lang"""
+
+
+def shard_plan_sql(n_shards: int = 8) -> str:
+    """Shard-plan oracle (ops/shardplan.py shard_plan): shard(doc) =
+    (bytes_before * n_shards) // total over the doc-id-ordered prefix
+    sum; per-shard ranges and totals."""
+    return f"""WITH c AS (
+  SELECT CAST(sum(n_chars) AS BIGINT) AS W FROM documents
+),
+pre AS (
+  SELECT doc_id, n_chars,
+         CAST(COALESCE(sum(n_chars) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS bef
+  FROM documents
+),
+a AS (
+  SELECT doc_id, n_chars,
+         CAST((CAST(bef AS HUGEINT) * {n_shards})
+              // greatest(c.W, 1) AS BIGINT) AS shard_id
+  FROM pre CROSS JOIN c
+)
+SELECT shard_id,
+       min(doc_id) AS doc_lo, max(doc_id) AS doc_hi,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_bytes
+FROM a GROUP BY shard_id ORDER BY shard_id"""
+
+
+def systematic_resample_sql(m: int) -> str:
+    """Systematic-resampling oracle (ops/shardplan.py
+    systematic_resample; Kitagawa 1996): n_copies(doc) = f(C_i) -
+    f(C_{i-1}) with f(C) = clamp(ceil((2mC - W)/(2W)), 0, m), the ceil
+    taken only on the positive branch so truncating and flooring
+    division agree; HUGEINT intermediates."""
+    return f"""WITH c AS (
+  SELECT CAST(sum(n_chars) AS HUGEINT) AS W FROM documents
+),
+pre AS (
+  SELECT doc_id, n_chars,
+         CAST(COALESCE(sum(n_chars) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS HUGEINT) AS bef
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    CAST(CASE WHEN 2 * {m} * bef <= c.W THEN 0
+         ELSE least((2 * {m} * bef - c.W + 2 * c.W - 1) // (2 * c.W),
+                    {m}) END AS BIGINT) AS f_lo,
+    CAST(CASE WHEN 2 * {m} * (bef + n_chars) <= c.W THEN 0
+         ELSE least((2 * {m} * (bef + n_chars) - c.W + 2 * c.W - 1)
+                    // (2 * c.W), {m}) END AS BIGINT) AS f_hi
+  FROM pre CROSS JOIN c
+)
+SELECT doc_id, f_hi - f_lo AS n_copies
+FROM f WHERE f_hi - f_lo > 0 ORDER BY doc_id"""
+
+
+def split_leakage_sql(pick_mod: int = 20, copy_mod: int = 3,
+                      k: int = 50) -> str:
+    """Split-leakage oracle (ops/shardplan.py split_leakage): re-derives
+    the synthesized val overlay (valpick/leakcopy md5 rules, fresh-text
+    rows get md5('fresh-'+id) bodies) and reports val rows whose digest
+    appears among train digests."""
+    pick = _MD5_INT31.format(s="'valpick-'||CAST(doc_id AS VARCHAR)")
+    copy = _MD5_INT31.format(s="'leakcopy-'||CAST(doc_id AS VARCHAR)")
+    return f"""WITH train AS (
+  SELECT doc_id, md5(text) AS dig FROM documents
+),
+val AS (
+  SELECT doc_id + 1000000000 AS doc_id,
+         CASE WHEN {copy} % {copy_mod} = 0 THEN md5(text)
+              ELSE md5('fresh-' || md5('fresh-'||CAST(doc_id AS VARCHAR)))
+         END AS dig
+  FROM documents
+  WHERE {pick} % {pick_mod} = 0
+),
+tr AS (
+  SELECT dig, CAST(count(*) AS BIGINT) AS n FROM train GROUP BY dig
+)
+SELECT v.doc_id, tr.n AS n_train_dups
+FROM val v JOIN tr ON tr.dig = v.dig
+ORDER BY v.doc_id LIMIT {k}"""
