@@ -7222,6 +7222,35 @@ def _q_split_leakage(sf_dir: str) -> pa.Table:
     return split_leakage(ds, pick_mod=20, copy_mod=3, k=50)
 
 
+def _q_textrank(sf_dir: str) -> pa.Table:
+    """TextRank keyword extraction (ops/keywords.py textrank_keywords;
+    Mihalcea & Tarau EMNLP 2004): integer PageRank over the
+    stop-filtered word co-occurrence graph — edge stats by one groupby
+    of per-batch partials, rank vector at vocabulary-broadcast
+    altitude."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.keywords import textrank_keywords
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return textrank_keywords(ds, n_iters=3, k=20)
+
+
+def _q_rake_phrases(sf_dir: str) -> pa.Table:
+    """RAKE key-phrase extraction (ops/keywords.py rake_phrases; Rose et
+    al. 2010): stopword-delimited candidate runs, deg/freq word scores
+    in integer fixed point, phrase score = member-word sum — two
+    vocabulary/phrase-type-bounded groupbys."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.keywords import rake_phrases
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return rake_phrases(ds, k=20, min_phrase_freq=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7487,6 +7516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_plan": _q_shard_plan,
         "systematic_resample": _q_systematic_resample,
         "split_leakage": _q_split_leakage,
+        "textrank_keywords": _q_textrank,
+        "rake_phrases": _q_rake_phrases,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -7863,6 +7894,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_plan": so.shard_plan_sql(8),
         "systematic_resample": so.systematic_resample_sql(1000),
         "split_leakage": so.split_leakage_sql(20, 3, 50),
+        "textrank_keywords": so.textrank_sql(3, 20),
+        "rake_phrases": so.rake_sql(20, 2),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

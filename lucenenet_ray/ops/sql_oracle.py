@@ -7883,3 +7883,125 @@ tr AS (
 SELECT v.doc_id, tr.n AS n_train_dups
 FROM val v JOIN tr ON tr.dig = v.dig
 ORDER BY v.doc_id LIMIT {k}"""
+
+
+def _stop_filtered_adjacent_cte(table: str = "documents") -> str:
+    """Stop-filtered token stream with re-ranked positions and its
+    adjacency pairs (the ops/keywords.py textrank contract)."""
+    return f"""rawtok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM {table}
+),
+ftok AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM rawtok WHERE w <> '' AND w NOT IN {STOP_SQL}
+),
+ew AS (
+  SELECT least(x.w, y.w) AS a, greatest(x.w, y.w) AS b,
+         CAST(count(*) AS BIGINT) AS wt
+  FROM ftok x JOIN ftok y ON x.doc_id = y.doc_id AND y.p = x.p + 1
+  WHERE x.w <> y.w
+  GROUP BY least(x.w, y.w), greatest(x.w, y.w)
+),
+bi AS (
+  SELECT a AS src, b AS dst, wt FROM ew
+  UNION ALL
+  SELECT b, a, wt FROM ew
+),
+ws AS (SELECT src, CAST(sum(wt) AS BIGINT) AS wsum FROM bi GROUP BY src)"""
+
+
+def textrank_sql(n_iters: int = 3, k: int = 20) -> str:
+    """Integer TextRank oracle (ops/keywords.py textrank_keywords;
+    Mihalcea & Tarau EMNLP 2004): unrolled damped rounds over the
+    stop-filtered word co-occurrence graph, identical int64 //
+    arithmetic, vocabulary = edge-participating words."""
+    ctes = [f"""{_stop_filtered_adjacent_cte()},
+vocab AS (SELECT DISTINCT src AS word FROM bi),
+c AS (
+  SELECT count(*) AS v,
+         1000000000 // count(*) AS base,
+         (15 * (1000000000 // count(*))) // 100 AS t15
+  FROM vocab),
+r0 AS (SELECT word, CAST(c.base AS BIGINT) AS r FROM vocab CROSS JOIN c)"""]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT v.word,
+         CAST(c.t15 + 85 * COALESCE(s.S, 0) // 100 AS BIGINT) AS r
+  FROM vocab v CROSS JOIN c LEFT JOIN (
+    SELECT e.dst AS word,
+           CAST(SUM((p.r * e.wt) // w.wsum) AS BIGINT) AS S
+    FROM bi e
+    JOIN ws w ON w.src = e.src
+    JOIN r{i-1} p ON p.word = e.src
+    GROUP BY e.dst) s
+  ON s.word = v.word
+)""")
+    return f"""WITH {", ".join(ctes)}
+SELECT CAST(row_number() OVER (ORDER BY r DESC, word ASC) AS BIGINT)
+         AS rank_pos,
+       word, r AS score
+FROM r{n_iters}
+ORDER BY r DESC, word ASC LIMIT {k}"""
+
+
+def rake_sql(k: int = 20, min_phrase_freq: int = 2) -> str:
+    """RAKE oracle (ops/keywords.py rake_phrases; Rose et al. 2010):
+    stopword-delimited candidate runs, freq/deg word stats with the
+    degree-includes-self convention, integer fixed-point word scores,
+    phrase score = member-word-score sum with multiplicity."""
+    return f"""WITH rawtok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tok2 AS (
+  SELECT doc_id, w, pos,
+         CASE WHEN w = '' OR w IN {STOP_SQL} THEN 1 ELSE 0 END AS is_delim
+  FROM rawtok
+),
+tok3 AS (
+  SELECT doc_id, w, pos, is_delim,
+         sum(is_delim) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM tok2
+),
+cand AS (SELECT doc_id, grp, w, pos FROM tok3 WHERE is_delim = 0),
+phr AS (
+  SELECT doc_id, grp,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS L
+  FROM cand GROUP BY doc_id, grp
+),
+wstat AS (
+  SELECT c.w AS word,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(p.L) AS BIGINT) AS deg
+  FROM cand c JOIN phr p USING (doc_id, grp)
+  GROUP BY c.w
+),
+wscore AS (
+  SELECT word, (deg * 1000000000) // freq AS score FROM wstat
+),
+psum AS (
+  SELECT c.doc_id, c.grp, CAST(sum(s.score) AS BIGINT) AS score
+  FROM cand c JOIN wscore s ON s.word = c.w
+  GROUP BY c.doc_id, c.grp
+),
+pstats AS (
+  SELECT p.phrase,
+         max(p.L) AS n_words,
+         CAST(count(*) AS BIGINT) AS phrase_freq,
+         max(ps.score) AS score
+  FROM phr p JOIN psum ps USING (doc_id, grp)
+  GROUP BY p.phrase
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, phrase ASC) AS BIGINT)
+         AS rank,
+       phrase, CAST(n_words AS BIGINT) AS n_words, phrase_freq,
+       CAST(score AS BIGINT) AS score
+FROM pstats WHERE phrase_freq >= {min_phrase_freq}
+ORDER BY score DESC, phrase ASC LIMIT {k}"""
