@@ -7251,6 +7251,39 @@ def _q_rake_phrases(sf_dir: str) -> pa.Table:
     return rake_phrases(ds, k=20, min_phrase_freq=2)
 
 
+def _q_label_prop(sf_dir: str) -> pa.Table:
+    """Semi-supervised label propagation (ops/propagation.py; Zhu &
+    Ghahramani 2002): md5-graph majority-vote spreading from clamped
+    seeds, 3 synchronous rounds (bounded-round convention so the SQL
+    oracle unrolls the identical fixpoint)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.propagation import label_propagation
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return label_propagation(ds, n_nodes=n, n_rounds=3, seed_mod=25,
+                             n_labels=4)
+
+
+def _q_bfs_distances(sf_dir: str) -> pa.Table:
+    """Multi-source BFS distance histogram (ops/propagation.py; the
+    Pregel frontier-expansion primitive): exact per-seed hop-distance
+    counts to depth 4 over the md5 link graph."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.propagation import bfs_distances
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return bfs_distances(ds, n_nodes=n, seeds=(0, 1, 2, 3, 4),
+                         max_rounds=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7518,6 +7551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": _q_split_leakage,
         "textrank_keywords": _q_textrank,
         "rake_phrases": _q_rake_phrases,
+        "label_prop": _q_label_prop,
+        "bfs_distances": _q_bfs_distances,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -7896,6 +7931,8 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": so.split_leakage_sql(20, 3, 50),
         "textrank_keywords": so.textrank_sql(3, 20),
         "rake_phrases": so.rake_sql(20, 2),
+        "label_prop": so.label_propagation_sql(3, 25, 4),
+        "bfs_distances": so.bfs_distances_sql((0, 1, 2, 3, 4), 4),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -8005,3 +8005,71 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, phrase ASC) AS BIGINT)
        CAST(score AS BIGINT) AS score
 FROM pstats WHERE phrase_freq >= {min_phrase_freq}
 ORDER BY score DESC, phrase ASC LIMIT {k}"""
+
+
+def label_propagation_sql(n_rounds: int = 3, seed_mod: int = 25,
+                          n_labels: int = 4) -> str:
+    """Label-propagation oracle (ops/propagation.py label_propagation;
+    Zhu & Ghahramani 2002 / Raghavan et al. 2007): unrolled synchronous
+    majority rounds — per node the (count desc, label asc) argmax over
+    labeled neighbors, seeds clamped, previous label kept when no
+    neighbor is labeled."""
+    ctes = [f"""{_und_graph_ctes()},
+l0 AS (
+  SELECT doc_id AS node,
+         CASE WHEN doc_id % {seed_mod} = 0
+              THEN doc_id % {n_labels} ELSE -1 END AS lab
+  FROM documents)"""]
+    for r in range(1, n_rounds + 1):
+        ctes.append(f"""v{r} AS MATERIALIZED (
+  SELECT b.x AS node, l.lab, count(*) AS c
+  FROM bi b JOIN l{r-1} l ON l.node = b.y
+  WHERE l.lab >= 0
+  GROUP BY b.x, l.lab
+),
+p{r} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, lab ASC) AS rn
+    FROM v{r})
+  WHERE rn = 1
+),
+l{r} AS MATERIALIZED (
+  SELECT n.doc_id AS node,
+         CASE WHEN n.doc_id % {seed_mod} = 0
+              THEN n.doc_id % {n_labels}
+              ELSE COALESCE(p.lab, prev.lab) END AS lab
+  FROM documents n
+  LEFT JOIN p{r} p ON p.node = n.doc_id
+  JOIN l{r-1} prev ON prev.node = n.doc_id
+)""")
+    return f"""WITH {", ".join(ctes)}
+SELECT node, CAST(lab AS BIGINT) AS label
+FROM l{n_rounds} WHERE lab >= 0 ORDER BY node"""
+
+
+def bfs_distances_sql(seeds: tuple[int, ...] = (0, 1, 2, 3, 4),
+                      max_rounds: int = 4) -> str:
+    """Multi-source BFS oracle (ops/propagation.py bfs_distances):
+    unrolled frontier rounds over the und graph (MATERIALIZED — each
+    cumulative CTE is referenced twice); per-seed distance histogram."""
+    seed_vals = ", ".join(f"({s}, {s}, 0)" for s in seeds)
+    ctes = [f"""{_und_graph_ctes()},
+c0 AS (SELECT * FROM (VALUES {seed_vals}) t(seed, node, dist))"""]
+    for r in range(1, max_rounds + 1):
+        ctes.append(f"""f{r} AS MATERIALIZED (
+  SELECT DISTINCT c.seed, b.x AS node
+  FROM bi b JOIN c{r-1} c ON c.node = b.y AND c.dist = {r-1}
+  WHERE NOT EXISTS (SELECT 1 FROM c{r-1} z
+                    WHERE z.seed = c.seed AND z.node = b.x)
+),
+c{r} AS MATERIALIZED (
+  SELECT * FROM c{r-1}
+  UNION ALL
+  SELECT seed, node, {r} AS dist FROM f{r}
+)""")
+    return f"""WITH {", ".join(ctes)}
+SELECT CAST(seed AS BIGINT) AS seed, CAST(dist AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM c{max_rounds} GROUP BY seed, dist ORDER BY seed, dist"""
