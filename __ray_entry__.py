@@ -7284,6 +7284,43 @@ def _q_bfs_distances(sf_dir: str) -> pa.Table:
                          max_rounds=4)
 
 
+LINEITEM_TYPES = {
+    "l_orderkey": "int64", "l_partkey": "int64", "l_suppkey": "int64",
+    "l_linenumber": "int32", "l_quantity": "double",
+    "l_extendedprice": "double", "l_discount": "double",
+    "l_tax": "double", "l_returnflag": "string",
+    "l_linestatus": "string", "l_shipdate": "timestamp[us]",
+}
+
+
+def _q_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shape pricing summary over lineitem (ops/olap.py
+    pricing_summary): per-batch combiner partials then ONE tiny groupby;
+    money math in exact integer cents (floor(x*100+0.5) half-up, the
+    documented rounding-parity rule)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.olap import pricing_summary
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    return pricing_summary(ds)
+
+
+def _q_table_profile(sf_dir: str) -> pa.Table:
+    """Schema-on-read column profiler over lineitem (ops/olap.py
+    table_profile): declared types, row/null counts, int64 extrema —
+    the data-quality pass before a new drop enters any pipeline."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.olap import table_profile
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return table_profile(ds, LINEITEM_TYPES)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7553,6 +7590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_phrases": _q_rake_phrases,
         "label_prop": _q_label_prop,
         "bfs_distances": _q_bfs_distances,
+        "pricing_summary": _q_pricing_summary,
+        "table_profile": _q_table_profile,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -7933,6 +7972,8 @@ def oracle_sql() -> dict[str, str]:
         "rake_phrases": so.rake_sql(20, 2),
         "label_prop": so.label_propagation_sql(3, 25, 4),
         "bfs_distances": so.bfs_distances_sql((0, 1, 2, 3, 4), 4),
+        "pricing_summary": so.pricing_summary_sql(),
+        "table_profile": so.table_profile_sql("lineitem", LINEITEM_TYPES),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

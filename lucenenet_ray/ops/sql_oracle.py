@@ -8073,3 +8073,50 @@ c{r} AS MATERIALIZED (
 SELECT CAST(seed AS BIGINT) AS seed, CAST(dist AS BIGINT) AS dist,
        CAST(count(*) AS BIGINT) AS n_nodes
 FROM c{max_rounds} GROUP BY seed, dist ORDER BY seed, dist"""
+
+
+def pricing_summary_sql() -> str:
+    """TPC-H Q1-shape oracle (ops/olap.py pricing_summary): identical
+    floor(x*scale + 0.5) integer money staging (half-up — the documented
+    np.rint/round() divergence dodge), exact integer sums."""
+    return """WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS di,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tx
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(ep) AS BIGINT) AS sum_base_cents,
+       CAST(sum(ep * (100 - di)) AS BIGINT) AS sum_disc_e4,
+       CAST(sum(ep * (100 - di) * (100 + tx)) AS BIGINT) AS sum_charge_e6,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM li GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+def table_profile_sql(table: str, type_names: dict[str, str]) -> str:
+    """Column-profiler oracle (ops/olap.py table_profile): per column the
+    declared type, row/null counts, and int64 min/max (other types
+    report NULL extrema by contract)."""
+    parts = []
+    for c in sorted(type_names):
+        ty = type_names[c]
+        if ty == "int64":
+            mn = f"CAST(min({c}) AS BIGINT)"
+            mx = f"CAST(max({c}) AS BIGINT)"
+        else:
+            mn = "CAST(NULL AS BIGINT)"
+            mx = "CAST(NULL AS BIGINT)"
+        parts.append(
+            f"SELECT '{c}' AS \"column\", '{ty}' AS dtype,\n"
+            f"       CAST(count(*) AS BIGINT) AS n_rows,\n"
+            f"       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,\n"
+            f"       {mn} AS min_int, {mx} AS max_int\n"
+            f"FROM {table}")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""SELECT * FROM (
+{union}
+) ORDER BY "column\""""

@@ -1,0 +1,68 @@
+"""TPC-H Q1-shape pricing summary + column profiler (ops/olap.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from lucenenet_ray.ops.olap import pricing_summary, table_profile
+
+
+def _li_table():
+    rng = np.random.RandomState(5)
+    n = 300
+    return pa.table({
+        "l_returnflag": pa.array(
+            [("A", "N", "R")[i % 3] for i in range(n)]),
+        "l_linestatus": pa.array([("O", "F")[i % 2] for i in range(n)]),
+        "l_quantity": pa.array(rng.randint(1, 50, n).astype(float)),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(10, 9999, n), 2)),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n), 2)),
+        "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n), 2)),
+    })
+
+
+def test_pricing_summary_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    t = _li_table()
+    exp: dict[tuple, list] = {}
+    for i in range(t.num_rows):
+        rf = t.column("l_returnflag")[i].as_py()
+        ls = t.column("l_linestatus")[i].as_py()
+        qty = int(np.floor(t.column("l_quantity")[i].as_py() + 0.5))
+        ep = int(np.floor(t.column("l_extendedprice")[i].as_py() * 100 + 0.5))
+        di = int(np.floor(t.column("l_discount")[i].as_py() * 100 + 0.5))
+        tx = int(np.floor(t.column("l_tax")[i].as_py() * 100 + 0.5))
+        row = exp.setdefault((rf, ls), [0, 0, 0, 0, 0])
+        row[0] += qty
+        row[1] += ep
+        row[2] += ep * (100 - di)
+        row[3] += ep * (100 - di) * (100 + tx)
+        row[4] += 1
+    out = pricing_summary(rd.from_arrow(t).repartition(5))
+    got = {(r["l_returnflag"], r["l_linestatus"]):
+           [r["sum_qty"], r["sum_base_cents"], r["sum_disc_e4"],
+            r["sum_charge_e6"], r["count_order"]]
+           for r in out.to_pylist()}
+    assert got == exp
+    keys = [(r["l_returnflag"], r["l_linestatus"])
+            for r in out.to_pylist()]
+    assert keys == sorted(keys)
+
+
+def test_table_profile(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "a": pa.array([1, 2, None, 9], type=pa.int64()),
+        "b": pa.array(["x", None, "y", "z"]),
+        "c": pa.array([1.5, 2.5, 3.5, None]),
+    })
+    out = table_profile(rd.from_arrow(t).repartition(3),
+                        {"a": "int64", "b": "string", "c": "double"})
+    rows = {r["column"]: r for r in out.to_pylist()}
+    assert rows["a"]["n_rows"] == 4 and rows["a"]["n_nulls"] == 1
+    assert rows["a"]["min_int"] == 1 and rows["a"]["max_int"] == 9
+    assert rows["b"]["n_nulls"] == 1 and rows["b"]["min_int"] is None
+    assert rows["c"]["dtype"] == "double"
+    assert list(rows) == ["a", "b", "c"]
