@@ -7321,6 +7321,27 @@ def _q_table_profile(sf_dir: str) -> pa.Table:
     return table_profile(ds, LINEITEM_TYPES)
 
 
+def _q_shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q3-shape star join (ops/olap.py shipping_priority):
+    segment-filtered customers and date-filtered orders ride broadcast
+    (dimension altitude, escalation documented); the lineitem fact table
+    streams through one combiner pass + ONE groupby(orderkey)."""
+    from lucenenet_ray.ops.olap import shipping_priority
+
+    return shipping_priority(sf_dir, segment="BUILDING",
+                             cutoff="1998-06-15", k=10)
+
+
+def _q_region_supplier_volume(sf_dir: str) -> pa.Table:
+    """TPC-H Q5-shape star join (ops/olap.py region_supplier_volume):
+    four dimension maps broadcast once, lineitem streamed, one 25-row
+    groupby — same-nation customer/supplier revenue per ASIA nation in
+    1997, exact integer cents."""
+    from lucenenet_ray.ops.olap import region_supplier_volume
+
+    return region_supplier_volume(sf_dir, region="ASIA", year=1997)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7592,6 +7613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_distances": _q_bfs_distances,
         "pricing_summary": _q_pricing_summary,
         "table_profile": _q_table_profile,
+        "shipping_priority": _q_shipping_priority,
+        "region_supplier_volume": _q_region_supplier_volume,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -7974,6 +7997,10 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distances": so.bfs_distances_sql((0, 1, 2, 3, 4), 4),
         "pricing_summary": so.pricing_summary_sql(),
         "table_profile": so.table_profile_sql("lineitem", LINEITEM_TYPES),
+        "shipping_priority": so.shipping_priority_sql("BUILDING",
+                                                      "1998-06-15", 10),
+        "region_supplier_volume": so.region_supplier_volume_sql("ASIA",
+                                                                1997),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -124,3 +124,167 @@ def table_profile(ds, type_names: dict[str, str]) -> pa.Table:
     for c in ("min_int", "max_int"):
         g[c] = g[c].astype("Int64")
     return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-15", k: int = 10) -> pa.Table:
+    """TPC-H Q3 shape: revenue per urgent order — customer(segment) ⋈
+    orders(o_orderdate < cutoff) ⋈ lineitem(l_shipdate > cutoff), top-k
+    orders by (revenue desc, o_orderdate asc, l_orderkey asc).
+
+    Star-join shape: the qualifying customer keys and the filtered
+    orders map ride broadcast (dimension altitude; past ~10^8 keys the
+    documented escalation is the revenue_by_nation big-big combiner
+    join); lineitem — the fact table — streams through ONE combiner
+    pass + ONE groupby(orderkey), never materialized."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    cut = np.datetime64(cutoff, "us")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).to_arrow_refs()
+    ckeys = set()
+    for ref in cust:
+        t = ray.get(ref)
+        seg = np.asarray(t.column("c_mktsegment").to_pylist(), dtype=object)
+        kk = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        ckeys.update(kk[seg == segment].tolist())
+
+    omap: dict[int, int] = {}
+    for ref in rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .to_arrow_refs():
+        t = ray.get(ref)
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        oc = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        m = (od < cut) & np.isin(oc, np.fromiter(ckeys, dtype=np.int64))
+        for a, b in zip(ok[m].tolist(), od[m].astype(np.int64).tolist()):
+            omap[a] = b
+    oref = ray.put(omap)
+
+    def partial(t: pa.Table) -> pa.Table:
+        om = ray.get(oref)
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        ep = _cents(t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False))
+        di = _cents(t.column("l_discount").to_numpy(zero_copy_only=False))
+        keys = np.fromiter(om.keys(), dtype=np.int64) if om else \
+            np.asarray([], dtype=np.int64)
+        m = (sd > cut) & np.isin(ok, keys)
+        if not m.any():
+            return pa.table({"l_orderkey": pa.array([], type=pa.int64()),
+                             "rev": pa.array([], type=pa.int64())})
+        rev = (ep * (100 - di))[m]
+        uniq, inv = np.unique(ok[m], return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({"l_orderkey": pa.array(uniq, type=pa.int64()),
+                         "rev": pa.array(s)})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_orderkey").sum("rev").to_pandas())
+    agg = agg.rename(columns={"sum(rev)": "revenue_e4"})
+    agg["o_orderdate"] = agg["l_orderkey"].map(omap)
+    agg = agg.sort_values(["revenue_e4", "o_orderdate", "l_orderkey"],
+                          ascending=[False, True, True]).head(k)
+    out = pa.table({
+        "l_orderkey": pa.array(agg["l_orderkey"].to_numpy(dtype=np.int64)),
+        "revenue_e4": pa.array(agg["revenue_e4"].to_numpy(dtype=np.int64)),
+        "o_orderdate": pa.array(agg["o_orderdate"].to_numpy(
+            dtype=np.int64)).cast(pa.timestamp("us")),
+    })
+    return out
+
+
+def region_supplier_volume(sf_dir: str, region: str = "ASIA",
+                           year: int = 1997) -> pa.Table:
+    """TPC-H Q5 shape: revenue per nation for orders placed in ``year``
+    where customer and supplier share a nation inside ``region`` —
+    (n_name, revenue_e4) by (revenue desc, n_name asc).
+
+    All four dimension maps (region→nations, supplier→nation,
+    customer→nation, qualifying orders→customer) broadcast once;
+    lineitem streams through one combiner pass + ONE 25-row groupby."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq2
+
+    reg = pq2.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = {r["r_regionkey"] for r in reg.to_pylist()
+            if r["r_name"] == region}
+    nat = pq2.read_table(os.path.join(sf_dir, "nation.parquet"))
+    n_name = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()
+              if r["n_regionkey"] in rkey}
+    sup = pq2.read_table(os.path.join(sf_dir, "supplier.parquet"))
+    smap = {r["s_suppkey"]: r["s_nationkey"] for r in sup.to_pylist()}
+    cmap: dict[int, int] = {}
+    for ref in rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"]).to_arrow_refs():
+        t = ray.get(ref)
+        cmap.update(zip(t.column("c_custkey").to_pylist(),
+                        t.column("c_nationkey").to_pylist()))
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+    omap: dict[int, int] = {}
+    for ref in rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .to_arrow_refs():
+        t = ray.get(ref)
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        oc = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        m = (od >= lo) & (od < hi)
+        for a, b in zip(ok[m].tolist(), oc[m].tolist()):
+            omap[a] = b
+    bref = ray.put((omap, cmap, smap, n_name))
+
+    def partial(t: pa.Table) -> pa.Table:
+        om, cm, sm, nn = ray.get(bref)
+        ok = t.column("l_orderkey").to_pylist()
+        sk = t.column("l_suppkey").to_pylist()
+        ep = _cents(t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False))
+        di = _cents(t.column("l_discount").to_numpy(zero_copy_only=False))
+        rev = ep * (100 - di)
+        sums: dict[str, int] = {}
+        for i, (o, s) in enumerate(zip(ok, sk)):
+            cu = om.get(o)
+            if cu is None:
+                continue
+            cn = cm.get(cu)
+            sn = sm.get(s)
+            if cn is not None and cn == sn and cn in nn:
+                name = nn[cn]
+                sums[name] = sums.get(name, 0) + int(rev[i])
+        ks = sorted(sums)
+        return pa.table({"n_name": pa.array(ks, type=pa.string()),
+                         "rev": pa.array([sums[x] for x in ks],
+                                         type=pa.int64())})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_name").sum("rev").to_pandas())
+    agg = agg.rename(columns={"sum(rev)": "revenue_e4"})
+    agg = agg.sort_values(["revenue_e4", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+    agg["revenue_e4"] = agg["revenue_e4"].astype(np.int64)
+    return pa.Table.from_pandas(agg, preserve_index=False)

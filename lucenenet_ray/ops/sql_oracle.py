@@ -8120,3 +8120,55 @@ def table_profile_sql(table: str, type_names: dict[str, str]) -> str:
     return f"""SELECT * FROM (
 {union}
 ) ORDER BY "column\""""
+
+
+def shipping_priority_sql(segment: str = "BUILDING",
+                          cutoff: str = "1998-06-15",
+                          k: int = 10) -> str:
+    """TPC-H Q3-shape oracle (ops/olap.py shipping_priority): identical
+    integer-cents revenue staging; (revenue desc, o_orderdate asc,
+    l_orderkey asc) top-k."""
+    return f"""WITH ck AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{segment}'
+),
+o AS (
+  SELECT o_orderkey, o_orderdate FROM orders
+  JOIN ck ON ck.c_custkey = orders.o_custkey
+  WHERE o_orderdate < TIMESTAMP '{cutoff}'
+),
+rev AS (
+  SELECT l.l_orderkey, o.o_orderdate,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+           AS BIGINT) AS revenue_e4
+  FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > TIMESTAMP '{cutoff}'
+  GROUP BY l.l_orderkey, o.o_orderdate
+)
+SELECT l_orderkey, revenue_e4, o_orderdate
+FROM rev
+ORDER BY revenue_e4 DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT {k}"""
+
+
+def region_supplier_volume_sql(region: str = "ASIA",
+                               year: int = 1997) -> str:
+    """TPC-H Q5-shape oracle (ops/olap.py region_supplier_volume):
+    same-nation customer/supplier revenue per nation in ``region`` for
+    orders placed in ``year``, integer-cents staging."""
+    return f"""SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+         AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+  AND o.o_orderdate >= TIMESTAMP '{year}-01-01'
+  AND o.o_orderdate < TIMESTAMP '{year + 1}-01-01'
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+  AND r.r_name = '{region}'
+GROUP BY n.n_name
+ORDER BY revenue_e4 DESC, n.n_name ASC"""

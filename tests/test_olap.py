@@ -66,3 +66,42 @@ def test_table_profile(ray_session):
     assert rows["b"]["n_nulls"] == 1 and rows["b"]["min_int"] is None
     assert rows["c"]["dtype"] == "double"
     assert list(rows) == ["a", "b", "c"]
+
+
+def test_shipping_priority_vs_duckdb(ray_session):
+    import duckdb
+
+    from lucenenet_ray.ops.olap import shipping_priority
+    from lucenenet_ray.ops.sql_oracle import shipping_priority_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for name in ("customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{name}.parquet')")
+    exp = con.execute(shipping_priority_sql()).arrow()
+    got = shipping_priority(sf)
+    assert got.column("l_orderkey").to_pylist() == \
+        exp.column("l_orderkey").to_pylist()
+    assert got.column("revenue_e4").to_pylist() == \
+        exp.column("revenue_e4").to_pylist()
+
+
+def test_region_volume_vs_duckdb(ray_session):
+    import duckdb
+
+    from lucenenet_ray.ops.olap import region_supplier_volume
+    from lucenenet_ray.ops.sql_oracle import region_supplier_volume_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for name in ("customer", "orders", "lineitem", "supplier",
+                 "nation", "region"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{name}.parquet')")
+    exp = con.execute(region_supplier_volume_sql()).arrow()
+    got = region_supplier_volume(sf)
+    assert got.column("n_name").to_pylist() == \
+        exp.column("n_name").to_pylist()
+    assert got.column("revenue_e4").to_pylist() == \
+        exp.column("revenue_e4").to_pylist()
