@@ -7342,6 +7342,25 @@ def _q_region_supplier_volume(sf_dir: str) -> pa.Table:
     return region_supplier_volume(sf_dir, region="ASIA", year=1997)
 
 
+def _q_segment_order_stats(sf_dir: str) -> pa.Table:
+    """Exact per-segment order-value median/p90 (ops/olap.py
+    segment_order_stats): distinct-value-histogram rank-select — the
+    driver sees one row per distinct price, never per order; rank rules
+    are cross-multiplied integers (no float quantile ambiguity)."""
+    from lucenenet_ray.ops.olap import segment_order_stats
+
+    return segment_order_stats(sf_dir)
+
+
+def _q_cold_parts(sf_dir: str) -> pa.Table:
+    """Slow-mover report (ops/olap.py cold_parts): per-part fact-table
+    reference counts, bottom-20 — one distinct-key count groupby plus a
+    broadcast stream-join over the dimension."""
+    from lucenenet_ray.ops.olap import cold_parts
+
+    return cold_parts(sf_dir, k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7615,6 +7634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": _q_table_profile,
         "shipping_priority": _q_shipping_priority,
         "region_supplier_volume": _q_region_supplier_volume,
+        "segment_order_stats": _q_segment_order_stats,
+        "cold_parts": _q_cold_parts,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -8001,6 +8022,8 @@ def oracle_sql() -> dict[str, str]:
                                                       "1998-06-15", 10),
         "region_supplier_volume": so.region_supplier_volume_sql("ASIA",
                                                                 1997),
+        "segment_order_stats": so.segment_order_stats_sql(),
+        "cold_parts": so.cold_parts_sql(20),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -288,3 +288,112 @@ def region_supplier_volume(sf_dir: str, region: str = "ASIA",
                           ascending=[False, True]).reset_index(drop=True)
     agg["revenue_e4"] = agg["revenue_e4"].astype(np.int64)
     return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def segment_order_stats(sf_dir: str) -> pa.Table:
+    """(c_mktsegment, n_orders, median_cents, p90_cents) per market
+    segment — EXACT order statistics via the distinct-value-histogram
+    rank-select shape (the lm_buckets / events_quantiles pattern: the
+    driver sees one row per DISTINCT price, never per order).  median =
+    smallest value whose cumulative count*2 >= n; p90 = smallest value
+    whose cumulative count*10 >= 9*n (cross-multiplied integer rank
+    rules — no float quantile definition ambiguity)."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    cmap: dict[int, str] = {}
+    for ref in rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"]).to_arrow_refs():
+        t = ray.get(ref)
+        cmap.update(zip(t.column("c_custkey").to_pylist(),
+                        t.column("c_mktsegment").to_pylist()))
+    cref = ray.put(cmap)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        ck = t.column("o_custkey").to_pylist()
+        price = _cents(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        segs = np.asarray([cm.get(c, "") for c in ck], dtype=object)
+        key = np.char.add(np.char.add(segs.astype(str), "\x1f"),
+                          np.char.mod("%012d", price))
+        uniq, cnt = np.unique(key, return_counts=True)
+        sp = np.char.partition(uniq, "\x1f")
+        return pa.table({
+            "seg": pa.array(sp[:, 0], type=pa.string()),
+            "cents": pa.array([int(x) for x in sp[:, 2]],
+                              type=pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    hist = (rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["seg", "cents"]).sum("cnt").to_pandas())
+    hist = hist.rename(columns={"sum(cnt)": "cnt"})
+
+    import pandas as pd
+
+    rows = []
+    for seg, g in hist.groupby("seg"):
+        g = g.sort_values("cents")
+        c = g["cnt"].to_numpy(dtype=np.int64)
+        v = g["cents"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        med = int(v[np.searchsorted(cum * 2, n, side="left")])
+        p90 = int(v[np.searchsorted(cum * 10, 9 * n, side="left")])
+        rows.append((seg, n, med, p90))
+    rows.sort()
+    df = pd.DataFrame(rows, columns=["c_mktsegment", "n_orders",
+                                     "median_cents", "p90_cents"])
+    for c in ("n_orders", "median_cents", "p90_cents"):
+        df[c] = df[c].astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def cold_parts(sf_dir: str, k: int = 20) -> pa.Table:
+    """(p_partkey, p_brand, n_refs) — the k LEAST-referenced parts
+    (n_refs asc, partkey asc): the slow-mover/dead-stock report.  ONE
+    distinct-partkey count groupby over the fact table; the per-part
+    count map broadcasts at dimension altitude (bounded by |part|) and
+    the part table stream-joins against it with per-batch partial
+    bottom-k."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    seen = (rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                            columns=["l_partkey"])
+            .groupby("l_partkey").count().to_pandas())
+    cmap = dict(zip(seen["l_partkey"].astype(np.int64),
+                    seen["count()"].astype(np.int64)))
+    cref = ray.put(cmap)
+
+    def score(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        refs = np.asarray([cm.get(int(x), 0) for x in pk],
+                          dtype=np.int64)
+        tt = t.append_column("n_refs", pa.array(refs))
+        if tt.num_rows <= k:
+            return tt
+        order = np.lexsort((pk, refs))[:k]
+        return tt.take(order)
+
+    out = (rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_brand"])
+           .map_batches(score, batch_format="pyarrow")
+           .to_pandas())
+    out = out.sort_values(["n_refs", "p_partkey"]).head(k) \
+        .reset_index(drop=True)
+    out["p_partkey"] = out["p_partkey"].astype(np.int64)
+    out["n_refs"] = out["n_refs"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -8172,3 +8172,42 @@ JOIN region r ON r.r_regionkey = n.n_regionkey
   AND r.r_name = '{region}'
 GROUP BY n.n_name
 ORDER BY revenue_e4 DESC, n.n_name ASC"""
+
+
+def segment_order_stats_sql() -> str:
+    """Segment order-stats oracle (ops/olap.py segment_order_stats):
+    exact lower-rank median/p90 via the cross-multiplied cumulative rule
+    over integer cents."""
+    return """WITH o AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders JOIN customer c ON c.c_custkey = orders.o_custkey
+),
+h AS (
+  SELECT seg, cents, count(*) AS cnt FROM o GROUP BY seg, cents
+),
+c AS (
+  SELECT seg, cents,
+         sum(cnt) OVER (PARTITION BY seg ORDER BY cents) AS cum,
+         sum(cnt) OVER (PARTITION BY seg) AS n
+  FROM h
+)
+SELECT seg AS c_mktsegment,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(min(cents) FILTER (WHERE cum * 2 >= n) AS BIGINT)
+         AS median_cents,
+       CAST(min(cents) FILTER (WHERE cum * 10 >= 9 * n) AS BIGINT)
+         AS p90_cents
+FROM c GROUP BY seg ORDER BY seg"""
+
+
+def cold_parts_sql(k: int = 20) -> str:
+    """Cold-parts oracle (ops/olap.py cold_parts): per-part lineitem
+    reference counts (0 for never-referenced), bottom-k by
+    (n_refs asc, p_partkey asc)."""
+    return f"""SELECT p.p_partkey, p.p_brand,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_refs
+FROM part p LEFT JOIN (
+  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey) c
+ON c.l_partkey = p.p_partkey
+ORDER BY n_refs ASC, p.p_partkey ASC LIMIT {k}"""

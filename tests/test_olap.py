@@ -105,3 +105,35 @@ def test_region_volume_vs_duckdb(ray_session):
         exp.column("n_name").to_pylist()
     assert got.column("revenue_e4").to_pylist() == \
         exp.column("revenue_e4").to_pylist()
+
+
+def test_segment_stats_vs_duckdb(ray_session):
+    import duckdb
+
+    from lucenenet_ray.ops.olap import segment_order_stats
+    from lucenenet_ray.ops.sql_oracle import segment_order_stats_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for name in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{name}.parquet')")
+    exp = con.execute(segment_order_stats_sql()).arrow()
+    got = segment_order_stats(sf)
+    assert got.to_pylist() == exp.to_pylist()
+
+
+def test_cold_parts_vs_duckdb(ray_session):
+    import duckdb
+
+    from lucenenet_ray.ops.olap import cold_parts
+    from lucenenet_ray.ops.sql_oracle import cold_parts_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for name in ("part", "lineitem"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{name}.parquet')")
+    exp = con.execute(cold_parts_sql(20)).arrow()
+    got = cold_parts(sf, k=20)
+    assert got.to_pylist() == exp.to_pylist()
