@@ -7361,6 +7361,24 @@ def _q_cold_parts(sf_dir: str) -> pa.Table:
     return cold_parts(sf_dir, k=20)
 
 
+def _q_order_count_distribution(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape (ops/olap.py order_count_distribution):
+    count-of-counts over orders per customer, zero-order bucket derived
+    from the dimension count — no customer×orders join materializes."""
+    from lucenenet_ray.ops.olap import order_count_distribution
+
+    return order_count_distribution(sf_dir)
+
+
+def _q_top_priority_per_segment(sf_dir: str) -> pa.Table:
+    """Per-group mode (ops/olap.py top_priority_per_segment): modal
+    order priority per market segment via broadcast dimension map +
+    per-batch partial counts + one tiny groupby."""
+    from lucenenet_ray.ops.olap import top_priority_per_segment
+
+    return top_priority_per_segment(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7636,6 +7654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_supplier_volume": _q_region_supplier_volume,
         "segment_order_stats": _q_segment_order_stats,
         "cold_parts": _q_cold_parts,
+        "order_count_distribution": _q_order_count_distribution,
+        "top_priority_per_segment": _q_top_priority_per_segment,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -8024,6 +8044,8 @@ def oracle_sql() -> dict[str, str]:
                                                                 1997),
         "segment_order_stats": so.segment_order_stats_sql(),
         "cold_parts": so.cold_parts_sql(20),
+        "order_count_distribution": so.order_count_distribution_sql(),
+        "top_priority_per_segment": so.top_priority_per_segment_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

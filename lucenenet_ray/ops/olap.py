@@ -397,3 +397,98 @@ def cold_parts(sf_dir: str, k: int = 20) -> pa.Table:
     out["p_partkey"] = out["p_partkey"].astype(np.int64)
     out["n_refs"] = out["n_refs"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def order_count_distribution(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape: (n_orders, n_customers) — how many customers
+    placed exactly N orders, INCLUDING the zero-order customers (the
+    LEFT-JOIN subtlety Q13 exists to test).  One groupby(custkey) count
+    over orders, a tiny count-of-counts histogram groupby, and the
+    zero bucket derived from |customer| minus the customers seen —
+    no join materializes customers against orders at all."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq2
+    import ray.data as rd
+
+    per_cust = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                columns=["o_custkey"])
+                .groupby("o_custkey").count())
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c = t.column("count()").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table({"n_orders": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    hist = (per_cust.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("n_orders").sum("n").to_pandas())
+    hist = hist.rename(columns={"sum(n)": "n_customers"})
+    n_cust = pq2.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")).num_rows
+    n_with = int(hist["n_customers"].sum())
+
+    import pandas as pd
+
+    if n_cust > n_with:
+        hist = pd.concat([pd.DataFrame(
+            [{"n_orders": 0, "n_customers": n_cust - n_with}]), hist])
+    hist = hist.sort_values("n_orders").reset_index(drop=True)
+    for c in ("n_orders", "n_customers"):
+        hist[c] = hist[c].astype(np.int64)
+    return pa.Table.from_pandas(hist, preserve_index=False)
+
+
+def top_priority_per_segment(sf_dir: str) -> pa.Table:
+    """(c_mktsegment, o_orderpriority, n_orders) — the modal order
+    priority per market segment (per-group argmax, ties → priority
+    asc): broadcast custkey→segment map, per-batch partial
+    (segment, priority) counts, ONE tiny groupby, driver argmax over
+    the |segments|×|priorities| aggregate."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    cmap: dict[int, str] = {}
+    for ref in rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"]).to_arrow_refs():
+        t = ray.get(ref)
+        cmap.update(zip(t.column("c_custkey").to_pylist(),
+                        t.column("c_mktsegment").to_pylist()))
+    cref = ray.put(cmap)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        ck = t.column("o_custkey").to_pylist()
+        pr = t.column("o_orderpriority").to_pylist()
+        cnt: dict[tuple, int] = {}
+        for c, p in zip(ck, pr):
+            seg = cm.get(c)
+            if seg is not None:
+                cnt[(seg, p)] = cnt.get((seg, p), 0) + 1
+        ks = sorted(cnt)
+        return pa.table({
+            "seg": pa.array([a for a, _ in ks], type=pa.string()),
+            "prio": pa.array([b for _, b in ks], type=pa.string()),
+            "n": pa.array([cnt[k] for k in ks], type=pa.int64()),
+        })
+
+    agg = (rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["seg", "prio"]).sum("n").to_pandas())
+    agg = agg.rename(columns={"sum(n)": "n_orders"})
+    agg = agg.sort_values(["seg", "n_orders", "prio"],
+                          ascending=[True, False, True])
+    top = agg.groupby("seg").head(1).reset_index(drop=True)
+    top = top.rename(columns={"seg": "c_mktsegment",
+                              "prio": "o_orderpriority"})
+    top["n_orders"] = top["n_orders"].astype(np.int64)
+    return pa.Table.from_pandas(
+        top.sort_values("c_mktsegment").reset_index(drop=True),
+        preserve_index=False)

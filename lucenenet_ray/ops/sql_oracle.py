@@ -8211,3 +8211,34 @@ FROM part p LEFT JOIN (
   SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey) c
 ON c.l_partkey = p.p_partkey
 ORDER BY n_refs ASC, p.p_partkey ASC LIMIT {k}"""
+
+
+def order_count_distribution_sql() -> str:
+    """Q13-shape oracle (ops/olap.py order_count_distribution):
+    count-of-counts histogram including the zero-order customers."""
+    return """WITH per AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM per GROUP BY n_orders ORDER BY n_orders"""
+
+
+def top_priority_per_segment_sql() -> str:
+    """Per-segment modal priority oracle (ops/olap.py
+    top_priority_per_segment): (count desc, priority asc) argmax."""
+    return """WITH a AS (
+  SELECT c.c_mktsegment, o.o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, o.o_orderpriority
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_mktsegment
+    ORDER BY n_orders DESC, o_orderpriority ASC) AS rn
+  FROM a
+)
+SELECT c_mktsegment, o_orderpriority, n_orders
+FROM r WHERE rn = 1 ORDER BY c_mktsegment"""

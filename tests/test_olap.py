@@ -137,3 +137,39 @@ def test_cold_parts_vs_duckdb(ray_session):
     exp = con.execute(cold_parts_sql(20)).arrow()
     got = cold_parts(sf, k=20)
     assert got.to_pylist() == exp.to_pylist()
+
+
+def test_order_count_distribution_vs_duckdb(ray_session):
+    import duckdb
+
+    from lucenenet_ray.ops.olap import order_count_distribution
+    from lucenenet_ray.ops.sql_oracle import order_count_distribution_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for name in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{name}.parquet')")
+    exp = con.execute(order_count_distribution_sql()).arrow()
+    got = order_count_distribution(sf)
+    assert got.to_pylist() == exp.to_pylist()
+    # histogram covers every customer exactly once
+    import pyarrow.parquet as pq2
+    assert sum(r["n_customers"] for r in got.to_pylist()) == \
+        pq2.read_metadata(f"{sf}/customer.parquet").num_rows
+
+
+def test_top_priority_per_segment_vs_duckdb(ray_session):
+    import duckdb
+
+    from lucenenet_ray.ops.olap import top_priority_per_segment
+    from lucenenet_ray.ops.sql_oracle import top_priority_per_segment_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for name in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{name}.parquet')")
+    exp = con.execute(top_priority_per_segment_sql()).arrow()
+    got = top_priority_per_segment(sf)
+    assert got.to_pylist() == exp.to_pylist()
