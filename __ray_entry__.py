@@ -7379,6 +7379,19 @@ def _q_top_priority_per_segment(sf_dir: str) -> pa.Table:
     return top_priority_per_segment(sf_dir)
 
 
+def _q_significant_terms(sf_dir: str) -> pa.Table:
+    """Significant-terms aggregation (ops/collocations.py; the ES
+    significant_terms shape with integer relative-risk lift): terms
+    overrepresented among docs containing 'spark' vs the corpus."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.collocations import significant_terms
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return significant_terms(ds, focus_term="spark", k=20, min_fg_df=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7656,6 +7669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cold_parts": _q_cold_parts,
         "order_count_distribution": _q_order_count_distribution,
         "top_priority_per_segment": _q_top_priority_per_segment,
+        "significant_terms": _q_significant_terms,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -8046,6 +8060,7 @@ def oracle_sql() -> dict[str, str]:
         "cold_parts": so.cold_parts_sql(20),
         "order_count_distribution": so.order_count_distribution_sql(),
         "top_priority_per_segment": so.top_priority_per_segment_sql(),
+        "significant_terms": so.significant_terms_sql("spark", 20, 3),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -159,3 +159,69 @@ def ngram_diversity(ds, n: int = 2) -> pa.Table:
                         // agg["total_ngrams"].astype(object)).astype(np.int64)
     agg = agg.sort_values("source").reset_index(drop=True)
     return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def significant_terms(ds, focus_term: str, k: int = 20,
+                      min_fg_df: int = 3) -> pa.Table:
+    """Significant-terms aggregation (the Elasticsearch
+    `significant_terms` shape; scoring is the epidemiology relative-risk
+    / lift form, integer fixed point): terms whose document frequency
+    inside the FOREGROUND set (docs containing ``focus_term``) is
+    overrepresented vs the whole corpus.
+
+    score(t) = (fg_df(t) * N_total * 10^9) // (df(t) * N_fg) — the lift
+    of P(t | fg) over P(t); the focus term itself is excluded and terms
+    with fg_df < min_fg_df are dropped (the ES shard_min_doc_count
+    knob).  The foreground predicate here is term containment so the
+    DuckDB oracle can re-derive it; an index-produced DocIdSet plugs
+    into the same aggregation for arbitrary queries.
+
+    Shape: ONE map_batches pass emits per-batch (term, fg_df, df)
+    partials over per-doc DISTINCT terms + a (kind-tagged) doc-count
+    row; ONE vocabulary-bounded groupby reduces; scoring and top-k run
+    on the vocab-scale aggregate."""
+    from lucenenet_ray.analysis.standard import ENGLISH_STOP_WORDS
+
+    def partials(t: pa.Table) -> pa.Table:
+        fg_df: dict[str, int] = {}
+        df: dict[str, int] = {}
+        n_fg = n_tot = 0
+        for x in t.column("text").to_pylist():
+            toks = {w for w in (x or "").split(" ")
+                    if w and w not in ENGLISH_STOP_WORDS}
+            in_fg = focus_term in toks
+            n_tot += 1
+            n_fg += int(in_fg)
+            for w in toks:
+                df[w] = df.get(w, 0) + 1
+                if in_fg:
+                    fg_df[w] = fg_df.get(w, 0) + 1
+        ws = sorted(df)
+        # doc totals ride as a reserved-key row (single shared schema)
+        return pa.table({
+            "term": pa.array(ws + ["\x00docs"], type=pa.string()),
+            "fg_df": pa.array([fg_df.get(w, 0) for w in ws] + [n_fg],
+                              type=pa.int64()),
+            "df": pa.array([df[w] for w in ws] + [n_tot],
+                           type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("term").sum(["fg_df", "df"]).to_pandas())
+    agg = agg.rename(columns={"sum(fg_df)": "fg_df", "sum(df)": "df"})
+    totals = agg[agg["term"] == "\x00docs"].iloc[0]
+    n_fg, n_tot = int(totals["fg_df"]), int(totals["df"])
+    agg = agg[(agg["term"] != "\x00docs")
+              & (agg["term"] != focus_term)
+              & (agg["fg_df"] >= min_fg_df)].copy()
+    agg["score"] = [
+        (int(f) * n_tot * SCALE) // (int(d) * n_fg)
+        for f, d in zip(agg["fg_df"], agg["df"])
+    ]
+    agg = agg.sort_values(["score", "term"],
+                          ascending=[False, True]).head(k)
+    out = agg[["term", "fg_df", "df", "score"]].reset_index(drop=True)
+    for c in ("fg_df", "df", "score"):
+        out[c] = out[c].astype(np.int64)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -8242,3 +8242,36 @@ r AS (
 )
 SELECT c_mktsegment, o_orderpriority, n_orders
 FROM r WHERE rn = 1 ORDER BY c_mktsegment"""
+
+
+def significant_terms_sql(focus_term: str, k: int = 20,
+                          min_fg_df: int = 3) -> str:
+    """Significant-terms oracle (ops/collocations.py significant_terms):
+    per-doc distinct stop-filtered terms; lift = (fg_df * N_total * 10^9)
+    // (df * N_fg) in HUGEINT; focus term excluded."""
+    ft = focus_term.replace("'", "''")
+    return f"""WITH {_toks_cte()},
+dt AS (SELECT DISTINCT doc_id, term FROM kept),
+fg AS (SELECT DISTINCT doc_id FROM dt WHERE term = '{ft}'),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS HUGEINT) FROM documents) AS n_tot,
+         (SELECT CAST(count(*) AS HUGEINT) FROM fg) AS n_fg
+),
+st AS (
+  SELECT dt.term,
+         CAST(count(*) FILTER (WHERE dt.doc_id IN
+              (SELECT doc_id FROM fg)) AS BIGINT) AS fg_df,
+         CAST(count(*) AS BIGINT) AS df
+  FROM dt GROUP BY dt.term
+),
+scored AS (
+  SELECT term, fg_df, df,
+         CAST((CAST(fg_df AS HUGEINT) * tot.n_tot * 1000000000)
+              // (CAST(df AS HUGEINT) * tot.n_fg) AS BIGINT) AS score
+  FROM st CROSS JOIN tot
+  WHERE fg_df >= {min_fg_df} AND term <> '{ft}'
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT)
+         AS rank,
+       term, fg_df, df, score
+FROM scored ORDER BY score DESC, term ASC LIMIT {k}"""

@@ -102,3 +102,34 @@ def test_cocitation_matches_bruteforce(ray_session):
     t = cocitation_topk(ds, n_nodes=n, k=k)
     got = [(r["n_cociting"], r["a"], r["b"]) for r in t.to_pylist()]
     assert got == exp
+
+
+def test_significant_terms_matches_bruteforce(ray_session):
+    from lucenenet_ray.analysis.standard import ENGLISH_STOP_WORDS
+    from lucenenet_ray.ops.collocations import significant_terms
+
+    import ray.data as rd
+
+    docs = ["spark rank deep", "spark rank", "rank model", "deep model",
+            "spark deep rank", "model", "spark model rank"]
+    ds = rd.from_arrow(pa.table({"text": docs})).repartition(3)
+    fg_df, df = {}, {}
+    n_fg = 0
+    for d in docs:
+        toks = {w for w in d.split() if w not in ENGLISH_STOP_WORDS}
+        fg = "spark" in toks
+        n_fg += int(fg)
+        for w in toks:
+            df[w] = df.get(w, 0) + 1
+            if fg:
+                fg_df[w] = fg_df.get(w, 0) + 1
+    exp = []
+    for w in df:
+        if w != "spark" and fg_df.get(w, 0) >= 2:
+            exp.append(((fg_df[w] * len(docs) * SCALE)
+                        // (df[w] * n_fg), w, fg_df[w], df[w]))
+    exp.sort(key=lambda t: (-t[0], t[1]))
+    t = significant_terms(ds, "spark", k=10, min_fg_df=2)
+    got = [(r["score"], r["term"], r["fg_df"], r["df"])
+           for r in t.to_pylist()]
+    assert got == exp[:10]
