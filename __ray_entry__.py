@@ -7392,6 +7392,20 @@ def _q_significant_terms(sf_dir: str) -> pa.Table:
     return significant_terms(ds, focus_term="spark", k=20, min_fg_df=3)
 
 
+def _q_context_spell(sf_dir: str) -> pa.Table:
+    """Noisy-channel context-sensitive spell correction
+    (ops/symspell.py context_spell_correct; Kernighan-Church-Gale 1990):
+    SymSpell deletion-key candidates disambiguated by the clean corpus'
+    left-bigram LM, over the md5-injected typo occurrences."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.symspell import context_spell_correct
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return context_spell_correct(ds, k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7670,6 +7684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_count_distribution": _q_order_count_distribution,
         "top_priority_per_segment": _q_top_priority_per_segment,
         "significant_terms": _q_significant_terms,
+        "context_spell": _q_context_spell,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -8061,6 +8076,7 @@ def oracle_sql() -> dict[str, str]:
         "order_count_distribution": so.order_count_distribution_sql(),
         "top_priority_per_segment": so.top_priority_per_segment_sql(),
         "significant_terms": so.significant_terms_sql("spark", 20, 3),
+        "context_spell": so.context_spell_sql(50),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -8275,3 +8275,102 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT)
          AS rank,
        term, fg_df, df, score
 FROM scored ORDER BY score DESC, term ASC LIMIT {k}"""
+
+
+def context_spell_sql(k: int = 50) -> str:
+    """Context-spell oracle (ops/symspell.py context_spell_correct;
+    Kernighan-Church-Gale noisy channel): re-derives the injected typos
+    (the augment_typos md5 rule), the SymSpell deletion-key candidate
+    join with exact distance-1 verification, the clean-corpus left-
+    bigram/unigram LM, and the (bigram desc, unigram desc, cand asc)
+    argmax."""
+    g = _MD5_INT31.format(s="'typo:' || CAST(doc_id AS VARCHAR)")
+    gp = _MD5_INT31.format(s="'typopos:' || CAST(doc_id AS VARCHAR)")
+    return f"""WITH typos AS (
+  SELECT doc_id,
+         substr(w, 1, p) || substr(w, p + 2) AS typo
+  FROM (
+    SELECT doc_id, string_split(text, ' ')[4] AS w,
+           ({gp}) % len(string_split(text, ' ')[4]) AS p
+    FROM documents
+    WHERE ({g}) % 10 = 0
+      AND len(string_split(text, ' ')) >= 4
+      AND len(string_split(text, ' ')[4]) >= 3)
+),
+rawtok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+ftok AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM rawtok WHERE w <> ''
+),
+lasts AS (
+  SELECT doc_id, w AS left_word
+  FROM (SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY p DESC) AS rn
+        FROM ftok)
+  WHERE rn = 1
+),
+vocab AS (
+  SELECT w AS term, CAST(count(*) AS BIGINT) AS c FROM ftok GROUP BY w
+),
+bi AS (
+  SELECT x.w AS a, y.w AS b, CAST(count(*) AS BIGINT) AS c
+  FROM ftok x JOIN ftok y ON x.doc_id = y.doc_id AND y.p = x.p + 1
+  GROUP BY x.w, y.w
+),
+vkeys AS (
+  SELECT term, term AS v FROM vocab
+  UNION ALL
+  SELECT term, substr(term, 1, i - 1) || substr(term, i + 1) AS v
+  FROM vocab, LATERAL (SELECT unnest(range(1, len(term) + 1)) AS i) r
+),
+tkeys AS (
+  SELECT doc_id, typo, typo AS v FROM typos
+  UNION ALL
+  SELECT doc_id, typo,
+         substr(typo, 1, i - 1) || substr(typo, i + 1) AS v
+  FROM typos, LATERAL (SELECT unnest(range(1, len(typo) + 1)) AS i) r
+),
+cand AS (
+  SELECT DISTINCT t.doc_id, t.typo, kk.term
+  FROM tkeys t JOIN vkeys kk ON kk.v = t.v
+  WHERE kk.term <> t.typo
+),
+ver AS (
+  SELECT doc_id, typo, term FROM cand
+  WHERE (len(term) = len(typo) AND 1 = (
+          SELECT count(*)
+          FROM (SELECT unnest(range(1, len(term) + 1)) AS i) p
+          WHERE substr(term, i, 1) <> substr(typo, i, 1)))
+     OR (len(term) = len(typo) + 1 AND EXISTS (
+          SELECT 1 FROM (SELECT unnest(range(1, len(term) + 1)) AS i) p
+          WHERE substr(term, 1, i - 1) || substr(term, i + 1) = typo))
+     OR (len(typo) = len(term) + 1 AND EXISTS (
+          SELECT 1 FROM (SELECT unnest(range(1, len(typo) + 1)) AS i) p
+          WHERE substr(typo, 1, i - 1) || substr(typo, i + 1) = term))
+),
+scored AS (
+  SELECT v.doc_id, v.typo, l.left_word, v.term,
+         COALESCE(b.c, 0) AS bn, COALESCE(u.c, 0) AS un
+  FROM ver v
+  JOIN lasts l ON l.doc_id = v.doc_id
+  LEFT JOIN bi b ON b.a = l.left_word AND b.b = v.term
+  LEFT JOIN vocab u ON u.term = v.term
+),
+pick AS (
+  SELECT * FROM (
+    SELECT doc_id, typo, left_word, term, bn,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY bn DESC, un DESC, term ASC) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT doc_id, typo, left_word, term AS chosen,
+       CAST(bn AS BIGINT) AS bigram_n
+FROM pick ORDER BY doc_id LIMIT {k}"""

@@ -139,3 +139,115 @@ def augment_typos(ds, text_col: str = "text", id_col: str = "doc_id"):
                          text_col: pa.array(out, type=pa.string())})
 
     return ds.map_batches(aug, batch_format="pyarrow")
+
+
+def context_spell_correct(ds, k: int = 50, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Noisy-channel context-sensitive spell correction (Kernighan,
+    Church & Gale, COLING 1990: channel candidates × language-model
+    context; candidates come from the SymSpell deletion-key scheme, the
+    LM is the clean corpus' left-bigram table): for every injected typo
+    occurrence (the augment_typos rule — typo appended after the doc's
+    last word), choose among the distance-1 vocabulary candidates the
+    one maximizing (bigram(left, cand) desc, unigram(cand) desc,
+    cand asc).
+
+    Returns (doc_id, typo, left_word, chosen, bigram_n), doc-sorted,
+    first k.  Statistics are vocab-bounded groupbys broadcast once (the
+    deletion-key join replaces the vocab scan at open-web scale)."""
+    import ray
+
+    from lucenenet_ray.ops.neardup import md5_int31
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for x in t.column(text_col).to_pylist():
+            for w in (x or "").split(" "):
+                if w:
+                    cnt[w] = cnt.get(w, 0) + 1
+        ks = sorted(cnt)
+        return pa.table({"term": pa.array(ks, type=pa.string()),
+                         "cnt": pa.array([cnt[w] for w in ks],
+                                         type=pa.int64())})
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        cnt = {}
+        for x in t.column(text_col).to_pylist():
+            toks = [w for w in (x or "").split(" ") if w]
+            for a, b in zip(toks, toks[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+        ks = sorted(cnt)
+        return pa.table({
+            "a": pa.array([a for a, _ in ks], type=pa.string()),
+            "b": pa.array([b for _, b in ks], type=pa.string()),
+            "cnt": pa.array([cnt[x] for x in ks], type=pa.int64()),
+        })
+
+    uni = (ds.map_batches(uni_partial, batch_format="pyarrow")
+           .groupby("term").sum("cnt").to_pandas())
+    uni_of = dict(zip(uni["term"], uni["sum(cnt)"].astype(int)))
+    big = (ds.map_batches(bi_partial, batch_format="pyarrow")
+           .groupby(["a", "b"]).sum("cnt").to_pandas())
+    bi_of = {(a, b): int(c) for a, b, c in
+             zip(big["a"], big["b"], big["sum(cnt)"])}
+    # SymSpell deletion-key index over the vocabulary
+    key_index: dict[str, list] = {}
+    for term in uni_of:
+        for v in {term} | {term[:i] + term[i + 1:]
+                           for i in range(len(term))}:
+            key_index.setdefault(v, []).append(term)
+    bref = ray.put((uni_of, bi_of, key_index))
+
+    def correct(t: pa.Table) -> pa.Table:
+        un, bg, ki = ray.get(bref)
+        rows = {"doc_id": [], "typo": [], "left_word": [],
+                "chosen": [], "bigram_n": []}
+        for did, txt in zip(t.column(id_col).to_pylist(),
+                            t.column(text_col).to_pylist()):
+            s = txt or ""
+            toks = s.split(" ")
+            if not (md5_int31(f"typo:{did}") % 10 == 0
+                    and len(toks) >= 4 and len(toks[3]) >= 3):
+                continue
+            w = toks[3]
+            p = md5_int31(f"typopos:{did}") % len(w)
+            typo = w[:p] + w[p + 1:]
+            nonempty = [x for x in toks if x]
+            left = nonempty[-1] if nonempty else ""
+            cands = set()
+            for v in {typo} | {typo[:i] + typo[i + 1:]
+                               for i in range(len(typo))}:
+                for term in ki.get(v, ()):
+                    if term != typo and _dist1(term, typo):
+                        cands.add(term)
+            if not cands:
+                continue
+            best = sorted(
+                cands,
+                key=lambda c: (-bg.get((left, c), 0), -un.get(c, 0), c)
+            )[0]
+            rows["doc_id"].append(did)
+            rows["typo"].append(typo)
+            rows["left_word"].append(left)
+            rows["chosen"].append(best)
+            rows["bigram_n"].append(bg.get((left, best), 0))
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "typo": pa.array(rows["typo"], type=pa.string()),
+            "left_word": pa.array(rows["left_word"], type=pa.string()),
+            "chosen": pa.array(rows["chosen"], type=pa.string()),
+            "bigram_n": pa.array(rows["bigram_n"], type=pa.int64()),
+        })
+
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    out = dataset_to_table(
+        ds.map_batches(correct, batch_format="pyarrow"),
+        schema=pa.schema([("doc_id", pa.int64()), ("typo", pa.string()),
+                          ("left_word", pa.string()),
+                          ("chosen", pa.string()),
+                          ("bigram_n", pa.int64())])).to_pandas()
+    out = out.sort_values("doc_id").head(k).reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["bigram_n"] = out["bigram_n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
