@@ -7406,6 +7406,33 @@ def _q_context_spell(sf_dir: str) -> pa.Table:
     return context_spell_correct(ds, k=50)
 
 
+def _q_rate_anomalies(sf_dir: str) -> pa.Table:
+    """Hourly rate anomalies by the integer 3-sigma rule (ops/cohort.py
+    rate_anomalies): z-squared cross-multiplied by H-squared so no float
+    mean/variance enters — one groupby(hour).count, driver sees the
+    |hours| aggregate."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.cohort import rate_anomalies
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts"])
+    return rate_anomalies(ds)
+
+
+def _q_daily_distinct_users(sf_dir: str) -> pa.Table:
+    """Exact distinct users per day (ops/cohort.py daily_distinct_users):
+    per-batch (day, user) combine + ONE dedup groupby + tiny fold — the
+    exact sibling of the hll_distinct sketch."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.cohort import daily_distinct_users
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id"])
+    return daily_distinct_users(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7685,6 +7712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_priority_per_segment": _q_top_priority_per_segment,
         "significant_terms": _q_significant_terms,
         "context_spell": _q_context_spell,
+        "rate_anomalies": _q_rate_anomalies,
+        "daily_distinct_users": _q_daily_distinct_users,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -8077,6 +8106,8 @@ def oracle_sql() -> dict[str, str]:
         "top_priority_per_segment": so.top_priority_per_segment_sql(),
         "significant_terms": so.significant_terms_sql("spark", 20, 3),
         "context_spell": so.context_spell_sql(50),
+        "rate_anomalies": so.rate_anomalies_sql(),
+        "daily_distinct_users": so.daily_distinct_users_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -152,3 +152,84 @@ def props_extract_stats(ds) -> pa.Table:
         "value_centi_sum": pa.array(
             agg["sum(value_centi_sum)"].to_numpy(dtype=np.int64)),
     })
+
+
+def rate_anomalies(ds, ts_col: str = "ts") -> pa.Table:
+    """Hourly event-rate anomaly detection by the 3-sigma rule — EXACT
+    in integers: hour h is anomalous iff (c_h·H - T)² > 9·(H·SS - T²)
+    where H = #hours with events, T = Σc, SS = Σc² — the z² > 9
+    inequality cross-multiplied by H² so no float mean/variance enters.
+    ONE groupby(hour).count; the driver sees the |hours| aggregate.
+
+    Returns (hour_ts, n_events, is_high) for anomalous hours,
+    hour-sorted; is_high = 1 when above the mean (spike) else 0 (dip)."""
+    import numpy as np
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        uniq, cnt = np.unique(hour, return_counts=True)
+        return pa.table({"hour": pa.array(uniq, type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    hist = (ds.map_batches(hour_partial, batch_format="pyarrow")
+            .groupby("hour").sum("n").to_pandas())
+    c = hist["sum(n)"].to_numpy(dtype=np.int64)
+    h = np.sort(hist["hour"].to_numpy(dtype=np.int64))
+    order = np.argsort(hist["hour"].to_numpy(dtype=np.int64))
+    c = c[order]
+    H = len(c)
+    T = int(c.sum())
+    SS = int((c.astype(object) ** 2).sum())
+    lhs = (c.astype(object) * H - T) ** 2
+    rhs = 9 * (H * SS - T * T)
+    mask = np.asarray([bool(a > rhs) for a in lhs])
+    return pa.table({
+        "hour_ts": pa.array(h[mask], type=pa.int64()).cast(
+            pa.timestamp("us")),
+        "n_events": pa.array(c[mask], type=pa.int64()),
+        "is_high": pa.array(
+            (c[mask].astype(object) * H > T).astype(np.int64)),
+    })
+
+
+def daily_distinct_users(ds, ts_col: str = "ts",
+                         user_col: str = "user_id") -> pa.Table:
+    """(day_ts, n_users) — exact distinct users per UTC day: per-batch
+    distinct (day, user) combine, ONE groupby dedup, tiny per-day count
+    fold (the exact form of the windowed-cardinality report; the HLL
+    sibling `hll_distinct` is the sketch path)."""
+    import numpy as np
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        day = (ts // 86_400_000_000) * 86_400_000_000
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # batch-local exact combine on (day, user)
+        import pandas as pd
+
+        df = pd.DataFrame({"day": day, "user": u}).drop_duplicates()
+        return pa.table({"day": pa.array(df["day"].to_numpy(np.int64)),
+                         "user": pa.array(df["user"].to_numpy(np.int64))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(uniq, type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(pairs, batch_format="pyarrow")
+           .groupby(["day", "user"]).count()
+           .map_batches(fold, batch_format="pyarrow")
+           .groupby("day").sum("n").to_pandas())
+    agg = agg.sort_values("day").reset_index(drop=True)
+    return pa.table({
+        "day_ts": pa.array(agg["day"].to_numpy(np.int64)).cast(
+            pa.timestamp("us")),
+        "n_users": pa.array(agg["sum(n)"].to_numpy(np.int64)),
+    })

@@ -8374,3 +8374,33 @@ pick AS (
 SELECT doc_id, typo, left_word, term AS chosen,
        CAST(bn AS BIGINT) AS bigram_n
 FROM pick ORDER BY doc_id LIMIT {k}"""
+
+
+def rate_anomalies_sql() -> str:
+    """Rate-anomaly oracle (ops/cohort.py rate_anomalies): the
+    cross-multiplied integer 3-sigma rule over hourly counts."""
+    return """WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour_ts,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY date_trunc('hour', ts)
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS H,
+         CAST(sum(n) AS HUGEINT) AS T,
+         CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS SS
+  FROM h
+)
+SELECT hour_ts, n AS n_events,
+       CAST(CASE WHEN CAST(n AS HUGEINT) * s.H > s.T
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_high
+FROM h CROSS JOIN s
+WHERE (CAST(n AS HUGEINT) * s.H - s.T)
+      * (CAST(n AS HUGEINT) * s.H - s.T) > 9 * (s.H * s.SS - s.T * s.T)
+ORDER BY hour_ts"""
+
+
+def daily_distinct_users_sql() -> str:
+    """Daily-distinct-users oracle (ops/cohort.py daily_distinct_users)."""
+    return """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY date_trunc('day', ts) ORDER BY day_ts"""

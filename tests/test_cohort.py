@@ -67,3 +67,56 @@ def test_quantiles_parallelism_invariant(ray_session):
     t1 = value_quantiles(_events(rows, 1))
     t9 = value_quantiles(_events(rows, 9))
     assert t1.equals(t9)
+
+
+def test_rate_anomalies_integer_rule(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucenenet_ray.ops.cohort import rate_anomalies
+
+    # 10 quiet hours of 5 events + one 100-event spike + one 0-event
+    # hour (absent hours don't exist, so the dip arm needs a small hour)
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    ts = []
+    for h in range(10):
+        ts += [base + h * 3_600_000_000 + i for i in range(5)]
+    ts += [base + 10 * 3_600_000_000 + i for i in range(100)]
+    ts += [base + 11 * 3_600_000_000]
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(np.asarray(ts, dtype=np.int64)).cast(
+            pa.timestamp("us")),
+    })).repartition(4)
+    out = rate_anomalies(ds)
+    rows = out.to_pylist()
+    # brute force check
+    c = np.asarray([5] * 10 + [100, 1], dtype=object)
+    H, T, SS = len(c), int(sum(c)), int(sum(x * x for x in c))
+    exp = [(i, int(ci)) for i, ci in enumerate(c)
+           if (ci * H - T) ** 2 > 9 * (H * SS - T * T)]
+    assert [(r["n_events"]) for r in rows] == [n for _, n in exp]
+    spike = [r for r in rows if r["n_events"] == 100]
+    assert spike and spike[0]["is_high"] == 1
+
+
+def test_daily_distinct_users_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucenenet_ray.ops.cohort import daily_distinct_users
+
+    base = np.datetime64("2024-03-01T00:00:00", "us").astype(np.int64)
+    day = 86_400_000_000
+    rows = [(base + 1, 1), (base + 2, 1), (base + 3, 2),      # day0: {1,2}
+            (base + day, 1), (base + day + 5, 3),             # day1: {1,3}
+            (base + 2 * day, 9)]                              # day2: {9}
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(np.asarray([t for t, _ in rows],
+                                  dtype=np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([u for _, u in rows], type=pa.int64()),
+    })).repartition(3)
+    out = daily_distinct_users(ds)
+    assert out.column("n_users").to_pylist() == [2, 2, 1]
