@@ -356,3 +356,55 @@ def degree_distribution(ds, n_nodes: int,
     df["deg"] = df["deg"].astype(np.int64)
     df["n_nodes"] = df["n_nodes"].astype(np.int64)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def reciprocity(ds, n_nodes: int, id_col: str = "doc_id") -> pa.Table:
+    """ONE-row directed-graph reciprocity report (the classic web-graph
+    statistic — Broder et al. WWW 2000 measure link symmetry; Garlaschelli
+    & Loffredo PRL 2004 formalize the reciprocity coefficient as the
+    fraction of directed edges with a reverse edge): (n_directed,
+    n_reciprocal_pairs, reciprocity_fp) with reciprocity =
+    (2·pairs·10^9) // n_directed.
+
+    Shape: per-batch distinct directed edges tagged by orientation on
+    the normalized (min, max) key; ONE groupby fold counts pairs seen in
+    BOTH orientations — no broadcast, no driver edge set."""
+    from lucenenet_ray.ops.graphrank import _out_edges
+
+    def rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src, dst, _ = _out_edges(ids, n_nodes)
+        key = src * np.int64(n_nodes) + dst
+        key = np.unique(key)  # per-src distinct is batch-local
+        u = key // n_nodes
+        v = key % n_nodes
+        a = np.minimum(u, v)
+        b = np.maximum(u, v)
+        fwd = (u < v).astype(np.int64)
+        return pa.table({
+            "a": pa.array(a, type=pa.int64()),
+            "b": pa.array(b, type=pa.int64()),
+            "fwd": pa.array(fwd),
+            "bwd": pa.array(1 - fwd),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        f = int(group.column("fwd").to_numpy(zero_copy_only=False).sum())
+        w = int(group.column("bwd").to_numpy(zero_copy_only=False).sum())
+        return pa.table({
+            "n_dir": pa.array([int(f > 0) + int(w > 0)], type=pa.int64()),
+            "n_recip": pa.array([int(f > 0 and w > 0)], type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(rows, batch_format="pyarrow")
+           .groupby(["a", "b"]).map_groups(fold, batch_format="pyarrow")
+           .to_pandas())
+    n_dir = int(agg["n_dir"].sum())
+    n_recip = int(agg["n_recip"].sum())
+    fp = (2 * n_recip * 1_000_000_000) // n_dir if n_dir else 0
+    return pa.table({
+        "n_directed": pa.array([n_dir], type=pa.int64()),
+        "n_reciprocal_pairs": pa.array([n_recip], type=pa.int64()),
+        "reciprocity_fp": pa.array([fp], type=pa.int64()),
+    })

@@ -619,3 +619,86 @@ def duplicated_window_spans(ds, k: int = DUPWIN_K):
     return (wins.groupby("h").map_groups(dup_rows, batch_format="pyarrow")
                 .groupby("doc_id").map_groups(coverage,
                                               batch_format="pyarrow"))
+
+
+def dedup_eval(docs_ds_factory, n_docs: int, sample_mod: int = 20,
+               k: int = SHINGLE_K) -> pa.Table:
+    """Sampled precision/recall report for the MinHash-LSH candidate
+    stage — the dedup-quality methodology of Lee et al. 2022 §4 /
+    standard blocking-evaluation practice (ground truth on a
+    deterministic doc SAMPLE, where exact all-pairs Jaccard is
+    affordable; candidates from the FULL LSH run restricted to the
+    sample).  Truth = sample pairs with shingle-Jaccard >= 1/2
+    (2·inter >= union, union > 0 — cross-multiplied, no float).
+
+    Returns ONE row: (n_sample, n_truth, n_cand, tp, fp, fn,
+    precision_fp, recall_fp) with fixed-point = x*10^9 // denom.
+
+    ``docs_ds_factory()`` returns a fresh documents Dataset per pass
+    (sample pass + digest pass + LSH pass).  The sample is STRATIFIED —
+    the md5 rule 'ndsample-{id}' % sample_mod == 0 (random stratum)
+    UNION docs containing the 'dup' marker token (known-positive
+    stratum) — the standard blocking-evaluation design: random pairs
+    estimate precision, labeled positives make recall measurable."""
+    import ray
+
+    def sample_partial(t: pa.Table) -> pa.Table:
+        ids = []
+        for did, x in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            if (md5_int31(f"ndsample-{did}") % sample_mod == 0
+                    or "dup" in (x or "").split(" ")):
+                ids.append(did)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+    sample_ids = set()
+    for t in ray.get(docs_ds_factory().map_batches(
+            sample_partial, batch_format="pyarrow").to_arrow_refs()):
+        sample_ids.update(t.column("doc_id").to_pylist())
+    sample_ids = frozenset(sample_ids)
+    ids_ref = ray.put(sample_ids)
+    digs: dict[int, bytes] = {}
+    for t in ray.get(docs_ds_factory().map_batches(
+            ShingleDigests(ids_ref, k),
+            batch_format="pyarrow").to_arrow_refs()):
+        for did, d in zip(t.column("doc_id").to_pylist(),
+                          t.column("digests").to_pylist()):
+            digs[did] = d
+    sids = sorted(digs)
+    truth = set()
+    for i, a in enumerate(sids):
+        da = np.frombuffer(digs[a], dtype="S16")
+        for b in sids[i + 1:]:
+            db = np.frombuffer(digs[b], dtype="S16")
+            inter = np.intersect1d(da, db, assume_unique=True).size
+            union = da.size + db.size - inter
+            if union > 0 and 2 * inter >= union:
+                truth.add((a, b))
+
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    cand_t = dataset_to_table(
+        minhash_candidates(docs_ds_factory()),
+        schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("n_bands", pa.int64())]))
+    cand = set()
+    for a, b in zip(cand_t.column("doc_a").to_pylist(),
+                    cand_t.column("doc_b").to_pylist()):
+        if a in sample_ids and b in sample_ids:
+            cand.add((min(a, b), max(a, b)))
+
+    tp = len(truth & cand)
+    fp = len(cand - truth)
+    fn = len(truth - cand)
+    prec = (tp * 1_000_000_000) // len(cand) if cand else 0
+    rec = (tp * 1_000_000_000) // len(truth) if truth else 0
+    return pa.table({
+        "n_sample": pa.array([len(sample_ids)], type=pa.int64()),
+        "n_truth": pa.array([len(truth)], type=pa.int64()),
+        "n_cand": pa.array([len(cand)], type=pa.int64()),
+        "tp": pa.array([tp], type=pa.int64()),
+        "fp": pa.array([fp], type=pa.int64()),
+        "fn": pa.array([fn], type=pa.int64()),
+        "precision_fp": pa.array([prec], type=pa.int64()),
+        "recall_fp": pa.array([rec], type=pa.int64()),
+    })

@@ -8404,3 +8404,91 @@ def daily_distinct_users_sql() -> str:
     return """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY date_trunc('day', ts) ORDER BY day_ts"""
+
+
+def dedup_eval_sql(sample_mod: int = 20, k: int = 3) -> str:
+    """Dedup-quality oracle (ops/neardup.py dedup_eval): exact sampled
+    truth (shingle-Jaccard >= 1/2, cross-multiplied) on the stratified
+    sample (md5 random stratum UNION 'dup'-marked known positives) vs
+    the full LSH candidate run restricted to it; single
+    confusion/metric row."""
+    rule = _MD5_INT31.format(s="'ndsample-'||CAST(doc_id AS VARCHAR)")
+    cand = minhash_candidates_sql()
+    return f"""WITH {_shingles_cte(k)},
+sample AS MATERIALIZED (
+  SELECT doc_id FROM documents WHERE ({rule}) % {sample_mod} = 0
+  UNION
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w = 'dup'
+),
+ssh AS (SELECT sh.doc_id, sh.gram FROM sh JOIN sample USING (doc_id)),
+sizes AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ssh a JOIN ssh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS MATERIALIZED (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE 2 * i.i >= sa.n + sb.n - i.i
+),
+cand0 AS MATERIALIZED ({cand}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT least(doc_a, doc_b) AS doc_a,
+         greatest(doc_a, doc_b) AS doc_b
+  FROM cand0
+  WHERE doc_a IN (SELECT doc_id FROM sample)
+    AND doc_b IN (SELECT doc_id FROM sample)
+),
+m AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM sample) AS n_sample,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+      WHERE EXISTS (SELECT 1 FROM cand c
+                    WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)) AS tp
+)
+SELECT n_sample, n_truth, n_cand, tp,
+       n_cand - tp AS fp, n_truth - tp AS fn,
+       CAST(CASE WHEN n_cand = 0 THEN 0
+            ELSE (CAST(tp AS HUGEINT) * 1000000000) // n_cand END
+         AS BIGINT) AS precision_fp,
+       CAST(CASE WHEN n_truth = 0 THEN 0
+            ELSE (CAST(tp AS HUGEINT) * 1000000000) // n_truth END
+         AS BIGINT) AS recall_fp
+FROM m"""
+
+
+def reciprocity_sql() -> str:
+    """Reciprocity oracle (ops/linkpredict.py reciprocity): distinct
+    directed edges folded on the normalized pair key; coefficient =
+    (2*pairs*10^9) // n_directed."""
+    md5 = _MD5_INT31.format(
+        s="'link:'||CAST(u AS VARCHAR)||':'||CAST(j AS VARCHAR)")
+    return f"""WITH c AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS u FROM documents),
+dir_edges AS (
+  SELECT u, CASE WHEN t = u THEN (t + 1) % c.n ELSE t END AS v
+  FROM (
+    SELECT u, j, {md5} AS h
+    FROM nodes, LATERAL (SELECT unnest(range(3)) AS j) r
+    WHERE j < 1 + (u % 3)) e
+  CROSS JOIN c, LATERAL (SELECT e.h % c.n AS t) tt
+),
+d AS (SELECT DISTINCT u, v FROM dir_edges),
+p AS (
+  SELECT least(u, v) AS a, greatest(u, v) AS b,
+         max(CASE WHEN u < v THEN 1 ELSE 0 END) AS f,
+         max(CASE WHEN u > v THEN 1 ELSE 0 END) AS w
+  FROM d GROUP BY least(u, v), greatest(u, v)
+)
+SELECT CAST(sum(f + w) AS BIGINT) AS n_directed,
+       CAST(sum(f * w) AS BIGINT) AS n_reciprocal_pairs,
+       CAST(CASE WHEN sum(f + w) = 0 THEN 0
+            ELSE (2 * CAST(sum(f * w) AS HUGEINT) * 1000000000)
+                 // sum(f + w) END AS BIGINT) AS reciprocity_fp
+FROM p"""
