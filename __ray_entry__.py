@@ -7462,6 +7462,19 @@ def _q_reciprocity(sf_dir: str) -> pa.Table:
     return reciprocity(ds, n_nodes=n)
 
 
+def _q_session_trigrams(sf_dir: str) -> pa.Table:
+    """Session path analysis (ops/sessions.py session_path_trigrams):
+    top event-type trigrams within 30-min-gap sessions — one
+    groupby(user) fold + one trigram-type-bounded groupby."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.sessions import session_path_trigrams
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    return session_path_trigrams(ds, k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7745,6 +7758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_distinct_users": _q_daily_distinct_users,
         "dedup_eval": _q_dedup_eval,
         "reciprocity": _q_reciprocity,
+        "session_trigrams": _q_session_trigrams,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -8141,6 +8155,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_distinct_users": so.daily_distinct_users_sql(),
         "dedup_eval": so.dedup_eval_sql(20, 3),
         "reciprocity": so.reciprocity_sql(),
+        "session_trigrams": so.session_trigrams_sql(10),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

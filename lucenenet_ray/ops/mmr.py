@@ -40,6 +40,15 @@ def mmr_rerank(reader, query, emb_ds, n_cand: int = 20, rounds: int = 10,
         v = np.asarray(row["embedding"], dtype=np.float64)
         vecs[int(row["vec_id"])] = v / np.linalg.norm(v)
 
+    # docs without an embedding can't be diversity-scored: the reranker
+    # operates on the hybrid system's vectorized docs (at partial vector
+    # coverage the BM25 top-n is filtered, not backfilled — mirrored by
+    # the oracle's embeddings membership filter)
+    ids = [d for d in ids if d in vecs]
+    if not ids:
+        return pa.table({"round": pa.array([], type=pa.int64()),
+                         "doc_id": pa.array([], type=pa.int64())})
+
     sel = [ids[0]]  # BM25 rank-1 seed (tie-break already applied)
     for _ in range(min(rounds, len(ids)) - 1):
         best = None

@@ -50,3 +50,56 @@ def sessionize(ds, gap_us: int = SESSION_GAP_US):
     return ds.groupby("user_id").map_groups(
         functools.partial(sessionize_group, gap_us=gap_us),
         batch_format="pyarrow")
+
+
+def session_path_trigrams(ds, k: int = 10,
+                          gap_us: int = SESSION_GAP_US) -> pa.Table:
+    """Top-k event-type trigrams WITHIN sessions — the product-analytics
+    "path analysis" report (the n-gram-over-clickstream formulation of
+    sequential pattern mining; cf. Agrawal & Srikant ICDE'95 sequence
+    mining, restricted to contiguous length-3 paths): events sorted by
+    (ts, event_type) per user, split at the 30-min inactivity gap (the
+    sessionize rule), adjacent triples counted.
+
+    Shape: ONE groupby(user) map_groups (user history is the natural
+    partition) emitting per-group partial trigram counts, ONE tiny
+    trigram-type-bounded groupby, (count desc, trigram asc) top-k."""
+    import functools
+
+    import numpy as np
+
+    def tri_group(t: pa.Table, gap_us=gap_us) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "ts": t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64),
+            "ev": t.column("event_type").to_pylist(),
+        }).sort_values(["ts", "ev"], kind="stable")
+        ts = df["ts"].to_numpy()
+        ev = df["ev"].to_list()
+        sess = np.concatenate(
+            ([0], np.cumsum(np.diff(ts) > gap_us))) if len(ts) else \
+            np.asarray([], dtype=np.int64)
+        cnt: dict[str, int] = {}
+        for i in range(len(ev) - 2):
+            if sess[i] == sess[i + 1] == sess[i + 2]:
+                g = ev[i] + ">" + ev[i + 1] + ">" + ev[i + 2]
+                cnt[g] = cnt.get(g, 0) + 1
+        ks = sorted(cnt)
+        return pa.table({
+            "trigram": pa.array(ks, type=pa.string()),
+            "n": pa.array([cnt[x] for x in ks], type=pa.int64()),
+        })
+
+    agg = (ds.groupby("user_id")
+           .map_groups(functools.partial(tri_group),
+                       batch_format="pyarrow")
+           .groupby("trigram").sum("n").to_pandas())
+    agg = agg.rename(columns={"sum(n)": "n"})
+    agg = agg.sort_values(["n", "trigram"],
+                          ascending=[False, True]).head(k)
+    agg["n"] = agg["n"].astype("int64")
+    agg = agg.reset_index(drop=True)
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(agg, preserve_index=False)

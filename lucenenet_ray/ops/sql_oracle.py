@@ -7152,6 +7152,7 @@ def mmr_rerank_sql(terms: list[str], n_cand: int = 20, rounds: int = 10
     cands = bm25_topk_sql(terms, k=n_cand).replace("\n", "\n  ")
     ctes = [f"""cands AS MATERIALIZED (
   SELECT doc_id, score FROM ({cands})
+  WHERE doc_id IN (SELECT vec_id FROM embeddings)
 ),
 emb AS MATERIALIZED (
   SELECT vec_id, embedding FROM embeddings
@@ -8492,3 +8493,42 @@ SELECT CAST(sum(f + w) AS BIGINT) AS n_directed,
             ELSE (2 * CAST(sum(f * w) AS HUGEINT) * 1000000000)
                  // sum(f + w) END AS BIGINT) AS reciprocity_fp
 FROM p"""
+
+
+def session_trigrams_sql(k: int = 10,
+                         gap_us: int = 30 * 60 * 1_000_000) -> str:
+    """Session-path-trigram oracle (ops/sessions.py
+    session_path_trigrams): per-user (ts, event_type)-ordered stream,
+    30-min-gap session split, adjacent within-session triples,
+    (count desc, trigram asc) top-k."""
+    return f"""WITH o AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS tu,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_type) AS p
+  FROM events
+),
+g AS (
+  SELECT user_id, event_type, p,
+         sum(CASE WHEN tu - prev_tu > {gap_us} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY p) AS sess
+  FROM (
+    SELECT *, lag(tu) OVER (PARTITION BY user_id ORDER BY p) AS prev_tu
+    FROM o)
+),
+tri AS (
+  SELECT a.event_type || '>' || b.event_type || '>' || c.event_type
+           AS trigram
+  FROM g a
+  JOIN g b ON b.user_id = a.user_id AND b.p = a.p + 1
+          AND b.sess = a.sess
+  JOIN g c ON c.user_id = a.user_id AND c.p = a.p + 2
+          AND c.sess = a.sess
+),
+agg AS (
+  SELECT trigram, CAST(count(*) AS BIGINT) AS n FROM tri GROUP BY trigram
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, trigram ASC) AS BIGINT)
+         AS rank,
+       trigram, n
+FROM agg ORDER BY n DESC, trigram ASC LIMIT {k}"""
