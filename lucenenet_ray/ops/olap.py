@@ -166,17 +166,19 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         m = (od < cut) & np.isin(oc, np.fromiter(ckeys, dtype=np.int64))
         for a, b in zip(ok[m].tolist(), od[m].astype(np.int64).tolist()):
             omap[a] = b
-    oref = ray.put(omap)
+    # workers need only MEMBERSHIP — ship the sorted key array once;
+    # the orderkey→date dict never leaves the driver (date attach is a
+    # k-scale post-aggregation join)
+    kref = ray.put(np.sort(np.fromiter(omap.keys(), dtype=np.int64))
+                   if omap else np.asarray([], dtype=np.int64))
 
     def partial(t: pa.Table) -> pa.Table:
-        om = ray.get(oref)
+        keys = ray.get(kref)
         ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
         sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
         ep = _cents(t.column("l_extendedprice").to_numpy(
             zero_copy_only=False))
         di = _cents(t.column("l_discount").to_numpy(zero_copy_only=False))
-        keys = np.fromiter(om.keys(), dtype=np.int64) if om else \
-            np.asarray([], dtype=np.int64)
         m = (sd > cut) & np.isin(ok, keys)
         if not m.any():
             return pa.table({"l_orderkey": pa.array([], type=pa.int64()),
@@ -252,38 +254,59 @@ def region_supplier_volume(sf_dir: str, region: str = "ASIA",
         m = (od >= lo) & (od < hi)
         for a, b in zip(ok[m].tolist(), oc[m].tolist()):
             omap[a] = b
-    bref = ray.put((omap, cmap, smap, n_name))
+    # aligned sorted-key arrays: the fact-table partial is pure
+    # searchsorted/compare kernels — no per-row Python on the hot path
+    def _aligned(d: dict) -> tuple[np.ndarray, np.ndarray]:
+        ks = np.asarray(sorted(d), dtype=np.int64)
+        return ks, np.asarray([d[int(x)] for x in ks], dtype=np.int64)
+
+    okeys, ocust = _aligned(omap)
+    ckeys, cnat = _aligned(cmap)
+    skeys, snat = _aligned(smap)
+    region_nats = np.asarray(sorted(n_name), dtype=np.int64)
+    name_of = dict(n_name)
+    bref = ray.put((okeys, ocust, ckeys, cnat, skeys, snat, region_nats))
+
+    def _lookup(keys: np.ndarray, vals: np.ndarray,
+                q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        i = np.searchsorted(keys, q)
+        i[i >= keys.size] = 0 if keys.size else 0
+        ok = keys.size > 0
+        valid = (keys[i] == q) if ok else np.zeros(q.size, dtype=bool)
+        return (vals[i] if ok else np.zeros(q.size, dtype=np.int64)), valid
 
     def partial(t: pa.Table) -> pa.Table:
-        om, cm, sm, nn = ray.get(bref)
-        ok = t.column("l_orderkey").to_pylist()
-        sk = t.column("l_suppkey").to_pylist()
+        okeys, ocust, ckeys, cnat, skeys, snat, rn = ray.get(bref)
+        ok = t.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sk = t.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         ep = _cents(t.column("l_extendedprice").to_numpy(
             zero_copy_only=False))
         di = _cents(t.column("l_discount").to_numpy(zero_copy_only=False))
         rev = ep * (100 - di)
-        sums: dict[str, int] = {}
-        for i, (o, s) in enumerate(zip(ok, sk)):
-            cu = om.get(o)
-            if cu is None:
-                continue
-            cn = cm.get(cu)
-            sn = sm.get(s)
-            if cn is not None and cn == sn and cn in nn:
-                name = nn[cn]
-                sums[name] = sums.get(name, 0) + int(rev[i])
-        ks = sorted(sums)
-        return pa.table({"n_name": pa.array(ks, type=pa.string()),
-                         "rev": pa.array([sums[x] for x in ks],
-                                         type=pa.int64())})
+        cu, vo = _lookup(okeys, ocust, ok)
+        cn, vc = _lookup(ckeys, cnat, cu)
+        sn, vs = _lookup(skeys, snat, sk)
+        m = vo & vc & vs & (cn == sn) & np.isin(cn, rn)
+        if not m.any():
+            return pa.table({"nat": pa.array([], type=pa.int64()),
+                             "rev": pa.array([], type=pa.int64())})
+        uniq, inv = np.unique(cn[m], return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev[m])
+        return pa.table({"nat": pa.array(uniq, type=pa.int64()),
+                         "rev": pa.array(sums)})
 
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount"])
     agg = (li.map_batches(partial, batch_format="pyarrow")
-           .groupby("n_name").sum("rev").to_pandas())
+           .groupby("nat").sum("rev").to_pandas())
     agg = agg.rename(columns={"sum(rev)": "revenue_e4"})
+    agg["n_name"] = agg["nat"].map(name_of)
+    agg = agg[["n_name", "revenue_e4"]]
     agg = agg.sort_values(["revenue_e4", "n_name"],
                           ascending=[False, True]).reset_index(drop=True)
     agg["revenue_e4"] = agg["revenue_e4"].astype(np.int64)
