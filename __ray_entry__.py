@@ -7475,6 +7475,35 @@ def _q_session_trigrams(sf_dir: str) -> pa.Table:
     return session_path_trigrams(ds, k=10)
 
 
+LTR_QUERIES = [("q_spark_window", ["spark", "window"]),
+               ("q_data_merge", ["data", "merge"]),
+               ("q_scan_filter", ["scan", "filter"])]
+
+
+def _q_ltr_features(sf_dir: str) -> pa.Table:
+    """LTR feature extraction (ops/ltr.py; the LETOR feature-dump
+    convention): the engine's own float32-exact BM25 top-10 per query
+    joined with tf/df/doc_len features from one broadcast-hit-set
+    corpus pass."""
+    from lucenenet_ray.ops.ltr import ltr_features
+
+    return ltr_features(_reader(sf_dir), LTR_QUERIES, _docs_ds(sf_dir),
+                        k=TOPK)
+
+
+def _q_boilerplate_prefixes(sf_dir: str) -> pa.Table:
+    """Boilerplate prefix mining (ops/collocations.py
+    boilerplate_prefixes): top shared document openings — the template
+    detector of web-corpus curation."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.collocations import boilerplate_prefixes
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return boilerplate_prefixes(ds, k=20, n=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7759,6 +7788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_eval": _q_dedup_eval,
         "reciprocity": _q_reciprocity,
         "session_trigrams": _q_session_trigrams,
+        "ltr_features": _q_ltr_features,
+        "boilerplate_prefixes": _q_boilerplate_prefixes,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -8156,6 +8187,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_eval": so.dedup_eval_sql(20, 3),
         "reciprocity": so.reciprocity_sql(),
         "session_trigrams": so.session_trigrams_sql(10),
+        "ltr_features": so.ltr_features_sql(LTR_QUERIES, TOPK),
+        "boilerplate_prefixes": so.boilerplate_prefixes_sql(20, 3),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

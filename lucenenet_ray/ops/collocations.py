@@ -225,3 +225,32 @@ def significant_terms(ds, focus_term: str, k: int = 20,
         out[c] = out[c].astype(np.int64)
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def boilerplate_prefixes(ds, k: int = 20, n: int = 3) -> pa.Table:
+    """(rank, prefix, n_docs) — top-k first-``n``-raw-token document
+    prefixes (the boilerplate/template detector of web-corpus curation —
+    C4's repeated-line family, applied at the doc-prefix level): docs
+    sharing an opening phrase are template instances.  Per-batch prefix
+    partials, ONE prefix-type-bounded groupby."""
+    def partials(t: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for x in t.column("text").to_pylist():
+            toks = (x or "").split(" ")
+            if len(toks) >= n:
+                p = " ".join(toks[:n])
+                cnt[p] = cnt.get(p, 0) + 1
+        ks = sorted(cnt)
+        return pa.table({"prefix": pa.array(ks, type=pa.string()),
+                         "cnt": pa.array([cnt[x] for x in ks],
+                                         type=pa.int64())})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("prefix").sum("cnt").to_pandas())
+    agg = agg.rename(columns={"sum(cnt)": "n_docs"})
+    agg = agg.sort_values(["n_docs", "prefix"],
+                          ascending=[False, True]).head(k)
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    agg = agg.reset_index(drop=True)
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(agg, preserve_index=False)

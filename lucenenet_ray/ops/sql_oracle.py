@@ -8532,3 +8532,53 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, trigram ASC) AS BIGINT)
          AS rank,
        trigram, n
 FROM agg ORDER BY n DESC, trigram ASC LIMIT {k}"""
+
+
+def ltr_features_sql(queries: list[tuple[str, list[str]]],
+                     k: int = 10) -> str:
+    """LTR feature-dump oracle (ops/ltr.py ltr_features): per query the
+    full float32-exact BM25 top-k joined with tf pivots, global df, and
+    kept-token doc length."""
+    blocks = []
+    for qid, terms in queries:
+        t0 = terms[0].replace("'", "''")
+        t1 = terms[1].replace("'", "''")
+        ranked = bm25_topk_sql(terms, k).replace("\n", "\n  ")
+        blocks.append(f"""SELECT '{qid}' AS query_id, r.rank, r.doc_id, r.score,
+       CAST(COALESCE(tf0.c, 0) AS BIGINT) AS tf_0,
+       CAST(COALESCE(tf1.c, 0) AS BIGINT) AS tf_1,
+       CAST((SELECT count(DISTINCT doc_id) FROM kept
+             WHERE term = '{t0}') AS BIGINT) AS df_0,
+       CAST((SELECT count(DISTINCT doc_id) FROM kept
+             WHERE term = '{t1}') AS BIGINT) AS df_1,
+       CAST(dl.L AS BIGINT) AS doc_len
+FROM ({ranked}) r
+LEFT JOIN (SELECT doc_id, count(*) AS c FROM kept
+           WHERE term = '{t0}' GROUP BY doc_id) tf0 ON tf0.doc_id = r.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS c FROM kept
+           WHERE term = '{t1}' GROUP BY doc_id) tf1 ON tf1.doc_id = r.doc_id
+JOIN doclen dl ON dl.doc_id = r.doc_id""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""WITH {_toks_cte()}
+SELECT * FROM (
+{union}
+) ORDER BY query_id, rank"""
+
+
+def boilerplate_prefixes_sql(k: int = 20, n: int = 3) -> str:
+    """Boilerplate-prefix oracle (ops/collocations.py
+    boilerplate_prefixes): first-n-raw-token document prefixes by count."""
+    return f"""WITH p AS (
+  SELECT array_to_string(
+           list_slice(string_split(text, ' '), 1, {n}), ' ') AS prefix
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {n}
+),
+agg AS (
+  SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY prefix
+)
+SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, prefix ASC)
+            AS BIGINT) AS rank,
+       prefix, n_docs
+FROM agg ORDER BY n_docs DESC, prefix ASC LIMIT {k}"""
