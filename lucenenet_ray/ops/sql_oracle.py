@@ -8582,3 +8582,25 @@ SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, prefix ASC)
             AS BIGINT) AS rank,
        prefix, n_docs
 FROM agg ORDER BY n_docs DESC, prefix ASC LIMIT {k}"""
+
+
+def skyline_sql() -> str:
+    """Skyline oracle (ops/skyline.py skyline_docs; Börzsönyi et al.
+    ICDE 2001): docs not dominated on (n_tokens min, n_distinct max),
+    dominance strict in at least one dimension."""
+    return """WITH m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                x -> x <> ''))) AS BIGINT) AS n_distinct
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+)
+SELECT doc_id, n_tokens, n_distinct FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.n_tokens <= a.n_tokens AND b.n_distinct >= a.n_distinct
+    AND (b.n_tokens < a.n_tokens OR b.n_distinct > a.n_distinct)
+)
+ORDER BY doc_id"""
