@@ -7518,6 +7518,20 @@ def _q_skyline(sf_dir: str) -> pa.Table:
     return skyline_docs(ds)
 
 
+def _q_attribution_join(sf_dir: str) -> pa.Table:
+    """Last-touch attribution (ops/temporal_join.py attribution_join):
+    each purchase attributes to the user's latest click within a 1-hour
+    lookback — the backward as-of join with a type predicate, one
+    groupby(user) with vectorized searchsorted inside."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.temporal_join import attribution_join
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    return attribution_join(ds, k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7805,6 +7819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltr_features": _q_ltr_features,
         "boilerplate_prefixes": _q_boilerplate_prefixes,
         "skyline_docs": _q_skyline,
+        "attribution_join": _q_attribution_join,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -8205,6 +8220,7 @@ def oracle_sql() -> dict[str, str]:
         "ltr_features": so.ltr_features_sql(LTR_QUERIES, TOPK),
         "boilerplate_prefixes": so.boilerplate_prefixes_sql(20, 3),
         "skyline_docs": so.skyline_sql(),
+        "attribution_join": so.attribution_join_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

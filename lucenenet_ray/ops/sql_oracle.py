@@ -8604,3 +8604,33 @@ WHERE NOT EXISTS (
     AND (b.n_tokens < a.n_tokens OR b.n_distinct > a.n_distinct)
 )
 ORDER BY doc_id"""
+
+
+def attribution_join_sql(convert_type: str = "purchase",
+                         touch_type: str = "click",
+                         window_us: int = 3_600_000_000,
+                         k: int = 50) -> str:
+    """Last-touch attribution oracle (ops/temporal_join.py
+    attribution_join): per conversion the user's latest touch at or
+    before it within the window."""
+    return f"""WITH conv AS (
+  SELECT user_id, epoch_us(ts) AS ct FROM events
+  WHERE event_type = '{convert_type}'
+),
+touch AS (
+  SELECT user_id, epoch_us(ts) AS tt FROM events
+  WHERE event_type = '{touch_type}'
+),
+att AS (
+  SELECT c.user_id, c.ct,
+         (SELECT max(t.tt) FROM touch t
+          WHERE t.user_id = c.user_id AND t.tt <= c.ct) AS tt
+  FROM conv c
+)
+SELECT user_id,
+       make_timestamp(ct) AS convert_ts,
+       make_timestamp(tt) AS touch_ts,
+       CAST(ct - tt AS BIGINT) AS lag_us
+FROM att
+WHERE tt IS NOT NULL AND ct - tt <= {window_us}
+ORDER BY user_id, convert_ts LIMIT {k}"""

@@ -207,3 +207,70 @@ def interval_join_agg(left_ds, windows_ds, *, key: str, left_on: str,
     return (per_bucket.groupby(win_id)
             .aggregate(Sum("n", alias_name="n"),
                        Sum("total", alias_name="total")))
+
+
+def attribution_join(ds, convert_type: str = "purchase",
+                     touch_type: str = "click",
+                     window_us: int = 3_600_000_000,
+                     k: int = 50) -> pa.Table:
+    """Last-touch attribution — the ad-tech backward as-of join with a
+    type predicate (the industry-standard last-click model; the join
+    shape is asof_join's backward variant restricted to touch events):
+    each conversion event attributes to the user's LATEST touch event
+    at or before it within the lookback window (ties on ts: the touch
+    at the same microsecond counts).
+
+    Returns (user_id, convert_ts, touch_ts, lag_us) for attributed
+    conversions — unattributed ones are omitted — ordered by
+    (user_id, convert_ts), first k.
+
+    Shape: ONE groupby(user) map_groups (user history is the natural
+    partition, the asof_join discipline): per group sort both event
+    streams once, vectorized ``np.searchsorted`` per conversion."""
+    import functools
+
+    import numpy as np
+
+    def attrib(t: pa.Table) -> pa.Table:
+        uid = int(t.column("user_id")[0].as_py())
+        ts = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ev = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        conv = np.sort(ts[ev == convert_type])
+        touch = np.sort(ts[ev == touch_type])
+        if conv.size == 0 or touch.size == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "convert_ts": pa.array([], type=pa.int64()),
+                "touch_ts": pa.array([], type=pa.int64()),
+            })
+        idx = np.searchsorted(touch, conv, side="right") - 1
+        valid = idx >= 0
+        tts = np.where(valid, touch[np.clip(idx, 0, None)], 0)
+        m = valid & (conv - tts <= window_us)
+        return pa.table({
+            "user_id": pa.array(np.full(int(m.sum()), uid,
+                                        dtype=np.int64)),
+            "convert_ts": pa.array(conv[m], type=pa.int64()),
+            "touch_ts": pa.array(tts[m], type=pa.int64()),
+        })
+
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    out = dataset_to_table(
+        ds.groupby("user_id").map_groups(
+            functools.partial(attrib), batch_format="pyarrow"),
+        schema=pa.schema([("user_id", pa.int64()),
+                          ("convert_ts", pa.int64()),
+                          ("touch_ts", pa.int64())])).to_pandas()
+    out = out.sort_values(["user_id", "convert_ts"]).head(k) \
+        .reset_index(drop=True)
+    return pa.table({
+        "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+        "convert_ts": pa.array(out["convert_ts"].to_numpy(np.int64))
+        .cast(pa.timestamp("us")),
+        "touch_ts": pa.array(out["touch_ts"].to_numpy(np.int64))
+        .cast(pa.timestamp("us")),
+        "lag_us": pa.array(
+            (out["convert_ts"] - out["touch_ts"]).to_numpy(np.int64)),
+    })
