@@ -408,3 +408,73 @@ def reciprocity(ds, n_nodes: int, id_col: str = "doc_id") -> pa.Table:
         "n_reciprocal_pairs": pa.array([n_recip], type=pa.int64()),
         "reciprocity_fp": pa.array([fp], type=pa.int64()),
     })
+
+
+def clustering_coefficient(ds, n_nodes: int,
+                           id_col: str = "doc_id") -> pa.Table:
+    """ONE-row global clustering coefficient (transitivity — Watts &
+    Strogatz 1998 popularized the local form; the global ratio
+    C = 3·triangles / wedges is the standard web-graph cohesion stat):
+    (n_wedges, n_triangles, global_cc_fp) with cc = (3·T·10^9) // W.
+
+    Reuses the exact distributed triangle counter (one wedge-close
+    groupby) plus a degree pass for the wedge count Σ C(deg, 2)."""
+    from lucenenet_ray.ops.triangles import triangle_counts
+
+    tri = triangle_counts(ds, n_nodes=n_nodes, id_col=id_col)
+    total_tri = int(sum(tri.column("n_triangles").to_pylist())) // 3
+
+    edges = _und_edges(ds, n_nodes, id_col)
+    deg = (edges.map_batches(_both_dirs, batch_format="pyarrow")
+           .groupby("u").count().to_pandas())
+    d = deg["count()"].to_numpy(dtype=np.int64)
+    wedges = int((d.astype(object) * (d.astype(object) - 1) // 2).sum())
+    cc = (3 * total_tri * 1_000_000_000) // wedges if wedges else 0
+    return pa.table({
+        "n_wedges": pa.array([wedges], type=pa.int64()),
+        "n_triangles": pa.array([total_tri], type=pa.int64()),
+        "global_cc_fp": pa.array([cc], type=pa.int64()),
+    })
+
+
+def assortativity_stats(ds, n_nodes: int,
+                        id_col: str = "doc_id") -> pa.Table:
+    """ONE-row degree-assortativity SUFFICIENT STATISTICS (Newman, PRL
+    2002 eq. 4 — the degree-degree Pearson correlation over edges):
+    for every und edge counted in both orientations with x = deg(u),
+    y = deg(v): (m, sum_x, sum_xy, sum_x2) — all exact integers (by
+    symmetry Σx = Σy and Σx² = Σy², so these four determine r =
+    (m·Σxy − Σx²_outer) / (m·Σx² − Σx·Σx)); the division is left to
+    the consumer so no signed-floor-vs-trunc divergence can enter."""
+    import ray
+
+    edges = _und_edges(ds, n_nodes, id_col)
+    deg_df = (edges.map_batches(_both_dirs, batch_format="pyarrow")
+              .groupby("u").count().to_pandas())
+    dk = deg_df["u"].to_numpy(dtype=np.int64)
+    dv = deg_df["count()"].to_numpy(dtype=np.int64)
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    deg[dk] = dv
+    dref = ray.put(deg)
+
+    def partial(t: pa.Table) -> pa.Table:
+        dd = ray.get(dref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        x = np.concatenate([dd[a], dd[b]])
+        y = np.concatenate([dd[b], dd[a]])
+        return pa.table({
+            "m": pa.array([x.size], type=pa.int64()),
+            "sum_x": pa.array([int(x.sum())], type=pa.int64()),
+            "sum_xy": pa.array([int((x * y).sum())], type=pa.int64()),
+            "sum_x2": pa.array([int((x * x).sum())], type=pa.int64()),
+        })
+
+    agg = (edges.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().sum())
+    return pa.table({
+        "m": pa.array([int(agg["m"])], type=pa.int64()),
+        "sum_x": pa.array([int(agg["sum_x"])], type=pa.int64()),
+        "sum_xy": pa.array([int(agg["sum_xy"])], type=pa.int64()),
+        "sum_x2": pa.array([int(agg["sum_x2"])], type=pa.int64()),
+    })

@@ -8634,3 +8634,40 @@ SELECT user_id,
 FROM att
 WHERE tt IS NOT NULL AND ct - tt <= {window_us}
 ORDER BY user_id, convert_ts LIMIT {k}"""
+
+
+def clustering_coefficient_sql() -> str:
+    """Global-transitivity oracle (ops/linkpredict.py
+    clustering_coefficient): triangles via the x<y<z three-way join,
+    wedges = sum C(deg, 2) over und degrees, cc = (3T*10^9) // W."""
+    return f"""WITH {_und_graph_ctes()},
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY x),
+w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT w.wedges AS n_wedges, tri.t AS n_triangles,
+       CAST(CASE WHEN w.wedges = 0 THEN 0
+            ELSE (3 * CAST(tri.t AS HUGEINT) * 1000000000)
+                 // w.wedges END AS BIGINT) AS global_cc_fp
+FROM w CROSS JOIN tri"""
+
+
+def assortativity_stats_sql() -> str:
+    """Assortativity sufficient-stats oracle (ops/linkpredict.py
+    assortativity_stats): x = deg(u), y = deg(v) over both orientations
+    of every und edge; exact integer sums, division left to the
+    consumer."""
+    return f"""WITH {_und_graph_ctes()},
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY x),
+pairs AS (
+  SELECT da.d AS x, db.d AS y
+  FROM bi JOIN deg da ON da.x = bi.x JOIN deg db ON db.x = bi.y
+)
+SELECT CAST(count(*) AS BIGINT) AS m,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_x2
+FROM pairs"""

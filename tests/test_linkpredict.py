@@ -155,3 +155,37 @@ def test_degree_dist_matches_bruteforce(ray_session):
     got = [(r["kind"], r["deg"], r["n_nodes"]) for r in t.to_pylist()]
     assert got == exp
     assert sum(c for k_, d, c in got if k_ == "in") == n
+
+
+def test_clustering_coeff_bruteforce(ray_session):
+    from lucenenet_ray.ops.linkpredict import clustering_coefficient
+
+    n = 80
+    edges, adj = _adj(n)
+    tri = 0
+    for x, y in edges:
+        tri += len([z for z in (adj[x] & adj[y]) if z > y])
+    wedges = sum(len(nb) * (len(nb) - 1) // 2 for nb in adj.values())
+    t = clustering_coefficient(_ids_ds(n, parallelism=5), n)
+    r = t.to_pylist()[0]
+    assert r["n_triangles"] == tri
+    assert r["n_wedges"] == wedges
+    assert r["global_cc_fp"] == 3 * tri * 10**9 // wedges
+
+
+def test_assortativity_stats_bruteforce(ray_session):
+    from lucenenet_ray.ops.linkpredict import assortativity_stats
+
+    n = 70
+    edges, adj = _adj(n)
+    deg = {u: len(nb) for u, nb in adj.items()}
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    t = assortativity_stats(_ids_ds(n, parallelism=4), n)
+    r = t.to_pylist()[0]
+    assert r["m"] == len(xs)
+    assert r["sum_x"] == sum(xs)
+    assert r["sum_xy"] == sum(x * y for x, y in zip(xs, ys))
+    assert r["sum_x2"] == sum(x * x for x in xs)
