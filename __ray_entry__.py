@@ -7563,6 +7563,20 @@ def _q_assortativity(sf_dir: str) -> pa.Table:
     return assortativity_stats(ds, n_nodes=n)
 
 
+def _q_host_stats(sf_dir: str) -> pa.Table:
+    """Per-host crawl statistics (ops/crawlstats.py host_stats): the
+    engine PARSES each synthesized page URL's host; the oracle
+    re-derives hosts from the generator formula — the standard
+    synthesis-gate pattern, here verifying the URL parser."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.crawlstats import host_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return host_stats(ds, k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7853,6 +7867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_join": _q_attribution_join,
         "clustering_coeff": _q_clustering_coeff,
         "assortativity_stats": _q_assortativity,
+        "host_stats": _q_host_stats,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -8256,6 +8271,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_join": so.attribution_join_sql(),
         "clustering_coeff": so.clustering_coefficient_sql(),
         "assortativity_stats": so.assortativity_stats_sql(),
+        "host_stats": so.host_stats_sql(20),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

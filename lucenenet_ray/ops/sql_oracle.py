@@ -8671,3 +8671,21 @@ SELECT CAST(count(*) AS BIGINT) AS m,
        CAST(sum(x * y) AS BIGINT) AS sum_xy,
        CAST(sum(x * x) AS BIGINT) AS sum_x2
 FROM pairs"""
+
+
+def host_stats_sql(k: int = 20) -> str:
+    """Host-stats oracle (ops/crawlstats.py host_stats): hosts
+    re-derived from the synthesizer formula
+    url = https://example{doc_id % 97}.com/p/{doc_id} — the engine must
+    recover them by parsing the URL strings."""
+    return f"""WITH h AS (
+  SELECT 'example' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS host
+  FROM documents
+),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_pages FROM h GROUP BY host
+)
+SELECT CAST(row_number() OVER (ORDER BY n_pages DESC, host ASC)
+            AS BIGINT) AS rank,
+       host, n_pages
+FROM agg ORDER BY n_pages DESC, host ASC LIMIT {k}"""
