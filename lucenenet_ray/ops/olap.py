@@ -515,3 +515,58 @@ def top_priority_per_segment(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         top.sort_values("c_mktsegment").reset_index(drop=True),
         preserve_index=False)
+
+
+def rollup_cube(sf_dir: str) -> pa.Table:
+    """GROUPING SETS rollup over (lang, source) — the OLAP cube shape
+    (Gray et al., Data Mining & Knowledge Discovery 1997 "Data Cube"):
+    doc counts and n_chars sums at ALL four aggregation levels —
+    (lang, source), (lang), (source), and the grand total — computed in
+    ONE corpus pass: per-batch partials emit all four kind-tagged row
+    groups (the multi-level combiner), ONE groupby over the tiny
+    (level, lang, source) key space reduces them.  Absent dimensions
+    use the '*' sentinel (kind-tagged long format — the documented
+    one-schema rule for multi-kind partials).
+
+    Returns (level, lang, source, n_docs, sum_chars), key-sorted."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    def partials(t: pa.Table) -> pa.Table:
+        lang = t.column("lang").to_pylist()
+        src = t.column("source").to_pylist()
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cnt: dict[tuple, list] = {}
+        for lg, sc, c in zip(lang, src, nc.tolist()):
+            for key in ((2, lg, sc), (1, lg, "*"), (1, "*", sc),
+                        (0, "*", "*")):
+                # level = number of grouped dimensions; (1, lg, '*') and
+                # (1, '*', sc) are the two one-dim sets
+                row = cnt.setdefault(key, [0, 0])
+                row[0] += 1
+                row[1] += c
+        ks = sorted(cnt)
+        return pa.table({
+            "level": pa.array([k[0] for k in ks], type=pa.int64()),
+            "lang": pa.array([k[1] for k in ks], type=pa.string()),
+            "source": pa.array([k[2] for k in ks], type=pa.string()),
+            "n_docs": pa.array([cnt[k][0] for k in ks], type=pa.int64()),
+            "sum_chars": pa.array([cnt[k][1] for k in ks],
+                                  type=pa.int64()),
+        })
+
+    agg = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "source", "n_chars"])
+           .map_batches(partials, batch_format="pyarrow")
+           .groupby(["level", "lang", "source"])
+           .sum(["n_docs", "sum_chars"]).to_pandas())
+    agg = agg.rename(columns={"sum(n_docs)": "n_docs",
+                              "sum(sum_chars)": "sum_chars"})
+    agg = agg.sort_values(["level", "lang", "source"]) \
+        .reset_index(drop=True)
+    for c in ("level", "n_docs", "sum_chars"):
+        agg[c] = agg[c].astype(np.int64)
+    return pa.Table.from_pandas(agg, preserve_index=False)

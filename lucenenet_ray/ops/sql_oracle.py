@@ -8689,3 +8689,19 @@ SELECT CAST(row_number() OVER (ORDER BY n_pages DESC, host ASC)
             AS BIGINT) AS rank,
        host, n_pages
 FROM agg ORDER BY n_pages DESC, host ASC LIMIT {k}"""
+
+
+def rollup_cube_sql() -> str:
+    """Cube oracle (ops/olap.py rollup_cube): GROUPING SETS at all four
+    levels with '*' sentinels for absent dimensions."""
+    return """SELECT
+  CAST(CASE WHEN lang IS NULL AND source IS NULL THEN 0
+       WHEN lang IS NULL OR source IS NULL THEN 1
+       ELSE 2 END AS BIGINT) AS level,
+  COALESCE(lang, '*') AS lang,
+  COALESCE(source, '*') AS source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+ORDER BY level, lang, source"""

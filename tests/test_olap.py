@@ -173,3 +173,25 @@ def test_top_priority_per_segment_vs_duckdb(ray_session):
     exp = con.execute(top_priority_per_segment_sql()).arrow()
     got = top_priority_per_segment(sf)
     assert got.to_pylist() == exp.to_pylist()
+
+
+def test_rollup_cube_vs_duckdb(ray_session):
+    import duckdb
+
+    from lucenenet_ray.ops.olap import rollup_cube
+    from lucenenet_ray.ops.sql_oracle import rollup_cube_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    exp = con.execute(rollup_cube_sql()).arrow()
+    got = rollup_cube(sf)
+    assert got.to_pylist() == exp.to_pylist()
+    rows = got.to_pylist()
+    total = [r for r in rows if r["level"] == 0]
+    assert len(total) == 1
+    # cube consistency: level-1 lang rows sum to the grand total
+    assert sum(r["n_docs"] for r in rows
+               if r["level"] == 1 and r["source"] == "*") \
+        == total[0]["n_docs"]
