@@ -7586,6 +7586,32 @@ def _q_rollup_cube(sf_dir: str) -> pa.Table:
     return rollup_cube(sf_dir)
 
 
+def _q_simpson_index(sf_dir: str) -> pa.Table:
+    """Per-source Simpson concentration index (ops/collocations.py;
+    Simpson 1949): exact-integer collision probability — the
+    concentration dual of Distinct-N diversity."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.collocations import simpson_index
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "text"])
+    return simpson_index(ds)
+
+
+def _q_host_gini(sf_dir: str) -> pa.Table:
+    """Gini coefficient of crawl pages across hosts (ops/crawlstats.py
+    host_gini): exact-integer concentration of the host-size
+    distribution — the crawl-skew report."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.crawlstats import host_gini
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return host_gini(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry order is LOAD-BEARING: the driver grades only the FIRST 50
     entries, so (a) the headline BM25 rank-identity contract + the newest
@@ -7878,6 +7904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_stats": _q_assortativity,
         "host_stats": _q_host_stats,
         "rollup_cube": _q_rollup_cube,
+        "simpson_index": _q_simpson_index,
+        "host_gini": _q_host_gini,
         # no-oracle-by-design (rows-only)
         "snowball_en_stats": _q_snowball_en_stats,
         "stemmed_top_terms": _q_stemmed_top_terms,
@@ -8283,6 +8311,8 @@ def oracle_sql() -> dict[str, str]:
         "assortativity_stats": so.assortativity_stats_sql(),
         "host_stats": so.host_stats_sql(20),
         "rollup_cube": so.rollup_cube_sql(),
+        "simpson_index": so.simpson_index_sql(),
+        "host_gini": so.host_gini_sql(),
         # stemmed_top_terms: rows-only (no stemmer in offline DuckDB; Porter
         # vectors golden-tested in tests/test_filters.py)
         # highlight: rows-only (no SQL rendering)

@@ -254,3 +254,62 @@ def boilerplate_prefixes(ds, k: int = 20, n: int = 3) -> pa.Table:
     agg = agg.reset_index(drop=True)
     agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
     return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def simpson_index(ds) -> pa.Table:
+    """Per-source Simpson concentration index (Simpson, Nature 1949;
+    the collision-probability form λ = Σ (c_w/N)² — the corpus
+    CONCENTRATION metric dual to Distinct-N diversity): exact integers
+    via the sufficient statistics (N, Σc²); λ_fp = (Σc²·10^9) // N².
+
+    One vocab-bounded (source, term) count groupby + a per-source fold
+    of squared counts.  Returns (source, n_tokens, sum_sq, simpson_fp),
+    source-sorted."""
+    counts = (ds.map_batches(
+        lambda t: _src_term_partials(t), batch_format="pyarrow")
+        .groupby(["source", "term"]).sum("cnt"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "source": t.column("source").to_pylist(),
+            "cnt": t.column("sum(cnt)").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("source")["cnt"].agg(
+            n_tokens="sum",
+            sum_sq=lambda c: int((c.astype(object) ** 2).sum()),
+        ).reset_index()
+        return pa.table({
+            "source": pa.array(g["source"], type=pa.string()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64)),
+            "sum_sq": pa.array(g["sum_sq"].astype(np.int64)),
+        })
+
+    agg = (counts.map_batches(fold, batch_format="pyarrow")
+           .groupby("source").sum(["n_tokens", "sum_sq"]).to_pandas())
+    agg = agg.rename(columns={"sum(n_tokens)": "n_tokens",
+                              "sum(sum_sq)": "sum_sq"})
+    agg["simpson_fp"] = [
+        (int(s) * SCALE) // (int(n) * int(n)) if n else 0
+        for s, n in zip(agg["sum_sq"], agg["n_tokens"])
+    ]
+    agg = agg.sort_values("source").reset_index(drop=True)
+    for c in ("n_tokens", "sum_sq", "simpson_fp"):
+        agg[c] = agg[c].astype(np.int64)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def _src_term_partials(t: pa.Table) -> pa.Table:
+    cnt: dict[tuple, int] = {}
+    for s, x in zip(t.column("source").to_pylist(),
+                    t.column("text").to_pylist()):
+        for w in (x or "").split(" "):
+            if w:
+                cnt[(s, w)] = cnt.get((s, w), 0) + 1
+    ks = sorted(cnt)
+    return pa.table({
+        "source": pa.array([a for a, _ in ks], type=pa.string()),
+        "term": pa.array([b for _, b in ks], type=pa.string()),
+        "cnt": pa.array([cnt[k] for k in ks], type=pa.int64()),
+    })

@@ -8705,3 +8705,52 @@ def rollup_cube_sql() -> str:
 FROM documents
 GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
 ORDER BY level, lang, source"""
+
+
+def simpson_index_sql() -> str:
+    """Simpson-index oracle (ops/collocations.py simpson_index):
+    per-source Σc² and N over raw non-empty tokens; fixed point via
+    HUGEINT."""
+    return """WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+c AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok WHERE w <> '' GROUP BY source, w
+),
+s AS (
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS sum_sq
+  FROM c GROUP BY source
+)
+SELECT source, n_tokens, sum_sq,
+       CAST((CAST(sum_sq AS HUGEINT) * 1000000000)
+            // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+         AS simpson_fp
+FROM s ORDER BY source"""
+
+
+def host_gini_sql() -> str:
+    """Host-Gini oracle (ops/crawlstats.py host_gini): ascending host
+    sizes ranked by row_number; exact integer Gini fixed point."""
+    return """WITH h AS (
+  SELECT 'example' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS host
+  FROM documents
+),
+c AS (SELECT host, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY host),
+r AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt ASC, host ASC) AS i
+  FROM c
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(cnt) AS HUGEINT) AS T,
+         CAST(sum(CAST(i AS HUGEINT) * cnt) AS HUGEINT) AS wsum
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_hosts, CAST(T AS BIGINT) AS n_pages,
+       CAST(((2 * wsum - (n + 1) * T) * 1000000000) // (n * T)
+            AS BIGINT) AS gini_fp
+FROM s"""

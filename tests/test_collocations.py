@@ -133,3 +133,37 @@ def test_significant_terms_matches_bruteforce(ray_session):
     got = [(r["score"], r["term"], r["fg_df"], r["df"])
            for r in t.to_pylist()]
     assert got == exp[:10]
+
+
+def test_simpson_index_bruteforce(ray_session):
+    import ray.data as rd
+
+    from lucenenet_ray.ops.collocations import simpson_index
+
+    docs = [("a a a b", "s1"), ("b c", "s1"), ("x x", "s2")]
+    ds = rd.from_arrow(pa.table({
+        "text": [t for t, _ in docs],
+        "source": [s for _, s in docs],
+    })).repartition(2)
+    out = {r["source"]: r for r in simpson_index(ds).to_pylist()}
+    # s1: counts a=3, b=2, c=1; N=6; sum_sq=14
+    assert out["s1"]["n_tokens"] == 6
+    assert out["s1"]["sum_sq"] == 14
+    assert out["s1"]["simpson_fp"] == 14 * SCALE // 36
+    # s2: single type -> maximal concentration (1.0)
+    assert out["s2"]["simpson_fp"] == SCALE
+
+
+def test_host_gini_uniform_is_low(ray_session):
+    import ray.data as rd
+
+    from lucenenet_ray.ops.crawlstats import host_gini
+
+    # 97 hosts each with ~equal page counts -> Gini near 0
+    n = 97 * 4
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+    })).repartition(3)
+    r = host_gini(ds).to_pylist()[0]
+    assert r["n_hosts"] == 97 and r["n_pages"] == n
+    assert r["gini_fp"] == 0  # perfectly uniform
