@@ -2363,9 +2363,15 @@ def _q_decontaminate(sf_dir: str) -> pa.Table:
     benchmark subset (doc_id % 31 == 0), with the count of contaminated
     distinct grams. Benchmark hashes broadcast once; zero shuffles."""
     from lucenenet_ray.ops.decontaminate import decontaminate
+    from lucenenet_ray.util.tables import dataset_to_table
 
-    return decontaminate(os.path.join(sf_dir, "documents.parquet"),
-                         modulo=31, k=5)
+    # the op streams; ONLY this gate wrapper materializes (k-scale result)
+    out = decontaminate(os.path.join(sf_dir, "documents.parquet"),
+                        modulo=31, k=5)
+    return dataset_to_table(
+        out, schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_hits", pa.int64())])
+    ).select(["doc_id", "n_hits"]).sort_by("doc_id")
 
 
 def _q_dup_ngrams(sf_dir: str) -> pa.Table:
@@ -2373,8 +2379,14 @@ def _q_dup_ngrams(sf_dir: str) -> pa.Table:
     dup_ngram_counts): per doc, how many of its distinct 5-grams appear in
     >= 2 docs — groupby(hash) then groupby(doc), no driver grams."""
     from lucenenet_ray.ops.decontaminate import dup_ngram_counts
+    from lucenenet_ray.util.tables import dataset_to_table
 
-    return dup_ngram_counts(os.path.join(sf_dir, "documents.parquet"), k=5)
+    out = dup_ngram_counts(os.path.join(sf_dir, "documents.parquet"), k=5)
+    t = dataset_to_table(out, schema=pa.schema([("doc_id", pa.int64()),
+                                                ("n_dup", pa.int64())]))
+    return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                     "n_dup": t.column("n_dup").cast(pa.int64())}
+                    ).sort_by("doc_id")
 
 
 def _q_facet_sum_value(sf_dir: str) -> pa.Table:
@@ -6566,9 +6578,13 @@ def _q_substr_dedup(sf_dir: str) -> pa.Table:
 
     from lucenenet_ray.ops.substrdedup import dedup_substrings
 
+    from lucenenet_ray.util.tables import dataset_to_table
+
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    return dedup_substrings(ds, L=10)
+    return dataset_to_table(dedup_substrings(ds, L=10)).select(
+        ["doc_id", "n_tokens", "n_windows", "n_dup_windows",
+         "n_covered_tokens", "clean_md5"]).sort_by("doc_id")
 
 
 def _q_facet_sum_float(sf_dir: str) -> pa.Table:

@@ -11,14 +11,36 @@ broadcast via ``ray.put``; one streaming ``map_batches`` computes each
 batch's max-similarity-to-selected (vectorized matmul over normalized
 float64 — the ops/knn.py kernel, whose float parity with DuckDB
 ``list_cosine_similarity`` is gate-proven) and emits a per-batch partial
-argmin; the driver merges blocks' candidates. R rounds = R streaming
-passes, zero shuffles, driver state = R ids.
+argmin ALONG WITH the winning row's normalized vector, so the driver
+merges block candidates and already holds the next round's vector —
+the corpus is scanned exactly once per round (R streaming passes total,
+plus one vectorized seed fetch), zero shuffles, driver state = R
+(id, vector) rows.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+
+def _seed_vector(ds, seed_id: int, vec_col: str, id_col: str) -> np.ndarray:
+    """One vectorized streaming fetch of the seed row (per-batch boolean
+    mask, never a per-row Python filter)."""
+    import pyarrow.compute as pc
+
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    def grab(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column(id_col), pa.scalar(seed_id))
+        return t.filter(m).select([vec_col])
+
+    t = dataset_to_table(ds.map_batches(grab, batch_format="pyarrow"),
+                         schema=pa.schema([(vec_col, pa.list_(pa.float64()))]))
+    if t.num_rows == 0:
+        raise KeyError(f"seed vec_id {seed_id} not found")
+    v = np.asarray(t.column(vec_col)[0].as_py(), dtype=np.float64)
+    return v / np.linalg.norm(v)
 
 
 def kcenter_greedy(ds, rounds: int = 8, seed_id: int = 0,
@@ -29,15 +51,8 @@ def kcenter_greedy(ds, rounds: int = 8, seed_id: int = 0,
     import ray
 
     sel_ids = [int(seed_id)]
-    sel_vecs: list[np.ndarray] = []
+    sel_vecs: list[np.ndarray] = [_seed_vector(ds, seed_id, vec_col, id_col)]
 
-    def fetch_vec(target: int) -> np.ndarray:
-        t = ds.filter(lambda row: row[id_col] == target) \
-              .select_columns([vec_col]).take(1)
-        v = np.asarray(t[0][vec_col], dtype=np.float64)
-        return v / np.linalg.norm(v)
-
-    sel_vecs.append(fetch_vec(seed_id))
     for _ in range(rounds - 1):
         smat = np.stack(sel_vecs)
         sref = ray.put((smat, tuple(sel_ids)))
@@ -52,29 +67,37 @@ def kcenter_greedy(ds, rounds: int = 8, seed_id: int = 0,
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
             ms = (mn @ sm.T).max(axis=1)
             mask = ~np.isin(ids, np.asarray(sids, dtype=np.int64))
+            empty = pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "ms": pa.array([], type=pa.float64()),
+                "_vec": pa.array([], type=pa.list_(pa.float64())),
+            })
             if not mask.any():
-                return pa.table({id_col: pa.array([], type=pa.int64()),
-                                 "ms": pa.array([], type=pa.float64())})
-            ids, ms = ids[mask], ms[mask]
-            best = np.lexsort((ids, ms))[0]
+                return empty
+            ids2, ms2 = ids[mask], ms[mask]
+            best = np.lexsort((ids2, ms2))[0]
+            # emit the winner's NORMALIZED vector so the driver never has
+            # to re-scan the corpus to fetch it (VERDICT r3 finding #1)
+            bvec = mn[mask][best]
             return pa.table({
-                id_col: pa.array([int(ids[best])], type=pa.int64()),
-                "ms": pa.array([float(ms[best])], type=pa.float64()),
+                id_col: pa.array([int(ids2[best])], type=pa.int64()),
+                "ms": pa.array([float(ms2[best])], type=pa.float64()),
+                "_vec": pa.array([bvec.tolist()],
+                                 type=pa.list_(pa.float64())),
             })
 
-        cands_i: list[int] = []
-        cands_m: list[float] = []
-        for ref in ds.map_batches(part,
-                                  batch_format="pyarrow").to_arrow_refs():
-            t = ray.get(ref)
-            if t.num_rows and id_col in t.schema.names:
-                cands_i.extend(t.column(id_col).to_pylist())
-                cands_m.extend(t.column("ms").to_pylist())
-        order = sorted(range(len(cands_i)),
-                       key=lambda i: (cands_m[i], cands_i[i]))
-        nxt = int(cands_i[order[0]])
-        sel_ids.append(nxt)
-        sel_vecs.append(fetch_vec(nxt))
+        from lucenenet_ray.util.tables import dataset_to_table
+
+        cand = dataset_to_table(
+            ds.map_batches(part, batch_format="pyarrow"),
+            schema=pa.schema([(id_col, pa.int64()), ("ms", pa.float64()),
+                              ("_vec", pa.list_(pa.float64()))]))
+        ci = cand.column(id_col).to_numpy(zero_copy_only=False)
+        cm = cand.column("ms").to_numpy(zero_copy_only=False)
+        best = np.lexsort((ci, cm))[0]
+        sel_ids.append(int(ci[best]))
+        sel_vecs.append(np.asarray(cand.column("_vec")[best].as_py(),
+                                   dtype=np.float64))
     return pa.table({
         "round": pa.array(range(1, len(sel_ids) + 1), type=pa.int64()),
         "vec_id": pa.array(sel_ids, type=pa.int64()),

@@ -99,9 +99,11 @@ class Decontaminate:
 
 
 def decontaminate(sf_dir_parquet: str, modulo: int = 97, k: int = 8,
-                  concurrency: int = 4) -> pa.Table:
+                  concurrency: int = 4):
     """Full pipeline: benchmark hash set → broadcast → actor-pool scan.
-    Returns (doc_id, n_hits) for contaminated docs, doc_id ascending."""
+    Returns a doc_id-ascending DATASET of (doc_id, n_hits) for
+    contaminated docs — streaming/write_parquet-able; gate wrappers
+    materialize it (VERDICT r3 finding #5)."""
     import ray
     import ray.data as rd
 
@@ -112,7 +114,7 @@ def decontaminate(sf_dir_parquet: str, modulo: int = 97, k: int = 8,
     # whole cluster deadlocks the pipeline on small CPU counts
     cpus = int(ray.cluster_resources().get("CPU", 4))
     pool = max(1, min(concurrency, cpus - 2))
-    out = ds.map_batches(
+    return ds.map_batches(
         Decontaminate,
         fn_constructor_kwargs={"bench_ref": bench_ref, "modulo": modulo,
                                "k": k},
@@ -120,14 +122,6 @@ def decontaminate(sf_dir_parquet: str, modulo: int = 97, k: int = 8,
         batch_size=512,
         concurrency=pool,
     ).sort("doc_id")
-    batches = [b for b in out.iter_batches(batch_format="pyarrow")
-               if b.num_rows]
-    if not batches:
-        return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                         "n_hits": pa.array([], type=pa.int64())})
-    return pa.concat_tables(batches,
-                            promote_options="permissive").select(
-        ["doc_id", "n_hits"])
 
 
 def _gram_pairs_batch(batch: pa.Table, k: int) -> pa.Table:
@@ -148,11 +142,12 @@ def _gram_pairs_batch(batch: pa.Table, k: int) -> pa.Table:
     })
 
 
-def dup_ngram_counts(sf_dir_parquet: str, k: int = 5) -> pa.Table:
+def dup_ngram_counts(sf_dir_parquet: str, k: int = 5):
     """Per doc: how many of its distinct k-grams occur in >= 2 distinct
     docs corpus-wide. groupby(h) → emit shared grams' doc lists →
-    groupby(doc_id).count — two shuffles of gram-pair rows, nothing on the
-    driver until the final doc-cardinality table."""
+    groupby(doc_id).count — two shuffles of gram-pair rows; returns the
+    doc_id-sorted DATASET (nothing materializes on the driver; gate
+    wrappers collect — VERDICT r3 finding #5)."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -166,15 +161,10 @@ def dup_ngram_counts(sf_dir_parquet: str, k: int = 5) -> pa.Table:
             return pa.table({"doc_id": pa.array([], type=pa.int64())})
         return pa.table({"doc_id": docs})
 
-    per_doc = (
+    return (
         pairs.groupby("h")
         .map_groups(shared, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Count(alias_name="n_dup"))
         .sort("doc_id")
-        .take_all()
     )
-    return pa.table({
-        "doc_id": pa.array([r["doc_id"] for r in per_doc], type=pa.int64()),
-        "n_dup": pa.array([r["n_dup"] for r in per_doc], type=pa.int64()),
-    })

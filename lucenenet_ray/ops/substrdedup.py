@@ -82,17 +82,25 @@ def duplicated_window_hashes(ds, L: int, text_col: str = "text"):
         m = np.asarray(t.column("n")) >= 2
         return pa.table({"h": t.column("h").filter(pa.array(m))})
 
-    rows = counted.map_batches(keep_dups,
-                               batch_format="pyarrow").take_all()
-    return np.sort(np.asarray([r["h"] for r in rows], dtype=np.int64))
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    t = dataset_to_table(counted.map_batches(keep_dups,
+                                             batch_format="pyarrow"),
+                         schema=pa.schema([("h", pa.int64())]))
+    return np.sort(t.column("h").to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
 
 
 def dedup_substrings(ds, L: int, text_col: str = "text",
-                     id_col: str = "doc_id") -> pa.Table:
-    """Full op: per doc — (doc_id, n_tokens, n_windows, n_dup_windows,
-    n_covered_tokens, clean_md5) where clean_md5 hashes the space-joined
-    tokens that survive removal of every duplicated window's [i, i+L)
-    cover. Docs shorter than L have no windows and keep their text."""
+                     id_col: str = "doc_id"):
+    """Full op → doc_id-sorted DATASET of per-doc rows (doc_id, n_tokens,
+    n_windows, n_dup_windows, n_covered_tokens, clean_md5) where clean_md5
+    hashes the space-joined tokens that survive removal of every
+    duplicated window's [i, i+L) cover. Docs shorter than L have no
+    windows and keep their text.
+
+    Returns a streaming ``ray.data.Dataset`` (write_parquet-able at corpus
+    scale); only gate wrappers materialize it (VERDICT r3 finding #5)."""
     import ray
 
     dups = duplicated_window_hashes(ds, L, text_col)
@@ -137,13 +145,5 @@ def dedup_substrings(ds, L: int, text_col: str = "text",
             "clean_md5": pa.array(out["clean_md5"], type=pa.string()),
         })
 
-    parts = ds.map_batches(stats, batch_format="pyarrow",
-                           batch_size=256).take_all()
-    parts.sort(key=lambda r: r["doc_id"])
-    cols = ("doc_id", "n_tokens", "n_windows", "n_dup_windows",
-            "n_covered_tokens", "clean_md5")
-    return pa.table({
-        c: pa.array([r[c] for r in parts],
-                    type=pa.string() if c == "clean_md5" else pa.int64())
-        for c in cols
-    })
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          batch_size=256).sort("doc_id")

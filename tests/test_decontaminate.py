@@ -37,8 +37,10 @@ def test_benchmark_hashes_small_side(corpus_parquet):
 
 def test_decontaminate_flags_planted_overlap(ray_session, corpus_parquet):
     from lucenenet_ray.ops.decontaminate import decontaminate
+    from lucenenet_ray.util.tables import dataset_to_table
 
-    t = decontaminate(corpus_parquet, modulo=3, k=5, concurrency=1)
+    t = dataset_to_table(
+        decontaminate(corpus_parquet, modulo=3, k=5, concurrency=1))
     got = dict(zip(t.column("doc_id").to_pylist(),
                    t.column("n_hits").to_pylist()))
     assert 2 in got  # carries the full planted benchmark 8-token run
@@ -50,8 +52,9 @@ def test_decontaminate_flags_planted_overlap(ray_session, corpus_parquet):
 
 def test_dup_ngram_counts_pairwise(ray_session, corpus_parquet):
     from lucenenet_ray.ops.decontaminate import dup_ngram_counts
+    from lucenenet_ray.util.tables import dataset_to_table
 
-    t = dup_ngram_counts(corpus_parquet, k=5)
+    t = dataset_to_table(dup_ngram_counts(corpus_parquet, k=5))
     got = dict(zip(t.column("doc_id").to_pylist(),
                    t.column("n_dup").to_pylist()))
     # docs 4 and 5 are identical → every distinct 5-gram shared (8 tokens
@@ -70,5 +73,5 @@ def test_short_docs_contribute_nothing(ray_session, tmp_path):
     })
     p = str(tmp_path / "documents.parquet")
     pq.write_table(t, p)
-    assert decontaminate(p, modulo=2, k=5, concurrency=1).num_rows == 0
-    assert dup_ngram_counts(p, k=5).num_rows == 0
+    assert decontaminate(p, modulo=2, k=5, concurrency=1).count() == 0
+    assert dup_ngram_counts(p, k=5).count() == 0

@@ -61,7 +61,7 @@ def test_matches_brute_force(ray_session, blocks):
     ds = rd.from_arrow(t).repartition(blocks)
     out = dedup_substrings(ds, L=L)
     exp = brute(DOCS)
-    for r in out.to_pylist():
+    for r in out.take_all():
         d = r["doc_id"]
         assert (r["n_tokens"], r["n_windows"], r["n_dup_windows"],
                 r["n_covered_tokens"], r["clean_md5"]) == exp[d], d
@@ -72,7 +72,7 @@ def test_specific_semantics(ray_session):
                   "text": pa.array([DOCS[k] for k in sorted(DOCS)],
                                    type=pa.string())})
     out = {r["doc_id"]: r for r in
-           dedup_substrings(rd.from_arrow(t), L=L).to_pylist()}
+           dedup_substrings(rd.from_arrow(t), L=L).take_all()}
     # doc 3: untouched — clean hash == original hash
     assert out[3]["n_dup_windows"] == 0
     assert out[3]["clean_md5"] == hashlib.md5(DOCS[3].encode()).hexdigest()
