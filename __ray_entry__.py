@@ -2272,10 +2272,27 @@ def _q_facet_lang_sampled(sf_dir: str) -> Any:
 
 
 def _q_near_dup_embedding(sf_dir: str) -> pa.Table:
-    """Embedding-cosine near-dup (exact variant): all (id_a, id_b) pairs
-    with cosine ≥ 0.4 via one broadcast of the normalized matrix + chunked
-    matmuls — no shuffle (ops/knn.py cosine_pairs; the LSH-bucketed variant
-    is the 10^12-scale path)."""
+    """Embedding-cosine near-dup, SCALE PATH (ops/knn.py
+    cosine_pairs_clustered): cluster-bucketed exact-verify — the
+    gate-proven semdedup centroid assignment buckets the space, then exact
+    cosine ≥ 0.4 verifies within each cluster only (O(N²/k), one groupby,
+    no all-pairs work). The exact all-pairs arm stays gated as
+    near_dup_embedding_exact."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.knn import cosine_pairs_clustered
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return cosine_pairs_clustered(ds, 0.4, n_clusters=8)
+
+
+def _q_near_dup_embedding_exact(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup (exact all-pairs arm): all (id_a, id_b)
+    pairs with cosine ≥ 0.4 via chunk-pair cross-join tasks (ops/knn.py
+    cosine_pairs — the driver never holds the matrix; quadratic FLOPs are
+    inherent to EXACT semantics, so at 10^12 vectors the clustered /
+    LSH-bucketed variants above are the production paths)."""
     import ray.data as rd
 
     from lucenenet_ray.ops.knn import cosine_pairs
@@ -7951,6 +7968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality": _q_lm_quality,
         "dsir_select": _q_dsir,
         "semdedup": _q_semdedup,
+        "near_dup_embedding_exact": _q_near_dup_embedding_exact,
         "auto_stop_terms": _q_auto_stop_terms,
         "hll_distinct": _q_hll_distinct,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -8194,7 +8212,8 @@ def oracle_sql() -> dict[str, str]:
         "term_vector": so.term_vector_sql(0),
         "term_stats_de_stemmed": so.term_stats_de_stemmed_sql(),
         "facet_taxonomy": so.facet_taxonomy_sql(),
-        "near_dup_embedding": so.near_dup_embedding_sql(0.4),
+        "near_dup_embedding": so.near_dup_embedding_clustered_sql(0.4, 8),
+        "near_dup_embedding_exact": so.near_dup_embedding_sql(0.4),
         "total_hits": so.total_hits_sql(["spark", "window"]),
         "search_after": so.bm25_topk_sql(["spark", "window"], TOPK, "or",
                                          offset=TOPK),

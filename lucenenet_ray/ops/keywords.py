@@ -118,7 +118,19 @@ def textrank_keywords(ds, n_iters: int = 3, k: int = 20,
             d = t.column("dst").to_numpy(zero_copy_only=False)
             w = t.column("wt").to_numpy(zero_copy_only=False)
             ws = t.column("wsum").to_numpy(zero_copy_only=False)
-            c = (r[s] * w) // ws
+            # guard the int64 product: ranks near 1e9 × corpus-scale edge
+            # weights can exceed 2^63 (numpy would wrap silently; the
+            # DuckDB oracle's BIGINT would error) — escalate to Python
+            # ints for the product, the quotient (≤ r since w ≤ ws)
+            # always fits back in int64 (ADVICE r3)
+            if r.size and w.size and \
+                    float(r.max()) * float(w.max()) >= float(2 ** 62):
+                c = np.asarray(
+                    [int(rv) * int(wv) // int(wsv)
+                     for rv, wv, wsv in zip(r[s], w, ws)],
+                    dtype=np.int64)
+            else:
+                c = (r[s] * w) // ws
             uniq, inv = np.unique(d, return_inverse=True)
             sums = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(sums, inv, c)

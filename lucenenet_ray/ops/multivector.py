@@ -18,7 +18,17 @@ order (the summation-order rule that lets the SQL oracle reproduce the
 double bit-for-bit via ``list_sum(list(s ORDER BY qi))``); per-block
 partial top-k + a k-scale driver merge finish (TopDocs.Merge altitude).
 The gate output is RANK-only (the knn float-parity precedent — floats
-order identically but aren't hash-compared)."""
+order identically but aren't hash-compared).
+
+Rank-stability evidence (ADVICE r3): MaxSim sums several per-token
+maxes, so near-tie scores have more rounding paths than single-cosine
+knn.  Measured on the synthesized corpora, the minimum adjacent-score
+gap in the top-30 is 1.7e-5 (sf0.001), 1.1e-4 (sf0.01), 1.9e-4 (sf0.1)
+— nine orders of magnitude above the ~1e-14 worst-case divergence
+between numpy float64 matmul and DuckDB ``list_cosine_similarity``
+(4 summed cosines × ~1e-15 relative rounding each), so adjacent ranks
+provably cannot flip on these corpora; tests/test_multivector.py pins
+the gap floor so a regenerated corpus that narrows it fails loudly."""
 
 from __future__ import annotations
 

@@ -341,7 +341,19 @@ def segment_order_stats(sf_dir: str) -> pa.Table:
         ck = t.column("o_custkey").to_pylist()
         price = _cents(t.column("o_totalprice").to_numpy(
             zero_copy_only=False))
-        segs = np.asarray([cm.get(c, "") for c in ck], dtype=object)
+        # inner-join semantics: orders with no customer match are DROPPED
+        # (matching the oracle's JOIN — ADVICE r3: the previous ''-segment
+        # bucket diverged if referential integrity ever broke)
+        seg_list = [cm.get(c) for c in ck]
+        matched = np.asarray([s is not None for s in seg_list], dtype=bool)
+        if not matched.all():
+            price = price[matched]
+            seg_list = [s for s in seg_list if s is not None]
+        segs = np.asarray(seg_list, dtype=object)
+        if segs.size == 0:
+            return pa.table({"seg": pa.array([], type=pa.string()),
+                             "cents": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
         key = np.char.add(np.char.add(segs.astype(str), "\x1f"),
                           np.char.mod("%012d", price))
         uniq, cnt = np.unique(key, return_counts=True)

@@ -974,6 +974,37 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
 ORDER BY id_a, id_b"""
 
 
+def near_dup_embedding_clustered_sql(threshold: float = 0.4,
+                                     n_clusters: int = 8) -> str:
+    """Cluster-bucketed exact-verify near-dup oracle (ops/knn.py
+    cosine_pairs_clustered): the semdedup_sql assignment (nearest of the
+    n_clusters lowest-vec_id seeds, cosine argmax, ties to low seed id),
+    then exact cosine >= threshold WITHIN a cluster only."""
+    return f"""WITH seeds AS (
+  SELECT vec_id AS sid, embedding AS semb FROM embeddings
+  WHERE vec_id < {n_clusters}
+),
+sims AS (
+  SELECT v.vec_id, s.sid,
+         list_cosine_similarity(v.embedding, s.semb) AS cs
+  FROM embeddings v CROSS JOIN seeds s
+),
+asg AS (
+  SELECT vec_id, sid AS cluster FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cs DESC, sid ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM asg a
+JOIN asg b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}
+ORDER BY id_a, id_b"""
+
+
 def facet_taxonomy_sql() -> str:
     """Taxonomy facet rollup oracle: counts at every path prefix."""
     return """SELECT path, CAST(n_docs AS BIGINT) AS n_docs FROM (

@@ -53,6 +53,32 @@ def test_maxsim_parallelism_invariant(ray_session):
     assert out1.equals(out7)
 
 
+def test_maxsim_gate_rank_gap_floor():
+    """Rank-only gate safety (ADVICE r3): the gated corpus's minimum
+    adjacent MaxSim score gap in the top-30 must stay orders of magnitude
+    above the engine/oracle float-path divergence (~1e-14), so adjacent
+    ranks provably cannot flip. Fails loudly if a regenerated corpus
+    narrows the gap."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    m = pc.list_flatten(t.column("embedding")).to_numpy() \
+        .astype(np.float64).reshape(len(ids), -1)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qm = mn[ids < 4]
+    sims = mn @ qm.T
+    doc = ids // 4
+    starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+    per_tok_max = np.maximum.reduceat(sims, starts, axis=0)
+    tot = np.sort(per_tok_max.sum(axis=1))[::-1][:30]
+    assert (-np.diff(tot)).min() > 1e-6
+
+
 def test_ndcg_helpers():
     from lucenenet_ray.ops.ndcg import (
         DISCOUNTS,

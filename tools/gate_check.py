@@ -25,6 +25,8 @@ def canon(t):
 
 
 def value_hash(t):
+    """Legacy per-value repr hash — kept as the fallback comparator for
+    column types Arrow compute can't compare (nested lists etc.)."""
     h = hashlib.sha256()
     for name in t.column_names:
         col = t.column(name)
@@ -33,6 +35,51 @@ def value_hash(t):
         for v in col.to_pylist():
             h.update(repr(v).encode())
     return h.hexdigest()[:16]
+
+
+def _col_equal(a, b):
+    """Vectorized column equality matching the repr-hash semantics:
+    position-wise, null==null, NaN==NaN (repr('nan') compared equal in the
+    legacy hash). Falls back to the per-value repr path only for types the
+    Arrow kernels reject."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(a) != len(b):
+        return False
+    if len(a) == 0:
+        return True
+    try:
+        eq = pc.equal(a, b)
+        if pa.types.is_floating(a.type):
+            eq = pc.or_(eq, pc.and_(pc.is_nan(a), pc.is_nan(b)))
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        ok = pc.all(pc.or_(pc.fill_null(eq, False), both_null)).as_py()
+        return True if ok is None else bool(ok)
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid, pa.ArrowTypeError):
+        ha = hashlib.sha256()
+        hb = hashlib.sha256()
+        for v in a.to_pylist():
+            ha.update(repr(v).encode())
+        for v in b.to_pylist():
+            hb.update(repr(v).encode())
+        return ha.digest() == hb.digest()
+
+
+def values_equal(t, o):
+    """Fast predictor of the driver's sorted-column value-hash match:
+    column names+types already compared by the schema check; values
+    compared vectorized per column (C++ kernels, not a Python loop —
+    VERDICT r3 finding #6)."""
+    if t.column_names != o.column_names:
+        return False
+    for name in t.column_names:
+        ca, cb = t.column(name), o.column(name)
+        if str(ca.type) != str(cb.type):
+            return False
+        if not _col_equal(ca.combine_chunks(), cb.combine_chunks()):
+            return False
+    return True
 
 
 def main():
@@ -83,7 +130,7 @@ def main():
             continue
         rows_ok = t.num_rows == o.num_rows
         schema_ok = [str(f) for f in t.schema] == [str(f) for f in o.schema]
-        hash_ok = value_hash(t) == value_hash(o)
+        hash_ok = values_equal(t, o)
         results[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
                          "hash_match": hash_ok, "rows": t.num_rows,
                          "oracle_rows": o.num_rows}
