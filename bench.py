@@ -183,7 +183,7 @@ def run_bench() -> dict:
     # best-of-rounds, same steady-state rationale as the build loop: host
     # noise spikes over seconds would otherwise set the p95 of the single
     # measurement window; the work per round is identical by construction
-    n_rounds = int(os.environ.get("GRAFT_BENCH_QUERY_ROUNDS", "3"))
+    n_rounds = int(os.environ.get("GRAFT_BENCH_QUERY_ROUNDS", "5"))
     lat = None
     t_query = float("inf")
     for _ in range(max(1, n_rounds)):

@@ -115,6 +115,34 @@ TURKISH_STOP = frozenset(
     "ve bir bu da de için ile olarak olan daha çok en gibi kadar sonra "
     "ama ise ne var yok her o ki mi mı mu mü değil diye ya hem ancak".split()
 )
+CATALAN_STOP = frozenset(
+    "a abans al als altre amb aquell aquest així això cada com contra de "
+    "del dels dins el els em en encara ens entre era es està et ha hi ho "
+    "i ja la les li lo los ma mentre meu molt ni no nosaltres o on per "
+    "però perquè poc qual quan que què se ses seu si sobre son sota sou "
+    "sóc són tal també tan tant teu tot un una unes uns us vosaltres "
+    "vostre és".split())  # Snowball catalan stopwords (CatalanAnalyzer)
+BASQUE_STOP = frozenset(
+    "al anitz arabera asko baina bat batean batek bati batzuei batzuek "
+    "batzuetan batzuk bera beraiek berau berauek bere berori beroriek "
+    "beste bezala da dago dira ditu du dute edo egin ere eta eurak ez "
+    "gainera gu gutxi guzti haiei haiek haietan hainbeste hala han "
+    "handik hango hara hari hark hartan hau hauei hauek hauetan hemen "
+    "hemendik hemengo hi hona honek honela honetan honi hor hori horiei "
+    "horiek horietan horko horra horrek horrela horretan horri hortik "
+    "hura izan ni noiz nola non nondik nongo nor nora ze zein zen "
+    "zenbait zenbat zer zergatik ziren zituen zu zuek zuen "
+    "zuten".split())  # Snowball basque stopwords (BasqueAnalyzer)
+IRISH_STOP = frozenset(
+    "a ach ag agus an aon ar arna as ba beirt bhúr caoga ceathair "
+    "ceathrar chomh chtó chun cois céad cúig cúigear daichead dar de "
+    "deich deichniúr den dhá do don dtí dá dár dó faoi faoin faoina "
+    "faoinár fara fiche gach gan go gur haon hocht i iad idir in ina "
+    "ins inár is le leis lena lenár mar mo mé na nach naoi naonúr ná ní "
+    "níor nó nócha ocht ochtar os roimh sa seacht seachtar seachtó "
+    "seasca seisear siad sibh sinn sna sé sí tar thar thú triúr trí "
+    "tríocha tú um ár é éis í ó ón óna ónár".split())
+# Snowball irish stopwords (IrishAnalyzer stopwords.txt)
 
 
 class LangAnalyzer(StandardAnalyzer):
@@ -184,6 +212,16 @@ class MultiLangAnalyzer:
         # TurkishAnalyzer.cs: Apostrophe + TurkishLowerCase + stop +
         # Snowball Turkish
         self.analyzers["tr"] = TurkishAnalyzer(TURKISH_STOP)
+        # Final 3 Tartarus programs (analysis/snowball_ext.py):
+        # BasqueAnalyzer.cs plain chain; CatalanAnalyzer.cs adds elision;
+        # IrishAnalyzer.cs adds hyphenation-stop + elision + IrishLowerCase
+        from lucenenet_ray.analysis.lang_stem import (CatalanAnalyzer,
+                                                      IrishAnalyzer)
+
+        self.analyzers["eu"] = StemmingLangAnalyzer(BASQUE_STOP,
+                                                    "eu_snowball")
+        self.analyzers["ca"] = CatalanAnalyzer(CATALAN_STOP)
+        self.analyzers["ga"] = IrishAnalyzer(IRISH_STOP)
 
     def __call__(self, text: str, lang: str | None = None
                  ) -> tuple[list[str], list[int]]:

@@ -1139,6 +1139,13 @@ _STEM_FN = {"de": german_light_stem, "es": spanish_light_stem,
             "fi_snowball": _sb_finnish, "hu_snowball": _sb_hungarian,
             "ro_snowball": _sb_romanian, "tr_snowball": _sb_turkish}
 
+from lucenenet_ray.analysis.snowball_ext import (  # noqa: E402
+    basque_stem as _sb_basque, catalan_stem as _sb_catalan,
+    irish_lowercase as _ga_lower, irish_stem as _sb_irish)
+
+_STEM_FN.update({"eu_snowball": _sb_basque, "ca_snowball": _sb_catalan,
+                 "ga_snowball": _sb_irish})
+
 
 class StemmingLangAnalyzer(LangAnalyzer):
     """LangAnalyzer + the language's light stemmer (the GermanAnalyzer /
@@ -1225,6 +1232,86 @@ class TurkishAnalyzer:
             s = cache.get(low)
             if s is None:
                 s = turkish_stem(low)
+                cache[low] = s
+            terms.append(s)
+            positions.append(pos)
+        return terms, positions
+
+
+def _elision_ci(term: str, articles: frozenset[str]) -> str:
+    """ElisionFilter with ignoreCase=true (the Ca/Ga analyzer configs):
+    drop `<article>'` prefix comparing the article case-insensitively."""
+    for i, ch in enumerate(term):
+        if ch in ("'", "’"):
+            if term[:i].lower() in articles:
+                return term[i + 1:]
+            return term
+    return term
+
+
+# CatalanAnalyzer.cs DEFAULT_ARTICLES / IrishAnalyzer.cs DEFAULT_ARTICLES
+# + HYPHENATIONS (all ignoreCase=true in the reference CharArraySets)
+_CA_ARTICLES = frozenset(("d", "l", "m", "n", "s", "t"))
+_GA_ARTICLES = frozenset(("d", "m", "b"))
+_GA_HYPHENATIONS = frozenset(("h", "n", "t"))
+
+
+class CatalanAnalyzer:
+    """CatalanAnalyzer.cs chain (4.8): StandardTokenizer →
+    ElisionFilter(d/l/m/n/s/t, pre-lowercase, ignore-case) → LowerCase →
+    stop → SnowballFilter(CatalanStemmer)."""
+
+    def __init__(self, stop_words: frozenset[str]):
+        self.stop_words = stop_words
+        self._cache: dict[str, str] = {}
+
+    def __call__(self, text: str) -> tuple[list[str], list[int]]:
+        from lucenenet_ray.analysis.standard import tokenize
+
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = -1
+        cache = self._cache
+        for tok in tokenize(text):
+            pos += 1
+            low = _elision_ci(tok, _CA_ARTICLES).lower()
+            if low in self.stop_words:
+                continue
+            s = cache.get(low)
+            if s is None:
+                s = _sb_catalan(low)
+                cache[low] = s
+            terms.append(s)
+            positions.append(pos)
+        return terms, positions
+
+
+class IrishAnalyzer:
+    """IrishAnalyzer.cs chain (4.8): StandardTokenizer →
+    StopFilter(h/n/t hyphenation fragments) → ElisionFilter(d/m/b) →
+    IrishLowerCaseFilter → stop → SnowballFilter(IrishStemmer)."""
+
+    def __init__(self, stop_words: frozenset[str]):
+        self.stop_words = stop_words
+        self._cache: dict[str, str] = {}
+
+    def __call__(self, text: str) -> tuple[list[str], list[int]]:
+        from lucenenet_ray.analysis.standard import tokenize
+
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = -1
+        cache = self._cache
+        for tok in tokenize(text):
+            pos += 1
+            if tok.lower() in _GA_HYPHENATIONS:
+                continue  # hyphenation-fragment stop (position hole kept)
+            low = _ga_lower(_elision_ci(tok, _GA_ARTICLES))
+            if low in self.stop_words:
+                continue
+            s = cache.get(low)
+            if s is None:
+                s = _sb_irish(low)
                 cache[low] = s
             terms.append(s)
             positions.append(pos)

@@ -51,6 +51,52 @@ def test_approximate_recall():
     assert hits / total >= 0.9, f"recall {hits/total:.2f}"
 
 
+def test_realistic_recall_sf01_and_shard_invariance(ray_session):
+    """VERDICT r3 item 5: recall@10 at the realistic config (M=8, efc=64,
+    ef=64) on the REAL sf0.1 embeddings table, for 2 and 4 shards — mean
+    ≥ 0.95, per-query ≥ 0.8 at every shard count; same shard count twice
+    → identical results (determinism)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from lucenenet_ray.ops.hnsw import build_hnsw_shards, knn_hnsw
+    from lucenenet_ray.ops.knn import knn_bruteforce
+
+    sf = "/root/testdata/sf0.1"
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf}/embeddings.parquet",
+                       filters=[("vec_id", "<", 8)])
+    qm = pc.list_flatten(qt.column("embedding")).to_numpy() \
+        .astype(np.float64).reshape(qt.num_rows, -1)
+    exact = knn_bruteforce(ds, qm, k=10)
+    want = {qi: set(exact.filter(pc.equal(exact.column("query_id"), qi))
+                    .column("vec_id").to_pylist())
+            for qi in range(qt.num_rows)}
+    prev = None
+    for n_shards in (2, 4):
+        shards = build_hnsw_shards(ds, num_shards=n_shards,
+                                   M=8, ef_construction=64)
+        try:
+            res = knn_hnsw(shards, qm, k=10, ef=64)
+            if n_shards == 2:  # determinism at fixed shard count
+                res2 = knn_hnsw(shards, qm, k=10, ef=64)
+                assert res.equals(res2)
+        finally:
+            for s in shards:
+                ray.kill(s)
+        recs = []
+        for qi in range(qt.num_rows):
+            got = set(res.filter(pc.equal(res.column("query_id"), qi))
+                      .column("vec_id").to_pylist())
+            recs.append(len(want[qi] & got) / len(want[qi]))
+        assert np.mean(recs) >= 0.95 and min(recs) >= 0.8, \
+            (n_shards, recs)
+        prev = res  # noqa: F841 — shard counts yield different graphs
+
+
 def test_build_order_independent():
     """The graph is sorted by id before build, so any arrival order gives
     the identical structure and identical search results."""

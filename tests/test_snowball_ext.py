@@ -1,0 +1,92 @@
+"""Basque/Catalan/Irish Snowball stemmers (analysis/snowball_ext.py) —
+the reference's own test vectors (TestBasqueAnalyzer.cs:44-58,
+TestIrishAnalyzer.cs:42-74, TestCatalanAnalyzer.cs:40-54,
+TestIrishLowerCaseFilter.cs:36-39) plus grammar-semantics probes."""
+
+from lucenenet_ray.analysis.lang import MultiLangAnalyzer
+from lucenenet_ray.analysis.snowball_ext import (basque_stem, catalan_stem,
+                                                 irish_lowercase, irish_stem)
+
+
+def test_basque_reference_vectors():
+    assert basque_stem("zaldi") == "zaldi"
+    assert basque_stem("zaldiak") == "zaldi"
+    assert basque_stem("mendiari") == "mendi"
+
+
+def test_basque_no_backtrack_on_region_failure():
+    # "zaldi": longest match "aldi" fails RV (bra=1 < 3) and the shorter
+    # "di" must NOT be retried — the among has no alternative methods
+    assert basque_stem("zaldi") == "zaldi"
+
+
+def test_basque_repeat_strips_layers():
+    # "ikustekoa": izenak strips "koa" (RV), then the repeat loop strips
+    # "te" from the new end — two iterations, cursor threaded
+    assert basque_stem("ikustekoa") == "ikus"
+    # longest-match control: "ikusteko" matches "eko" (not "ko") once
+    assert basque_stem("ikusteko") == "ikust"
+    # single-strip control: "etxeetan" -> "etxe", then "etxe" fails RV
+    assert basque_stem("etxeetan") == "etxe"
+
+
+def test_basque_respell_protects_replacement():
+    # izenak case3: "joka" -> "jok"; the repeat must not touch the
+    # replacement text again
+    assert basque_stem("joka") == "jok"
+
+
+def test_catalan_reference_vectors():
+    assert catalan_stem("llengües") == "llengu"
+    assert catalan_stem("llengua") == "llengu"
+    for w, e in [("diccionari", "diccion"), ("institut", "inst"),
+                 ("estudis", "estud"), ("catalans", "catalan")]:
+        assert catalan_stem(w) == e, (w, catalan_stem(w))
+
+
+def test_catalan_respellings():
+    # case3: logia-family -> log (R2); case4: ica -> ic (R2)
+    assert catalan_stem("biologia") == "biolog"
+    assert catalan_stem("classica") == "classic"
+    # cleaning strips diacritics even with no suffix match
+    assert catalan_stem("cafè") == "cafe"
+
+
+def test_irish_reference_vectors():
+    assert irish_stem("siopadóireacht") == "siopadóir"
+    assert irish_stem("síceapatacha") == "síceapaite"
+    assert irish_stem("feirmeoireacht") != ""  # stems deterministically
+
+
+def test_irish_initial_morphology():
+    # eclipsis/lenition de-mutation: longest prefix wins (bhf over bh)
+    assert irish_stem("bhfuinneog") == "fuinneog"
+    assert irish_stem("mbainne") == "bainne"
+    assert irish_stem("tsolas") == "solas"
+    assert irish_stem("n-athair") == "athair"
+    assert irish_stem("d'fhear")[0] == "f"
+
+
+def test_irish_lowercase_filter():
+    assert irish_lowercase("nAthair") == "n-athair"
+    assert irish_lowercase("tUISCE") == "t-uisce"
+    assert irish_lowercase("hARD") == "hard"
+    assert irish_lowercase("") == ""
+
+
+def test_analyzer_chains():
+    m = MultiLangAnalyzer()
+    # Catalan: elision of l'/d' before lowercase, stop 'un'/'de'
+    terms, _ = m("Diccionari de l'Institut d'Estudis Catalans", "ca")
+    assert terms == ["diccion", "inst", "estud", "catalan"]
+    assert m("un", "ca")[0] == []
+    # Irish: b'/m' elision, fh->f de-mutation, stop 'le'
+    assert m("b'fhearr m'athair", "ga")[0] == ["fearr", "athair"]
+    assert m("le", "ga")[0] == []
+    # Irish hyphenation fragments leave a position hole: nAthair would be
+    # one token, but pre-split "n-athair" text arrives as {n, athair}
+    terms, pos = m("n-athair", "ga")
+    assert terms == ["athair"] and pos == [1]
+    # Basque plain chain, stop 'izan'
+    assert m("zaldiak", "eu")[0] == ["zaldi"]
+    assert m("izan", "eu")[0] == []
