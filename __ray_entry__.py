@@ -3618,6 +3618,39 @@ def _q_no_stem_stats(sf_dir: str) -> pa.Table:
     return _phonetic_stats(sf_dir, norwegian_light_stem)
 
 
+def _q_ca_stem_stats(sf_dir: str) -> pa.Table:
+    """Catalan Snowball stemmer (Tartarus CatalanStemmer.cs,
+    analysis/snowball_ext.py catalan_stem): term dictionary grouped by
+    stem vs the full algorithm re-expressed in SQL (R1/R2 regexp
+    boundaries, pronoun strip, standard-or-verb suffix with log/ic/c
+    respellings, residual, diacritic cleaning). Reference vectors
+    pinned in tests/test_snowball_ext.py."""
+    from lucenenet_ray.analysis.snowball_ext import catalan_stem
+
+    return _phonetic_stats(sf_dir, catalan_stem)
+
+
+def _q_ga_stem_stats(sf_dir: str) -> pa.Table:
+    """Irish Snowball stemmer (Tartarus IrishStemmer.cs,
+    analysis/snowball_ext.py irish_stem): term dictionary grouped by stem
+    vs the SQL re-derivation (longest-prefix de-mutation, pV/R1/R2,
+    noun/deriv/verb steps)."""
+    from lucenenet_ray.analysis.snowball_ext import irish_stem
+
+    return _phonetic_stats(sf_dir, irish_stem)
+
+
+def _q_eu_stem_stats(sf_dir: str) -> pa.Table:
+    """Basque Snowball stemmer (Tartarus BasqueStemmer.cs,
+    analysis/snowball_ext.py basque_stem): term dictionary grouped by
+    stem vs the SQL re-derivation — the aditzak/izenak REPEAT loops are
+    unrolled 3× with explicit cursor tracking (corpus vocabulary needs
+    ≤1 iteration per loop; a deeper word would hash-mismatch loudly)."""
+    from lucenenet_ray.analysis.snowball_ext import basque_stem
+
+    return _phonetic_stats(sf_dir, basque_stem)
+
+
 def _q_mra_stats(sf_dir: str) -> pa.Table:
     """Match Rating Approach (Language/MatchRatingApproachEncoder.cs,
     analysis/cologne.py): term dictionary grouped by MRA code; the
@@ -7820,6 +7853,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mra_stats": _q_mra_stats,
         "sv_stem_stats": _q_sv_stem_stats,
         "no_stem_stats": _q_no_stem_stats,
+        "ca_stem_stats": _q_ca_stem_stats,
+        "ga_stem_stats": _q_ga_stem_stats,
+        "eu_stem_stats": _q_eu_stem_stats,
         "duplicate_filter": _q_duplicate_filter,
         "simple_query_bm25": _q_simple_query_bm25,
         "function_recip": _q_function_recip,
@@ -8131,6 +8167,9 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": so.geohash_cells_sql(),
         "mra_stats": so.mra_stats_sql(),
         "sv_stem_stats": so.sv_stem_stats_sql(),
+        "ca_stem_stats": so.catalan_stem_stats_sql(),
+        "ga_stem_stats": so.irish_stem_stats_sql(),
+        "eu_stem_stats": so.basque_stem_stats_sql(),
         "no_stem_stats": so.no_stem_stats_sql(),
         "custom_score": so.custom_score_sql(["spark", "window"], "n_chars",
                                             TOPK),

@@ -8785,3 +8785,264 @@ SELECT CAST(n AS BIGINT) AS n_hosts, CAST(T AS BIGINT) AS n_pages,
        CAST(((2 * wsum - (n + 1) * T) * 1000000000) // (n * T)
             AS BIGINT) AS gini_fp
 FROM s"""
+
+
+# ---------------------------------------------------------------------------
+# Basque / Catalan / Irish Snowball oracles (analysis/snowball_ext.py):
+# the suffix tables are imported from the engine module (single source of
+# truth) and compiled into grouped longest-first SQL CASE chains with
+# among semantics — the LONGEST match is committed before its region
+# check, and a failed check does NOT fall through to shorter suffixes.
+
+
+def _sql_q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _p12_ctes(vowels: str, src: str = "terms", extra: str = "") -> str:
+    """marked CTE computing p1/p2 (positions after the first/second
+    vowel→non-vowel boundary; len(w) if absent). `extra` = passthrough
+    columns (e.g. ', pv')."""
+    return f"""marked AS (
+  SELECT w, df{extra}, p1,
+         p1 + CASE WHEN m2 = '' THEN len(w) - p1 ELSE len(m2) END AS p2
+  FROM (
+    SELECT w, df{extra}, p1,
+           regexp_extract(substr(w, p1 + 1),
+                          '^(.*?[{vowels}][^{vowels}])') AS m2
+    FROM (
+      SELECT w, df{extra},
+             CASE WHEN m = '' THEN len(w) ELSE len(m) END AS p1
+      FROM (SELECT w, df{extra},
+                   regexp_extract(w, '^(.*?[{vowels}][^{vowels}])') AS m
+            FROM {src})
+    )
+  )
+)"""
+
+
+def _suffix_case(table, actions: dict, col: str = "w") -> str:
+    """Among-semantics CASE over (suffix, case) rows: grouped by
+    (len desc, case), each WHEN commits the longest match and applies its
+    region-gated action without fall-through to shorter suffixes.
+
+    actions: case -> (region_col | None, replacement) where region_col is
+    'p1'/'p2'/'pv' (condition: len(w)-k >= region) and replacement '' is
+    delete; None region means unconditional respell."""
+    from collections import defaultdict
+
+    groups: dict[tuple[int, int], list[str]] = defaultdict(list)
+    for suf, case in table:
+        groups[(len(suf), case)].append(suf)
+    branches = []
+    for (k, case) in sorted(groups, key=lambda t: (-t[0], t[1])):
+        sufs = ", ".join(_sql_q(s) for s in sorted(groups[(k, case)]))
+        region, repl = actions[case]
+        act = (f"substr({col}, 1, len({col}) - {k})"
+               if repl == "" else
+               f"substr({col}, 1, len({col}) - {k}) || {_sql_q(repl)}")
+        if region is None:
+            then = act
+        else:
+            then = (f"CASE WHEN len({col}) - {k} >= {region} "
+                    f"THEN {act} ELSE {col} END")
+        branches.append(f" WHEN right({col}, {k}) IN ({sufs}) THEN {then}")
+    return "CASE\n" + "\n".join(branches) + f"\n ELSE {col} END"
+
+
+def _prefix_case(table, act_map: dict, col: str = "w") -> str:
+    """Longest-first PREFIX among (Irish initial_morph): grouped by
+    (len desc, replacement)."""
+    from collections import defaultdict
+
+    groups: dict[tuple[int, str], list[str]] = defaultdict(list)
+    for pre, case in table:
+        groups[(len(pre), act_map[case])].append(pre)
+    branches = []
+    for (k, repl) in sorted(groups, key=lambda t: (-t[0], t[1])):
+        pres = ", ".join(_sql_q(p) for p in sorted(groups[(k, repl)]))
+        rep = (f"{_sql_q(repl)} || substr({col}, {k + 1})" if repl
+               else f"substr({col}, {k + 1})")
+        branches.append(f" WHEN substr({col}, 1, {k}) IN ({pres}) "
+                        f"THEN {rep}")
+    return "CASE\n" + "\n".join(branches) + f"\n ELSE {col} END"
+
+
+def catalan_stem_stats_sql(n: int = 20) -> str:
+    """Catalan Snowball oracle (CatalanStemmer.cs; snowball_ext
+    catalan_stem): R1/R2 via regexp boundaries, attached-pronoun strip,
+    standard-suffix (log/ic/c respellings) OR verb-suffix, residual
+    strip, diacritic cleaning."""
+    from lucenenet_ray.analysis.snowball_ext import (_CA_A_1, _CA_A_2,
+                                                     _CA_A_3, _CA_A_4)
+
+    V = "aeiouàáèéìíïòóúü"
+    pron = _suffix_case(_CA_A_1, {1: ("p1", "")})
+    std = _suffix_case(_CA_A_2, {1: ("p1", ""), 2: ("p2", ""),
+                                 3: ("p2", "log"), 4: ("p2", "ic"),
+                                 5: ("p1", "c")})
+    verb = _suffix_case(_CA_A_3, {1: ("p1", ""), 2: ("p2", "")})
+    resid = _suffix_case(_CA_A_4, {1: ("p1", ""), 2: ("p1", "ic")})
+    return f"""WITH {_toks_cte()},
+terms AS (
+  SELECT term AS w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM kept GROUP BY term
+),
+{_p12_ctes(V)},
+s1 AS (SELECT {pron} AS w, p1, p2, df FROM marked),
+s2 AS (SELECT CASE WHEN ({std}) <> w THEN ({std})
+              ELSE ({verb}) END AS w, p1, p2, df FROM s1),
+s3 AS (SELECT {resid} AS w, p1, p2, df FROM s2),
+s4 AS (SELECT translate(w, 'àáèéìíïòóúü·', 'aaeeiiioouu.') AS code, df
+       FROM s3)
+SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS sum_df
+FROM s4 GROUP BY code
+ORDER BY sum_df DESC, code ASC LIMIT {n}"""
+
+
+def irish_stem_stats_sql(n: int = 20) -> str:
+    """Irish Snowball oracle (IrishStemmer.cs; snowball_ext irish_stem):
+    longest-prefix initial de-mutation, then pV/R1/R2 on the de-mutated
+    word and the three backward steps (noun R1/R2, deriv R2+respell,
+    verb RV/R1)."""
+    from lucenenet_ray.analysis.snowball_ext import (_GA_A_0, _GA_A_1,
+                                                     _GA_A_2, _GA_A_3,
+                                                     _GA_PRE_ACT)
+
+    V = "aeiouáéíóú"
+    pre_case = _prefix_case(_GA_A_0, _GA_PRE_ACT, col="w0")
+    noun = _suffix_case(_GA_A_1, {1: ("p1", ""), 2: ("p2", "")})
+    deriv = _suffix_case(_GA_A_2, {1: ("p2", ""), 2: (None, "arc"),
+                                   3: (None, "gin"), 4: (None, "graf"),
+                                   5: (None, "paite"), 6: (None, "óid")})
+    verb = _suffix_case(_GA_A_3, {1: ("pv", ""), 2: ("p1", "")})
+    return f"""WITH {_toks_cte()},
+terms0 AS (
+  SELECT term AS w0, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM kept GROUP BY term
+),
+demut AS (SELECT ({pre_case}) AS w, df FROM terms0),
+pvm AS (
+  SELECT w, df,
+         CASE WHEN mv = '' THEN len(w) ELSE len(mv) END AS pv
+  FROM (SELECT w, df, regexp_extract(w, '^([^{V}]*[{V}])') AS mv
+        FROM demut)
+),
+{_p12_ctes(V, src="pvm", extra=", pv")},
+s1 AS (SELECT {noun} AS w, pv, p1, p2, df FROM marked),
+s2 AS (SELECT {deriv} AS w, pv, p1, p2, df FROM s1),
+s3 AS (SELECT {verb} AS code, df FROM s2)
+SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS sum_df
+FROM s3 GROUP BY code
+ORDER BY sum_df DESC, code ASC LIMIT {n}"""
+
+
+def _eu_phase(idx: str, src: str, table, actions: dict) -> str:
+    """One unrolled Basque among step (snowball_ext._eu_step) as SQL CTEs:
+    hit = k*100+case of the longest suffix ending at cursor c; allowed =
+    its region gate; on success the slice is applied and the cursor moves
+    to bra (a respelling's text is left of the new cursor, so it can never
+    re-match — the SnowballProgram slice contract)."""
+    from collections import defaultdict
+
+    groups: dict[tuple[int, int], list[str]] = defaultdict(list)
+    for suf, case in table:
+        groups[(len(suf), case)].append(suf)
+    hit_branches = []
+    for (k, case) in sorted(groups, key=lambda t: (-t[0], t[1])):
+        sufs = ", ".join(_sql_q(s) for s in sorted(groups[(k, case)]))
+        hit_branches.append(
+            f" WHEN c >= {k} AND substr(w, c - {k} + 1, {k}) IN ({sufs}) "
+            f"THEN {k * 100 + case}")
+    hit_case = "CASE\n" + "\n".join(hit_branches) + "\n ELSE 0 END"
+    allowed_branches = []
+    repl_branches = []
+    for case, (region, repl) in sorted(actions.items()):
+        if region is None:
+            allowed_branches.append(f" WHEN hit % 100 = {case} THEN TRUE")
+        else:
+            allowed_branches.append(
+                f" WHEN hit % 100 = {case} THEN (c - hit // 100) >= {region}")
+        repl_branches.append(f" WHEN hit % 100 = {case} "
+                             f"THEN {_sql_q(repl)}")
+    allowed_case = ("CASE WHEN hit = 0 THEN FALSE\n"
+                    + "\n".join(allowed_branches) + "\n ELSE FALSE END")
+    repl_case = "CASE\n" + "\n".join(repl_branches) + "\n ELSE '' END"
+    return f"""t{idx} AS (SELECT *, {hit_case} AS hit FROM {src}),
+u{idx} AS (SELECT *, {allowed_case} AS allowed FROM t{idx}),
+s{idx} AS (SELECT
+    CASE WHEN ok AND allowed
+         THEN substr(w, 1, c - hit // 100) || ({repl_case})
+              || substr(w, c + 1)
+         ELSE w END AS w,
+    CASE WHEN ok AND allowed THEN c - hit // 100 ELSE c END AS c,
+    (ok AND allowed) AS ok, pv, p1, p2, df
+  FROM u{idx})"""
+
+
+_EU_UNROLL = 3
+
+
+def basque_stem_stats_sql(n: int = 20) -> str:
+    """Basque Snowball oracle (BasqueStemmer.cs; snowball_ext
+    basque_stem): Romance RV + R1/R2, then the aditzak and izenak REPEAT
+    loops unrolled {U}× each with explicit cursor tracking (the corpus
+    vocabulary never needs more than 1 iteration per loop — measured, and
+    a deeper word would surface as a gate hash mismatch), then one
+    adjetiboak step."""
+    from lucenenet_ray.analysis.snowball_ext import (_EU_A_0, _EU_A_1,
+                                                     _EU_A_2,
+                                                     _EU_ADITZAK_ACT,
+                                                     _EU_ADJ_ACT,
+                                                     _EU_IZENAK_ACT)
+
+    V = "aeiou"
+    VIN = ", ".join(f"'{ch}'" for ch in V)
+
+    def first_pos(expr: str, cls: str) -> str:
+        return (f"CASE WHEN regexp_extract({expr}, '^(.*?[{cls}])') = '' "
+                f"THEN len({expr}) "
+                f"ELSE len(regexp_extract({expr}, '^(.*?[{cls}])')) END")
+
+    rv = f"""CASE WHEN len(w) < 3 THEN len(w)
+ WHEN substr(w,1,1) IN ({VIN}) AND substr(w,2,1) IN ({VIN})
+      THEN 2 + {first_pos("substr(w,3)", "^" + V)}
+ WHEN substr(w,1,1) IN ({VIN})
+      THEN 2 + {first_pos("substr(w,3)", V)}
+ WHEN substr(w,2,1) IN ({VIN}) THEN 3
+ ELSE 2 + {first_pos("substr(w,3)", V)} END"""
+
+    def norm_acts(acts):
+        return {case: ({"RV": "pv", "R1": "p1", "R2": "p2"}.get(reg), rep)
+                for case, (reg, rep) in acts.items()}
+
+    phases = []
+    src = "s0"
+    for i in range(_EU_UNROLL):
+        phases.append(_eu_phase(f"a{i}", src, _EU_A_0,
+                                norm_acts(_EU_ADITZAK_ACT)))
+        src = f"sa{i}"
+    phases.append(
+        f"r0 AS (SELECT w, c, TRUE AS ok, pv, p1, p2, df FROM {src})")
+    src = "r0"
+    for i in range(_EU_UNROLL):
+        phases.append(_eu_phase(f"i{i}", src, _EU_A_1,
+                                norm_acts(_EU_IZENAK_ACT)))
+        src = f"si{i}"
+    phases.append(_eu_phase("j0", src, _EU_A_2, norm_acts(_EU_ADJ_ACT)))
+    body = ",\n".join(phases)
+    return f"""WITH {_toks_cte()},
+terms AS (
+  SELECT term AS w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM kept GROUP BY term
+),
+rvm AS (SELECT w, df, {rv} AS pv FROM terms),
+{_p12_ctes(V, src="rvm", extra=", pv")},
+s0 AS (SELECT w, len(w) AS c, TRUE AS ok, pv, p1, p2, df FROM marked),
+{body}
+SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS sum_df
+FROM (SELECT w AS code, df FROM sj0) GROUP BY code
+ORDER BY sum_df DESC, code ASC LIMIT {n}"""
