@@ -622,6 +622,50 @@ def _q_numeric_trie_range(sf_dir: str) -> pa.Table:
                                         type=pa.int64())})
 
 
+def _q_flexible_parse(sf_dir: str) -> pa.Table:
+    """Flexible StandardQueryParser (QueryParser/Flexible/Standard/
+    StandardQueryParser.cs:103; search/flexible.py): DefaultOperator=AND
+    makes the unconnected terms of "data merge" required via the
+    GroupQueryNodeProcessor semantics, then the parsed AST runs the
+    ordinary BM25 path — rank+score hash-exact vs the AND oracle."""
+    from lucenenet_ray.search.flexible import Operator, StandardQueryParser
+    from lucenenet_ray.search.searcher import search
+
+    p = StandardQueryParser()
+    p.default_operator = Operator.AND
+    q = p.parse("data merge")
+    td = search(_reader(sf_dir), q, k=TOPK)
+    return _topdocs_to_table(td)
+
+
+def _q_flexible_numeric_range(sf_dir: str) -> pa.Table:
+    """Flexible parser NumericConfig (Flexible/Standard/Config/
+    NumericConfig.cs + NumericRangeQueryNodeProcessor): with a
+    NumericConfig registered for n_chars, "n_chars:[305 TO 459]" parses
+    to a trie NumericRangeQuery64 (NOT a term range), resolved against
+    the precisionStep-4 numeric index like numeric_trie_range."""
+    from lucenenet_ray.pipelines.flagship import documents_numeric_index_for
+    from lucenenet_ray.search.flexible import (NumericConfig,
+                                               StandardQueryParser)
+    from lucenenet_ray.search.query import NumericRangeQuery64
+    from lucenenet_ray.search.reader import IndexReader
+
+    p = StandardQueryParser()
+    p.numeric_config_map["n_chars"] = NumericConfig(precision_step=4)
+    q = p.parse("n_chars:[305 TO 459]")
+    assert isinstance(q, NumericRangeQuery64) and q.field_name == "n_chars"
+    r = IndexReader(documents_numeric_index_for(sf_dir))
+    terms = r.expand_query(q)
+    parts = []
+    for b in r.bucket_ids:
+        for c in r.bucket(b).chunks_for_terms(terms).values():
+            parts.append(c.docs())
+    docs = (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, np.int64))
+    return pa.table({"doc_id": pa.array(docs.astype(np.int64),
+                                        type=pa.int64())})
+
+
 _DOCSTORE_CACHE: dict[str, str] = {}
 
 
@@ -1410,10 +1454,17 @@ def _q_url_email_stats(sf_dir: str) -> pa.Table:
             x = x or ""
             h1 = md5_int31(f"{i}:url")
             h2 = md5_int31(f"{i}:em")
+            h3 = md5_int31(f"{i}:mlt")
             if h1 % 3 == 0:
                 x += f" https://site{h1 % 50}.example.com/p/{h1 % 7}"
+                if h1 % 2 == 0:
+                    x += f"?q={h1 % 9}&x=2"
             if h2 % 4 == 0:
                 x += f" dev{h2 % 60}@corp{h2 % 5}.io"
+            if h2 % 8 == 0:
+                x += f" ip{h2 % 60}@[10.0.0.{h2 % 9}]"
+            if h3 % 5 == 0:
+                x += f" mailto:u{h3 % 40}@m{h3 % 3}.org"
             terms, _pos, types = url_email_tokenize(x, ENGLISH_STOP_WORDS)
             c = Counter(zip(terms, types))
             ttf.update(c)
@@ -7885,6 +7936,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "url_email_stats": _q_url_email_stats,
         "numeric_trie_range": _q_numeric_trie_range,
+        "flexible_parse": _q_flexible_parse,
+        "flexible_numeric_range": _q_flexible_numeric_range,
         "snowball_da_stats": _q_snowball_da_stats,
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
@@ -8318,6 +8371,11 @@ def oracle_sql() -> dict[str, str]:
         "numeric_trie_range": ("SELECT doc_id FROM documents "
                                "WHERE n_chars >= 305 AND n_chars < 460 "
                                "ORDER BY doc_id"),
+        "flexible_parse": so.bm25_topk_sql(["data", "merge"], TOPK,
+                                           mode="and"),
+        "flexible_numeric_range": ("SELECT doc_id FROM documents "
+                                   "WHERE n_chars >= 305 AND n_chars <= 459 "
+                                   "ORDER BY doc_id"),
         "snowball_da_stats": so.snowball_da_stats_sql(),
         "lm_quality": so.lm_quality_sql(10, 20),
         "dsir_select": so.dsir_sql(4096, "en", 20),

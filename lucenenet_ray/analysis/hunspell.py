@@ -17,10 +17,22 @@ Subset faithful to the reference's stemming core:
 - Reference quirk reproduced: the FIRST distinct condition pattern parsed
   gets ordinal 0, and ``CheckCondition`` skips ordinal 0 — that pattern is
   never actually checked (Stemmer.cs:325 ``if (condition != 0)``).
+- ICONV/OCONV conversion tables (Dictionary.cs:330-350 + ApplyMappings
+  :1168-1210): greedy longest-match rewriting applied to the INPUT (dic
+  words, affix strips, and the token — CleanInput:1123-1165, with the
+  reference's exact ignore-case ordering: lowercase-on-the-fly only when
+  no ICONV, else lowercase AFTER conversion) and to OUTPUT stems
+  (Stemmer.cs NewStem:137).
+- AF flag aliases (Dictionary.cs ParseAlias:988-1006; numeric flag parts
+  in affix continuation classes :442 and dic entries :843 resolve through
+  the alias table, 1-based).
+- IGNORE character stripping (Dictionary.cs:320-329).
 
-Out of re-expression scope (documented): ICONV/OCONV tables, COMPOUND*
-rules, NEEDAFFIX/ONLYINCOMPOUND pruning, flag aliases (AF), escaped
-slashes. These raise on sight rather than mis-stemming silently.
+Out of re-expression scope (documented): COMPOUND* rules and
+NEEDAFFIX/ONLYINCOMPOUND pruning are skipped as unknown keywords —
+exactly what the reference's Dictionary.cs does (its Stemmer carries the
+same ``TODO: some forms should not be added, e.g. ONLYINCOMPOUND``);
+escaped slashes in .dic entries remain unsupported and raise.
 """
 
 from __future__ import annotations
@@ -51,6 +63,33 @@ def _parse_flags(s: str, mode: str) -> tuple[str, ...]:
     return tuple(s)
 
 
+class _Conversions:
+    """ICONV/OCONV mapping table (Dictionary.cs ApplyMappings:1168-1210):
+    at each position take the LONGEST matching pattern, splice in its
+    replacement, and continue scanning after the replacement."""
+
+    def __init__(self):
+        self.pairs: list[tuple[str, str]] = []
+
+    def add(self, pattern: str, replacement: str) -> None:
+        self.pairs.append((pattern, replacement))
+        self.pairs.sort(key=lambda p: -len(p[0]))
+
+    def apply(self, s: str) -> str:
+        out = []
+        i = 0
+        while i < len(s):
+            for pat, rep in self.pairs:
+                if s.startswith(pat, i):
+                    out.append(rep)
+                    i += len(pat)
+                    break
+            else:
+                out.append(s[i])
+                i += 1
+        return "".join(out)
+
+
 class HunspellDictionary:
     def __init__(self, aff_text: str, dic_text: str,
                  ignore_case: bool = False):
@@ -59,11 +98,48 @@ class HunspellDictionary:
         self.circumfix: str | None = None
         self.complex_prefixes = False
         self.two_stage = False
+        self.iconv: _Conversions | None = None
+        self.oconv: _Conversions | None = None
+        self.ignore_chars: frozenset[str] = frozenset()
+        self.aliases: list[str] | None = None
         self.prefixes: dict[str, list[_Affix]] = {}
         self.suffixes: dict[str, list[_Affix]] = {}
         self._parse_aff(aff_text)
         self.words: dict[str, list[frozenset]] = {}
         self._parse_dic(dic_text)
+
+    @property
+    def needs_input_cleaning(self) -> bool:
+        return (self.ignore_case or self.iconv is not None
+                or bool(self.ignore_chars))
+
+    def clean_input(self, s: str) -> str:
+        """Dictionary.cs CleanInput:1123-1165 — ignore-char strip, then
+        either on-the-fly lowercase (no ICONV) or ICONV followed by
+        lowercase (the reference's exact ordering)."""
+        out = []
+        for ch in s:
+            if ch in self.ignore_chars:
+                continue
+            if self.ignore_case and self.iconv is None:
+                ch = ch.lower()
+            out.append(ch)
+        s2 = "".join(out)
+        if self.iconv is not None:
+            s2 = self.iconv.apply(s2)
+            if self.ignore_case:
+                s2 = s2.lower()
+        return s2
+
+    def _alias_flags(self, flagpart: str) -> tuple[str, ...]:
+        """Flag-part → flags, resolving a numeric AF alias reference
+        (Dictionary.cs GetAliasValue:1002, 1-based)."""
+        if self.aliases is not None and flagpart.isdigit():
+            idx = int(flagpart)
+            if not 1 <= idx <= len(self.aliases):
+                raise ValueError(f"Bad flag alias number: {idx}")
+            flagpart = self.aliases[idx - 1]
+        return _parse_flags(flagpart, self.flag_mode)
 
     # -- parsing ----------------------------------------------------------
     def _parse_aff(self, text: str) -> None:
@@ -81,10 +157,29 @@ class HunspellDictionary:
                 self.circumfix = _parse_flags(parts[1], self.flag_mode)[0]
             elif kw == "COMPLEXPREFIXES":
                 self.complex_prefixes = True
-            elif kw in ("ICONV", "OCONV", "COMPOUNDRULE", "COMPOUNDFLAG",
-                        "AF", "NEEDAFFIX", "ONLYINCOMPOUND"):
-                raise NotImplementedError(
-                    f"hunspell subset: {kw} not supported")
+            elif kw in ("ICONV", "OCONV"):
+                conv = _Conversions()
+                for _ in range(int(parts[1])):
+                    cparts = lines[i].split()
+                    i += 1
+                    if len(cparts) != 3 or cparts[0] != kw:
+                        raise ValueError(f"Illegal {kw} declaration")
+                    conv.add(cparts[1], cparts[2])
+                if kw == "ICONV":
+                    self.iconv = conv
+                else:
+                    self.oconv = conv
+            elif kw == "IGNORE":
+                self.ignore_chars = frozenset(parts[1])
+            elif kw == "AF":
+                n = int(parts[1])
+                self.aliases = []
+                for _ in range(n):
+                    aparts = lines[i].split()
+                    i += 1
+                    # an alias can map to no flags (Dictionary.cs:997)
+                    self.aliases.append(aparts[1]
+                                        if len(aparts) > 1 else "")
             elif kw in ("PFX", "SFX"):
                 flag = _parse_flags(parts[1], self.flag_mode)[0]
                 cross = parts[2] == "Y"
@@ -97,8 +192,10 @@ class HunspellDictionary:
                     cont: tuple[str, ...] = ()
                     if "/" in affix_arg:
                         affix_arg, _, flagpart = affix_arg.rpartition("/")
-                        cont = _parse_flags(flagpart, self.flag_mode)
+                        cont = self._alias_flags(flagpart)
                         self.two_stage = True
+                    if self.needs_input_cleaning and affix_arg != "0":
+                        affix_arg = self.clean_input(affix_arg)
                     cond = rule[4] if len(rule) > 4 else "."
                     pattern = self._condition(cond, strip, kw == "PFX")
                     aff = _Affix(flag, strip,
@@ -130,9 +227,9 @@ class HunspellDictionary:
                 continue
             token = entry[0]
             word, _, flagpart = token.partition("/")
-            if self.ignore_case:
-                word = word.lower()
-            flags = frozenset(_parse_flags(flagpart, self.flag_mode))
+            if self.needs_input_cleaning:
+                word = self.clean_input(word)
+            flags = frozenset(self._alias_flags(flagpart))
             self.words.setdefault(word, []).append(flags)
 
 
@@ -143,19 +240,23 @@ class HunspellStemmer:
         self.d = dictionary
 
     def stem(self, word: str) -> list[str]:
-        if self.d.ignore_case:
-            word = word.lower()
+        if self.d.needs_input_cleaning:
+            word = self.d.clean_input(word)
         stems = [word for _flags in self.d.words.get(word, [])]
         stems += self._stem(word, None, None, None, 0, True, True,
                             False, False)
+        if self.d.oconv is not None:
+            # Stemmer.cs NewStem:137 — OCONV rewrites every output stem
+            stems = [self.d.oconv.apply(s) for s in stems]
         return stems
 
     def unique_stems(self, word: str) -> list[str]:
         seen: set[str] = set()
         out = []
         for s in self.stem(word):
-            if s not in seen:
-                seen.add(s)
+            key = s.lower() if self.d.ignore_case else s
+            if key not in seen:
+                seen.add(key)
                 out.append(s)
         return out
 

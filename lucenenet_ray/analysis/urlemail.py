@@ -9,16 +9,39 @@ that is an email or URL is emitted whole with its type (never split at
 @ / : / / like the plain tokenizer would); anything else goes through the
 standard chain. The recognition patterns are RE2-safe so the DuckDB oracle
 (regexp_matches) is exact on the same input.
+
+Edge families covered beyond the r3 subset, each pinned by the
+reference's own fixtures (VERDICT r3 item 6):
+
+* full RFC-5321 atext local parts (``Bvd#@tupjv.sn``, ``P1zO*RaAr@…`` —
+  ``email.addresses.from.random.text.with.email.addresses.txt``),
+* bracketed domain literals (``kU-l6DS@[082.015.228.189]``,
+  ``eFcup.cPPEW@[1ae]`` — same fixture),
+* URL query strings / fragments (``…/index.html?ca=drs-``,
+  ``…/index.php?option=com_content&amp;task=view`` —
+  ``LuceneResourcesWikiPageURLs.txt``),
+* the ``mailto:`` scheme split (``TestUAX29URLEmailTokenizer.cs``
+  TestMailtoSchemeEmails / LUCENE-3880): ``mailto:a@b.org`` emits
+  ``mailto`` as ``<ALPHANUM>`` then the address as ``<EMAIL>`` at the
+  next position.
+
+Still out of subset (documented): quoted local parts (``"%U@?\\B"@…``),
+comments, and the full mailto: URI form with ?cc= headers (the reference
+itself carries TODOs for most of that family).
 """
 
 from __future__ import annotations
 
 import re
 
-# RE2-safe (no lookaround); anchored full-token matches
-EMAIL_TOKEN_RE = r"^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$"
+# RE2-safe (no lookaround); anchored full-token matches.
+# Local part = RFC-5321 atext + dots; domain = dotted labels with an
+# alphabetic TLD, or a bracketed domain literal (dtext, no spaces).
+EMAIL_TOKEN_RE = (r"^[a-z0-9!#$%&*+/=?^_`{|}~.'-]+@"
+                  r"(\[[^\] ]+\]|[a-z0-9.-]+\.[a-z]{2,})$")
 URL_TOKEN_RE = (r"^(https?://|www\.)[a-z0-9.-]+\.[a-z]{2,}"
-                r"(:[0-9]+)?(/[a-z0-9._~%/+-]*)?$")
+                r"(:[0-9]+)?(/[a-z0-9._~%/+-]*)?"
+                r"(\?[a-z0-9._~%/+=&;:-]*)?(#[a-z0-9._~%/+=&;:-]*)?$")
 
 _EMAIL = re.compile(EMAIL_TOKEN_RE)
 _URL = re.compile(URL_TOKEN_RE)
@@ -32,7 +55,9 @@ def url_email_tokenize(text: str, stop_words: frozenset[str] = frozenset()
                        ) -> tuple[list[str], list[int], list[str]]:
     """Tokenize keeping URLs/emails whole: (terms, positions, types).
     Position increments count dropped stopwords like the standard chain;
-    URL/EMAIL tokens are never stop-filtered (they can't be stopwords)."""
+    URL/EMAIL tokens are never stop-filtered (they can't be stopwords).
+    A ``mailto:<email>`` token yields TWO logical tokens (word + email)
+    at consecutive positions, the reference's LUCENE-3880 behavior."""
     terms: list[str] = []
     positions: list[int] = []
     types: list[str] = []
@@ -40,6 +65,15 @@ def url_email_tokenize(text: str, stop_words: frozenset[str] = frozenset()
     for tok in text.split():
         pos += 1
         low = tok.lower()
+        if low.startswith("mailto:") and _EMAIL.match(low[7:]):
+            terms.append("mailto")
+            positions.append(pos)
+            types.append(TYPE_WORD)
+            pos += 1
+            terms.append(low[7:])
+            positions.append(pos)
+            types.append(TYPE_EMAIL)
+            continue
         if _EMAIL.match(low):
             terms.append(low)
             positions.append(pos)

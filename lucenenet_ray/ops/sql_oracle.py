@@ -4411,18 +4411,33 @@ def url_email_stats_sql() -> str:
     exact on the same whitespace tokens."""
     from lucenenet_ray.analysis.urlemail import EMAIL_TOKEN_RE, URL_TOKEN_RE
 
+    em = EMAIL_TOKEN_RE.replace("'", "''")
+    ur = URL_TOKEN_RE.replace("'", "''")
     h1 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':url'")
     h2 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':em'")
+    h3 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':mlt'")
     stop = STOP_SQL
+    is_mailto = (f"term LIKE 'mailto:%' AND "
+                 f"regexp_matches(substr(term, 8), '{em}')")
     return f"""WITH aug AS (
   SELECT doc_id,
          text
          || CASE WHEN {h1} % 3 = 0
                  THEN ' https://site' || ({h1} % 50) || '.example.com/p/'
-                      || ({h1} % 7) ELSE '' END
+                      || ({h1} % 7)
+                      || CASE WHEN {h1} % 2 = 0
+                              THEN '?q=' || ({h1} % 9) || '&x=2'
+                              ELSE '' END
+                 ELSE '' END
          || CASE WHEN {h2} % 4 = 0
                  THEN ' dev' || ({h2} % 60) || '@corp' || ({h2} % 5)
-                      || '.io' ELSE '' END AS t
+                      || '.io' ELSE '' END
+         || CASE WHEN {h2} % 8 = 0
+                 THEN ' ip' || ({h2} % 60) || '@[10.0.0.' || ({h2} % 9)
+                      || ']' ELSE '' END
+         || CASE WHEN {h3} % 5 = 0
+                 THEN ' mailto:u' || ({h3} % 40) || '@m' || ({h3} % 3)
+                      || '.org' ELSE '' END AS t
   FROM documents
 ),
 toks AS (
@@ -4430,12 +4445,16 @@ toks AS (
 ),
 typed AS (
   SELECT doc_id, term,
-         CASE WHEN regexp_matches(term, '{EMAIL_TOKEN_RE}')
+         CASE WHEN regexp_matches(term, '{em}')
               THEN '<EMAIL>'
-              WHEN regexp_matches(term, '{URL_TOKEN_RE}')
+              WHEN regexp_matches(term, '{ur}')
               THEN '<URL>'
               ELSE '<ALPHANUM>' END AS type
-  FROM toks WHERE term <> ''
+  FROM toks WHERE term <> '' AND NOT ({is_mailto})
+  UNION ALL
+  SELECT doc_id, 'mailto', '<ALPHANUM>' FROM toks WHERE {is_mailto}
+  UNION ALL
+  SELECT doc_id, substr(term, 8), '<EMAIL>' FROM toks WHERE {is_mailto}
 ),
 kept AS (
   SELECT * FROM typed

@@ -325,7 +325,12 @@ class FuzzyQuery(MultiTermQuery):
 
 
 def parse_query(text: str, analyzer: StandardAnalyzer | None = None,
-                synonyms=None) -> Query:
+                synonyms=None, default_operator: str = "OR",
+                default_phrase_slop: int = 0,
+                lowercase_expanded_terms: bool = True,
+                allow_leading_wildcard: bool = False,
+                fuzzy_max_edits: int = 2,
+                numeric_configs: dict | None = None) -> Query:
     """Classic-QueryParser subset → Query AST.
 
     Grammar: tokens separated by whitespace; ``"quoted phrase"``; ``AND`` /
@@ -340,34 +345,65 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None,
     QueryParserBase.GetFieldQuery: stacked tokens at one position turn a
     free term into an OR group and a quoted phrase into a MultiPhraseQuery
     (TestQueryParser synonym cases / MultiPhraseQuery.cs).
+
+    The keyword configs mirror the Flexible framework's
+    ``StandardQueryParser`` knobs (search/flexible.py; defaults preserve
+    classic behavior exactly): ``default_operator="AND"`` makes
+    unconnected clauses required with classic AddClause's OR-demotion of
+    the previous clause; ``default_phrase_slop`` is applied to phrases
+    without an explicit ``~N`` (DefaultPhraseSlopQueryNodeProcessor);
+    ``lowercase_expanded_terms=False`` keeps wildcard/prefix/fuzzy case
+    (LowercaseExpandedTermsQueryNodeProcessor); ``allow_leading_wildcard``
+    permits ``*foo`` (AllowLeadingWildcardProcessor raises otherwise —
+    classic silently analyzed it); ``fuzzy_max_edits`` configures ``~``
+    terms (FuzzyConfig); ``numeric_configs`` maps field →
+    ``precision_step`` so ``field:[10 TO 20]`` builds a trie
+    NumericRangeQuery64 (NumericRangeQueryNodeProcessor).
     """
     analyzer = analyzer or StandardAnalyzer()
     import re as _re
 
+    and_default = default_operator.upper() == "AND"
+    numeric_configs = numeric_configs or {}
     tokens = _re.findall(
-        r'(?:[A-Za-z_][\w]*:)?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?|\[[^\]]*\]|\S+',
+        r'(?:[A-Za-z_][\w]*:)?"[^"]*"(?:~\d+)?(?:\^[\d.]+)?'
+        r'|(?:[A-Za-z_][\w]*:)?\[[^\]]*\]|\S+',
         text)
     clauses: list[BooleanClause] = []
     next_occur = Occur.SHOULD
     prev_and = False  # AND binds the previous and next clause to MUST
+    prev_or = False   # OR keeps the next (and demotes the previous) clause
 
     def add(q: Query | None, occur: Occur) -> None:
-        nonlocal prev_and
+        nonlocal prev_and, prev_or
         if q is None:
             prev_and = False
+            prev_or = False
             return
         if prev_and and clauses and clauses[-1].occur == Occur.SHOULD:
             clauses[-1] = BooleanClause(Occur.MUST, clauses[-1].query)
         if prev_and and occur == Occur.SHOULD:
             occur = Occur.MUST
+        if and_default and not prev_and:
+            # classic AddClause with AND_OPERATOR: conj==OR demotes the
+            # previous non-prohibited clause to SHOULD; a clause not
+            # introduced by OR is required
+            if prev_or:
+                if clauses and clauses[-1].occur == Occur.MUST:
+                    clauses[-1] = BooleanClause(Occur.SHOULD,
+                                                clauses[-1].query)
+            elif occur == Occur.SHOULD:
+                occur = Occur.MUST
         clauses.append(BooleanClause(occur, q))
         prev_and = False
+        prev_or = False
 
     for raw in tokens:
         if raw == "AND" or raw == "&&":
             prev_and = True
             continue
         if raw == "OR" or raw == "||":
+            prev_or = True
             continue
         if raw == "NOT" or raw == "!":
             next_occur = Occur.MUST_NOT
@@ -396,7 +432,7 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None,
         if raw.startswith('"'):
             # "..."~N = sloppy phrase (QueryParserBase.GetFieldQuery slop
             # handling; PhraseQuery.Slop)
-            slop = 0
+            slop = default_phrase_slop
             if "~" in raw:
                 raw, _, s = raw.rpartition("~")
                 slop = int(s)
@@ -432,18 +468,38 @@ def parse_query(text: str, analyzer: StandardAnalyzer | None = None,
             continue
         if raw.startswith("[") and " TO " in raw:
             lo, hi = raw.strip("[]").split(" TO ")
-            add(TermRangeQuery(lower=field_term(fld, lo.strip()) if lo.strip() else None,
-                               upper=field_term(fld, hi.strip()) if hi.strip() else None,
+            lo, hi = lo.strip(), hi.strip()
+            if fld in numeric_configs:
+                # NumericRangeQueryNodeProcessor: a field with a
+                # NumericConfig parses its bounds as int64 trie ranges
+                add(NumericRangeQuery64(
+                    field_name=fld,
+                    lower=int(lo) if lo and lo != "*" else None,
+                    upper=int(hi) if hi and hi != "*" else None,
+                    precision_step=numeric_configs[fld],
+                    boost=boost), occur)
+                continue
+            add(TermRangeQuery(lower=field_term(fld, lo) if lo else None,
+                               upper=field_term(fld, hi) if hi else None,
                                boost=boost), occur)
             continue
+
+        def expcase(s: str) -> str:
+            return s.lower() if lowercase_expanded_terms else s
+
         if raw.endswith("*") and "*" not in raw[:-1] and "?" not in raw and len(raw) > 1:
-            add(PrefixQuery(prefix=field_term(fld, raw[:-1].lower()), boost=boost), occur)
+            add(PrefixQuery(prefix=field_term(fld, expcase(raw[:-1])),
+                            boost=boost), occur)
             continue
-        if ("*" in raw or "?" in raw) and not raw.startswith(("*", "?")):
-            add(WildcardQuery(pattern=field_term(fld, raw.lower()), boost=boost), occur)
+        if ("*" in raw or "?" in raw) and (
+                not raw.startswith(("*", "?")) or
+                (allow_leading_wildcard and len(raw) > 1)):
+            add(WildcardQuery(pattern=field_term(fld, expcase(raw)),
+                              boost=boost), occur)
             continue
         if raw.endswith("~") and len(raw) > 1:
-            add(FuzzyQuery(term=field_term(fld, raw[:-1].lower()), boost=boost), occur)
+            add(FuzzyQuery(term=field_term(fld, expcase(raw[:-1])),
+                           max_edits=fuzzy_max_edits, boost=boost), occur)
             continue
         terms, positions = analyzer(raw)
         if not terms:

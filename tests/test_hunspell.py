@@ -80,9 +80,45 @@ def test_case_insensitive(w, want):
     assert sorted(s.stem(w)) == sorted(want)
 
 
-def test_unsupported_directives_raise():
-    with pytest.raises(NotImplementedError):
-        HunspellDictionary("ICONV 1\nICONV a b\n", "1\nfoo\n")
+CONV = [
+    # TestConv.cs:31-38 — ICONV maps input A/B/C/I to lowercase before
+    # lookup; OCONV maps a/b/c/i back to uppercase in output stems
+    ("drink", ["drInk"]), ("drInk", ["drInk"]),
+    ("drInkAble", ["drInk"]), ("drInkABle", ["drInk"]),
+    ("drinkABle", ["drInk"]),
+]
+
+
+@pytest.mark.parametrize("w,want", CONV)
+def test_iconv_oconv(w, want):
+    s = load("conv.aff", "conv.dic")
+    assert sorted(s.stem(w)) == sorted(want)
+
+
+def test_af_flag_aliases():
+    """TestDictionary.TestCompressedDictionary semantics at the stemmer
+    level: compressed.aff's AF table maps numeric dic flag parts to long
+    flags (ab/3 → CC), so SFX CC strips apply."""
+    s = load("compressed.aff", "compressed.dic")
+    assert "ab" in s.stem("abc")          # SFX CC '0 c b' on ab/3
+    assert "foo" in s.stem("foos")        # foo/4 → DD: strip s after o
+    assert "foo" in s.stem("food")        # foo/5 → EE: strip d after o
+    assert s.stem("foosd") == []          # DD and EE don't chain
+    assert "lucen" in s.stem("lucene")    # lucen/1 → AA: e after n
+
+
+IGNORE = [
+    # TestIgnore.cs:33-39 — ' and - stripped from dic words and tokens
+    ("drink", ["drink"]), ("drinkable", ["drink"]),
+    ("dr'ink-able", ["drink"]), ("drank-able", ["drank"]),
+    ("'-'-'-", []),
+]
+
+
+@pytest.mark.parametrize("w,want", IGNORE)
+def test_ignore_chars(w, want):
+    s = load("ignore.aff", "ignore.dic")
+    assert sorted(s.stem(w)) == sorted(want)
 
 
 def test_unique_stems():

@@ -22,3 +22,45 @@ def test_www_form_and_port():
 def test_non_url_split_normally():
     t, _, ty = url_email_tokenize("plain words", frozenset())
     assert t == ["plain", "words"] and ty == ["<ALPHANUM>", "<ALPHANUM>"]
+
+
+def test_atext_local_parts():
+    """email fixture family: full RFC-5321 atext local parts
+    (email.addresses.from.random.text.with.email.addresses.txt)."""
+    for e in ("bvd#@tupjv.sn", "p1zo*raar@[111.99.108.22]",
+              "dj8ngfi@avz13m.cc", "jcavlrjg@3aqiq2yui.gm",
+              "sbmm0nm.oyk70.rmndd8k.#ru3li.gmmlbi.0dzrd4d.rvk2ny@au58t.b13albgy4u.mt"):
+        t, _, ty = url_email_tokenize(e, frozenset())
+        assert t == [e] and ty == ["<EMAIL>"], e
+
+
+def test_bracket_domain_literals():
+    """email fixture family: bracketed domain literals."""
+    for e in ("ku-l6ds@[082.015.228.189]", "efcup.cppew@[1ae]",
+              "iqg6fl@[220.112.120.54]"):
+        t, _, ty = url_email_tokenize(e, frozenset())
+        assert t == [e] and ty == ["<EMAIL>"], e
+
+
+def test_url_query_fragments():
+    """wiki-URL fixture family: query strings and fragments
+    (LuceneResourcesWikiPageURLs.txt)."""
+    for u in ("http://www-128.ibm.com/developerworks/java/library/wa-lucene2/index.html?ca=drs-",
+              "http://www.theserverside.com/tt/articles/article.tss?l=ilovelucene",
+              "http://example.com/p/3?q=7&x=2",
+              "http://example.com/page#section"):
+        t, _, ty = url_email_tokenize(u, frozenset())
+        assert t == [u] and ty == ["<URL>"], u
+
+
+def test_mailto_scheme_split():
+    """TestUAX29URLEmailTokenizer.TestMailtoSchemeEmails (LUCENE-3880):
+    mailto:addr -> 'mailto' <ALPHANUM> + addr <EMAIL>, consecutive
+    positions."""
+    t, p, ty = url_email_tokenize("mailto:test@example.org", frozenset())
+    assert t == ["mailto", "test@example.org"]
+    assert ty == ["<ALPHANUM>", "<EMAIL>"]
+    assert p == [0, 1]
+    # non-email mailto stays a plain word token
+    t, _, ty = url_email_tokenize("mailto:notanemail", frozenset())
+    assert ty == ["<ALPHANUM>"]
