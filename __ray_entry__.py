@@ -7313,6 +7313,91 @@ def _q_ndcg_eval(sf_dir: str) -> pa.Table:
     })
 
 
+def _q_bpe_encode(sf_dir: str) -> pa.Table:
+    """BPE corpus ENCODING with the shipped merge table (ops/bpe_encode.py
+    — the production tokenizer-application shape; companion to the
+    bpe_learn_merges trainer gate): per doc, word count, BPE token count,
+    and md5 of the full piece stream. The oracle's replace-chain
+    equivalence is hard-asserted engine-side for every corpus word."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.bpe_encode import bpe_encode_stats
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = bpe_encode_stats(ds, check_replace_parity=True)
+    return dataset_to_table(out).select(
+        ["doc_id", "n_words", "n_bpe_tokens", "enc_md5"]).sort_by("doc_id")
+
+
+def _q_ndcg_graded(sf_dir: str) -> pa.Table:
+    """GRADED nDCG@10 (Burges et al. 2005 exponential gains; ops/ndcg.py
+    graded_* helpers — r3 continuity note's deliberately-unbuilt item):
+    md5 judgments map to grades 0-3, gain = 2^g-1 ∈ {0,1,3,7}; DCG sums
+    gain × the SHARED quantized integer discount, IDCG packs the corpus'
+    grade-3/2/1 counts into the top ranks — all exact integers."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.ndcg import (NDCG_K, SCALE, gain_of,
+                                        grade_of, graded_dcg_scaled,
+                                        graded_idcg_scaled)
+    from lucenenet_ray.ops.neardup import md5_int31
+    from lucenenet_ray.search.query import TermQuery
+    from lucenenet_ray.search.searcher import search
+
+    def count_grades(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        rows = {"qt": [], "g": [], "n": []}
+        for qt in QUALITY_TERMS:
+            cnt = {1: 0, 2: 0, 3: 0}
+            for d in ids:
+                g = grade_of(md5_int31(f"grade-{qt}-{d}"))
+                if g:
+                    cnt[g] += 1
+            for g in (1, 2, 3):
+                rows["qt"].append(qt)
+                rows["g"].append(g)
+                rows["n"].append(cnt[g])
+        return pa.table({"qt": pa.array(rows["qt"], pa.string()),
+                         "g": pa.array(rows["g"], pa.int64()),
+                         "n": pa.array(rows["n"], pa.int64())})
+
+    gr_rows = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+               .map_batches(count_grades, batch_format="pyarrow")
+               .groupby(["qt", "g"]).sum("n").take_all())
+    counts: dict[tuple[str, int], int] = {
+        (r["qt"], int(r["g"])): int(r["sum(n)"]) for r in gr_rows}
+
+    reader = _reader(sf_dir)
+    out = {c: [] for c in ("query_term", "dcg_scaled", "idcg_scaled",
+                           "ndcg_fp")}
+    for qt in QUALITY_TERMS:
+        td = search(reader, TermQuery(term=qt), k=NDCG_K)
+        gains = [gain_of(grade_of(md5_int31(f"grade-{qt}-{doc}")))
+                 for doc in td.docs.tolist()]
+        dcg = graded_dcg_scaled(gains)
+        idcg = graded_idcg_scaled(counts.get((qt, 3), 0),
+                                  counts.get((qt, 2), 0),
+                                  counts.get((qt, 1), 0))
+        out["query_term"].append(qt)
+        out["dcg_scaled"].append(dcg)
+        out["idcg_scaled"].append(idcg)
+        out["ndcg_fp"].append(0 if idcg == 0 else dcg * SCALE // idcg)
+    idx = np.argsort(np.asarray(out["query_term"], dtype=object))
+    return pa.table({
+        "query_term": pa.array(
+            [out["query_term"][i] for i in idx], type=pa.string()),
+        "dcg_scaled": pa.array(
+            [out["dcg_scaled"][i] for i in idx], type=pa.int64()),
+        "idcg_scaled": pa.array(
+            [out["idcg_scaled"][i] for i in idx], type=pa.int64()),
+        "ndcg_fp": pa.array(
+            [out["ndcg_fp"][i] for i in idx], type=pa.int64()),
+    })
+
+
 def _q_export_partitioned(sf_dir: str) -> pa.Table:
     """Resumable partitioned export: write the corpus hive-partitioned by
     lang (`write_parquet(partition_cols=...)` — one directory per
@@ -8044,6 +8129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_dist": _q_degree_dist,
         "colbert_maxsim": _q_colbert_maxsim,
         "ndcg_eval": _q_ndcg_eval,
+        "ndcg_graded": _q_ndcg_graded,
+        "bpe_encode": _q_bpe_encode,
         "export_partitioned": _q_export_partitioned,
         "shard_plan": _q_shard_plan,
         "systematic_resample": _q_systematic_resample,
@@ -8459,6 +8546,8 @@ def oracle_sql() -> dict[str, str]:
         "degree_dist": so.degree_dist_sql(),
         "colbert_maxsim": so.maxsim_topk_sql(4, 4, 10),
         "ndcg_eval": so.ndcg_eval_sql(QUALITY_TERMS, QUALITY_MOD),
+        "ndcg_graded": so.ndcg_graded_sql(QUALITY_TERMS),
+        "bpe_encode": so.bpe_encode_stats_sql(),
         "export_partitioned": so.export_partitioned_sql(),
         "shard_plan": so.shard_plan_sql(8),
         "systematic_resample": so.systematic_resample_sql(1000),

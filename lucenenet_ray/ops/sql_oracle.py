@@ -9065,3 +9065,109 @@ SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
        CAST(sum(df) AS BIGINT) AS sum_df
 FROM (SELECT w AS code, df FROM sj0) GROUP BY code
 ORDER BY sum_df DESC, code ASC LIMIT {n}"""
+
+
+def ndcg_graded_sql(terms: tuple[str, ...], k: int = 10) -> str:
+    """GRADED nDCG@10 oracle (ops/ndcg.py graded_* + _q_ndcg_graded):
+    md5 grade ∈ 0-3 (grade_of thresholds on md5 % GRADE_MOD), gain =
+    2^g - 1; DCG joins the ranked BM25 lists with the SHARED quantized
+    discount literals; IDCG packs per-query grade counts into the top
+    ranks via a rank-threshold CASE — all integer-exact."""
+    from lucenenet_ray.ops.ndcg import (DISCOUNTS, GRADE_MOD, NDCG_K,
+                                        SCALE)
+
+    def md5i(expr: str) -> str:
+        return _MD5_INT31.format(s=expr)
+
+    ranked = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS qt, rank, doc_id "
+        f"FROM ({bm25_topk_sql([t], NDCG_K)})"
+        for t in terms)
+    values = ", ".join(f"('{t}')" for t in terms)
+    disc_rows = ", ".join(f"({i + 1}, {d})" for i, d in enumerate(DISCOUNTS))
+    h_r = md5i("'grade-'||qt||'-'||doc_id")
+    g_r = (f"CASE WHEN {h_r} % {GRADE_MOD} = 0 THEN 3"
+           f" WHEN {h_r} % {GRADE_MOD} <= 2 THEN 2"
+           f" WHEN {h_r} % {GRADE_MOD} <= 5 THEN 1 ELSE 0 END")
+    g_d = g_r.replace("qt||'-'||doc_id", "t.qt||'-'||d.doc_id")
+    return f"""WITH ranked AS (
+{ranked}
+),
+disc AS (SELECT rnk, CAST(w AS BIGINT) AS w
+         FROM (VALUES {disc_rows}) AS d(rnk, w)),
+dcg AS (
+  SELECT qt,
+         CAST(COALESCE(sum(((1 << ({g_r})) - 1) * disc.w), 0) AS BIGINT)
+           AS dcg_scaled
+  FROM ranked JOIN disc ON disc.rnk = ranked.rank
+  GROUP BY qt
+),
+gcnt AS (
+  SELECT t.qt,
+         count(*) FILTER (WHERE ({g_d}) = 3) AS n3,
+         count(*) FILTER (WHERE ({g_d}) = 2) AS n2,
+         count(*) FILTER (WHERE ({g_d}) = 1) AS n1
+  FROM (VALUES {values}) AS t(qt), documents d
+  GROUP BY t.qt
+),
+idcg AS (
+  SELECT g.qt,
+         CAST(COALESCE(sum(
+           CASE WHEN disc.rnk <= g.n3 THEN 7 * disc.w
+                WHEN disc.rnk <= g.n3 + g.n2 THEN 3 * disc.w
+                WHEN disc.rnk <= g.n3 + g.n2 + g.n1 THEN disc.w
+                ELSE 0 END), 0) AS BIGINT) AS idcg_scaled
+  FROM gcnt g CROSS JOIN disc
+  GROUP BY g.qt
+)
+SELECT d.qt AS query_term, d.dcg_scaled, i.idcg_scaled,
+       CAST(CASE WHEN i.idcg_scaled = 0 THEN 0
+            ELSE (CAST(d.dcg_scaled AS HUGEINT) * {SCALE})
+                 // i.idcg_scaled END AS BIGINT) AS ndcg_fp
+FROM dcg d JOIN idcg i ON i.qt = d.qt
+ORDER BY query_term"""
+
+
+def bpe_encode_stats_sql() -> str:
+    """BPE corpus-encode oracle (ops/bpe_encode.py): per word, the
+    SHIPPED_MERGES replace chain (each merge ' l r '→' lr ' applied
+    _REPLACE_PASSES times — exactly encode_word_replace, whose equality
+    with the true leftmost merge is hard-asserted engine-side), then
+    per-doc token counts + md5 of the piece stream in word order."""
+    from lucenenet_ray.ops.bpe_encode import (_REPLACE_PASSES,
+                                              SHIPPED_MERGES)
+
+    expr = "' ' || array_to_string(string_split_regex(w, ''), ' ') || ' '"
+    # DuckDB string_split_regex(w, '') yields chars; guard below verifies
+    expr = ("' ' || array_to_string(regexp_extract_all(w, '.'), ' ')"
+            " || ' '")
+    for left, right in SHIPPED_MERGES:
+        pat = f"' {left} {right} '"
+        rep = f"' {left}{right} '"
+        for _ in range(_REPLACE_PASSES):
+            expr = f"replace({expr}, {pat}, {rep})"
+    return f"""WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+enc AS (
+  SELECT doc_id, pos,
+         replace(trim({expr}), ' ', '|') AS piece_str,
+         len(string_split(trim({expr}), ' ')) AS n_pieces
+  FROM toks WHERE w <> ''
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_pieces) AS BIGINT) AS n_bpe_tokens,
+         md5(string_agg(piece_str, ' ' ORDER BY pos)) AS enc_md5
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       COALESCE(a.enc_md5, md5('')) AS enc_md5
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id"""

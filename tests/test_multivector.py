@@ -99,3 +99,27 @@ def test_ndcg_helpers():
     assert idcg_scaled(0) == 0
     # more relevant docs than k: ideal saturates at k
     assert idcg_scaled(100) == sum(DISCOUNTS)
+
+
+def test_graded_ndcg_helpers():
+    """Graded nDCG (ops/ndcg.py graded_*): exponential gains, ideal
+    packing, grade thresholds."""
+    from lucenenet_ray.ops.ndcg import (DISCOUNTS, gain_of, grade_of,
+                                        graded_dcg_scaled,
+                                        graded_idcg_scaled)
+
+    assert [gain_of(g) for g in (0, 1, 2, 3)] == [0, 1, 3, 7]
+    # grade thresholds on md5 % 11
+    assert grade_of(0) == 3 and grade_of(11) == 3
+    assert grade_of(1) == 2 and grade_of(2) == 2
+    assert grade_of(3) == 1 and grade_of(5) == 1
+    assert grade_of(6) == 0 and grade_of(10) == 0
+    # DCG: gain-weighted shared discounts
+    assert graded_dcg_scaled([7, 0, 1]) == 7 * DISCOUNTS[0] + DISCOUNTS[2]
+    # ideal packing: 1×grade3, 2×grade2, 1×grade1
+    want = (7 * DISCOUNTS[0] + 3 * DISCOUNTS[1] + 3 * DISCOUNTS[2]
+            + DISCOUNTS[3])
+    assert graded_idcg_scaled(1, 2, 1) == want
+    # truncation at k
+    assert graded_idcg_scaled(100, 0, 0) == 7 * sum(DISCOUNTS)
+    assert graded_idcg_scaled(0, 0, 0) == 0
