@@ -7904,6 +7904,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality_stats,
         "knn_exact": _q_knn_exact,
         "near_dup_embedding": _q_near_dup_embedding,
+        "flexible_parse": _q_flexible_parse,
+        "ca_stem_stats": _q_ca_stem_stats,
+        "bpe_encode": _q_bpe_encode,
+        "ndcg_graded": _q_ndcg_graded,
         # -- joins / windows / lookups
         "mlt_terms": _q_mlt_terms,
         "events_window": _q_events_window,
@@ -7989,7 +7993,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mra_stats": _q_mra_stats,
         "sv_stem_stats": _q_sv_stem_stats,
         "no_stem_stats": _q_no_stem_stats,
-        "ca_stem_stats": _q_ca_stem_stats,
         "ga_stem_stats": _q_ga_stem_stats,
         "eu_stem_stats": _q_eu_stem_stats,
         "duplicate_filter": _q_duplicate_filter,
@@ -8021,7 +8024,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "url_email_stats": _q_url_email_stats,
         "numeric_trie_range": _q_numeric_trie_range,
-        "flexible_parse": _q_flexible_parse,
         "flexible_numeric_range": _q_flexible_numeric_range,
         "snowball_da_stats": _q_snowball_da_stats,
         "gopher_quality": _q_gopher_quality,
@@ -8129,8 +8131,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_dist": _q_degree_dist,
         "colbert_maxsim": _q_colbert_maxsim,
         "ndcg_eval": _q_ndcg_eval,
-        "ndcg_graded": _q_ndcg_graded,
-        "bpe_encode": _q_bpe_encode,
         "export_partitioned": _q_export_partitioned,
         "shard_plan": _q_shard_plan,
         "systematic_resample": _q_systematic_resample,
