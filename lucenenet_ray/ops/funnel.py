@@ -55,6 +55,7 @@ def funnel(ds, steps: tuple[str, ...] = DEFAULT_STEPS):
     """events Dataset → (step, step_ord, n_users) funnel counts."""
     depths = ds.groupby("user_id").map_groups(
         lambda t: funnel_group(t, steps), batch_format="pyarrow")
+    # bounded-collect: depth-histogram rows (≤ n_steps)
     rows = depths.groupby("depth").count().take_all()
     by_depth = {int(r["depth"]): int(r["count()"]) for r in rows}
     total = 0

@@ -42,7 +42,7 @@ def block_join_parent_scores(children, parent_key: str, score_col: str,
 def top_parents(scores, parent_key: str, k: int) -> pa.Table:
     """Distributed (score desc, parent_key asc) top-k."""
     rows = (scores.sort(key=["score", parent_key], descending=[True, False])
-            .limit(k).take_all())
+            .limit(k).take_all())  # bounded-collect: k rows
     return pa.table({
         parent_key: pa.array([r[parent_key] for r in rows]),
         "score": pa.array([r["score"] for r in rows]),
@@ -80,7 +80,8 @@ def to_parent_block_join_groups(children, parent_key: str, child_id: str,
         score_agg(score_col, alias_name="parent_score"),
         Count(alias_name="group_hits"))
     top = (agg.sort(key=["parent_score", parent_key],
-                    descending=[True, False]).limit(n_groups).take_all())
+                    descending=[True, False]).limit(n_groups)
+            .take_all())  # bounded-collect: n_groups rows
     keys = np.asarray([r[parent_key] for r in top], dtype=np.int64)
     pscore = {int(r[parent_key]): float(r["parent_score"]) for r in top}
     ghits = {int(r[parent_key]): int(r["group_hits"]) for r in top}
@@ -110,6 +111,7 @@ def to_parent_block_join_groups(children, parent_key: str, child_id: str,
                          child_id: pa.array(c[keep], type=pa.int64()),
                          "child_score": pa.array(s[keep], type=pa.float64())})
 
+    # bounded-collect: ≤ docs_per_group × |keys| candidate rows per batch
     cand = children.map_batches(partial, batch_format="pyarrow").take_all()
     per_parent: dict[int, list[tuple[float, int]]] = {int(k): [] for k in keys}
     for r in cand:

@@ -53,7 +53,8 @@ def equalized_sample(ds, per_group: int, strata_col: str = "lang",
     group-count rows), then a zero-shuffle streaming filter with the
     counts dict in the batch closure. Returns the filtered Dataset."""
     counts = {r[strata_col]: int(r["count()"])
-              for r in ds.groupby(strata_col).count().take_all()}
+              for r in ds.groupby(strata_col)  # bounded-collect: strata-cardinality rows
+              .count().take_all()}
 
     def keep(t: pa.Table) -> pa.Table:
         keys = t.column(key_col).to_pylist()
@@ -144,6 +145,7 @@ def weighted_sample(ds, k: int, weight_col: str, key_col: str = "doc_id",
             "lnkey": pa.array(score[part], type=pa.float64()),
         })
 
+    # bounded-collect: k-per-batch partial top-k rows (k·blocks)
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: (-r["lnkey"], r[key_col]))
     top = rows[:k]

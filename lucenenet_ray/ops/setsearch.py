@@ -94,10 +94,11 @@ def greedy_cover(ds, query_tokens: list[str], rounds: int = 3,
     marks its matched tokens covered.
 
     Output: (round, doc_id, gain, covered_total) — all integers, exact at
-    any parallelism. Each round is one shuffle-free streaming pass with
-    the shrinking uncovered set broadcast; the winner's matched tokens
-    come from a filtered single-row parquet-scale read, never a corpus
-    materialization."""
+    any parallelism. Each round is ONE shuffle-free streaming pass with
+    the shrinking uncovered set broadcast; the per-batch partial emits its
+    local winner's MATCHED TOKENS alongside (id, overlap), so the driver
+    never re-scans the corpus to fetch them (the same
+    emit-winner-payload move as ops/coreset.py — r4 scale-shape fix)."""
     import ray
 
     uncovered = set(q for q in query_tokens if q)
@@ -117,10 +118,26 @@ def greedy_cover(ds, query_tokens: list[str], rounds: int = 3,
                 zero_copy_only=False).astype(np.int64)
             keep = ~np.isin(ids, sel)
             sub = t.filter(pa.array(keep))
+            empty = pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "overlap": pa.array([], type=pa.int64()),
+                "_toks": pa.array([], type=pa.list_(pa.string())),
+            })
             if sub.num_rows == 0:
-                return pa.table({id_col: pa.array([], type=pa.int64()),
-                                 "overlap": pa.array([], type=pa.int64())})
-            return _batch_overlap(sub, q, 1, None, text_col, id_col)
+                return empty
+            top = _batch_overlap(sub, q, 1, None, text_col, id_col)
+            if top.num_rows == 0:
+                return empty
+            wid = top.column(id_col)[0].as_py()
+            sub_ids = sub.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            wtxt = sub.column(text_col)[
+                int(np.flatnonzero(sub_ids == wid)[0])].as_py()
+            wtoks = np.unique((wtxt or "").split(" "))
+            matched = wtoks[np.isin(wtoks, q, assume_unique=True)]
+            return top.append_column(
+                "_toks", pa.array([matched.tolist()],
+                                  type=pa.list_(pa.string())))
 
         best_id, best_g = None, -1
         winner_tokens: set[str] = set()
@@ -134,14 +151,10 @@ def greedy_cover(ds, query_tokens: list[str], rounds: int = 3,
                 d = tab.column(id_col)[i].as_py()
                 if g > best_g or (g == best_g and d < best_id):
                     best_g, best_id = g, d
+                    winner_tokens = set(tab.column("_toks")[i].as_py())
         if best_id is None:
             break
-        # winner's matched tokens: one filtered, projected read
-        import pyarrow.parquet  # noqa: F401  (ds may be parquet-backed)
-        win = ds.filter(
-            lambda row: row[id_col] == best_id).take(1)
-        wtoks = set((win[0][text_col] or "").split(" "))
-        winner_tokens = wtoks & uncovered
+        winner_tokens &= uncovered
         assert len(winner_tokens) == best_g
         uncovered -= winner_tokens
         selected.add(best_id)

@@ -99,7 +99,7 @@ def slow_fuzzy_terms(termstats_path: str, probe: str,
     out = (rd.read_parquet(termstats_path, columns=["term", "df"])
            .map_batches(scan, batch_format="pyarrow", batch_size=8192)
            .sort("term")
-           .take_all())
+           .take_all())  # bounded-collect: fuzzy-matched term-dict rows
     return pa.table({
         "term": pa.array([r["term"] for r in out], type=pa.string()),
         "df": pa.array([r["df"] for r in out], type=pa.int64()),

@@ -121,6 +121,8 @@ def asof_join(left_ds, right_ds, *, key: str, left_on: str, right_on: str,
 
     return (lt.union(rt)
             .groupby(key)
+            # pandas-kernel: merge_asof IS the kernel here (sorted
+            # backward-search join) — not a convenience conversion
             .map_groups(merge, batch_format="pandas"))
 
 
@@ -201,6 +203,7 @@ def interval_join_agg(left_ds, windows_ds, *, key: str, left_on: str,
     l = left_ds.map_batches(tag_left, batch_format="pyarrow")
     per_bucket = (l.union(w)
                   .groupby([key, "__bucket"])
+                  # pandas-kernel: interval-overlap merge kernel
                   .map_groups(join_bucket, batch_format="pandas"))
     from ray.data.aggregate import Sum
 
