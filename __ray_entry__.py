@@ -7331,6 +7331,25 @@ def _q_bpe_encode(sf_dir: str) -> pa.Table:
         ["doc_id", "n_words", "n_bpe_tokens", "enc_md5"]).sort_by("doc_id")
 
 
+def _q_pack_best_fit(sf_dir: str) -> pa.Table:
+    """Best-fit-decreasing sequence packing (ops/packing.py
+    pack_best_fit; Krell et al. 2021 padding-minimizing packer): bins
+    are shard-local (doc_id-range shards) so the sequential greedy is a
+    bounded per-group task, not a driver loop; oracle re-derives the
+    exact greedy with a recursive lockstep-per-shard CTE."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.packing import pack_best_fit
+    from lucenenet_ray.util.tables import dataset_to_table
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = pack_best_fit(ds, seq_len=128, shard_span=256)
+    return dataset_to_table(out).select(
+        ["doc_id", "n_tokens", "eff_tokens", "shard", "bin_id",
+         "global_bin"]).sort_by("doc_id")
+
+
 def _q_ndcg_graded(sf_dir: str) -> pa.Table:
     """GRADED nDCG@10 (Burges et al. 2005 exponential gains; ops/ndcg.py
     graded_* helpers — r3 continuity note's deliberately-unbuilt item):
@@ -7908,6 +7927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ca_stem_stats": _q_ca_stem_stats,
         "bpe_encode": _q_bpe_encode,
         "ndcg_graded": _q_ndcg_graded,
+        "pack_best_fit": _q_pack_best_fit,
         # -- joins / windows / lookups
         "mlt_terms": _q_mlt_terms,
         "events_window": _q_events_window,
@@ -8548,6 +8568,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_eval": so.ndcg_eval_sql(QUALITY_TERMS, QUALITY_MOD),
         "ndcg_graded": so.ndcg_graded_sql(QUALITY_TERMS),
         "bpe_encode": so.bpe_encode_stats_sql(),
+        "pack_best_fit": so.pack_best_fit_sql(128, 256),
         "export_partitioned": so.export_partitioned_sql(),
         "shard_plan": so.shard_plan_sql(8),
         "systematic_resample": so.systematic_resample_sql(1000),

@@ -108,3 +108,65 @@ def pack_sequences(ds, seq_len: int = 128, sep_tokens: int = 1,
 
     return bucketed.groupby("bucket").map_groups(
         pack_group, batch_format="pyarrow")
+
+
+def pack_best_fit(ds, seq_len: int = 128, shard_span: int = 256,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Best-fit-DECREASING bin packing (the padding-minimizing sequence
+    packer — Krell et al. 2021 "Efficient Sequence Packing" practice)
+    WITHIN doc-id-range shards: docs sorted by (eff_tokens desc, doc_id
+    asc) per shard; each doc goes into the open bin with the SMALLEST
+    remaining capacity that still fits (= the LARGEST load ≤ cap - x;
+    ties → lowest bin id), else opens a new bin. ``eff_tokens =
+    min(n_tokens, seq_len)`` so every doc is placeable (overlong docs
+    truncate to one full sequence).
+
+    Scale shape: packing is inherently sequential, so bins are
+    SHARD-LOCAL (shard = doc_id // shard_span) — ONE groupby(shard) +
+    bounded per-group Python (≤ shard_span docs), zero driver state; the
+    global bin id is (shard, bin_id) re-keyed arithmetically. Returns a
+    doc_id-sorted Dataset of (doc_id, n_tokens, eff_tokens, shard,
+    bin_id, global_bin)."""
+    counts = token_counts(ds, text_col=text_col, id_col=id_col)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array(ids // shard_span, type=pa.int64()))
+
+    def pack_group(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        shard = int(t.column("shard")[0].as_py())
+        eff = np.minimum(nt, seq_len)
+        order = np.lexsort((ids, -eff))
+        bins: list[int] = []
+        out_bin = np.empty(len(ids), dtype=np.int64)
+        for j in order:
+            x = int(eff[j])
+            best_i, best_load = -1, -1
+            for i, b in enumerate(bins):
+                if b + x <= seq_len and b > best_load:
+                    best_i, best_load = i, b
+            if best_i < 0:
+                bins.append(x)
+                out_bin[j] = len(bins) - 1
+            else:
+                bins[best_i] += x
+                out_bin[j] = best_i
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(nt, type=pa.int64()),
+            "eff_tokens": pa.array(eff, type=pa.int64()),
+            "shard": pa.array(np.full(len(ids), shard), type=pa.int64()),
+            "bin_id": pa.array(out_bin, type=pa.int64()),
+            "global_bin": pa.array(shard * (1 << 20) + out_bin,
+                                   type=pa.int64()),
+        })
+
+    return (counts.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(pack_group, batch_format="pyarrow")
+            .sort("doc_id"))

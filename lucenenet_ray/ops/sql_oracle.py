@@ -9171,3 +9171,56 @@ SELECT d.doc_id,
        COALESCE(a.enc_md5, md5('')) AS enc_md5
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id"""
+
+
+def pack_best_fit_sql(seq_len: int = 128, shard_span: int = 256) -> str:
+    """Best-fit-decreasing packing oracle (ops/packing.py pack_best_fit):
+    per doc-id-range shard, a RECURSIVE CTE advances every shard in
+    lockstep one doc per step (ordered eff desc, doc_id asc), carrying
+    the shard's bin-load LIST; best fit = the largest load still
+    fitting (list comprehension + list_position — first occurrence =
+    lowest bin id on ties), else append a new bin. AS MATERIALIZED on
+    the ordering CTE (the multiply-referenced-CTE inlining trap)."""
+    pat = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    return f"""WITH RECURSIVE t AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_tokens,
+         CAST(LEAST(len(regexp_extract_all(text, '{pat}')), {seq_len})
+              AS BIGINT) AS eff,
+         CAST(doc_id // {shard_span} AS BIGINT) AS shard
+  FROM documents
+),
+ord AS MATERIALIZED (
+  SELECT *, row_number() OVER (
+      PARTITION BY shard ORDER BY eff DESC, doc_id ASC) AS rk
+  FROM t
+),
+packed AS (
+  SELECT shard, CAST(0 AS BIGINT) AS rk, CAST([] AS BIGINT[]) AS bins,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin_id
+  FROM (SELECT DISTINCT shard FROM ord)
+  UNION ALL
+  SELECT o.shard, o.rk,
+         CASE WHEN len([b for b in p.bins IF b + o.eff <= {seq_len}]) = 0
+              THEN list_append(p.bins, o.eff)
+              ELSE list_transform(p.bins, (b, i) ->
+                CASE WHEN i = list_position(p.bins,
+                       list_max([b2 for b2 in p.bins
+                                 IF b2 + o.eff <= {seq_len}]))
+                     THEN b + o.eff ELSE b END)
+         END AS bins,
+         o.doc_id,
+         CASE WHEN len([b for b in p.bins IF b + o.eff <= {seq_len}]) = 0
+              THEN len(p.bins)
+              ELSE list_position(p.bins,
+                     list_max([b2 for b2 in p.bins
+                               IF b2 + o.eff <= {seq_len}])) - 1
+         END AS bin_id
+  FROM packed p JOIN ord o ON o.shard = p.shard AND o.rk = p.rk + 1
+)
+SELECT o.doc_id, o.n_tokens, o.eff AS eff_tokens, o.shard,
+       pk.bin_id, CAST(o.shard * {1 << 20} + pk.bin_id AS BIGINT)
+         AS global_bin
+FROM packed pk JOIN ord o ON o.shard = pk.shard AND o.rk = pk.rk
+WHERE pk.doc_id IS NOT NULL
+ORDER BY o.doc_id"""
