@@ -28,11 +28,15 @@ Subset faithful to the reference's stemming core:
   the alias table, 1-based).
 - IGNORE character stripping (Dictionary.cs:320-329).
 
+- Escaped .dic entries (Dictionary.cs UnescapeEntry:713-734): ``\\x`` →
+  literal x, bare ``/`` → the 0x1f flag separator, flag split at the
+  LAST separator — so ``R2\\/D2/A`` is the word ``R2/D2`` with flag A
+  and ``N\\/A`` is a flagless word containing a slash (TestEscaped.cs).
+
 Out of re-expression scope (documented): COMPOUND* rules and
 NEEDAFFIX/ONLYINCOMPOUND pruning are skipped as unknown keywords —
 exactly what the reference's Dictionary.cs does (its Stemmer carries the
-same ``TODO: some forms should not be added, e.g. ONLYINCOMPOUND``);
-escaped slashes in .dic entries remain unsupported and raise.
+same ``TODO: some forms should not be added, e.g. ONLYINCOMPOUND``).
 """
 
 from __future__ import annotations
@@ -88,6 +92,26 @@ class _Conversions:
                 out.append(s[i])
                 i += 1
         return "".join(out)
+
+
+def _unescape_entry(entry: str) -> str:
+    """Dictionary.cs UnescapeEntry:713-734: backslash escapes a literal
+    char; an unescaped '/' becomes the 0x1f flag separator."""
+    out = []
+    i = 0
+    n = len(entry)
+    while i < n:
+        ch = entry[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(entry[i + 1])
+            i += 2
+        elif ch == "/":
+            out.append("\x1f")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 class HunspellDictionary:
@@ -225,8 +249,10 @@ class HunspellDictionary:
             entry = line.split()
             if not entry:
                 continue
-            token = entry[0]
-            word, _, flagpart = token.partition("/")
+            token = _unescape_entry(entry[0])
+            word, sep, flagpart = token.rpartition("\x1f")
+            if not sep:
+                word, flagpart = token, ""
             if self.needs_input_cleaning:
                 word = self.clean_input(word)
             flags = frozenset(self._alias_flags(flagpart))

@@ -124,3 +124,17 @@ def test_ignore_chars(w, want):
 def test_unique_stems():
     s = load("simple.aff", "simple.dic")
     assert s.unique_stems("foo") == ["foo"]
+
+
+ESCAPED = [
+    # TestEscaped.cs:33-40
+    ("works", ["work"]), ("work", ["work"]),
+    ("R2/D2", ["R2/D2"]), ("R2/D2s", ["R2/D2"]),
+    ("N/A", ["N/A"]), ("N/As", []),
+]
+
+
+@pytest.mark.parametrize("w,want", ESCAPED)
+def test_escaped_entries(w, want):
+    s = load("escaped.aff", "escaped.dic")
+    assert sorted(s.stem(w)) == sorted(want)
