@@ -90,3 +90,30 @@ def test_analyzer_chains():
     # Basque plain chain, stop 'izan'
     assert m("zaldiak", "eu")[0] == ["zaldi"]
     assert m("izan", "eu")[0] == []
+
+
+def test_stemmers_never_crash_fuzz():
+    """Property fuzz: any unicode-ish word stems without raising, output
+    never longer than a bounded expansion of the input (respellings can
+    grow a word slightly: deriv 'óid'→... bounded by +8)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "abcdefghijklmnopqrstuvwxyzáéíóúàèìòüïç'-ñ"
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=24))
+    def run(w):
+        for fn in (basque_stem, catalan_stem, irish_stem):
+            out = fn(w)
+            assert isinstance(out, str)
+            assert len(out) <= len(w) + 8
+        irish_lowercase(w)
+
+    run()
+
+
+def test_stemmer_empty_and_single():
+    for fn in (basque_stem, catalan_stem, irish_stem):
+        assert fn("") == ""
+        assert fn("a") in ("a", "")
