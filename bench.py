@@ -274,6 +274,14 @@ def run_scaling() -> None:
     d_lo = r_lo["queries"]["index_docs_per_sec"]
     d_hi = r_hi["queries"]["index_docs_per_sec"]
     same = r_lo["queries"]["index_digest"] == r_hi["queries"]["index_digest"]
+    # Strict-denominator floor: divide the hi leg by the ALL-TIME-RECORD
+    # lo leg (not this pair's) — the most conservative reading available
+    # on a noisy host; a pair is only CLAIMED when its own legs are at
+    # records (see BENCH/BASELINE.md protocol). Record lo legs:
+    # 4cpu 19,433 (r3 10:44), 8cpu — unset.
+    record_lo = float(os.environ.get(
+        "GRAFT_RECORD_LO_DOCS", "19433" if lo == 4 else "0"))
+    strict = round(d_hi / (record_lo * (hi / lo)), 3) if record_lo else None
     out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -286,6 +294,7 @@ def run_scaling() -> None:
             f"query_p95_ms_{lo}cpu": r_lo["queries"]["query_p95_ms"],
             f"query_p95_ms_{hi}cpu": r_hi["queries"]["query_p95_ms"],
             "identical_index_bytes": same,
+            "strict_denominator_floor": strict,
         },
         "sf": SF_DIR,
         "num_cpus": hi,
@@ -296,7 +305,9 @@ def run_scaling() -> None:
             f"\n| {time.strftime('%Y-%m-%d %H:%M')} | {r_lo['queries']['n_docs']} docs "
             f"| {lo} cpu: {d_lo} docs/s ({r_lo['queries']['index_build_sec']}s) "
             f"| {hi} cpu: {d_hi} docs/s ({r_hi['queries']['index_build_sec']}s) "
-            f"| eff {round(eff,3)} | identical bytes: {same} "
+            f"| eff {round(eff,3)} (strict floor "
+            f"{strict if strict is not None else 'n/a'}) "
+            f"| identical bytes: {same} "
             f"| p95 {r_hi['queries']['query_p95_ms']} ms |\n"
         )
     print(json.dumps(out))
