@@ -14,6 +14,8 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from lucenenet_ray.util.tables import matrix_list_array
+
 
 def _batch_topk_fn(batch: pa.Table, qref, k: int, vec_col: str, id_col: str):
     import ray
@@ -133,7 +135,7 @@ def cosine_pairs(ds, threshold: float, vec_col: str = "embedding",
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         return pa.table({
             id_col: pa.array(ids, type=pa.int64()),
-            "_mn": pa.array(list(mat), type=pa.list_(pa.float64())),
+            "_mn": matrix_list_array(mat),
         })
 
     # One chunk per output block; blocks stay in the object store as refs.
@@ -217,7 +219,7 @@ def cosine_pairs_clustered(ds, threshold: float, n_clusters: int = 8,
         return pa.table({
             id_col: t.column(id_col).cast(pa.int64()),
             "cluster": pa.array(cl, type=pa.int64()),
-            "_mn": pa.array(list(m), type=pa.list_(pa.float64())),
+            "_mn": matrix_list_array(m),
         })
 
     def pairs_group(t: pa.Table) -> pa.Table:

@@ -36,6 +36,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from lucenenet_ray.util.tables import matrix_list_array
+
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -91,7 +93,7 @@ def semdedup(ds, n_clusters: int = 8, tau: float = 0.4,
             id_col: t.column(id_col).cast(pa.int64()),
             "cluster": pa.array(cl, type=pa.int64()),
             "cent_sim": pa.array(cs, type=pa.float64()),
-            "_mn": pa.array(list(m), type=pa.list_(pa.float64())),
+            "_mn": matrix_list_array(m),
         })
 
     def dedup_group(t: pa.Table) -> pa.Table:

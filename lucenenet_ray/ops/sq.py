@@ -33,6 +33,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from lucenenet_ray.util.tables import matrix_list_array
+
 
 def _to_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     import pyarrow.compute as pc
@@ -83,7 +85,7 @@ def sq_encode(ds, mins: np.ndarray, maxs: np.ndarray,
         q[:, ~live] = 0
         return pa.table({
             id_col: batch.column(id_col),
-            "codes": pa.array(list(q), type=pa.list_(pa.int64())),
+            "codes": matrix_list_array(q),
         })
 
     return ds.map_batches(encode, batch_format="pyarrow")

@@ -40,3 +40,16 @@ def dataset_to_table(ds, schema: pa.Schema | None = None) -> pa.Table:
     import ray
 
     return concat_tables(ray.get(ds.to_arrow_refs()), schema=schema)
+
+
+def matrix_list_array(m) -> pa.Array:
+    """(n, d) numpy matrix → Arrow fixed_size_list column WITHOUT the
+    per-row Python list materialization of ``pa.array(list(m))`` — one
+    flat buffer + a width, O(1) Python objects per batch. Consumers read
+    it back with ``pc.list_flatten(col).to_numpy().reshape(n, d)``
+    exactly like a plain list column."""
+    import numpy as np
+
+    m = np.ascontiguousarray(m)
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(m.reshape(-1)), m.shape[1])
