@@ -36,11 +36,17 @@ import re
 
 # RE2-safe (no lookaround); anchored full-token matches.
 # Local part = RFC-5321 atext + dots; domain = dotted labels with an
-# alphabetic TLD, or a bracketed domain literal (dtext, no spaces).
+# alphabetic or punycode (xn--) TLD, or a bracketed domain literal.
+# URLs additionally cover the DFA's bare-hostname and bare-IPv4 forms
+# (TestWikiURLs expects `Amazon.com`, `ist-h335-d03.syr.edu` and
+# `128.230.84.100` as whole <URL> tokens).
+_TLD = r"([a-z]{2,}|xn--[a-z0-9-]+)"
 EMAIL_TOKEN_RE = (r"^[a-z0-9!#$%&*+/=?^_`{|}~.'-]+@"
-                  r"(\[[^\] ]+\]|[a-z0-9.-]+\.[a-z]{2,})$")
-URL_TOKEN_RE = (r"^(https?://|www\.)[a-z0-9.-]+\.[a-z]{2,}"
-                r"(:[0-9]+)?(/[a-z0-9._~%/+-]*)?"
+                  r"(\[[^\] ]+\]|[a-z0-9.-]+\." + _TLD + r")$")
+URL_TOKEN_RE = (r"^((https?://|www\.)[a-z0-9.-]+\." + _TLD +
+                r"|([a-z0-9-]+\.)+" + _TLD +
+                r"|([0-9]{1,3}\.){3}[0-9]{1,3})"
+                r"(:[0-9]+)?(/[a-z0-9._~%/+=@-]*)?"
                 r"(\?[a-z0-9._~%/+=&;:-]*)?(#[a-z0-9._~%/+=&;:-]*)?$")
 
 _EMAIL = re.compile(EMAIL_TOKEN_RE)

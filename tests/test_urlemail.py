@@ -64,3 +64,38 @@ def test_mailto_scheme_split():
     # non-email mailto stays a plain word token
     t, _, ty = url_email_tokenize("mailto:notanemail", frozenset())
     assert ty == ["<ALPHANUM>"]
+
+
+def test_bare_domain_and_ip_urls():
+    """TestWikiURLs families: bare hostnames and bare IPv4s are whole
+    <URL> tokens (the DFA recognizes TLD-anchored hostnames without a
+    scheme)."""
+    for u in ("amazon.com", "sourceforge.net", "lucenetutorial.com",
+              "ist-h335-d03.syr.edu", "128.230.84.100",
+              "bilgidata.com/localhost/bilgidata/yazi.jsp@dosya=a.html"):
+        t, _, ty = url_email_tokenize(u, frozenset())
+        assert t == [u] and ty == ["<URL>"], u
+    # non-URL dotted-ish words stay words
+    for w in ("3.14", "v1.0", "sf0.01", "a.b"):
+        _, _, ty = url_email_tokenize(w, frozenset())
+        assert ty == ["<ALPHANUM>"], w
+
+
+def test_reference_fixture_coverage_floors():
+    """Quantified contract subset vs the reference's own fixture corpora:
+    URLs 100%, emails >= 90% (the remainder is the quoted-local-part /
+    control-char family, documented out of subset). A regression below
+    the floor fails loudly."""
+    from lucenenet_ray.analysis.urlemail import _EMAIL, _URL
+
+    B = ("/root/reference/src/Lucene.Net.Tests.Analysis.Common/"
+         "Analysis/Core/")
+    emails = [ln.strip() for ln in open(
+        B + "email.addresses.from.random.text.with.email.addresses.txt")
+        if ln.strip()]
+    urls = [ln.strip() for ln in open(
+        B + "LuceneResourcesWikiPageURLs.txt") if ln.strip()]
+    em_ok = sum(1 for e in emails if _EMAIL.match(e.lower()))
+    url_ok = sum(1 for u in urls if _URL.match(u.lower()))
+    assert url_ok == len(urls), (url_ok, len(urls))
+    assert em_ok / len(emails) >= 0.90, em_ok / len(emails)
