@@ -7331,6 +7331,27 @@ def _q_bpe_encode(sf_dir: str) -> pa.Table:
         ["doc_id", "n_words", "n_bpe_tokens", "enc_md5"]).sort_by("doc_id")
 
 
+def _q_rm3_expand(sf_dir: str) -> pa.Table:
+    """RM3 pseudo-relevance feedback (ops/rm3.py; Lavrenko & Croft 2001
+    + the RM3 interpolation): relevance model over the BM25 top-10 for
+    "spark window", λ=1/2 — rank-only gate with BIT-IDENTICAL float64
+    fold orders on both sides (mmr/maxsim precedent)."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.rm3 import rm3_expand
+    from lucenenet_ray.search.query import (BooleanClause, BooleanQuery,
+                                            Occur, TermQuery)
+
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="spark")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="window")),
+    ))
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return rm3_expand(ds, _reader(sf_dir), q, ["spark", "window"],
+                      fb_docs=10, fb_terms=10)
+
+
 def _q_pack_best_fit(sf_dir: str) -> pa.Table:
     """Best-fit-decreasing sequence packing (ops/packing.py
     pack_best_fit; Krell et al. 2021 padding-minimizing packer): bins
@@ -7928,6 +7949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": _q_bpe_encode,
         "ndcg_graded": _q_ndcg_graded,
         "pack_best_fit": _q_pack_best_fit,
+        "rm3_expand": _q_rm3_expand,
         # -- joins / windows / lookups
         "mlt_terms": _q_mlt_terms,
         "events_window": _q_events_window,
@@ -8569,6 +8591,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_graded": so.ndcg_graded_sql(QUALITY_TERMS),
         "bpe_encode": so.bpe_encode_stats_sql(),
         "pack_best_fit": so.pack_best_fit_sql(128, 256),
+        "rm3_expand": so.rm3_expand_sql(["spark", "window"], 10, 10),
         "export_partitioned": so.export_partitioned_sql(),
         "shard_plan": so.shard_plan_sql(8),
         "systematic_resample": so.systematic_resample_sql(1000),

@@ -9224,3 +9224,57 @@ SELECT o.doc_id, o.n_tokens, o.eff AS eff_tokens, o.shard,
 FROM packed pk JOIN ord o ON o.shard = pk.shard AND o.rk = pk.rk
 WHERE pk.doc_id IS NOT NULL
 ORDER BY o.doc_id"""
+
+
+def rm3_expand_sql(terms: list[str], fb_docs: int = 10,
+                   fb_terms: int = 10, lam: float = 0.5) -> str:
+    """RM3 oracle (ops/rm3.py): BM25 top-k pseudo-relevant set, then the
+    relevance model with BIT-IDENTICAL float64 fold orders — the
+    query-likelihood product left-folds in query order, each term weight
+    via list_sum(list(x ORDER BY doc_id)), the normalizer via
+    list_sum(list(w ORDER BY term)), interpolation parenthesized
+    ``orig + ((1-λ)·(w/W))``. Rank-only output (identical bits →
+    identical ranking; candidate set = terms of the feedback docs)."""
+    top = bm25_topk_sql(terms, fb_docs)
+    orig = lam / len(terms)
+    prod = "1.0"
+    joins = []
+    for i, q in enumerate(terms):
+        esc = q.replace("'", "''")
+        joins.append(
+            f"LEFT JOIN tf q{i} ON q{i}.doc_id = d.doc_id "
+            f"AND q{i}.term = '{esc}'")
+        prod = (f"({prod} * (CAST(COALESCE(q{i}.tf, 0) AS DOUBLE) "
+                f"/ d.L))")
+    qlits = ", ".join("'" + q.replace("'", "''") + "'" for q in terms)
+    return f"""WITH {_toks_cte()},
+top AS (SELECT doc_id FROM ({top})),
+tf AS (
+  SELECT k.doc_id, k.term, CAST(count(*) AS BIGINT) AS tf
+  FROM kept k JOIN top USING (doc_id)
+  GROUP BY k.doc_id, k.term
+),
+dl AS (SELECT doc_id, L FROM doclen JOIN top USING (doc_id) WHERE L > 0),
+pq AS (
+  SELECT d.doc_id, {prod} AS p
+  FROM dl d
+  {' '.join(joins)}
+),
+wt AS (
+  SELECT t.term,
+         list_sum(list((CAST(t.tf AS DOUBLE) / d.L) * pq.p
+                       ORDER BY t.doc_id)) AS w
+  FROM tf t JOIN dl d USING (doc_id) JOIN pq USING (doc_id)
+  GROUP BY t.term
+),
+tot AS (SELECT list_sum(list(w ORDER BY term)) AS W FROM wt),
+rm3 AS (
+  SELECT term,
+         (CASE WHEN term IN ({qlits}) THEN {orig!r} ELSE 0.0 END)
+         + CASE WHEN tot.W = 0.0 THEN 0.0
+                ELSE ((1.0 - {lam!r}) * (wt.w / tot.W)) END AS s
+  FROM wt, tot
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, term ASC) AS BIGINT)
+         AS rank, term
+FROM rm3 ORDER BY s DESC, term ASC LIMIT {fb_terms}"""
