@@ -3695,11 +3695,63 @@ def _q_eu_stem_stats(sf_dir: str) -> pa.Table:
     """Basque Snowball stemmer (Tartarus BasqueStemmer.cs,
     analysis/snowball_ext.py basque_stem): term dictionary grouped by
     stem vs the SQL re-derivation — the aditzak/izenak REPEAT loops are
-    unrolled 3× with explicit cursor tracking (corpus vocabulary needs
-    ≤1 iteration per loop; a deeper word would hash-mismatch loudly)."""
-    from lucenenet_ray.analysis.snowball_ext import basque_stem
+    unrolled 3× with explicit cursor tracking, and the ok-reset before
+    the adjetiboak `do` phase is exercised by a deterministic Basque
+    splice vocabulary (EU_SPLICE_WORDS, md5-gated per doc, mirrored in
+    the SQL) so the reset path actually fires on the gate corpus."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
 
-    return _phonetic_stats(sf_dir, basque_stem)
+    from lucenenet_ray.analysis.snowball_ext import (EU_SPLICE_WORDS,
+                                                     basque_stem)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from lucenenet_ray.analysis.standard import ENGLISH_STOP_WORDS
+        from lucenenet_ray.ops.neardup import md5_int31
+
+        df: Counter = Counter()
+        k = len(EU_SPLICE_WORDS)
+        for i, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            toks = {w for w in (x or "").split(" ")
+                    if w and w not in ENGLISH_STOP_WORDS}
+            h = md5_int31(f"{i}:eu")
+            if h % 3 == 0:
+                toks.add(EU_SPLICE_WORDS[h % k])
+            if h % 5 == 0:
+                toks.add(EU_SPLICE_WORDS[(h // 7) % k])
+            df.update(toks)
+        keys = sorted(df)
+        return pa.table({
+            "term": pa.array(keys, type=pa.string()),
+            "df": pa.array([df[t_] for t_ in keys], type=pa.int64()),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+           .groupby("term").aggregate(Sum("df", alias_name="df"))
+           .take_all())
+    codes = pa.array([basque_stem(r["term"]) for r in out],
+                     type=pa.string())
+    g = pa.table({
+        "code": codes,
+        "df": pa.array([r["df"] for r in out], type=pa.int64()),
+    }).group_by("code").aggregate([("df", "sum"), ("code", "count")])
+    g = pa.table({
+        "code": g.column("code"),
+        "n_terms": g.column("code_count").cast(pa.int64()),
+        "sum_df": g.column("df_sum").cast(pa.int64()),
+    })
+    idx = pa.compute.sort_indices(
+        g, sort_keys=[("sum_df", "descending"), ("code", "ascending")])
+    # 60-row window (vs the 20 of _phonetic_stats) so the splice stems
+    # (ranks ~28-38 at every sf) are INSIDE the compared window — a
+    # missing ok-reset in engine or oracle hash-mismatches loudly.
+    return g.take(idx).slice(0, 60)
 
 
 def _q_mra_stats(sf_dir: str) -> pa.Table:
@@ -8351,7 +8403,7 @@ def oracle_sql() -> dict[str, str]:
         "sv_stem_stats": so.sv_stem_stats_sql(),
         "ca_stem_stats": so.catalan_stem_stats_sql(),
         "ga_stem_stats": so.irish_stem_stats_sql(),
-        "eu_stem_stats": so.basque_stem_stats_sql(),
+        "eu_stem_stats": so.basque_stem_stats_sql(n=60),
         "no_stem_stats": so.no_stem_stats_sql(),
         "custom_score": so.custom_score_sql(["spark", "window"], "n_chars",
                                             TOPK),

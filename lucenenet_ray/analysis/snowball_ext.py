@@ -457,6 +457,20 @@ _EU_IZENAK_ACT = {1: ("RV", ""), 2: ("R2", ""), 3: (None, "jok"),
 _EU_ADJ_ACT = {1: ("RV", ""), 2: (None, "z")}
 
 
+# Deterministic gate-corpus splice vocabulary (shared constant: embedded
+# as literals into basque_stem_stats_sql and appended engine-side in
+# _q_eu_stem_stats). Chosen so the repeat loops AND the
+# adjetiboak-after-failed-izenak reset actually fire on the gate corpus:
+# 'aberastasunik' (izenak fails, adjetiboak strips RV 'ik') and
+# 'teknologikoki' (izenak strips 'ki' then fails, adjetiboak strips 'gi')
+# diverge from any oracle missing the ok-reset before the j0 phase.
+EU_SPLICE_WORDS = (
+    "aberastasunik", "teknologikoki", "ikustekoa", "etxeetatik",
+    "handiena", "gizonarekin", "liburuetan", "emakumeei",
+    "mendietako", "zaldiarentzat",
+)
+
+
 def basque_stem(word: str) -> str:
     """Basque Snowball stemmer (BasqueStemmer.cs Stem():960-1054):
     repeat aditzak; repeat izenak; do adjetiboak — the repeats thread the

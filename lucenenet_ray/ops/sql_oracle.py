@@ -9007,15 +9007,18 @@ _EU_UNROLL = 3
 def basque_stem_stats_sql(n: int = 20) -> str:
     """Basque Snowball oracle (BasqueStemmer.cs; snowball_ext
     basque_stem): Romance RV + R1/R2, then the aditzak and izenak REPEAT
-    loops unrolled {U}× each with explicit cursor tracking (the corpus
-    vocabulary never needs more than 1 iteration per loop — measured, and
-    a deeper word would surface as a gate hash mismatch), then one
-    adjetiboak step."""
+    loops unrolled {U}× each with explicit cursor tracking (splice
+    vocabulary needs ≤2 successful strips per loop — measured; a deeper
+    word would surface as a gate hash mismatch), an ok-reset, and one
+    adjetiboak step. The corpus is spliced with EU_SPLICE_WORDS
+    (md5-gated per doc, mirroring _q_eu_stem_stats) so the repeat depth
+    and the adjetiboak-after-failed-izenak reset actually fire."""
     from lucenenet_ray.analysis.snowball_ext import (_EU_A_0, _EU_A_1,
                                                      _EU_A_2,
                                                      _EU_ADITZAK_ACT,
                                                      _EU_ADJ_ACT,
-                                                     _EU_IZENAK_ACT)
+                                                     _EU_IZENAK_ACT,
+                                                     EU_SPLICE_WORDS)
 
     V = "aeiou"
     VIN = ", ".join(f"'{ch}'" for ch in V)
@@ -9050,12 +9053,31 @@ def basque_stem_stats_sql(n: int = 20) -> str:
         phases.append(_eu_phase(f"i{i}", src, _EU_A_1,
                                 norm_acts(_EU_IZENAK_ACT)))
         src = f"si{i}"
+    # The izenak repeat ALWAYS terminates with a failed step (ok=FALSE),
+    # but the reference runs `do r_adjetiboak` unconditionally afterwards
+    # (BasqueStemmer.cs Stem():1040-1054) — reset ok (cursor c persists),
+    # exactly as r0 does between the aditzak and izenak repeats.
+    phases.append(
+        f"r1 AS (SELECT w, c, TRUE AS ok, pv, p1, p2, df FROM {src})")
+    src = "r1"
     phases.append(_eu_phase("j0", src, _EU_A_2, norm_acts(_EU_ADJ_ACT)))
     body = ",\n".join(phases)
-    return f"""WITH {_toks_cte()},
-terms AS (
+    wlist = "[" + ", ".join(f"'{w}'" for w in EU_SPLICE_WORDS) + "]"
+    k = len(EU_SPLICE_WORDS)
+    h = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':eu'")
+    return f"""WITH terms AS (
   SELECT term AS w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-  FROM kept GROUP BY term
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    UNION ALL
+    SELECT doc_id, ({wlist})[1 + ({h}) % {k}] AS term
+    FROM documents WHERE ({h}) % 3 = 0
+    UNION ALL
+    SELECT doc_id, ({wlist})[1 + (({h}) // 7) % {k}] AS term
+    FROM documents WHERE ({h}) % 5 = 0
+  )
+  WHERE term <> '' AND term NOT IN {STOP_SQL}
+  GROUP BY term
 ),
 rvm AS (SELECT w, df, {rv} AS pv FROM terms),
 {_p12_ctes(V, src="rvm", extra=", pv")},

@@ -117,3 +117,51 @@ def test_stemmer_empty_and_single():
     for fn in (basque_stem, catalan_stem, irish_stem):
         assert fn("") == ""
         assert fn("a") in ("a", "")
+
+
+def test_basque_adjetiboak_runs_after_failed_izenak():
+    """The izenak repeat ALWAYS ends on a failed step, yet the reference
+    applies `do r_adjetiboak` unconditionally afterwards
+    (BasqueStemmer.cs Stem():1040-1054). ADVICE r4: the oracle once
+    omitted the ok-reset and returned 'aberastasunik'/'teknologi' where
+    the engine (and reference) produce 'aberastasun'/'teknolo'."""
+    assert basque_stem("aberastasunik") == "aberastasun"
+    assert basque_stem("teknologikoki") == "teknolo"
+
+
+def test_basque_oracle_parity_on_reset_divergent_vocab():
+    """DuckDB oracle vs engine on a corpus containing the words that
+    DIVERGE when the ok-reset CTE before the adjetiboak phase is
+    missing — fails loudly if the reset regresses on either side."""
+    import duckdb
+    import pyarrow as pa
+
+    from lucenenet_ray.analysis.snowball_ext import EU_SPLICE_WORDS
+    from lucenenet_ray.ops.sql_oracle import basque_stem_stats_sql
+
+    words = list(EU_SPLICE_WORDS) + ["zaldiak", "mendiari", "ikusteko"]
+    docs = pa.table({"doc_id": list(range(len(words))), "text": words})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle = {}
+    for code, _n, sdf in con.execute(basque_stem_stats_sql(n=500)).fetchall():
+        oracle[code] = oracle.get(code, 0) + sdf
+    # engine-side expected: every corpus word + every md5-gated splice
+    from collections import Counter
+
+    from lucenenet_ray.ops.neardup import md5_int31
+    k = len(EU_SPLICE_WORDS)
+    df = Counter()
+    for i, w in enumerate(words):
+        toks = {w}
+        h = md5_int31(f"{i}:eu")
+        if h % 3 == 0:
+            toks.add(EU_SPLICE_WORDS[h % k])
+        if h % 5 == 0:
+            toks.add(EU_SPLICE_WORDS[(h // 7) % k])
+        df.update(toks)
+    expect = Counter()
+    for w, n in df.items():
+        expect[basque_stem(w)] += n
+    assert oracle == dict(expect)
+    assert "aberastasun" in oracle and "teknolo" in oracle
