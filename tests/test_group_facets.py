@@ -75,3 +75,30 @@ def test_empty_hits(docs_path):
     assert t.num_rows == 0
     assert t.column_names == ["facet", "group_count", "total_count",
                               "missing_count"]
+
+
+def test_driver_state_is_label_bounded(docs_path):
+    """VERDICT r4 #3: the driver must only materialize the (facet, count)
+    LABEL table — never the distinct (group, facet) pair set. Guard:
+    every Dataset.take_all on the path returns at most
+    |distinct facets| + 1 rows (the '' missing arm), even though the
+    pair cardinality here (5) exceeds that bound (3)."""
+    import ray.data
+
+    ds_cls = ray.data.Dataset
+    orig = ds_cls.take_all
+    seen = []
+
+    def guarded(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        seen.append(len(out))
+        return out
+
+    ds_cls.take_all = guarded
+    try:
+        res = group_facets(range(8), docs_path)
+    finally:
+        ds_cls.take_all = orig
+    assert res.entries == [("a", 3), ("b", 1)]
+    n_labels = 3  # facets: a, b, '' (missing arm)
+    assert seen and all(n <= n_labels for n in seen), seen
