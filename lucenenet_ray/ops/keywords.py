@@ -35,6 +35,22 @@ from lucenenet_ray.analysis.standard import ENGLISH_STOP_WORDS
 SCALE = 1_000_000_000
 
 
+def _rank_contrib(rs: np.ndarray, w: np.ndarray,
+                  ws: np.ndarray) -> np.ndarray:
+    """Per-edge rank contribution (rs * w) // ws with an int64-overflow
+    guard: ranks near 1e9 × corpus-scale edge weights can exceed 2^63,
+    where numpy wraps SILENTLY while the DuckDB oracle's BIGINT errors —
+    a silent divergence at extreme scale (ADVICE r3/r4). Near the limit
+    the products escalate to Python ints; the quotient (≤ rs since
+    w ≤ ws) always fits back in int64."""
+    if rs.size and w.size and \
+            float(rs.max()) * float(w.max()) >= float(2 ** 62):
+        return np.asarray(
+            [int(rv) * int(wv) // int(wsv)
+             for rv, wv, wsv in zip(rs, w, ws)], dtype=np.int64)
+    return (rs * w) // ws
+
+
 def _filtered_tokens(text: str) -> list[str]:
     return [w for w in (text or "").split(" ")
             if w and w not in ENGLISH_STOP_WORDS]
@@ -118,19 +134,7 @@ def textrank_keywords(ds, n_iters: int = 3, k: int = 20,
             d = t.column("dst").to_numpy(zero_copy_only=False)
             w = t.column("wt").to_numpy(zero_copy_only=False)
             ws = t.column("wsum").to_numpy(zero_copy_only=False)
-            # guard the int64 product: ranks near 1e9 × corpus-scale edge
-            # weights can exceed 2^63 (numpy would wrap silently; the
-            # DuckDB oracle's BIGINT would error) — escalate to Python
-            # ints for the product, the quotient (≤ r since w ≤ ws)
-            # always fits back in int64 (ADVICE r3)
-            if r.size and w.size and \
-                    float(r.max()) * float(w.max()) >= float(2 ** 62):
-                c = np.asarray(
-                    [int(rv) * int(wv) // int(wsv)
-                     for rv, wv, wsv in zip(r[s], w, ws)],
-                    dtype=np.int64)
-            else:
-                c = (r[s] * w) // ws
+            c = _rank_contrib(r[s], w, ws)
             uniq, inv = np.unique(d, return_inverse=True)
             sums = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(sums, inv, c)

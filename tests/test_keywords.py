@@ -113,3 +113,29 @@ def test_rake_freq_filter(ray_session):
     t = rake_phrases(_ds(3), k=20, min_phrase_freq=2)
     for r in t.to_pylist():
         assert r["phrase_freq"] >= 2
+
+
+def test_rank_contrib_near_int64_limit_exact():
+    """VERDICT r4 #5: near-2^63 rank×weight products must match exact
+    integer arithmetic — and the naive int64 path provably diverges on
+    the same inputs (silent numpy wraparound), so this test fails if the
+    guard is ever removed."""
+    import numpy as np
+
+    from lucenenet_ray.ops.keywords import _rank_contrib
+
+    rs = np.array([2 ** 40, 3 * 2 ** 40, 999_999_937], dtype=np.int64)
+    w = np.array([2 ** 40, 2 ** 41, 2 ** 45], dtype=np.int64)
+    ws = np.array([2 ** 41, 2 ** 41, 2 ** 46], dtype=np.int64)
+    got = _rank_contrib(rs, w, ws)
+    want = np.array([int(a) * int(b) // int(c)
+                     for a, b, c in zip(rs, w, ws)], dtype=np.int64)
+    assert (got == want).all()
+    with np.errstate(over="ignore"):
+        naive = (rs * w) // ws
+    assert not (naive == want).all(), "inputs failed to exercise overflow"
+    # small products keep the vectorized path bit-identical
+    rs2 = np.array([10, 20], dtype=np.int64)
+    w2 = np.array([3, 7], dtype=np.int64)
+    ws2 = np.array([4, 7], dtype=np.int64)
+    assert (_rank_contrib(rs2, w2, ws2) == np.array([7, 20])).all()

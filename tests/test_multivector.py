@@ -123,3 +123,37 @@ def test_graded_ndcg_helpers():
     # truncation at k
     assert graded_idcg_scaled(100, 0, 0) == 7 * sum(DISCOUNTS)
     assert graded_idcg_scaled(0, 0, 0) == 0
+
+
+def test_maxsim_near_tie_embeddings_deterministic(ray_session):
+    """VERDICT r4 #6 (near-tie embeddings): docs whose MaxSim scores are
+    EXACTLY tied and others separated by ~1e-12 — far below the
+    documented 1e-6 corpus gap floor. The engine must stay fully
+    deterministic and partition-invariant (ties break doc asc) even
+    where oracle float-parity would be unprovable; the rank-only gate's
+    safety on real corpora rests on the gap-floor test above, and this
+    pins the tie rule the reference uses (TopDocs doc-asc tiebreak)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(23)
+    base = rng.randn(4, 8)
+    rows = []
+    for d in range(10):
+        block = base.copy()
+        # docs 0/1 identical (exact tie); others perturbed ~1e-12
+        if d >= 2:
+            block = block + 1e-12 * rng.randn(4, 8) * d
+        rows.append(block)
+    m = np.vstack(rows)
+    t = pa.table({
+        "vec_id": pa.array(range(len(m)), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m]),
+    })
+    outs = [maxsim_topk(rd.from_arrow(t).repartition(p), base[:3],
+                        group_size=4, k=10) for p in (1, 4, 9)]
+    assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
+    docs = outs[0].column("doc").to_pylist()
+    # docs 0 and 1 are byte-identical token bags → exact score tie →
+    # doc-asc adjacency (the TopDocs tiebreak), at every partitioning
+    i0, i1 = docs.index(0), docs.index(1)
+    assert i1 == i0 + 1

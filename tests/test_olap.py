@@ -195,3 +195,44 @@ def test_rollup_cube_vs_duckdb(ray_session):
     assert sum(r["n_docs"] for r in rows
                if r["level"] == 1 and r["source"] == "*") \
         == total[0]["n_docs"]
+
+
+def test_segment_stats_broken_referential_integrity(ray_session, tmp_path):
+    """VERDICT r4 #4: orders with a dangling o_custkey must be DROPPED
+    (the oracle's inner join), not bucketed into a '' segment — green on
+    the healthy fixtures only by accident. This fixture breaks
+    referential integrity on purpose so the divergent behavior fails."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucenenet_ray.ops.olap import segment_order_stats
+    from lucenenet_ray.ops.sql_oracle import segment_order_stats_sql
+
+    rng = np.random.default_rng(3)
+    n_cust, n_ord = 40, 400
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(n_cust), type=pa.int64()),
+        "c_mktsegment": pa.array(
+            [["AUTOMOBILE", "BUILDING", "MACHINERY"][i % 3]
+             for i in range(n_cust)], type=pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+    # every 7th order references a customer that does NOT exist
+    ck = rng.integers(0, n_cust, size=n_ord)
+    ck[::7] = n_cust + rng.integers(0, 50, size=len(ck[::7]))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(ck, type=pa.int64()),
+        "o_totalprice": pa.array(
+            np.round(rng.uniform(10, 9000, size=n_ord), 2),
+            type=pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+
+    con = duckdb.connect()
+    for name in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{name}.parquet')")
+    exp = con.execute(segment_order_stats_sql()).arrow()
+    got = segment_order_stats(str(tmp_path))
+    assert got.to_pylist() == exp.to_pylist()
+    assert "" not in got.column(0).to_pylist()
