@@ -41,10 +41,38 @@ import re
 # (TestWikiURLs expects `Amazon.com`, `ist-h335-d03.syr.edu` and
 # `128.230.84.100` as whole <URL> tokens).
 _TLD = r"([a-z]{2,}|xn--[a-z0-9-]+)"
+
+# IANA TLD allowlist for the BARE-hostname arm: the reference's JFlex
+# grammar gates scheme-less hostnames on its ASCIITLD macro (the IANA
+# root-zone list of the tokenizer's vintage), so 'node.js' / 'foo.bar'
+# are NOT URLs while 'amazon.com' / 'readme.md' (md = Moldova) are.
+# Curated snapshot: pre-2013 legacy/sponsored gTLDs + ISO-3166 ccTLDs;
+# post-2013 "new gTLDs" are a DOCUMENTED subset gap (the reference's
+# own list is frozen at generation time too). Scheme'd (http://, www.)
+# hosts keep the loose TLD — a scheme already marks the token a URL.
+_GTLDS = ("arpa aero asia biz cat com coop edu gov info int jobs mil "
+          "mobi museum name net org post pro tel travel xxx")
+_CCTLDS = (
+    "ac ad ae af ag ai al am an ao aq ar as at au aw ax az ba bb bd be "
+    "bf bg bh bi bj bm bn bo br bs bt bv bw by bz ca cc cd cf cg ch ci "
+    "ck cl cm cn co cr cu cv cw cx cy cz de dj dk dm do dz ec ee eg er "
+    "es et eu fi fj fk fm fo fr ga gb gd ge gf gg gh gi gl gm gn gp gq "
+    "gr gs gt gu gw gy hk hm hn hr ht hu id ie il im in io iq ir is it "
+    "je jm jo jp ke kg kh ki km kn kp kr kw ky kz la lb lc li lk lr ls "
+    "lt lu lv ly ma mc md me mg mh mk ml mm mn mo mp mq mr ms mt mu mv "
+    "mw mx my mz na nc ne nf ng ni nl no np nr nu nz om pa pe pf pg ph "
+    "pk pl pm pn pr ps pt pw py qa re ro rs ru rw sa sb sc sd se sg sh "
+    "si sj sk sl sm sn so sr ss st su sv sx sy sz tc td tf tg th tj tk "
+    "tl tm tn to tp tr tt tv tw tz ua ug uk us uy uz va vc ve vg vi vn "
+    "vu wf ws ye yt za zm zw")
+_TLD_STRICT = "(" + "|".join(
+    sorted(set((_GTLDS + " " + _CCTLDS).split()),
+           key=lambda t: (-len(t), t))) + r"|xn--[a-z0-9-]+)"
+
 EMAIL_TOKEN_RE = (r"^[a-z0-9!#$%&*+/=?^_`{|}~.'-]+@"
                   r"(\[[^\] ]+\]|[a-z0-9.-]+\." + _TLD + r")$")
 URL_TOKEN_RE = (r"^((https?://|www\.)[a-z0-9.-]+\." + _TLD +
-                r"|([a-z0-9-]+\.)+" + _TLD +
+                r"|([a-z0-9-]+\.)+" + _TLD_STRICT +
                 r"|([0-9]{1,3}\.){3}[0-9]{1,3})"
                 r"(:[0-9]+)?(/[a-z0-9._~%/+=@-]*)?"
                 r"(\?[a-z0-9._~%/+=&;:-]*)?(#[a-z0-9._~%/+=&;:-]*)?$")

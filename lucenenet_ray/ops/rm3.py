@@ -90,7 +90,11 @@ def rm3_expand(docs_ds, reader, query, query_terms: list[str],
                                  stats.column("len").to_pylist()):
         by_doc.setdefault(did, (ln, {}))[1][term] = tf
 
-    w: dict[str, float] = {}
+    # seed every query term at 0.0 so a term with zero feedback mass
+    # still carries its λ/|Q| origin weight into the final distribution
+    # (the module docstring's interpolation formula; ADVICE r4 — the
+    # candidate set is feedback-doc terms ∪ query terms)
+    w: dict[str, float] = {qi: 0.0 for qi in query_terms}
     for did in sorted(by_doc):                      # doc_id-asc fold
         ln, tfs = by_doc[did]
         if ln == 0:

@@ -9256,7 +9256,9 @@ def rm3_expand_sql(terms: list[str], fb_docs: int = 10,
     via list_sum(list(x ORDER BY doc_id)), the normalizer via
     list_sum(list(w ORDER BY term)), interpolation parenthesized
     ``orig + ((1-λ)·(w/W))``. Rank-only output (identical bits →
-    identical ranking; candidate set = terms of the feedback docs)."""
+    identical ranking; candidate set = feedback-doc terms ∪ query terms
+    — query terms with zero feedback mass are seeded at w=0.0 so they
+    keep their λ/|Q| origin weight, mirroring ops/rm3.py)."""
     top = bm25_topk_sql(terms, fb_docs)
     orig = lam / len(terms)
     prod = "1.0"
@@ -9269,6 +9271,7 @@ def rm3_expand_sql(terms: list[str], fb_docs: int = 10,
         prod = (f"({prod} * (CAST(COALESCE(q{i}.tf, 0) AS DOUBLE) "
                 f"/ d.L))")
     qlits = ", ".join("'" + q.replace("'", "''") + "'" for q in terms)
+    qvals = ", ".join("('" + q.replace("'", "''") + "')" for q in terms)
     return f"""WITH {_toks_cte()},
 top AS (SELECT doc_id FROM ({top})),
 tf AS (
@@ -9282,12 +9285,19 @@ pq AS (
   FROM dl d
   {' '.join(joins)}
 ),
-wt AS (
+wt0 AS (
   SELECT t.term,
          list_sum(list((CAST(t.tf AS DOUBLE) / d.L) * pq.p
                        ORDER BY t.doc_id)) AS w
   FROM tf t JOIN dl d USING (doc_id) JOIN pq USING (doc_id)
   GROUP BY t.term
+),
+wt AS (  -- seed query terms with zero feedback mass (mirrors rm3.py)
+  SELECT term, w FROM wt0
+  UNION ALL
+  SELECT DISTINCT q.term, 0.0 AS w
+  FROM (VALUES {qvals}) q(term)
+  WHERE q.term NOT IN (SELECT term FROM wt0)
 ),
 tot AS (SELECT list_sum(list(w ORDER BY term)) AS W FROM wt),
 rm3 AS (

@@ -61,3 +61,47 @@ def test_rm3_block_invariance(ray_session, tmp_path):
     b = rm3_expand(ds.repartition(7), r, TermQuery(term="alpha"),
                    ["alpha"], 5, 8)
     assert a.equals(b)
+
+
+def test_rm3_zero_mass_query_term_keeps_origin_weight(ray_session,
+                                                      tmp_path):
+    """ADVICE r4: a query term with ZERO feedback mass must still carry
+    its λ/|Q| origin weight (candidate set = feedback terms ∪ query
+    terms), and the SQL oracle must agree on the same corpus."""
+    import duckdb
+
+    from lucenenet_ray.index.build import IndexConfig, build_index
+    from lucenenet_ray.ops.rm3 import rm3_expand
+    from lucenenet_ray.ops.sql_oracle import rm3_expand_sql
+    from lucenenet_ray.search.query import (BooleanClause, BooleanQuery,
+                                            Occur, TermQuery)
+    from lucenenet_ray.search.reader import IndexReader
+
+    # 'phantom' appears ONLY in doc 3, which never reaches the top-2
+    # feedback set for the query — zero feedback mass, yet λ/|Q| = 0.25
+    # beats every expansion weight, so it must rank in the top 2.
+    rows = ["spark window shuffle", "spark window stream",
+            "spark window shuffle stream", "phantom words here",
+            "other table"]
+    ds = _mk(tmp_path, rows)
+    idx = str(tmp_path / "idx3")
+    build_index(ds, IndexConfig(index_path=idx, id_min=0,
+                                id_max=len(rows) - 1, n_buckets=1))
+    q = BooleanQuery(clauses=(
+        BooleanClause(Occur.SHOULD, TermQuery(term="spark")),
+        BooleanClause(Occur.SHOULD, TermQuery(term="phantom")),
+    ))
+    out = rm3_expand(ds, IndexReader(idx), q, ["spark", "phantom"],
+                     fb_docs=2, fb_terms=6)
+    terms = out.column("term").to_pylist()
+    assert "phantom" in terms[:2], terms
+
+    import pyarrow as pa
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": pa.array(range(len(rows)), type=pa.int64()),
+        "text": pa.array(rows, type=pa.string()),
+    }))
+    osql = rm3_expand_sql(["spark", "phantom"], fb_docs=2, fb_terms=6)
+    oterms = [r[1] for r in con.execute(osql).fetchall()]
+    assert oterms == terms

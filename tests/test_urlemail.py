@@ -99,3 +99,27 @@ def test_reference_fixture_coverage_floors():
     url_ok = sum(1 for u in urls if _URL.match(u.lower()))
     assert url_ok == len(urls), (url_ok, len(urls))
     assert em_ok / len(emails) >= 0.90, em_ok / len(emails)
+
+
+def test_bare_hostname_gated_on_iana_tld_allowlist():
+    """ADVICE r4: the bare-hostname arm must not accept arbitrary 2+
+    letter pseudo-TLDs — the reference DFA gates scheme-less hostnames
+    on the IANA ASCIITLD list. 'js'/'bar'/'gz' are not TLDs; 'md'
+    (Moldova) and 'py' (Paraguay) ARE, so those stay <URL> exactly as
+    the reference's list dictates."""
+    from lucenenet_ray.analysis.urlemail import (TYPE_URL, TYPE_WORD,
+                                                 url_email_tokenize)
+
+    def ty(tok):
+        _t, _p, types = url_email_tokenize(tok)
+        return types[0]
+
+    assert ty("node.js") == TYPE_WORD
+    assert ty("foo.bar") == TYPE_WORD
+    assert ty("data.tar.gz") == TYPE_WORD
+    assert ty("readme.md") == TYPE_URL
+    assert ty("setup.py") == TYPE_URL
+    assert ty("amazon.com") == TYPE_URL
+    # a scheme marks any host a URL (DomainNameLoose after scheme)
+    assert ty("http://internal.qzx") == TYPE_URL
+    assert ty("www.site.zzzz") == TYPE_URL

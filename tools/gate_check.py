@@ -53,6 +53,17 @@ def _col_equal(a, b):
         eq = pc.equal(a, b)
         if pa.types.is_floating(a.type):
             eq = pc.or_(eq, pc.and_(pc.is_nan(a), pc.is_nan(b)))
+            # the driver hashes repr(v): repr(-0.0) != repr(0.0) while
+            # pc.equal(-0.0, 0.0) is TRUE — also require matching sign
+            # bits so this predictor is never weaker than the driver
+            # comparator (ADVICE r4)
+            import numpy as np
+
+            av = a.to_numpy(zero_copy_only=False)
+            bv = b.to_numpy(zero_copy_only=False)
+            sign_a = np.signbit(np.nan_to_num(av, nan=0.0))
+            sign_b = np.signbit(np.nan_to_num(bv, nan=0.0))
+            eq = pc.and_(eq, pa.array(sign_a == sign_b))
         both_null = pc.and_(pc.is_null(a), pc.is_null(b))
         ok = pc.all(pc.or_(pc.fill_null(eq, False), both_null)).as_py()
         return True if ok is None else bool(ok)
