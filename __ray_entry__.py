@@ -3691,19 +3691,17 @@ def _q_ga_stem_stats(sf_dir: str) -> pa.Table:
     return _phonetic_stats(sf_dir, irish_stem)
 
 
-def _q_eu_stem_stats(sf_dir: str) -> pa.Table:
-    """Basque Snowball stemmer (Tartarus BasqueStemmer.cs,
-    analysis/snowball_ext.py basque_stem): term dictionary grouped by
-    stem vs the SQL re-derivation — the aditzak/izenak REPEAT loops are
-    unrolled 3× with explicit cursor tracking, and the ok-reset before
-    the adjetiboak `do` phase is exercised by a deterministic Basque
-    splice vocabulary (EU_SPLICE_WORDS, md5-gated per doc, mirrored in
-    the SQL) so the reset path actually fires on the gate corpus."""
+def _spliced_stem_stats(sf_dir: str, stem_fn, splice_words, salt: str,
+                        window: int = 60) -> pa.Table:
+    """(code, n_terms, sum_df) over a corpus spliced with a
+    deterministic language vocabulary (md5-gated per doc, mirrored in
+    SQL by _spliced_terms_cte) so stemmer paths the English webtext
+    never reaches actually fire. The 60-row window (vs the 20 of
+    _phonetic_stats) keeps the splice stems (ranks ~28-38 at every sf)
+    INSIDE the compared window — an engine/oracle divergence on any
+    splice path hash-mismatches loudly."""
     import ray.data as rd
     from ray.data.aggregate import Sum
-
-    from lucenenet_ray.analysis.snowball_ext import (EU_SPLICE_WORDS,
-                                                     basque_stem)
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
@@ -3715,16 +3713,16 @@ def _q_eu_stem_stats(sf_dir: str) -> pa.Table:
         from lucenenet_ray.ops.neardup import md5_int31
 
         df: Counter = Counter()
-        k = len(EU_SPLICE_WORDS)
+        k = len(splice_words)
         for i, x in zip(t.column("doc_id").to_pylist(),
                         t.column("text").to_pylist()):
             toks = {w for w in (x or "").split(" ")
                     if w and w not in ENGLISH_STOP_WORDS}
-            h = md5_int31(f"{i}:eu")
+            h = md5_int31(f"{i}:{salt}")
             if h % 3 == 0:
-                toks.add(EU_SPLICE_WORDS[h % k])
+                toks.add(splice_words[h % k])
             if h % 5 == 0:
-                toks.add(EU_SPLICE_WORDS[(h // 7) % k])
+                toks.add(splice_words[(h // 7) % k])
             df.update(toks)
         keys = sorted(df)
         return pa.table({
@@ -3735,7 +3733,7 @@ def _q_eu_stem_stats(sf_dir: str) -> pa.Table:
     out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
            .groupby("term").aggregate(Sum("df", alias_name="df"))
            .take_all())
-    codes = pa.array([basque_stem(r["term"]) for r in out],
+    codes = pa.array([stem_fn(r["term"]) for r in out],
                      type=pa.string())
     g = pa.table({
         "code": codes,
@@ -3748,10 +3746,47 @@ def _q_eu_stem_stats(sf_dir: str) -> pa.Table:
     })
     idx = pa.compute.sort_indices(
         g, sort_keys=[("sum_df", "descending"), ("code", "ascending")])
-    # 60-row window (vs the 20 of _phonetic_stats) so the splice stems
-    # (ranks ~28-38 at every sf) are INSIDE the compared window — a
-    # missing ok-reset in engine or oracle hash-mismatches loudly.
-    return g.take(idx).slice(0, 60)
+    return g.take(idx).slice(0, window)
+
+
+def _q_eu_stem_stats(sf_dir: str) -> pa.Table:
+    """Basque Snowball stemmer (Tartarus BasqueStemmer.cs,
+    analysis/snowball_ext.py basque_stem): term dictionary grouped by
+    stem vs the SQL re-derivation — the aditzak/izenak REPEAT loops are
+    unrolled 3× with explicit cursor tracking, and the ok-reset before
+    the adjetiboak `do` phase is exercised by the EU_SPLICE_WORDS
+    corpus splice."""
+    from lucenenet_ray.analysis.snowball_ext import (EU_SPLICE_WORDS,
+                                                     basque_stem)
+
+    return _spliced_stem_stats(sf_dir, basque_stem, EU_SPLICE_WORDS, "eu")
+
+
+def _q_gl_stem_stats(sf_dir: str) -> pa.Table:
+    """Galician RSLP stemmer (Analysis/Gl/GalicianStemmer.cs over the
+    RSLPStemmerBase.cs engine; analysis/rslp.py galician_stem, rule
+    data rslp_gl.py): term dictionary grouped by stem vs the full SQL
+    re-derivation (every step a first-match CASE chain, the
+    Augmentative fixpoint unrolled 4× with an active flag, length-gated
+    noun/verb arms, RSLG accent translate). GL_SPLICE_WORDS exercises
+    plural/adverb/3-iteration-augmentative/verb/accent paths the
+    English corpus never reaches."""
+    from lucenenet_ray.analysis.rslp import GL_SPLICE_WORDS, galician_stem
+
+    return _spliced_stem_stats(sf_dir, galician_stem, GL_SPLICE_WORDS,
+                               "gl")
+
+
+def _q_pt_rslp_stem_stats(sf_dir: str) -> pa.Table:
+    """Portuguese full RSLP stemmer (Analysis/Pt/PortugueseStemmer.cs,
+    the Orengo variant next to the default pt light stemmer;
+    analysis/rslp.py portuguese_rslp_stem, rule data rslp_pt.py) — same
+    spliced-corpus oracle structure as gl_stem_stats."""
+    from lucenenet_ray.analysis.rslp import (PT_SPLICE_WORDS,
+                                             portuguese_rslp_stem)
+
+    return _spliced_stem_stats(sf_dir, portuguese_rslp_stem,
+                               PT_SPLICE_WORDS, "ptr")
 
 
 def _q_mra_stats(sf_dir: str) -> pa.Table:
@@ -8089,6 +8124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "no_stem_stats": _q_no_stem_stats,
         "ga_stem_stats": _q_ga_stem_stats,
         "eu_stem_stats": _q_eu_stem_stats,
+        "gl_stem_stats": _q_gl_stem_stats,
+        "pt_rslp_stem_stats": _q_pt_rslp_stem_stats,
         "duplicate_filter": _q_duplicate_filter,
         "simple_query_bm25": _q_simple_query_bm25,
         "function_recip": _q_function_recip,
@@ -8404,6 +8441,8 @@ def oracle_sql() -> dict[str, str]:
         "ca_stem_stats": so.catalan_stem_stats_sql(),
         "ga_stem_stats": so.irish_stem_stats_sql(),
         "eu_stem_stats": so.basque_stem_stats_sql(n=60),
+        "gl_stem_stats": so.rslp_stem_stats_sql("gl"),
+        "pt_rslp_stem_stats": so.rslp_stem_stats_sql("pt"),
         "no_stem_stats": so.no_stem_stats_sql(),
         "custom_score": so.custom_score_sql(["spark", "window"], "n_chars",
                                             TOPK),

@@ -1146,6 +1146,15 @@ from lucenenet_ray.analysis.snowball_ext import (  # noqa: E402
 _STEM_FN.update({"eu_snowball": _sb_basque, "ca_snowball": _sb_catalan,
                  "ga_snowball": _sb_irish})
 
+from lucenenet_ray.analysis.rslp import (  # noqa: E402
+    galician_stem as _rslp_galician,
+    portuguese_rslp_stem as _rslp_portuguese)
+
+# "gl" = GalicianAnalyzer's default stemmer (GalicianStemFilter over the
+# RSLP engine); "pt_rslp" = the full Orengo RSLP variant selectable next
+# to the default pt light stemmer (PortugueseStemFilter)
+_STEM_FN.update({"gl": _rslp_galician, "pt_rslp": _rslp_portuguese})
+
 
 class StemmingLangAnalyzer(LangAnalyzer):
     """LangAnalyzer + the language's light stemmer (the GermanAnalyzer /

@@ -8958,6 +8958,31 @@ FROM s3 GROUP BY code
 ORDER BY sum_df DESC, code ASC LIMIT {n}"""
 
 
+def _spliced_terms_cte(words, salt: str) -> str:
+    """terms(w, df) over the documents corpus spliced with a
+    deterministic language vocabulary — mirrors
+    __ray_entry__._spliced_stem_stats (md5-gated per doc, same
+    formulas), so stemmer-family gates exercise paths the English
+    webtext never reaches."""
+    wlist = "[" + ", ".join(_sql_q(w) for w in words) + "]"
+    k = len(words)
+    h = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':" + salt + "'")
+    return f"""terms AS (
+  SELECT term AS w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    UNION ALL
+    SELECT doc_id, ({wlist})[1 + ({h}) % {k}] AS term
+    FROM documents WHERE ({h}) % 3 = 0
+    UNION ALL
+    SELECT doc_id, ({wlist})[1 + (({h}) // 7) % {k}] AS term
+    FROM documents WHERE ({h}) % 5 = 0
+  )
+  WHERE term <> '' AND term NOT IN {STOP_SQL}
+  GROUP BY term
+)"""
+
+
 def _eu_phase(idx: str, src: str, table, actions: dict) -> str:
     """One unrolled Basque among step (snowball_ext._eu_step) as SQL CTEs:
     hit = k*100+case of the longest suffix ending at cursor c; allowed =
@@ -9062,23 +9087,7 @@ def basque_stem_stats_sql(n: int = 20) -> str:
     src = "r1"
     phases.append(_eu_phase("j0", src, _EU_A_2, norm_acts(_EU_ADJ_ACT)))
     body = ",\n".join(phases)
-    wlist = "[" + ", ".join(f"'{w}'" for w in EU_SPLICE_WORDS) + "]"
-    k = len(EU_SPLICE_WORDS)
-    h = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':eu'")
-    return f"""WITH terms AS (
-  SELECT term AS w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-  FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    UNION ALL
-    SELECT doc_id, ({wlist})[1 + ({h}) % {k}] AS term
-    FROM documents WHERE ({h}) % 3 = 0
-    UNION ALL
-    SELECT doc_id, ({wlist})[1 + (({h}) // 7) % {k}] AS term
-    FROM documents WHERE ({h}) % 5 = 0
-  )
-  WHERE term <> '' AND term NOT IN {STOP_SQL}
-  GROUP BY term
-),
+    return f"""WITH {_spliced_terms_cte(EU_SPLICE_WORDS, "eu")},
 rvm AS (SELECT w, df, {rv} AS pv FROM terms),
 {_p12_ctes(V, src="rvm", extra=", pv")},
 s0 AS (SELECT w, len(w) AS c, TRUE AS ok, pv, p1, p2, df FROM marked),
@@ -9086,6 +9095,109 @@ s0 AS (SELECT w, len(w) AS c, TRUE AS ok, pv, p1, p2, df FROM marked),
 SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
        CAST(sum(df) AS BIGINT) AS sum_df
 FROM (SELECT w AS code, df FROM sj0) GROUP BY code
+ORDER BY sum_df DESC, code ASC LIMIT {n}"""
+
+
+def _rslp_step_expr(w: str, step) -> str:
+    """One RSLP step (analysis/rslp.py apply_step;
+    RSLPStemmerBase.Step.Apply) as a single SQL expression over column
+    ``w``: min-word and entry-suffix bypass gates, then a first-match
+    CASE chain — each rule's arm checks min-stem, ends_with, and its
+    exception list (whole-word NOT IN vs ends-with OR chain)."""
+    arms = []
+    for r in step.rules:
+        k = len(r.suffix)
+        cond = (f"len({w}) - {k} >= {r.min_stem} "
+                f"AND ends_with({w}, {_sql_q(r.suffix)})")
+        if r.exceptions:
+            if step.whole_word_exceptions:
+                ex = ", ".join(_sql_q(e) for e in r.exceptions)
+                cond += f" AND {w} NOT IN ({ex})"
+            else:
+                ors = " OR ".join(f"ends_with({w}, {_sql_q(e)})"
+                                  for e in r.exceptions)
+                cond += f" AND NOT ({ors})"
+        res = f"substr({w}, 1, len({w}) - {k}) || {_sql_q(r.replacement)}"
+        arms.append(f" WHEN {cond} THEN {res}")
+    gates = [f"WHEN len({w}) < {step.min_word} THEN {w}"]
+    if step.entry_suffixes:
+        ent = " OR ".join(f"ends_with({w}, {_sql_q(s)})"
+                          for s in step.entry_suffixes)
+        gates.append(f" WHEN NOT ({ent}) THEN {w}")
+    return ("CASE " + "\n".join(gates) + "\n" + "\n".join(arms)
+            + f"\n ELSE {w} END")
+
+
+_RSLP_AUG_UNROLL = 4
+
+
+def rslp_stem_stats_sql(lang: str, n: int = 60) -> str:
+    """Galician / Portuguese RSLP oracle (analysis/rslp.py over
+    rslp_gl/rslp_pt data; GalicianStemmer.cs:48-97 /
+    PortugueseStemmer.cs:47-121): each step is a first-match CASE CTE;
+    the Galician Augmentative fixpoint is unrolled {U}× with an active
+    flag (corpus+vocabulary max is 3 iterations — measured; a deeper
+    word would hash-mismatch loudly); the noun/verb(/vowel) arms gate on
+    LENGTH equality exactly as the reference's `len == oldlen` checks;
+    accent removal is a translate() against the same character maps."""
+    if lang == "gl":
+        from lucenenet_ray.analysis.rslp import GL_SPLICE_WORDS as WORDS
+        from lucenenet_ray.analysis.rslp_gl import STEPS
+        salt, accents = "gl", ("áéêíóú", "aeeiou")
+    else:
+        from lucenenet_ray.analysis.rslp import PT_SPLICE_WORDS as WORDS
+        from lucenenet_ray.analysis.rslp_pt import STEPS
+        salt = "ptr"
+        accents = ("àáâãäåçèéêëìíîïñòóôõöùúûüýÿ",
+                   "aaaaaaceeeeiiiinooooouuuuyy")
+    ctes = [_spliced_terms_cte(WORDS, salt),
+            "s0 AS (SELECT w, df FROM terms)"]
+    if lang == "gl":
+        order = ["Plural", "Unification", "Adverb"]
+    else:
+        order = ["Plural", "Adverb", "Feminine", "Augmentative"]
+    src = "s0"
+    for i, name in enumerate(order, 1):
+        ctes.append(f"s{i} AS (SELECT "
+                    f"{_rslp_step_expr('w', STEPS[name])} AS w, df "
+                    f"FROM {src})")
+        src = f"s{i}"
+    if lang == "gl":
+        # Augmentative to fixpoint: active while the length changes
+        ctes.append(f"a0 AS (SELECT w, TRUE AS act, df FROM {src})")
+        src = "a0"
+        for i in range(1, _RSLP_AUG_UNROLL + 1):
+            aug = _rslp_step_expr("w", STEPS["Augmentative"])
+            ctes.append(f"t{i} AS (SELECT w, act, df, {aug} AS w2 "
+                        f"FROM {src})")
+            ctes.append(
+                f"a{i} AS (SELECT CASE WHEN act THEN w2 ELSE w END AS w, "
+                f"(act AND len(w2) <> len(w)) AS act, df FROM t{i})")
+            src = f"a{i}"
+    # length-gated noun/verb(/vowel) arms
+    ctes.append(f"n0 AS (SELECT w, len(w) AS n, df FROM {src})")
+    ctes.append(f"n1 AS (SELECT {_rslp_step_expr('w', STEPS['Noun'])} "
+                f"AS w, n, df FROM n0)")
+    ctes.append(
+        f"v1 AS (SELECT CASE WHEN len(w) = n THEN "
+        f"{_rslp_step_expr('w', STEPS['Verb'])} ELSE w END AS w, n, df "
+        f"FROM n1)")
+    if lang == "gl":
+        ctes.append(f"v2 AS (SELECT "
+                    f"{_rslp_step_expr('w', STEPS['Vowel'])} AS w, df "
+                    f"FROM v1)")
+    else:
+        ctes.append(
+            f"v2 AS (SELECT CASE WHEN len(w) = n THEN "
+            f"{_rslp_step_expr('w', STEPS['Vowel'])} ELSE w END AS w, df "
+            f"FROM v1)")
+    ctes.append(f"fin AS (SELECT translate(w, {_sql_q(accents[0])}, "
+                f"{_sql_q(accents[1])}) AS w, df FROM v2)")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT w AS code, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS sum_df
+FROM fin GROUP BY w
 ORDER BY sum_df DESC, code ASC LIMIT {n}"""
 
 
