@@ -5669,6 +5669,72 @@ def _q_word_combine(sf_dir: str) -> Any:
 
 
 
+def _q_wikipedia_stats(sf_dir: str) -> pa.Table:
+    """WikipediaTokenizer analog (WikipediaTokenizer.cs token types,
+    analysis/wikipedia.py): per-(term,type) stats over a corpus spliced
+    with wiki-markup snippets (category/internal-link/heading/
+    sub-heading/bold/italics/external-link/citation — md5-gated, each
+    snippet's token output a string formula the oracle re-emits)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from lucenenet_ray.analysis.wikipedia import wikipedia_tokenize
+        from lucenenet_ray.ops.neardup import md5_int31
+
+        df: Counter = Counter()
+        ttf: Counter = Counter()
+        for i, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            x = x or ""
+            h1 = md5_int31(f"{i}:wcat")
+            h2 = md5_int31(f"{i}:wlink")
+            h3 = md5_int31(f"{i}:whead")
+            h4 = md5_int31(f"{i}:wfmt")
+            h5 = md5_int31(f"{i}:wext")
+            if h1 % 3 == 0:
+                x += f" [[Category:cat{h1 % 40}]]"
+            if h2 % 4 == 0:
+                x += f" [[page{h2 % 30}|go{h2 % 5}]]"
+            if h3 % 5 == 0:
+                x += f" ==top{h3 % 20}=="
+            if h3 % 7 == 0:
+                x += f" ===deep{h3 % 10}==="
+            if h4 % 6 == 0:
+                x += f" '''strong{h4 % 15}'''"
+            if h4 % 8 == 0:
+                x += f" ''soft{h4 % 12}''"
+            if h5 % 9 == 0:
+                x += f" [http://w{h5 % 25}.org/p via{h5 % 4} on{h5 % 3}]"
+            if h5 % 11 == 0:
+                x += f" <ref>cite{h5 % 6}</ref>"
+            c = Counter((term, typ) for term, typ, *_rest
+                        in wikipedia_tokenize(x))
+            ttf.update(c)
+            df.update(c.keys())
+        keys = sorted(ttf)
+        return pa.table({
+            "term": pa.array([k[0] for k in keys], type=pa.string()),
+            "type": pa.array([k[1] for k in keys], type=pa.string()),
+            "df": pa.array([df[k] for k in keys], type=pa.int64()),
+            "ttf": pa.array([ttf[k] for k in keys], type=pa.int64()),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+           .groupby(["term", "type"])
+           .aggregate(Sum("df", "df"), Sum("ttf", "ttf"))
+           .to_pandas())
+    out = out.rename(columns={"sum(df)": "df", "sum(ttf)": "ttf"})
+    out = out.sort_values(["term", "type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["term", "type", "df", "ttf"]],
+                                preserve_index=False)
+
+
 def _q_classic_stats(sf_dir: str) -> pa.Table:
     """ClassicAnalyzer analog (ClassicTokenizer.cs grammar + ClassicFilter
     + lowercase + stop): per-(term,type) stats over a corpus spliced with
@@ -8308,6 +8374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cologne_stats": _q_cologne_stats,
         "dm_soundex_stats": _q_dm_soundex_stats,
         "classic_stats": _q_classic_stats,
+        "wikipedia_stats": _q_wikipedia_stats,
         "suggest_blended": _q_suggest_blended,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_fst_bucketed": _q_suggest_fst_bucketed,
@@ -8545,6 +8612,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": so.funnel_sql(),
         "url_email_stats": so.url_email_stats_sql(),
         "classic_stats": so.classic_stats_sql(),
+        "wikipedia_stats": so.wikipedia_stats_sql(),
         "suggest_blended": so.suggest_blended_sql("mer", 10),
         "suggest_fuzzy": so.suggest_fuzzy_sql("mirge", 10),
         "suggest_fst_bucketed": so.suggest_fst_bucketed_sql("merge ", 10),

@@ -4506,6 +4506,65 @@ WHERE d.df >= 1
 ORDER BY d.df DESC, p.idx"""
 
 
+def wikipedia_stats_sql() -> str:
+    """WikipediaTokenizer oracle (analysis/wikipedia.py): the corpus is
+    plain space-separated words (→ <ALPHANUM>); every spliced
+    wiki-markup snippet's token output is a STRING FORMULA the oracle
+    re-emits directly (positional-probe style — the engine does the
+    real scanning, the oracle asserts the expected contract output)."""
+    h1 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':wcat'")
+    h2 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':wlink'")
+    h3 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':whead'")
+    h4 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':wfmt'")
+    h5 = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':wext'")
+    return f"""WITH base AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         '<ALPHANUM>' AS type
+  FROM documents
+),
+splice AS (
+  SELECT doc_id, 'cat' || ({h1} % 40) AS term, 'c' AS type
+  FROM documents WHERE {h1} % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'page' || ({h2} % 30), 'il'
+  FROM documents WHERE {h2} % 4 = 0
+  UNION ALL
+  SELECT doc_id, 'go' || ({h2} % 5), 'il'
+  FROM documents WHERE {h2} % 4 = 0
+  UNION ALL
+  SELECT doc_id, 'top' || ({h3} % 20), 'h'
+  FROM documents WHERE {h3} % 5 = 0
+  UNION ALL
+  SELECT doc_id, 'deep' || ({h3} % 10), 'sh'
+  FROM documents WHERE {h3} % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'strong' || ({h4} % 15), 'b'
+  FROM documents WHERE {h4} % 6 = 0
+  UNION ALL
+  SELECT doc_id, 'soft' || ({h4} % 12), 'i'
+  FROM documents WHERE {h4} % 8 = 0
+  UNION ALL
+  SELECT doc_id, 'http://w' || ({h5} % 25) || '.org/p', 'elu'
+  FROM documents WHERE {h5} % 9 = 0
+  UNION ALL
+  SELECT doc_id, 'via' || ({h5} % 4), 'el'
+  FROM documents WHERE {h5} % 9 = 0
+  UNION ALL
+  SELECT doc_id, 'on' || ({h5} % 3), 'el'
+  FROM documents WHERE {h5} % 9 = 0
+  UNION ALL
+  SELECT doc_id, 'cite' || ({h5} % 6), 'ci'
+  FROM documents WHERE {h5} % 11 = 0
+),
+allt AS (
+  SELECT * FROM base WHERE term <> ''
+  UNION ALL SELECT * FROM splice
+)
+SELECT term, type, count(DISTINCT doc_id) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM allt GROUP BY term, type ORDER BY term, type"""
+
+
 def classic_stats_sql() -> str:
     """ClassicAnalyzer oracle (analysis/core_tokenizers.py): classic-typed
     tokens (acronym/company/host/num) are deterministically spliced into
