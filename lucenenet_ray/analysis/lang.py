@@ -122,6 +122,19 @@ CATALAN_STOP = frozenset(
     "però perquè poc qual quan que què se ses seu si sobre son sota sou "
     "sóc són tal també tan tant teu tot un una unes uns us vosaltres "
     "vostre és".split())  # Snowball catalan stopwords (CatalanAnalyzer)
+GALICIAN_STOP = frozenset(
+    "a aínda alí aquel aquela aquelas aqueles aquilo aquí ao aos as así "
+    "á ben cando che co coa comigo con connosco contigo convosco coas "
+    "cos cun cuns cunha cunhas da dalgunha dalgunhas dalgún dalgúns das "
+    "de del dela delas deles desde deste do dos dun duns dunha dunhas e "
+    "el ela elas eles en era eran esa esas ese eses esta estar estaba "
+    "está están este estes estiven estou eu é facer foi foron fun había "
+    "hai iso isto la las lle lles lo los mais me meu meus min miña "
+    "miñas moi na nas neste nin no non nos nosa nosas noso nosos nós "
+    "nun nunha nuns nunhas o os ou ó ós para pero pode pois pola polas "
+    "polo polos por que se senón ser seu seus sexa sido sobre súa súas "
+    "tamén tan te ten teñen teño ter teu teus ti tido tiña tiven túa "
+    "túas un unha unhas uns vos vosa vosas voso vosos vós".split())  # galician stopwords (GalicianAnalyzer stopwords.txt)
 BASQUE_STOP = frozenset(
     "al anitz arabera asko baina bat batean batek bati batzuei batzuek "
     "batzuetan batzuk bera beraiek berau berauek bere berori beroriek "
@@ -222,6 +235,9 @@ class MultiLangAnalyzer:
                                                     "eu_snowball")
         self.analyzers["ca"] = CatalanAnalyzer(CATALAN_STOP)
         self.analyzers["ga"] = IrishAnalyzer(IRISH_STOP)
+        # GalicianAnalyzer.cs: standard → lowercase → stop (stopwords.txt)
+        # → GalicianStemFilter (the RSLP engine, analysis/rslp.py)
+        self.analyzers["gl"] = StemmingLangAnalyzer(GALICIAN_STOP, "gl")
 
     def __call__(self, text: str, lang: str | None = None
                  ) -> tuple[list[str], list[int]]:

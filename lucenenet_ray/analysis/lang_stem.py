@@ -1152,8 +1152,15 @@ from lucenenet_ray.analysis.rslp import (  # noqa: E402
 
 # "gl" = GalicianAnalyzer's default stemmer (GalicianStemFilter over the
 # RSLP engine); "pt_rslp" = the full Orengo RSLP variant selectable next
-# to the default pt light stemmer (PortugueseStemFilter)
-_STEM_FN.update({"gl": _rslp_galician, "pt_rslp": _rslp_portuguese})
+# to the default pt light stemmer (PortugueseStemFilter); *_minimal =
+# the RSLP-S plural-only filters (GalicianMinimalStemFilter /
+# PortugueseMinimalStemFilter)
+from lucenenet_ray.analysis.rslp import (  # noqa: E402
+    galician_minimal_stem as _rslp_gl_min,
+    portuguese_minimal_stem as _rslp_pt_min)
+
+_STEM_FN.update({"gl": _rslp_galician, "pt_rslp": _rslp_portuguese,
+                 "gl_minimal": _rslp_gl_min, "pt_minimal": _rslp_pt_min})
 
 
 class StemmingLangAnalyzer(LangAnalyzer):

@@ -198,6 +198,19 @@ def galician_stem(word: str) -> str:
     return w.translate(_GL_ACCENTS)
 
 
+def galician_minimal_stem(word: str) -> str:
+    """GalicianMinimalStemmer (GalicianMinimalStemmer.cs:31-40 — the
+    RSLP-S plural-only modification for Galician): just the Plural
+    step, no accent removal."""
+    return apply_step(word, _gl_steps()["Plural"])
+
+
+def portuguese_minimal_stem(word: str) -> str:
+    """PortugueseMinimalStemmer (PortugueseMinimalStemmer.cs:33-42 —
+    RSLP-S, Orengo et al.): just the Plural step, no accent removal."""
+    return apply_step(word, _pt_steps()["Plural"])
+
+
 def portuguese_rslp_stem(word: str) -> str:
     """PortugueseStemmer.Stem (PortugueseStemmer.cs:47-121): plural →
     adverb → feminine → augmentative, then noun / else verb / else

@@ -92,3 +92,38 @@ def test_lang_dispatch_has_gl_and_pt_rslp():
 
     assert _STEM_FN["gl"] is galician_stem
     assert _STEM_FN["pt_rslp"] is portuguese_rslp_stem
+
+
+def test_minimal_stemmers_full_vocabulary_and_vectors():
+    """RSLP-S plural-only variants (GalicianMinimalStemmer.cs /
+    PortugueseMinimalStemmer.cs): pt pinned by the reference's full
+    ptminimal.txt vocabulary; gl by TestGalicianMinimalStemFilter.cs
+    vectors (plural + whole-word exceptions)."""
+    from lucenenet_ray.analysis.rslp import (galician_minimal_stem,
+                                             portuguese_minimal_stem)
+
+    z = zipfile.ZipFile(
+        "/root/reference/src/Lucene.Net.Tests.Analysis.Common/Analysis/"
+        "Pt/ptminimaltestdata.zip")
+    pairs = [ln.split("\t") for ln in
+             z.read("ptminimal.txt").decode("utf-8").splitlines() if ln]
+    bad = [(w, want, portuguese_minimal_stem(w))
+           for w, want in pairs if portuguese_minimal_stem(w) != want]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:5]}"
+    for w, want in [("elefantes", "elefante"), ("elefante", "elefante"),
+                    ("kalóres", "kalór"), ("kalór", "kalór"),
+                    ("mas", "mas"), ("barcelonês", "barcelonês")]:
+        assert galician_minimal_stem(w) == want, w
+
+
+def test_galician_analyzer_chain():
+    """GalicianAnalyzer.cs chain: lowercase → galician stop →
+    GalicianStemFilter (TestGalicianAnalyzer.cs shapes)."""
+    from lucenenet_ray.analysis.lang import MultiLangAnalyzer
+
+    ml = MultiLangAnalyzer()
+    terms, _pos = ml("correspondente correspondemos", "gl")
+    assert terms == ["correspond", "correspond"]
+    # stopword dropped
+    terms, _pos = ml("aínda zaldi", "gl")
+    assert terms == [galician_stem("zaldi")]
