@@ -21,8 +21,9 @@ Covered contract:
   what makes ``''[[Category:x]]'' word`` type ``word`` ALPHANUM while
   ``''italics [[Category:x]] word`` also types ``word`` ALPHANUM);
 - ``==h==`` → ``h`` (HEADING), ``===h===`` → ``sh`` (SUB_HEADING);
-- ``<ref>...</ref>`` → ``ci`` (CITATION); any other ``<...>`` tag is
-  stripped;
+- ``<ref>...</ref>`` and ``{{...}}`` templates → ``ci`` (CITATION; both
+  feed DOUBLE_BRACE_STATE in the reference DFA); any other ``<...>``
+  tag is stripped;
 - plain text uses the ClassicTokenizer word classes
   (core_tokenizers._CLASSIC_RULES: ALPHANUM/APOSTROPHE/NUM/HOST/...);
 - the three emit modes with an ``untokenizedTypes`` set: TOKENS_ONLY,
@@ -30,9 +31,8 @@ Covered contract:
   raw span flagged UNTOKENIZED_TOKEN_FLAG, then the individual tokens
   with the first at posInc 0).
 
-Out of subset (documented): ``{{...}}`` templates (DOUBLE_BRACE_STATE
-beyond <ref>), nested brackets inside untokenized regions, and
-non-http(s) external-link schemes.
+Out of subset (documented): nested structures inside untokenized
+regions, and non-http(s) external-link schemes.
 """
 
 from __future__ import annotations
@@ -191,6 +191,16 @@ def wikipedia_tokenize(text: str, mode: int = TOKENS_ONLY,
                 i += run
                 continue
             i += 1
+            continue
+        if text.startswith("{{", i):
+            # DoubleBrace templates share the citation state
+            # (WikipediaTokenizerImpl YYINITIAL "{{" → currentTokType =
+            # CITATION, DOUBLE_BRACE_STATE)
+            j = text.find("}}", i + 2)
+            ce = j if j != -1 else n
+            emit_region(CITATION, i + 2, ce)
+            fmt = None
+            i = (ce + 2) if j != -1 else n
             continue
         if ch == "<":
             if text.startswith("<ref>", i):

@@ -152,3 +152,16 @@ def test_both_mode_with_flags():
                   UNTOKENIZED_TOKEN_FLAG, 0, 0,
                   UNTOKENIZED_TOKEN_FLAG, 0, 0, 0]
     assert [t[5] for t in toks] == want_flags
+
+
+def test_double_brace_templates_typed_citation():
+    """{{...}} shares the citation state (WikipediaTokenizerImpl
+    YYINITIAL DoubleBrace → CITATION, DOUBLE_BRACE_STATE)."""
+    toks = wikipedia_tokenize("before {{cite web first last}} after")
+    assert terms(toks) == ["before", "cite", "web", "first", "last",
+                           "after"]
+    assert types(toks) == ["<ALPHANUM>", "ci", "ci", "ci", "ci",
+                           "<ALPHANUM>"]
+    # unclosed template runs to end of text
+    toks = wikipedia_tokenize("x {{open forever")
+    assert types(toks) == ["<ALPHANUM>", "ci", "ci"]
