@@ -5744,9 +5744,9 @@ def _q_wikipedia_stats(sf_dir: str) -> pa.Table:
 
     out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
            .groupby(["term", "type"])
-           .aggregate(Sum("df", "df"), Sum("ttf", "ttf"))
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("ttf", alias_name="ttf"))
            .to_pandas())
-    out = out.rename(columns={"sum(df)": "df", "sum(ttf)": "ttf"})
     out = out.sort_values(["term", "type"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["term", "type", "df", "ttf"]],
                                 preserve_index=False)

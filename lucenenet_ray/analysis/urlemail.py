@@ -69,8 +69,11 @@ _TLD_STRICT = "(" + "|".join(
     sorted(set((_GTLDS + " " + _CCTLDS).split()),
            key=lambda t: (-len(t), t))) + r"|xn--[a-z0-9-]+)"
 
+# unbracketed email domains use the SAME strict TLD gate (the
+# reference's EMAIL macro is built on DomainNameStrict — ASCIITLD);
+# bracketed domain literals ([1.2.3.4], [IPv6:...], [1ae]) stay loose
 EMAIL_TOKEN_RE = (r"^[a-z0-9!#$%&*+/=?^_`{|}~.'-]+@"
-                  r"(\[[^\] ]+\]|[a-z0-9.-]+\." + _TLD + r")$")
+                  r"(\[[^\] ]+\]|[a-z0-9.-]+\." + _TLD_STRICT + r")$")
 URL_TOKEN_RE = (r"^((https?://|www\.)[a-z0-9.-]+\." + _TLD +
                 r"|([a-z0-9-]+\.)+" + _TLD_STRICT +
                 r"|([0-9]{1,3}\.){3}[0-9]{1,3})"

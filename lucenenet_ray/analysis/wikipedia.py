@@ -70,19 +70,25 @@ _WIKI_RULES = tuple(sorted(
 _QUOTE_CLOSE = {ITALICS: "''", BOLD: "'''", BOLD_ITALICS: "'''''"}
 
 
+def _match_at(text: str, i: int, hi: int):
+    """Longest _WIKI_RULES match starting at i (None if no rule
+    matches): (term, classic_type)."""
+    best = None
+    btyp = None
+    for typ, rx in _WIKI_RULES:
+        m = rx.match(text, i, hi)
+        if m is not None and (best is None or len(m.group()) > len(best)):
+            best = m.group()
+            btyp = typ
+    return best, btyp
+
+
 def _classic_spans(text: str, lo: int, hi: int):
     """(term, classic_type, start, end) tokens within text[lo:hi]."""
     out = []
     i = lo
     while i < hi:
-        best = None
-        btyp = None
-        for typ, rx in _WIKI_RULES:
-            m = rx.match(text, i, hi)
-            if m is not None and (best is None
-                                  or len(m.group()) > len(best)):
-                best = m.group()
-                btyp = typ
+        best, btyp = _match_at(text, i, hi)
         if best is None:
             i += 1
             continue
@@ -144,9 +150,14 @@ def wikipedia_tokenize(text: str, mode: int = TOKENS_ONLY,
             m = _NONSPACE.match(text, i + 1, j)
             ue = m.end()
             emit(text[i + 1:ue], EXTERNAL_LINK_URL, i + 1, ue)
-            for k2, (t2, _ct, s2, e2) in enumerate(
-                    _classic_spans(text, ue, j)):
-                emit(t2, EXTERNAL_LINK, s2, e2, 0 if k2 == 0 else 1)
+            if EXTERNAL_LINK in untoks and mode != TOKENS_ONLY and ue < j:
+                dsp = ue + 1 if text[ue:ue + 1] == " " else ue
+                if dsp < j:
+                    emit_region(EXTERNAL_LINK, dsp, j)
+            else:
+                for k2, (t2, _ct, s2, e2) in enumerate(
+                        _classic_spans(text, ue, j)):
+                    emit(t2, EXTERNAL_LINK, s2, e2, 0 if k2 == 0 else 1)
             fmt = None
             i = j + 1 if j < n else n
             continue
@@ -185,7 +196,15 @@ def wikipedia_tokenize(text: str, mode: int = TOKENS_ONLY,
                 run += 1
             if run >= 2:
                 if heading is None:
-                    heading = HEADING if run == 2 else SUB_HEADING
+                    htyp = HEADING if run == 2 else SUB_HEADING
+                    if htyp in untoks and mode != TOKENS_ONLY:
+                        close = "=" * run
+                        j = text.find(close, i + run)
+                        ce = j if j != -1 else n
+                        emit_region(htyp, i + run, ce)
+                        i = (ce + run) if j != -1 else n
+                        continue
+                    heading = htyp
                 else:
                     heading = None
                 i += run
@@ -212,14 +231,7 @@ def wikipedia_tokenize(text: str, mode: int = TOKENS_ONLY,
             j = text.find(">", i)
             i = j + 1 if j != -1 else n
             continue
-        best = None
-        btyp = None
-        for ctyp, rx in _WIKI_RULES:
-            m = rx.match(text, i)
-            if m is not None and (best is None
-                                  or len(m.group()) > len(best)):
-                best = m.group()
-                btyp = ctyp
+        best, btyp = _match_at(text, i, n)
         if best is None:
             i += 1
             continue

@@ -9026,10 +9026,17 @@ def _spliced_terms_cte(words, salt: str) -> str:
     wlist = "[" + ", ".join(_sql_q(w) for w in words) + "]"
     k = len(words)
     h = _MD5_INT31.format(s="CAST(doc_id AS VARCHAR)||':" + salt + "'")
+    # the stop filter applies to the BASE-corpus arm ONLY — the engine
+    # twin (_spliced_stem_stats) adds splice words AFTER stop filtering,
+    # so a splice word colliding with an English stop word must still
+    # count (latent-divergence guard, r5 review finding)
     return f"""terms AS (
   SELECT term AS w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
   FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    SELECT doc_id, term FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ) WHERE term <> '' AND term NOT IN {STOP_SQL}
     UNION ALL
     SELECT doc_id, ({wlist})[1 + ({h}) % {k}] AS term
     FROM documents WHERE ({h}) % 3 = 0
@@ -9037,7 +9044,6 @@ def _spliced_terms_cte(words, salt: str) -> str:
     SELECT doc_id, ({wlist})[1 + (({h}) // 7) % {k}] AS term
     FROM documents WHERE ({h}) % 5 = 0
   )
-  WHERE term <> '' AND term NOT IN {STOP_SQL}
   GROUP BY term
 )"""
 

@@ -165,3 +165,30 @@ def test_double_brace_templates_typed_citation():
     # unclosed template runs to end of text
     toks = wikipedia_tokenize("x {{open forever")
     assert types(toks) == ["<ALPHANUM>", "ci", "ci"]
+
+
+def test_untoks_cover_external_links_and_headings():
+    """r5 review finding: untokenizedTypes must work for EVERY wiki
+    type, not just category/italics/citation — the reference's
+    collapse logic keys on currentTokType membership alone."""
+    from lucenenet_ray.analysis.wikipedia import (HEADING, SUB_HEADING,
+                                                  UNTOKENIZED_ONLY, BOTH)
+
+    toks = wikipedia_tokenize("[http://a.org x y] tail",
+                              UNTOKENIZED_ONLY,
+                              frozenset({EXTERNAL_LINK}))
+    assert [(t[0], t[1]) for t in toks] == [
+        ("http://a.org", EXTERNAL_LINK_URL), ("x y", EXTERNAL_LINK),
+        ("tail", "<ALPHANUM>")]
+    assert toks[1][5] == UNTOKENIZED_TOKEN_FLAG
+
+    toks = wikipedia_tokenize("==head words== after", UNTOKENIZED_ONLY,
+                              frozenset({HEADING}))
+    assert [(t[0], t[1]) for t in toks] == [
+        ("head words", HEADING), ("after", "<ALPHANUM>")]
+
+    toks = wikipedia_tokenize("===deep sub=== x", BOTH,
+                              frozenset({SUB_HEADING}))
+    assert [(t[0], t[1], t[4]) for t in toks] == [
+        ("deep sub", SUB_HEADING, 1), ("deep", SUB_HEADING, 0),
+        ("sub", SUB_HEADING, 1), ("x", "<ALPHANUM>", 1)]
