@@ -192,3 +192,33 @@ def test_untoks_cover_external_links_and_headings():
     assert [(t[0], t[1], t[4]) for t in toks] == [
         ("deep sub", SUB_HEADING, 1), ("deep", SUB_HEADING, 0),
         ("sub", SUB_HEADING, 1), ("x", "<ALPHANUM>", 1)]
+
+
+def test_random_strings_never_crash_and_offsets_sane():
+    """CheckRandomData analog (WikipediaTokenizerTest.TestRandomStrings):
+    arbitrary markup-soup input must tokenize without raising, with
+    in-bounds offsets, term==text-slice for plain tokens, and
+    non-negative position increments, in every mode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucenenet_ray.analysis.wikipedia import (BOTH, UNTOKENIZED_ONLY,
+                                                  wikipedia_tokenize)
+
+    alphabet = "ab1 .'[]={}<>|:/#&?\"-_\n"
+    untoks = frozenset({"c", "i", "el", "h"})
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=80))
+    def run(text):
+        for mode in (TOKENS_ONLY, UNTOKENIZED_ONLY, BOTH):
+            toks = wikipedia_tokenize(text, mode, untoks)
+            for term, typ, s, e, inc, flags in toks:
+                assert 0 <= s <= e <= len(text)
+                assert inc in (0, 1)
+                assert flags in (0, 1)
+                assert isinstance(term, str) and isinstance(typ, str)
+                if flags == 0 and typ.startswith("<"):
+                    assert text[s:e] == term
+
+    run()
