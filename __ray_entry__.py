@@ -1745,6 +1745,24 @@ def _q_media_features(sf_dir: str) -> pa.Table:
         "decode_ok", pa.array([1] * out.num_rows, type=pa.int64()))
 
 
+def _q_png_decode_stats(sf_dir: str) -> pa.Table:
+    """REAL compressed-image decode, oracle-exact (ops/png.py): 48
+    synthesized PNGs (zlib DEFLATE, scanline filters cycling through all
+    five types) stream through the PNGStats actor stage; the SQL oracle
+    recomputes every expected channel sum from the md5 pixel formulas
+    WITHOUT zlib — any filter/inflate bug hash-mismatches loudly."""
+    import ray.data as rd
+
+    from lucenenet_ray.ops.multimodal import PNGStats, synthesize_png_table
+
+    t = synthesize_png_table(n=48)
+    ds = rd.from_arrow(t).map_batches(
+        PNGStats, batch_format="pyarrow", batch_size=16, concurrency=2)
+    out = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")])
+    return out.take(pa.compute.sort_indices(out.column("item_id")))
+
+
 def _q_classic_tfidf(sf_dir: str) -> pa.Table:
     """Similarity override (Similarity.cs / DefaultSimilarity.cs): the same
     "spark window" OR query scored with ClassicSimilarity — sqrt-tf, idf²,
@@ -8391,6 +8409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "classic_stats": _q_classic_stats,
         "wikipedia_stats": _q_wikipedia_stats,
+        "png_decode_stats": _q_png_decode_stats,
         "suggest_blended": _q_suggest_blended,
         "suggest_fuzzy": _q_suggest_fuzzy,
         "suggest_fst_bucketed": _q_suggest_fst_bucketed,
@@ -8629,6 +8648,7 @@ def oracle_sql() -> dict[str, str]:
         "url_email_stats": so.url_email_stats_sql(),
         "classic_stats": so.classic_stats_sql(),
         "wikipedia_stats": so.wikipedia_stats_sql(),
+        "png_decode_stats": so.png_decode_stats_sql(),
         "suggest_blended": so.suggest_blended_sql("mer", 10),
         "suggest_fuzzy": so.suggest_fuzzy_sql("mirge", 10),
         "suggest_fst_bucketed": so.suggest_fst_bucketed_sql("merge ", 10),

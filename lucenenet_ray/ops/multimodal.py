@@ -4,14 +4,16 @@ actor-pool map_batches stages.
 The Ray-side plumbing (schema, batch sizing, actor signature, output layout)
 is real and tested. Decoding comes in two tiers:
 
-* REAL, dependency-free decoders for containers that need none: binary
-  PPM/PGM and uncompressed 24-bit BMP (pure numpy), PCM16 WAV (stdlib
-  ``wave``) — see :func:`decode_image` / :func:`decode_wav_pcm16` and the
-  oracle-checked :class:`ImageStats` / :class:`AudioStats` stages;
-* compressed codecs (JPEG/MP3/H.264) STUBBED behind
-  ``NotImplementedError`` / a deterministic fake — those libraries are not
-  in this container; swap ``_decode_image_real`` for Pillow/pyav in
-  production.
+* REAL, dependency-free decoders: PNG — a genuinely COMPRESSED
+  container (stdlib zlib DEFLATE + all five scanline filters,
+  ``ops/png.py``; gate-proven bit-exact via ``png_decode_stats``) —
+  plus binary PPM/PGM and uncompressed 24-bit BMP (pure numpy), PCM16
+  WAV (stdlib ``wave``) — see :func:`decode_image` /
+  :func:`decode_wav_pcm16` and the oracle-checked :class:`ImageStats` /
+  :class:`AudioStats` stages;
+* remaining codecs (JPEG/MP3/H.264) raise ``ValueError`` from the
+  dispatcher — those libraries are not in this container; swap
+  :func:`decode_image` for Pillow/pyav in production.
 
 Batch-size guidance (SURVEY §4 memory-aware): binary payloads dominate block
 size — these stages use small ``batch_size`` (64) and ``batch_format=
@@ -29,11 +31,11 @@ import pyarrow as pa
 IMAGE_FEATURE_DIM = 14  # 3ch mean+std (6) + 2x2 luma grid (4) + h,w,bytes,hash (4)
 
 
-def _decode_image_real(payload: bytes) -> np.ndarray:  # pragma: no cover
-    raise NotImplementedError(
-        "image decoding requires Pillow/opencv — not available in this "
-        "container; the pipeline plumbing uses the deterministic fake below"
-    )
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """REAL magic-dispatched decode (PNG/PPM/BMP — see decode_image).
+    JPEG/H.264 still require Pillow/pyav (not in this container) and
+    raise ValueError through the dispatcher."""
+    return decode_image(payload)
 
 
 def _decode_image_fake(payload: bytes) -> np.ndarray:
@@ -284,12 +286,19 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-dispatched REAL decode (PPM/PGM/BMP)."""
+    """Magic-dispatched REAL decode (PNG/PPM/PGM/BMP). PNG is the one
+    genuinely COMPRESSED container decodable dependency-free (stdlib
+    zlib DEFLATE + all five scanline filters — ops/png.py)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from lucenenet_ray.ops.png import png_decode
+
+        return png_decode(payload)
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    raise ValueError("unsupported image container (real decoders: PPM/BMP)")
+    raise ValueError(
+        "unsupported image container (real decoders: PNG/PPM/BMP)")
 
 
 def decode_wav_pcm16(payload: bytes) -> np.ndarray:
@@ -489,6 +498,62 @@ def synthesize_real_media_table(n: int = 64, side: int = 4,
         "kind": pa.array(kinds, type=pa.string()),
         "payload": pa.array(payloads, type=pa.binary()),
     })
+
+
+def synthesize_png_table(n: int = 48) -> pa.Table:
+    """Deterministic REAL PNGs: image i is h×w×3 with h = 4 + H%5,
+    w = 3 + H%3 (H = md5_int31(f"{i}:pngd")) and row r's w*3 sample
+    bytes taken from md5(f"png:{i}:{r}").digest() — every formula is
+    SQL-mirrorable (the png_decode_stats oracle recomputes the expected
+    channel sums WITHOUT zlib). Scanline filters cycle r % 5 so a
+    decoder that mishandles ANY of the five filters changes the sums."""
+    import hashlib as _hl
+
+    from lucenenet_ray.ops.neardup import md5_int31
+    from lucenenet_ray.ops.png import png_encode
+
+    ids, payloads = [], []
+    for i in range(n):
+        hh = md5_int31(f"{i}:pngd")
+        h = 4 + hh % 5
+        w = 3 + hh % 3
+        rows = []
+        for r in range(h):
+            d = _hl.md5(f"png:{i}:{r}".encode()).digest()
+            rows.append(np.frombuffer(d[:w * 3], dtype=np.uint8))
+        arr = np.stack(rows).reshape(h, w, 3)
+        ids.append(i)
+        payloads.append(png_encode(arr, filters=[r % 5 for r in range(h)]))
+    return pa.table({
+        "item_id": pa.array(ids, type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
+
+
+class PNGStats:
+    """Actor-pool stage: REAL PNG decode → (item_id, height, width,
+    sum_r, sum_g, sum_b). Per-actor state (nothing to load here, but the
+    shape matches the model-load stages)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hs, ws, s0, s1, s2 = [], [], [], [], [], []
+        for i, v in zip(batch.column("item_id").to_pylist(),
+                        batch.column("payload")):
+            img = decode_image(v.as_py()).astype(np.int64)
+            ids.append(i)
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            s0.append(int(img[:, :, 0].sum()))
+            s1.append(int(img[:, :, 1].sum()))
+            s2.append(int(img[:, :, 2].sum()))
+        return pa.table({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+            "width": pa.array(ws, type=pa.int64()),
+            "sum_r": pa.array(s0, type=pa.int64()),
+            "sum_g": pa.array(s1, type=pa.int64()),
+            "sum_b": pa.array(s2, type=pa.int64()),
+        })
 
 
 def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:

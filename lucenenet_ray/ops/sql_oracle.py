@@ -4506,6 +4506,36 @@ WHERE d.df >= 1
 ORDER BY d.df DESC, p.idx"""
 
 
+def png_decode_stats_sql(n: int = 48) -> str:
+    """PNG decode oracle (ops/png.py, ops/multimodal.synthesize_png_table):
+    the engine round-trips md5-derived pixels through a REAL
+    zlib/filtered PNG encode+decode; the oracle recomputes (height,
+    width, per-channel pixel sums) straight from the md5 formulas —
+    pixel byte (r, c, ch) of image i = byte (c*3+ch) of
+    md5('png:'||i||':'||r). No zlib in the oracle: a decoder bug cannot
+    cancel out."""
+    hh = _MD5_INT31.format(s="CAST(i AS VARCHAR)||':pngd'")
+    byte = ("CAST(('0x'||substr(md5('png:'||i||':'||r), "
+            "2*(c*3+ch)+1, 2)) AS BIGINT)")
+    return f"""WITH imgs AS (
+  SELECT i, 4 + ({hh}) % 5 AS h, 3 + ({hh}) % 3 AS w
+  FROM generate_series(0, {n - 1}) AS t(i)
+),
+px AS (
+  SELECT imgs.i, imgs.h, imgs.w, r.r, c.c, ch.ch, {byte} AS v
+  FROM imgs
+  JOIN generate_series(0, 8) AS r(r) ON r.r < imgs.h
+  JOIN generate_series(0, 5) AS c(c) ON c.c < imgs.w
+  JOIN generate_series(0, 2) AS ch(ch) ON TRUE
+)
+SELECT i AS item_id, CAST(h AS BIGINT) AS height,
+       CAST(w AS BIGINT) AS width,
+       CAST(sum(v) FILTER (WHERE ch = 0) AS BIGINT) AS sum_r,
+       CAST(sum(v) FILTER (WHERE ch = 1) AS BIGINT) AS sum_g,
+       CAST(sum(v) FILTER (WHERE ch = 2) AS BIGINT) AS sum_b
+FROM px GROUP BY i, h, w ORDER BY i"""
+
+
 def wikipedia_stats_sql() -> str:
     """WikipediaTokenizer oracle (analysis/wikipedia.py): the corpus is
     plain space-separated words (→ <ALPHANUM>); every spliced

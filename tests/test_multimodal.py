@@ -52,11 +52,19 @@ def test_audio_frames_stage(ray_session):
         assert n == (lens[i] // 2) // 128
 
 
-def test_real_decoder_is_gated():
-    from lucenenet_ray.ops.multimodal import _decode_image_real
+def test_real_decoder_dispatches_and_gates():
+    """PNG is now a REAL decode path (ops/png.py); unsupported
+    compressed codecs (JPEG et al.) still raise through the
+    dispatcher."""
+    import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        _decode_image_real(b"\x89PNG")
+    from lucenenet_ray.ops.multimodal import _decode_image_real
+    from lucenenet_ray.ops.png import png_encode
+
+    img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    assert (_decode_image_real(png_encode(img)) == img).all()
+    with pytest.raises(ValueError):
+        _decode_image_real(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
 def test_image_resize_stage(ray_session):
