@@ -101,3 +101,32 @@ def test_png_stats_gate_matches_duckdb_oracle(ray_session):
     out = out.take(pa.compute.sort_indices(out.column("item_id")))
     exp = duckdb.connect().execute(png_decode_stats_sql(n=16)).arrow()
     assert out.to_pylist() == exp.to_pylist()
+
+
+def test_conformance_on_reference_branding_pngs():
+    """REAL third-party-encoded PNGs (reference branding logos — written
+    by production encoders with adaptive per-row filters): decode all
+    19, pin dimensions against the filename ground truth, and use the
+    grayscale logos as an unfilter-correctness oracle — every pixel's
+    channels must agree within 1 (the source's own conversion rounding);
+    any Sub/Up/Average/Paeth bug produces diffs up to 255."""
+    import glob
+    import re
+
+    files = sorted(glob.glob("/root/reference/branding/logo/*.png"))
+    assert len(files) >= 15
+    for f in files:
+        img = png_decode(open(f, "rb").read())
+        m = re.search(r"-(\d+)x(\d+)\.png$", f)
+        if m:
+            w, h = int(m.group(1)), int(m.group(2))
+            assert img.shape == (h, w, 3), f
+        # self-consistency on real pixel data
+        assert (png_decode(png_encode(img)) == img).all()
+    for name in ("lucene-net-grayscale.png",
+                 "lucene-net-reverse-grayscale.png"):
+        img = png_decode(open(
+            f"/root/reference/branding/logo/{name}", "rb").read()
+        ).astype(int)
+        assert abs(img[:, :, 0] - img[:, :, 1]).max() <= 1, name
+        assert abs(img[:, :, 1] - img[:, :, 2]).max() <= 1, name
